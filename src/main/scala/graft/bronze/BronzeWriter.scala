@@ -1,0 +1,34 @@
+package graft.bronze
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bronze-layer writer: columnar table partitioned by (year, month).
+  *
+  * Reference behavior (`save_to_raw_delta_dev.py:47-87`): Delta append or
+  * overwrite with `partition_by=["year","month"]`, any other mode →
+  * `ValueError`. In this environment "Delta table" ⇒ hive-partitioned Parquet
+  * with identical layout and pruning semantics (SURVEY.md §7.4 — no Delta jars
+  * offline); append/overwrite come from Spark `SaveMode`.
+  *
+  * Scale posture: the (year, month) hive layout gives partition pruning for
+  * the silver jobs' `WHERE year = k` predicates at any data size, and writes
+  * are append-only per ingest page so no global shuffle is required.
+  */
+object BronzeWriter {
+  val PartitionCols: Seq[String] = Seq("year", "month")
+
+  def write(df: DataFrame, path: String, mode: String): Unit = {
+    val saveMode = mode match {
+      case "append"    => SaveMode.Append
+      case "overwrite" => SaveMode.Overwrite
+      case other =>
+        // mirrors the reference's ValueError (save_to_raw_delta_dev.py:81-82)
+        throw new IllegalArgumentException(s"Invalid mode: $other. Use 'append' or 'overwrite'.")
+    }
+    if (!df.isEmpty) { // skip-if-empty guard (usgs-earthquake-data-ingest.py:175-177)
+      df.write.mode(saveMode).partitionBy(PartitionCols: _*).parquet(path)
+    }
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}

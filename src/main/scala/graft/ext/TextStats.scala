@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID, fingerprinting.
+  *
+  * All are pure Catalyst expression trees over `functions._` (codegen'd, no
+  * UDFs), so they stay inside whole-stage codegen and scale linearly with a
+  * parquet scan — the 100 TB posture is "one pass, no shuffle" for every
+  * per-document statistic.
+  */
+object TextStats {
+
+  /** Non-empty whitespace-separated tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length (integer sums — exact on any engine). */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(ts, lit(0), (acc, t) => acc + length(t)).cast("double") / size(ts)
+  }
+
+  /** Common-English stopword list shared with the oracle SQL. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Fraction of tokens that are stopwords — a standard fluency/quality
+    * signal (high ratio ≈ natural prose, near-zero ≈ tag soup). */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    size(filter(ts, t => t.isInCollection(Stopwords))).cast("double") / size(ts)
+  }
+
+  /** Canonicalization fingerprint: md5 over lowercased, whitespace-collapsed,
+    * trimmed text. Two documents with the same fingerprint are exact
+    * duplicates modulo case/whitespace — the grouping key for exact dedup. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Matches the languages present in the corpus (en/de/es/fr/zh). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "en", "un", "una", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不", "这", "中"),
+  )
+
+  /** Language-ID: argmax over per-language stopword hit counts, ties broken
+    * by profile order then 'und' (undetermined) when nothing matches.
+    * One pass, no shuffle; the hit counting is a codegen'd array filter. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    // struct(score, rank) max — greatest() over structs picks by score first,
+    // then by (negated) profile index so earlier profiles win ties.
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        size(filter(ts, t => t.isInCollection(words))).as("score"),
+        lit(-i).as("pref"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity operators (SURVEY.md §2) exercised over the driver's
+  * `events` table, which stands in for the earthquake stream (FIXTURES.md §5:
+  * ts ↔ eventtime, event_type='error' ↔ the tsunami flag, props ↔ geometry
+  * JSON). Each query has an exact DuckDB oracle twin in [[EventQueries.oracle]].
+  *
+  * Every query ends in a deterministic ORDER BY (full tiebreak) so the
+  * row-level hash compare is stable, and derived ints are kept 32-bit on both
+  * sides so schemas align.
+  */
+object EventQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // P1/P2 + F1-F3: flatten projection with renames + JSON field extraction
+    // (geometry-JSON analogue) — parse_geojson_to_dataframe re-expressed.
+    "p1_flatten_project" -> ((s, d) => events(s, d).select(
+      col("event_id").as("id"),
+      year(col("ets")).as("year"),
+      month(col("ets")).as("month"),
+      col("event_type"),
+      col("user_id"),
+      get_json_object(col("props"), "$.k").as("k"),
+    ).orderBy("id")),
+
+    // P4: time-range predicate (partition-prunable at scale).
+    "p4_filter_time" -> ((s, d) => events(s, d)
+      .filter(col("ets") >= lit("2024-03-01") && col("ets") < lit("2024-04-01"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")),
+
+    // P5: flag-equality predicate (tsunami=1 analogue) → row-group skipping.
+    "p5_filter_flag" -> ((s, d) => events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")),
+
+    // A1: global count under year predicate.
+    "a1_count" -> ((s, d) => events(s, d)
+      .filter(year(col("ets")) === 2024 && month(col("ets")) === 3)
+      .agg(count(lit(1)).as("cnt"))),
+
+    // A2: count by year (exploratory query).
+    "a2_count_by_year" -> ((s, d) => events(s, d)
+      .groupBy(year(col("ets")).as("year"))
+      .agg(count(lit(1)).as("event_count"))
+      .orderBy("year")),
+
+    // A3 (flagship): fact_tsunami_yearly shape — filter flag, group year.
+    "a3_flag_yearly" -> ((s, d) => events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(year(col("ets")).as("year"))
+      .agg(count(lit(1)).as("flag_yearly_count"))
+      .orderBy("year")),
+
+    // A4: fact_tsunami_monthly shape.
+    "a4_flag_monthly" -> ((s, d) => events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(year(col("ets")).as("year"), month(col("ets")).as("month"))
+      .agg(count(lit(1)).as("flag_monthly_count"))
+      .orderBy("year", "month")),
+
+    // A5: unfiltered diagnostic count.
+    "a5_total_count" -> ((s, d) => events(s, d).agg(count(lit(1)).as("cnt"))),
+
+    // F1-F3/F6/F7: timestamp part extraction + ISO formatting.
+    "f_time_extract" -> ((s, d) => events(s, d).select(
+      col("event_id"),
+      year(col("ets")).as("y"),
+      month(col("ets")).as("m"),
+      dayofmonth(col("ets")).as("dom"),
+      hour(col("ets")).as("h"),
+      date_format(col("ets"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
+    ).orderBy("event_id")),
+
+    // O3: clustering sort + top-k preview (O4).
+    "o3_topk" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)),
+
+    // K6: serving-table layout — (month, year) key, time-descending rows.
+    "k6_serving_layout" -> ((s, d) => events(s, d).select(
+      month(col("ets")).as("month"),
+      year(col("ets")).as("year"),
+      col("event_id"),
+    ).orderBy(col("month"), col("year"), col("event_id").desc)),
+
+    // S6: column-pruned scan (reads 3 of 6 columns from parquet).
+    "s6_pruned_read" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")),
+
+    // §2.9 streaming analogue: tumbling 1-hour window aggregation.
+    "stream_window_agg" -> ((s, d) => events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ets")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")),
+
+    // Latest-revision dedup (the reconciliation the reference lacks, §2.9 /
+    // §7.5): keep each user's most recent event.
+    "dedup_latest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ets").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user (window lag + running
+    // sum — the dedup/reconciliation machinery the reference lacks, §2.9).
+    "sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ets", "event_id")
+      events(s, d)
+        .withColumn("prev", lag(col("ets"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            col("ets").cast("long") - col("prev").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p1_flatten_project" ->
+      """SELECT event_id AS id, CAST(year(ts) AS INTEGER) AS year,
+         CAST(month(ts) AS INTEGER) AS month, event_type, user_id,
+         json_extract_string(props, '$.k') AS k
+         FROM events ORDER BY id""",
+    "p4_filter_time" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE ts >= TIMESTAMP '2024-03-01' AND ts < TIMESTAMP '2024-04-01'
+         ORDER BY event_id""",
+    "p5_filter_flag" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'error' ORDER BY event_id""",
+    "a1_count" ->
+      "SELECT count(*) AS cnt FROM events WHERE year(ts) = 2024 AND month(ts) = 3",
+    "a2_count_by_year" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS year, count(*) AS event_count
+         FROM events GROUP BY 1 ORDER BY year""",
+    "a3_flag_yearly" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS year, count(*) AS flag_yearly_count
+         FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY year""",
+    "a4_flag_monthly" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+         count(*) AS flag_monthly_count
+         FROM events WHERE event_type = 'error' GROUP BY 1, 2 ORDER BY year, month""",
+    "a5_total_count" -> "SELECT count(*) AS cnt FROM events",
+    "f_time_extract" ->
+      """SELECT event_id, CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+         CAST(day(ts) AS INTEGER) AS dom, CAST(hour(ts) AS INTEGER) AS h,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso
+         FROM events ORDER BY event_id""",
+    "o3_topk" ->
+      """SELECT event_id, event_type, value FROM events
+         ORDER BY value DESC, event_id LIMIT 100""",
+    "k6_serving_layout" ->
+      """SELECT CAST(month(ts) AS INTEGER) AS month, CAST(year(ts) AS INTEGER) AS year,
+         event_id FROM events ORDER BY month, year, event_id DESC""",
+    "s6_pruned_read" ->
+      "SELECT event_id, user_id, value FROM events ORDER BY event_id",
+    "stream_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "dedup_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sess AS (
+           SELECT user_id,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, session_id, count(*) AS n_events
+         FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""",
+  )
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational breadth over the TPC-H-ish star schema (TESTDATA.md): joins
+  * (broadcast / shuffle / semi / anti), multi-key aggregation, rollup,
+  * distinct aggregation, windows, set ops, top-k.
+  *
+  * The reference has no joins (SURVEY.md §2.4) — these exercise the engine
+  * breadth its users get from Spark, sized for 100 TB: every dimension join
+  * is explicitly `broadcast()` (nation/region/supplier/customer are tiny
+  * relative to the facts), fact-fact joins shuffle on their keys, and money
+  * sums use the order-independent decimal pattern ([[Tables.dsum]]).
+  */
+object StarQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: scan-heavy multi-aggregate, map-side partial agg.
+    "q1_lineitem_agg" -> ((s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-01-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3 shape: 3-way join, broadcast dim, agg, top-k by revenue.
+    "q3_top_orders" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d)
+      val l = lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: snowflake dim chain, all dims broadcast.
+    "q5_nation_revenue" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val su = supplier(s, d)
+      val n = nation(s, d)
+      val r = region(s, d)
+      l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Left-semi: customers with at least one order (EXISTS).
+    "join_semi" -> ((s, d) => customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")),
+
+    // Left-anti: customers with no orders (NOT EXISTS).
+    "join_anti" -> ((s, d) => customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")),
+
+    // Ranking window: top-3 orders per customer.
+    "window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running-total window (frame spec). Quantities are integral-valued
+    // doubles, so the windowed sum is exact under any accumulation order.
+    // NB: (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    // the window order adds quantity/price tiebreaks (any remaining ties are
+    // full duplicates, whose prefix sums commute) and the final sort includes
+    // running_qty to pin the row order of duplicated keys.
+    "window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    }),
+
+    // Set ops over customer vs supplier nations.
+    "set_union" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy("nationkey")),
+    "set_intersect" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+    "set_except" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // COUNT(DISTINCT) per group (two-phase distinct aggregation).
+    "agg_distinct" -> ((s, d) => orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("uniq_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")),
+
+    // ROLLUP grouping sets (explicit NULLS FIRST for oracle parity —
+    // DuckDB's default ASC ordering is NULLS LAST, Spark's is NULLS FIRST).
+    "rollup_agg" -> ((s, d) => lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Join + grouped agg: order revenue by market segment and month.
+    "segment_monthly" -> ((s, d) => orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment", "order_month")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-01-01'
+         GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY r_name, n_name""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+           SUM(l_quantity) OVER (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+         FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""",
+    "set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "agg_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_customers,
+           count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "segment_monthly" ->
+      """SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY c_mktsegment, order_month""",
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.TextStats
+
+/** North-star text-analysis + dedup operators over `documents`
+  * (BASELINE.json: token counting, quality scoring, language-ID,
+  * fingerprinting, exact dedup). Implementations in [[graft.ext.TextStats]]
+  * and [[graft.ext.Dedup]]; these bind them to the driver contract. */
+object TextQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: non-empty whitespace-separated tokens.
+    "text_tokens" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")),
+
+    // Quality scoring: length / token stats / stopword ratio.
+    "text_quality" -> ((s, d) => documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.avgTokenLen(col("text")).as("avg_token_len"),
+        TextStats.stopwordRatio(col("text")).as("stopword_ratio"))
+      .orderBy("doc_id")),
+
+    // Canonicalization fingerprint: md5 of lower/whitespace-collapsed text.
+    "text_fingerprint" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")),
+
+    // Exact dedup summary over the fingerprint.
+    "dedup_exact" -> ((s, d) => documents(s, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextStats.fingerprint(col("text"))).as("n_unique"))),
+
+    // Language-ID: stopword-profile argmax heuristic.
+    "text_langid" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")),
+
+    // Exact-dedup result: keep the lowest doc_id per fingerprint group.
+    "dedup_exact_keep" -> ((s, d) => documents(s, d)
+      .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+           x -> x <> '')) AS INTEGER) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, length(text) AS len,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tokens
+           FROM documents)
+         SELECT doc_id, CAST(len AS INTEGER) AS len,
+           CAST(len(tokens) AS INTEGER) AS n_tokens,
+           CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+             / len(tokens) AS avg_token_len,
+           CAST(len(list_filter(tokens, t -> t IN ('the','a','of','and','to','in',
+             'is','it','that','for'))) AS DOUBLE) / len(tokens) AS stopword_ratio
+         FROM toks ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tok
+           FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(tok, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+           len(list_filter(tok, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+           len(list_filter(tok, t -> t IN ('el','la','de','que','y','es','en','un','una','por'))) AS s_es,
+           len(list_filter(tok, t -> t IN ('le','la','de','et','est','un','une','que','pour','dans'))) AS s_fr,
+           len(list_filter(tok, t -> t IN ('的','是','在','了','我','有','和','不','这','中'))) AS s_zh
+           FROM t)
+         SELECT doc_id, CASE
+           WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+           WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+           count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique
+         FROM documents""",
+    "dedup_exact_keep" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+         ORDER BY keep_id""",
+  )
+}
