@@ -42,51 +42,84 @@ object Dedup {
       .otherwise(array(array_join(ts, " "))))
   }
 
-  /** MinHash signature matrix: (id, seed, minhash) with `seeds` independent
-    * hash functions h_s(x) = md5(s || ':' || x). md5 keeps the signature
-    * engine-portable (the DuckDB oracle computes the identical signature);
-    * swap [[org.apache.spark.sql.functions.xxhash64]] in for raw speed when
-    * oracle portability is not needed.
-    */
-  def minhashSignature(df: DataFrame, text: Column, id: Column, w: Int, seeds: Int): DataFrame = {
-    val sh = df.select(id.as("__id"), explode(shingles(text, w)).as("__shingle"))
-    val seedCol = explode(sequence(lit(0), lit(seeds - 1)))
-    sh.select(col("__id"), seedCol.as("__seed"), col("__shingle"))
-      .groupBy("__id", "__seed")
-      .agg(min(md5(concat(col("__seed").cast("string"), lit(":"), col("__shingle")))).as("__mh"))
+  /** MinHash signature: `numHashes` min-hash slots per document. Hash
+    * family h_s(x) = 8-hex-char slice s%4 of md5((s/4) || ':' || x) — four
+    * independent 32-bit slots per md5 call, so an 8-hash signature costs two
+    * md5s per shingle. md5 keeps the signature engine-portable (the DuckDB
+    * oracle computes the identical signature); swap
+    * [[org.apache.spark.sql.functions.xxhash64]] in for raw speed when
+    * oracle portability is not needed. Output: (__id, __mh0..__mhN-1). */
+  def minhashSignature(df: DataFrame, text: Column, id: Column, w: Int, numHashes: Int): DataFrame = {
+    // Spread the corpus across all cores before the shingle fan-out: a
+    // single-file input otherwise plans as one partition and the whole
+    // signature computation runs in one task.
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sh = spread.select(id.as("__id"), explode(shingles(text, w)).as("__shingle"))
+    val digests = (0 until (numHashes + 3) / 4)
+      .map(g => md5(concat(lit(g.toString), lit(":"), col("__shingle"))))
+    // Aggregate the slots as longs, not hex strings: min(string) plans as
+    // SortAggregate (string agg buffers aren't hash-agg mutable), which
+    // sorts every shingle row; min(long) stays a HashAggregate with
+    // map-side partials. Fixed-width lowercase hex is order-isomorphic to
+    // its numeric value, so the minimum picks the same shingle as the
+    // oracle's hex-string min and the band structure is identical.
+    val mins = (0 until numHashes).map { s =>
+      min(conv(substring(digests(s / 4), (s % 4) * 8 + 1, 8), 16, 10).cast("long")).as(s"__mh$s")
+    }
+    sh.groupBy("__id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding over the signature: band key = md5 of the band's minhashes
-    * joined in seed order. Returns (id, band, bandkey). */
-  def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
-    sig.withColumn("__band", (col("__seed") / rowsPerBand).cast("int"))
-      .groupBy("__id", "__band")
-      .agg(md5(array_join(array_sort(collect_list(struct(col("__seed"), col("__mh"))))
-        .getField("__mh"), ":")).as("__bandkey"))
+  /** LSH banding over the signature: band key = md5 of the band's minhash
+    * slots joined in order. Returns (id, band, bandkey) — one row per band
+    * via a generator, no second aggregation. */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"__mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(":", slots: _*)).as("key"))
+    }
+    sig.select(col("__id"), explode(array(bandCols: _*)).as("__bk"))
+      .select(col("__id"), col("__bk.band").as("__band"), col("__bk.key").as("__bandkey"))
+  }
 
   /** Candidate near-duplicate pairs (a < b) sharing at least one LSH band —
     * a bucket self-join, never all-pairs. */
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
-      w: Int = 5, seeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = lshBands(minhashSignature(df, text, id, w, seeds), rowsPerBand)
-    val a = bands.select(col("__band").as("band_a"), col("__bandkey").as("key_a"), col("__id").as("a"))
-    val b = bands.select(col("__band").as("band_b"), col("__bandkey").as("key_b"), col("__id").as("b"))
+      w: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val bd = lshBands(minhashSignature(df, text, id, w, bands * rowsPerBand), bands, rowsPerBand)
+    val a = bd.select(col("__band").as("band_a"), col("__bandkey").as("key_a"), col("__id").as("a"))
+    val b = bd.select(col("__band").as("band_b"), col("__bandkey").as("key_b"), col("__id").as("b"))
     a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") && col("a") < col("b"))
       .select("a", "b").distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for pairs above `threshold` — the
-    * verification stage after LSH candidate generation (or standalone on
-    * small corpora). Shuffle is on shingles; pairs materialize only where
-    * shingles are shared. */
+  /** Exact n-gram Jaccard similarity for pairs above `threshold`.
+    *
+    * With `candidates` given (the scale path — e.g. [[minhashCandidates]]),
+    * shingle joins are restricted to candidate documents and results to
+    * candidate pairs, so cost is O(candidates), not O(n²). Without it, the
+    * all-pairs shingle self-join is exact but quadratic in documents sharing
+    * a shingle — fine for verification corpora, not for 100 TB. */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
-      w: Int = 3, threshold: Double = 0.4): DataFrame = {
-    val sh = df.select(id.as("__id"), explode(shingles(text, w)).as("__shingle"))
+      w: Int = 3, threshold: Double = 0.4,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    // Gate BEFORE shingling: only candidate documents get exploded, and the
+    // (tiny) candidate-doc set broadcasts, so no shuffle of shingle rows.
+    val base = (candidates match {
+      case Some(c) =>
+        val docs = c.select(col("a").as("__gid")).union(c.select(col("b").as("__gid"))).distinct()
+        df.join(broadcast(docs), id === col("__gid"), "left_semi")
+      case None => df
+    }).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sh = base.select(id.as("__id"), explode(shingles(text, w)).as("__shingle"))
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val interAll = sh.as("x").join(sh.as("y"),
         col("x.__shingle") === col("y.__shingle") && col("x.__id") < col("y.__id"))
       .groupBy(col("x.__id").as("a"), col("y.__id").as("b"))
       .agg(count(lit(1)).as("__inter"))
+    val inter = candidates match {
+      case Some(c) => interAll.join(c, Seq("a", "b"), "left_semi")
+      case None => interAll
+    }
     inter
       .join(sizes.withColumnRenamed("__id", "a").withColumnRenamed("__n", "__na"), "a")
       .join(sizes.withColumnRenamed("__id", "b").withColumnRenamed("__n", "__nb"), "b")
@@ -96,24 +129,18 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 32-bit SimHash over tokens: per-token hash from an md5 prefix, bit votes
-    * summed, sign → bit. Near-dups = small Hamming distance. */
-  def simhash(text: Column): Column = {
-    val tokenHash = transform(TextStats.tokens(text),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val bits = (0 until 32).map { j =>
-      val votes = aggregate(tokenHash, lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** 32-bit SimHash over tokens — the codegen'd [[graft.functions.SimHash]]
+    * expression (Murmur3 token hashes, bit votes, sign → bit) fused into one
+    * loop per row. Near-dups = small Hamming distance. */
+  def simhash(text: Column): Column =
+    graft.functions.TextExpressions.simhash32(TextStats.tokens(text))
 
   /** SimHash near-dup candidates: band the 32-bit simhash into 4 bytes; pairs
     * sharing any byte-band are candidates (Hamming ≤ 3 guaranteed found if
     * the ≤3 differing bits fall in ≤3 bands). */
   def simhashCandidates(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
-    val withSh = df.select(id.as("__id"), simhash(text).as("__sh"))
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val withSh = spread.select(id.as("__id"), simhash(text).as("__sh"))
     val banded = withSh.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("__sh"), b * 8).bitwiseAND(0xff).as("key"))): _*)).as("bk"))

@@ -25,7 +25,14 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composable (higher-order-function) cosine — kept as the reference
+    * implementation; the hot paths use the codegen'd expression below. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd cosine similarity ([[graft.functions.CosineSimilarity]]) —
+    * one fused primitive loop inside WholeStageCodegen. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   /** Exact top-k neighbors for each query row: broadcast the query set,
     * score the corpus linearly, per-query top-k via ranking window.
@@ -33,7 +40,10 @@ object Similarity {
   def topKExact(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // Spread the corpus scan: a single parquet file plans as one partition,
+    // which would serialize the whole scoring loop onto one core.
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -47,9 +57,10 @@ object Similarity {
     * for modest corpora; at scale, gate with [[lshBucket]] first. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("a"), col(vecCol).as("__va"))
+    val a = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("a"), col(vecCol).as("__va"))
     val b = corpus.select(col(idCol).as("b"), col(vecCol).as("__vb"))
-    a.join(b, col("a") < col("b"))
+    a.join(broadcast(b), col("a") < col("b"))
       .withColumn("sim", cosine(col("__va"), col("__vb")))
       .filter(col("sim") > threshold)
       .select("a", "b")
@@ -72,8 +83,9 @@ object Similarity {
     * the bucket id (bounded fan-out), never all-pairs. */
   def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        lshBucket(col(vecCol), planes).as("__bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       lshBucket(col(vecCol), planes).as("__bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))

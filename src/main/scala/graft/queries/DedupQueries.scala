@@ -4,79 +4,107 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.Dedup
 
-/** Near-duplicate detection over `documents`: MinHash+LSH banding, exact
-  * n-gram Jaccard verification, SimHash. Implementations in
-  * [[graft.ext.Dedup]]; MinHash/Jaccard use engine-portable md5 hashing so
-  * the DuckDB oracle reproduces the exact same signatures and candidates.
-  * SimHash hashing matches too (md5-prefix), but its banded self-join is kept
-  * rows-only-checked — its oracle SQL would be a page of bit-twiddling. */
+/** Near-duplicate detection over `documents`: MinHash+LSH banding, n-gram
+  * Jaccard verification over the LSH candidates (the scale-correct
+  * composition — candidate generation is a bucket join, verification touches
+  * candidate pairs only), and SimHash. Implementations in [[graft.ext.Dedup]];
+  * MinHash/Jaccard use engine-portable md5 hashing so the DuckDB oracle
+  * reproduces the exact same signatures, candidates, and scores. SimHash
+  * hashes with Spark's Murmur3 (codegen'd) → rows-only check + unit tests. */
 object DedupQueries {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** MinHash-LSH candidate pairs, persisted and pre-materialized. The
+    * candidate set is tiny (hundreds of pairs) but its subplan is referenced
+    * by several consumers (and by two queries); persisting + counting makes
+    * the LSH pipeline run once per session — Spark's cache manager matches
+    * the identical logical plan across separate query invocations. */
+  private def cachedCandidates(s: SparkSession, d: String): DataFrame = {
+    val c = Dedup.minhashCandidates(documents(s, d), col("text"), col("doc_id")).persist()
+    c.count() // materialize before fan-out: concurrent broadcast + shuffle
+    c         // consumers of an unmaterialized cache would each recompute
+  }
+
   val queries: Map[String, Q] = Map(
-    // MinHash(8 seeds, 5-token shingles) + LSH(4 bands × 2 rows) candidates.
+    // MinHash(8 hashes, 5-token shingles) + LSH(4 bands × 2 rows) candidates.
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashCandidates(documents(s, d), col("text"), col("doc_id"))
-        .orderBy("a", "b")),
+      cachedCandidates(s, d).orderBy("a", "b")),
 
-    // Exact 3-gram Jaccard pairs ≥ 0.4 (LSH verification stage).
+    // Exact 3-gram Jaccard ≥ 0.4 over the MinHash-LSH candidate pairs.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(documents(s, d), col("text"), col("doc_id"))
+      Dedup.ngramJaccardPairs(documents(s, d), col("text"), col("doc_id"),
+          candidates = Some(cachedCandidates(s, d)))
         .orderBy("a", "b")),
 
-    // SimHash(32-bit) banded candidates, Hamming ≤ 3 (rows-only check).
+    // SimHash(32-bit, Murmur3) banded candidates, Hamming ≤ 3 (rows-only).
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashCandidates(documents(s, d), col("text"), col("doc_id"))
         .orderBy("a", "b")),
   )
 
-  val oracle: Map[String, String] = Map(
-    "dedup_minhash_lsh" ->
-      """WITH toks AS (
+  private val candCtes =
+    """toks AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
              x -> x <> '') AS tokens
            FROM documents),
-         sh AS (
+         sh5 AS (
            SELECT doc_id, unnest(list_distinct(CASE WHEN len(tokens) >= 5
              THEN list_transform(range(1, len(tokens) - 3),
                i -> array_to_string(tokens[i:i+4], ' '))
              ELSE [array_to_string(tokens, ' ')] END)) AS shingle
            FROM toks),
          mh AS (
-           SELECT doc_id, s.seed,
-             min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
-           FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
-           GROUP BY doc_id, s.seed),
+           SELECT doc_id,
+             min(substr(md5('0:' || shingle), 1, 8))  AS mh0,
+             min(substr(md5('0:' || shingle), 9, 8))  AS mh1,
+             min(substr(md5('0:' || shingle), 17, 8)) AS mh2,
+             min(substr(md5('0:' || shingle), 25, 8)) AS mh3,
+             min(substr(md5('1:' || shingle), 1, 8))  AS mh4,
+             min(substr(md5('1:' || shingle), 9, 8))  AS mh5,
+             min(substr(md5('1:' || shingle), 17, 8)) AS mh6,
+             min(substr(md5('1:' || shingle), 25, 8)) AS mh7
+           FROM sh5 GROUP BY doc_id),
          bands AS (
-           SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-             md5(string_agg(mh, ':' ORDER BY seed)) AS bandkey
-           FROM mh GROUP BY doc_id, 2)
-         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
-         ORDER BY a, b""",
+           SELECT doc_id, 0 AS band, md5(mh0 || ':' || mh1) AS key FROM mh
+           UNION ALL SELECT doc_id, 1, md5(mh2 || ':' || mh3) FROM mh
+           UNION ALL SELECT doc_id, 2, md5(mh4 || ':' || mh5) FROM mh
+           UNION ALL SELECT doc_id, 3, md5(mh6 || ':' || mh7) FROM mh),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH $candCtes
+         SELECT a, b FROM cand ORDER BY a, b""",
     "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-             x -> x <> '') AS tokens
-           FROM documents),
-         sh AS (
+      s"""WITH $candCtes,
+         sh3 AS (
            SELECT doc_id, unnest(list_distinct(CASE WHEN len(tokens) >= 3
              THEN list_transform(range(1, len(tokens) - 1),
                i -> array_to_string(tokens[i:i+2], ' '))
              ELSE [array_to_string(tokens, ' ')] END)) AS shingle
            FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         cdocs AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
+         shc AS (SELECT sh3.* FROM sh3
+           WHERE EXISTS (SELECT 1 FROM cdocs WHERE cdocs.doc_id = sh3.doc_id)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
          inter AS (
            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-           GROUP BY 1, 2)
-         SELECT a, b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
-         FROM inter
-         JOIN sizes na ON na.doc_id = a
-         JOIN sizes nb ON nb.doc_id = b
+           FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         interc AS (
+           SELECT inter.* FROM inter
+           WHERE EXISTS (SELECT 1 FROM cand
+             WHERE cand.a = inter.a AND cand.b = inter.b))
+         SELECT interc.a, interc.b,
+           CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+         FROM interc
+         JOIN sizes na ON na.doc_id = interc.a
+         JOIN sizes nb ON nb.doc_id = interc.b
          WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.4
          ORDER BY a, b""",
   )

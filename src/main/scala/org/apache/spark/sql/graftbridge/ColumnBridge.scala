@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column ⇄ Expression converters.
+  *
+  * Spark 4 moved `Column` to a backend-agnostic `ColumnNode` representation;
+  * wrapping a custom Catalyst [[Expression]] into a [[Column]] (and back) goes
+  * through `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. Extension libraries conventionally host a small shim inside
+  * the `org.apache.spark.sql` package namespace for this (same pattern as
+  * public Spark extension projects; see SNIPPETS.md [1]/[3]).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
