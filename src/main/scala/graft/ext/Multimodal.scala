@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, plus decode / feature-extract / resize / frame-sample
+  * stages.
+  *
+  * The Spark-side plumbing is real — schema, partitioning, per-partition
+  * batched execution (`mapPartitions` over an iterator, the JVM analogue of
+  * an Arrow-batched UDF), and typed output rows. The codec itself is an
+  * injected [[Multimodal.Decoder]]; this container has no image/audio
+  * libraries, so the default [[Multimodal.StubDecoder]] is a clearly-marked
+  * deterministic fake that derives "dimensions" and "pixels" from the bytes.
+  * Swap in a real codec without touching any of the dataflow.
+  *
+  * Scale posture: decode is embarrassingly parallel — repartition by id to
+  * spread payloads, never collect; feature rows are fixed-width and tiny
+  * relative to payloads, so the decode stage is also the projection that
+  * drops the heavy binary column as early as possible.
+  */
+object Multimodal {
+
+  /** media table schema: (media_id long, kind string, payload binary,
+    * meta struct(format string, width int, height int, sample_rate int)). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),   // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+    ))),
+  ))
+
+  final case class Decoded(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** Codec boundary. Real deployments plug e.g. a JNI image decoder here. */
+  trait Decoder extends Serializable {
+    def decode(payload: Array[Byte]): Decoded
+  }
+
+  /** STUB — deterministic fake decoder (no media libs in this container).
+    * Derives dimensions from a hash of the payload and "pixels" by cycling
+    * the payload bytes; stable across runs so tests can assert on it. */
+  object StubDecoder extends Decoder {
+    def decode(payload: Array[Byte]): Decoded = {
+      val h = java.util.Arrays.hashCode(payload)
+      val w = 8 + math.abs(h % 8)
+      val ht = 8 + math.abs((h / 8) % 8)
+      val px = new Array[Byte](w * ht)
+      var i = 0
+      while (i < px.length) { px(i) = payload(i % payload.length); i += 1 }
+      Decoded(w, ht, 1, px)
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", IntegerType),
+    StructField("mean_intensity", DoubleType),
+    StructField("histogram", ArrayType(LongType)), // 8-bin intensity histogram
+  ))
+
+  /** Decode + feature-extract, batched per partition. The binary column is
+    * dropped in the same stage the features are produced. */
+  def decodeFeatures(media: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val spread = media.repartition(media.sparkSession.sparkContext.defaultParallelism,
+      col("media_id"))
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    spread.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val d = decoder.decode(r.getAs[Array[Byte]](1))
+        var sum = 0L
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < d.pixels.length) {
+          val v = d.pixels(i) & 0xff
+          sum += v
+          hist(v >>> 5) += 1
+          i += 1
+        }
+        Row(id, d.width, d.height, d.pixels.length,
+          if (d.pixels.isEmpty) 0.0 else sum.toDouble / d.pixels.length,
+          hist.toSeq)
+      }
+    }(enc).toDF()
+  }
+
+  /** Nearest-neighbor "resize" of the decoded pixel grid to (w, h) — runs on
+    * the stub pixels; with a real decoder this is the thumbnail stage. */
+  def resize(media: DataFrame, w: Int, h: Int, decoder: Decoder = StubDecoder): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", BinaryType),
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val d = decoder.decode(r.getAs[Array[Byte]](1))
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val sx = x * d.width / w
+            val sy = y * d.height / h
+            px(y * w + x) = d.pixels(sy * d.width + sx)
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(0), w, h, px)
+      }
+    }(enc).toDF()
+  }
+
+  /** Frame sampling for "video" payloads: slice the payload into fixed-size
+    * frames (binary substring — pure column ops, no UDF) and keep every
+    * `stride`-th. Output: (media_id, frame_no, frame binary). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val payload = col("payload")
+    val nFrames = ceil(length(payload).cast("double") / frameBytes).cast("int")
+    val frames = transform(
+      sequence(lit(0), greatest(nFrames - 1, lit(0))),
+      i => payload.substr(i * frameBytes + 1, lit(frameBytes)))
+    media
+      .select(col("media_id"), posexplode(frames).as(Seq("frame_no", "frame")))
+      .filter(col("frame_no") % stride === 0)
+  }
+}

@@ -66,31 +66,43 @@ object Similarity {
       .select("a", "b")
   }
 
-  /** Random-hyperplane LSH bucket id: `planes` sign-bits of dot products with
-    * deterministic ±1 hyperplanes (plane j, dimension i sign derived from
-    * xxhash64(j, i) — reproducible with no stored model). */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  /** Random-hyperplane LSH bucket id for one hash table: `planes` sign-bits
+    * of dot products with deterministic ±1 hyperplanes (table t, plane j,
+    * dimension i sign derived from xxhash64(t·planes+j, i) — reproducible
+    * with no stored model). */
+  def lshBucket(vec: Column, planes: Int, table: Int = 0): Column = {
     val bits = (0 until planes).map { j =>
       val d = fold(transform(vec, (x, i) =>
-        x.cast("double") * when(pmod(xxhash64(lit(j), i), lit(2)) === 0, 1.0).otherwise(-1.0)))
+        x.cast("double") * when(
+          pmod(xxhash64(lit(table * planes + j), i), lit(2)) === 0, 1.0).otherwise(-1.0)))
       when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: score only corpus rows sharing the query's LSH
-    * bucket. The corpus→bucket map is one linear pass; the join shuffles on
-    * the bucket id (bounded fan-out), never all-pairs. */
-  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+  /** (table, bucket) pairs across `tables` independent hash tables — the
+    * standard multi-table LSH scheme: a pair is a candidate if it collides
+    * in ANY table, so recall is 1-(1-p^planes)^tables instead of p^planes. */
+  private def lshTableBuckets(vec: Column, tables: Int, planes: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(vec, planes, t).as("b"))): _*)
+
+  /** Approximate top-k: score only corpus rows sharing an LSH bucket with
+    * the query in at least one table. The corpus→bucket map is one linear
+    * pass; the join is bucket-co-located (bounded fan-out), never all-pairs. */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, planes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        lshBucket(col(vecCol), planes).as("__bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
+        explode(lshTableBuckets(col(vecCol), tables, planes)).as("__tb"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(lshTableBuckets(col(vecCol), tables, planes)).as("__tb"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), "__bucket")
+    c.join(broadcast(q), Seq("__tb"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv").distinct() // dedupe multi-table collisions
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -27,22 +27,20 @@ final class UsgsSource(
   import UsgsSource._
 
   /** All pages of one window, stopping at the first short page (the
-    * reference's `len(features) < limit` termination, dynamic.py:435-437). */
+    * reference's `len(features) < limit` termination, dynamic.py:435-437).
+    * A fetch failure throws, so [[backfill]] can retry the window weekly.
+    * Page bodies are pulled eagerly (the network part); parsing stays lazy. */
   def fetchWindow(spark: SparkSession, w: PagePlanner.Window): Seq[DataFrame] = {
-    val pages = Iterator.from(0)
-      .map(i => 1L + i.toLong * limit)
-      .take(maxPagesPerWindow)
-      .map(off => fetch(Request(w.startParam, w.endParam, limit, off)))
-      .takeWhile(_.isSuccess)
-      .map { case Success(body) => body; case Failure(e) => throw e }
-    // Pull page bodies eagerly (the network part), keep parsing lazy.
     val bodies = new scala.collection.mutable.ArrayBuffer[String]
-    val it = pages.buffered
+    var offset = 1L
     var done = false
-    while (!done && it.hasNext) {
-      val body = it.next()
+    var pages = 0
+    while (!done && pages < maxPagesPerWindow) {
+      val body = fetch(Request(w.startParam, w.endParam, limit, offset)).get
       bodies += body
-      if (countFeatures(body) < limit) done = true
+      if (UsgsSource.countFeatures(body) < limit) done = true
+      offset += limit
+      pages += 1
     }
     bodies.toSeq.map(GeoJsonParser.parseBody(spark, _))
   }

