@@ -31,4 +31,11 @@ object BronzeWriter {
   }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Additive schema evolution on read (the reference's `schema_mode: "add"`,
+    * `usgs_earthquake_write_object_storage.py:106`): appended batches may
+    * carry new columns; `mergeSchema` unions all part schemas, older rows
+    * read NULL for the added columns. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -42,6 +42,21 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Winnowing-style rolling-hash fingerprint: the minimum Rabin-Karp hash
+    * over all k-byte windows ([[graft.functions.RollingHash]], one O(n)
+    * codegen'd pass). Robust to edits outside the minimal window; the
+    * content-defined-chunking primitive for near-dup segmentation. */
+  def rollingFingerprint(text: Column, k: Int = 16): Column =
+    array_min(graft.functions.TextExpressions.rollingHash(text, k))
+
+  /** BPE-ish regex tokenization: word pieces = letter runs, digit runs, or
+    * single non-space symbols — the pre-tokenizer shape GPT-style BPE vocab
+    * building uses (contractions split off, whitespace dropped). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Matches the languages present in the corpus (en/de/es/fr/zh). */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(

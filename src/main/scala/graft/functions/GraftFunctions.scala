@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for the engine's native expressions, so `spark.sql`
+  * users get them as first-class functions:
+  *
+  *  - `cosine_similarity(array<float>, array<float>) -> double`
+  *  - `simhash32(array<string>) -> bigint`
+  *  - `rolling_hash(string, k) -> array<bigint>`
+  *
+  * Two entry points: [[GraftExtensions]] for
+  * `SparkSession.builder.withExtensions` / the
+  * `spark.sql.extensions` conf (cluster deployment), and
+  * [[GraftFunctions.register]] for an already-built session (tests, REPL).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(e.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal integer, got $other")
+  }
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash32"),
+      (args: Seq[Expression]) => SimHash(args.head)),
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args(0), intArg(args(1), "rolling_hash k"))),
+  )
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptors.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

@@ -105,6 +105,13 @@ object EventQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("hour", "event_type")),
 
+    // Approximate distinct (HLL sketch) — rows-only: HLL implementations
+    // differ across engines; the spec asserts <5% relative error vs exact.
+    "agg_approx_distinct" -> ((s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")),
+
     // Latest-revision dedup (the reconciliation the reference lacks, §2.9 /
     // §7.5): keep each user's most recent event.
     "dedup_latest" -> ((s, d) => {

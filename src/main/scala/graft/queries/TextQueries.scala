@@ -40,6 +40,17 @@ object TextQueries {
         count(lit(1)).as("n_docs"),
         countDistinct(TextStats.fingerprint(col("text"))).as("n_unique"))),
 
+    // BPE-ish regex tokenization (GPT-style pre-tokenizer word pieces).
+    "text_tokens_bpe" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).as("n_pieces"))
+      .orderBy("doc_id")),
+
+    // Winnowing-style rolling-hash fingerprint (rows-only: native
+    // RollingHash expression, engine-specific 64-bit arithmetic).
+    "text_rolling_fp" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextStats.rollingFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")),
+
     // Language-ID: stopword-profile argmax heuristic.
     "text_langid" -> ((s, d) => documents(s, d)
       .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
@@ -54,6 +65,10 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_tokens_bpe" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_pieces
+         FROM documents ORDER BY doc_id""",
     "text_tokens" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
            x -> x <> '')) AS INTEGER) AS n_tokens

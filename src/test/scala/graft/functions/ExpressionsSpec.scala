@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions: rolling hash vs naive recompute, SQL
+  * registration through GraftFunctions/GraftExtensions, codegen/interpreted
+  * agreement. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling hash equals the naive per-window polynomial hash") {
+    def naive(s: String, k: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      (0 to b.length - k).map { i =>
+        var h = 0L
+        for (j <- i until i + k) h = h * RollingHash.Base + (b(j) & 0xffL)
+        h
+      }
+    }
+    val texts = Seq("hello rolling world", "ab", "abcdefgh", "ααβγ unicode too")
+    val got = texts.toDF("t")
+      .select(TextExpressions.rollingHash(col("t"), 8).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got === texts.map(naive(_, 8)))
+  }
+
+  test("rolling hash: shorter-than-k text yields empty array, null stays null") {
+    val got = Seq(Some("abc"), None).toDF("t")
+      .select(TextExpressions.rollingHash(col("t"), 8).as("h"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got(0).get.asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    assert(got(1).isEmpty)
+  }
+
+  test("SQL registration: cosine_similarity, simhash32, rolling_hash callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+           simhash32(array('a','b')) AS sh,
+           size(rolling_hash('hello world!', 4)) AS n
+      """).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) !== 0L)
+    assert(r.getInt(2) === "hello world!".getBytes.length - 4 + 1)
+  }
+
+  test("rolling_hash rejects non-literal k") {
+    GraftFunctions.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT rolling_hash('abc', length('ab'))").collect()
+    }
+  }
+
+  test("simhash is insensitive to token order (bag-of-words property)") {
+    val a = Seq("one two three four five").toDF("t")
+    val b = Seq("five four three two one").toDF("t")
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      df.select(TextExpressions.simhash32(split(col("t"), " ")).as("s")).as[Long].collect().head
+    assert(sh(a) === sh(b))
+  }
+}

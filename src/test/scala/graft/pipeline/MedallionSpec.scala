@@ -7,6 +7,7 @@ import graft.sinks.FileSinks
 import graft.serve.KeyedSink
 import graft.ingest.GeoJsonParser
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 /** End-to-end medallion flow over the FIXTURES.md GeoJSON fixture:
   * parse → bronze (partitioned parquet) → silver facts (golden values) →
@@ -59,6 +60,37 @@ class MedallionSpec extends SparkSpec {
     assert(csv === Some(s"$dir/earthquake_data_20240102030405.csv"))
     assert(spark.read.option("header", "true").csv(csv.get).count() === 2)
     assert(FileSinks.saveJson(events.limit(0), dir) === None)
+  }
+
+  test("schema evolution: appended batch with a new column merges on read") {
+    import spark.implicits._
+    val dir = tmpDir("evolve")
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9)).toDF("id", "v", "extra").write.mode("append").parquet(dir)
+    val merged = BronzeWriter.readEvolved(spark, dir)
+    assert(merged.columns.sorted.toSeq === Seq("extra", "id", "v"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("extra")))).toMap
+    assert(byId(1L) === None)       // old rows read NULL for the added column
+    assert(byId(2L) === Some(9))
+  }
+
+  test("clustering write: range-partitioned, sorted within partitions") {
+    import spark.implicits._
+    val df = spark.range(1000).select(
+      (col("id") * 37 % 101).as("k"), col("id"))
+    val clustered = graft.cluster.ClusterWrite.cluster(df, Seq(col("k")), Some(4))
+    // each partition is internally sorted and ranges don't interleave
+    val parts = clustered.select("k").as[Long].mapPartitions { it =>
+      val v = it.toVector
+      Iterator.single((v, v == v.sorted))
+    }.collect()
+    assert(parts.forall(_._2), "partition not internally sorted")
+    val nonEmpty = parts.map(_._1).filter(_.nonEmpty)
+    val ranges = nonEmpty.map(v => (v.head, v.last)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "partition ranges interleave")
+      case _ =>
+    }
   }
 
   test("keyed sink: rows arrive grouped by (month, year), eventtime desc") {
