@@ -22,4 +22,35 @@ object ClusterWrite {
     }
     ranged.sortWithinPartitions(keys: _*)
   }
+
+  /** Faithful multi-dimensional Z-order clustering: equal-width bucket each
+    * key into 2^bits buckets (one min/max aggregate over a sampled or full
+    * scan — cheap relative to the write), interleave the bucket bits into a
+    * Morton value ([[graft.functions.ZOrderValue]], codegen'd), then
+    * range-partition + sort on it. Rows close in EVERY key dimension land in
+    * the same files, so parquet min/max stats skip on any key — what the
+    * reference's successive full sorts were reaching for (O3). */
+  def zorder(df: DataFrame, keys: Seq[Column], bits: Int = 8,
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty && bits * keys.size <= 63)
+    val aggs = keys.zipWithIndex.flatMap { case (k, i) =>
+      Seq(min(k.cast("double")).as(s"__min$i"), max(k.cast("double")).as(s"__max$i"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val nBuckets = 1 << bits
+    val bucketCols = keys.zipWithIndex.map { case (k, i) =>
+      val lo = stats.getDouble(2 * i)
+      val hi = stats.getDouble(2 * i + 1)
+      if (lo == hi) lit(0L)
+      else width_bucket(k.cast("double"), lit(lo), lit(hi), lit(nBuckets)) - 1
+    }
+    val z = graft.functions.ZOrderExpression.zorderValue(bits, bucketCols: _*)
+    val withZ = df.withColumn("__z", z)
+    val ranged = numPartitions match {
+      case Some(n) => withZ.repartitionByRange(n, col("__z"))
+      case None    => withZ.repartitionByRange(col("__z"))
+    }
+    ranged.sortWithinPartitions(col("__z")).drop("__z")
+  }
 }

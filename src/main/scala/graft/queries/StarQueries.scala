@@ -127,6 +127,37 @@ object StarQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // Salted skew join: same result as the plain join (the oracle IS the
+    // plain join) with the hot keys spread across 4 salt buckets.
+    "join_salted" -> ((s, d) => {
+      import graft.ext.SkewJoin
+      SkewJoin.saltedEquiJoin(
+          lineitem(s, d), orders(s, d),
+          col("l_orderkey"), col("o_orderkey"),
+          saltFrom = Seq(col("l_linenumber"), col("l_partkey")), buckets = 4)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Exact median (interpolated percentile) per group.
+    "agg_median" -> ((s, d) => lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .orderBy("l_returnflag")),
+
+    // Pivot: order counts per priority × status (conditional-agg oracle).
+    "pivot_agg" -> ((s, d) => orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")),
+
     // Join + grouped agg: order revenue by market segment and month.
     "segment_monthly" -> ((s, d) => orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -200,6 +231,22 @@ object StarQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "join_salted" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderstatus""",
+    "agg_median" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.5) AS median_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     "segment_monthly" ->
       """SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS order_month,
            count(*) AS n_orders,

@@ -56,6 +56,14 @@ object TextQueries {
       .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")),
 
+    // Heavy hitters: top-20 corpus tokens by frequency (explode + agg +
+    // top-k; at 100 TB the same plan with a pre-agg per partition).
+    "text_heavy_hitters" -> ((s, d) => documents(s, d)
+      .select(explode(TextStats.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)),
+
     // Exact-dedup result: keep the lowest doc_id per fingerprint group.
     "dedup_exact_keep" -> ((s, d) => documents(s, d)
       .groupBy(TextStats.fingerprint(col("text")).as("fp"))
@@ -85,6 +93,12 @@ object TextQueries {
            CAST(len(list_filter(tokens, t -> t IN ('the','a','of','and','to','in',
              'is','it','that','for'))) AS DOUBLE) / len(tokens) AS stopword_ratio
          FROM toks ORDER BY doc_id""",
+    "text_heavy_hitters" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS token
+           FROM documents)
+         GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          FROM documents ORDER BY doc_id""",

@@ -1,0 +1,55 @@
+package graft.cluster
+
+import graft.SparkSpec
+import graft.functions.ZOrderExpression
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: Morton interleave correctness, dominance
+  * monotonicity, and the payoff — z-clustered files have tighter per-file
+  * bounding boxes than 1-D sorting on both dimensions. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton value interleaves bits (known patterns)") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 0L), (2L, 3L))
+      .toDF("x", "y")
+      .select(ZOrderExpression.zorderValue(4, col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // bit b of x lands at 2b, bit b of y at 2b+1
+    assert(rows === Seq(0L, 1L, 2L, 3L, 0x5L, 0xEL))
+  }
+
+  test("dominance monotonicity: a ≤ b component-wise ⇒ z(a) ≤ z(b)") {
+    val pts = for (x <- 0 to 15; y <- 0 to 15) yield (x.toLong, y.toLong)
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrderExpression.zorderValue(4, col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect().map { case (x, y, z) => (x, y) -> z }.toMap
+    for ((ax, ay) <- pts; (bx, by) <- Seq((ax + 1, ay), (ax, ay + 1), (ax + 1, ay + 1))
+         if bx <= 15 && by <= 15) {
+      assert(zs((ax, ay)) <= zs((bx, by)))
+    }
+  }
+
+  test("z-order clustering skips on the SECOND dimension too (1-D sort can't)") {
+    val n = 4096
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % 1024).as("a"),
+      (col("id") * 40503L % 1024).as("b")).cache()
+    // average per-partition span of dimension `b` — a proxy for how much a
+    // predicate on `b` alone can prune file-level min/max stats.
+    def avgBSpan(clustered: org.apache.spark.sql.DataFrame): Double = {
+      val parts = clustered.select("a", "b").as[(Long, Long)]
+        .mapPartitions { it =>
+          val v = it.toVector
+          if (v.isEmpty) Iterator.empty
+          else Iterator.single((v.map(_._2).max - v.map(_._2).min).toDouble)
+        }.collect()
+      parts.sum / parts.length
+    }
+    val zSpan = avgBSpan(ClusterWrite.zorder(df, Seq(col("a"), col("b")), bits = 8, Some(16)))
+    val linSpan = avgBSpan(ClusterWrite.cluster(df, Seq(col("a"), col("b")), Some(16)))
+    // 1-D range sort on (a, b): every partition spans ~the full `b` domain.
+    // The space-filling curve keeps both dimensions bounded per partition.
+    assert(zSpan < linSpan * 0.6, s"z b-span=$zSpan lin b-span=$linSpan")
+  }
+}
