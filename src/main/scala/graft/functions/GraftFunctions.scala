@@ -19,8 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * [[GraftFunctions.register]] for an already-built session (tests, REPL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftFunctions {

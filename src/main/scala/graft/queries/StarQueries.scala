@@ -127,6 +127,16 @@ object StarQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // Custom whole-operator top-k-per-key (bounded heaps, partial+final
+    // around one exchange) — oracle is the equivalent window row_number SQL.
+    "window_topk_custom" -> ((s, d) => {
+      import graft.plans.TopK
+      TopK.perKey(orders(s, d), keys = Seq("o_custkey"),
+          order = Seq(TopK.Sort("o_totalprice", desc = true), TopK.Sort("o_orderkey")), k = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Salted skew join: same result as the plain join (the oracle IS the
     // plain join) with the hot keys spread across 4 salt buckets.
     "join_salted" -> ((s, d) => {
@@ -231,6 +241,13 @@ object StarQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "window_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "join_salted" ->
       """SELECT o_orderstatus, count(*) AS n_items,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
