@@ -65,6 +65,26 @@ object StreamingJobs {
         } finally cached.unpersist()
       }
 
+  /** Custom streaming state via `mapGroupsWithState`: cumulative per-key
+    * event counts that survive across micro-batches — the §2.9 upgrade the
+    * reference's blind hourly re-append cannot express (its only state is
+    * the Cassandra PK upsert). Emits (key, running_count) every batch the
+    * key appears in; state is one long per key. */
+  def runningCounts(events: DataFrame, keyCol: String): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val tupEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    events.selectExpr(s"CAST($keyCol AS LONG) AS k").as[Long](longEnc)
+      .groupByKey(identity)(longEnc)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (key, n)
+      }(longEnc, tupEnc)
+  }
+
   /** Run a streaming frame into an in-memory table and block until drained —
     * test/debug surface (`format("memory")` + `processAllAvailable`). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

@@ -57,6 +57,34 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps running counts across micro-batches") {
+    val dir = tmpDir("landing_state")
+    // two flat files, one per micro-batch (maxFilesPerTrigger=1 below) —
+    // the file stream source does not recurse into subdirectories.
+    def writeFlat(users: Seq[Long], name: String): Unit = {
+      val stage = tmpDir(s"stage_$name")
+      users.toDF("user").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, s"$name.parquet"))
+    }
+    writeFlat(Seq(1L, 1L), "f1")
+    writeFlat(Seq(1L, 2L), "f2")
+    val events = spark.readStream
+      .schema(StructType(Seq(StructField("user", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val counts = StreamingJobs.runningCounts(events.toDF(), "user")
+    val q = counts.toDF("user", "n").writeStream.format("memory")
+      .queryName("state_out").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT user, n FROM state_out")
+      .as[(Long, Long)].collect().toSeq
+    // user 1 appears in both batches → emitted twice with growing count;
+    // final running count must reach 3 for user 1 and 1 for user 2.
+    assert(rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap === Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("foreachBatch fans out to partitioned bronze and silver") {
     val dir = tmpDir("landing3")
     writeLanding(dir)
