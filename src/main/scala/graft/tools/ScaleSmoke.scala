@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale validation: synthesizes a ~10x copy of the sf0.1 tables under /tmp
+  * (key-shifted copies so joins stay consistent and dedup gets genuine
+  * duplicate clusters), then times the headline operators — evidence that
+  * the plans hold beyond the verification scale, and a head-to-head of the
+  * custom TopKPerKey operator against the window formulation.
+  *
+  *   scripts/run_class.sh graft.tools.ScaleSmoke [copies] [srcSfDir]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 16
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = "/tmp/graft_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.queries.Tables
+
+    def scaled(name: String, keyCols: Seq[String], n: Int): String = {
+      val path = s"$out/${name}_x$n"
+      if (!new java.io.File(path).exists()) {
+        val base = Tables.table(spark, src, name)
+        val shift = 100000000L
+        val union = (0 until n).map { i =>
+          keyCols.foldLeft(base)((df, k) =>
+            df.withColumn(k, col(k) + lit(i * shift)))
+        }.reduce(_ unionByName _)
+        union.repartition(cpus.toInt).write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+
+    val li = scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), copies)
+    val ord = scaled("orders", Seq("o_orderkey", "o_custkey"), copies)
+    val docs = scaled("documents", Seq("doc_id"), 4) // 4 copies → planted dup clusters
+    println(s"[scale] lineitem ${spark.read.parquet(li).count()} rows, " +
+      s"orders ${spark.read.parquet(ord).count()}, documents ${spark.read.parquet(docs).count()}")
+
+    val lineitem = spark.read.parquet(li)
+    val orders = spark.read.parquet(ord)
+    val documents = spark.read.parquet(docs)
+
+    timed("q1-shape scan agg") {
+      lineitem.filter(col("l_shipdate") <= lit("2001-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")), count(lit(1))).count()
+    }
+    timed("q3-shape join+agg+topk") {
+      lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .orderBy(col("rev").desc).limit(10).count()
+    }
+    timed("window row_number top3") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+    }
+    timed("custom TopKPerKey top3") {
+      graft.plans.TopK.perKey(orders, Seq("o_custkey"),
+        Seq(graft.plans.TopK.Sort("o_totalprice", desc = true),
+          graft.plans.TopK.Sort("o_orderkey")), 3).count()
+    }
+    timed("minhash LSH candidates") {
+      graft.ext.Dedup.minhashCandidates(documents, col("text"), col("doc_id")).count()
+    }
+    timed("exact dedup fingerprint") {
+      documents.groupBy(graft.ext.TextStats.fingerprint(col("text"))).count().count()
+    }
+    spark.stop()
+  }
+}
