@@ -55,18 +55,27 @@ object Dedup {
     // signature computation runs in one task.
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val sh = spread.select(id.as("__id"), explode(shingles(text, w)).as("__shingle"))
-    val digests = (0 until (numHashes + 3) / 4)
-      .map(g => md5(concat(lit(g.toString), lit(":"), col("__shingle"))))
+    // Project each md5 digest ONCE per shingle row (a projection guarantees
+    // single evaluation; relying on subexpression elimination across the 8
+    // aggregate input expressions does not), then parse 8-hex-char slices
+    // with the codegen'd HexToLong — the conv() it replaces went through
+    // generic radix conversion at ~40 µs/row across slots.
+    //
     // Aggregate the slots as longs, not hex strings: min(string) plans as
     // SortAggregate (string agg buffers aren't hash-agg mutable), which
     // sorts every shingle row; min(long) stays a HashAggregate with
     // map-side partials. Fixed-width lowercase hex is order-isomorphic to
     // its numeric value, so the minimum picks the same shingle as the
     // oracle's hex-string min and the band structure is identical.
+    val nDigests = (numHashes + 3) / 4
+    val withDigests = sh.select(col("__id") +:
+      (0 until nDigests).map(g =>
+        md5(concat(lit(g.toString), lit(":"), col("__shingle"))).as(s"__d$g")): _*)
     val mins = (0 until numHashes).map { s =>
-      min(conv(substring(digests(s / 4), (s % 4) * 8 + 1, 8), 16, 10).cast("long")).as(s"__mh$s")
+      min(graft.functions.HexToLong.hexToLong(
+        substring(col(s"__d${s / 4}"), (s % 4) * 8 + 1, 8))).as(s"__mh$s")
     }
-    sh.groupBy("__id").agg(mins.head, mins.tail: _*)
+    withDigests.groupBy("__id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over the signature: band key = md5 of the band's minhash
@@ -82,10 +91,17 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs (a < b) sharing at least one LSH band —
-    * a bucket self-join, never all-pairs. */
+    * a bucket self-join, never all-pairs. The bands table (docs × bands
+    * rows, a few dozen bytes each) is persisted and materialized before the
+    * self-join: the two join sides otherwise canonicalize to different
+    * subplans (aliased projections) and each recomputes the whole
+    * shingle→md5→signature pipeline — measured 2x the query. At larger
+    * scale the same role is played by checkpointing the bands table. */
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
       w: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val bd = lshBands(minhashSignature(df, text, id, w, bands * rowsPerBand), bands, rowsPerBand)
+      .persist()
+    bd.count() // materialize before fan-out so concurrent consumers reuse it
     val a = bd.select(col("__band").as("band_a"), col("__bandkey").as("key_a"), col("__id").as("a"))
     val b = bd.select(col("__band").as("band_b"), col("__bandkey").as("key_b"), col("__id").as("b"))
     a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") && col("a") < col("b"))
@@ -110,15 +126,34 @@ object Dedup {
         df.join(broadcast(docs), id === col("__gid"), "left_semi")
       case None => df
     }).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val sh = base.select(id.as("__id"), explode(shingles(text, w)).as("__shingle"))
+    val sh0 = base.select(id.as("__id"), explode(shingles(text, w)).as("__shingle"))
+    // The shingle table feeds three consumers (a-side, b-side, sizes); in
+    // the candidate-gated path it is bounded by the candidate docs, so
+    // persist it (disk-spillable) instead of re-running the explode 3x.
+    val sh = if (candidates.isDefined) {
+      val cached = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      cached
+    } else sh0
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val interAll = sh.as("x").join(sh.as("y"),
-        col("x.__shingle") === col("y.__shingle") && col("x.__id") < col("y.__id"))
-      .groupBy(col("x.__id").as("a"), col("y.__id").as("b"))
-      .agg(count(lit(1)).as("__inter"))
     val inter = candidates match {
-      case Some(c) => interAll.join(c, Seq("a", "b"), "left_semi")
-      case None => interAll
+      case Some(c) =>
+        // Pair-driven intersection: candidates × a-side shingles, matched
+        // against b-side shingles on (b, shingle). Cost is O(|candidates| ×
+        // shingles-per-doc) regardless of how duplicate-dense the corpus is;
+        // the doc-level shingle self-join below degrades quadratically when
+        // most docs are near-duplicates of something.
+        val shA = sh.select(col("__id").as("a"), col("__shingle").as("__sa"))
+        val shB = sh.select(col("__id").as("__bb"), col("__shingle").as("__sb"))
+        c.join(shA, "a")
+          .join(shB, col("b") === col("__bb") && col("__sa") === col("__sb"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("__inter"))
+      case None =>
+        sh.as("x").join(sh.as("y"),
+            col("x.__shingle") === col("y.__shingle") && col("x.__id") < col("y.__id"))
+          .groupBy(col("x.__id").as("a"), col("y.__id").as("b"))
+          .agg(count(lit(1)).as("__inter"))
     }
     inter
       .join(sizes.withColumnRenamed("__id", "a").withColumnRenamed("__n", "__na"), "a")

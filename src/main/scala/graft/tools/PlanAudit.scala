@@ -27,9 +27,12 @@ object PlanAudit {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        val ms = si.taskMetrics.executorRunTime
+        val m = si.taskMetrics
+        val ms = m.executorRunTime
         if (ms > 200) println(
-          f"[stage ${si.stageId}%3d] ${ms}%6d ms exec  ${si.numTasks}%3d tasks  ${si.name.takeWhile(_ != '(')}")
+          f"[stage ${si.stageId}%3d] ${ms}%6d ms exec  ${si.numTasks}%3d tasks  " +
+            f"in=${m.inputMetrics.recordsRead}%8d  shW=${m.shuffleWriteMetrics.recordsWritten}%8d  " +
+            f"shR=${m.shuffleReadMetrics.recordsRead}%8d  ${si.name.takeWhile(_ != '(')}")
       }
     })
     val fn = graft.SparkEntry.queries(name)
