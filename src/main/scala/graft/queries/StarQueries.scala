@@ -168,6 +168,45 @@ object StarQueries {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy("o_orderpriority")),
 
+    // spark.sql surface: correlated scalar subquery — orders above their
+    // customer's average order value.
+    "sql_scalar_subquery" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice > 1.5 * (
+          SELECT avg(o_totalprice) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+
+    // spark.sql surface: IN-subquery with aggregation gate.
+    "sql_in_subquery" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_v
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders_v GROUP BY o_custkey HAVING count(*) >= 20)
+        ORDER BY c_custkey""")
+    }),
+
+    // GROUPING SETS beyond rollup: chosen dimension combinations.
+    "sql_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // CUBE: all dimension combinations.
+    "cube_agg" -> ((s, d) => orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
     // Join + grouped agg: order revenue by market segment and month.
     "segment_monthly" -> ((s, d) => orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -264,6 +303,26 @@ object StarQueries {
            count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
            count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
          FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "sql_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (
+           SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 20)
+         ORDER BY c_custkey""",
+    "sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "segment_monthly" ->
       """SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS order_month,
            count(*) AS n_orders,
