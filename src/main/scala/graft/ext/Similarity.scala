@@ -82,10 +82,15 @@ object Similarity {
 
   /** (table, bucket) pairs across `tables` independent hash tables — the
     * standard multi-table LSH scheme: a pair is a candidate if it collides
-    * in ANY table, so recall is 1-(1-p^planes)^tables instead of p^planes. */
-  private def lshTableBuckets(vec: Column, tables: Int, planes: Int): Column =
-    array((0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(vec, planes, t).as("b"))): _*)
+    * in ANY table, so recall is 1-(1-p^planes)^tables instead of p^planes.
+    * Buckets come from the fused codegen'd [[graft.functions.LshBuckets]]
+    * expression (one primitive loop nest per row); the composable
+    * [[lshBucket]] stays as the reference formulation. */
+  private def lshTableBuckets(vec: Column, tables: Int, planes: Int): Column = {
+    val buckets = graft.functions.LshBuckets.lshBuckets(vec, tables, planes, dims = 64)
+    zip_with(buckets, sequence(lit(0), lit(tables - 1)),
+      (b, t) => struct(t.as("t"), b.as("b")))
+  }
 
   /** Approximate top-k: score only corpus rows sharing an LSH bucket with
     * the query in at least one table. The corpus→bucket map is one linear
@@ -102,8 +107,11 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("__tb"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "__qv", "__cv").distinct() // dedupe multi-table collisions
+      // score before deduping multi-table collisions: the codegen'd cosine
+      // on a few duplicate pairs is far cheaper than hash-distincting rows
+      // that carry both float vectors; duplicates collapse on scalars.
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "sim").distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
