@@ -179,6 +179,8 @@ object Dedup {
     val banded = withSh.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("__sh"), b * 8).bitwiseAND(0xff).as("key"))): _*)).as("bk"))
+      .persist() // both self-join sides read it; avoid recomputing simhash 2x
+    banded.count()
     val a = banded.select(col("bk.band").as("band_a"), col("bk.key").as("key_a"),
       col("__id").as("a"), col("__sh").as("sha"))
     val b = banded.select(col("bk.band").as("band_b"), col("bk.key").as("key_b"),

@@ -105,6 +105,24 @@ object EventQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("hour", "event_type")),
 
+    // Scalar-function breadth: string ops (case/trim/concat/substr/replace).
+    "f_string_funcs" -> ((s, d) => events(s, d).select(
+      col("event_id"),
+      upper(col("event_type")).as("et_upper"),
+      concat_ws("-", col("event_type"), col("user_id")).as("tag"),
+      substring(col("event_type"), 1, 3).as("et3"),
+      regexp_replace(col("event_type"), "r", "R").as("et_r"),
+      length(col("event_type")).as("et_len"),
+    ).orderBy("event_id")),
+
+    // Scalar-function breadth: conditional / null handling.
+    "f_null_funcs" -> ((s, d) => events(s, d).select(
+      col("event_id"),
+      coalesce(nullif(col("event_type"), lit("error")), lit("ok")).as("masked"),
+      when(col("value") > 5, "high").otherwise("low").as("band"),
+      (col("value") > 5).cast("int").as("is_high"),
+    ).orderBy("event_id")),
+
     // Approximate distinct (HLL sketch) — rows-only: HLL implementations
     // differ across engines; the spec asserts <5% relative error vs exact.
     "agg_approx_distinct" -> ((s, d) => events(s, d)
@@ -186,6 +204,19 @@ object EventQueries {
          event_type, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "f_string_funcs" ->
+      """SELECT event_id, upper(event_type) AS et_upper,
+           concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag,
+           substring(event_type, 1, 3) AS et3,
+           regexp_replace(event_type, 'r', 'R', 'g') AS et_r,
+           CAST(length(event_type) AS INTEGER) AS et_len
+         FROM events ORDER BY event_id""",
+    "f_null_funcs" ->
+      """SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'ok') AS masked,
+           CASE WHEN value > 5 THEN 'high' ELSE 'low' END AS band,
+           CAST(value > 5 AS INTEGER) AS is_high
+         FROM events ORDER BY event_id""",
     "dedup_latest" ->
       """SELECT user_id, event_id, event_type FROM (
            SELECT user_id, event_id, event_type,

@@ -56,6 +56,18 @@ object TextQueries {
       .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")),
 
+    // Array-function breadth over the token array: slice/join, membership,
+    // distinct cardinality (arrays serialized to scalars for hash-compare).
+    "f_array_funcs" -> ((s, d) => {
+      val toks = TextStats.tokens(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        array_join(slice(toks, 1, 3), " ").as("first3"),
+        array_contains(toks, "the").as("has_the"),
+        size(array_distinct(toks)).as("n_distinct"),
+      ).orderBy("doc_id")
+    }),
+
     // Heavy hitters: top-20 corpus tokens by frequency (explode + agg +
     // top-k; at 100 TB the same plan with a pre-agg per partition).
     "text_heavy_hitters" -> ((s, d) => documents(s, d)
@@ -93,6 +105,16 @@ object TextQueries {
            CAST(len(list_filter(tokens, t -> t IN ('the','a','of','and','to','in',
              'is','it','that','for'))) AS DOUBLE) / len(tokens) AS stopword_ratio
          FROM toks ORDER BY doc_id""",
+    "f_array_funcs" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tok
+           FROM documents)
+         SELECT doc_id,
+           array_to_string(tok[1:3], ' ') AS first3,
+           list_contains(tok, 'the') AS has_the,
+           CAST(len(list_distinct(tok)) AS INTEGER) AS n_distinct
+         FROM t ORDER BY doc_id""",
     "text_heavy_hitters" ->
       """SELECT token, count(*) AS cnt FROM (
            SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
