@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule: window rank-filter idioms silently plan as
+  * TopKPerKey when the rank is dropped, and are left alone when it isn't. */
+class RewriteRankFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val orders = {
+    TopK.install(spark)
+    if (!spark.experimental.extraOptimizations.contains(RewriteRankFilterToTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRankFilterToTopK
+    }
+    graft.queries.Tables.orders(spark, "/root/testdata/sf0.001").cache()
+  }
+
+  val w = Window.partitionBy("o_custkey")
+    .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  test("rank<=k with rank dropped rewrites to TopKPerKey, same results") {
+    val q = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window ") && !plan.contains("WindowGroupLimit"), plan)
+    val direct = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(TopK.Sort("o_totalprice", desc = true), TopK.Sort("o_orderkey")), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    assert(q.orderBy("o_custkey", "o_orderkey").collect().toSeq ===
+      direct.orderBy("o_custkey", "o_orderkey").collect().toSeq)
+  }
+
+  test("rn = 1 (latest-revision dedup idiom) rewrites too") {
+    val q = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey")
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // one row per customer, the max-price order
+    val got = q.as[(Long, Long)].collect().toMap
+    val expect = orders.groupBy("o_custkey").agg(count(lit(1))).count()
+    assert(got.size === expect)
+  }
+
+  test("rank kept in the output is NOT rewritten (rank values needed)") {
+    val q = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("Window") || plan.contains("RunningWindowFunction")
+      || plan.contains("WindowGroupLimit"), plan)
+  }
+}
