@@ -185,10 +185,8 @@ object Dedup {
       col("__id").as("a"), col("__sh").as("sha"))
     val b = banded.select(col("bk.band").as("band_b"), col("bk.key").as("key_b"),
       col("__id").as("b"), col("__sh").as("shb"))
-    val hamming = (0 until 32).map(j =>
-      shiftright(col("sha").bitwiseXOR(col("shb")), j).bitwiseAND(1)).reduce(_ + _)
     a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") && col("a") < col("b"))
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming").distinct()
   }

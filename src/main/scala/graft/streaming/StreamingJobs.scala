@@ -85,6 +85,46 @@ object StreamingJobs {
       }(longEnc, tupEnc)
   }
 
+  /** Gap-based streaming sessionization via `flatMapGroupsWithState`
+    * (append mode): per-key state holds the open session (start, last-seen,
+    * count); a batch's events fold in event-time order, emitting every
+    * session closed by a gap larger than `gapSeconds`. The open session
+    * stays in state across micro-batches. Output rows:
+    * (key, session_start_epoch_s, session_end_epoch_s, n_events). */
+  def sessionizeStream(events: DataFrame, keyCol: String, timeCol: String,
+      gapSeconds: Long): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val pairEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stateEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    events
+      .selectExpr(s"CAST($keyCol AS LONG) AS k", s"CAST($timeCol AS LONG) AS t")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          val times = rows.map(_._2).toSeq.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var open = state.getOption
+          times.foreach { t =>
+            open = open match {
+              case Some((start, last, n)) if t - last > gapSeconds =>
+                closed += ((key, start, last, n))
+                Some((t, t, 1L))
+              case Some((start, _, n)) => Some((start, t, n + 1L))
+              case None => Some((t, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Run a streaming frame into an in-memory table and block until drained —
     * test/debug surface (`format("memory")` + `processAllAvailable`). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

@@ -85,6 +85,33 @@ class StreamingJobsSpec extends SparkSpec {
     assert(rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions across batches") {
+    val dir = tmpDir("landing_sess")
+    def writeFlat(rows: Seq[(Long, Long)], name: String): Unit = {
+      val stage = tmpDir(s"sess_stage_$name")
+      rows.toDF("user", "ts").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, s"$name.parquet"))
+    }
+    // batch 1: user 1 events at t=0 and t=10 (one open session)
+    writeFlat(Seq((1L, 0L), (1L, 10L)), "f1")
+    // batch 2: user 1 at t=5000 (> 1800 gap → closes the first session);
+    //          user 2 at t=100 (opens its own, never closed)
+    writeFlat(Seq((1L, 5000L), (2L, 100L)), "f2")
+    val events = spark.readStream
+      .schema(StructType(Seq(StructField("user", LongType), StructField("ts", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sessions = StreamingJobs.sessionizeStream(events.toDF(), "user", "ts", gapSeconds = 1800)
+    val q = sessions.toDF("user", "start", "end", "n").writeStream
+      .format("memory").queryName("sess_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT user, start, end, n FROM sess_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 10L, 2L))) // only the closed session emitted
+  }
+
   test("foreachBatch fans out to partitioned bronze and silver") {
     val dir = tmpDir("landing3")
     writeLanding(dir)
