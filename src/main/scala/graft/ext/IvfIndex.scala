@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the corpus
+  * into `nCells` k-means cells, then answer queries by scoring only the
+  * vectors in the `nProbe` cells nearest to the query — the other standard
+  * ANN scale path next to LSH ([[Similarity.topKLsh]]).
+  *
+  * The coarse quantizer trains on the corpus (k-means on `ml.linalg`
+  * vectors, fixed seed); cell assignment is a model transform; the probe
+  * set is a tiny crossJoin of queries × centroid literals ranked by the
+  * codegen'd cosine. At 100 TB the index build is one pass + a sampled
+  * fit, and query cost is corpus/nCells × nProbe instead of the full scan.
+  */
+object IvfIndex {
+
+  final case class Index(model: KMeansModel, assigned: DataFrame, centroids: Seq[(Int, Array[Float])])
+
+  /** Memoized per (corpus path hint) so repeated query invocations in one
+    * session don't refit — the index is the reusable artifact. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  def build(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cacheKey: Option[String] = None): Index = {
+    def make(): Index = {
+      val withVec = corpus.withColumn("__v", array_to_vector(col(vecCol)))
+      val model = new KMeans().setK(nCells).setSeed(42)
+        .setFeaturesCol("__v").setPredictionCol("__cell").fit(withVec)
+      val assigned = model.transform(withVec)
+        .select(col(idCol), col(vecCol), col("__cell")).persist()
+      assigned.count()
+      val centroids = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      Index(model, assigned, centroids)
+    }
+    cacheKey match {
+      case Some(k) => cache.computeIfAbsent(k, _ => make())
+      case None => make()
+    }
+  }
+
+  /** Approximate top-k: score only the corpus vectors in the query's
+    * `nProbe` nearest cells; exact cosine rerank inside. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idx = build(corpus, nCells, idCol, vecCol, cacheKey)
+    val centroids = idx.centroids.toDF("__cell", "__centroid")
+    val probeW = Window.partitionBy("query_id").orderBy(col("__cdist").desc, col("__cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cdist", Similarity.cosine(col("__qv"), col("__centroid")))
+      .withColumn("__crank", row_number().over(probeW))
+      .filter(col("__crank") <= nProbe)
+      .select("query_id", "__qv", "__cell")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    idx.assigned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cell"))
+      .join(broadcast(probes), "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

@@ -33,6 +33,14 @@ object VectorQueries {
         embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5)
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")),
+
+    // IVF (k-means cells, probe nearest) approximate top-5 (rows-only; the
+    // index is memoized per sf dir so repeated calls don't refit).
+    "ann_topk_ivf" -> ((s, d) => graft.ext.IvfIndex.topK(
+        embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5,
+        cacheKey = Some(d))
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")),
   )
 
   val oracle: Map[String, String] = Map(

@@ -54,6 +54,15 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("IVF top-k achieves reasonable recall against exact") {
+    val exact = Similarity.topKExact(emb, emb.filter(col("vec_id") < 20), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfIndex.topK(emb, emb.filter(col("vec_id") < 20), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.4, s"IVF recall $recall too low")
+  }
+
   test("near-dup pairs is symmetric-free (a < b) and thresholded") {
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.8)
       .as[(Long, Long)].collect()
