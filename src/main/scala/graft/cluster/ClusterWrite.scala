@@ -33,6 +33,20 @@ object ClusterWrite {
   def zorder(df: DataFrame, keys: Seq[Column], bits: Int = 8,
       numPartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions._
+    val withZ = df.withColumn("__z", zorderColumn(df, keys, bits))
+    val ranged = numPartitions match {
+      case Some(n) => withZ.repartitionByRange(n, col("__z"))
+      case None    => withZ.repartitionByRange(col("__z"))
+    }
+    ranged.sortWithinPartitions(col("__z")).drop("__z")
+  }
+
+  /** The Morton clustering value for `df` over `keys`: equal-width bucket
+    * each key into 2^bits buckets (min/max stats computed eagerly from `df`)
+    * and bit-interleave the bucket ids. Exposed so callers (and tests) can
+    * inspect or reuse the clustering key outside [[zorder]]'s write path. */
+  def zorderColumn(df: DataFrame, keys: Seq[Column], bits: Int): Column = {
+    import org.apache.spark.sql.functions._
     require(keys.nonEmpty && bits * keys.size <= 63)
     val aggs = keys.zipWithIndex.flatMap { case (k, i) =>
       Seq(min(k.cast("double")).as(s"__min$i"), max(k.cast("double")).as(s"__max$i"))
@@ -43,14 +57,14 @@ object ClusterWrite {
       val lo = stats.getDouble(2 * i)
       val hi = stats.getDouble(2 * i + 1)
       if (lo == hi) lit(0L)
-      else width_bucket(k.cast("double"), lit(lo), lit(hi), lit(nBuckets)) - 1
+      // width_bucket returns nBuckets+1 for x == hi (the upper bound is an
+      // overflow bucket), so rows holding a dimension's max would otherwise
+      // wrap to bucket nBuckets, whose low `bits` bits interleave as 0 —
+      // co-locating the max-value class with the min-value class. Clamp to
+      // the top in-range bucket instead.
+      else least(width_bucket(k.cast("double"), lit(lo), lit(hi), lit(nBuckets)) - 1,
+        lit(nBuckets - 1L))
     }
-    val z = graft.functions.ZOrderExpression.zorderValue(bits, bucketCols: _*)
-    val withZ = df.withColumn("__z", z)
-    val ranged = numPartitions match {
-      case Some(n) => withZ.repartitionByRange(n, col("__z"))
-      case None    => withZ.repartitionByRange(col("__z"))
-    }
-    ranged.sortWithinPartitions(col("__z")).drop("__z")
+    graft.functions.ZOrderExpression.zorderValue(bits, bucketCols: _*)
   }
 }

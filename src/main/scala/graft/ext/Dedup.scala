@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // One live cache per operator (see LastCache): band/shingle tables are
+  // released when the next call replaces them, not leaked per call.
+  private val minhashBandCache = new LastCache
+  private val jaccardShingleCache = new LastCache
+  private val simhashBandCache = new LastCache
+
   /** Keep one row per exact-duplicate group (lowest id wins) — hash-groupBy,
     * one shuffle on the 128-bit fingerprint. */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -99,9 +105,10 @@ object Dedup {
     * scale the same role is played by checkpointing the bands table. */
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
       w: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val bd = lshBands(minhashSignature(df, text, id, w, bands * rowsPerBand), bands, rowsPerBand)
-      .persist()
-    bd.count() // materialize before fan-out so concurrent consumers reuse it
+    // materialize before fan-out so both join sides reuse it; previous
+    // call's band table is released (LastCache)
+    val bd = minhashBandCache.swap(
+      lshBands(minhashSignature(df, text, id, w, bands * rowsPerBand), bands, rowsPerBand))
     val a = bd.select(col("__band").as("band_a"), col("__bandkey").as("key_a"), col("__id").as("a"))
     val b = bd.select(col("__band").as("band_b"), col("__bandkey").as("key_b"), col("__id").as("b"))
     a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") && col("a") < col("b"))
@@ -130,11 +137,7 @@ object Dedup {
     // The shingle table feeds three consumers (a-side, b-side, sizes); in
     // the candidate-gated path it is bounded by the candidate docs, so
     // persist it (disk-spillable) instead of re-running the explode 3x.
-    val sh = if (candidates.isDefined) {
-      val cached = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached.count()
-      cached
-    } else sh0
+    val sh = if (candidates.isDefined) jaccardShingleCache.swap(sh0) else sh0
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
     val inter = candidates match {
       case Some(c) =>
@@ -176,11 +179,11 @@ object Dedup {
   def simhashCandidates(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val withSh = spread.select(id.as("__id"), simhash(text).as("__sh"))
-    val banded = withSh.select(col("__id"), col("__sh"),
+    // both self-join sides read it; avoid recomputing simhash 2x (previous
+    // call's band table released via LastCache)
+    val banded = simhashBandCache.swap(withSh.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), shiftright(col("__sh"), b * 8).bitwiseAND(0xff).as("key"))): _*)).as("bk"))
-      .persist() // both self-join sides read it; avoid recomputing simhash 2x
-    banded.count()
+        struct(lit(b).as("band"), shiftright(col("__sh"), b * 8).bitwiseAND(0xff).as("key"))): _*)).as("bk")))
     val a = banded.select(col("bk.band").as("band_a"), col("bk.key").as("key_a"),
       col("__id").as("a"), col("__sh").as("sha"))
     val b = banded.select(col("bk.band").as("band_b"), col("bk.key").as("key_b"),

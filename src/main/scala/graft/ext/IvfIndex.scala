@@ -25,23 +25,28 @@ object IvfIndex {
     * session don't refit — the index is the reusable artifact. */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
+  /** Un-keyed builds hold at most one live assignment cache (round-1 ADVICE:
+    * repeated uncached builds leaked persisted RDDs). */
+  private val unkeyedCache = new LastCache
+
   def build(corpus: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cacheKey: Option[String] = None): Index = {
-    def make(): Index = {
+    def make(keyed: Boolean): Index = {
       val withVec = corpus.withColumn("__v", array_to_vector(col(vecCol)))
       val model = new KMeans().setK(nCells).setSeed(42)
         .setFeaturesCol("__v").setPredictionCol("__cell").fit(withVec)
-      val assigned = model.transform(withVec)
-        .select(col(idCol), col(vecCol), col("__cell")).persist()
-      assigned.count()
+      val raw = model.transform(withVec)
+        .select(col(idCol), col(vecCol), col("__cell"))
+      val assigned = if (keyed) { val p = raw.persist(); p.count(); p }
+        else unkeyedCache.swap(raw)
       val centroids = model.clusterCenters.zipWithIndex
         .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
       Index(model, assigned, centroids)
     }
     cacheKey match {
-      case Some(k) => cache.computeIfAbsent(k, _ => make())
-      case None => make()
+      case Some(k) => cache.computeIfAbsent(k, _ => make(keyed = true))
+      case None => make(keyed = false)
     }
   }
 

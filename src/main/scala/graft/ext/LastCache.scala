@@ -1,0 +1,29 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded persist() holder for operators that cache an intermediate (band
+  * tables, shingle tables, IVF assignments) consumed by a lazily-returned
+  * plan. The returned frame still depends on the cache, so the operator
+  * cannot unpersist before the caller materializes; instead each operator
+  * holds AT MOST ONE live cache — a new call releases the previous one —
+  * so repeated calls in a long-lived session no longer accumulate cached
+  * RDDs until eviction pressure (round-1 ADVICE). An old returned frame
+  * re-materialized after release simply recomputes from lineage (the cache
+  * is a performance artifact, never a correctness one — which is also why
+  * this beats localCheckpoint: lineage survives executor loss).
+  */
+private[ext] final class LastCache {
+  private val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** Persist `df` (spillable), materialize it, release the previous cache. */
+  def swap(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val cached = df.persist(level)
+    cached.count()
+    val old = ref.getAndSet(cached)
+    if (old != null && (old ne cached)) old.unpersist(blocking = false)
+    cached
+  }
+}

@@ -86,24 +86,32 @@ object Similarity {
     * Buckets come from the fused codegen'd [[graft.functions.LshBuckets]]
     * expression (one primitive loop nest per row); the composable
     * [[lshBucket]] stays as the reference formulation. */
-  private def lshTableBuckets(vec: Column, tables: Int, planes: Int): Column = {
-    val buckets = graft.functions.LshBuckets.lshBuckets(vec, tables, planes, dims = 64)
+  private def lshTableBuckets(vec: Column, tables: Int, planes: Int, dims: Int): Column = {
+    val buckets = graft.functions.LshBuckets.lshBuckets(vec, tables, planes, dims)
     zip_with(buckets, sequence(lit(0), lit(tables - 1)),
       (b, t) => struct(t.as("t"), b.as("b")))
   }
 
   /** Approximate top-k: score only corpus rows sharing an LSH bucket with
     * the query in at least one table. The corpus→bucket map is one linear
-    * pass; the join is bucket-co-located (bounded fan-out), never all-pairs. */
+    * pass; the join is bucket-co-located (bounded fan-out), never all-pairs.
+    *
+    * `dims` ≤ 0 (default) derives the hyperplane dimensionality from the
+    * first corpus vector (one pruned single-row job); pass it explicitly for
+    * mixed-length corpora — dimensions past `dims` are ignored in bucketing
+    * (recall degrades, correctness doesn't, since buckets only gate rerank). */
   def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, planes: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else
+      corpus.select(size(col(vecCol))).head().getInt(0)
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        explode(lshTableBuckets(col(vecCol), tables, planes)).as("__tb"))
+        explode(lshTableBuckets(col(vecCol), tables, planes, d)).as("__tb"))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        explode(lshTableBuckets(col(vecCol), tables, planes)).as("__tb"))
+        explode(lshTableBuckets(col(vecCol), tables, planes, d)).as("__tb"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("__tb"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -21,6 +21,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * and no downstream use of the rank. Results are identical because the
   * caller's ordering must already totally order rows for row_number
   * determinism (same contract TopKPerKey has).
+  *
+  * An EMPTY partitionSpec (global `row_number() over (order by x)` then
+  * `rn <= k`) is also rewritten: TopKPerKeyExec maps empty keys to an
+  * AllTuples final merge, so the partial pass caps every partition at k
+  * rows and only k·numPartitions rows reach the single-partition merge —
+  * strictly better than Spark's global Window (single-partition full sort).
   */
 object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 

@@ -38,8 +38,16 @@ object MediaQueries {
         .orderBy("media_id")),
 
     // Stubbed decode + featurize (rows-only: stub codec is Spark-side only).
-    "multimodal_features" -> ((s, d) =>
-      Multimodal.decodeFeatures(media(s, d)).orderBy("media_id")),
+    // The 8-bin histogram array is projected to scalar columns: the driver's
+    // differential compare sorts columns through pandas, which cannot hash
+    // array cells (round-1 correctness run crashed on this query).
+    "multimodal_features" -> ((s, d) => {
+      val f = Multimodal.decodeFeatures(media(s, d))
+      f.select(Seq(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("mean_intensity")) ++
+        (0 until 8).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
+        .orderBy("media_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(

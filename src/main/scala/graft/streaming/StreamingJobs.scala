@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.StructType
   *  - windowed aggregation — the streaming analogue of the monthly fact.
   *  - `foreachBatch` multi-sink fan-out — the reference writes each page to
   *    CSV + JSON + Delta + Cassandra in a driver loop (§2.10); here one
-  *    micro-batch fans out to the same sinks with exactly-once file sinks.
+  *    micro-batch fans out to the same sinks. foreachBatch file writes are
+  *    at-least-once on batch replay, so the bronze write is made idempotent
+  *    per batchId (dynamic overwrite of a `batch_id=` partition) rather than
+  *    claimed exactly-once.
   */
 object StreamingJobs {
 
@@ -45,24 +48,33 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(flagCol), col("n"))
 
-  /** Multi-sink fan-out via foreachBatch: bronze partitioned append + a
-    * silver aggregate overwrite per micro-batch (the §2.10 orchestration,
-    * one persisted frame, several writes). */
+  /** Multi-sink fan-out via foreachBatch (the §2.10 orchestration). Correct
+    * across any micro-batch split AND under batch replay:
+    *
+    *  - bronze lands under a leading `batch_id=<id>` partition with dynamic
+    *    partition overwrite, so a replayed batch overwrites exactly its own
+    *    output instead of blind-appending twice (idempotent per batchId —
+    *    foreachBatch file writes are otherwise only at-least-once);
+    *  - silver is recomputed from the FULL bronze read-back, not from the
+    *    current batch, so the aggregate stays correct when the landing files
+    *    split into multiple micro-batches (maxFilesPerTrigger).
+    */
   def fanOut(events: DataFrame, bronzeDir: String, silverDir: String,
       checkpointDir: String, yearCol: String = "year", monthCol: String = "month",
       flagCol: String = "tsunami"): DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cached = batch.persist()
-        try {
-          cached.write.mode("append")
-            .partitionBy(yearCol, monthCol).parquet(bronzeDir)
-          cached.filter(col(flagCol) === 1)
-            .groupBy(yearCol).agg(count(lit(1)).as("flag_count"))
-            .write.mode("overwrite").parquet(silverDir)
-        } finally cached.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", yearCol, monthCol).parquet(bronzeDir)
+        session.read.parquet(bronzeDir)
+          .filter(col(flagCol) === 1)
+          .groupBy(yearCol).agg(count(lit(1)).as("flag_count"))
+          .write.mode("overwrite").parquet(silverDir)
       }
 
   /** Custom streaming state via `mapGroupsWithState`: cumulative per-key

@@ -30,6 +30,21 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("max-value rows bucket to the TOP bucket, not bucket 0 (ADVICE r1: width_bucket overflow)") {
+    // A 0/1 flag dimension (the tsunami-flag shape the reference clusters
+    // on): width_bucket(1.0, 0, 1, 256) = 257, so without the clamp every
+    // flag=1 row masked to bucket 0 — the same clustering value as the
+    // flag=0 class. Single dimension ⇒ z IS the bucket: flag=0 → 0,
+    // flag=1 → 255. (Asserted on the z value itself, not on range-partition
+    // placement — partitioner boundary sampling isn't deterministic across
+    // a shared SparkContext.)
+    val df = spark.range(1024).select((col("id") % 2).as("flag"))
+    val zByFlag = df
+      .select(col("flag"), ClusterWrite.zorderColumn(df, Seq(col("flag")), bits = 8).as("z"))
+      .distinct().as[(Long, Long)].collect().toMap
+    assert(zByFlag === Map(0L -> 0L, 1L -> 255L))
+  }
+
   test("z-order clustering skips on the SECOND dimension too (1-D sort can't)") {
     val n = 4096
     val df = spark.range(n).select(

@@ -63,6 +63,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"IVF recall $recall too low")
   }
 
+  test("LSH bucketing uses dimensions past 64 via derived dims (ADVICE r1)") {
+    // Vectors identical on dims 0..63, opposite on the tail: with the old
+    // hard-coded dims=64 they hashed to identical buckets in every table.
+    val head = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val tailA = Array.tabulate(32)(i => (i % 5 - 2).toFloat)
+    val v1 = head ++ tailA
+    val v2 = head ++ tailA.map(x => -x)
+    val df = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val b = df.select(graft.functions.LshBuckets
+        .lshBuckets(col("embedding"), 8, 6, 96).as("b"))
+      .as[Seq[Long]].collect()
+    assert(b(0) !== b(1), "tail dims must influence buckets when dims covers them")
+    // derived-dims default equals the explicit dims call end-to-end
+    val corpus = (0L until 40L).map(i =>
+      (i, Array.tabulate(96)(j => math.sin(i * 97.0 + j).toFloat))).toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 5)
+    val derived = Similarity.topKLsh(corpus, qs, k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val explicit = Similarity.topKLsh(corpus, qs, k = 3, dims = 96)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(derived === explicit)
+  }
+
   test("near-dup pairs is symmetric-free (a < b) and thresholded") {
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.8)
       .as[(Long, Long)].collect()

@@ -46,6 +46,21 @@ class RewriteRankFilterSpec extends SparkSpec {
     assert(got.size === expect)
   }
 
+  test("GLOBAL rank-filter (empty partitionSpec) rewrites and runs (ADVICE r1 high)") {
+    // row_number() over (order by ...) with no partitioning — previously
+    // planned TopKPerKey(Nil, ...) and threw from ClusteredDistribution(Nil).
+    val q = orders.withColumn("rn",
+        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 5)
+      .select("o_orderkey", "o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    val got = q.orderBy(col("o_totalprice").desc, col("o_orderkey")).collect()
+    val expect = orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice").limit(5).collect()
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("rank kept in the output is NOT rewritten (rank values needed)") {
     val q = orders.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)

@@ -121,9 +121,40 @@ class StreamingJobsSpec extends SparkSpec {
     val events = StreamingJobs.readEvents(spark, dir, schema)
     val q = StreamingJobs.fanOut(events, bronze, silver, ck).start()
     q.awaitTermination(60000)
-    assert(new java.io.File(s"$bronze/year=2014/month=1").exists())
+    assert(new java.io.File(s"$bronze/batch_id=0/year=2014/month=1").exists())
     assert(spark.read.parquet(bronze).count() === 4)
-    val s = spark.read.parquet(silver).as[(Int, Long)].collect().toSeq
+    val s = spark.read.parquet(silver).select("year", "flag_count")
+      .as[(Int, Long)].collect().toSeq
     assert(s === Seq((2014, 3L)))
+  }
+
+  test("fanOut silver is correct across MULTIPLE micro-batches (ADVICE r1)") {
+    // 12 single-row landing files > maxFilesPerTrigger=8 → at least 2
+    // batches; the old implementation overwrote silver from the current
+    // batch only, so the final silver held just the last batch's counts.
+    val dir = tmpDir("landing_multi")
+    (1 to 12).foreach { i =>
+      val stage = tmpDir(s"mb_stage_$i")
+      Seq((s"ev$i", 1, 2014, 1))
+        .toDF("id", "tsunami", "year", "month")
+        .select(col("id"), lit("2014-01-10 00:00:00").cast("timestamp").as("eventtime"),
+          col("tsunami"), col("year"), col("month"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, s"f$i.parquet"))
+    }
+    val bronze = tmpDir("mb_bronze")
+    val silver = tmpDir("mb_silver")
+    val ck = tmpDir("mb_ck")
+    val events = StreamingJobs.readEvents(spark, dir, schema)
+    val q = StreamingJobs.fanOut(events, bronze, silver, ck).start()
+    q.awaitTermination(120000)
+    // more than one micro-batch actually ran
+    assert(new java.io.File(bronze).listFiles().count(_.getName.startsWith("batch_id=")) >= 2)
+    assert(spark.read.parquet(bronze).count() === 12)
+    val s = spark.read.parquet(silver).select("year", "flag_count")
+      .as[(Int, Long)].collect().toSeq
+    assert(s === Seq((2014, 12L))) // all batches, not just the last one
   }
 }
