@@ -207,6 +207,57 @@ object StarQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // Backward as-of join (ext.AsOfJoin: union + side-marker + running last —
+    // one shuffle, no range nested-loop): each purchase event matched to the
+    // user's most recent click at or before it. The click side is deduped per
+    // (user, time) first so the as-of pick is deterministic; DuckDB's native
+    // ASOF JOIN is the oracle.
+    "join_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ets").as("purchase_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ets").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.ext.AsOfJoin.asOf(purchases, clicks,
+          col("user_id"), col("c_user"), col("purchase_ts"), col("click_ts"))
+        .select("purchase_id", "user_id", "click_id")
+        .orderBy("purchase_id")
+    }),
+
+    // Band join (ext.RangeJoin: bucket-equi-join + refine, never a
+    // nested-loop): events binned into value intervals, including an
+    // overlapping catch-all bin — a point matches every interval holding it.
+    "join_range" -> ((s, d) => {
+      import s.implicits._
+      val bins = ((0 until 10).map(i => (i, i * 50.0, (i + 1) * 50.0)) :+ ((99, 0.0, 500.0)))
+        .toDF("bin_id", "lo", "hi")
+      graft.ext.RangeJoin.pointInInterval(
+          events(s, d).select("event_id", "value"), bins,
+          col("value"), col("lo"), col("hi"), bucketWidth = 50.0)
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("bin_id")
+    }),
+
+    // Co-located bucketed join (cluster.Bucketing): both facts bucketed on
+    // the join key at write time → the join plans with no Exchange on either
+    // side (asserted in BucketingSpec; the oracle is the plain join).
+    "join_bucketed" -> ((s, d) => {
+      import graft.cluster.Bucketing
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+      val l = Bucketing.ensureBucketed(s, lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"lineitem_bkt_$tag", s"$base/lineitem", "l_orderkey", 16)
+      val o = Bucketing.ensureBucketed(s, orders(s, d).select("o_orderkey", "o_orderpriority"),
+        s"orders_bkt_$tag", s"$base/orders", "o_orderkey", 16)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Join + grouped agg: order revenue by market segment and month.
     "segment_monthly" -> ((s, d) => orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -323,6 +374,28 @@ object StarQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "join_asof" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.click_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id AS c_user, ts AS click_ts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+           ON p.user_id = c.c_user AND p.ts >= c.click_ts
+         ORDER BY purchase_id""",
+    "join_range" ->
+      """SELECT b.bin_id, count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e
+         JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0),
+                      (3, 150.0, 200.0), (4, 200.0, 250.0), (5, 250.0, 300.0),
+                      (6, 300.0, 350.0), (7, 350.0, 400.0), (8, 400.0, 450.0),
+                      (9, 450.0, 500.0), (99, 0.0, 500.0)) b(bin_id, lo, hi)
+           ON e.value >= b.lo AND e.value < b.hi
+         GROUP BY b.bin_id ORDER BY b.bin_id""",
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "segment_monthly" ->
       """SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS order_month,
            count(*) AS n_orders,
