@@ -50,38 +50,27 @@ object Dedup {
 
   /** MinHash signature: `numHashes` min-hash slots per document. Hash
     * family h_s(x) = 8-hex-char slice s%4 of md5((s/4) || ':' || x) — four
-    * independent 32-bit slots per md5 call, so an 8-hash signature costs two
-    * md5s per shingle. md5 keeps the signature engine-portable (the DuckDB
-    * oracle computes the identical signature); swap
-    * [[org.apache.spark.sql.functions.xxhash64]] in for raw speed when
-    * oracle portability is not needed. Output: (__id, __mh0..__mhN-1). */
+    * independent 32-bit slots per md5 call; md5 keeps the signature
+    * engine-portable (the DuckDB oracle computes the identical signature).
+    *
+    * Computed by the fused [[graft.functions.MinHashSig]] expression: one
+    * codegen'd pass over the token array per document — no shingle explode,
+    * no hex round-trip, and (the 100 TB property) NO shuffle: the signature
+    * is a narrow projection, so the first exchange in the whole dedup
+    * pipeline is the banded candidate join. Output: (__id, __mh0..__mhN-1).
+    */
   def minhashSignature(df: DataFrame, text: Column, id: Column, w: Int, numHashes: Int): DataFrame = {
-    // Spread the corpus across all cores before the shingle fan-out: a
-    // single-file input otherwise plans as one partition and the whole
-    // signature computation runs in one task.
+    // Spread the corpus across all cores first: a single-file input
+    // otherwise plans as one partition and every signature computes in one
+    // task.
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val sh = spread.select(id.as("__id"), explode(shingles(text, w)).as("__shingle"))
-    // Project each md5 digest ONCE per shingle row (a projection guarantees
-    // single evaluation; relying on subexpression elimination across the 8
-    // aggregate input expressions does not), then parse 8-hex-char slices
-    // with the codegen'd HexToLong — the conv() it replaces went through
-    // generic radix conversion at ~40 µs/row across slots.
-    //
-    // Aggregate the slots as longs, not hex strings: min(string) plans as
-    // SortAggregate (string agg buffers aren't hash-agg mutable), which
-    // sorts every shingle row; min(long) stays a HashAggregate with
-    // map-side partials. Fixed-width lowercase hex is order-isomorphic to
-    // its numeric value, so the minimum picks the same shingle as the
-    // oracle's hex-string min and the band structure is identical.
-    val nDigests = (numHashes + 3) / 4
-    val withDigests = sh.select(col("__id") +:
-      (0 until nDigests).map(g =>
-        md5(concat(lit(g.toString), lit(":"), col("__shingle"))).as(s"__d$g")): _*)
-    val mins = (0 until numHashes).map { s =>
-      min(graft.functions.HexToLong.hexToLong(
-        substring(col(s"__d${s / 4}"), (s % 4) * 8 + 1, 8))).as(s"__mh$s")
-    }
-    withDigests.groupBy("__id").agg(mins.head, mins.tail: _*)
+    // Two projections: __sig is evaluated once (CollapseProject keeps
+    // multi-referenced non-trivial aliases un-inlined), the element_at's are
+    // O(1) reads.
+    spread.select(id.as("__id"),
+        graft.functions.MinHashSig.minhashSig(TextStats.tokens(text), w, numHashes).as("__sig"))
+      .select(col("__id") +:
+        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"__mh$i")): _*)
   }
 
   /** LSH banding over the signature: band key = md5 of the band's minhash
@@ -133,7 +122,13 @@ object Dedup {
         df.join(broadcast(docs), id === col("__gid"), "left_semi")
       case None => df
     }).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val sh0 = base.select(id.as("__id"), explode(shingles(text, w)).as("__shingle"))
+    // Join and count HASHED shingles (64-bit), not shingle strings: the
+    // intersection join shuffles fixed-width longs instead of w-token
+    // strings. Jaccard values are unchanged unless two distinct shingles of
+    // the same document pair collide in 64 bits (~n²/2⁶⁵ — negligible), so
+    // the exact string-based oracle still matches.
+    val sh0 = base.select(id.as("__id"), explode(shingles(text, w)).as("__sraw"))
+      .select(col("__id"), xxhash64(col("__sraw")).as("__shingle"))
     // The shingle table feeds three consumers (a-side, b-side, sizes); in
     // the candidate-gated path it is bounded by the candidate docs, so
     // persist it (disk-spillable) instead of re-running the explode 3x.

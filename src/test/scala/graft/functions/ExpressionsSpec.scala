@@ -61,4 +61,42 @@ class ExpressionsSpec extends SparkSpec {
       df.select(TextExpressions.simhash32(split(col("t"), " ")).as("s")).as[Long].collect().head
     assert(sh(a) === sh(b))
   }
+
+  test("fused MinHashSig equals the reference md5-hex-slice formulation") {
+    // Reference: per shingle (w consecutive tokens, space-joined; whole text
+    // when shorter), slot s = min of hex-parsed substr(md5(s/4||':'||sh),
+    // (s%4)*8+1, 8) — exactly the oracle SQL's mh CTE.
+    def reference(text: String, w: Int, numHashes: Int): Seq[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val shingles =
+        if (toks.size >= w) (0 to toks.size - w).map(i => toks.slice(i, i + w).mkString(" "))
+        else Seq(toks.mkString(" "))
+      (0 until numHashes).map { s =>
+        shingles.map { sh =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"${s / 4}:$sh".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          java.lang.Long.parseLong(hex.substring((s % 4) * 8, (s % 4) * 8 + 8), 16)
+        }.min
+      }
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three four five six seven",
+      "short",            // fewer tokens than w → whole-text shingle
+      "  spaced   out  ", // tokenizer must drop empties
+      "ααβγ unicode shingle content here today")
+    val got = texts.toDF("t")
+      .select(MinHashSig.minhashSig(graft.ext.TextStats.tokens(col("t")), 5, 8).as("sig"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got === texts.map(reference(_, 5, 8)))
+  }
+
+  test("MinHashSig: null text stays null; empty text hashes the empty shingle") {
+    val got = Seq(Some(""), None).toDF("t")
+      .select(MinHashSig.minhashSig(graft.ext.TextStats.tokens(col("t")), 5, 8).as("sig"))
+      .collect()
+    assert(got(0).getSeq[Long](0).size === 8) // md5("g:") minimums, not a crash
+    assert(got(1).isNullAt(0))
+  }
 }
