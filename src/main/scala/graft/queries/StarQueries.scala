@@ -157,6 +157,17 @@ object StarQueries {
         expr("percentile(l_extendedprice, 0.5)").as("median_price"))
       .orderBy("l_returnflag")),
 
+    // Statistical aggregates (stddev/variance/correlation). Kept to
+    // quantity-scale magnitudes and rounded to 6 decimals: accumulation-order
+    // float drift between engines is ~1e-10 here, far inside the rounding.
+    "agg_stats" -> ((s, d) => lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+      .orderBy("l_returnflag")),
+
     // Pivot: order counts per priority × status (conditional-agg oracle).
     "pivot_agg" -> ((s, d) => orders(s, d)
       .groupBy("o_orderpriority")
@@ -347,6 +358,12 @@ object StarQueries {
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_qty,
            quantile_cont(l_extendedprice, 0.5) AS median_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "pivot_agg" ->
       """SELECT o_orderpriority,

@@ -137,6 +137,23 @@ object StreamingJobs {
       }
   }
 
+  /** Stream-stream inner join with an event-time interval condition: each
+    * left row matches right rows with the same key whose time falls in
+    * `[leftTime - maxLagSeconds, leftTime]` (e.g. purchases joined to the
+    * clicks that preceded them). Both sides are watermarked, and the range
+    * condition bounds the join state Spark must buffer: a right row is
+    * dropped from state once the watermark passes `rightTime +
+    * maxLagSeconds`, so state stays O(arrival rate × lag window) at any
+    * scale instead of growing unboundedly. Column names must be disjoint. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String, rightTime: String,
+      maxLagSeconds: Long, watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark),
+        expr(s"""$leftKey = $rightKey AND
+                 $rightTime >= $leftTime - INTERVAL $maxLagSeconds SECONDS AND
+                 $rightTime <= $leftTime"""))
+
   /** Run a streaming frame into an in-memory table and block until drained —
     * test/debug surface (`format("memory")` + `processAllAvailable`). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

@@ -157,4 +157,43 @@ class StreamingJobsSpec extends SparkSpec {
       .as[(Int, Long)].collect().toSeq
     assert(s === Seq((2014, 12L))) // all batches, not just the last one
   }
+
+  test("stream-stream interval join pairs purchases with preceding clicks only") {
+    val clickSchema = StructType(Seq(
+      StructField("c_user", LongType),
+      StructField("click_id", StringType),
+      StructField("click_time", TimestampType)))
+    val buySchema = StructType(Seq(
+      StructField("b_user", LongType),
+      StructField("buy_id", StringType),
+      StructField("buy_time", TimestampType)))
+    val clickDir = tmpDir("ssj_clicks")
+    val buyDir = tmpDir("ssj_buys")
+    Seq(
+      (1L, "c1", "2024-01-01 10:00:00"),
+      (1L, "c2", "2024-01-01 10:09:30"), // within 10 min of b1
+      (1L, "c3", "2024-01-01 10:20:00"), // AFTER b1 — must not match
+      (2L, "c4", "2024-01-01 09:00:00"), // > 10 min before b2
+    ).toDF("c_user", "click_id", "t")
+      .select(col("c_user"), col("click_id"), col("t").cast("timestamp").as("click_time"))
+      .write.mode("overwrite").parquet(clickDir)
+    Seq(
+      (1L, "b1", "2024-01-01 10:10:00"),
+      (2L, "b2", "2024-01-01 10:00:00"),
+    ).toDF("b_user", "buy_id", "t")
+      .select(col("b_user"), col("buy_id"), col("t").cast("timestamp").as("buy_time"))
+      .write.mode("overwrite").parquet(buyDir)
+
+    val joined = StreamingJobs.intervalJoin(
+      StreamingJobs.readEvents(spark, buyDir, buySchema),
+      StreamingJobs.readEvents(spark, clickDir, clickSchema),
+      "b_user", "c_user", "buy_time", "click_time", maxLagSeconds = 600)
+    assert(joined.isStreaming)
+    val q = StreamingJobs.runToMemory(joined, "ssj_out")
+    try {
+      val got = spark.sql("SELECT buy_id, click_id FROM ssj_out")
+        .as[(String, String)].collect().toSet
+      assert(got === Set(("b1", "c1"), ("b1", "c2"))) // c3 future, c4 too old, b2 unmatched
+    } finally q.stop()
+  }
 }
