@@ -66,6 +66,30 @@ object Similarity {
       .select("a", "b")
   }
 
+  /** LSH-gated near-duplicate pairs — the 100 TB form of [[nearDupPairs]]:
+    * only pairs colliding in at least one of `tables` hash tables are
+    * scored, so the self-join is bucket-co-located (one shuffle on the
+    * (table, bucket) id, within-bucket pairs only) instead of all-pairs.
+    * The cosine filter is exact, so output ⊆ the brute-force result; recall
+    * is 1-(1-p^planes)^tables per pair (≈1 for genuinely near vectors —
+    * asserted against brute force in SimilaritySpec). */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+      tables: Int = 8, planes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else
+      corpus.select(size(col(vecCol))).head().getInt(0)
+    val banded = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        explode(lshTableBuckets(col(vecCol), tables, planes, d)).as("__tb"))
+    val a = banded.select(col("__tb").as("__tba"), col("__id").as("a"), col("__v").as("__va"))
+    val b = banded.select(col("__tb").as("__tbb"), col("__id").as("b"), col("__v").as("__vb"))
+    a.join(b, col("__tba") === col("__tbb") && col("a") < col("b"))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .filter(col("sim") > threshold)
+      .select("a", "b").distinct()
+  }
+
   /** Random-hyperplane LSH bucket id for one hash table: `planes` sign-bits
     * of dot products with deterministic ±1 hyperplanes (table t, plane j,
     * dimension i sign derived from xxhash64(t·planes+j, i) — reproducible

@@ -27,6 +27,14 @@ object VectorQueries {
       Similarity.nearDupPairs(embeddings(s, d), threshold = 0.95)
         .orderBy("a", "b")),
 
+    // LSH-gated near-dup pairs (the scale path for embed_neardup): output is
+    // always a subset of the exact pairs (the cosine filter is exact); the
+    // oracle is the same exact SQL, matching whenever LSH recall is 1 —
+    // recall on genuinely-near vectors is asserted in SimilaritySpec.
+    "embed_neardup_lsh" -> ((s, d) =>
+      Similarity.nearDupPairsLsh(embeddings(s, d), threshold = 0.95)
+        .orderBy("a", "b")),
+
     // LSH-bucketed approximate top-5 (scale path; rows-only check, recall
     // asserted against the exact result in the test suite).
     "ann_topk_lsh" -> ((s, d) => Similarity.topKLsh(
@@ -61,6 +69,12 @@ object VectorQueries {
          QUALIFY rank <= 5
          ORDER BY query_id, rank""",
     "embed_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])) > 0.95
+         ORDER BY a, b""",
+    "embed_neardup_lsh" ->
       """SELECT a.vec_id AS a, b.vec_id AS b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -86,6 +86,48 @@ object ScaleSmoke {
     timed("exact dedup fingerprint") {
       documents.groupBy(graft.ext.TextStats.fingerprint(col("text"))).count().count()
     }
+    timed("candidate-gated jaccard") {
+      val cands = graft.ext.Dedup.minhashCandidates(documents, col("text"), col("doc_id"))
+      graft.ext.Dedup.ngramJaccardPairs(documents, col("text"), col("doc_id"),
+        candidates = Some(cands)).count()
+    }
+    val events = {
+      val p = scaled("events", Seq("event_id", "user_id"), copies)
+      spark.read.parquet(p).withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    }
+    timed("as-of join (events self)") {
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ets").as("pts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu"), col("ets").as("cts"))
+        .agg(max(col("event_id")).as("cid"))
+      graft.ext.AsOfJoin.asOf(purchases, clicks,
+        col("user_id"), col("cu"), col("pts"), col("cts")).count()
+    }
+    timed("band join (value bins)") {
+      import spark.implicits._
+      val bins = ((0 until 10).map(i => (i, i * 50.0, (i + 1) * 50.0)) :+ ((99, 0.0, 500.0)))
+        .toDF("bin_id", "lo", "hi")
+      graft.ext.RangeJoin.pointInInterval(
+        events.select("event_id", "value"), bins,
+        col("value"), col("lo"), col("hi"), 50.0).count()
+    }
+    timed("bucketed co-located join") {
+      graft.cluster.Bucketing.ensureBucketed(spark,
+        spark.read.parquet(li).select("l_orderkey", "l_extendedprice"),
+        "scale_li_bkt", s"$out/li_bkt", "l_orderkey", 32)
+      graft.cluster.Bucketing.ensureBucketed(spark,
+        spark.read.parquet(ord).select("o_orderkey", "o_orderpriority"),
+        "scale_ord_bkt", s"$out/ord_bkt", "o_orderkey", 32)
+      spark.table("scale_li_bkt")
+        .join(spark.table("scale_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1))).count()
+    }
+    timed("bucketed join (warm tables)") {
+      spark.table("scale_li_bkt")
+        .join(spark.table("scale_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1))).count()
+    }
     spark.stop()
   }
 }

@@ -86,6 +86,26 @@ class SimilaritySpec extends SparkSpec {
     assert(derived === explicit)
   }
 
+  test("LSH-gated near-dup finds every planted near-duplicate (recall 1 here)") {
+    // Planted pairs: tiny perturbations of base vectors (cosine ≈ 0.999) —
+    // genuinely-near pairs, which multi-table LSH must catch; the rest of
+    // the corpus is pseudo-random noise (cosine ≈ 0).
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val bases = (0 until 5).map(_ => vec())
+    val rows = bases.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L, v), (i * 2L + 1, perturb(v))) } ++
+      (10 until 80).map(i => (i.toLong, vec()))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(corpus, threshold = 0.95)
+      .as[(Long, Long)].collect().toSet
+    val gated = Similarity.nearDupPairsLsh(corpus, threshold = 0.95)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size >= 5, s"fixture must plant near-dups, got $exact")
+    assert(gated === exact) // subset by construction; equality = full recall
+  }
+
   test("near-dup pairs is symmetric-free (a < b) and thresholded") {
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.8)
       .as[(Long, Long)].collect()
