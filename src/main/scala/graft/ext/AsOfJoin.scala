@@ -23,8 +23,13 @@ object AsOfJoin {
 
   /** For each `left` row, attach the single `right` row with the greatest
     * `rightTime <= leftTime` among rows sharing the join key (inclusive
-    * backward as-of; ties at equal time match). Inner semantics: left rows
-    * with no prior right row are dropped.
+    * backward as-of; ties at equal time match).
+    *
+    * `leftOuter = false` (default) drops left rows with no prior right row;
+    * `true` keeps them with null right columns. `tolerance` (in the time
+    * column's `cast("long")` units — seconds for timestamps) additionally
+    * requires `leftTime - rightTime <= tolerance`, turning stale matches
+    * into non-matches — the standard "join to recent state only" guard.
     *
     * Output columns: all of `left`'s, then all of `right`'s — the two column
     * sets must be disjoint (rename before calling). If `right` can hold
@@ -34,7 +39,8 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
-      leftTime: Column, rightTime: Column): DataFrame = {
+      leftTime: Column, rightTime: Column,
+      leftOuter: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     require(lCols.intersect(rCols).isEmpty,
@@ -54,9 +60,20 @@ object AsOfJoin {
 
     val w = Window.partitionBy("__k").orderBy("__t", "__side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2)
+    // Both window aggregates share one spec → Spark evaluates them in a
+    // single Window operator over the same sort.
+    val carried = l2.unionByName(r2)
       .withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col("__match").isNotNull)
-      .select(lCols.map(c => col(s"__lrow.$c")) ++ rCols.map(c => col(s"__match.$c")): _*)
+      .withColumn("__mt", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    val fresh = tolerance match {
+      case Some(tol) =>
+        col("__match").isNotNull &&
+          col("__t").cast("long") - col("__mt").cast("long") <= tol
+      case None => col("__match").isNotNull
+    }
+    val lefts = carried.filter(col("__side") === 1)
+      .withColumn("__eff", when(fresh, col("__match")))
+    (if (leftOuter) lefts else lefts.filter(col("__eff").isNotNull))
+      .select(lCols.map(c => col(s"__lrow.$c")) ++ rCols.map(c => col(s"__eff.$c")): _*)
   }
 }

@@ -76,6 +76,27 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token"))
       .limit(20)),
 
+    // Sketch-then-verify heavy hitters: one Misra-Gries pass (k=200
+    // mergeable counters — O(k) shuffle instead of a full-token groupBy)
+    // generates a GUARANTEED superset of tokens above 1% frequency
+    // (threshold n/100 > sketch error n/201); exact counts of only those
+    // ≤200 candidates (broadcast join) make the result exact — so the
+    // oracle is plain thresholded SQL. Same composition as MinHash→Jaccard:
+    // the sketch bounds what the expensive exact pass must touch.
+    "text_heavy_hitters_sketch" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(graft.ext.TextStats.tokens(col("text"))).as("token"))
+      val cands = toks.as[String]
+        .select(new graft.ext.HeavyHittersAggregator(200).toColumn.name("hh"))
+        .select(explode(map_keys(col("hh"))).as("token"))
+      val total = toks.count()
+      toks.join(broadcast(cands), "token")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > lit(total) / 100.0)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // Exact-dedup result: keep the lowest doc_id per fingerprint group.
     "dedup_exact_keep" -> ((s, d) => documents(s, d)
       .groupBy(TextStats.fingerprint(col("text")).as("fp"))
@@ -121,6 +142,14 @@ object TextQueries {
              x -> x <> '')) AS token
            FROM documents)
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
+    "text_heavy_hitters_sketch" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS token
+           FROM documents),
+         tot AS (SELECT count(*) AS n FROM toks)
+         SELECT token, count(*) AS cnt FROM toks, tot GROUP BY token, n
+         HAVING count(*) > n / 100.0 ORDER BY cnt DESC, token""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          FROM documents ORDER BY doc_id""",

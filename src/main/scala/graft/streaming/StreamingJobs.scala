@@ -38,6 +38,16 @@ object StreamingJobs {
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark(timeCol, watermark).dropDuplicates(idCol)
 
+  /** Bounded-state dedup: `dropDuplicates` keeps one state entry per id
+    * FOREVER (state grows with all ids ever seen — untenable on an unbounded
+    * stream); `dropDuplicatesWithinWatermark` evicts an id once the
+    * watermark passes its event time, so state is O(arrival rate × watermark
+    * window) — the right default for the reference's overlapping-page
+    * duplicates, which always arrive close together. */
+  def dedupBounded(events: DataFrame, timeCol: String, idCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(timeCol, watermark).dropDuplicatesWithinWatermark(idCol)
+
   /** Tumbling-window flagged counts — the streaming fact_tsunami_monthly:
     * count of flagged events per (window, flag) with watermarked state. */
   def windowedFlagCounts(events: DataFrame, timeCol: String, flagCol: String,

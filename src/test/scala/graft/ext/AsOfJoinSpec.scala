@@ -45,6 +45,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(asOf(left, right) === expect)
   }
 
+  test("left-outer keeps unmatched left rows with null right columns") {
+    val left = Seq((1L, 3L, "early"), (1L, 10L, "late")).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, "r5")).toDF("rk", "rt", "rv")
+    val got = AsOfJoin.asOf(left, right, col("k"), col("rk"), col("t"), col("rt"),
+        leftOuter = true)
+      .select("k", "t", "lv", "rv").as[(Long, Long, String, Option[String])].collect().toSet
+    assert(got === Set((1L, 3L, "early", None), (1L, 10L, "late", Some("r5"))))
+  }
+
+  test("tolerance turns stale matches into non-matches") {
+    val left = Seq((1L, 10L, "fresh"), (1L, 100L, "stale")).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, "r5")).toDF("rk", "rt", "rv")
+    val inner = AsOfJoin.asOf(left, right, col("k"), col("rk"), col("t"), col("rt"),
+        tolerance = Some(10L))
+      .select("lv", "rv").as[(String, String)].collect().toSet
+    assert(inner === Set(("fresh", "r5"))) // 100-5=95 > 10 → dropped
+    val outer = AsOfJoin.asOf(left, right, col("k"), col("rk"), col("t"), col("rt"),
+        leftOuter = true, tolerance = Some(10L))
+      .select("lv", "rv").as[(String, Option[String])].collect().toSet
+    assert(outer === Set(("fresh", Some("r5")), ("stale", None)))
+  }
+
   test("plans one shuffle (window exchange), not a nested-loop join") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
     val right = Seq((1L, 5L, "r")).toDF("rk", "rt", "rv")

@@ -43,6 +43,18 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded-state dedup (withinWatermark) also drops the page-overlap duplicates") {
+    val dir = tmpDir("landing_bd")
+    writeLanding(dir)
+    val events = StreamingJobs.readEvents(spark, dir, schema)
+    val q = StreamingJobs.runToMemory(
+      StreamingJobs.dedupBounded(events, "eventtime", "id"), "dedup_bd_out")
+    try {
+      val ids = spark.sql("SELECT id FROM dedup_bd_out").as[String].collect().sorted.toSeq
+      assert(ids === Seq("ev1", "ev2", "ev3"))
+    } finally q.stop()
+  }
+
   test("windowed flag counts aggregate per hour") {
     val dir = tmpDir("landing2")
     writeLanding(dir)
