@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `cosine_similarity(array<float>, array<float>) -> double`
   *  - `simhash32(array<string>) -> bigint`
   *  - `rolling_hash(string, k) -> array<bigint>`
+  *  - `minhash_sig(array<string> tokens, w, numHashes) -> array<bigint>`
+  *  - `lsh_buckets(array<float>, tables, planes, dims) -> array<bigint>`
   *
   * Two entry points: [[GraftExtensions]] for
   * `SparkSession.builder.withExtensions` / the
@@ -44,6 +46,14 @@ object GraftFunctions {
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (args: Seq[Expression]) => RollingHash(args(0), intArg(args(1), "rolling_hash k"))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        intArg(args(1), "minhash_sig w"), intArg(args(2), "minhash_sig numHashes"))),
+    (FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (args: Seq[Expression]) => LshBuckets(args(0), intArg(args(1), "lsh_buckets tables"),
+        intArg(args(2), "lsh_buckets planes"), intArg(args(3), "lsh_buckets dims"))),
   )
 
   /** Register into an existing session's function registry. */

@@ -47,6 +47,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getInt(2) === "hello world!".getBytes.length - 4 + 1)
   }
 
+  test("SQL registration: minhash_sig and lsh_buckets callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           minhash_sig(array('a','b','c'), 2, 8) AS sig,
+           lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4, 3, 2) AS b
+      """).collect().head
+    assert(r.getSeq[Long](0).size === 8)
+    assert(r.getSeq[Long](1).size === 4)
+    // same values as the column-API route
+    val viaCol = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(MinHashSig.minhashSig(col("t"), 2, 8).as("sig"))
+      .as[Seq[Long]].collect().head
+    assert(r.getSeq[Long](0) === viaCol)
+  }
+
   test("rolling_hash rejects non-literal k") {
     GraftFunctions.register(spark)
     intercept[Exception] {
