@@ -49,31 +49,103 @@ final class UsgsTable(options: CaseInsensitiveStringMap) extends Table with Supp
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
-      override def readSchema(): StructType = EventSchema.event
-      override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] = {
-        val fixtureDir = options.get("fixtureDir")
-        if (fixtureDir != null) {
-          new java.io.File(fixtureDir).listFiles((_, n) => n.endsWith(".json"))
-            .sortBy(_.getName)
-            .map(f => UsgsPartition(fixturePath = f.getAbsolutePath, null, null, 0): InputPartition)
-        } else {
-          val start = options.getInt("startYear", 2014)
-          val end = options.getInt("endYear", start)
-          val limit = options.getInt("limit", 10000)
-          val base = options.getOrDefault("baseUrl",
-            "https://earthquake.usgs.gov/fdsnws/event/1/query")
-          PagePlanner.monthWindows(start, end)
-            .map(w => UsgsPartition(null, base,
-              s"format=geojson&starttime=${w.startParam}&endtime=${w.endParam}", limit): InputPartition)
-            .toArray
-        }
-      }
-      override def createReaderFactory(): PartitionReaderFactory =
-        new UsgsPartitionReaderFactory
+    new UsgsScanBuilder(options)
+}
+
+/** Scan builder wired into Catalyst's pushdown negotiation:
+  *
+  *  - `SupportsPushDownFilters`: `year`/`month` comparison predicates prune
+  *    FETCH WINDOWS — `filter($"year" === 2014)` over a 2010-2023 backfill
+  *    plans 12 month-partitions instead of 168, the partition-pruning
+  *    analogue for an HTTP source (no page is fetched just to be thrown
+  *    away). Every filter is also returned as residual, so Spark still
+  *    evaluates the exact predicate on the rows — pruning is pure fetch
+  *    avoidance and can stay conservative.
+  *  - `SupportsPushDownRequiredColumns`: the reader materializes ONLY the
+  *    projected fields from each GeoJSON feature (the JSON tree is parsed
+  *    either way, but per-field UTF8String/boxing work scales with the
+  *    projection, and `ReadSchema` in explain shows the truth).
+  */
+final class UsgsScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources.Filter
+
+  private var required: StructType = EventSchema.event
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(UsgsWindowPruning.prunable)
+    filters // all residual: Spark re-applies exact predicates post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new UsgsScan(options, required, pushed)
+}
+
+final class UsgsScan(options: CaseInsensitiveStringMap, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fixtureDir = options.get("fixtureDir")
+    if (fixtureDir != null) {
+      new java.io.File(fixtureDir).listFiles((_, n) => n.endsWith(".json"))
+        .sortBy(_.getName)
+        .map(f => UsgsPartition(fixturePath = f.getAbsolutePath, null, null, 0): InputPartition)
+    } else {
+      val start = options.getInt("startYear", 2014)
+      val end = options.getInt("endYear", start)
+      val limit = options.getInt("limit", 10000)
+      val base = options.getOrDefault("baseUrl",
+        "https://earthquake.usgs.gov/fdsnws/event/1/query")
+      PagePlanner.monthWindows(start, end)
+        .filter(w => UsgsWindowPruning.keep(w.start.getYear, w.start.getMonthValue, pushed))
+        .map(w => UsgsPartition(null, base,
+          s"format=geojson&starttime=${w.startParam}&endtime=${w.endParam}", limit): InputPartition)
+        .toArray
     }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new UsgsPartitionReaderFactory(required)
+}
+
+/** Conservative window-level predicate evaluation: a month window is kept
+  * unless a pushed `year`/`month` filter definitively excludes it. Anything
+  * unrecognized keeps the window (Spark re-applies all filters on rows). */
+private[sources] object UsgsWindowPruning {
+  import org.apache.spark.sql.sources._
+
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: Number) => a == "year" || a == "month"
+    case GreaterThan(a, _: Number) => a == "year" || a == "month"
+    case GreaterThanOrEqual(a, _: Number) => a == "year" || a == "month"
+    case LessThan(a, _: Number) => a == "year" || a == "month"
+    case LessThanOrEqual(a, _: Number) => a == "year" || a == "month"
+    case In(a, vs) => (a == "year" || a == "month") && vs.forall(_.isInstanceOf[Number])
+    case And(l, r) => prunable(l) || prunable(r)
+    case _ => false
+  }
+
+  def keep(year: Int, month: Int, filters: Seq[Filter]): Boolean =
+    filters.forall(keepOne(year, month, _))
+
+  private def keepOne(year: Int, month: Int, f: Filter): Boolean = {
+    def dim(a: String): Option[Int] =
+      if (a == "year") Some(year) else if (a == "month") Some(month) else None
+    f match {
+      case EqualTo(a, v: Number) => dim(a).forall(_ == v.intValue)
+      case GreaterThan(a, v: Number) => dim(a).forall(_ > v.intValue)
+      case GreaterThanOrEqual(a, v: Number) => dim(a).forall(_ >= v.intValue)
+      case LessThan(a, v: Number) => dim(a).forall(_ < v.intValue)
+      case LessThanOrEqual(a, v: Number) => dim(a).forall(_ <= v.intValue)
+      case In(a, vs) => dim(a).forall(d => vs.exists {
+        case v: Number => v.intValue == d
+        case _ => true
+      })
+      case And(l, r) => keepOne(year, month, l) && keepOne(year, month, r)
+      case _ => true
+    }
+  }
 }
 
 /** One unit of fetch work: either a fixture file or a (url, window) pair
@@ -81,12 +153,13 @@ final class UsgsTable(options: CaseInsensitiveStringMap) extends Table with Supp
 final case class UsgsPartition(fixturePath: String, baseUrl: String,
     windowQuery: String, limit: Int) extends InputPartition
 
-final class UsgsPartitionReaderFactory extends PartitionReaderFactory {
+final class UsgsPartitionReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new UsgsPartitionReader(partition.asInstanceOf[UsgsPartition])
+    new UsgsPartitionReader(partition.asInstanceOf[UsgsPartition], required)
 }
 
-final class UsgsPartitionReader(p: UsgsPartition) extends PartitionReader[InternalRow] {
+final class UsgsPartitionReader(p: UsgsPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private var features: Iterator[JsonNode] = Iterator.empty
   private var current: InternalRow = _
@@ -134,9 +207,11 @@ final class UsgsPartitionReader(p: UsgsPartition) extends PartitionReader[Intern
   override def get(): InternalRow = current
   override def close(): Unit = ()
 
-  /** Flatten one GeoJSON Feature to the 32-column event row — the same
+  /** Flatten one GeoJSON Feature to the PROJECTED event row — the same
     * field map and null-defaulting as parse_geojson_to_dataframe
-    * (reference `:125-168`), with UTC-derived year/month (SURVEY.md §1.2). */
+    * (reference `:125-168`), with UTC-derived year/month (SURVEY.md §1.2).
+    * Only the fields in `required` are materialized (column pruning); the
+    * extractor map covers all 32 columns of [[EventSchema.event]]. */
   private def toRow(f: JsonNode): InternalRow = {
     val props = f.path("properties")
     val coords = f.path("geometry").path("coordinates")
@@ -145,44 +220,28 @@ final class UsgsPartitionReader(p: UsgsPartition) extends PartitionReader[Intern
     def f64(n: JsonNode): Any = if (n.isMissingNode || n.isNull) null else Double.box(n.asDouble())
     def tsMicros(n: JsonNode): Any =
       if (n.isMissingNode || n.isNull) null else Long.box(n.asLong() * 1000L) // ms → µs
-    val timeMs = props.path("time").asLong()
-    val utc = java.time.Instant.ofEpochMilli(timeMs).atZone(java.time.ZoneOffset.UTC)
-    val geometry =
-      if (f.path("geometry").isMissingNode) null
-      else UTF8String.fromString(mapper.writeValueAsString(f.path("geometry")))
-    InternalRow(
-      str(f.path("id")),
-      Int.box(utc.getMonthValue),
-      Int.box(utc.getYear),
-      f64(props.path("mag")),
-      if (coords.size() > 1) f64(coords.get(1)) else null,
-      if (coords.size() > 0) f64(coords.get(0)) else null,
-      if (coords.size() > 2) f64(coords.get(2)) else null,
-      tsMicros(props.path("time")),
-      tsMicros(props.path("updated")),
-      str(props.path("place")),
-      str(props.path("url")),
-      str(props.path("detail")),
-      i32(props.path("felt")),
-      f64(props.path("cdi")),
-      f64(props.path("mmi")),
-      str(props.path("alert")),
-      str(props.path("status")),
-      i32(props.path("tsunami")),
-      i32(props.path("sig")),
-      str(props.path("net")),
-      str(props.path("code")),
-      str(props.path("ids")),
-      str(props.path("sources")),
-      str(props.path("types")),
-      i32(props.path("nst")),
-      f64(props.path("dmin")),
-      f64(props.path("rms")),
-      f64(props.path("gap")),
-      str(props.path("magType")),
-      str(props.path("type")),
-      str(props.path("title")),
-      geometry,
-    )
+    lazy val utc = java.time.Instant.ofEpochMilli(props.path("time").asLong())
+      .atZone(java.time.ZoneOffset.UTC)
+    def value(name: String): Any = name match {
+      case "id" => str(f.path("id"))
+      case "month" => Int.box(utc.getMonthValue)
+      case "year" => Int.box(utc.getYear)
+      case "magnitude" => f64(props.path("mag"))
+      case "latitude" => if (coords.size() > 1) f64(coords.get(1)) else null
+      case "longitude" => if (coords.size() > 0) f64(coords.get(0)) else null
+      case "depth" => if (coords.size() > 2) f64(coords.get(2)) else null
+      case "eventtime" => tsMicros(props.path("time"))
+      case "updated" => tsMicros(props.path("updated"))
+      case "significance" => i32(props.path("sig"))
+      case "network" => str(props.path("net"))
+      case "magnitude_type" => str(props.path("magType"))
+      case "geometry" =>
+        if (f.path("geometry").isMissingNode) null
+        else UTF8String.fromString(mapper.writeValueAsString(f.path("geometry")))
+      case "felt" | "tsunami" | "nst" => i32(props.path(name))
+      case "cdi" | "mmi" | "dmin" | "rms" | "gap" => f64(props.path(name))
+      case other => str(props.path(other)) // place/url/detail/alert/status/code/ids/sources/types/type/title
+    }
+    InternalRow.fromSeq(required.fieldNames.toIndexedSeq.map(value))
   }
 }

@@ -40,4 +40,43 @@ class UsgsDataSourceSpec extends SparkSpec {
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())).build()
     assert(scan.toBatch.planInputPartitions().length === 24)
   }
+
+  test("pushed year/month filters prune fetch windows (partition-pruning analogue)") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In, LessThanOrEqual}
+    def planned(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val table = new UsgsTable(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("startYear", "2013", "endYear", "2015")))
+      val b = table.newScanBuilder(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+        .asInstanceOf[UsgsScanBuilder]
+      b.pushFilters(filters.toArray)
+      b.build().toBatch.planInputPartitions().length
+    }
+    assert(planned() === 36)
+    assert(planned(EqualTo("year", 2014)) === 12)
+    assert(planned(EqualTo("year", 2014), EqualTo("month", 3)) === 1)
+    assert(planned(GreaterThanOrEqual("year", 2014), LessThanOrEqual("month", 2)) === 4)
+    assert(planned(In("month", Array(1, 7))) === 6)
+    assert(planned(EqualTo("magnitude", 5.0)) === 36) // not window-prunable → kept
+  }
+
+  test("pushed filters stay residual: filtered read returns exact rows") {
+    // fixture mode ignores window pruning; the row-level filter must still
+    // apply (pushFilters returns everything as residual).
+    val df = spark.read.format("usgs").option("fixtureDir", fixtureDir()).load()
+      .filter("tsunami = 1")
+    assert(df.count() === 1)
+    assert(df.select("id").collect().head.getString(0) === "us7000abcd")
+  }
+
+  test("column pruning reaches the reader: projected scan materializes the subset") {
+    val df = spark.read.format("usgs").option("fixtureDir", fixtureDir()).load()
+      .select("id", "magnitude", "tsunami")
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(got === Set(("us7000abcd", 6.1, 1), ("nc7200wxyz", 1.2, 0)))
+    // the scan's read schema (the BatchScan output list) is the pruned one
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BatchScan usgs_events\\[id#\\d+, magnitude#\\d+, tsunami#\\d+\\]".r
+      .findFirstIn(plan).isDefined, plan)
+  }
 }
