@@ -60,6 +60,18 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val orderExprs = order
     val childOutput = child.output
     val limit = k
+    // Bounded partial state: the partial pass holds at most `maxKeys` live
+    // heaps; when a new key arrives at the cap, one victim heap is spilled
+    // straight to output (its key may recur with a fresh heap — the final
+    // pass re-merges, so only the cap's EFFECTIVENESS degrades, never
+    // correctness). Without this, partial state is O(distinct keys × k) per
+    // task — an OOM on high-cardinality keys at scale. The final pass holds
+    // exactly its output, as any hash aggregation must.
+    val maxKeys =
+      if (partial)
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.topk.maxPartialKeys", "65536").toInt
+      else Int.MaxValue
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -69,22 +81,46 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (rows.hasNext) {
-        val row = rows.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit + 1, heapCmp)
-          heaps.put(key.copy(), heap)
+      new scala.collection.AbstractIterator[InternalRow] {
+        private val pending = new java.util.ArrayDeque[InternalRow]()
+        private var drain: Iterator[InternalRow] = null
+
+        private def pump(): Unit = {
+          while (pending.isEmpty && rows.hasNext) {
+            val row = rows.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (heaps.size() >= maxKeys) {
+                val it = heaps.entrySet().iterator()
+                val victim = it.next()
+                it.remove()
+                victim.getValue.forEach(r => pending.add(r))
+              }
+              heap = new java.util.PriorityQueue[InternalRow](limit + 1, heapCmp)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size() < limit) heap.add(row.copy())
+            else if (cmp.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+          }
+          if (pending.isEmpty && !rows.hasNext && drain == null) {
+            import scala.jdk.CollectionConverters._
+            drain = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+          }
         }
-        if (heap.size() < limit) heap.add(row.copy())
-        else if (cmp.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+
+        override def hasNext: Boolean = {
+          pump()
+          !pending.isEmpty || (drain != null && drain.hasNext)
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty top-k iterator")
+          if (!pending.isEmpty) pending.poll() else drain.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 

@@ -33,12 +33,16 @@ object StarQueries {
       .orderBy("l_returnflag", "l_linestatus")),
 
     // TPC-H Q3 shape: 3-way join, broadcast dim, agg, top-k by revenue.
+    // Join ORDER matters at scale: orders ⋈ broadcast(customer) first — a
+    // shuffle-free selectivity filter (~1/5 of orders survive the segment) —
+    // so the expensive lineitem join shuffles only surviving orders. The
+    // naive l ⋈ o ⋈ c order shuffles every order row first and discards
+    // 80% of the join output afterwards.
     "q3_top_orders" -> ((s, d) => {
       val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val o = orders(s, d)
-      val l = lineitem(s, d)
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val o = orders(s, d).join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      lineitem(s, d).join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
         .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))

@@ -42,6 +42,24 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out === Seq((1, 10), (1, 20), (2, 5)))
   }
 
+  test("partial-state cap (spill-to-output eviction) does not change results") {
+    // Cap the partial pass at 4 live heaps with ~150 distinct keys: victims
+    // spill mid-stream and keys recur with fresh heaps; the final merge must
+    // still produce exactly the window-formulation result.
+    val prev = spark.conf.getOption("spark.graft.topk.maxPartialKeys")
+    try {
+      spark.conf.set("spark.graft.topk.maxPartialKeys", "4")
+      val a = customTop3.orderBy("o_custkey", "o_orderkey").collect().toSeq
+      val b = windowTop3.orderBy("o_custkey", "o_orderkey").collect().toSeq
+      assert(a === b)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.topk.maxPartialKeys", v)
+        case None => spark.conf.unset("spark.graft.topk.maxPartialKeys")
+      }
+    }
+  }
+
   test("ties at the boundary are broken by the tiebreak column") {
     val df = Seq((1, 10, "a"), (1, 10, "b"), (1, 10, "c"), (1, 5, "d")).toDF("k", "v", "t")
     val out = TopK.perKey(df, Seq("k"), Seq(TopK.Sort("v", desc = true), TopK.Sort("t")), k = 2)
