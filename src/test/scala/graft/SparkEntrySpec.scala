@@ -20,4 +20,27 @@ class SparkEntrySpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("no query plans an unintended nested-loop or cartesian join") {
+    // The only all-pairs shapes we ship on purpose: brute-force cosine top-k
+    // and exact near-dup (corpus × broadcast corpus — the documented
+    // baselines whose scale paths are ann_topk_lsh/ivf and
+    // embed_neardup_lsh), IVF's probe stage (queries × nCells broadcast
+    // centroid LITERALS — constant-width by construction), and the
+    // scalar-subquery query (Spark plans the correlated aggregate as a
+    // broadcast NL join by design).
+    val intended = Set("ann_topk_exact", "embed_neardup", "ann_topk_ivf",
+      "sql_scalar_subquery")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => intended(name) }
+      .flatMap { case (name, fn) =>
+        val plan =
+          try fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"PLANFAIL ${e.getMessage.take(80)}" }
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unintended all-pairs joins in: $offenders")
+  }
 }
