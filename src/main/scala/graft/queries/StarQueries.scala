@@ -63,6 +63,27 @@ object StarQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // Left-outer join preserving unmatched customers (count(col) keeps
+    // no-order customers at 0).
+    "join_outer" -> ((s, d) => customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")),
+
+    // Full-outer join of two aggregates (keys surviving from either side).
+    "join_full_outer" -> ((s, d) => {
+      val c = customer(s, d).groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
     // Left-semi: customers with at least one order (EXISTS).
     "join_semi" -> ((s, d) => customer(s, d)
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -308,6 +329,17 @@ object StarQueries {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1, 2 ORDER BY r_name, n_name""",
+    "join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY c_custkey""",
+    "join_full_outer" ->
+      """SELECT coalesce(nk_c, nk_s) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) s
+           ON nk_c = nk_s
+         ORDER BY nationkey""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
