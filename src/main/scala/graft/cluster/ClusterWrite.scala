@@ -41,6 +41,29 @@ object ClusterWrite {
     ranged.sortWithinPartitions(col("__z")).drop("__z")
   }
 
+  /** Target-sized parquet output — the small-files lever. Samples up to
+    * `sampleRows` rows to estimate bytes/row (parquet compresses the
+    * in-memory estimate; `compressionRatio` defaults to the ~4x typical for
+    * snappy parquet over mixed columns), then writes with
+    * `maxRecordsPerFile` so every task's output splits into
+    * ~`targetBytesPerFile` files. Composes with [[cluster]]/[[zorder]]:
+    * range-partition first, then size-bound the files. At 100 TB the
+    * difference between 128 MB files and a million 1 MB files is the
+    * difference between a healthy scan and a NameNode/footer-fetch wall. */
+  def sizedWrite(df: DataFrame, targetBytesPerFile: Long = 128L * 1024 * 1024,
+      sampleRows: Int = 1000, compressionRatio: Double = 4.0): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    val sampled = df.limit(sampleRows)
+      .select(sum(length(to_json(struct(df.columns.map(col): _*)))).cast("double").as("b"),
+        count(lit(1)).as("n"))
+      .collect().head
+    val bytesPerRow =
+      if (sampled.isNullAt(0) || sampled.getLong(1) == 0L) 256.0
+      else math.max(sampled.getDouble(0) / sampled.getLong(1) / compressionRatio, 8.0)
+    val recordsPerFile = math.max((targetBytesPerFile / bytesPerRow).toLong, 1L)
+    df.write.option("maxRecordsPerFile", recordsPerFile.toString)
+  }
+
   /** The Morton clustering value for `df` over `keys`: equal-width bucket
     * each key into 2^bits buckets (min/max stats computed eagerly from `df`)
     * and bit-interleave the bucket ids. Exposed so callers (and tests) can

@@ -182,6 +182,17 @@ object StarQueries {
         expr("percentile(l_extendedprice, 0.5)").as("median_price"))
       .orderBy("l_returnflag")),
 
+    // Approximate quantiles (the GK sketch behind percentile_approx). At
+    // accuracy 10000 the rank error (n/10000) is far below the width of the
+    // integral quantity value plateaus, so the picked VALUE equals DuckDB's
+    // exact discrete quantile and the oracle hash-matches.
+    "agg_approx_quantile" -> ((s, d) => lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("q50"),
+        expr("percentile_approx(l_quantity, 0.95, 10000)").as("q95"))
+      .orderBy("l_returnflag")),
+
     // Statistical aggregates (stddev/variance/correlation). Kept to
     // quantity-scale magnitudes and rounded to 6 decimals: accumulation-order
     // float drift between engines is ~1e-10 here, far inside the rounding.
@@ -394,6 +405,11 @@ object StarQueries {
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_qty,
            quantile_cont(l_extendedprice, 0.5) AS median_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS q50,
+           quantile_disc(l_quantity, 0.95) AS q95
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "agg_stats" ->
       """SELECT l_returnflag,

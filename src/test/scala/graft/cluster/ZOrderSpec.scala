@@ -45,6 +45,19 @@ class ZOrderSpec extends SparkSpec {
     assert(zByFlag === Map(0L -> 0L, 1L -> 255L))
   }
 
+  test("sizedWrite splits output into ~target-sized files") {
+    val dir = tmpDir("sized_write")
+    // ~100 bytes/row serialized; target 64 KB compressed ⇒ with the 4x
+    // ratio assumption ≈ 2600 rows/file ⇒ 20k rows in 1 partition → ~8 files
+    val df = spark.range(20000).select(col("id"),
+      concat_ws("-", lit("x" * 80), col("id")).as("pad")).coalesce(1)
+    ClusterWrite.sizedWrite(df, targetBytesPerFile = 64 * 1024)
+      .mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4 && files.length <= 20, s"got ${files.length} files")
+    assert(spark.read.parquet(dir).count() === 20000)
+  }
+
   test("z-order clustering skips on the SECOND dimension too (1-D sort can't)") {
     val n = 4096
     val df = spark.range(n).select(
