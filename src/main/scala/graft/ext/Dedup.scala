@@ -162,6 +162,49 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list — the step that turns
+    * near-duplicate PAIRS ([[minhashCandidates]], [[Similarity.nearDupPairsLsh]])
+    * into duplicate CLUSTERS, so "keep one per cluster" is well-defined even
+    * when duplicates chain transitively (a~b, b~c but a!~c).
+    *
+    * Min-label propagation: every node starts labeled with its own id; each
+    * round every node takes the minimum label among itself and its
+    * neighbors; converged when no label changes. Rounds needed = graph
+    * diameter — tiny for duplicate clusters. Each round is ONE shuffle join
+    * + an aggregate, and `localCheckpoint` truncates the plan per round so
+    * the lineage (and optimizer time) stays flat no matter how many rounds
+    * run — the standard Spark-iterative-algorithm shape.
+    *
+    * Output: (id, component) for every node appearing in `edges`, where
+    * component = the minimum id reachable from the node. */
+  def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round; freeze it once
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("__ncomp"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("comp", "__old"), "id")
+        .filter(col("comp") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over tokens — the codegen'd [[graft.functions.SimHash]]
     * expression (Murmur3 token hashes, bit votes, sign → bit) fused into one
     * loop per row. Near-dups = small Hamming distance. */

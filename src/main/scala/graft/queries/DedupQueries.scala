@@ -42,6 +42,15 @@ object DedupQueries {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashCandidates(documents(s, d), col("text"), col("doc_id"))
         .orderBy("a", "b")),
+
+    // Duplicate CLUSTERS: connected components (min-label propagation) over
+    // the MinHash-LSH candidate pairs — the transitive-closure step every
+    // production dedup pipeline needs between "similar pairs" and "keep one
+    // per group". Oracle = DuckDB recursive-CTE reachability closure.
+    "dedup_cc_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(cachedCandidates(s, d))
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")),
   )
 
   private val candCtes =
@@ -80,6 +89,19 @@ object DedupQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $candCtes
          SELECT a, b FROM cand ORDER BY a, b""",
+    "dedup_cc_clusters" ->
+      s"""WITH RECURSIVE $candCtes,
+         sym AS (
+           SELECT a AS s, b AS t FROM cand
+           UNION SELECT b, a FROM cand
+           UNION SELECT a, a FROM cand
+           UNION SELECT b, b FROM cand),
+         reach(s, t) AS (
+           SELECT s, t FROM sym
+           UNION
+           SELECT r.s, y.t FROM reach r JOIN sym y ON r.t = y.s)
+         SELECT s AS doc_id, min(t) AS cluster FROM reach
+         GROUP BY s ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $candCtes,
          sh3 AS (

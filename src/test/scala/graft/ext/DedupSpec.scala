@@ -69,4 +69,31 @@ class DedupSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(cand.contains((3L, 4L))) // same tokens after lower? no — case differs
   }
+
+  test("connected components equal a brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    // brute-force union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> find(id)).toMap
+    // find() roots are the min id of each component by construction
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
+
+  test("connected components chain transitively (a~b, b~c => one cluster)") {
+    val got = Dedup.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
