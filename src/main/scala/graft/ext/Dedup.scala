@@ -123,12 +123,15 @@ object Dedup {
       case None => df
     }).repartition(df.sparkSession.sparkContext.defaultParallelism)
     // Join and count HASHED shingles (64-bit), not shingle strings: the
-    // intersection join shuffles fixed-width longs instead of w-token
-    // strings. Jaccard values are unchanged unless two distinct shingles of
-    // the same document pair collide in 64 bits (~n²/2⁶⁵ — negligible), so
-    // the exact string-based oracle still matches.
-    val sh0 = base.select(id.as("__id"), explode(shingles(text, w)).as("__sraw"))
-      .select(col("__id"), xxhash64(col("__sraw")).as("__shingle"))
+    // fused [[graft.functions.ShingleHashes]] expression emits the distinct
+    // shingle-hash set per document in one pass (no shingle strings built),
+    // and the intersection join shuffles fixed-width longs. Jaccard values
+    // are unchanged unless two distinct shingles of the same document pair
+    // collide in 64 bits (~n²/2⁶⁵ — negligible), so the exact string-based
+    // oracle still matches.
+    val sh0 = base.select(id.as("__id"),
+      explode(graft.functions.ShingleHashes.shingleHashes(TextStats.tokens(text), w))
+        .as("__shingle"))
     // The shingle table feeds three consumers (a-side, b-side, sizes); in
     // the candidate-gated path it is bounded by the candidate docs, so
     // persist it (disk-spillable) instead of re-running the explode 3x.

@@ -108,6 +108,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(got === texts.map(reference(_, 5, 8)))
   }
 
+  test("ShingleHashes: distinct count matches string shingles; edit-sensitive") {
+    val texts = Seq(
+      "a b c d e f g",
+      "a b a b a b a b",   // duplicate shingles collapse
+      "one two",           // shorter than w → single whole-text shingle
+      "")
+    val df = texts.toDF("t")
+    val viaHash = df.select(size(ShingleHashes
+      .shingleHashes(graft.ext.TextStats.tokens(col("t")), 3)).as("n")).as[Int].collect().toSeq
+    val viaStr = df.select(size(graft.ext.Dedup.shingles(col("t"), 3)).as("n"))
+      .as[Int].collect().toSeq
+    assert(viaHash === viaStr)
+    // changing one token changes exactly the w covering shingles
+    val base = Seq("t0 t1 t2 t3 t4 t5").toDF("t")
+      .select(ShingleHashes.shingleHashes(graft.ext.TextStats.tokens(col("t")), 3).as("h"))
+      .as[Seq[Long]].collect().head.toSet
+    val edited = Seq("t0 t1 t2 XX t4 t5").toDF("t")
+      .select(ShingleHashes.shingleHashes(graft.ext.TextStats.tokens(col("t")), 3).as("h"))
+      .as[Seq[Long]].collect().head.toSet
+    assert((base intersect edited).size === 1) // only "t0 t1 t2" survives
+  }
+
   test("MinHashSig: null text stays null; empty text hashes the empty shingle") {
     val got = Seq(Some(""), None).toDF("t")
       .select(MinHashSig.minhashSig(graft.ext.TextStats.tokens(col("t")), 5, 8).as("sig"))
