@@ -208,6 +208,29 @@ object Dedup {
     labels
   }
 
+  /** The complete fuzzy-dedup pipeline in one call — the composition a
+    * training-data curation job actually runs:
+    *
+    *   MinHash-LSH candidates → exact n-gram Jaccard verification (candidate
+    *   pairs only) → connected components (pairs → clusters) → keep the
+    *   minimum-id document per cluster.
+    *
+    * Every stage is the scale-correct form: candidate generation is a
+    * banded bucket join, verification touches candidate pairs only,
+    * clustering is diameter-bounded label propagation, and the final keep
+    * is a left-anti join against the (tiny) drop list. Returns the kept
+    * rows of `df` unchanged. */
+  def fuzzyDedupKeep(df: DataFrame, text: Column, id: Column,
+      w: Int = 5, jaccardW: Int = 3, threshold: Double = 0.4): DataFrame = {
+    val cands = minhashCandidates(df, text, id, w)
+    val verified = ngramJaccardPairs(df, text, id, jaccardW, threshold, Some(cands))
+      .select("a", "b")
+    val drops = connectedComponents(verified)
+      .filter(col("id") =!= col("comp")) // non-representatives
+      .select(col("id").as("__drop"))
+    df.join(broadcast(drops), id === col("__drop"), "left_anti")
+  }
+
   /** 32-bit SimHash over tokens — the codegen'd [[graft.functions.SimHash]]
     * expression (Murmur3 token hashes, bit votes, sign → bit) fused into one
     * loop per row. Near-dups = small Hamming distance. */

@@ -54,6 +54,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (args: Seq[Expression]) => LshBuckets(args(0), intArg(args(1), "lsh_buckets tables"),
         intArg(args(2), "lsh_buckets planes"), intArg(args(3), "lsh_buckets dims"))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0), intArg(args(1), "shingle_hashes w"))),
   )
 
   /** Register into an existing session's function registry. */

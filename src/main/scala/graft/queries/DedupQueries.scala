@@ -43,6 +43,12 @@ object DedupQueries {
       Dedup.simhashCandidates(documents(s, d), col("text"), col("doc_id"))
         .orderBy("a", "b")),
 
+    // The whole fuzzy-dedup pipeline in one call: candidates → exact Jaccard
+    // verification → connected components → keep min-id per cluster.
+    "dedup_fuzzy_keep" -> ((s, d) =>
+      Dedup.fuzzyDedupKeep(documents(s, d), col("text"), col("doc_id"))
+        .select("doc_id").orderBy("doc_id")),
+
     // Duplicate CLUSTERS: connected components (min-label propagation) over
     // the MinHash-LSH candidate pairs — the transitive-closure step every
     // production dedup pipeline needs between "similar pairs" and "keep one
@@ -85,6 +91,35 @@ object DedupQueries {
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
+  /** Verified-pairs chain: candidates + 3-gram Jaccard ≥ 0.4 as `vpairs`. */
+  private val jaccardCtes =
+    s"""$candCtes,
+         sh3 AS (
+           SELECT doc_id, unnest(list_distinct(CASE WHEN len(tokens) >= 3
+             THEN list_transform(range(1, len(tokens) - 1),
+               i -> array_to_string(tokens[i:i+2], ' '))
+             ELSE [array_to_string(tokens, ' ')] END)) AS shingle
+           FROM toks),
+         cdocs AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
+         shc AS (SELECT sh3.* FROM sh3
+           WHERE EXISTS (SELECT 1 FROM cdocs WHERE cdocs.doc_id = sh3.doc_id)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+           FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         interc AS (
+           SELECT inter.* FROM inter
+           WHERE EXISTS (SELECT 1 FROM cand
+             WHERE cand.a = inter.a AND cand.b = inter.b)),
+         vpairs AS (
+           SELECT interc.a, interc.b,
+             CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+           FROM interc
+           JOIN sizes na ON na.doc_id = interc.a
+           JOIN sizes nb ON nb.doc_id = interc.b
+           WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.4)"""
+
   val oracle: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
       s"""WITH $candCtes
@@ -103,31 +138,20 @@ object DedupQueries {
          SELECT s AS doc_id, min(t) AS cluster FROM reach
          GROUP BY s ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
-      s"""WITH $candCtes,
-         sh3 AS (
-           SELECT doc_id, unnest(list_distinct(CASE WHEN len(tokens) >= 3
-             THEN list_transform(range(1, len(tokens) - 1),
-               i -> array_to_string(tokens[i:i+2], ' '))
-             ELSE [array_to_string(tokens, ' ')] END)) AS shingle
-           FROM toks),
-         cdocs AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
-         shc AS (SELECT sh3.* FROM sh3
-           WHERE EXISTS (SELECT 1 FROM cdocs WHERE cdocs.doc_id = sh3.doc_id)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-         inter AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-           FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-           GROUP BY 1, 2),
-         interc AS (
-           SELECT inter.* FROM inter
-           WHERE EXISTS (SELECT 1 FROM cand
-             WHERE cand.a = inter.a AND cand.b = inter.b))
-         SELECT interc.a, interc.b,
-           CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
-         FROM interc
-         JOIN sizes na ON na.doc_id = interc.a
-         JOIN sizes nb ON nb.doc_id = interc.b
-         WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.4
-         ORDER BY a, b""",
+      s"""WITH $jaccardCtes
+         SELECT a, b, jaccard FROM vpairs ORDER BY a, b""",
+    "dedup_fuzzy_keep" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         vsym AS (
+           SELECT a AS s, b AS t FROM vpairs
+           UNION SELECT b, a FROM vpairs),
+         vreach(s, t) AS (
+           SELECT s, t FROM vsym
+           UNION
+           SELECT r.s, y.t FROM vreach r JOIN vsym y ON r.t = y.s),
+         comps AS (SELECT s, min(least(s, t)) AS comp FROM vreach GROUP BY s)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT s FROM comps WHERE comp <> s)
+         ORDER BY doc_id""",
   )
 }

@@ -90,6 +90,30 @@ class DedupSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("fuzzy dedup keeps one representative per near-dup cluster") {
+    // Fixtures plant near-dup clusters (1/2/6/7 share a base sentence, 3~4
+    // differ by case); 5 is unrelated. Properties: the unrelated doc
+    // survives, no two kept docs are verified-similar, and each verified
+    // pair keeps its smaller endpoint's component representative.
+    val kept = Dedup.fuzzyDedupKeep(docs, col("text"), col("doc_id"),
+        threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(5L), s"unrelated doc must survive: $kept")
+    assert(kept.contains(1L), s"min id of the base-sentence cluster survives: $kept")
+    assert(!kept.contains(2L), s"near-dup of doc 1 must drop: $kept")
+    // dropped docs == exactly the non-representatives of the verified-pair
+    // components (the composition is consistent with its stages)
+    val verified = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+        candidates = Some(Dedup.minhashCandidates(docs, col("text"), col("doc_id"))))
+      .select("a", "b").as[(Long, Long)].collect()
+    verified.foreach { case (a, b) =>
+      assert(!(kept.contains(a) && kept.contains(b)),
+        s"verified-similar pair ($a, $b) both kept: $kept") }
+    assert((Fixtures.nearDupDocs.map(_._1).toSet -- kept.toSet) ===
+      Dedup.connectedComponents(verified.toSeq.toDF("a", "b"))
+        .filter(col("id") =!= col("comp")).select("id").as[Long].collect().toSet)
+  }
+
   test("connected components chain transitively (a~b, b~c => one cluster)") {
     val got = Dedup.connectedComponents(
         Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b"))
