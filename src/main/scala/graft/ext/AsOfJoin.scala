@@ -40,7 +40,27 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      leftOuter: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
+      leftOuter: Boolean = false, tolerance: Option[Long] = None): DataFrame =
+    asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      leftOuter, tolerance, forward = false)
+
+  /** Forward as-of: the single right row with the SMALLEST
+    * `rightTime >= leftTime` per key (nearest event AFTER; e.g. "the next
+    * order following each click"). Same plan shape as the backward join —
+    * the union sorts descending instead, so the running `last` carries the
+    * nearest FUTURE right row backward onto each left row. `tolerance`
+    * bounds `rightTime - leftTime`. */
+  def asOfForward(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      leftOuter: Boolean = false, tolerance: Option[Long] = None): DataFrame =
+    asOfImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      leftOuter, tolerance, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      leftOuter: Boolean, tolerance: Option[Long], forward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     require(lCols.intersect(rCols).isEmpty,
@@ -58,17 +78,24 @@ object AsOfJoin {
       lit(null).cast(l2.schema("__lrow").dataType).as("__lrow"),
       struct(rCols.map(col): _*).as("__rrow"))
 
-    val w = Window.partitionBy("__k").orderBy("__t", "__side")
+    // Backward: ascending time, rights before lefts at ties, running `last`
+    // carries the most recent PAST right row forward. Forward: descending
+    // time (rights still first at ties), so the same running `last` carries
+    // the nearest FUTURE right row backward.
+    val w = (if (forward)
+        Window.partitionBy("__k").orderBy(col("__t").desc, col("__side"))
+      else Window.partitionBy("__k").orderBy(col("__t"), col("__side")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Both window aggregates share one spec → Spark evaluates them in a
     // single Window operator over the same sort.
     val carried = l2.unionByName(r2)
       .withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(w))
       .withColumn("__mt", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    val gap =
+      if (forward) col("__mt").cast("long") - col("__t").cast("long")
+      else col("__t").cast("long") - col("__mt").cast("long")
     val fresh = tolerance match {
-      case Some(tol) =>
-        col("__match").isNotNull &&
-          col("__t").cast("long") - col("__mt").cast("long") <= tol
+      case Some(tol) => col("__match").isNotNull && gap <= tol
       case None => col("__match").isNotNull
     }
     val lefts = carried.filter(col("__side") === 1)

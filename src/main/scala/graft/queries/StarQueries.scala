@@ -272,6 +272,21 @@ object StarQueries {
         .orderBy("purchase_id")
     }),
 
+    // Forward as-of: each click matched to the user's NEXT purchase at or
+    // after it (same one-shuffle plan, descending sort).
+    "join_asof_fwd" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ets").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ets").as("purchase_ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.ext.AsOfJoin.asOfForward(clicks, purchases,
+          col("user_id"), col("p_user"), col("click_ts"), col("purchase_ts"))
+        .select("click_id", "user_id", "purchase_id")
+        .orderBy("click_id")
+    }),
+
     // Band join (ext.RangeJoin: bucket-equi-join + refine, never a
     // nested-loop): events binned into value intervals, including an
     // overlapping catch-all bin — a point matches every interval holding it.
@@ -450,6 +465,13 @@ object StarQueries {
                     FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
            ON p.user_id = c.c_user AND p.ts >= c.click_ts
          ORDER BY purchase_id""",
+    "join_asof_fwd" ->
+      """SELECT c.event_id AS click_id, c.user_id, p.purchase_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF JOIN (SELECT user_id AS p_user, ts AS purchase_ts, max(event_id) AS purchase_id
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+           ON c.user_id = p.p_user AND c.ts <= p.purchase_ts
+         ORDER BY click_id""",
     "join_range" ->
       """SELECT b.bin_id, count(*) AS n_events,
            CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

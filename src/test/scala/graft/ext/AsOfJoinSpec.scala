@@ -67,6 +67,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(outer === Set(("fresh", Some("r5")), ("stale", None)))
   }
 
+  test("forward as-of picks the nearest right row at or AFTER each left time") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "late")).toDF("k", "t", "lv")
+    val right = Seq((1L, 15L, "r15"), (1L, 20L, "r20"), (1L, 25L, "r25")).toDF("rk", "rt", "rv")
+    val got = AsOfJoin.asOfForward(left, right, col("k"), col("rk"), col("t"), col("rt"))
+      .select("t", "lv", "rv").as[(Long, String, String)].collect().toSet
+    assert(got === Set(
+      (10L, "a", "r15"),
+      (20L, "b", "r20"))) // equal time matches; t=30 has no future right row
+    // tolerance bounds the forward gap
+    val tight = AsOfJoin.asOfForward(left, right, col("k"), col("rk"), col("t"), col("rt"),
+        tolerance = Some(3L))
+      .select("t", "rv").as[(Long, String)].collect().toSet
+    assert(tight === Set((20L, "r20"))) // 15-10=5 > 3 dropped
+  }
+
+  test("forward as-of matches brute force on random data") {
+    val rnd = new scala.util.Random(13)
+    val left = (0 until 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, s"l$i"))
+    val right = (0 until 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, s"r$i"))
+      .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+    val expect = left.flatMap { case (k, t, lv) =>
+      val cands = right.filter(r => r._1 == k && r._2 >= t)
+      if (cands.isEmpty) None else Some((k, t, lv, cands.minBy(_._2)._3))
+    }.toSet
+    val got = AsOfJoin.asOfForward(left.toDF("k", "t", "lv"), right.toDF("rk", "rt", "rv"),
+        col("k"), col("rk"), col("t"), col("rt"))
+      .select("k", "t", "lv", "rv").as[(Long, Long, String, String)].collect().toSet
+    assert(got === expect)
+  }
+
   test("plans one shuffle (window exchange), not a nested-loop join") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
     val right = Seq((1L, 5L, "r")).toDF("rk", "rt", "rv")
