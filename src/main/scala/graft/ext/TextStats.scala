@@ -67,6 +67,25 @@ object TextStats {
     "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不", "这", "中"),
   )
 
+  /** Corpus-relative unigram language-model score: for each document, the
+    * mean negative log-probability of its tokens under the corpus's own
+    * unigram distribution — the standard cheap "perplexity" quality signal
+    * (rare-token gibberish scores HIGH, common fluent text scores LOW).
+    *
+    * Two linear passes: one aggregation builds the token-frequency table,
+    * one shuffle join scores tokens against it (the frequency table
+    * broadcast-joins while it fits, shuffle-joins beyond). Rounded to 6
+    * decimals so the float accumulation order never shows. Output:
+    * (id-named column, neg_logp). */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, text: Column, id: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(id.as("__id"), explode(tokens(text)).as("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val total = toks.count()
+    toks.join(freq, "__tok")
+      .groupBy("__id")
+      .agg(round(avg(-log(col("__c") / lit(total.toDouble))), 6).as("neg_logp"))
+  }
+
   /** Language-ID: argmax over per-language stopword hit counts, ties broken
     * by profile order then 'und' (undetermined) when nothing matches.
     * One pass, no shuffle; the hit counting is a codegen'd array filter. */

@@ -76,6 +76,15 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token"))
       .limit(20)),
 
+    // Corpus-relative unigram LM score (cheap perplexity): rare-token docs
+    // score high, stopword-dense prose low — the standard quality filter.
+    "text_unigram_logprob" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.ext.TextStats.unigramLogProb(docs, col("text"), col("doc_id"))
+        .select(col("__id").as("doc_id"), col("neg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // Sketch-then-verify heavy hitters: one Misra-Gries pass (k=200
     // mergeable counters — O(k) shuffle instead of a full-token groupBy)
     // generates a GUARANTEED superset of tokens above 1% frequency
@@ -142,6 +151,16 @@ object TextQueries {
              x -> x <> '')) AS token
            FROM documents)
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""",
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT count(*) AS n FROM toks)
+         SELECT doc_id, round(avg(-ln(c / CAST(n AS DOUBLE))), 6) AS neg_logp
+         FROM toks JOIN freq USING (tok), tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_heavy_hitters_sketch" ->
       """WITH toks AS (
            SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),

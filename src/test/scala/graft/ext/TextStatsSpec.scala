@@ -39,4 +39,18 @@ class TextStatsSpec extends SparkSpec {
     ).toDF("t").select(TextStats.langId(col("t")).as("l")).as[String].collect().toSeq
     assert(preds === Seq("en", "de", "es", "fr", "und"))
   }
+
+  test("unigram log-prob: rare-token docs score higher than common-token docs") {
+    // corpus: 20 docs of the same common sentence + 1 doc of unique tokens
+    val docs = ((1 to 20).map(i => (i.toLong, "the common words repeat here")) :+
+      (99L, "zyzzyva qwertyuiop floccinaucinihilipilification")).toDF("doc_id", "text")
+    val scores = TextStats.unigramLogProb(docs, col("text"), col("doc_id"))
+      .select(col("__id"), col("neg_logp")).as[(Long, Double)].collect().toMap
+    val commonScore = scores(1L)
+    val rareScore = scores(99L)
+    assert(rareScore > commonScore + 1.0,
+      s"rare-token doc must score much higher: rare=$rareScore common=$commonScore")
+    // every repeated doc scores identically (same tokens, same corpus stats)
+    assert((2 to 20).forall(i => scores(i.toLong) == commonScore))
+  }
 }
