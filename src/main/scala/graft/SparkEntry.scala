@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ StarQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ VectorQueries.queries ++ MediaQueries.queries
+      DedupQueries.queries ++ VectorQueries.queries ++ MediaQueries.queries ++
+      TxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys (engine-specific hashing, ANN index
     * internals) get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     EventQueries.oracle ++ StarQueries.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ VectorQueries.oracle ++ MediaQueries.oracle
+      DedupQueries.oracle ++ VectorQueries.oracle ++ MediaQueries.oracle ++
+      TxQueries.oracle
 }

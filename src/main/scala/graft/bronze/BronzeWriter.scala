@@ -38,4 +38,18 @@ object BronzeWriter {
     * read NULL for the added columns. */
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Transactional bronze (round-2 VERDICT item 3): the same (year, month)
+    * layout published through [[graft.tx.CommitLog]] — atomic commits,
+    * snapshot isolation, additive evolution, and time travel, i.e. the Delta
+    * semantics of `save_to_raw_delta_dev.py:63-87` that plain-parquet writes
+    * can't give. Returns the committed version; None on the empty-input
+    * guard (usgs-earthquake-data-ingest.py:175-177). */
+  def writeVersioned(df: DataFrame, path: String, mode: String): Option[Long] =
+    if (df.isEmpty) None
+    else Some(graft.tx.CommitLog.commit(df, path, mode, PartitionCols))
+
+  /** Latest committed snapshot of a versioned bronze table. */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    graft.tx.CommitLog.read(spark, path)
 }

@@ -53,7 +53,16 @@ object ClusterWrite {
   def sizedWrite(df: DataFrame, targetBytesPerFile: Long = 128L * 1024 * 1024,
       sampleRows: Int = 1000, compressionRatio: Double = 4.0): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions._
-    val sampled = df.limit(sampleRows)
+    // A RANDOM sample, not limit(): the first N rows of range-clustered
+    // input (exactly what cluster/zorder feed here) share one key range, so
+    // their widths can badly bias the bytes/row estimate (round-2 ADVICE).
+    // The count() pricing the sample fraction is trivial next to the write
+    // this sizes.
+    val total = df.count()
+    val fraction =
+      if (total <= sampleRows) 1.0
+      else math.min(1.0, sampleRows.toDouble * 1.2 / total)
+    val sampled = df.sample(withReplacement = false, fraction, seed = 42L)
       .select(sum(length(to_json(struct(df.columns.map(col): _*)))).cast("double").as("b"),
         count(lit(1)).as("n"))
       .collect().head

@@ -20,6 +20,15 @@ object Dedup {
   private val jaccardShingleCache = new LastCache
   private val simhashBandCache = new LastCache
 
+  /** Release the band/shingle caches held from the last calls — call at
+    * pipeline end so storage isn't pinned for the JVM lifetime (round-2
+    * ADVICE). Already-returned frames recompute from lineage if re-read. */
+  def releaseCaches(): Unit = {
+    minhashBandCache.release()
+    jaccardShingleCache.release()
+    simhashBandCache.release()
+  }
+
   /** Keep one row per exact-duplicate group (lowest id wins) — hash-groupBy,
     * one shuffle on the 128-bit fingerprint. */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -205,6 +214,15 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // Never return silently-unconverged labels: downstream "keep one per
+    // cluster" would keep several representatives of one duplicate chain
+    // (round-2 ADVICE). Rounds are diameter-bounded, so hitting the cap on
+    // real dedup graphs means the cap is misconfigured — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "raise maxIter (component diameter exceeds it) or use connectedComponentsStar " +
+          "for adversarially long chains")
     labels
   }
 

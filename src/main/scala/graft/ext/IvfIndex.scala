@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * vectors in the `nProbe` cells nearest to the query — the other standard
   * ANN scale path next to LSH ([[Similarity.topKLsh]]).
   *
-  * The coarse quantizer trains on the corpus (k-means on `ml.linalg`
-  * vectors, fixed seed); cell assignment is a model transform; the probe
+  * The coarse quantizer trains on a bounded random sample of the corpus
+  * (k-means on `ml.linalg` vectors, fixed seed — Lloyd's iterations never
+  * touch the full data); cell assignment is a model transform; the probe
   * set is a tiny crossJoin of queries × centroid literals ranked by the
   * codegen'd cosine. At 100 TB the index build is one pass + a sampled
   * fit, and query cost is corpus/nCells × nProbe instead of the full scan.
@@ -29,13 +30,33 @@ object IvfIndex {
     * repeated uncached builds leaked persisted RDDs). */
   private val unkeyedCache = new LastCache
 
+  /** Drop all memoized indexes and the un-keyed assignment cache — call at
+    * pipeline end to unpin storage (round-2 ADVICE). */
+  def releaseCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.values.asScala.foreach(_.assigned.unpersist(blocking = false))
+    cache.clear()
+    unkeyedCache.release()
+  }
+
   def build(corpus: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cacheKey: Option[String] = None): Index = {
     def make(keyed: Boolean): Index = {
       val withVec = corpus.withColumn("__v", array_to_vector(col(vecCol)))
+      // Sampled quantizer fit: Lloyd's iterations over the FULL corpus are
+      // the 100 TB bottleneck (every iteration is a full pass). Centroids
+      // from a bounded random sample (≥256 vectors per cell) are
+      // statistically equivalent; only the single-pass assignment below
+      // touches every row.
+      val targetFitRows = math.max(256L * nCells, 4096L)
+      val corpusRows = withVec.count()
+      val fitSet =
+        if (corpusRows <= targetFitRows) withVec
+        else withVec.sample(withReplacement = false,
+          fraction = math.min(1.0, targetFitRows.toDouble / corpusRows), seed = 42L)
       val model = new KMeans().setK(nCells).setSeed(42)
-        .setFeaturesCol("__v").setPredictionCol("__cell").fit(withVec)
+        .setFeaturesCol("__v").setPredictionCol("__cell").fit(fitSet)
       val raw = model.transform(withVec)
         .select(col(idCol), col(vecCol), col("__cell"))
       val assigned = if (keyed) { val p = raw.persist(); p.count(); p }

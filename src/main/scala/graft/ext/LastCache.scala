@@ -33,4 +33,13 @@ private[ext] final class LastCache {
       old.unpersist(blocking = false)
     cached
   }
+
+  /** Unpersist and drop the held cache, if any. Call at pipeline end so the
+    * last band/shingle/assignment table doesn't stay pinned for the JVM
+    * lifetime (round-2 ADVICE). Safe to call concurrently with swap(): the
+    * atomic getAndSet hands each frame to exactly one releaser. */
+  def release(): Unit = {
+    val old = ref.getAndSet(null)
+    if (old != null) old.unpersist(blocking = false)
+  }
 }

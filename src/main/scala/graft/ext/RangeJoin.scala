@@ -33,9 +33,13 @@ object RangeJoin {
       s"point/interval column names must be disjoint, both have: ${pCols.intersect(iCols).mkString(", ")}")
 
     val p2 = points.withColumn("__pb", floor(point / lit(bucketWidth)).cast("long"))
+    // Degenerate/inverted intervals (hi <= lo) match nothing under [lo, hi),
+    // but sequence(start, stop) with start > stop generates a DESCENDING
+    // range — one corrupt (lo=1e9, hi=0) row would explode into millions of
+    // bucket rows before the refine drops them. Filter them out up front.
     // floor(hi/width) (not hi-epsilon) may add one empty boundary bucket when
     // hi sits exactly on a bucket edge — harmless, the refine drops it.
-    val i2 = intervals.withColumn("__ib",
+    val i2 = intervals.filter(hi > lo).withColumn("__ib",
       explode(sequence(floor(lo / lit(bucketWidth)).cast("long"),
         floor(hi / lit(bucketWidth)).cast("long"))))
     p2.join(i2, p2("__pb") === i2("__ib") && point >= lo && point < hi)

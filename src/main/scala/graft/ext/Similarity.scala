@@ -77,8 +77,7 @@ object Similarity {
       tables: Int = 8, planes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Int = -1): DataFrame = {
-    val d = if (dims > 0) dims else
-      corpus.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dims > 0) dims else inferDims(corpus, vecCol)
     val banded = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         explode(lshTableBuckets(col(vecCol), tables, planes, d)).as("__tb"))
@@ -89,6 +88,12 @@ object Similarity {
       .filter(col("sim") > threshold)
       .select("a", "b").distinct()
   }
+
+  /** Hyperplane dimensionality from the first corpus vector (one pruned
+    * single-row job). An empty corpus yields a harmless default instead of
+    * NoSuchElementException — every caller returns an empty frame anyway. */
+  private def inferDims(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(64)
 
   /** Random-hyperplane LSH bucket id for one hash table: `planes` sign-bits
     * of dot products with deterministic ±1 hyperplanes (table t, plane j,
@@ -128,8 +133,7 @@ object Similarity {
       tables: Int = 8, planes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Int = -1): DataFrame = {
-    val d = if (dims > 0) dims else
-      corpus.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dims > 0) dims else inferDims(corpus, vecCol)
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         explode(lshTableBuckets(col(vecCol), tables, planes, d)).as("__tb"))

@@ -123,11 +123,19 @@ object EventQueries {
       (col("value") > 5).cast("int").as("is_high"),
     ).orderBy("event_id")),
 
-    // Approximate distinct (HLL sketch) — rows-only: HLL implementations
-    // differ across engines; the spec asserts <5% relative error vs exact.
+    // Approximate distinct (HLL sketch). HLL estimates differ across
+    // engines, so the oracle is a PROPERTY check (round-2 VERDICT item 5):
+    // Spark computes the sketch estimate AND the exact count per group and
+    // asserts ≤5% relative error; the oracle supplies the exact counts and
+    // the expected property outcome per real key.
     "agg_approx_distinct" -> ((s, d) => events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("__approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__approx") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_5pct"))
       .orderBy("event_type")),
 
     // Latest-revision dedup (the reconciliation the reference lacks, §2.9 /
@@ -217,6 +225,10 @@ object EventQueries {
            CASE WHEN value > 5 THEN 'high' ELSE 'low' END AS band,
            CAST(value > 5 AS INTEGER) AS is_high
          FROM events ORDER BY event_id""",
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           true AS within_5pct
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "dedup_latest" ->
       """SELECT user_id, event_id, event_type FROM (
            SELECT user_id, event_id, event_type,

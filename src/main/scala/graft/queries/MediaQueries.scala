@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.Multimodal
 
@@ -37,20 +37,82 @@ object MediaQueries {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_kept"))
         .orderBy("media_id")),
 
-    // Stubbed decode + featurize (rows-only: stub codec is Spark-side only).
-    // The 8-bin histogram array is projected to scalar columns: the driver's
-    // differential compare sorts columns through pandas, which cannot hash
-    // array cells (round-1 correctness run crashed on this query).
+    // Stubbed decode + featurize — PROPERTY oracle (round-2 VERDICT item 5):
+    // the stub codec's JVM loop (mapPartitions) can't run in DuckDB, so the
+    // check is a fully independent re-implementation of the same contract in
+    // pure Catalyst column ops ([[recomputedFeatures]]: hex-decode the
+    // payload bytes, Arrays.hashCode in mod-2^32 arithmetic, occurrence-
+    // count algebra instead of the pixel loop) compared field-by-field. Any
+    // divergence between the imperative decode path and the declarative
+    // recompute — dimensions, pixel count, mean, any histogram bin — counts
+    // as a mismatch; the oracle pins mismatches at 0 over a data-dependent
+    // media count.
     "multimodal_features" -> ((s, d) => {
-      val f = Multimodal.decodeFeatures(media(s, d))
-      f.select(Seq(col("media_id"), col("width"), col("height"),
-          col("n_pixels"), col("mean_intensity")) ++
-        (0 until 8).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
-        .orderBy("media_id")
+      val m = media(s, d).filter(octet_length(col("payload")) > 0)
+      val f = Multimodal.decodeFeatures(m)
+        .select(Seq(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_intensity"), 6).as("mean6")) ++
+          (0 until 8).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
+      val r = recomputedFeatures(m)
+      val bad =
+        (col("width") =!= col("rwidth")) || (col("height") =!= col("rheight")) ||
+        (col("n_pixels") =!= col("rn_pixels")) || (col("mean6") =!= col("rmean6")) ||
+        (0 until 8).map(i => col(s"h$i") =!= col(s"rh$i")).reduce(_ || _)
+      f.join(r, Seq("media_id"), "full_outer")
+        .agg(count(lit(1)).as("n_media"),
+          coalesce(sum(when(col("width").isNull || col("rwidth").isNull || bad, 1L)
+            .otherwise(0L)), lit(0L)).as("mismatches"))
     }),
   )
 
+  /** Declarative twin of [[Multimodal.StubDecoder]] + the histogram loop in
+    * [[Multimodal.decodeFeatures]], built only from Catalyst column ops so
+    * it shares no code with the imperative path it verifies:
+    *  - payload bytes via hex() + per-pair conv() (one materialized array);
+    *  - java.util.Arrays.hashCode re-derived in mod-2^32 long arithmetic
+    *    (no overflow under ANSI; sign restored at the end);
+    *  - the pixel-cycling loop (`pixels(i) = payload(i % len)`) replaced by
+    *    occurrence algebra: payload byte j appears `np/len + (j < np%len)`
+    *    times among np pixels, so sums and histogram bins are weighted
+    *    aggregates over the payload, never a materialized pixel array. */
+  private def recomputedFeatures(m: DataFrame): DataFrame = {
+    val pl = col("payload")
+    val hx = hex(pl)
+    val len = octet_length(pl).cast("long")
+    val ubArr = transform(sequence(lit(0L), len - 1),
+      j => conv(hx.substr((j * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long"))
+    val withUb = m.select(col("media_id"), ubArr.as("__ub"))
+    val m32 = lit(4294967296L)
+    val hmod = aggregate(col("__ub"), lit(1L),
+      (h, u) => pmod(h * 31 + when(u > 127, u - 256).otherwise(u), m32))
+    val withH = withUb.select(col("media_id"), col("__ub"), hmod.as("__h"))
+    val h32 = when(col("__h") >= 2147483648L, col("__h") - m32).otherwise(col("__h"))
+    // Java truncated % and / on abs(h): |h % 8| = |h| mod 8, |(h/8) % 8| =
+    // (|h|/8) mod 8; Math.abs(Int.MinValue) stays negative in Java but its
+    // remainders are 0, which the long-space abs reproduces.
+    val ah = abs(h32)
+    val withDims = withH.select(col("media_id"), col("__ub"),
+      (lit(8L) + pmod(ah, lit(8L))).as("__w"),
+      (lit(8L) + pmod(floor(ah / 8), lit(8L))).as("__ht"),
+      size(col("__ub")).cast("long").as("__len"))
+    val np = col("__w") * col("__ht")
+    val base = floor(np / col("__len"))
+    val rem = pmod(np, col("__len"))
+    def occ(i: Column) = base + when(i.cast("long") < rem, 1L).otherwise(0L)
+    val sumI = aggregate(transform(col("__ub"), (x, i) => x * occ(i)), lit(0L), _ + _)
+    val hists = (0 until 8).map { b =>
+      aggregate(transform(col("__ub"), (x, i) =>
+        when(shiftright(x, 5) === b, occ(i)).otherwise(0L)), lit(0L), _ + _).as(s"rh$b")
+    }
+    withDims.select(Seq(col("media_id"), col("__w").cast("int").as("rwidth"),
+      col("__ht").cast("int").as("rheight"), np.cast("int").as("rn_pixels"),
+      round(sumI.cast("double") / np, 6).as("rmean6")) ++ hists: _*)
+  }
+
   val oracle: Map[String, String] = Map(
+    "multimodal_features" ->
+      """SELECT count(*) AS n_media, CAST(0 AS BIGINT) AS mismatches
+         FROM documents WHERE octet_length(encode(text)) > 0""",
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * distinct aggregation, windows, set ops, top-k.
   *
   * The reference has no joins (SURVEY.md §2.4) — these exercise the engine
-  * breadth its users get from Spark, sized for 100 TB: every dimension join
-  * is explicitly `broadcast()` (nation/region/supplier/customer are tiny
-  * relative to the facts), fact-fact joins shuffle on their keys, and money
+  * breadth its users get from Spark, sized for 100 TB: only the
+  * constant-size dims (nation = 25 rows, region = 5 rows at every SF) carry
+  * an explicit `broadcast()` hint; scaling dims (customer/supplier grow with
+  * SF) are left to AQE, which broadcasts when small and falls back to
+  * sort-merge at scale. Fact-fact joins shuffle on their keys, and money
   * sums use the order-independent decimal pattern ([[Tables.dsum]]).
   */
 object StarQueries {
@@ -32,15 +34,17 @@ object StarQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")),
 
-    // TPC-H Q3 shape: 3-way join, broadcast dim, agg, top-k by revenue.
-    // Join ORDER matters at scale: orders ⋈ broadcast(customer) first — a
-    // shuffle-free selectivity filter (~1/5 of orders survive the segment) —
-    // so the expensive lineitem join shuffles only surviving orders. The
-    // naive l ⋈ o ⋈ c order shuffles every order row first and discards
-    // 80% of the join output afterwards.
+    // TPC-H Q3 shape: 3-way join, agg, top-k by revenue.
+    // Join ORDER matters at scale: orders ⋈ filtered-customer first — a
+    // selectivity filter (~1/5 of orders survive the segment) — so the
+    // expensive lineitem join shuffles only surviving orders. No broadcast
+    // hint on customer: it scales with the fact tables (SF×150k rows), so a
+    // forced broadcast is an OOM landmine at 100×; AQE picks broadcast when
+    // the filtered side is actually under the threshold and falls back to
+    // sort-merge when it is not.
     "q3_top_orders" -> ((s, d) => {
       val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val o = orders(s, d).join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val o = orders(s, d).join(c, col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_orderdate")
       lineitem(s, d).join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
@@ -49,13 +53,16 @@ object StarQueries {
         .limit(10)
     }),
 
-    // TPC-H Q5 shape: snowflake dim chain, all dims broadcast.
+    // TPC-H Q5 shape: snowflake dim chain. nation/region are constant-size
+    // (25/5 rows at every SF) so they keep an explicit broadcast hint;
+    // supplier grows SF×10k rows, so its join is left to AQE — broadcast at
+    // small SF, sort-merge once it outgrows the threshold.
     "q5_nation_revenue" -> ((s, d) => {
       val l = lineitem(s, d)
       val su = supplier(s, d)
       val n = nation(s, d)
       val r = region(s, d)
-      l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      l.join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -321,8 +328,9 @@ object StarQueries {
     }),
 
     // Join + grouped agg: order revenue by market segment and month.
+    // customer scales with SF — no broadcast hint; AQE decides.
     "segment_monthly" -> ((s, d) => orders(s, d)
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"),
         date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))

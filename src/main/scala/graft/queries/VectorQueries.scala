@@ -22,34 +22,65 @@ object VectorQueries {
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")),
 
-    // Embedding near-duplicate pairs: cosine > 0.95.
+    // Embedding near-duplicate pairs: cosine > 0.95. Runs the LSH-gated
+    // form — the 100 TB path (round-2 VERDICT: the brute-force all-pairs
+    // variant is spec-only now, see SimilaritySpec). Output is a subset of
+    // the exact pairs (the cosine filter is exact) and the oracle is the
+    // exact SQL, so a hash-match also certifies LSH recall = 1 here; the
+    // high table count makes missing a >0.95-cosine pair vanishingly rare.
     "embed_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(embeddings(s, d), threshold = 0.95)
+      Similarity.nearDupPairsLsh(embeddings(s, d), threshold = 0.95, tables = 16)
         .orderBy("a", "b")),
 
-    // LSH-gated near-dup pairs (the scale path for embed_neardup): output is
-    // always a subset of the exact pairs (the cosine filter is exact); the
-    // oracle is the same exact SQL, matching whenever LSH recall is 1 —
-    // recall on genuinely-near vectors is asserted in SimilaritySpec.
+    // Same LSH gating at the default (cheaper) table count — the
+    // recall/cost knob a curation pipeline actually tunes.
     "embed_neardup_lsh" -> ((s, d) =>
       Similarity.nearDupPairsLsh(embeddings(s, d), threshold = 0.95)
         .orderBy("a", "b")),
 
-    // LSH-bucketed approximate top-5 (scale path; rows-only check, recall
-    // asserted against the exact result in the test suite).
-    "ann_topk_lsh" -> ((s, d) => Similarity.topKLsh(
-        embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5)
-      .select("query_id", "rank", "neighbor_id")
-      .orderBy("query_id", "rank")),
+    // LSH-bucketed approximate top-5 — PROPERTY oracle (round-2 VERDICT
+    // item 5): the query computes recall@5 of the LSH result against the
+    // exact top-5 (itself independently hash-verified vs DuckDB by
+    // ann_topk_exact) and asserts it meets the floor; the oracle supplies
+    // the exact-pair count and the expected outcome. A bucketing bug that
+    // dropped genuinely-near candidates flips recall_ok and fails the hash.
+    "ann_topk_lsh" -> ((s, d) => recallCheck(
+      Similarity.topKExact(embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5),
+      Similarity.topKLsh(embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5),
+      LshMinRecall)),
 
-    // IVF (k-means cells, probe nearest) approximate top-5 (rows-only; the
-    // index is memoized per sf dir so repeated calls don't refit).
-    "ann_topk_ivf" -> ((s, d) => graft.ext.IvfIndex.topK(
+    // IVF (k-means cells, probe nearest) approximate top-5 — same recall
+    // property vs exact (the index is memoized per sf dir so repeated calls
+    // don't refit; quantizer fit is sampled, assignment full-corpus).
+    "ann_topk_ivf" -> ((s, d) => recallCheck(
+      Similarity.topKExact(embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5),
+      graft.ext.IvfIndex.topK(
         embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5,
-        cacheKey = Some(d))
-      .select("query_id", "rank", "neighbor_id")
-      .orderBy("query_id", "rank")),
+        cacheKey = Some(d)),
+      IvfMinRecall)),
   )
+
+  /** Recall floors for the approximate paths, asserted by the driver's hash
+    * compare at every SF it runs. Conservative on purpose — a bucketing bug
+    * craters recall toward 0, while measured healthy recall is 0.68-0.76
+    * (LSH) and 0.51-0.69 (IVF, lowest on the tiny sf0.001 corpus where 16
+    * cells over-partition) across sf0.001/0.01/0.1 (tools/RecallProbe). */
+  val LshMinRecall = 0.5
+  val IvfMinRecall = 0.4
+
+  /** Overall recall of `approx` against the exact top-k: one row,
+    * (n_exact, recall_ok). Both inputs are (query_id, rank, neighbor_id)
+    * frames; the join is on the id pair, so rank disagreements between the
+    * two (legitimate for ties) don't matter — set recall is what ANN
+    * guarantees. */
+  private def recallCheck(exact: DataFrame, approx: DataFrame, minRecall: Double): DataFrame =
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+      .select(col("n_exact"),
+        (col("__hits").cast("double") / col("n_exact") >= minRecall).as("recall_ok"))
 
   val oracle: Map[String, String] = Map(
     "ann_topk_exact" ->
@@ -80,5 +111,35 @@ object VectorQueries {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
            CAST(b.embedding AS DOUBLE[])) > 0.95
          ORDER BY a, b""",
+    "ann_topk_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         topk AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored QUALIFY rank <= 5)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
+    "ann_topk_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         topk AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored QUALIFY rank <= 5)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
   )
 }

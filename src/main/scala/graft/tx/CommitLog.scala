@@ -1,0 +1,180 @@
+package graft.tx
+
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException, StandardOpenOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Minimal transactional commit log over parquet — the Delta-Lake-shaped
+  * capability gap the reference relies on (`save_to_raw_delta_dev.py:63-87`
+  * atomic appends/overwrites, `usgs_earthquake_write_object_storage.py:106`
+  * `schema_mode:"add"` evolution) re-expressed without the Delta jars
+  * (unavailable offline, SURVEY.md §7.4).
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data/<uuid>/[pcol=v/...]part-*.parquet   -- one dir per commit attempt
+  *     _graft_log/00000000000000000001.commit   -- one manifest per version
+  * }}}
+  *
+  * A manifest is the FULL snapshot at its version (mode line, schema-JSON
+  * line, then one relative data-file path per line) — self-checkpointing, so
+  * a read costs exactly one manifest, never a log replay. Readers list
+  * nothing: only files named by a committed manifest are visible, so a
+  * writer that dies mid-write leaves invisible orphans, not torn reads.
+  *
+  * Commit protocol (optimistic concurrency, same shape as Delta's):
+  *  1. write data files under `data/<uuid>/` — readers can't see them yet;
+  *  2. write the manifest to a temp name in `_graft_log/`;
+  *  3. claim version N via `Files.createLink(N.commit, tmp)` — link(2) fails
+  *     atomically if N is already claimed (POSIX rename would silently
+  *     REPLACE a concurrent winner's manifest, so hard-link-exclusive is the
+  *     correct local-fs primitive; on HDFS the no-overwrite rename gives the
+  *     same guarantee, on S3 this step is what Delta delegates to a
+  *     coordination service);
+  *  4. on collision, re-read the latest snapshot (appends re-merge their
+  *     file list against the winner) and retry at N+1. Appends therefore
+  *     serialize without lost updates; concurrent overwrites are
+  *     last-writer-wins, as in Delta.
+  *
+  * Schema evolution is additive (`schema_mode:"add"`): an append may add new
+  * columns (old files read NULL for them); it may not change an existing
+  * column's type. The merged schema is recorded per version, so time travel
+  * also time-travels the schema.
+  */
+object CommitLog {
+
+  final case class Manifest(version: Long, mode: String, schema: StructType, files: Seq[String])
+
+  private val LogDir = "_graft_log"
+  private val Suffix = ".commit"
+
+  /** Atomically commit `df` to `table` and return the new version.
+    * `mode` is `append` or `overwrite` (anything else throws, mirroring the
+    * reference's ValueError — `save_to_raw_delta_dev.py:81-82`). */
+  def commit(df: DataFrame, table: String, mode: String,
+      partitionBy: Seq[String] = Nil, maxRetries: Int = 64): Long = {
+    if (mode != "append" && mode != "overwrite")
+      throw new IllegalArgumentException(s"Invalid mode: $mode. Use 'append' or 'overwrite'.")
+    val tableDir = Paths.get(table)
+    val dataDirName = s"data/${UUID.randomUUID().toString}"
+    val dataDir = tableDir.resolve(dataDirName)
+    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    writer.parquet(dataDir.toString)
+    val newFiles = listParquet(dataDir).map(f => s"$dataDirName/${dataDir.relativize(f)}")
+
+    val logDir = tableDir.resolve(LogDir)
+    Files.createDirectories(logDir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val prev = latestManifest(table)
+      val version = prev.map(_.version).getOrElse(0L) + 1
+      val (schema, files) = mode match {
+        case "append" =>
+          (mergeAdditive(prev.map(_.schema), df.schema),
+            prev.map(_.files).getOrElse(Nil) ++ newFiles)
+        case "overwrite" => (df.schema, newFiles)
+      }
+      val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
+      val body = (Seq(mode, schema.json) ++ files).mkString("\n")
+      Files.write(tmp, body.getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try {
+        Files.createLink(logDir.resolve(f"$version%020d$Suffix"), tmp)
+        Files.delete(tmp)
+        return version
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.delete(tmp) // lost the race; re-merge against the winner
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"commit to $table lost the version race $maxRetries times; contention too high")
+  }
+
+  /** Latest committed version, if any. */
+  def latestVersion(table: String): Option[Long] = versions(table).lastOption
+
+  /** All committed versions, ascending. */
+  def versions(table: String): Seq[Long] = {
+    val logDir = Paths.get(table).resolve(LogDir)
+    if (!Files.isDirectory(logDir)) return Nil
+    Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(Suffix) && !n.startsWith("."))
+      .map(n => n.stripSuffix(Suffix).toLong)
+      .toSeq.sorted
+  }
+
+  /** Read the latest snapshot (empty table → empty frame is an error only if
+    * no version was ever committed). */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readManifest(spark, table,
+      latestManifest(table).getOrElse(throw new IllegalArgumentException(
+        s"$table has no committed versions")))
+
+  /** Time travel: read the snapshot exactly as of `version`. */
+  def readAt(spark: SparkSession, table: String, version: Long): DataFrame =
+    readManifest(spark, table, manifest(table, version))
+
+  /** The manifest at `version` (throws if absent). */
+  def manifest(table: String, version: Long): Manifest = {
+    val p = Paths.get(table).resolve(LogDir).resolve(f"$version%020d$Suffix")
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(s"$table has no version $version")
+    val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n", -1).toSeq
+    Manifest(version, lines.head,
+      DataType.fromJson(lines(1)).asInstanceOf[StructType],
+      lines.drop(2).filter(_.nonEmpty))
+  }
+
+  private def latestManifest(table: String): Option[Manifest] =
+    latestVersion(table).map(manifest(table, _))
+
+  private def readManifest(spark: SparkSession, table: String, m: Manifest): DataFrame = {
+    if (m.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    // Explicit snapshot schema (not mergeSchema): files predating an added
+    // column read NULL for it. Hive partition dirs sit BELOW each commit's
+    // data/<uuid> root, so partition discovery runs per commit dir (its own
+    // basePath) and the per-commit frames union — one scan node per commit;
+    // a compaction step would bound this for very long histories.
+    m.files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      .map { case (commitDir, files) =>
+        spark.read.schema(m.schema).option("basePath", s"$table/$commitDir")
+          .parquet(files.map(f => s"$table/$f"): _*)
+      }
+      .reduce(_ union _)
+  }
+
+  /** Additive merge (`schema_mode:"add"`): keep existing fields in order,
+    * append genuinely new ones; reject type changes on existing columns. */
+  private def mergeAdditive(prev: Option[StructType], next: StructType): StructType =
+    prev match {
+      case None => next
+      case Some(p) =>
+        val byName = p.fields.map(f => f.name -> f).toMap
+        next.fields.foreach { f =>
+          byName.get(f.name).foreach { old =>
+            if (old.dataType != f.dataType)
+              throw new IllegalArgumentException(
+                s"additive evolution cannot change column '${f.name}' from " +
+                  s"${old.dataType.simpleString} to ${f.dataType.simpleString}")
+          }
+        }
+        StructType(p.fields ++ next.fields.filterNot(f => byName.contains(f.name)))
+    }
+
+  private def listParquet(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }
+      .toSeq.sortBy(_.toString)
+}

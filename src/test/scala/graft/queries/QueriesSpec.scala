@@ -3,40 +3,57 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Semantics checks for queries whose oracle is rows-only. */
+/** Semantics checks behind the property-oracle queries (round-2 VERDICT
+  * item 5: these queries now emit a verdict the driver hash-checks; the
+  * specs pin the underlying behavior the verdicts summarize). */
 class QueriesSpec extends SparkSpec {
   import spark.implicits._
 
   val sf = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within 5% of exact per group") {
-    val approx = EventQueries.queries("agg_approx_distinct")(spark, sf)
-      .as[(String, Long)].collect().toMap
+  test("approx_count_distinct query: exact counts right, 5% property holds") {
+    val rows = EventQueries.queries("agg_approx_distinct")(spark, sf)
+      .as[(String, Long, Boolean)].collect()
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
-        s"$k: approx ${approx(k)} vs exact $n")
+    assert(rows.map(_._1).toSet === exact.keySet)
+    rows.foreach { case (k, n, ok) =>
+      assert(n === exact(k), s"$k exact count")
+      assert(ok, s"$k: approx_count_distinct outside 5% of $n")
     }
   }
 
-  test("rolling fingerprint is stable and edit-sensitive") {
-    val fp = TextQueries.queries("text_rolling_fp")(spark, sf)
+  test("rolling fingerprint is stable and edit-sensitive; recurrence verifies") {
+    import graft.ext.TextStats
+    val docs = Tables.documents(spark, sf)
+    val fp = docs.select(col("doc_id"), TextStats.rollingFingerprint(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap
-    val fp2 = TextQueries.queries("text_rolling_fp")(spark, sf)
+    val fp2 = docs.select(col("doc_id"), TextStats.rollingFingerprint(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap
     assert(fp === fp2)
     assert(fp.values.toSet.size > 1)
+    // the query-level property: rolling recurrence == direct window hash
+    val (nDocs, nWindows, mismatches) =
+      TextQueries.queries("text_rolling_fp")(spark, sf)
+        .as[(Long, Long, Long)].collect().head
+    assert(nDocs > 0 && nWindows > 0)
+    assert(mismatches === 0L)
   }
 
-  test("LSH ANN query returns ranked rows per query vector") {
-    val rows = VectorQueries.queries("ann_topk_lsh")(spark, sf)
+  test("LSH ANN returns ranked rows; query-level recall property holds") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Similarity.topKLsh(emb, emb.filter(col("vec_id") < 20), k = 5)
+      .select("query_id", "rank", "neighbor_id")
       .as[(Long, Int, Long)].collect()
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (_, rs) =>
       assert(rs.map(_._2).sorted.toSeq === (1 to rs.length).toSeq)
     }
+    val (nExact, recallOk) = VectorQueries.queries("ann_topk_lsh")(spark, sf)
+      .as[(Long, Boolean)].collect().head
+    assert(nExact > 0)
+    assert(recallOk, "LSH recall below floor at sf0.001")
   }
 }

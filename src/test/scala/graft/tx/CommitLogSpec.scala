@@ -1,0 +1,117 @@
+package graft.tx
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Transactional semantics of the mini commit log: snapshot isolation,
+  * atomic-rename commits, additive evolution, time travel, concurrent
+  * appends without lost updates (round-2 VERDICT item 3). */
+class CommitLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_txspec").resolve("t").toString
+
+  test("append/read roundtrip and version history") {
+    val t = freshTable()
+    val v1 = CommitLog.commit(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, "append")
+    val v2 = CommitLog.commit(Seq((3, "c")).toDF("id", "s"), t, "append")
+    assert((v1, v2) === (1L, 2L))
+    assert(CommitLog.versions(t) === Seq(1L, 2L))
+    assert(CommitLog.read(spark, t).as[(Int, String)].collect().sorted
+      === Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("overwrite replaces the snapshot; old version still readable") {
+    val t = freshTable()
+    CommitLog.commit(Seq(1, 2, 3).toDF("id"), t, "append")
+    CommitLog.commit(Seq(9).toDF("id"), t, "overwrite")
+    assert(CommitLog.read(spark, t).as[Int].collect().toSeq === Seq(9))
+    assert(CommitLog.readAt(spark, t, 1).as[Int].collect().sorted === Seq(1, 2, 3))
+  }
+
+  test("invalid mode throws like the reference's ValueError") {
+    val t = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.commit(Seq(1).toDF("id"), t, "merge")
+    }
+    assert(e.getMessage.contains("Invalid mode"))
+  }
+
+  test("additive schema evolution: old rows read NULL, type change rejected") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1, "a")).toDF("id", "s"), t, "append")
+    CommitLog.commit(Seq((2, "b", 7.5)).toDF("id", "s", "score"), t, "append")
+    val snap = CommitLog.read(spark, t)
+    assert(snap.columns.toSeq === Seq("id", "s", "score"))
+    val rows = snap.as[(Int, String, Option[Double])].collect().sortBy(_._1)
+    assert(rows === Seq((1, "a", None), (2, "b", Some(7.5))))
+    // time travel also time-travels the schema
+    assert(CommitLog.readAt(spark, t, 1).columns.toSeq === Seq("id", "s"))
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.commit(Seq(("x", "c")).toDF("id", "s"), t, "append")
+    }
+    assert(e.getMessage.contains("cannot change column"))
+  }
+
+  test("partitioned commit keeps hive layout and partition pruning") {
+    val t = freshTable()
+    CommitLog.commit(
+      Seq((1, 2024, 1), (2, 2024, 2), (3, 2025, 1)).toDF("id", "year", "month"),
+      t, "append", partitionBy = Seq("year", "month"))
+    val snap = CommitLog.read(spark, t)
+    assert(snap.filter(col("year") === 2024).count() === 2)
+    // the filter must prune to the year=2024 files at planning time
+    val planned = snap.filter(col("year") === 2024)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("year=2024") || !planned.contains("year=2025"))
+  }
+
+  test("uncommitted data files are invisible (torn write isolation)") {
+    val t = freshTable()
+    CommitLog.commit(Seq(1, 2).toDF("id"), t, "append")
+    // a writer that died after writing data but before publishing a manifest
+    Seq(99).toDF("id").write.parquet(s"$t/data/orphan-${java.util.UUID.randomUUID()}")
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === Seq(1, 2))
+  }
+
+  test("concurrent appends all land with distinct versions, no lost updates") {
+    val t = freshTable()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val futures = (0 until 8).map { i =>
+      Future(CommitLog.commit(Seq(i).toDF("id"), t, "append"))
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+    pool.shutdown()
+    assert(versions.sorted === (1L to 8L))
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === (0 until 8))
+  }
+
+  test("bronze a3/a4 fact shapes match direct-parquet results through the snapshot path") {
+    val t = freshTable()
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"),
+        year(col("ets")).as("year"), month(col("ets")).as("month"),
+        when(col("event_type") === "error", 1).otherwise(0).as("tsunami"))
+    // two appends, partitioned like the reference bronze (year, month)
+    CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 0), t, "append",
+      partitionBy = Seq("year", "month"))
+    CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 1), t, "append",
+      partitionBy = Seq("year", "month"))
+    val snap = CommitLog.read(spark, t)
+    val direct = graft.silver.TsunamiFacts.yearly(ev)
+      .as[(Int, Long)].collect().toSeq
+    val viaLog = graft.silver.TsunamiFacts.yearly(snap)
+      .as[(Int, Long)].collect().toSeq
+    assert(viaLog === direct)
+    val directM = graft.silver.TsunamiFacts.monthly(ev).as[(Int, Int, Long)].collect().toSeq
+    val viaLogM = graft.silver.TsunamiFacts.monthly(snap).as[(Int, Int, Long)].collect().toSeq
+    assert(viaLogM === directM)
+  }
+}
