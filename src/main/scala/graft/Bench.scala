@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * $SPARK_GRAFT_SF_DIR (default sf0.1) and prints one JSON line with
-  * per-query and total wall-clock seconds. */
+  * per-query and total wall-clock seconds. The same line is also written to
+  * $SPARK_GRAFT_BENCH_OUT (default BENCH_LOCAL.json in the cwd) so the
+  * totals survive even when a log capture truncates stdout. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,20 +26,26 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // Deterministic run order (sorted by name) so per-query timings are
     // comparable across rounds.
-    // Best-of-2 per query: single-shot timings on this VM show sporadic
-    // 5-10x spikes from CPU scheduling noise unrelated to the plan.
+    // Median-of-3 per query: single-shot timings on this VM show sporadic
+    // 3-5x spikes from CPU scheduling noise unrelated to the plan; the
+    // median discards one spike without rewarding a lucky fastest run the
+    // way best-of did.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.sorted.apply(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -226,6 +226,63 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the variant for ADVERSARIALLY LONG chains. Min-label
+    * propagation ([[connectedComponents]]) needs diameter rounds, so a
+    * 10k-link duplicate chain needs 10k shuffles; star contraction halves
+    * path lengths geometrically and converges in O(log² n) rounds on any
+    * graph shape.
+    *
+    *  - large-star: every node points its LARGER neighbors at the minimum
+    *    of its closed neighborhood;
+    *  - small-star: every node folds its smaller neighbors (and itself)
+    *    onto that minimum.
+    *
+    * Each half-round is one groupBy-min + one join + a distinct (two or
+    * three shuffles), `localCheckpoint`ed so lineage stays flat. Converged
+    * when the small-star edge set is a fixed point: then edges form stars
+    * rooted at each component's minimum id.
+    *
+    * Output: (id, component), component = min reachable id — identical
+    * contract to [[connectedComponents]] (asserted in DedupSpec). */
+  def connectedComponentsStar(edges: DataFrame, a: String = "a", b: String = "b",
+      maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col(a).as("id")).union(edges.select(col(b).as("id")))
+      .distinct().localCheckpoint()
+    // directed large→small, self-loops dropped
+    var dir = edges.select(
+        greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric adjacency
+      val sym = dir.union(dir.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u").as("__c"), least(col("u"), col("__mn")).as("__m"))
+      val ls = sym.join(mins, sym("u") === col("__c"))
+        .filter(col("v") > col("u")) // larger neighbors re-point to the min
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the (large→small) orientation
+      val lsMins = ls.groupBy("u").agg(min(col("v")).as("__mn"))
+      val joined = ls.join(lsMins, "u")
+      val ss = joined.select(col("v").as("u"), col("__mn").as("v"))
+        .union(joined.select(col("u"), col("__mn").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      converged = ss.except(dir).isEmpty && dir.except(ss).isEmpty
+      dir = ss
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    nodes.join(dir, nodes("id") === dir("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("comp"))
+  }
+
   /** The complete fuzzy-dedup pipeline in one call — the composition a
     * training-data curation job actually runs:
     *

@@ -211,6 +211,36 @@ object StarQueries {
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
       .orderBy("l_returnflag")),
 
+    // Mergeable KLL-style quantile sketch ([[graft.ext.KllQuantileAggregator]])
+    // — PROPERTY oracle: the sketch's picked values are rank-checked against
+    // the actual data IN the query (counts of rows below/at the sketch
+    // quantile must bracket the target rank within the sketch's 2% error
+    // budget), while the exact quantiles ride along as oracle-checked data
+    // columns. O(k·log(n/k)) per group over the shuffle instead of the full
+    // column — the scale path agg_median's exact percentile doesn't have.
+    "agg_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      val sk = li.as[(String, Double)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.ext.KllQuantileAggregator(512, Seq(0.5, 0.95)).toColumn.name("qs"))
+        .toDF("rf", "qs")
+        .select(col("rf"), element_at(col("qs"), 1).as("v50"), element_at(col("qs"), 2).as("v95"))
+      val eps = 0.02
+      def bracketOk(vName: String, p: Double) =
+        (sum(when(col("l_quantity") < col(vName), 1L).otherwise(0L)) <=
+          (lit(p) + eps) * count(lit(1))) &&
+          (sum(when(col("l_quantity") <= col(vName), 1L).otherwise(0L)) >=
+            (lit(p) - eps) * count(lit(1)))
+      li.join(broadcast(sk), col("l_returnflag") === col("rf"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("q50_exact"),
+          expr("percentile(l_quantity, 0.95)").as("q95_exact"),
+          (bracketOk("v50", 0.5) && bracketOk("v95", 0.95)).as("sketch_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // Pivot: order counts per priority × status (conditional-agg oracle).
     "pivot_agg" -> ((s, d) => orders(s, d)
       .groupBy("o_orderpriority")
@@ -428,6 +458,12 @@ object StarQueries {
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_qty,
            quantile_cont(l_extendedprice, 0.5) AS median_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "agg_quantile_sketch" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS q50_exact,
+           quantile_cont(l_quantity, 0.95) AS q95_exact,
+           true AS sketch_ok
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "agg_approx_quantile" ->
       """SELECT l_returnflag,

@@ -128,6 +128,37 @@ object ScaleSmoke {
         .join(spark.table("scale_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority").agg(count(lit(1))).count()
     }
+
+    // q3 plan-flip audit (round-2 VERDICT item 1): with the broadcast hint
+    // gone from customer (a SCALING dim), AQE must flip the o⋈c join to
+    // sort-merge once the filtered segment outgrows the broadcast threshold,
+    // while small-SF runs keep the broadcast plan. Builds a full sf-layout
+    // dir so the audit runs the REAL q3_top_orders entry, not a lookalike.
+    val sfdir = s"$out/sfdir_x$copies"
+    def intoSfdir(name: String, keyCols: Seq[String], n: Int): Unit = {
+      val path = s"$sfdir/$name.parquet"
+      if (!new java.io.File(path).exists()) {
+        val base = Tables.table(spark, src, name)
+        val shift = 100000000L
+        val union = (0 until n).map { i =>
+          keyCols.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * shift)))
+        }.reduce(_ unionByName _)
+        union.repartition(cpus.toInt).write.mode("overwrite").parquet(path)
+      }
+    }
+    intoSfdir("lineitem", Seq("l_orderkey"), copies)
+    intoSfdir("orders", Seq("o_orderkey", "o_custkey"), copies)
+    intoSfdir("customer", Seq("c_custkey"), copies)
+    intoSfdir("nation", Nil, 1)
+    intoSfdir("region", Nil, 1)
+    timed(s"q3 REAL query at ${copies}x") {
+      val q3 = graft.queries.StarQueries.queries("q3_top_orders")(spark, sfdir)
+      val n = q3.count()
+      val plan = q3.queryExecution.executedPlan.toString
+      println(s"[scale] q3 ${copies}x plan: SortMergeJoin=${plan.contains("SortMergeJoin")} " +
+        s"BroadcastHashJoin=${plan.contains("BroadcastHashJoin")}")
+      n
+    }
     spark.stop()
   }
 }

@@ -120,4 +120,34 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("label propagation fails loudly instead of returning unconverged labels") {
+    // a 30-link chain cannot converge in 3 diameter-bounded rounds
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("star CC matches label propagation on random graphs") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 150).map(_ => (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      .filter { case (a, b) => a != b }
+    val viaProp = Dedup.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.connectedComponentsStar(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar === viaProp)
+  }
+
+  test("star CC converges on a 10k-node path graph in O(log n) rounds") {
+    // diameter 10000: label propagation would need 10000 rounds; star
+    // contraction halves path lengths geometrically, so 30 rounds is ample
+    // (and maxIter trips if contraction ever stops working).
+    val path = spark.range(10000).selectExpr("id AS a", "id + 1 AS b")
+    val labels = Dedup.connectedComponentsStar(path, maxIter = 30)
+    assert(labels.filter(col("comp") =!= 0L).count() === 0L)
+    assert(labels.count() === 10001L)
+  }
 }

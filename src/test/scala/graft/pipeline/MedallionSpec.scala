@@ -97,13 +97,55 @@ class MedallionSpec extends SparkSpec {
     val dir = tmpDir("keyed")
     KeyedSink.writeFiles(events, dir)
     assert(new java.io.File(s"$dir/month=1/year=2014").exists())
-    // injected writer sees time-descending rows within each partition
-    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // injected writer sees time-descending rows within each partition; the
+    // probe is a JVM-static object because the writer closure is SERIALIZED
+    // into the task — a captured local queue would mutate a copy and the
+    // assertion would pass vacuously on an empty seq
+    SinkProbe.reset()
     KeyedSink.write(events, new KeyedSink.RowWriter {
       def write(row: Row): Unit =
-        seen.add(row.getAs[java.sql.Timestamp]("eventtime").getTime)
+        SinkProbe.times.add(row.getAs[java.sql.Timestamp]("eventtime").getTime)
     })
-    val times = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    val times = SinkProbe.times.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(times.nonEmpty)
     assert(times === times.sorted.reverse)
   }
+
+  test("keyed sink batched: chunking, pacing hook, per-row error capture") {
+    import org.apache.spark.sql.functions._
+    // 25 rows in ONE serving partition (single (month, year) key — clustered()
+    // re-hashes by it, so chunk boundaries are observable), one poison row
+    // (event id 'q7'), batch size 10
+    val df = spark.range(25).select(
+      lit(1).as("month"),
+      lit(2024).as("year"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("eventtime"),
+      concat(lit("q"), col("id")).as("id"))
+    SinkProbe.reset()
+    val writer = new KeyedSink.RowWriter {
+      override def open(o: KeyedSink.BatchOptions): Unit = SinkProbe.consistency.add(o.consistency)
+      def write(row: Row): Unit =
+        if (row.getAs[String]("id") == "q7") throw new RuntimeException("poison row")
+      override def onBatchComplete(n: Int): Unit = SinkProbe.batchSizes.add(n)
+    }
+    val report = KeyedSink.writeBatched(df, writer,
+      KeyedSink.BatchOptions(batchSize = 10, consistency = "LOCAL_QUORUM"))
+    assert(report.written === 24L)
+    assert(report.failed === 1L)
+    assert(report.errorSamples.size === 1)
+    assert(report.errorSamples.head.contains("poison row"))
+    assert(SinkProbe.batchSizes.toArray(Array.empty[Integer]).map(_.toInt).sorted.toSeq
+      === Seq(5, 10, 10))
+    assert(SinkProbe.consistency.peek() === "LOCAL_QUORUM")
+  }
+}
+
+/** JVM-static capture target for serialized writer closures (local-mode
+  * executors share the test JVM, so static state round-trips where captured
+  * locals silently don't). */
+object SinkProbe {
+  val times = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  val consistency = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { times.clear(); batchSizes.clear(); consistency.clear() }
 }
