@@ -130,6 +130,38 @@ object StarQueries {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     }),
 
+    // TPC-H Q14 shape: fact ⋈ part dim with LIKE-gated conditional
+    // aggregation (promo revenue share per brand). part scales with SF —
+    // no broadcast hint, AQE decides; the ratio divides two decimal-exact
+    // sums so both engines produce bit-identical doubles (rounded anyway).
+    "q14_promo_share" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      lineitem(s, d).join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum4(rev).as("revenue"),
+          round(dsum4(when(col("p_type").like("ECO%"), rev).otherwise(lit(0.0))) /
+            dsum4(rev), 6).as("promo_share"))
+        .orderBy("p_brand")
+    }),
+
+    // RANGE-frame window (value-based frame, not row-based): per supplier,
+    // quantity shipped in the trailing 30-day window of each row. Range
+    // frames include ALL peers of the boundary values, so the result is
+    // deterministic under any tie order — no tiebreak columns needed in the
+    // frame, only in the output sort.
+    "window_range_frame" -> ((s, d) => {
+      val days = datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+      val w = Window.partitionBy("l_suppkey").orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+      lineitem(s, d)
+        .withColumn("days", days)
+        .withColumn("qty_30d", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "days", "l_orderkey", "l_linenumber", "qty_30d")
+        .orderBy("l_suppkey", "days", "l_orderkey", "l_linenumber", "qty_30d")
+    }),
+
     // Set ops over customer vs supplier nations.
     "set_union" -> ((s, d) =>
       customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -425,6 +457,25 @@ object StarQueries {
              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
          FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""",
+    "q14_promo_share" ->
+      """SELECT p_brand, count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           round(
+             CAST(SUM(CAST(CASE WHEN p_type LIKE 'ECO%'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(22,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE),
+             6) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY p_brand""",
+    "window_range_frame" ->
+      """SELECT l_suppkey,
+           CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS INTEGER) AS days,
+           l_orderkey, l_linenumber,
+           SUM(l_quantity) OVER (PARTITION BY l_suppkey
+             ORDER BY date_diff('day', DATE '1992-01-01', l_shipdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS qty_30d
+         FROM lineitem
+         ORDER BY l_suppkey, days, l_orderkey, l_linenumber, qty_30d""",
     "set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
          UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""",

@@ -47,19 +47,38 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object CommitLog {
 
-  final case class Manifest(version: Long, mode: String, schema: StructType, files: Seq[String])
+  /** `txns` carries per-writer transaction watermarks (appId → highest
+    * committed batchId), inherited version-to-version — Delta's
+    * SetTransaction action, the primitive that makes a streaming
+    * foreachBatch sink exactly-once per micro-batch. */
+  final case class Manifest(version: Long, mode: String, schema: StructType,
+      files: Seq[String], txns: Map[String, Long])
 
   private val LogDir = "_graft_log"
   private val Suffix = ".commit"
 
-  /** Atomically commit `df` to `table` and return the new version.
+  /** Atomically commit `df` to `table` and return the version holding it.
     * `mode` is `append` or `overwrite` (anything else throws, mirroring the
-    * reference's ValueError — `save_to_raw_delta_dev.py:81-82`). */
+    * reference's ValueError — `save_to_raw_delta_dev.py:81-82`).
+    *
+    * `txn = Some((appId, batchId))` makes the commit IDEMPOTENT per writer:
+    * if the latest snapshot already records `batchId` (or later) for
+    * `appId`, the data is dropped and the already-containing version is
+    * returned — a replayed streaming micro-batch or a retried job never
+    * double-appends, even racing a concurrent duplicate of itself (the
+    * check re-runs inside the optimistic-commit loop). */
   def commit(df: DataFrame, table: String, mode: String,
-      partitionBy: Seq[String] = Nil, maxRetries: Int = 64): Long = {
+      partitionBy: Seq[String] = Nil, maxRetries: Int = 64,
+      txn: Option[(String, Long)] = None): Long = {
     if (mode != "append" && mode != "overwrite")
       throw new IllegalArgumentException(s"Invalid mode: $mode. Use 'append' or 'overwrite'.")
     val tableDir = Paths.get(table)
+    // fast path: an already-recorded txn skips even the data write
+    txn.foreach { case (app, batch) =>
+      latestManifest(table).foreach { m =>
+        if (m.txns.get(app).exists(_ >= batch)) return m.version
+      }
+    }
     val dataDirName = s"data/${UUID.randomUUID().toString}"
     val dataDir = tableDir.resolve(dataDirName)
     val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
@@ -71,6 +90,10 @@ object CommitLog {
     var attempt = 0
     while (attempt < maxRetries) {
       val prev = latestManifest(table)
+      txn.foreach { case (app, batch) =>
+        if (prev.exists(_.txns.get(app).exists(_ >= batch)))
+          return prev.get.version // a concurrent duplicate of this txn won
+      }
       val version = prev.map(_.version).getOrElse(0L) + 1
       val (schema, files) = mode match {
         case "append" =>
@@ -78,8 +101,14 @@ object CommitLog {
             prev.map(_.files).getOrElse(Nil) ++ newFiles)
         case "overwrite" => (df.schema, newFiles)
       }
+      // txn watermarks survive overwrites too (as Delta's do through
+      // checkpoints): truncating data must not resurrect replayed batches
+      val txns = prev.map(_.txns).getOrElse(Map.empty) ++
+        txn.map { case (app, batch) => app -> batch }
+      val txnLine = txns.toSeq.sorted
+        .map { case (a, b) => s"$a=$b" }.mkString(";")
       val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
-      val body = (Seq(mode, schema.json) ++ files).mkString("\n")
+      val body = (Seq(mode, schema.json, txnLine) ++ files).mkString("\n")
       Files.write(tmp, body.getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       try {
@@ -94,6 +123,67 @@ object CommitLog {
     }
     throw new IllegalStateException(
       s"commit to $table lost the version race $maxRetries times; contention too high")
+  }
+
+  /** Highest batchId committed by `appId`, if any — the restart question a
+    * streaming sink asks before replaying a micro-batch. */
+  def txnVersion(table: String, appId: String): Option[Long] =
+    latestManifest(table).flatMap(_.txns.get(appId))
+
+  /** Compact the current snapshot's many small files into ~`targetBytes`
+    * files (Delta OPTIMIZE): rewrite through one clustered write, publish as
+    * a new overwrite version. Old versions stay readable (their files are
+    * never deleted), so time travel survives compaction; readers switch to
+    * the compacted snapshot atomically. At 100 TB this is what keeps a
+    * frequently-appended table from dissolving into footer-fetch hell. */
+  def compact(spark: SparkSession, table: String,
+      partitionBy: Seq[String] = Nil, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    // target output file count from the snapshot's ACTUAL on-disk bytes;
+    // coalesce (no shuffle) merges the many small scan partitions down —
+    // maxRecordsPerFile alone only ever splits, never merges
+    val totalBytes = m.files.map(f => Files.size(Paths.get(table).resolve(f))).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val snap = readManifest(spark, table, m).coalesce(parts)
+    val tableDir = Paths.get(table)
+    val dataDirName = s"data/${UUID.randomUUID().toString}"
+    val dataDir = tableDir.resolve(dataDirName)
+    val writer = snap.write
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dataDir.toString)
+    val newFiles = listParquet(dataDir).map(f => s"$dataDirName/${dataDir.relativize(f)}")
+    publishRewrite(table, m, newFiles)
+  }
+
+  /** Publish a rewrite (same rows, new files) as the next version, keeping
+    * schema and txn watermarks; retries the version race like commit(). */
+  private def publishRewrite(table: String, base: Manifest, newFiles: Seq[String],
+      maxRetries: Int = 64): Long = {
+    val logDir = Paths.get(table).resolve(LogDir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val prev = latestManifest(table).getOrElse(base)
+      if (prev.version != base.version)
+        throw new IllegalStateException(
+          s"table advanced to v${prev.version} during compaction of v${base.version}; rerun")
+      val version = prev.version + 1
+      val txnLine = prev.txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(";")
+      val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
+      val body = (Seq("overwrite", prev.schema.json, txnLine) ++ newFiles).mkString("\n")
+      Files.write(tmp, body.getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try {
+        Files.createLink(logDir.resolve(f"$version%020d$Suffix"), tmp)
+        Files.delete(tmp)
+        return version
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.delete(tmp)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"compaction of $table lost the version race")
   }
 
   /** Latest committed version, if any. */
@@ -127,9 +217,13 @@ object CommitLog {
     if (!Files.exists(p))
       throw new IllegalArgumentException(s"$table has no version $version")
     val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n", -1).toSeq
+    val txns = lines(2).split(";").filter(_.nonEmpty).map { kv =>
+      val i = kv.lastIndexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1).toLong
+    }.toMap
     Manifest(version, lines.head,
       DataType.fromJson(lines(1)).asInstanceOf[StructType],
-      lines.drop(2).filter(_.nonEmpty))
+      lines.drop(3).filter(_.nonEmpty), txns)
   }
 
   private def latestManifest(table: String): Option[Manifest] =

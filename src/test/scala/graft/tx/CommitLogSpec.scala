@@ -93,6 +93,58 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).as[Int].collect().sorted === (0 until 8))
   }
 
+  test("txn watermarks make commits idempotent per (appId, batchId)") {
+    val t = freshTable()
+    val v1 = CommitLog.commit(Seq(1, 2).toDF("id"), t, "append", txn = Some(("job", 0L)))
+    // replay of batch 0: skipped, returns the containing version
+    val vReplay = CommitLog.commit(Seq(1, 2).toDF("id"), t, "append", txn = Some(("job", 0L)))
+    assert(vReplay === v1)
+    assert(CommitLog.read(spark, t).count() === 2)
+    // next batch lands; watermark advances
+    CommitLog.commit(Seq(3).toDF("id"), t, "append", txn = Some(("job", 1L)))
+    assert(CommitLog.txnVersion(t, "job") === Some(1L))
+    // a stale batch (<= watermark) is also skipped
+    CommitLog.commit(Seq(99).toDF("id"), t, "append", txn = Some(("job", 1L)))
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === Seq(1, 2, 3))
+    // an unrelated writer is not gated by this app's watermark
+    CommitLog.commit(Seq(4).toDF("id"), t, "append", txn = Some(("other", 0L)))
+    assert(CommitLog.read(spark, t).count() === 4)
+    // watermarks survive an overwrite (replay after truncation still skips)
+    CommitLog.commit(Seq(7).toDF("id"), t, "overwrite")
+    CommitLog.commit(Seq(1, 2).toDF("id"), t, "append", txn = Some(("job", 1L)))
+    assert(CommitLog.read(spark, t).as[Int].collect().toSeq === Seq(7))
+  }
+
+  test("streaming commitLogSink batch body is exactly-once under replay") {
+    val t = freshTable()
+    val body = graft.streaming.StreamingJobs.commitBatch(t, "stream-app", Nil)
+    val batch0 = Seq((1L, 2024, 1)).toDF("event_id", "year", "month")
+    body(batch0, 0L)
+    body(batch0, 0L) // restart replays the last uncommitted-offset batch
+    body(Seq((2L, 2024, 2)).toDF("event_id", "year", "month"), 1L)
+    val snap = CommitLog.read(spark, t)
+    assert(snap.count() === 2)
+    assert(snap.select("event_id").as[Long].collect().sorted === Seq(1L, 2L))
+  }
+
+  test("compaction merges small files into few, keeps rows and time travel") {
+    val t = freshTable()
+    // 10 tiny commits → >= 10 data files
+    (1 to 10).foreach(i => CommitLog.commit(Seq(i).toDF("id"), t, "append",
+      txn = Some(("w", i.toLong))))
+    val before = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(before.files.size >= 10)
+    val cv = CommitLog.compact(spark, t)
+    val after = CommitLog.manifest(t, cv)
+    assert(after.files.size < before.files.size)
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 10))
+    // old versions still readable (files retained)
+    assert(CommitLog.readAt(spark, t, 3).count() === 3)
+    // txn watermarks survive compaction: replay of batch 10 still skips
+    CommitLog.commit(Seq(999).toDF("id"), t, "append", txn = Some(("w", 10L)))
+    assert(CommitLog.read(spark, t).count() === 10)
+  }
+
   test("bronze a3/a4 fact shapes match direct-parquet results through the snapshot path") {
     val t = freshTable()
     val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
