@@ -133,11 +133,17 @@ object CommitLog {
   /** Compact the current snapshot's many small files into ~`targetBytes`
     * files (Delta OPTIMIZE): rewrite through one clustered write, publish as
     * a new overwrite version. Old versions stay readable (their files are
-    * never deleted), so time travel survives compaction; readers switch to
-    * the compacted snapshot atomically. At 100 TB this is what keeps a
-    * frequently-appended table from dissolving into footer-fetch hell. */
+    * never deleted until [[vacuum]]), so time travel survives compaction;
+    * readers switch to the compacted snapshot atomically. At 100 TB this is
+    * what keeps a frequently-appended table from dissolving into
+    * footer-fetch hell.
+    *
+    * `zorderBy` additionally Z-order-clusters the rewrite (OPTIMIZE ZORDER
+    * BY): rows close in every listed dimension land in the same files, so
+    * parquet min/max stats skip on any of them. */
   def compact(spark: SparkSession, table: String,
-      partitionBy: Seq[String] = Nil, targetBytes: Long = 128L * 1024 * 1024): Long = {
+      partitionBy: Seq[String] = Nil, targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Long = {
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
     // target output file count from the snapshot's ACTUAL on-disk bytes;
@@ -145,7 +151,12 @@ object CommitLog {
     // maxRecordsPerFile alone only ever splits, never merges
     val totalBytes = m.files.map(f => Files.size(Paths.get(table).resolve(f))).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val snap = readManifest(spark, table, m).coalesce(parts)
+    val base = readManifest(spark, table, m)
+    val snap =
+      if (zorderBy.nonEmpty)
+        graft.cluster.ClusterWrite.zorder(base,
+          zorderBy.map(org.apache.spark.sql.functions.col), numPartitions = Some(parts))
+      else base.coalesce(parts)
     val tableDir = Paths.get(table)
     val dataDirName = s"data/${UUID.randomUUID().toString}"
     val dataDir = tableDir.resolve(dataDirName)
@@ -154,6 +165,37 @@ object CommitLog {
       .parquet(dataDir.toString)
     val newFiles = listParquet(dataDir).map(f => s"$dataDirName/${dataDir.relativize(f)}")
     publishRewrite(table, m, newFiles)
+  }
+
+  /** Retention GC (Delta VACUUM): delete data files referenced ONLY by
+    * versions older than the newest `keepVersions` manifests, then drop
+    * those manifests. Time travel is retained for the kept versions and
+    * lost for the vacuumed ones — the explicit disk-vs-history trade every
+    * 100 TB table eventually makes. Returns the number of data files
+    * deleted. Concurrent READERS of vacuumed versions would fail, as with
+    * Delta's retention window; run it from the table's maintenance job. */
+  def vacuum(table: String, keepVersions: Int = 2): Long = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val all = versions(table)
+    if (all.size <= keepVersions) return 0L
+    val (drop, keep) = all.splitAt(all.size - keepVersions)
+    val referenced = keep.flatMap(v => manifest(table, v).files).toSet
+    val tableDir = Paths.get(table)
+    val dataRoot = tableDir.resolve("data")
+    var deleted = 0L
+    if (Files.isDirectory(dataRoot)) {
+      Files.walk(dataRoot).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filter(p => !referenced.contains(tableDir.relativize(p).toString))
+        .foreach { p => Files.delete(p); deleted += 1 }
+      // prune now-empty commit dirs
+      Files.walk(dataRoot).iterator().asScala.toSeq.reverse
+        .filter(p => Files.isDirectory(p) && p != dataRoot)
+        .foreach { p => if (!Files.list(p).iterator().hasNext) Files.delete(p) }
+    }
+    val logDir = tableDir.resolve(LogDir)
+    drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"$v%020d$Suffix")))
+    deleted
   }
 
   /** Publish a rewrite (same rows, new files) as the next version, keeping

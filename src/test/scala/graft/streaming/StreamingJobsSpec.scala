@@ -140,6 +140,25 @@ class StreamingJobsSpec extends SparkSpec {
     assert(s === Seq((2014, 3L)))
   }
 
+  test("commitLogSink lands a stream as committed snapshot versions") {
+    val dir = tmpDir("landing_tx")
+    writeLanding(dir)
+    val table = tmpDir("tx_bronze") + "/t"
+    val ck = tmpDir("tx_ck")
+    val events = StreamingJobs.readEvents(spark, dir, schema)
+    val q = StreamingJobs.commitLogSink(events, table, ck, "spec-stream").start()
+    q.awaitTermination(60000)
+    val snap = graft.tx.CommitLog.read(spark, table)
+    assert(snap.count() === 4)
+    assert(snap.filter(col("year") === 2014).count() === 4) // partition cols intact
+    assert(graft.tx.CommitLog.txnVersion(table, "spec-stream").isDefined)
+    // restarting the SAME stream over the same checkpoint adds nothing
+    val q2 = StreamingJobs.commitLogSink(
+      StreamingJobs.readEvents(spark, dir, schema), table, ck, "spec-stream").start()
+    q2.awaitTermination(60000)
+    assert(graft.tx.CommitLog.read(spark, table).count() === 4)
+  }
+
   test("fanOut silver is correct across MULTIPLE micro-batches (ADVICE r1)") {
     // 12 single-row landing files > maxFilesPerTrigger=8 → at least 2
     // batches; the old implementation overwrote silver from the current

@@ -145,6 +145,43 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() === 10)
   }
 
+  test("vacuum deletes only files unreachable from the kept versions") {
+    val t = freshTable()
+    (1 to 6).foreach(i => CommitLog.commit(Seq(i).toDF("id"), t, "append"))
+    CommitLog.compact(spark, t) // v7: compacted snapshot in fresh files
+    assert(CommitLog.versions(t).size === 7)
+    val deleted = CommitLog.vacuum(t, keepVersions = 1)
+    assert(deleted > 0)
+    assert(CommitLog.versions(t) === Seq(7L))
+    // the kept snapshot is intact and fully readable
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 6))
+    // vacuumed history is gone
+    intercept[IllegalArgumentException](CommitLog.readAt(spark, t, 3))
+  }
+
+  test("compact with zorderBy clusters the rewrite") {
+    val t = freshTable()
+    val rnd = new scala.util.Random(4)
+    (1 to 4).foreach { _ =>
+      CommitLog.commit(Seq.fill(500)((rnd.nextInt(1000), rnd.nextInt(1000)))
+        .toDF("x", "y"), t, "append")
+    }
+    val cv = CommitLog.compact(spark, t, zorderBy = Seq("x", "y"),
+      targetBytes = 8L * 1024)
+    val m = CommitLog.manifest(t, cv)
+    assert(m.files.size > 1)
+    // Z-clustering narrows per-file ranges: every output file's x-range
+    // should be far narrower than the full domain (a random row scatter
+    // would give each file ~the whole 0..999 span)
+    val spans = m.files.map { f =>
+      val mm = spark.read.parquet(s"$t/$f")
+        .agg(min(col("x")), max(col("x"))).head()
+      mm.getInt(1) - mm.getInt(0)
+    }
+    assert(CommitLog.read(spark, t).count() === 2000)
+    assert(spans.min < 600, s"no file is range-clustered: $spans")
+  }
+
   test("bronze a3/a4 fact shapes match direct-parquet results through the snapshot path") {
     val t = freshTable()
     val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
