@@ -37,7 +37,12 @@ object IngestJob {
       jsonDir: Option[String] = None,
       servingPath: Option[String] = None,
       dedupeEvents: Boolean = false,
-      clusterBronze: Boolean = true)
+      clusterBronze: Boolean = true,
+      /** Route the bronze append through [[graft.tx.CommitLog]] — the
+        * reference's actual Delta semantics (atomic commit, snapshot
+        * isolation); silver then reads the committed snapshot, never a
+        * half-written append. */
+      transactionalBronze: Boolean = false)
 
   final case class Summary(eventsIngested: Long, yearlyRows: Long, monthlyRows: Long)
 
@@ -60,11 +65,16 @@ object IngestJob {
           ClusterWrite.cluster(events,
             Seq(col("tsunami"), col("magnitude"), col("significance")))
         else events
-      BronzeWriter.write(clustered, cfg.bronzePath, "append")
+      if (cfg.transactionalBronze)
+        BronzeWriter.writeVersioned(clustered, cfg.bronzePath, "append")
+      else
+        BronzeWriter.write(clustered, cfg.bronzePath, "append")
       cfg.servingPath.foreach(KeyedSink.writeFiles(events, _))
 
       // Silver layer from bronze read-back (§3.2), one Catalyst plan per fact.
-      val bronze = BronzeWriter.read(spark, cfg.bronzePath)
+      val bronze =
+        if (cfg.transactionalBronze) BronzeWriter.readSnapshot(spark, cfg.bronzePath)
+        else BronzeWriter.read(spark, cfg.bronzePath)
       TsunamiFacts.writeYearly(bronze, cfg.yearlyFactPath)
       TsunamiFacts.writeMonthly(bronze, cfg.monthlyFactPath)
 

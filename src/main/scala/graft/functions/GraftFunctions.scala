@@ -19,7 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `SparkSession.builder.withExtensions` / the
   * `spark.sql.extensions` conf (cluster deployment), and
   * [[GraftFunctions.register]] for an already-built session (tests, REPL).
-  */
+  * The sketch UDAFs (`kll_quantiles`, `heavy_hitters`) live on the
+  * register() path only — UDAF registration needs a session's udf registry,
+  * which the extensions injector doesn't expose. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(e.injectFunction)
@@ -59,11 +61,24 @@ object GraftFunctions {
       (args: Seq[Expression]) => ShingleHashes(args(0), intArg(args(1), "shingle_hashes w"))),
   )
 
-  /** Register into an existing session's function registry. */
+  /** Register into an existing session's function registry. Also registers
+    * the mergeable-sketch UDAFs (udaf-wrapped typed Aggregators, usable from
+    * `spark.sql`):
+    *
+    *  - `kll_quantiles(double) -> array<double>` (p50/p95/p99 by default)
+    *  - `heavy_hitters(string) -> map<string, bigint>` (k = 200)
+    */
   def register(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     descriptors.foreach { case (ident, info, builder) =>
       registry.registerFunction(ident, info, builder)
     }
+    spark.udf.register("kll_quantiles", org.apache.spark.sql.functions.udaf(
+      new graft.ext.KllQuantileAggregator(512, Seq(0.5, 0.95, 0.99)),
+      org.apache.spark.sql.Encoders.scalaDouble))
+    spark.udf.register("heavy_hitters", org.apache.spark.sql.functions.udaf(
+      new graft.ext.HeavyHittersAggregator(200),
+      org.apache.spark.sql.Encoders.STRING))
+    ()
   }
 }

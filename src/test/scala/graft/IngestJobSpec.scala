@@ -40,6 +40,22 @@ class IngestJobSpec extends SparkSpec {
     assert(spark.read.parquet(cfg.yearlyFactPath).select("tsunami_yearly_count").collect().head.getLong(0) === 2L)
   }
 
+  test("transactionalBronze lands versioned snapshots; silver reads committed data") {
+    val root = tmpDir("pipeline_tx")
+    val cfg = IngestJob.Config(2014, 2014,
+      s"$root/bronze", s"$root/fy", s"$root/fm", transactionalBronze = true)
+    val s = IngestJob.run(spark, cfg, source)
+    assert(s === IngestJob.Summary(2, 1, 1))
+    assert(graft.tx.CommitLog.latestVersion(cfg.bronzePath) === Some(1L))
+    // second run appends as version 2; silver recomputes from the snapshot
+    IngestJob.run(spark, cfg, source)
+    assert(graft.tx.CommitLog.latestVersion(cfg.bronzePath) === Some(2L))
+    assert(graft.tx.CommitLog.read(spark, cfg.bronzePath).count() === 4)
+    assert(graft.tx.CommitLog.readAt(spark, cfg.bronzePath, 1).count() === 2)
+    assert(spark.read.parquet(cfg.yearlyFactPath)
+      .select("tsunami_yearly_count").collect().head.getLong(0) === 2L)
+  }
+
   test("dedupeEvents drops duplicate ids before landing") {
     val root = tmpDir("pipeline_dedup")
     val dupSource = new UsgsSource(req =>

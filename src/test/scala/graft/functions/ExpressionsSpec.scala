@@ -63,6 +63,19 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) === viaCol)
   }
 
+  test("SQL registration: kll_quantiles and heavy_hitters UDAFs callable from SQL") {
+    GraftFunctions.register(spark)
+    spark.range(1, 401).selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id % 3 AS STRING) AS s")
+      .createOrReplaceTempView("kll_v")
+    val q = spark.sql("SELECT kll_quantiles(x) AS q FROM kll_v")
+      .collect().head.getSeq[Double](0)
+    // n=400 < capacity 512 ⇒ no compaction ⇒ exact ceil-rank quantiles
+    assert(q === Seq(200.0, 380.0, 396.0))
+    val hh = spark.sql("SELECT heavy_hitters(s) AS m FROM kll_v")
+      .collect().head.getMap[String, Long](0)
+    assert(hh.keySet === Set("0", "1", "2"))
+  }
+
   test("rolling_hash rejects non-literal k") {
     GraftFunctions.register(spark)
     intercept[Exception] {
