@@ -130,6 +130,43 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // Deterministic train/test split — the reproducible-partitioning op
+    // every training-data pipeline needs: assignment is a pure function of
+    // the stable id (first md5 hex digit: c/d/e/f → test ≈ 25%), so the
+    // split is identical on any engine, any partitioning, any rerun — no
+    // RNG, no seed bookkeeping. Output: per-split doc counts.
+    "split_train_test" -> ((s, d) => documents(s, d)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d", "e", "f"), "test")
+          .otherwise("train"))
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")),
+
+    // Decontamination: test-split documents sharing at least one 8-token
+    // shingle with any train-split document (the train/test overlap check
+    // run before evaluation sets are trusted). Shingles are the fused
+    // 64-bit ShingleHashes (one pass, no shingle strings built); the join
+    // is a semi-join against the distinct train shingle set — at 100 TB
+    // both sides shuffle once on the shingle hash, never doc × doc. The
+    // string-shingle DuckDB oracle matches unless two DISTINCT shingles
+    // collide in 64 bits (~n²/2⁶⁵, negligible — same argument as
+    // dedup_ngram_jaccard).
+    "decontaminate" -> ((s, d) => {
+      val tagged = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d", "e", "f"), "test")
+            .otherwise("train"))
+      val sh = tagged.select(col("split"), col("doc_id"),
+        explode(graft.functions.ShingleHashes.shingleHashes(
+          TextStats.tokens(col("text")), 8)).as("__sh"))
+      val trainSh = sh.filter(col("split") === "train").select("__sh").distinct()
+      sh.filter(col("split") === "test")
+        .join(trainSh, "__sh", "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
+
     // Exact-dedup result: keep the lowest doc_id per fingerprint group.
     "dedup_exact_keep" -> ((s, d) => documents(s, d)
       .groupBy(TextStats.fingerprint(col("text")).as("fp"))
@@ -222,6 +259,28 @@ object TextQueries {
            WHEN s_fr >= s_zh THEN 'fr'
            ELSE 'zh' END AS lang_pred
          FROM s ORDER BY doc_id""",
+    "split_train_test" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')
+             THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY split""",
+    "decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')
+               THEN 'test' ELSE 'train' END AS split,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tokens
+           FROM documents),
+         sh8 AS (
+           SELECT doc_id, split, unnest(list_distinct(CASE WHEN len(tokens) >= 8
+             THEN list_transform(range(1, len(tokens) - 6),
+               i -> array_to_string(tokens[i:i+7], ' '))
+             ELSE [array_to_string(tokens, ' ')] END)) AS shingle
+           FROM toks)
+         SELECT DISTINCT t.doc_id
+         FROM sh8 t JOIN sh8 tr ON t.shingle = tr.shingle
+         WHERE t.split = 'test' AND tr.split = 'train'
+         ORDER BY t.doc_id""",
     "dedup_exact" ->
       """SELECT count(*) AS n_docs,
            count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique

@@ -41,6 +41,26 @@ class QueriesSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("decontaminate equals a driver-side string-shingle recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def isTest(id: Long): Boolean = "cdef".contains(md5hex(id.toString).head)
+    def sh8(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      (if (toks.size >= 8) toks.sliding(8).map(_.mkString(" ")).toSeq
+       else Seq(toks.mkString(" "))).toSet
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val trainSh = docs.filterNot(d => isTest(d._1)).flatMap(d => sh8(d._2)).toSet
+    val expected = docs.filter(d => isTest(d._1))
+      .filter(d => sh8(d._2).exists(trainSh.contains)).map(_._1).sorted
+    assert(expected.nonEmpty, "fixture data should contain contamination")
+    val got = TextQueries.queries("decontaminate")(spark, sf).as[Long].collect().toSeq
+    assert(got === expected)
+  }
+
   test("LSH ANN returns ranked rows; query-level recall property holds") {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, sf)
