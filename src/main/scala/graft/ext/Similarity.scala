@@ -89,6 +89,27 @@ object Similarity {
       .select("a", "b").distinct()
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard 4×
+    * memory cut for ANN corpora at scale: per-vector scale = max|x|/127,
+    * codes = round(x/scale) as bytes. Returns struct(scale float,
+    * codes array<tinyint>); pure column ops (one fused pass per row).
+    * An all-zero vector gets scale 0 and all-zero codes. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = aggregate(vec, lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))) / 127.0
+    struct(
+      scale.cast("float").as("scale"),
+      transform(vec, x =>
+        when(scale === 0.0, lit(0))
+          .otherwise(round(x.cast("double") / scale)).cast("byte")).as("codes"))
+  }
+
+  /** Dequantize [[quantizeInt8]] output back to a float array (codes ×
+    * scale) — feeds the codegen'd cosine unchanged, so quantized scoring
+    * reuses the exact scoring path. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c =>
+      (c.cast("double") * q.getField("scale")).cast("float"))
+
   /** Hyperplane dimensionality from the first corpus vector (one pruned
     * single-row job). An empty corpus yields a harmless default instead of
     * NoSuchElementException — every caller returns an empty frame anyway. */

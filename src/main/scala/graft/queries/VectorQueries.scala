@@ -58,7 +58,27 @@ object VectorQueries {
         embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5,
         cacheKey = Some(d)),
       IvfMinRecall)),
+
+    // int8 quantization fidelity (see quantizedRecallQuery).
+    "embed_quantize_int8" -> ((s, d) => quantizedRecallQuery(s, d)),
   )
+
+  /** int8-quantized brute-force top-5 vs the float exact top-5 — PROPERTY
+    * oracle for the 4×-memory ANN corpus representation: quantize the
+    * corpus ([[Similarity.quantizeInt8]]), score through the SAME codegen
+    * cosine on the dequantized vectors, and require the neighbor overlap to
+    * clear the fidelity floor (int8 symmetric quantization of 64-dim unit
+    * vectors barely moves cosines, so healthy overlap is near 1; a broken
+    * scale/rounding would crater it). */
+  private def quantizedRecallQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("embedding"))
+    recallCheck(
+      Similarity.topKExact(emb, emb.filter(col("vec_id") < 20), k = 5),
+      Similarity.topKExact(deq, deq.filter(col("vec_id") < 20), k = 5),
+      QuantMinRecall)
+  }
 
   /** Recall floors for the approximate paths, asserted by the driver's hash
     * compare at every SF it runs. Conservative on purpose — a bucketing bug
@@ -67,6 +87,7 @@ object VectorQueries {
     * cells over-partition) across sf0.001/0.01/0.1 (tools/RecallProbe). */
   val LshMinRecall = 0.5
   val IvfMinRecall = 0.4
+  val QuantMinRecall = 0.8
 
   /** Overall recall of `approx` against the exact top-k: one row,
     * (n_exact, recall_ok). Both inputs are (query_id, rank, neighbor_id)
@@ -112,6 +133,21 @@ object VectorQueries {
            CAST(b.embedding AS DOUBLE[])) > 0.95
          ORDER BY a, b""",
     "ann_topk_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         topk AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored QUALIFY rank <= 5)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
+    "embed_quantize_int8" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
              FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

@@ -31,6 +31,10 @@ object RecallProbe {
       }
       println(f"[$d] lsh recall@5 = ${recall(Similarity.topKLsh(emb, q, 5))}%.3f")
       println(f"[$d] ivf recall@5 = ${recall(IvfIndex.topK(emb, q, 5))}%.3f")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("embedding"))
+      println(f"[$d] int8 recall@5 = ${recall(
+        Similarity.topKExact(deq, deq.filter(col("vec_id") < 20), 5))}%.3f")
     }
     spark.stop()
   }

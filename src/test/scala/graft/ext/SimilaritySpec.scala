@@ -106,6 +106,27 @@ class SimilaritySpec extends SparkSpec {
     assert(gated === exact) // subset by construction; equality = full recall
   }
 
+  test("int8 quantization: bounded round-trip error, code range, zero vector") {
+    val rows = emb.limit(100)
+      .select(col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("q"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("deq"))
+      .as[(Seq[Float], (Float, Seq[Byte]), Seq[Float])].collect()
+    rows.foreach { case (orig, (scale, codes), deq) =>
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // round-to-nearest: per-element error at most half a quantization step
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 2 + 1e-6, s"error ${math.abs(o - d)} vs step $scale")
+      }
+    }
+    // all-zero vector: scale 0, zero codes, zero round-trip
+    val z = Seq(Seq.fill(8)(0.0f)).toDF("embedding")
+      .select(Similarity.quantizeInt8(col("embedding")).as("q"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("deq"))
+      .as[((Float, Seq[Byte]), Seq[Float])].collect().head
+    assert(z._1._1 === 0.0f && z._1._2.forall(_ === 0) && z._2.forall(_ === 0.0f))
+  }
+
   test("near-dup pairs is symmetric-free (a < b) and thresholded") {
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.8)
       .as[(Long, Long)].collect()
