@@ -130,6 +130,34 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // Within-document repetition ratio (Gopher-style quality filter):
+    // fraction of 4-token windows that repeat an earlier window in the same
+    // document. High ratio = boilerplate/template spam. One pass, column
+    // ops only: 1 - distinct_4grams / total_4grams.
+    "text_repetition" -> ((s, d) => {
+      val toks = TextStats.tokens(col("text"))
+      val windows = greatest(size(toks) - 3, lit(1))
+      documents(s, d).select(
+        col("doc_id"),
+        round(lit(1.0) - size(graft.ext.Dedup.shingles(col("text"), 4)).cast("double")
+          / windows, 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-language capped sample via the custom TopKPerKey operator
+    // (bounded heaps, partial before the exchange): the "N examples per
+    // stratum" draw a curation pipeline uses for eval sets — deterministic
+    // (ordered by stable id), one shuffle of at most k rows per language.
+    "sample_per_lang" -> ((s, d) => {
+      import graft.plans.TopK
+      val tagged = documents(s, d)
+        .withColumn("lang", TextStats.langId(col("text")))
+      TopK.perKey(tagged, keys = Seq("lang"),
+          order = Seq(TopK.Sort("doc_id")), k = 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
     // Deterministic train/test split — the reproducible-partitioning op
     // every training-data pipeline needs: assignment is a pure function of
     // the stable id (first md5 hex digit: c/d/e/f → test ≈ 25%), so the
@@ -165,6 +193,26 @@ object TextQueries {
         .join(trainSh, "__sh", "left_semi")
         .select("doc_id").distinct()
         .orderBy("doc_id")
+    }),
+
+    // End-to-end curation pipeline — the composition a dataset curator
+    // actually ships: language gate (en) → quality gates (token count
+    // bounds, stopword-ratio floor, repetition ceiling) → exact dedup (keep
+    // min id per canonical fingerprint). Every stage is an operator proven
+    // above; this query proves the COMPOSITION against one SQL oracle.
+    // Scale: all gates are one-pass column predicates fused into the scan,
+    // the only shuffle is the final fingerprint groupBy.
+    "curation_keep" -> ((s, d) => {
+      val toks = TextStats.tokens(col("text"))
+      val rep = lit(1.0) - size(graft.ext.Dedup.shingles(col("text"), 4)).cast("double") /
+        greatest(size(toks) - 3, lit(1))
+      val filtered = documents(s, d)
+        .filter(TextStats.langId(col("text")) === "en")
+        .filter(size(toks).between(5, 5000))
+        .filter(TextStats.stopwordRatio(col("text")) >= 0.05)
+        .filter(rep <= 0.2)
+      graft.ext.Dedup.exact(filtered, col("text"), col("doc_id"))
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // Exact-dedup result: keep the lowest doc_id per fingerprint group.
@@ -259,6 +307,44 @@ object TextQueries {
            WHEN s_fr >= s_zh THEN 'fr'
            ELSE 'zh' END AS lang_pred
          FROM s ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tokens
+           FROM documents)
+         SELECT doc_id,
+           round(1 - CAST(len(list_distinct(CASE WHEN len(tokens) >= 4
+             THEN list_transform(range(1, len(tokens) - 2),
+               i -> array_to_string(tokens[i:i+3], ' '))
+             ELSE [array_to_string(tokens, ' ')] END)) AS DOUBLE)
+             / greatest(len(tokens) - 3, 1), 6) AS rep_ratio
+         FROM toks ORDER BY doc_id""",
+    "sample_per_lang" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tok
+           FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(tok, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+           len(list_filter(tok, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+           len(list_filter(tok, t -> t IN ('el','la','de','que','y','es','en','un','una','por'))) AS s_es,
+           len(list_filter(tok, t -> t IN ('le','la','de','et','est','un','une','que','pour','dans'))) AS s_fr,
+           len(list_filter(tok, t -> t IN ('的','是','在','了','我','有','和','不','这','中'))) AS s_zh
+           FROM t),
+         langed AS (
+           SELECT doc_id, CASE
+             WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END AS lang
+           FROM s)
+         SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM langed)
+         WHERE rn <= 20 ORDER BY lang, doc_id""",
     "split_train_test" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')
              THEN 'test' ELSE 'train' END AS split,
@@ -281,6 +367,35 @@ object TextQueries {
          FROM sh8 t JOIN sh8 tr ON t.shingle = tr.shingle
          WHERE t.split = 'test' AND tr.split = 'train'
          ORDER BY t.doc_id""",
+    "curation_keep" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tok
+           FROM documents),
+         s AS (SELECT doc_id, text, tok,
+           len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+           len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+           len(list_filter(tok, x -> x IN ('el','la','de','que','y','es','en','un','una','por'))) AS s_es,
+           len(list_filter(tok, x -> x IN ('le','la','de','et','est','un','une','que','pour','dans'))) AS s_fr,
+           len(list_filter(tok, x -> x IN ('的','是','在','了','我','有','和','不','这','中'))) AS s_zh
+           FROM t),
+         q AS (
+           SELECT doc_id, text FROM s
+           WHERE greatest(s_en, s_de, s_es, s_fr, s_zh) > 0
+             AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
+             AND len(tok) BETWEEN 5 AND 5000
+             AND CAST(s_en AS DOUBLE) / len(tok) >= 0.05
+             AND 1 - CAST(len(list_distinct(CASE WHEN len(tok) >= 4
+               THEN list_transform(range(1, len(tok) - 2),
+                 i -> array_to_string(tok[i:i+3], ' '))
+               ELSE [array_to_string(tok, ' ')] END)) AS DOUBLE)
+               / greatest(len(tok) - 3, 1) <= 0.2)
+         SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (
+             PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             ORDER BY doc_id) AS rn
+           FROM q)
+         WHERE rn = 1 ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT count(*) AS n_docs,
            count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique

@@ -32,7 +32,7 @@ class SparkEntrySpec extends SparkSpec {
     // dedup_simhash vs all-pairs Hamming) — the verification side is
     // all-pairs, the operator under test is not.
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
-      "dedup_simhash", "sql_scalar_subquery")
+      "embed_quantize_int8", "dedup_simhash", "sql_scalar_subquery")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>

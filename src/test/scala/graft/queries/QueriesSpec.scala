@@ -41,6 +41,37 @@ class QueriesSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("repetition ratio: planted boilerplate scores high, varied text zero") {
+    import graft.ext.{Dedup, TextStats}
+    val df = Seq(
+      (1L, "a b c d a b c d a b c d"), // 9 windows, 4 distinct → 1 - 4/9
+      (2L, "one two three four five six seven"),
+      (3L, "xy"), // shorter than a window → ratio 0
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        round(lit(1.0) - size(Dedup.shingles(col("text"), 4)).cast("double")
+          / greatest(size(TextStats.tokens(col("text"))) - 3, lit(1)), 6).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === BigDecimal(1.0 - 4.0 / 9.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0)
+  }
+
+  test("sample_per_lang caps every language at k and is deterministic") {
+    val rows = TextQueries.queries("sample_per_lang")(spark, sf)
+      .as[(String, Long)].collect()
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length <= 20, s"$lang over cap")
+      // smallest doc_ids of that language win (ordered by stable id)
+      assert(rs.map(_._2).sorted.toSeq === rs.map(_._2).toSeq.sorted)
+    }
+    val again = TextQueries.queries("sample_per_lang")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("decontaminate equals a driver-side string-shingle recompute") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
