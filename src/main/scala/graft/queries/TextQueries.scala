@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.TextStats
 
@@ -132,17 +132,14 @@ object TextQueries {
 
     // Within-document repetition ratio (Gopher-style quality filter):
     // fraction of 4-token windows that repeat an earlier window in the same
-    // document. High ratio = boilerplate/template spam. One pass, column
-    // ops only: 1 - distinct_4grams / total_4grams.
-    "text_repetition" -> ((s, d) => {
-      val toks = TextStats.tokens(col("text"))
-      val windows = greatest(size(toks) - 3, lit(1))
-      documents(s, d).select(
-        col("doc_id"),
-        round(lit(1.0) - size(graft.ext.Dedup.shingles(col("text"), 4)).cast("double")
-          / windows, 6).as("rep_ratio"))
-        .orderBy("doc_id")
-    }),
+    // document. High ratio = boilerplate/template spam. One pass, and the
+    // distinct-window count comes from the fused ShingleHashes expression
+    // (codegen'd, no shingle strings built) — identical to the string count
+    // unless two distinct shingles of one doc collide in 64 bits
+    // (~windows²/2⁶⁵, negligible; same argument as dedup_ngram_jaccard).
+    "text_repetition" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy("doc_id")),
 
     // Per-language capped sample via the custom TopKPerKey operator
     // (bounded heaps, partial before the exchange): the "N examples per
@@ -204,13 +201,11 @@ object TextQueries {
     // the only shuffle is the final fingerprint groupBy.
     "curation_keep" -> ((s, d) => {
       val toks = TextStats.tokens(col("text"))
-      val rep = lit(1.0) - size(graft.ext.Dedup.shingles(col("text"), 4)).cast("double") /
-        greatest(size(toks) - 3, lit(1))
       val filtered = documents(s, d)
         .filter(TextStats.langId(col("text")) === "en")
         .filter(size(toks).between(5, 5000))
         .filter(TextStats.stopwordRatio(col("text")) >= 0.05)
-        .filter(rep <= 0.2)
+        .filter(repetitionRatio(col("text")) <= 0.2)
       graft.ext.Dedup.exact(filtered, col("text"), col("doc_id"))
         .select("doc_id").orderBy("doc_id")
     }),
@@ -222,6 +217,15 @@ object TextQueries {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")),
   )
+
+  /** 1 - distinct 4-grams / total 4-grams, rounded to 6 decimals — shared
+    * by text_repetition and the curation_keep repetition gate. */
+  private def repetitionRatio(text: Column): Column = {
+    val toks = TextStats.tokens(text)
+    round(lit(1.0) -
+      size(graft.functions.ShingleHashes.shingleHashes(toks, 4)).cast("double") /
+        greatest(size(toks) - 3, lit(1)), 6)
+  }
 
   val oracle: Map[String, String] = Map(
     "text_tokens_bpe" ->
