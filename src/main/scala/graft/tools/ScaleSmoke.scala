@@ -151,6 +151,30 @@ object ScaleSmoke {
     intoSfdir("customer", Seq("c_custkey"), copies)
     intoSfdir("nation", Nil, 1)
     intoSfdir("region", Nil, 1)
+    // CommitLog at scale: three large appends, snapshot read, compaction.
+    // The numbers to watch: append cost is the parquet write + one manifest
+    // link (no log replay), snapshot read is file-list-driven (no listing),
+    // compact is one clustered rewrite.
+    val txTable = s"$out/txlog_x$copies"
+    graft.tx.CommitLog.latestVersion(txTable) match {
+      case Some(_) => () // already built by a previous run
+      case None =>
+        val ev = spark.read.parquet(scaled("events", Seq("event_id", "user_id"), copies))
+        timed("commitlog 3 appends") {
+          (0 until 3).foreach { i =>
+            graft.tx.CommitLog.commit(
+              ev.filter(pmod(col("event_id"), lit(3)) === i), txTable, "append")
+          }
+          3
+        }
+    }
+    timed("commitlog snapshot read") {
+      graft.tx.CommitLog.read(spark, txTable).count()
+    }
+    timed("commitlog compact") {
+      graft.tx.CommitLog.compact(spark, txTable)
+    }
+
     timed(s"q3 REAL query at ${copies}x") {
       val q3 = graft.queries.StarQueries.queries("q3_top_orders")(spark, sfdir)
       val n = q3.count()
