@@ -40,6 +40,26 @@ object TsunamiFacts {
       .agg(count(lit(1)).as("tsunami_monthly_count"))
       .orderBy("year", "month")
 
+  /** Incremental maintenance of [[yearly]]: fold a bronze DELTA (e.g.
+    * [[graft.tx.CommitLog.changesSince]]) into the previously materialized
+    * fact. Counts form a commutative monoid, so
+    * `yearly(old ∪ Δ) = merge(yearly(old), yearly(Δ))` — one tiny aggregate
+    * over the delta instead of a full bronze re-scan, which is the entire
+    * point of a change feed at 100 TB (the reference recomputes silver from
+    * the whole table every hourly cron run). */
+  def yearlyIncrement(prevFacts: DataFrame, delta: DataFrame): DataFrame =
+    prevFacts.union(yearly(delta))
+      .groupBy("year")
+      .agg(sum(col("tsunami_yearly_count")).as("tsunami_yearly_count"))
+      .orderBy("year")
+
+  /** Same merge for [[monthly]]. */
+  def monthlyIncrement(prevFacts: DataFrame, delta: DataFrame): DataFrame =
+    prevFacts.union(monthly(delta))
+      .groupBy("year", "month")
+      .agg(sum(col("tsunami_monthly_count")).as("tsunami_monthly_count"))
+      .orderBy("year", "month")
+
   /** Materialize yearly/monthly facts with the reference's partitioning
     * (`:100,166`): yearly by `year`, monthly by `year, month`, overwrite. */
   def writeYearly(raw: DataFrame, path: String): Unit =

@@ -184,14 +184,18 @@ object CommitLog {
     val dataRoot = tableDir.resolve("data")
     var deleted = 0L
     if (Files.isDirectory(dataRoot)) {
-      Files.walk(dataRoot).iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .filter(p => !referenced.contains(tableDir.relativize(p).toString))
-        .foreach { p => Files.delete(p); deleted += 1 }
-      // prune now-empty commit dirs
-      Files.walk(dataRoot).iterator().asScala.toSeq.reverse
+      withStream(Files.walk(dataRoot)) {
+        _.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .filter(p => !referenced.contains(tableDir.relativize(p).toString))
+          .toSeq
+      }.foreach { p => Files.delete(p); deleted += 1 }
+      // prune now-empty commit dirs (deepest first)
+      withStream(Files.walk(dataRoot))(_.iterator().asScala.toSeq).reverse
         .filter(p => Files.isDirectory(p) && p != dataRoot)
-        .foreach { p => if (!Files.list(p).iterator().hasNext) Files.delete(p) }
+        .foreach { p =>
+          if (withStream(Files.list(p))(!_.iterator().hasNext)) Files.delete(p)
+        }
     }
     val logDir = tableDir.resolve(LogDir)
     drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"$v%020d$Suffix")))
@@ -235,12 +239,20 @@ object CommitLog {
   def versions(table: String): Seq[Long] = {
     val logDir = Paths.get(table).resolve(LogDir)
     if (!Files.isDirectory(logDir)) return Nil
-    Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(Suffix) && !n.startsWith("."))
-      .map(n => n.stripSuffix(Suffix).toLong)
-      .toSeq.sorted
+    withStream(Files.list(logDir)) {
+      _.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(Suffix) && !n.startsWith("."))
+        .map(n => n.stripSuffix(Suffix).toLong)
+        .toSeq.sorted
+    }
   }
+
+  /** NIO Files.list/Files.walk hold a directory handle until closed; every
+    * call site funnels through here so a long-lived driver never leaks
+    * descriptors across thousands of commits. */
+  private def withStream[A, T](s: java.util.stream.Stream[A])(f: java.util.stream.Stream[A] => T): T =
+    try f(s) finally s.close()
 
   /** Read the latest snapshot (empty table → empty frame is an error only if
     * no version was ever committed). */
@@ -252,6 +264,31 @@ object CommitLog {
   /** Time travel: read the snapshot exactly as of `version`. */
   def readAt(spark: SparkSession, table: String, version: Long): DataFrame =
     readManifest(spark, table, manifest(table, version))
+
+  /** Change feed: rows ADDED after `fromVersion` (exclusive) up to
+    * `toVersion` (inclusive; default latest) — the incremental input a
+    * downstream job consumes instead of re-scanning the whole table
+    * (pair with e.g. [[graft.silver.TsunamiFacts.yearlyIncrement]]).
+    * Exact on append-only ranges; throws if the range contains an
+    * overwrite or a compaction rewrite, whose delta is not expressible as
+    * added files — the caller then falls back to a snapshot rebuild, the
+    * same contract as Delta's change feed without CDC files. */
+  def changesSince(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    require(to >= fromVersion, s"toVersion $to < fromVersion $fromVersion")
+    ((fromVersion + 1) to to).foreach { v =>
+      if (manifest(table, v).mode != "append")
+        throw new IllegalStateException(
+          s"version $v is not an append; rebuild from the snapshot instead")
+    }
+    val baseFiles =
+      if (fromVersion == 0) Set.empty[String]
+      else manifest(table, fromVersion).files.toSet
+    val m = manifest(table, to)
+    readManifest(spark, table, m.copy(files = m.files.filterNot(baseFiles)))
+  }
 
   /** The manifest at `version` (throws if absent). */
   def manifest(table: String, version: Long): Manifest = {
@@ -306,11 +343,13 @@ object CommitLog {
     }
 
   private def listParquet(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-      }
-      .toSeq.sortBy(_.toString)
+    withStream(Files.walk(dir)) {
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        }
+        .toSeq.sortBy(_.toString)
+    }
 }
