@@ -94,7 +94,7 @@ object VectorQueries {
     * frames; the join is on the id pair, so rank disagreements between the
     * two (legitimate for ties) don't matter — set recall is what ANN
     * guarantees. */
-  private def recallCheck(exact: DataFrame, approx: DataFrame, minRecall: Double): DataFrame =
+  private[queries] def recallCheck(exact: DataFrame, approx: DataFrame, minRecall: Double): DataFrame =
     exact.select("query_id", "neighbor_id")
       .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
         Seq("query_id", "neighbor_id"), "left")

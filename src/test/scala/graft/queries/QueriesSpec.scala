@@ -92,6 +92,23 @@ class QueriesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("recall property oracle has teeth: a broken ANN flips the verdict") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.topKExact(emb, emb.filter(col("vec_id") < 20), k = 5)
+    // a deliberately wrong "approximate" result: neighbor ids shifted into a
+    // disjoint range, the shape of a bucketing bug that drops real neighbors
+    val broken = exact.withColumn("neighbor_id", col("neighbor_id") + 1000000L)
+    val (n, ok) = VectorQueries.recallCheck(exact, broken, VectorQueries.LshMinRecall)
+      .as[(Long, Boolean)].collect().head
+    assert(n > 0)
+    assert(!ok, "recall verdict must fail for a broken approximate result")
+    // and the healthy self-comparison passes at recall 1
+    val (_, okSelf) = VectorQueries.recallCheck(exact, exact, 0.99)
+      .as[(Long, Boolean)].collect().head
+    assert(okSelf)
+  }
+
   test("LSH ANN returns ranked rows; query-level recall property holds") {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, sf)
