@@ -63,6 +63,29 @@ object MediaQueries {
           coalesce(sum(when(col("width").isNull || col("rwidth").isNull || bad, 1L)
             .otherwise(0L)), lit(0L)).as("mismatches"))
     }),
+
+    // Nearest-neighbor resize to 4×4 — PROPERTY oracle in the same style:
+    // the imperative resample loop in [[Multimodal.resize]] is re-derived
+    // declaratively (out pixel (x,y) ← source index (y·h/4)·w + (x·w/4),
+    // cycled into the payload) and the 16-byte outputs must match
+    // byte-for-byte (hex compare) for every media row.
+    "multimodal_resize" -> ((s, d) => {
+      val m = media(s, d).filter(octet_length(col("payload")) > 0)
+      val imp = Multimodal.resize(m, 4, 4)
+        .select(col("media_id"), upper(hex(col("pixels"))).as("px_hex"))
+      val rec = withDecodedDims(m).select(col("media_id"),
+        upper(concat_ws("", transform(sequence(lit(0), lit(15)), i => {
+          val sx = floor((i % 4).cast("long") * col("__w") / 4)
+          val sy = floor(floor(i / 4).cast("long") * col("__ht") / 4)
+          val u = element_at(col("__ub"),
+            (pmod(sy * col("__w") + sx, col("__len")) + 1).cast("int"))
+          lpad(hex(u), 2, "0")
+        }))).as("rpx_hex"))
+      imp.join(rec, Seq("media_id"), "full_outer")
+        .agg(count(lit(1)).as("n_media"),
+          coalesce(sum(when(col("px_hex").isNull || col("rpx_hex").isNull ||
+            col("px_hex") =!= col("rpx_hex"), 1L).otherwise(0L)), lit(0L)).as("mismatches"))
+    }),
   )
 
   /** Declarative twin of [[Multimodal.StubDecoder]] + the histogram loop in
@@ -75,7 +98,10 @@ object MediaQueries {
     *    occurrence algebra: payload byte j appears `np/len + (j < np%len)`
     *    times among np pixels, so sums and histogram bins are weighted
     *    aggregates over the payload, never a materialized pixel array. */
-  private def recomputedFeatures(m: DataFrame): DataFrame = {
+  /** media_id + `__ub` (payload bytes as longs), `__w`/`__ht` (the stub
+    * decoder's dimensions re-derived declaratively), `__len` — the shared
+    * base of both recompute paths (features, resize). */
+  private def withDecodedDims(m: DataFrame): DataFrame = {
     val pl = col("payload")
     val hx = hex(pl)
     val len = octet_length(pl).cast("long")
@@ -91,10 +117,14 @@ object MediaQueries {
     // (|h|/8) mod 8; Math.abs(Int.MinValue) stays negative in Java but its
     // remainders are 0, which the long-space abs reproduces.
     val ah = abs(h32)
-    val withDims = withH.select(col("media_id"), col("__ub"),
+    withH.select(col("media_id"), col("__ub"),
       (lit(8L) + pmod(ah, lit(8L))).as("__w"),
       (lit(8L) + pmod(floor(ah / 8), lit(8L))).as("__ht"),
       size(col("__ub")).cast("long").as("__len"))
+  }
+
+  private def recomputedFeatures(m: DataFrame): DataFrame = {
+    val withDims = withDecodedDims(m)
     val np = col("__w") * col("__ht")
     val base = floor(np / col("__len"))
     val rem = pmod(np, col("__len"))
@@ -111,6 +141,9 @@ object MediaQueries {
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" ->
+      """SELECT count(*) AS n_media, CAST(0 AS BIGINT) AS mismatches
+         FROM documents WHERE octet_length(encode(text)) > 0""",
+    "multimodal_resize" ->
       """SELECT count(*) AS n_media, CAST(0 AS BIGINT) AS mismatches
          FROM documents WHERE octet_length(encode(text)) > 0""",
     "multimodal_meta" ->
