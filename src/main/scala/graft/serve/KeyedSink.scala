@@ -103,6 +103,39 @@ object KeyedSink {
     BatchReport(written.value, failed.value, samples.value.asScala.toSeq)
   }
 
+  /** Generate the serving table's CQL DDL from the frame's Spark schema —
+    * the reference hand-maintains this file (`db-script.cql:4-38`); deriving
+    * it keeps the serving schema in lockstep with the pipeline schema
+    * instead of drifting. Type map follows the reference's choices
+    * (double→FLOAT, int→INT, string→TEXT, timestamp→TIMESTAMP); key layout
+    * mirrors `PRIMARY KEY ((month, year), eventtime) WITH CLUSTERING ORDER
+    * BY (eventtime DESC)` (`db-script.cql:37-38`). */
+  def cqlDdl(schema: org.apache.spark.sql.types.StructType, table: String,
+      partitionKeys: Seq[String] = Seq("month", "year"),
+      clusteringKey: String = "eventtime", descending: Boolean = true): String = {
+    import org.apache.spark.sql.types._
+    def cqlType(dt: DataType): String = dt match {
+      case StringType => "TEXT"
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case FloatType | DoubleType => "FLOAT" // reference stores doubles as FLOAT (db-script.cql:8)
+      case TimestampType => "TIMESTAMP"
+      case BooleanType => "BOOLEAN"
+      case BinaryType => "BLOB"
+      case other => throw new IllegalArgumentException(
+        s"no CQL mapping for ${other.simpleString}")
+    }
+    val keyCols = (partitionKeys :+ clusteringKey).toSet
+    require(keyCols.subsetOf(schema.fieldNames.toSet),
+      s"key columns ${keyCols -- schema.fieldNames.toSet} missing from schema")
+    val cols = schema.fields.map(f => s"    ${f.name} ${cqlType(f.dataType)},").mkString("\n")
+    val order = if (descending) "DESC" else "ASC"
+    s"""CREATE TABLE IF NOT EXISTS $table (
+       |$cols
+       |    PRIMARY KEY ((${partitionKeys.mkString(", ")}), $clusteringKey)
+       |) WITH CLUSTERING ORDER BY ($clusteringKey $order);""".stripMargin
+  }
+
   /** Layout-equivalent file fallback (SURVEY.md §2.10 K6): parquet
     * hive-partitioned by the serving key, rows sorted eventtime desc within
     * files — same point-lookup pruning a (month, year) PK gives. */

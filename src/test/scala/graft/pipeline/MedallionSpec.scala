@@ -111,6 +111,24 @@ class MedallionSpec extends SparkSpec {
     assert(times === times.sorted.reverse)
   }
 
+  test("cqlDdl derives the reference serving-table DDL shape from the schema") {
+    val ddl = KeyedSink.cqlDdl(events.schema, "usgs_earthquake_events")
+    assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS usgs_earthquake_events ("))
+    assert(ddl.contains("PRIMARY KEY ((month, year), eventtime)"))
+    assert(ddl.contains("CLUSTERING ORDER BY (eventtime DESC)"))
+    // reference type choices (db-script.cql): TEXT ids, INT keys, FLOAT
+    // magnitudes, TIMESTAMP times
+    assert(ddl.contains("id TEXT"))
+    assert(ddl.contains("month INT"))
+    assert(ddl.contains("magnitude FLOAT"))
+    assert(ddl.contains("eventtime TIMESTAMP"))
+    // every schema column appears exactly once
+    events.schema.fieldNames.foreach(n => assert(ddl.contains(s"    $n ")))
+    intercept[IllegalArgumentException] {
+      KeyedSink.cqlDdl(events.schema, "t", partitionKeys = Seq("nope"))
+    }
+  }
+
   test("keyed sink batched: chunking, pacing hook, per-row error capture") {
     import org.apache.spark.sql.functions._
     // 25 rows in ONE serving partition (single (month, year) key — clustered()
