@@ -55,6 +55,7 @@ object CommitLog {
       files: Seq[String], txns: Map[String, Long])
 
   private val LogDir = "_graft_log"
+  private val StreamDir = "_stream"
   private val Suffix = ".commit"
 
   /** Atomically commit `df` to `table` and return the version holding it.
@@ -67,9 +68,15 @@ object CommitLog {
     * returned — a replayed streaming micro-batch or a retried job never
     * double-appends, even racing a concurrent duplicate of itself (the
     * check re-runs inside the optimistic-commit loop). */
+  /** `mirror = true` additionally hard-links the committed data files into
+    * `table/_stream/` (partition dirs preserved, filenames uniquified) AFTER
+    * the manifest publish, so a Structured Streaming file source subscribed
+    * via [[readStream]] sees exactly the committed insertions — never
+    * uncommitted or torn data. The mirror is the table's INSERTION feed:
+    * overwrites also mirror their new rows (subscribers see appends only). */
   def commit(df: DataFrame, table: String, mode: String,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 64,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None, mirror: Boolean = false): Long = {
     if (mode != "append" && mode != "overwrite")
       throw new IllegalArgumentException(s"Invalid mode: $mode. Use 'append' or 'overwrite'.")
     val tableDir = Paths.get(table)
@@ -114,6 +121,7 @@ object CommitLog {
       try {
         Files.createLink(logDir.resolve(f"$version%020d$Suffix"), tmp)
         Files.delete(tmp)
+        if (mirror) mirrorForStreaming(tableDir, dataDirName, newFiles)
         return version
       } catch {
         case _: FileAlreadyExistsException =>
@@ -123,6 +131,34 @@ object CommitLog {
     }
     throw new IllegalStateException(
       s"commit to $table lost the version race $maxRetries times; contention too high")
+  }
+
+  /** Hard-link a commit's files into `_stream/` keeping partition dirs
+    * (`year=…/month=…`) directly under the stream root — one consistent
+    * hive layout for the streaming source's partition discovery — and
+    * uniquifying filenames with the commit dir's uuid. */
+  private def mirrorForStreaming(tableDir: Path, dataDirName: String, files: Seq[String]): Unit = {
+    val uuid = dataDirName.stripPrefix("data/")
+    files.foreach { f =>
+      val rel = f.stripPrefix(s"$dataDirName/") // [pcol=v/...]part-*.parquet
+      val slash = rel.lastIndexOf('/')
+      val (dirs, name) =
+        if (slash < 0) ("", rel) else (rel.substring(0, slash + 1), rel.substring(slash + 1))
+      val target = tableDir.resolve(s"$StreamDir/$dirs$uuid-$name")
+      Files.createDirectories(target.getParent)
+      Files.createLink(target, tableDir.resolve(f))
+    }
+  }
+
+  /** Subscribe to the table's committed insertions as a Structured
+    * Streaming source (pair with any writeStream sink; the schema is the
+    * latest committed snapshot's). Exactly the files published by
+    * `commit(mirror = true)` appear — a reader can never observe an
+    * uncommitted write. */
+  def readStream(spark: SparkSession, table: String): DataFrame = {
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    spark.readStream.schema(m.schema).parquet(s"$table/$StreamDir")
   }
 
   /** Highest batchId committed by `appId`, if any — the restart question a
@@ -173,7 +209,10 @@ object CommitLog {
     * lost for the vacuumed ones — the explicit disk-vs-history trade every
     * 100 TB table eventually makes. Returns the number of data files
     * deleted. Concurrent READERS of vacuumed versions would fail, as with
-    * Delta's retention window; run it from the table's maintenance job. */
+    * Delta's retention window; run it from the table's maintenance job.
+    * Note: `_stream/` mirror links are hard links and are not touched here —
+    * a vacuumed file's bytes stay pinned until the streaming mirror is
+    * pruned too (the subscriber-side retention decision). */
   def vacuum(table: String, keepVersions: Int = 2): Long = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val all = versions(table)

@@ -182,6 +182,24 @@ class CommitLogSpec extends SparkSpec {
     assert(spans.min < 600, s"no file is range-clustered: $spans")
   }
 
+  test("mirrored commits are consumable as a streaming source; torn writes never appear") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 2024), (2L, 2025)).toDF("id", "year"), t, "append",
+      partitionBy = Seq("year"), mirror = true)
+    CommitLog.commit(Seq((3L, 2024)).toDF("id", "year"), t, "append",
+      partitionBy = Seq("year"), mirror = true)
+    // a dead writer's files: in data/, never mirrored, never visible
+    Seq((99L, 2024)).toDF("id", "year").write
+      .parquet(s"$t/data/orphan-${java.util.UUID.randomUUID()}")
+    val q = CommitLog.readStream(spark, t)
+      .writeStream.format("memory").queryName("txstream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT id, year FROM txstream")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, 2024), (2L, 2025), (3L, 2024))) // partition col recovered
+  }
+
   test("changesSince feeds exact incremental silver maintenance") {
     val t = freshTable()
     def batch(ids: Range, ts: Int) = ids.map(i => (i.toLong, 2020 + (i % 3), 1, ts))
