@@ -159,6 +159,31 @@ class StreamingJobsSpec extends SparkSpec {
     assert(graft.tx.CommitLog.read(spark, table).count() === 4)
   }
 
+  test("full streaming medallion: landing -> transactional bronze -> streaming silver") {
+    val dir = tmpDir("landing_med")
+    writeLanding(dir)
+    val table = tmpDir("med_bronze") + "/t"
+    // stage 1: land the stream exactly-once into bronze, mirrored for
+    // downstream subscribers
+    val in = StreamingJobs.commitLogSink(
+      StreamingJobs.readEvents(spark, dir, schema), table,
+      tmpDir("med_ck1"), "med-app", mirror = true).start()
+    in.awaitTermination(60000)
+    // stage 2: an independent streaming job subscribes to the bronze feed
+    // and maintains the silver aggregate
+    val silver = graft.tx.CommitLog.readStream(spark, table)
+      .filter(col("tsunami") === 1)
+      .groupBy("year").count()
+    val out = silver.writeStream.format("memory").queryName("med_silver")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("med_ck2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    out.awaitTermination(60000)
+    val facts = spark.sql("SELECT year, count FROM med_silver")
+      .as[(Int, Long)].collect().toSeq
+    assert(facts === Seq((2014, 3L)))
+  }
+
   test("fanOut silver is correct across MULTIPLE micro-batches (ADVICE r1)") {
     // 12 single-row landing files > maxFilesPerTrigger=8 → at least 2
     // batches; the old implementation overwrote silver from the current
