@@ -41,6 +41,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Pipeline teardown: unpin the operator caches (band/shingle tables,
+    // IVF assignments) the queries left persisted — the release hook the
+    // round-2 advice asked for, exercised where a real run ends.
+    graft.ext.Dedup.releaseCaches()
+    graft.ext.IvfIndex.releaseCaches()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

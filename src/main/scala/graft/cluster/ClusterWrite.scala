@@ -53,22 +53,22 @@ object ClusterWrite {
   def sizedWrite(df: DataFrame, targetBytesPerFile: Long = 128L * 1024 * 1024,
       sampleRows: Int = 1000, compressionRatio: Double = 4.0): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions._
-    // A RANDOM sample, not limit(): the first N rows of range-clustered
-    // input (exactly what cluster/zorder feed here) share one key range, so
-    // their widths can badly bias the bytes/row estimate (round-2 ADVICE).
-    // The count() pricing the sample fraction is trivial next to the write
-    // this sizes.
-    val total = df.count()
-    val fraction =
-      if (total <= sampleRows) 1.0
-      else math.min(1.0, sampleRows.toDouble * 1.2 / total)
-    val sampled = df.sample(withReplacement = false, fraction, seed = 42L)
-      .select(sum(length(to_json(struct(df.columns.map(col): _*)))).cast("double").as("b"),
-        count(lit(1)).as("n"))
-      .collect().head
+    // Estimate from the HEAD OF EVERY PARTITION, not limit(): the first N
+    // rows of range-clustered input (exactly what cluster/zorder feed here)
+    // share one key range, so a single-partition head badly biases the
+    // bytes/row estimate (round-2 ADVICE), while a uniform sample() or a
+    // count() would pay full extra passes over the input (round-3 review).
+    // Each task short-circuits after its quota, so the whole estimate costs
+    // one first-row-group read per partition.
+    val widths = df.select(length(to_json(struct(df.columns.map(col): _*)))
+        .cast("long").as("b"))
+    val perPartition = math.max(1,
+      sampleRows / math.max(1, widths.rdd.getNumPartitions))
+    val sampled = widths.rdd.mapPartitions(_.take(perPartition).map(_.getLong(0)))
+      .collect()
     val bytesPerRow =
-      if (sampled.isNullAt(0) || sampled.getLong(1) == 0L) 256.0
-      else math.max(sampled.getDouble(0) / sampled.getLong(1) / compressionRatio, 8.0)
+      if (sampled.isEmpty) 256.0
+      else math.max(sampled.sum.toDouble / sampled.length / compressionRatio, 8.0)
     val recordsPerFile = math.max((targetBytesPerFile / bytesPerRow).toLong, 1L)
     df.write.option("maxRecordsPerFile", recordsPerFile.toString)
   }

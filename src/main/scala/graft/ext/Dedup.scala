@@ -300,7 +300,15 @@ object Dedup {
     val cands = minhashCandidates(df, text, id, w)
     val verified = ngramJaccardPairs(df, text, id, jaccardW, threshold, Some(cands))
       .select("a", "b")
-    val drops = connectedComponents(verified)
+    // Label propagation is the cheap path (rounds = diameter, typically 2-3
+    // for duplicate clusters); an adversarially long chain (20+ templated
+    // near-dups in a row) trips its round cap, and the pipeline then falls
+    // back to star contraction, whose O(log² n) rounds handle any shape —
+    // so the entry point users actually call never aborts on chain length.
+    val labels =
+      try connectedComponents(verified)
+      catch { case _: IllegalStateException => connectedComponentsStar(verified) }
+    val drops = labels
       .filter(col("id") =!= col("comp")) // non-representatives
       .select(col("id").as("__drop"))
     df.join(broadcast(drops), id === col("__drop"), "left_anti")

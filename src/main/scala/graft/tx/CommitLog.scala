@@ -79,11 +79,21 @@ object CommitLog {
       txn: Option[(String, Long)] = None, mirror: Boolean = false): Long = {
     if (mode != "append" && mode != "overwrite")
       throw new IllegalArgumentException(s"Invalid mode: $mode. Use 'append' or 'overwrite'.")
+    txn.foreach { case (app, _) =>
+      require(!app.exists(c => c == ';' || c == '=' || c < ' '),
+        s"txn appId must not contain ';', '=' or control chars: '$app'")
+    }
     val tableDir = Paths.get(table)
-    // fast path: an already-recorded txn skips even the data write
+    // fast path: an already-recorded txn skips even the data write — but
+    // still repairs the stream mirror, so a crash BETWEEN manifest publish
+    // and mirroring (or a replay of such a commit) cannot permanently drop
+    // a committed batch from the _stream/ feed (mirroring is idempotent).
     txn.foreach { case (app, batch) =>
       latestManifest(table).foreach { m =>
-        if (m.txns.get(app).exists(_ >= batch)) return m.version
+        if (m.txns.get(app).exists(_ >= batch)) {
+          if (mirror) repairMirror(tableDir, m)
+          return m.version
+        }
       }
     }
     val dataDirName = s"data/${UUID.randomUUID().toString}"
@@ -98,8 +108,10 @@ object CommitLog {
     while (attempt < maxRetries) {
       val prev = latestManifest(table)
       txn.foreach { case (app, batch) =>
-        if (prev.exists(_.txns.get(app).exists(_ >= batch)))
+        if (prev.exists(_.txns.get(app).exists(_ >= batch))) {
+          if (mirror) repairMirror(tableDir, prev.get)
           return prev.get.version // a concurrent duplicate of this txn won
+        }
       }
       val version = prev.map(_.version).getOrElse(0L) + 1
       val (schema, files) = mode match {
@@ -136,7 +148,8 @@ object CommitLog {
   /** Hard-link a commit's files into `_stream/` keeping partition dirs
     * (`year=…/month=…`) directly under the stream root — one consistent
     * hive layout for the streaming source's partition discovery — and
-    * uniquifying filenames with the commit dir's uuid. */
+    * uniquifying filenames with the commit dir's uuid. Idempotent: an
+    * already-present link (replayed commit, repair pass) is skipped. */
   private def mirrorForStreaming(tableDir: Path, dataDirName: String, files: Seq[String]): Unit = {
     val uuid = dataDirName.stripPrefix("data/")
     files.foreach { f =>
@@ -146,9 +159,21 @@ object CommitLog {
         if (slash < 0) ("", rel) else (rel.substring(0, slash + 1), rel.substring(slash + 1))
       val target = tableDir.resolve(s"$StreamDir/$dirs$uuid-$name")
       Files.createDirectories(target.getParent)
-      Files.createLink(target, tableDir.resolve(f))
+      try Files.createLink(target, tableDir.resolve(f))
+      catch { case _: FileAlreadyExistsException => () }
     }
   }
+
+  /** Re-mirror every file of `m`'s snapshot (idempotent) — heals the
+    * crash window between manifest publish and mirroring, including any
+    * older commit whose mirror step was lost. Only append snapshots
+    * qualify: an overwrite/compaction file set is not an insertion feed,
+    * so re-mirroring it would replay rows to subscribers. */
+  private def repairMirror(tableDir: Path, m: Manifest): Unit =
+    if (m.mode == "append")
+      m.files.groupBy(f => f.split("/").take(2).mkString("/")).foreach {
+        case (commitDir, files) => mirrorForStreaming(tableDir, commitDir, files)
+      }
 
   /** Subscribe to the table's committed insertions as a Structured
     * Streaming source (pair with any writeStream sink; the schema is the
@@ -212,8 +237,15 @@ object CommitLog {
     * Delta's retention window; run it from the table's maintenance job.
     * Note: `_stream/` mirror links are hard links and are not touched here —
     * a vacuumed file's bytes stay pinned until the streaming mirror is
-    * pruned too (the subscriber-side retention decision). */
-  def vacuum(table: String, keepVersions: Int = 2): Long = {
+    * pruned too (the subscriber-side retention decision).
+    *
+    * `minAgeMillis` is the safety window against IN-FLIGHT writers (Delta's
+    * retention window): a concurrent commit writes its data files BEFORE
+    * publishing a manifest, so an unreferenced-but-recent file may belong
+    * to a commit about to land — deleting it would corrupt that commit.
+    * Only files older than the window are eligible. */
+  def vacuum(table: String, keepVersions: Int = 2,
+      minAgeMillis: Long = 60L * 60 * 1000): Long = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val all = versions(table)
     if (all.size <= keepVersions) return 0L
@@ -221,12 +253,14 @@ object CommitLog {
     val referenced = keep.flatMap(v => manifest(table, v).files).toSet
     val tableDir = Paths.get(table)
     val dataRoot = tableDir.resolve("data")
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     var deleted = 0L
     if (Files.isDirectory(dataRoot)) {
       withStream(Files.walk(dataRoot)) {
         _.iterator().asScala
           .filter(Files.isRegularFile(_))
           .filter(p => !referenced.contains(tableDir.relativize(p).toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
           .toSeq
       }.foreach { p => Files.delete(p); deleted += 1 }
       // prune now-empty commit dirs (deepest first)
@@ -242,33 +276,33 @@ object CommitLog {
   }
 
   /** Publish a rewrite (same rows, new files) as the next version, keeping
-    * schema and txn watermarks; retries the version race like commit(). */
-  private def publishRewrite(table: String, base: Manifest, newFiles: Seq[String],
-      maxRetries: Int = 64): Long = {
+    * schema and txn watermarks. Single-attempt by design: a rewrite is only
+    * valid against the exact snapshot it read, so ANY concurrent commit —
+    * detected either by the version check or by losing the link race —
+    * invalidates it and the caller must re-run compaction over the new
+    * snapshot (retrying here would publish stale data as an overwrite). */
+  private def publishRewrite(table: String, base: Manifest, newFiles: Seq[String]): Long = {
     val logDir = Paths.get(table).resolve(LogDir)
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val prev = latestManifest(table).getOrElse(base)
-      if (prev.version != base.version)
-        throw new IllegalStateException(
-          s"table advanced to v${prev.version} during compaction of v${base.version}; rerun")
-      val version = prev.version + 1
-      val txnLine = prev.txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(";")
-      val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
-      val body = (Seq("overwrite", prev.schema.json, txnLine) ++ newFiles).mkString("\n")
-      Files.write(tmp, body.getBytes("UTF-8"),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      try {
-        Files.createLink(logDir.resolve(f"$version%020d$Suffix"), tmp)
+    val prev = latestManifest(table).getOrElse(base)
+    if (prev.version != base.version)
+      throw new IllegalStateException(
+        s"table advanced to v${prev.version} during compaction of v${base.version}; rerun")
+    val version = prev.version + 1
+    val txnLine = prev.txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(";")
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
+    val body = (Seq("overwrite", prev.schema.json, txnLine) ++ newFiles).mkString("\n")
+    Files.write(tmp, body.getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try {
+      Files.createLink(logDir.resolve(f"$version%020d$Suffix"), tmp)
+      Files.delete(tmp)
+      version
+    } catch {
+      case _: FileAlreadyExistsException =>
         Files.delete(tmp)
-        return version
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.delete(tmp)
-          attempt += 1
-      }
+        throw new IllegalStateException(
+          s"a concurrent commit claimed v$version during compaction of ${base.version}; rerun")
     }
-    throw new IllegalStateException(s"compaction of $table lost the version race")
   }
 
   /** Latest committed version, if any. */
