@@ -2,6 +2,8 @@ package graft.tx
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -150,13 +152,50 @@ class CommitLogSpec extends SparkSpec {
     (1 to 6).foreach(i => CommitLog.commit(Seq(i).toDF("id"), t, "append"))
     CommitLog.compact(spark, t) // v7: compacted snapshot in fresh files
     assert(CommitLog.versions(t).size === 7)
-    val deleted = CommitLog.vacuum(t, keepVersions = 1)
+    // minAge 0 (forced): this test's files are seconds old, and the
+    // reachability contract is what's under test, not the age window
+    val deleted = CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true)
     assert(deleted > 0)
     assert(CommitLog.versions(t) === Seq(7L))
     // the kept snapshot is intact and fully readable
     assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 6))
     // vacuumed history is gone
     intercept[IllegalArgumentException](CommitLog.readAt(spark, t, 3))
+  }
+
+  test("vacuum's age window protects young unreferenced files from in-flight-writer races") {
+    val t = freshTable()
+    (1 to 3).foreach(i => CommitLog.commit(Seq(i).toDF("id"), t, "append"))
+    CommitLog.compact(spark, t)
+    def dataFiles() = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(t, "data"))
+      try walk.iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+      finally walk.close()
+    }
+    val before = dataFiles()
+    // default window (7 days): everything here is seconds old → nothing dies
+    assert(CommitLog.vacuum(t, keepVersions = 1) === 0L)
+    assert(dataFiles() === before)
+    // a sub-default window is refused unless the caller forces it
+    val e = intercept[IllegalArgumentException](
+      CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 1000))
+    assert(e.getMessage.contains("force"))
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 3))
+  }
+
+  test("auto-compaction bounds snapshot scan width at the policy threshold") {
+    val t = freshTable()
+    (1 to 30).foreach(i =>
+      CommitLog.commit(Seq(i).toDF("id"), t, "append", autoCompactEvery = 8))
+    def commitDirs(m: CommitLog.Manifest) =
+      m.files.map(_.split("/").take(2).mkString("/")).distinct.size
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    // plan width == distinct commit dirs == scan nodes in the union
+    assert(commitDirs(m) <= 8, s"snapshot spans ${commitDirs(m)} commit dirs")
+    // the rewrites are real overwrite versions in the chain
+    assert(CommitLog.versions(t).exists(v => CommitLog.manifest(t, v).mode == "overwrite"))
+    // and no row was lost or duplicated across the rewrites
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 30))
   }
 
   test("compact with zorderBy clusters the rewrite") {
@@ -198,6 +237,74 @@ class CommitLogSpec extends SparkSpec {
     val rows = spark.sql("SELECT id, year FROM txstream")
       .as[(Long, Int)].collect().sortBy(_._1).toSeq
     assert(rows === Seq((1L, 2024), (2L, 2025), (3L, 2024))) // partition col recovered
+  }
+
+  test("replayed txn commit after compaction never re-mirrors the rewrite (exactly-once feed)") {
+    val t = freshTable()
+    CommitLog.commit(Seq(1L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 0L)))
+    CommitLog.commit(Seq(2L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 1L)))
+    CommitLog.compact(spark, t) // v3: full-table rewrite, never mirrored
+    CommitLog.commit(Seq(3L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 2L)))
+    // streaming restart: the last batch replays through the txn fast path,
+    // which runs the mirror repair over the whole chain
+    CommitLog.commit(Seq(3L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 2L)))
+    // the feed holds exactly the three inserted rows — the compacted
+    // rewrite (which lists rows 1..2 again) must NOT have been mirrored
+    val q = CommitLog.readStream(spark, t)
+      .writeStream.format("memory").queryName("txrepair")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM txrepair").as[Long].collect().sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("repairMirror heals a lost mirror step from the version's file delta") {
+    val t = freshTable()
+    CommitLog.commit(Seq(1L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 0L)))
+    CommitLog.commit(Seq(2L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 1L)))
+    // simulate a crash between v2's manifest publish and its mirror step
+    val stream = java.nio.file.Paths.get(t, "_stream")
+    val v2Ledger = stream.resolve("_ledger").resolve(f"${2L}%020d")
+    new String(Files.readAllBytes(v2Ledger), "UTF-8").split("\n").foreach { rel =>
+      Files.delete(stream.resolve(rel))
+    }
+    Files.delete(v2Ledger)
+    // replaying v2's txn repairs exactly the missing delta
+    CommitLog.commit(Seq(2L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 1L)))
+    val q = CommitLog.readStream(spark, t)
+      .writeStream.format("memory").queryName("txheal")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM txheal").as[Long].collect().sorted === Seq(1L, 2L))
+  }
+
+  test("pruneMirror reclaims consumed feed history up to the subscriber watermark") {
+    val t = freshTable()
+    CommitLog.commit(Seq(1L).toDF("id"), t, "append", mirror = true)
+    CommitLog.commit(Seq(2L).toDF("id"), t, "append", mirror = true)
+    val stream = java.nio.file.Paths.get(t, "_stream")
+    def mirrorFiles() = {
+      val walk = Files.walk(stream)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .size
+      finally walk.close()
+    }
+    assert(mirrorFiles() === 2)
+    // slowest subscriber has committed through v1 → v1's history is reclaimable
+    assert(CommitLog.pruneMirror(t, throughVersion = 1L) === 1L)
+    assert(mirrorFiles() === 1)
+    // a new subscriber starting now sees only the unpruned suffix
+    val q = CommitLog.readStream(spark, t)
+      .writeStream.format("memory").queryName("txpruned")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM txpruned").as[Long].collect().toSeq === Seq(2L))
+    // prune + vacuum together actually release the bytes: both names of the
+    // inode are gone once the table is truncated and history dropped
+    CommitLog.commit(Seq(9L).toDF("id"), t, "overwrite")
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true)
+    assert(CommitLog.pruneMirror(t, throughVersion = Long.MaxValue) === 1L)
+    assert(mirrorFiles() === 0)
   }
 
   test("changesSince feeds exact incremental silver maintenance") {
