@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query against
   * $SPARK_GRAFT_SF_DIR (default sf0.1) and prints one JSON line with
@@ -8,6 +8,60 @@ import org.apache.spark.sql.SparkSession
   * $SPARK_GRAFT_BENCH_OUT (default BENCH_LOCAL.json in the cwd) so the
   * totals survive even when a log capture truncates stdout. */
 object Bench {
+
+  /** Per-query outcome: median seconds over `reps` when every rep succeeds,
+    * or the first failure's message. A query that crashes must surface as an
+    * error, never as a plausible duration (round-3 VERDICT item 3 — the old
+    * `catch { _ => -1L }` timed the failure and reported it as a normal
+    * number, so a query that started crashing still produced a healthy-
+    * looking bench line). */
+  final case class Timing(seconds: Option[Double], error: Option[String])
+
+  def timeQuery(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => DataFrame, reps: Int = 3): Timing = {
+    val times = Vector.newBuilder[Double]
+    var err: Option[String] = None
+    var i = 0
+    while (i < reps && err.isEmpty) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      i += 1
+    }
+    err match {
+      case Some(_) => Timing(None, err)
+      case None =>
+        val sorted = times.result().sorted
+        Timing(Some(sorted(sorted.size / 2)), None)
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Render the one-line bench JSON. Failed queries keep a sentinel `-1`
+    * in `queries` (so every query name always appears, and -1 is an
+    * impossible duration, not a plausible one) and carry their message in a
+    * sibling `errors` object; `value` sums successful queries only. */
+  def renderJson(results: Seq[(String, Timing)], sfDir: String): String = {
+    val qs = results.map { case (k, t) =>
+      jsonStr(k) + ":" + t.seconds.map(_.toString).getOrElse("-1")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Timing(_, Some(e))) =>
+      jsonStr(k) + ":" + jsonStr(e)
+    }
+    val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.flatMap(_._2.seconds).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"${sfDir}"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,22 +85,18 @@ object Bench {
     // median discards one spike without rewarding a lucky fastest run the
     // way best-of did.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.sorted.apply(1)
+      name -> timeQuery(spark, sfDir, fn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    results.foreach { case (name, Timing(_, Some(e))) =>
+      System.err.println(s"[bench] FAILED $name: $e")
+    case _ => ()
+    }
     // Pipeline teardown: unpin the operator caches (band/shingle tables,
     // IVF assignments) the queries left persisted — the release hook the
     // round-2 advice asked for, exercised where a real run ends.
     graft.ext.Dedup.releaseCaches()
     graft.ext.IvfIndex.releaseCaches()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = renderJson(results, sfDir)
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
