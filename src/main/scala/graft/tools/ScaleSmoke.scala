@@ -174,6 +174,29 @@ object ScaleSmoke {
     timed("commitlog compact") {
       graft.tx.CommitLog.compact(spark, txTable)
     }
+    // Many-append plan-width audit (round-3 VERDICT item 4): 100 small
+    // appends under the auto-compaction policy must leave a snapshot whose
+    // read plan unions a BOUNDED number of scans, and the read must stay
+    // flat-cost — the behavior a 10k-append table relies on at 100 TB.
+    val manyTable = s"$out/txmany"
+    if (graft.tx.CommitLog.latestVersion(manyTable).isEmpty) {
+      import spark.implicits._
+      timed("commitlog 100 appends") {
+        (1 to 100).foreach(i =>
+          graft.tx.CommitLog.commit(Seq((i.toLong, s"row$i")).toDF("id", "tag"),
+            manyTable, "append"))
+        100
+      }
+    }
+    timed("snapshot read after 100 appends") {
+      val snap = graft.tx.CommitLog.read(spark, manyTable)
+      val m = graft.tx.CommitLog.manifest(manyTable,
+        graft.tx.CommitLog.latestVersion(manyTable).get)
+      val dirs = m.files.map(_.split("/").take(2).mkString("/")).distinct.size
+      println(s"[scale] 100-append snapshot spans $dirs commit dirs " +
+        s"(policy cap ${graft.tx.CommitLog.AutoCompactEvery})")
+      snap.count()
+    }
 
     timed(s"q3 REAL query at ${copies}x") {
       val q3 = graft.queries.StarQueries.queries("q3_top_orders")(spark, sfdir)
