@@ -65,13 +65,23 @@ final class UsgsTable(options: CaseInsensitiveStringMap) extends Table with Supp
   *    projected fields from each GeoJSON feature (the JSON tree is parsed
   *    either way, but per-field UTF8String/boxing work scales with the
   *    projection, and `ReadSchema` in explain shows the truth).
+  *  - `SupportsPushDownLimit`: `.limit(n)` bounds the FETCH LOOP — each
+  *    partition requests pages of at most n rows and stops fetching once it
+  *    has emitted n, so `load().limit(5)` issues one 5-row request instead
+  *    of walking 10000-row pages (the reference's single bounded fetch,
+  *    `fetch_earthquake_data_by_limit`,
+  *    usgs-earthquake-data-ingest-dynamic.py:131-141). The pushdown is
+  *    PARTIAL (`isPartiallyPushed` stays true): every partition caps at n
+  *    independently, and Spark's own Limit takes the global first-n.
   */
 final class UsgsScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.sources.Filter
 
   private var required: StructType = EventSchema.event
   private var pushed: Array[Filter] = Array.empty
+  private var pushedLimit: Int = -1 // -1 = no limit pushed
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(UsgsWindowPruning.prunable)
@@ -79,29 +89,39 @@ final class UsgsScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuild
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new UsgsScan(options, required, pushed)
+  override def pushLimit(limit: Int): Boolean = { pushedLimit = limit; true }
+  override def build(): Scan = new UsgsScan(options, required, pushed, pushedLimit)
 }
 
 final class UsgsScan(options: CaseInsensitiveStringMap, required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+    pushed: Array[org.apache.spark.sql.sources.Filter], pushedLimit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val fixtureDir = options.get("fixtureDir")
     if (fixtureDir != null) {
-      new java.io.File(fixtureDir).listFiles((_, n) => n.endsWith(".json"))
-        .sortBy(_.getName)
-        .map(f => UsgsPartition(fixturePath = f.getAbsolutePath, null, null, 0): InputPartition)
+      val pages = new java.io.File(fixtureDir).listFiles((_, n) => n.endsWith(".json"))
+        .sortBy(_.getName).map(_.getAbsolutePath)
+      if (options.getBoolean("fixturePaged", false))
+        // one partition whose pages are walked sequentially, like the live
+        // limit/offset loop — the shape the limit-pushdown spec exercises
+        Array(UsgsPartition(pages, null, null, 0, pushedLimit): InputPartition)
+      else pages.map(f =>
+        UsgsPartition(Array(f), null, null, 0, pushedLimit): InputPartition)
     } else {
       val start = options.getInt("startYear", 2014)
       val end = options.getInt("endYear", start)
       val limit = options.getInt("limit", 10000)
+      // a pushed .limit(n) bounds the page size too: no 10000-row body is
+      // fetched to satisfy a 5-row query
+      val pageLimit = if (pushedLimit >= 0) math.min(limit, math.max(pushedLimit, 1)) else limit
       val base = options.getOrDefault("baseUrl",
         "https://earthquake.usgs.gov/fdsnws/event/1/query")
       PagePlanner.monthWindows(start, end)
         .filter(w => UsgsWindowPruning.keep(w.start.getYear, w.start.getMonthValue, pushed))
         .map(w => UsgsPartition(null, base,
-          s"format=geojson&starttime=${w.startParam}&endtime=${w.endParam}", limit): InputPartition)
+          s"format=geojson&starttime=${w.startParam}&endtime=${w.endParam}",
+          pageLimit, pushedLimit): InputPartition)
         .toArray
     }
   }
@@ -148,10 +168,19 @@ private[sources] object UsgsWindowPruning {
   }
 }
 
-/** One unit of fetch work: either a fixture file or a (url, window) pair
-  * whose pages are walked executor-side. */
-final case class UsgsPartition(fixturePath: String, baseUrl: String,
-    windowQuery: String, limit: Int) extends InputPartition
+/** One unit of fetch work: a sequence of fixture page files, or a
+  * (url, window) pair whose pages are walked executor-side. `pushedLimit`
+  * (-1 = none) caps rows emitted AND pages fetched by this partition. */
+final case class UsgsPartition(fixturePaths: Array[String], baseUrl: String,
+    windowQuery: String, limit: Int, pushedLimit: Int) extends InputPartition
+
+/** Executor-side fetch accounting (one tick per page request). Exists so
+  * specs can assert the limit-pushdown fetch contract without a network;
+  * local-mode executors share the JVM with the suite. */
+object UsgsFetchProbe {
+  val pagesFetched = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = pagesFetched.set(0)
+}
 
 final class UsgsPartitionReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -164,15 +193,19 @@ final class UsgsPartitionReader(p: UsgsPartition, required: StructType)
   private var features: Iterator[JsonNode] = Iterator.empty
   private var current: InternalRow = _
   private var nextOffset = 1L
+  private var nextFixture = 0
   private var exhausted = false
+  private var emitted = 0L
 
   private def fetchBody(): Option[String] =
-    if (p.fixturePath != null) {
-      if (exhausted) None
+    if (p.fixturePaths != null) {
+      if (nextFixture >= p.fixturePaths.length) None
       else {
-        exhausted = true
+        val path = p.fixturePaths(nextFixture)
+        nextFixture += 1
+        UsgsFetchProbe.pagesFetched.incrementAndGet()
         Some(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p.fixturePath)), java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
       }
     } else if (exhausted) None
     else {
@@ -184,6 +217,7 @@ final class UsgsPartitionReader(p: UsgsPartition, required: StructType)
         finally in.close()
       }
       nextOffset += p.limit
+      UsgsFetchProbe.pagesFetched.incrementAndGet()
       Some(body)
     }
 
@@ -193,14 +227,19 @@ final class UsgsPartitionReader(p: UsgsPartition, required: StructType)
       val root = mapper.readTree(body)
       val fs = root.path("features")
       val page = if (fs.isArray) fs.elements().asScala.toVector else Vector.empty
-      if (p.fixturePath == null && page.size < p.limit) exhausted = true
+      if (p.fixturePaths == null && page.size < p.limit) exhausted = true
       features = page.iterator
       page.nonEmpty || loadNextPage()
   }
 
   override def next(): Boolean = {
+    // limit pushdown: stop BEFORE fetching page k+1 even if the consumer
+    // keeps pulling (an exchange materializes whole partitions; laziness
+    // alone would not bound the fetch loop there)
+    if (p.pushedLimit >= 0 && emitted >= p.pushedLimit) return false
     if (!features.hasNext && !loadNextPage()) return false
     current = toRow(features.next())
+    emitted += 1
     true
   }
 

@@ -69,6 +69,53 @@ class UsgsDataSourceSpec extends SparkSpec {
     assert(df.select("id").collect().head.getString(0) === "us7000abcd")
   }
 
+  def pagedFixtureDir(pages: Int): String = {
+    val dir = tmpDir("usgs_paged")
+    (1 to pages).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, f"page$i%02d.json"), Fixtures.featureCollection)
+    }
+    dir
+  }
+
+  test("pushed limit bounds the page-size param of live fetch plans") {
+    val table = new UsgsTable(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("startYear", "2014", "endYear", "2014")))
+    val b = table.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[UsgsScanBuilder]
+    assert(b.pushLimit(5)) // accepted (partial: isPartiallyPushed stays true)
+    val parts = b.build().toBatch.planInputPartitions().map(_.asInstanceOf[UsgsPartition])
+    assert(parts.forall(_.limit === 5))      // no 10000-row page for a 5-row query
+    assert(parts.forall(_.pushedLimit === 5))
+  }
+
+  test("reader stops fetching pages at the pushed limit even under full drain") {
+    val paths = new java.io.File(pagedFixtureDir(3))
+      .listFiles((_, n) => n.endsWith(".json")).sortBy(_.getName).map(_.getAbsolutePath)
+    def drain(pushedLimit: Int): (Int, Int) = {
+      UsgsFetchProbe.reset()
+      val reader = new UsgsPartitionReader(
+        UsgsPartition(paths, null, null, 0, pushedLimit), graft.schema.EventSchema.event)
+      var rows = 0
+      while (reader.next()) rows += 1 // drain fully, like an exchange would
+      (rows, UsgsFetchProbe.pagesFetched.get())
+    }
+    assert(drain(-1) === ((6, 3))) // no limit: all 3 pages, 2 features each
+    assert(drain(2) === ((2, 1)))  // limit 2: one page fetched, two rows out
+    assert(drain(3) === ((3, 2)))  // limit 3: second page needed, third never fetched
+  }
+
+  test("format(\"usgs\").load().limit(n) plans bounded page fetches end-to-end") {
+    val dir = pagedFixtureDir(3)
+    UsgsFetchProbe.reset()
+    val rows = spark.read.format("usgs")
+      .option("fixtureDir", dir).option("fixturePaged", "true")
+      .load().limit(2).collect()
+    assert(rows.length === 2)
+    assert(UsgsFetchProbe.pagesFetched.get() === 1, "limit(2) must fetch one 2-feature page")
+  }
+
   test("column pruning reaches the reader: projected scan materializes the subset") {
     val df = spark.read.format("usgs").option("fixtureDir", fixtureDir()).load()
       .select("id", "magnitude", "tsunami")
