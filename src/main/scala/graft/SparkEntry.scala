@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ StarQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ VectorQueries.queries ++ MediaQueries.queries ++
-      TxQueries.queries
+      TxQueries.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys (engine-specific hashing, ANN index
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     EventQueries.oracle ++ StarQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ VectorQueries.oracle ++ MediaQueries.oracle ++
-      TxQueries.oracle
+      TxQueries.oracle ++ StreamQueries.oracle
 }

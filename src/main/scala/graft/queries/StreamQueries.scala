@@ -1,0 +1,109 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingJobs
+import graft.tx.CommitLog
+
+/** The full streaming medallion chain under the oracle gate (round-3 VERDICT
+  * item 6). The reference runs its medallion as an hourly cron of batch jobs
+  * (`deploy.yml:53`: fetch → raw Delta append → silver recompute); the Spark
+  * form is two chained Structured Streaming jobs:
+  *
+  *   landing files → [[StreamingJobs.commitLogSink]] (exactly-once
+  *   transactional bronze, mirrored) → [[CommitLog.readStream]] (committed
+  *   insertions feed) → streaming silver aggregate.
+  *
+  * The chain is BUILT by the query itself from the `events` table — split
+  * into many landing files so several micro-batches actually run — and the
+  * streamed silver is compared IN-query against the batch recompute from the
+  * original parquet (property oracle): the DuckDB twin pins the per-type
+  * counts/sums AND the `stream_matches_batch = true` verdict, so a chain that
+  * drops, duplicates, or tears a batch anywhere fails the hash gate. */
+object StreamQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** sfDir → path of the streamed-silver parquet; the chain runs once per
+    * session. The work root carries a per-JVM pid discriminator so a bench
+    * and a verify JVM running concurrently never race each other's files. */
+  private val built = new ConcurrentHashMap[String, String]()
+
+  private def runChain(s: SparkSession, d: String): String =
+    built.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_medallion_${tag}_$pid"
+      deleteRecursively(new java.io.File(root))
+      // pid-unique paths don't overwrite-clean across runs; reap on exit
+      sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+
+      // landing: the events table as many small files (≈ API pages), so the
+      // 8-files-per-trigger source genuinely runs multiple micro-batches
+      val ev = events(s, d).select(
+        col("event_id"), col("event_type"), col("value"), col("ets"),
+        year(col("ets")).as("year"), month(col("ets")).as("month"))
+      val landing = s"$root/landing"
+      ev.repartition(16).write.parquet(landing)
+
+      // stage 1: exactly-once transactional bronze, mirrored for subscribers
+      val table = s"$root/bronze"
+      val in = StreamingJobs.commitLogSink(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "8")
+          .parquet(landing),
+        table, s"$root/ck_bronze", appId = "graft-medallion", mirror = true)
+        .start()
+      in.awaitTermination(300000)
+
+      // stage 2: an independent streaming job subscribes to the committed
+      // insertions feed and maintains the silver aggregate
+      val silverName = s"med_silver_${tag}_$pid"
+      val out = CommitLog.readStream(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_stream"), dsum(col("value")).as("sum_stream"))
+        .writeStream.format("memory").queryName(silverName)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ck_silver")
+        .trigger(Trigger.AvailableNow()).start()
+      out.awaitTermination(300000)
+
+      val silverPath = s"$root/silver"
+      s.table(silverName).write.mode("overwrite").parquet(silverPath)
+      silverPath
+    })
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Streamed silver vs batch recompute: counts and decimal-exact sums per
+    // event type must agree row-for-row; the boolean verdict is oracle-pinned
+    // to true, so any exactly-once violation in the chain flips the hash.
+    "stream_medallion_counts" -> ((s, d) => {
+      val streamed = s.read.parquet(runChain(s, d))
+      val batch = events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      batch.join(streamed, Seq("event_type"), "full_outer")
+        .select(col("event_type"), col("n_events"), col("sum_value"),
+          coalesce(col("n_events") === col("n_stream") &&
+            col("sum_value") === col("sum_stream"), lit(false))
+            .as("stream_matches_batch"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_medallion_counts" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           true AS stream_matches_batch
+         FROM events GROUP BY 1 ORDER BY event_type""",
+  )
+}
