@@ -47,30 +47,47 @@ object ClusterWrite {
     * snappy parquet over mixed columns), then writes with
     * `maxRecordsPerFile` so every task's output splits into
     * ~`targetBytesPerFile` files. Composes with [[cluster]]/[[zorder]]:
-    * range-partition first, then size-bound the files. At 100 TB the
+    * range-partition first, then size-bound the files — passing the
+    * pre-shuffle frame as `sampleFrom` so the estimate never executes the
+    * clustering exchange. At 100 TB the
     * difference between 128 MB files and a million 1 MB files is the
     * difference between a healthy scan and a NameNode/footer-fetch wall. */
   def sizedWrite(df: DataFrame, targetBytesPerFile: Long = 128L * 1024 * 1024,
-      sampleRows: Int = 1000, compressionRatio: Double = 4.0): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+      sampleRows: Int = 1000, compressionRatio: Double = 4.0,
+      sampleFrom: Option[DataFrame] = None): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    // Row width is independent of row order and partitioning, so when df is
+    // shuffle-rooted (cluster/zorder output — this function's documented
+    // feed) callers should pass the PRE-shuffle frame as `sampleFrom`: the
+    // head-of-partition sampling below can short-circuit a scan-rooted plan
+    // after one row group per partition, but it cannot short-circuit
+    // through an exchange — estimating from the shuffled df would execute
+    // the full repartitionByRange map stage once for the estimate and again
+    // for the actual write (round-3 ADVICE).
+    val bytesPerRow = estimateBytesPerRow(
+      sampleFrom.getOrElse(df), sampleRows, compressionRatio)
+    val recordsPerFile = math.max((targetBytesPerFile / bytesPerRow).toLong, 1L)
+    df.write.option("maxRecordsPerFile", recordsPerFile.toString)
+  }
+
+  /** Compressed-bytes-per-row estimate behind [[sizedWrite]]. Samples the
+    * HEAD OF EVERY PARTITION, not limit(): the first N rows of
+    * range-clustered input share one key range, so a single-partition head
+    * badly biases the estimate (round-2 ADVICE), while a uniform sample()
+    * or a count() would pay full extra passes over the input (round-3
+    * review). Each task short-circuits after its quota, so on a scan-rooted
+    * frame the whole estimate costs one first-row-group read per
+    * partition. */
+  def estimateBytesPerRow(df: DataFrame, sampleRows: Int = 1000,
+      compressionRatio: Double = 4.0): Double = {
     import org.apache.spark.sql.functions._
-    // Estimate from the HEAD OF EVERY PARTITION, not limit(): the first N
-    // rows of range-clustered input (exactly what cluster/zorder feed here)
-    // share one key range, so a single-partition head badly biases the
-    // bytes/row estimate (round-2 ADVICE), while a uniform sample() or a
-    // count() would pay full extra passes over the input (round-3 review).
-    // Each task short-circuits after its quota, so the whole estimate costs
-    // one first-row-group read per partition.
     val widths = df.select(length(to_json(struct(df.columns.map(col): _*)))
         .cast("long").as("b"))
     val perPartition = math.max(1,
       sampleRows / math.max(1, widths.rdd.getNumPartitions))
     val sampled = widths.rdd.mapPartitions(_.take(perPartition).map(_.getLong(0)))
       .collect()
-    val bytesPerRow =
-      if (sampled.isEmpty) 256.0
-      else math.max(sampled.sum.toDouble / sampled.length / compressionRatio, 8.0)
-    val recordsPerFile = math.max((targetBytesPerFile / bytesPerRow).toLong, 1L)
-    df.write.option("maxRecordsPerFile", recordsPerFile.toString)
+    if (sampled.isEmpty) 256.0
+    else math.max(sampled.sum.toDouble / sampled.length / compressionRatio, 8.0)
   }
 
   /** The Morton clustering value for `df` over `keys`: equal-width bucket

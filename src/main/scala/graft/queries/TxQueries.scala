@@ -19,14 +19,20 @@ object TxQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** (tablePath, v1, v2) per sf dir; built once per session, wiped first so
-    * reruns in a fresh JVM never double-append. */
+    * reruns in a fresh JVM never double-append. The path carries a per-JVM
+    * pid discriminator (round-3 ADVICE): two JVMs running these queries
+    * concurrently (bench + verify in the same round) would otherwise race
+    * one JVM's deleteRecursively against the other's commits and reads. */
   private val built = new ConcurrentHashMap[String, (String, Long, Long)]()
 
   private def ensureTable(s: SparkSession, d: String): (String, Long, Long) =
     built.computeIfAbsent(d, _ => {
       val tag = java.lang.Integer.toHexString(d.hashCode)
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txlog_$tag"
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txlog_${tag}_$pid"
       deleteRecursively(new java.io.File(table))
+      // pid-unique paths don't overwrite-clean across runs; reap on exit
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
       val ev = events(s, d)
       val v1 = CommitLog.commit(
         ev.filter(pmod(col("event_id"), lit(2)) === 0), table, "append")

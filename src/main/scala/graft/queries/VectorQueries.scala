@@ -9,7 +9,9 @@ import graft.ext.Similarity
   * over DOUBLE[] — both engines emit only integer ids, so float last-ulp
   * noise cannot flip the hash unless two similarities tie to ~1e-15, which
   * only happens for identical vectors and is then broken by id on both
-  * sides). The LSH variant depends on Spark's xxhash64 → rows-only check. */
+  * sides). Approximate variants (LSH/IVF/int8) carry recall-floor PROPERTY
+  * oracles instead: the query verifies itself against the exact twin
+  * in-query and the oracle pins the verdict. */
 object VectorQueries {
   import Tables._
 
@@ -22,21 +24,26 @@ object VectorQueries {
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")),
 
-    // Embedding near-duplicate pairs: cosine > 0.95. Runs the LSH-gated
-    // form — the 100 TB path (round-2 VERDICT: the brute-force all-pairs
-    // variant is spec-only now, see SimilaritySpec). Output is a subset of
-    // the exact pairs (the cosine filter is exact) and the oracle is the
-    // exact SQL, so a hash-match also certifies LSH recall = 1 here; the
-    // high table count makes missing a >0.95-cosine pair vanishingly rare.
+    // Embedding near-duplicate pairs: cosine > 0.95 — the brute-force
+    // BASELINE twin, oracle-matched pair-for-pair against the exact SQL
+    // (deterministic: no probabilistic gate between the query and its
+    // oracle). The 100 TB path is embed_neardup_lsh below; this exact form
+    // is what certifies it.
     "embed_neardup" -> ((s, d) =>
-      Similarity.nearDupPairsLsh(embeddings(s, d), threshold = 0.95, tables = 16)
+      Similarity.nearDupPairs(embeddings(s, d), threshold = 0.95)
         .orderBy("a", "b")),
 
-    // Same LSH gating at the default (cheaper) table count — the
-    // recall/cost knob a curation pipeline actually tunes.
-    "embed_neardup_lsh" -> ((s, d) =>
-      Similarity.nearDupPairsLsh(embeddings(s, d), threshold = 0.95)
-        .orderBy("a", "b")),
+    // LSH-gated near-dup — the scale path (bucket-co-located self-join,
+    // never all-pairs). PROPERTY oracle (round-3 ADVICE): LSH output is a
+    // subset of the exact pairs (the cosine filter is exact), so the query
+    // computes pair-recall against the brute-force result in-query and
+    // asserts the floor; the oracle pins the exact-pair count and the
+    // verdict. The old exact-SQL oracle made a legitimate LSH miss
+    // (recall < 1 by design) a gate failure — a flaky oracle.
+    "embed_neardup_lsh" -> ((s, d) => pairRecallCheck(
+      Similarity.nearDupPairs(embeddings(s, d), threshold = 0.95),
+      Similarity.nearDupPairsLsh(embeddings(s, d), threshold = 0.95),
+      NearDupMinRecall)),
 
     // LSH-bucketed approximate top-5 — PROPERTY oracle (round-2 VERDICT
     // item 5): the query computes recall@5 of the LSH result against the
@@ -89,6 +96,28 @@ object VectorQueries {
   val IvfMinRecall = 0.4
   val QuantMinRecall = 0.8
 
+  /** Pair-recall floor for embed_neardup_lsh. Analytic per-pair recall at
+    * the defaults (8 tables × 4 planes, cosine > 0.95 ⇒ collision prob per
+    * plane ≈ 1 − acos(0.95)/π ≈ 0.9) is 1−(1−0.9⁴)⁸ ≈ 0.9998; 0.8 leaves
+    * room for small-sample noise while a bucketing bug still craters it. */
+  val NearDupMinRecall = 0.8
+
+  /** Pair-set recall of `approx` (a, b) pairs against the exact pairs: one
+    * row, (n_exact_pairs, recall_ok). `approx ⊆ exact` by construction (the
+    * cosine filter is exact), so hits = |approx ∩ exact| = |approx|. An
+    * empty exact set passes vacuously — there is nothing to recall. */
+  private[queries] def pairRecallCheck(exact: DataFrame, approx: DataFrame,
+      minRecall: Double): DataFrame =
+    exact.select("a", "b")
+      .join(approx.select(col("a"), col("b"), lit(1).as("__hit")),
+        Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+      .select(col("n_exact_pairs"),
+        (col("n_exact_pairs") === 0 ||
+          col("__hits").cast("double") / col("n_exact_pairs") >= minRecall)
+          .as("recall_ok"))
+
   /** Overall recall of `approx` against the exact top-k: one row,
     * (n_exact, recall_ok). Both inputs are (query_id, rank, neighbor_id)
     * frames; the join is on the id pair, so rank disagreements between the
@@ -127,11 +156,10 @@ object VectorQueries {
            CAST(b.embedding AS DOUBLE[])) > 0.95
          ORDER BY a, b""",
     "embed_neardup_lsh" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS recall_ok
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-           CAST(b.embedding AS DOUBLE[])) > 0.95
-         ORDER BY a, b""",
+           CAST(b.embedding AS DOUBLE[])) > 0.95""",
     "ann_topk_lsh" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
              FROM embeddings WHERE vec_id < 20),

@@ -41,15 +41,17 @@ class SparkEntrySpec extends SparkSpec {
 
   test("no query plans an unintended nested-loop or cartesian join") {
     // The only all-pairs shapes we ship on purpose: brute-force cosine top-k
-    // (the documented baseline whose scale paths are the LSH/IVF variants),
-    // IVF's probe stage (queries × nCells broadcast centroid LITERALS —
-    // constant-width by construction), the scalar-subquery query (Spark
-    // plans the correlated aggregate as a broadcast NL join by design), and
-    // the PROPERTY-ORACLE queries that deliberately compare a scale path
-    // against its brute-force twin (ann_topk_lsh/ivf recall vs exact,
-    // dedup_simhash vs all-pairs Hamming) — the verification side is
+    // and near-dup pairs (the documented baselines whose scale paths are the
+    // LSH/IVF variants), IVF's probe stage (queries × nCells broadcast
+    // centroid LITERALS — constant-width by construction), the
+    // scalar-subquery query (Spark plans the correlated aggregate as a
+    // broadcast NL join by design), and the PROPERTY-ORACLE queries that
+    // deliberately compare a scale path against its brute-force twin
+    // (ann_topk_lsh/ivf recall vs exact, embed_neardup_lsh pair-recall vs
+    // exact, dedup_simhash vs all-pairs Hamming) — the verification side is
     // all-pairs, the operator under test is not.
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
+      "embed_neardup", "embed_neardup_lsh",
       "embed_quantize_int8", "dedup_simhash", "sql_scalar_subquery")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intended(name) }

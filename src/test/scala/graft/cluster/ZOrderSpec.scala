@@ -58,6 +58,27 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 20000)
   }
 
+  test("sizedWrite sampleFrom estimates from the pre-shuffle input (ADVICE r3)") {
+    // Row width is order/partitioning-independent, so the pre-shuffle frame
+    // must yield the same bytes/row decision as the clustered output — and
+    // estimating from it never executes the clustering exchange's map stage.
+    val df = spark.range(20000).select(col("id"),
+      concat_ws("-", lit("x" * 80), col("id")).as("pad"))
+    val clustered = ClusterWrite.cluster(df, Seq(col("id")), Some(4))
+    val est = ClusterWrite.estimateBytesPerRow(df)
+    val estClustered = ClusterWrite.estimateBytesPerRow(clustered)
+    assert(math.abs(est - estClustered) / estClustered < 0.05,
+      s"pre=$est post=$estClustered")
+    val dir = tmpDir("sized_write_samplefrom")
+    ClusterWrite.sizedWrite(clustered, targetBytesPerFile = 64 * 1024,
+        sampleFrom = Some(df))
+      .mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    // 4 range partitions × ~2 size splits each
+    assert(files.length >= 4 && files.length <= 24, s"got ${files.length} files")
+    assert(spark.read.parquet(dir).count() === 20000)
+  }
+
   test("z-order clustering skips on the SECOND dimension too (1-D sort can't)") {
     val n = 4096
     val df = spark.range(n).select(
