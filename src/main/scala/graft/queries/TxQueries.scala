@@ -60,6 +60,21 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // Additive schema evolution pinned by the oracle (round-4 VERDICT item
+    // 6, the reference's `schema_mode:"add"`): v1's files predate
+    // `batch_tag`, so the snapshot read must back-fill NULL for exactly the
+    // even-id rows — the query groups on that nullability itself, so a
+    // wrong back-fill (missing column, wrong rows, non-null default)
+    // changes the grouping and fails the hash gate.
+    "tx_schema_evolution" -> ((s, d) => {
+      val (table, _, _) = ensureTable(s, d)
+      CommitLog.read(s, table)
+        .groupBy(coalesce(col("batch_tag"), lit("null_backfilled")).as("tag"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("tag")
+    }),
+
     // Time travel: version 1 must see exactly the first batch, current
     // schema additions and later appends invisible.
     "tx_time_travel" -> ((s, d) => {
@@ -76,6 +91,11 @@ object TxQueries {
       """SELECT event_type, count(*) AS n_events,
            CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_late
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "tx_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 1 THEN 'late' ELSE 'null_backfilled' END AS tag,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         FROM events GROUP BY 1 ORDER BY tag""",
     "tx_time_travel" ->
       """SELECT event_type, count(*) AS n_events
          FROM events WHERE event_id % 2 = 0

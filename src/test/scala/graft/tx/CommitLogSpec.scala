@@ -307,6 +307,135 @@ class CommitLogSpec extends SparkSpec {
     assert(mirrorFiles() === 0)
   }
 
+  test("incremental compaction rewrites only the small-dir delta, never the big base") {
+    val t = freshTable()
+    CommitLog.commit(spark.range(200000).toDF("id"), t, "append")
+    val tdir = java.nio.file.Paths.get(t)
+    val baseFiles = CommitLog.manifest(t, 1L).files.toSet
+    val baseBytes = baseFiles.toSeq.map(f => Files.size(tdir.resolve(f))).sum
+    (1 to 6).foreach(i => CommitLog.commit(Seq(i.toLong).toDF("id"), t, "append"))
+    val cv = CommitLog.compactIncremental(spark, t, keepLargest = 1)
+    val m = CommitLog.manifest(t, cv)
+    // the big dir's files are carried over by PATH — zero bytes of the base
+    // were read or rewritten; the fold is O(delta)
+    assert(baseFiles.subsetOf(m.files.toSet))
+    val rewrittenBytes = (m.files.toSet -- baseFiles).toSeq
+      .map(f => Files.size(tdir.resolve(f))).sum
+    assert(rewrittenBytes < baseBytes / 5,
+      s"fold rewrote $rewrittenBytes bytes against a $baseBytes-byte base")
+    // plan width collapsed to base dir + one folded dir
+    def dirs(man: CommitLog.Manifest) =
+      man.files.map(_.split("/").take(2).mkString("/")).distinct.size
+    assert(dirs(m) === 2)
+    // rows preserved; time travel intact (old files never deleted)
+    assert(CommitLog.read(spark, t).count() === 200006)
+    assert(CommitLog.readAt(spark, t, 1).count() === 200000)
+  }
+
+  test("auto-compaction via incremental fold bounds plan width across 200 appends") {
+    val t = freshTable()
+    (1 to 200).foreach(i =>
+      CommitLog.commit(Seq(i).toDF("id"), t, "append", autoCompactEvery = 16))
+    def commitDirs(m: CommitLog.Manifest) =
+      m.files.map(_.split("/").take(2).mkString("/")).distinct.size
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(commitDirs(m) <= 16, s"snapshot spans ${commitDirs(m)} commit dirs")
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 200))
+  }
+
+  test("a published commit survives an auto-compaction failure (no phantom failure)") {
+    val t = freshTable()
+    (1 to 3).foreach(i => CommitLog.commit(Seq(i).toDF("id"), t, "append"))
+    // sabotage the fold: a manifest-referenced file vanishes, so the
+    // incremental compactor's Files.size throws NoSuchFileException — a
+    // non-IllegalState failure that must NOT surface from commit() once the
+    // version is published (a retrying caller would double-append)
+    Files.delete(java.nio.file.Paths.get(t).resolve(CommitLog.manifest(t, 1L).files.head))
+    val v = CommitLog.commit(Seq(4).toDF("id"), t, "append", autoCompactEvery = 4)
+    assert(v === 4L)
+    assert(CommitLog.versions(t).contains(4L))
+  }
+
+  test("pruned feed history is never resurrected by a later mirror repair") {
+    val t = freshTable()
+    CommitLog.commit(Seq(1L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 0L)))
+    CommitLog.commit(Seq(2L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 1L)))
+    CommitLog.commit(Seq(3L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 2L)))
+    val stream = java.nio.file.Paths.get(t, "_stream")
+    def mirrorFiles() = {
+      val walk = Files.walk(stream)
+      try walk.iterator().asScala
+        .count(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    assert(CommitLog.pruneMirror(t, throughVersion = 2L) === 2L)
+    assert(mirrorFiles() === 1)
+    // a streaming restart replays the last batch through the txn fast path,
+    // which runs repairMirror over the whole chain — versions 1..2 are
+    // PRUNED, not crashed, and must stay reclaimed (round-4 ADVICE, high)
+    CommitLog.commit(Seq(3L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 2L)))
+    assert(mirrorFiles() === 1)
+    // a new subscriber sees only the unpruned suffix
+    val q = CommitLog.readStream(spark, t)
+      .writeStream.format("memory").queryName("txnoresurrect")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM txnoresurrect").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("repairMirror heals a crashed overwrite mirror step (feed completeness)") {
+    val t = freshTable()
+    CommitLog.commit(Seq(1L).toDF("id"), t, "append", mirror = true, txn = Some(("app", 0L)))
+    CommitLog.commit(Seq(7L, 8L).toDF("id"), t, "overwrite", mirror = true,
+      txn = Some(("app", 1L)))
+    // simulate a crash between the overwrite's manifest publish and mirror
+    val stream = java.nio.file.Paths.get(t, "_stream")
+    val v2Ledger = stream.resolve("_ledger").resolve(f"${2L}%020d")
+    new String(Files.readAllBytes(v2Ledger), "UTF-8").split("\n").filter(_.nonEmpty)
+      .foreach(rel => Files.delete(stream.resolve(rel)))
+    Files.delete(v2Ledger)
+    // replaying the txn heals exactly the overwrite's own new rows — an
+    // overwrite manifest lists only its new files, so no predecessor needed
+    CommitLog.commit(Seq(7L, 8L).toDF("id"), t, "overwrite", mirror = true,
+      txn = Some(("app", 1L)))
+    val q = CommitLog.readStream(spark, t)
+      .writeStream.format("memory").queryName("txowrepair")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM txowrepair").as[Long].collect().sorted
+      === Seq(1L, 7L, 8L))
+  }
+
+  test("pruneMirrorConsumed prunes exactly the subscriber's committed progress") {
+    val t = freshTable()
+    val ck = Files.createTempDirectory("graft_ckprune").toString
+    val out = Files.createTempDirectory("graft_ckout").toString
+    CommitLog.commit(Seq(1L).toDF("id"), t, "append", mirror = true)
+    CommitLog.commit(Seq(2L).toDF("id"), t, "append", mirror = true)
+    // a checkpoint-recoverable subscriber (parquet sink, append mode)
+    def drain(): Seq[Long] = {
+      val q = CommitLog.readStream(spark, t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    }
+    assert(drain() === Seq(1L, 2L))
+    // v3 lands after the subscriber's last committed batch — not consumed
+    CommitLog.commit(Seq(3L).toDF("id"), t, "append", mirror = true)
+    assert(CommitLog.pruneMirrorConsumed(t, ck) === 2L)
+    val ledger = java.nio.file.Paths.get(t, "_stream", "_ledger")
+    assert(!Files.exists(ledger.resolve(f"${1L}%020d")))
+    assert(!Files.exists(ledger.resolve(f"${2L}%020d")))
+    assert(Files.exists(ledger.resolve(f"${3L}%020d")))
+    // the same subscriber restarts cleanly: v3 appended exactly once, the
+    // pruned (already-consumed) files neither reprocessed nor missed
+    assert(drain() === Seq(1L, 2L, 3L))
+    // the restart consumed v3, so a second pass reclaims it too
+    assert(CommitLog.pruneMirrorConsumed(t, ck) === 1L)
+  }
+
   test("changesSince feeds exact incremental silver maintenance") {
     val t = freshTable()
     def batch(ids: Range, ts: Int) = ids.map(i => (i.toLong, 2020 + (i % 3), 1, ts))
