@@ -189,24 +189,36 @@ object Dedup {
     *
     * Output: (id, component) for every node appearing in `edges`, where
     * component = the minimum id reachable from the node. */
+  /** Per-round lineage truncation for the iterative CC algorithms. With no
+    * checkpoint dir configured, `localCheckpoint` — right for local[32]:
+    * fast, no external storage. Its trade is fault tolerance: blocks live
+    * only on executors and lineage is truncated, so on a real cluster ONE
+    * executor loss mid-run kills the job with no recompute path. When the
+    * session has a reliable checkpoint dir
+    * (`spark.sparkContext.setCheckpointDir(...)` → HDFS/object storage),
+    * rounds checkpoint THERE instead and survive executor loss — the
+    * cluster-mode default any long CC run should set (round-4 VERDICT
+    * item 4). */
+  private def iterCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
       maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+    val sym = iterCheckpoint(edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .localCheckpoint() // reused every round; freeze it once
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .distinct()) // reused every round; freeze it once
+    var labels = iterCheckpoint(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("__ncomp"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("__ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      val next = iterCheckpoint(
+        labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("__ncomp"), col("comp"))).as("comp")))
       val changed = next.as("n")
         .join(labels.withColumnRenamed("comp", "__old"), "id")
         .filter(col("comp") =!= col("__old")).count()
@@ -249,12 +261,12 @@ object Dedup {
   def connectedComponentsStar(edges: DataFrame, a: String = "a", b: String = "b",
       maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
-    val nodes = edges.select(col(a).as("id")).union(edges.select(col(b).as("id")))
-      .distinct().localCheckpoint()
+    val nodes = iterCheckpoint(
+      edges.select(col(a).as("id")).union(edges.select(col(b).as("id"))).distinct())
     // directed large→small, self-loops dropped
-    var dir = edges.select(
+    var dir = iterCheckpoint(edges.select(
         greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
     // Convergence check = one aggregate per round, not two except().isEmpty
     // anti-joins (round-3 VERDICT item 8): both sides are distinct edge
     // sets, so (count, xxhash64-XOR) equality certifies set equality up to
@@ -284,9 +296,9 @@ object Dedup {
       // small-star over the (large→small) orientation
       val lsMins = ls.groupBy("u").agg(min(col("v")).as("__mn"))
       val joined = ls.join(lsMins, "u")
-      val ss = joined.select(col("v").as("u"), col("__mn").as("v"))
+      val ss = iterCheckpoint(joined.select(col("v").as("u"), col("__mn").as("v"))
         .union(joined.select(col("u"), col("__mn").as("v")))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct())
       val ssSig = edgeSig(ss)
       converged = ssSig == dirSig
       dirSig = ssSig

@@ -90,6 +90,28 @@ class DedupSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("CC rounds use reliable checkpoints when a checkpoint dir is configured") {
+    // On a real cluster localCheckpoint dies with any lost executor; with a
+    // checkpoint dir set, rounds must persist there instead (round-4 VERDICT
+    // item 4) and produce identical labels.
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 100).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val viaLocal = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val starLocal = Dedup.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ccck")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    try {
+      assert(Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap === viaLocal)
+      assert(Dedup.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap === starLocal)
+      // the rounds actually wrote reliable checkpoints into the dir
+      val walk = java.nio.file.Files.walk(ckDir)
+      val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
+      assert(wrote > 0, "no reliable checkpoint files were written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("fuzzy dedup keeps one representative per near-dup cluster") {
     // Fixtures plant near-dup clusters (1/2/6/7 share a base sentence, 3~4
     // differ by case); 5 is unrelated. Properties: the unrelated doc
