@@ -49,17 +49,29 @@ object Bench {
   /** Render the one-line bench JSON. Failed queries keep a sentinel `-1`
     * in `queries` (so every query name always appears, and -1 is an
     * impossible duration, not a plausible one) and carry their message in a
-    * sibling `errors` object; `value` sums successful queries only. */
-  def renderJson(results: Seq[(String, Timing)], sfDir: String): String = {
+    * sibling `errors` object; `value` sums successful queries only.
+    *
+    * `operators` is the bench split (round-4 VERDICT item 2): for each
+    * property-oracle query, the median seconds of the OPERATOR path alone —
+    * its in-query verification twin (brute-force exact comparison) excluded
+    * — timed after the full query so the twin's subplans are warm. The
+    * `queries` numbers therefore bound the engine from above (operator +
+    * verification harness) and `operator` from below. */
+  def renderJson(results: Seq[(String, Timing)], sfDir: String,
+      operators: Seq[(String, Timing)] = Nil): String = {
     val qs = results.map { case (k, t) =>
       jsonStr(k) + ":" + t.seconds.map(_.toString).getOrElse("-1")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, Timing(_, Some(e))) =>
-      jsonStr(k) + ":" + jsonStr(e)
-    }
+    val errs = (results ++ operators.map { case (k, t) => (s"operator:$k", t) })
+      .collect { case (k, Timing(_, Some(e))) => jsonStr(k) + ":" + jsonStr(e) }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val opField =
+      if (operators.isEmpty) ""
+      else operators.map { case (k, t) =>
+        jsonStr(k) + ":" + t.seconds.map(_.toString).getOrElse("-1")
+      }.mkString(""","operator":{""", ",", "}")
     val total = results.flatMap(_._2.seconds).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"${sfDir}"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$opField$errField,"sf":"${sfDir}"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -87,7 +99,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeQuery(spark, sfDir, fn)
     }
-    results.foreach { case (name, Timing(_, Some(e))) =>
+    // Bench split: re-time each property-oracle query's operator path alone
+    // (after the full pass above, so shared inputs/caches are warm on both
+    // sides — the difference is the in-query verification twin's cost).
+    val operators = SparkEntry.operatorQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeQuery(spark, sfDir, fn)
+    }
+    (results ++ operators).foreach { case (name, Timing(_, Some(e))) =>
       System.err.println(s"[bench] FAILED $name: $e")
     case _ => ()
     }
@@ -96,7 +114,7 @@ object Bench {
     // round-2 advice asked for, exercised where a real run ends.
     graft.ext.Dedup.releaseCaches()
     graft.ext.IvfIndex.releaseCaches()
-    val line = renderJson(results, sfDir)
+    val line = renderJson(results, sfDir, operators)
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))

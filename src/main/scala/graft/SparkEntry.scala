@@ -31,4 +31,14 @@ object SparkEntry {
     EventQueries.oracle ++ StarQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ VectorQueries.oracle ++ MediaQueries.oracle ++
       TxQueries.oracle ++ StreamQueries.oracle
+
+  /** Operator-only twins of the property-oracle queries (round-4 VERDICT
+    * item 2): the same engine path minus the in-query verification twin, so
+    * [[Bench]] can time the operator separately from its harness. Keys are
+    * a subset of [[queries]]; correctness of every path here is certified
+    * by the full query of the same name. */
+  def operatorQueries: Map[String, (SparkSession, String) => DataFrame] =
+    StarQueries.operatorOnly ++ TextQueries.operatorOnly ++
+      DedupQueries.operatorOnly ++ VectorQueries.operatorOnly ++
+      MediaQueries.operatorOnly ++ StreamQueries.operatorOnly
 }

@@ -81,6 +81,15 @@ object DedupQueries {
         .orderBy("doc_id")),
   )
 
+  /** Operator-only twin for the bench split (round-4 VERDICT item 2): the
+    * SimHash banded candidate generation without the in-query brute-force
+    * Hamming≤3 comparison twin. Not under the oracle gate — dedup_simhash
+    * above certifies correctness. */
+  val operatorOnly: Map[String, Q] = Map(
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashCandidates(documents(s, d), col("text"), col("doc_id"))),
+  )
+
   private val candCtes =
     """toks AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),

@@ -88,6 +88,19 @@ object MediaQueries {
     }),
   )
 
+  /** Operator-only twin for the bench split (round-4 VERDICT item 2): the
+    * batched decode + featurize path without the independent Catalyst
+    * recompute it is verified against in multimodal_features. */
+  val operatorOnly: Map[String, Q] = Map(
+    "multimodal_features" -> ((s, d) => {
+      val m = media(s, d).filter(octet_length(col("payload")) > 0)
+      Multimodal.decodeFeatures(m)
+        .select(Seq(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("mean_intensity"), 6).as("mean6")) ++
+          (0 until 8).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
+    }),
+  )
+
   /** Declarative twin of [[Multimodal.StubDecoder]] + the histogram loop in
     * [[Multimodal.decodeFeatures]], built only from Catalyst column ops so
     * it shares no code with the imperative path it verifies:

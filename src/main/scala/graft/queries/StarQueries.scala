@@ -399,6 +399,22 @@ object StarQueries {
       .orderBy("c_mktsegment", "order_month")),
   )
 
+  /** Operator-only twin for the bench split (round-4 VERDICT item 2): the
+    * mergeable KLL sketch aggregation without the exact-percentile bracket
+    * verification agg_quantile_sketch runs beside it. */
+  val operatorOnly: Map[String, Q] = Map(
+    "agg_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+        .as[(String, Double)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.ext.KllQuantileAggregator(512, Seq(0.5, 0.95)).toColumn.name("qs"))
+        .toDF("l_returnflag", "qs")
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("q50"), element_at(col("qs"), 2).as("q95"))
+    }),
+  )
+
   val oracle: Map[String, String] = Map(
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,

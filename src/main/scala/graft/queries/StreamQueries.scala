@@ -99,6 +99,15 @@ object StreamQueries {
     }),
   )
 
+  /** Operator-only twin for the bench split (round-4 VERDICT item 2): the
+    * streamed-silver output of the (memoized) medallion chain without the
+    * batch recompute it is compared against. The chain itself is built by
+    * whichever of the two runs first in a session. */
+  val operatorOnly: Map[String, Q] = Map(
+    "stream_medallion_counts" -> ((s, d) =>
+      s.read.parquet(runChain(s, d)).orderBy("event_type")),
+  )
+
   val oracle: Map[String, String] = Map(
     "stream_medallion_counts" ->
       """SELECT event_type, count(*) AS n_events,

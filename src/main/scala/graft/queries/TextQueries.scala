@@ -218,6 +218,15 @@ object TextQueries {
       .orderBy("keep_id")),
   )
 
+  /** Operator-only twin for the bench split (round-4 VERDICT item 2): the
+    * codegen rolling-hash windows without the per-window substring
+    * re-derivation twin that text_rolling_fp verifies them against. */
+  val operatorOnly: Map[String, Q] = Map(
+    "text_rolling_fp" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.rollingHash(col("text"), 16).as("windows"))),
+  )
+
   /** 1 - distinct 4-grams / total 4-grams, rounded to 6 decimals — shared
     * by text_repetition and the curation_keep repetition gate. */
   private def repetitionRatio(text: Column): Column = {

@@ -70,6 +70,26 @@ object VectorQueries {
     "embed_quantize_int8" -> ((s, d) => quantizedRecallQuery(s, d)),
   )
 
+  /** Operator-only twins of the property-oracle queries above: the SAME
+    * approximate path minus the in-query verification twin (the exact
+    * brute-force comparison), so the bench can report what the OPERATOR
+    * costs separately from what its harness costs (round-4 VERDICT item 2).
+    * Not under the oracle gate — correctness of each path is certified by
+    * the full query it mirrors. */
+  val operatorOnly: Map[String, Q] = Map(
+    "embed_neardup_lsh" -> ((s, d) =>
+      Similarity.nearDupPairsLsh(embeddings(s, d), threshold = 0.95)),
+    "ann_topk_lsh" -> ((s, d) => Similarity.topKLsh(
+      embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5)),
+    "ann_topk_ivf" -> ((s, d) => graft.ext.IvfIndex.topK(
+      embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5,
+      cacheKey = Some(d))),
+    // embed_quantize_int8 is deliberately absent: its "operator" is itself
+    // a brute-force exact scan over the dequantized corpus (quantization is
+    // inseparable from the scoring pass), so there is no approximate path
+    // to isolate from the verification twin.
+  )
+
   /** int8-quantized brute-force top-5 vs the float exact top-5 — PROPERTY
     * oracle for the 4×-memory ANN corpus representation: quantize the
     * corpus ([[Similarity.quantizeInt8]]), score through the SAME codegen

@@ -73,15 +73,29 @@ final class UsgsTable(options: CaseInsensitiveStringMap) extends Table with Supp
   *    usgs-earthquake-data-ingest-dynamic.py:131-141). The pushdown is
   *    PARTIAL (`isPartiallyPushed` stays true): every partition caps at n
   *    independently, and Spark's own Limit takes the global first-n.
+  *  - `SupportsPushDownAggregates` (argless COUNT only): `load().count()`
+  *    fetches COUNTS, not pages — the FDSN API has a `/count` endpoint
+  *    beside `/query` (the API-frugal analogue of the reference's bounded
+  *    fetch, `usgs-earthquake-data-ingest-dynamic.py:96-128`), so each
+  *    month-window partition issues one count request and emits a single
+  *    long; Spark sums the partials (partial pushdown, no complete-pushdown
+  *    claim). Fixture mode reads a sibling `counts.json` (`{"count":N}`)
+  *    instead; without one the pushdown declines and the row scan answers.
+  *    Aggregates are only ever pushed over a bare scan — every filter stays
+  *    residual, so Catalyst keeps a post-scan Filter and skips aggregate
+  *    pushdown whenever a predicate exists (a window-level count cannot see
+  *    row-level predicates).
   */
 final class UsgsScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.Filter
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   private var required: StructType = EventSchema.event
   private var pushed: Array[Filter] = Array.empty
   private var pushedLimit: Int = -1 // -1 = no limit pushed
+  private var pushedCount = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(UsgsWindowPruning.prunable)
@@ -90,16 +104,52 @@ final class UsgsScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuild
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushLimit(limit: Int): Boolean = { pushedLimit = limit; true }
-  override def build(): Scan = new UsgsScan(options, required, pushed, pushedLimit)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val fixtureDir = options.get("fixtureDir")
+    val countable = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar] &&
+      pushedLimit < 0 &&
+      (fixtureDir == null ||
+        new java.io.File(fixtureDir, "counts.json").isFile)
+    if (countable) pushedCount = true
+    countable
+  }
+  override def build(): Scan =
+    new UsgsScan(options, required, pushed, pushedLimit, pushedCount)
 }
 
 final class UsgsScan(options: CaseInsensitiveStringMap, required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter], pushedLimit: Int) extends Scan with Batch {
-  override def readSchema(): StructType = required
+    pushed: Array[org.apache.spark.sql.sources.Filter], pushedLimit: Int,
+    countOnly: Boolean = false) extends Scan with Batch {
+  override def readSchema(): StructType =
+    if (countOnly) UsgsScan.CountSchema else required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val fixtureDir = options.get("fixtureDir")
-    if (fixtureDir != null) {
+    if (countOnly) {
+      if (fixtureDir != null)
+        // one partition reading the sibling counts.json — zero page fetches
+        Array(UsgsPartition(
+          Array(new java.io.File(fixtureDir, "counts.json").getAbsolutePath),
+          null, null, 0, -1, countOnly = true))
+      else {
+        val start = options.getInt("startYear", 2014)
+        val end = options.getInt("endYear", start)
+        val base = options.getOrDefault("baseUrl",
+          "https://earthquake.usgs.gov/fdsnws/event/1/query")
+        // FDSN publishes /count beside /query with the same parameters
+        val countBase =
+          if (base.endsWith("/query")) base.dropRight("query".length) + "count"
+          else base
+        PagePlanner.monthWindows(start, end)
+          .filter(w => UsgsWindowPruning.keep(w.start.getYear, w.start.getMonthValue, pushed))
+          .map(w => UsgsPartition(null, countBase,
+            s"format=geojson&starttime=${w.startParam}&endtime=${w.endParam}",
+            0, -1, countOnly = true): InputPartition)
+          .toArray
+      }
+    } else if (fixtureDir != null) {
       val pages = new java.io.File(fixtureDir).listFiles((_, n) => n.endsWith(".json"))
         .sortBy(_.getName).map(_.getAbsolutePath)
       if (options.getBoolean("fixturePaged", false))
@@ -127,6 +177,14 @@ final class UsgsScan(options: CaseInsensitiveStringMap, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new UsgsPartitionReaderFactory(required)
+}
+
+object UsgsScan {
+  /** Output schema when an argless COUNT is pushed: one non-null long per
+    * partition; Spark's final aggregation sums the partials. */
+  val CountSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType,
+      nullable = false)))
 }
 
 /** Conservative window-level predicate evaluation: a month window is kept
@@ -170,21 +228,62 @@ private[sources] object UsgsWindowPruning {
 
 /** One unit of fetch work: a sequence of fixture page files, or a
   * (url, window) pair whose pages are walked executor-side. `pushedLimit`
-  * (-1 = none) caps rows emitted AND pages fetched by this partition. */
+  * (-1 = none) caps rows emitted AND pages fetched by this partition.
+  * `countOnly = true` turns the partition into a single count fetch
+  * (fixture `counts.json` or the FDSN `/count` endpoint) emitting one
+  * long row. */
 final case class UsgsPartition(fixturePaths: Array[String], baseUrl: String,
-    windowQuery: String, limit: Int, pushedLimit: Int) extends InputPartition
+    windowQuery: String, limit: Int, pushedLimit: Int,
+    countOnly: Boolean = false) extends InputPartition
 
-/** Executor-side fetch accounting (one tick per page request). Exists so
-  * specs can assert the limit-pushdown fetch contract without a network;
-  * local-mode executors share the JVM with the suite. */
+/** Executor-side fetch accounting (one tick per page request, one per count
+  * request). Exists so specs can assert the limit- and count-pushdown fetch
+  * contracts without a network; local-mode executors share the JVM with the
+  * suite. */
 object UsgsFetchProbe {
   val pagesFetched = new java.util.concurrent.atomic.AtomicInteger(0)
-  def reset(): Unit = pagesFetched.set(0)
+  val countsFetched = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { pagesFetched.set(0); countsFetched.set(0) }
 }
 
 final class UsgsPartitionReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new UsgsPartitionReader(partition.asInstanceOf[UsgsPartition], required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[UsgsPartition]
+    if (p.countOnly) new UsgsCountReader(p) else new UsgsPartitionReader(p, required)
+  }
+}
+
+/** Count-pushdown reader: ONE request per partition — the fixture
+  * `counts.json` body or the FDSN `/count` endpoint for the partition's
+  * window — parsed for its `count` field and emitted as a single long row.
+  * No feature page is ever fetched. */
+final class UsgsCountReader(p: UsgsPartition) extends PartitionReader[InternalRow] {
+  private var emitted = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      val body =
+        if (p.fixturePaths != null)
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p.fixturePaths(0))),
+            java.nio.charset.StandardCharsets.UTF_8)
+        else {
+          val url = new java.net.URI(s"${p.baseUrl}?${p.windowQuery}").toURL
+          val in = url.openStream()
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        }
+      UsgsFetchProbe.countsFetched.incrementAndGet()
+      val n = new ObjectMapper().readTree(body).path("count").asLong()
+      row = InternalRow.fromSeq(Seq(Long.box(n)))
+      emitted = true
+      true
+    }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 final class UsgsPartitionReader(p: UsgsPartition, required: StructType)

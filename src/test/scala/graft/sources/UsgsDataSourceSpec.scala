@@ -116,6 +116,57 @@ class UsgsDataSourceSpec extends SparkSpec {
     assert(UsgsFetchProbe.pagesFetched.get() === 1, "limit(2) must fetch one 2-feature page")
   }
 
+  test("count() pushes to the count endpoint: zero page fetches (agg pushdown)") {
+    val dir = pagedFixtureDir(3)
+    // the fixture count sidecar plays the FDSN /count endpoint's role
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "counts.json"), """{"count":6,"maxAllowed":20000}""")
+    UsgsFetchProbe.reset()
+    val n = spark.read.format("usgs").option("fixtureDir", dir).load().count()
+    assert(n === 6L)
+    assert(UsgsFetchProbe.pagesFetched.get() === 0,
+      "a pushed COUNT must never fetch feature pages")
+    assert(UsgsFetchProbe.countsFetched.get() === 1)
+  }
+
+  test("count pushdown declines without a count source; row scan still answers") {
+    val dir = pagedFixtureDir(2) // no counts.json sidecar
+    UsgsFetchProbe.reset()
+    val n = spark.read.format("usgs").option("fixtureDir", dir).load().count()
+    assert(n === 4L) // 2 pages x 2 features, counted from the rows
+    assert(UsgsFetchProbe.pagesFetched.get() > 0)
+    assert(UsgsFetchProbe.countsFetched.get() === 0)
+  }
+
+  test("a filtered count keeps the row scan (residual predicates see rows)") {
+    val dir = pagedFixtureDir(1)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "counts.json"), """{"count":999}""")
+    UsgsFetchProbe.reset()
+    // all filters stay residual, so Catalyst keeps a post-scan Filter and
+    // must NOT push the aggregate — the /count endpoint can't see predicates
+    val n = spark.read.format("usgs").option("fixtureDir", dir).load()
+      .filter("tsunami = 1").count()
+    assert(n === 1L)
+    assert(UsgsFetchProbe.countsFetched.get() === 0)
+    assert(UsgsFetchProbe.pagesFetched.get() > 0)
+  }
+
+  test("live-mode count plans one /count partition per (pruned) month window") {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    val table = new UsgsTable(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("startYear", "2014", "endYear", "2014")))
+    val b = table.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[UsgsScanBuilder]
+    assert(b.pushAggregation(new Aggregation(Array(new CountStar),
+      Array.empty[org.apache.spark.sql.connector.expressions.Expression])))
+    val parts = b.build().toBatch.planInputPartitions().map(_.asInstanceOf[UsgsPartition])
+    assert(parts.length === 12)
+    assert(parts.forall(_.countOnly))
+    assert(parts.forall(_.baseUrl.endsWith("/count")))
+  }
+
   test("column pruning reaches the reader: projected scan materializes the subset") {
     val df = spark.read.format("usgs").option("fixtureDir", fixtureDir()).load()
       .select("id", "magnitude", "tsunami")
