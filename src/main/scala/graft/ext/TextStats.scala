@@ -25,6 +25,32 @@ object TextStats {
     aggregate(ts, lit(0), (acc, t) => acc + length(t)).cast("double") / size(ts)
   }
 
+  /** Overlapping token-window chunks — the training-data assembly step that
+    * turns documents into fixed-size model inputs. One chunk starts every
+    * `stride` tokens (stride < window ⇒ overlap, the usual context-carry);
+    * each chunk is the space-rejoined slice of up to `window` tokens. Pure
+    * column ops (sequence → transform → slice), so chunking stays inside
+    * whole-stage codegen and the explode at the call site is the only
+    * fan-out — no shuffle, linear in corpus size. The `greatest(…, 0)`
+    * guards the empty document: `sequence(a, b)` DESCENDS when a > b. */
+  def chunkWindows(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val ts = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(ts) - 1, lit(0)), lit(stride)),
+      start => array_join(slice(ts, start + 1, lit(window)), " "))
+  }
+
+  /** PII patterns shared with the oracle SQL (portable across Java regex and
+    * RE2): email addresses and NANP-style `ddd-ddd-dddd` phone numbers. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Redact emails and phone numbers — the pre-training scrub every public
+    * corpus pass runs. One codegen'd regexp pass per pattern, no shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
   /** Common-English stopword list shared with the oracle SQL. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")

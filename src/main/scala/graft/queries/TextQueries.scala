@@ -210,6 +210,123 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Per-language quality deciles — perplexity-bucketing for training-mix
+    // curation: rank every doc WITHIN its language by unigram-LM score and
+    // cut into 10 equal buckets. The ntile window is PARTITIONED by lang,
+    // so the ranking is one shuffle on the stratum key, never a global
+    // sort — the shape that survives 100 TB (at that scale the cutpoints
+    // would come from the KLL sketch; the exact window here keeps the
+    // query oracle-able, ties broken by doc_id on both engines).
+    "quality_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val scored = TextStats.unigramLogProb(docs, col("text"), col("doc_id"))
+        .select(col("__id").as("doc_id"), col("neg_logp"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val w = Window.partitionBy("lang").orderBy(col("neg_logp"), col("doc_id"))
+      scored.withColumn("decile", ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("neg_logp")).as("lo"), max(col("neg_logp")).as("hi"))
+        .orderBy("lang", "decile")
+    }),
+
+    // Overlapping token-window chunking (window 32, stride 24 → 8-token
+    // overlap): the document → fixed-size-model-input assembly step. One
+    // row per chunk; DuckDB re-derives every chunk via list slicing, so a
+    // boundary error (off-by-one start, wrong overlap, descending-sequence
+    // bug on short docs) flips the hash.
+    "text_chunk_windows" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextStats.chunkWindows(col("text"), window = 32, stride = 24)))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("n_chunk_tokens", size(TextStats.tokens(col("chunk"))))
+      .orderBy("doc_id", "chunk_id")),
+
+    // PII scrub: plant deterministic emails/phones into the corpus (both
+    // engines plant identically), then count and redact them. Exercises the
+    // codegen'd regexp passes end-to-end — the scrubbed TEXT itself is
+    // hash-compared, so a regex dialect drift or partial replace fails.
+    "text_pii_scrub" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" call 555-123-4567")).otherwise(lit("")))
+      documents(s, d)
+        .select(col("doc_id"), planted.as("ptext"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("ptext"), lit(TextStats.EmailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("ptext"), lit(TextStats.PhoneRe), lit(0)))
+            .as("n_phones"),
+          TextStats.scrubPii(col("ptext")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // Stratified (per-language) hash-deterministic downsampling — the
+    // training-mix reweighting step. Keep fraction is a per-stratum
+    // threshold over a 16-bucket md5 hash of the id: engine-, order- and
+    // rerun-invariant, like split_train_test.
+    "sample_stratified" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+      val threshold = when(col("lang") === "en", 8)
+        .when(col("lang") === "de", 4)
+        .when(col("lang") === "fr", 2)
+        .otherwise(1)
+      documents(s, d)
+        .select(col("lang"), when(bucket < threshold, 1L).otherwise(0L).as("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // Bloom-gated decontamination — the shuffle-frugal scale path beside
+    // the exact `decontaminate` semi-join. The train shingle set is
+    // aggregated into a bounded Bloom sketch (treeAggregate; the driver
+    // holds the bitmap, never the keys), test shingles probe it MAP-SIDE
+    // via the codegen'd BloomFilterMightContain, and only the flagged
+    // sliver would pay the exact verification join at scale. PROPERTY
+    // oracle: a Bloom filter has NO false negatives, so every exactly-
+    // contaminated doc must be bloom-flagged — a serialization or hash
+    // mismatch between build and probe craters membership and flips the
+    // pinned verdict; n_exact/n_test are data-dependent exact columns.
+    "decontaminate_bloom" -> ((s, d) => {
+      val tagged = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d", "e", "f"), "test")
+            .otherwise("train"))
+      val sh = tagged.select(col("split"), col("doc_id"),
+        explode(graft.functions.ShingleHashes.shingleHashes(
+          TextStats.tokens(col("text")), 8)).as("__sh"))
+      // fpp 1e-4 keeps the DOC-level false-positive rate low too: a doc is
+      // flagged if ANY of its ~10²-10³ shingles probes true, so per-shingle
+      // fpp must sit well under 1/shingles-per-doc
+      val bf = sh.filter(col("split") === "train")
+        .stat.bloomFilter("__sh", 4000000L, 1e-4)
+      val testSh = sh.filter(col("split") === "test")
+      val flaggedBloom = testSh
+        .filter(graft.functions.BloomColumns.mightContain(bf, col("__sh")))
+        .select("doc_id").distinct()
+      val trainSh = sh.filter(col("split") === "train").select("__sh").distinct()
+      val flaggedExact = testSh.join(trainSh, "__sh", "left_semi")
+        .select("doc_id").distinct()
+      val nTest = tagged.filter(col("split") === "test")
+        .agg(count(lit(1)).as("n_test_docs"))
+      flaggedExact.withColumn("__e", lit(1))
+        .join(flaggedBloom.withColumn("__b", lit(1)), Seq("doc_id"), "full_outer")
+        .agg(
+          (coalesce(sum(when(col("__e").isNotNull && col("__b").isNull, 1L)
+            .otherwise(0L)), lit(0L)) === 0).as("bloom_catches_all"),
+          coalesce(sum(col("__e").cast("long")), lit(0L)).as("n_exact_contaminated"))
+        .crossJoin(nTest)
+        .select("bloom_catches_all", "n_exact_contaminated", "n_test_docs")
+    }),
+
     // Exact-dedup result: keep the lowest doc_id per fingerprint group.
     "dedup_exact_keep" -> ((s, d) => documents(s, d)
       .groupBy(TextStats.fingerprint(col("text")).as("fp"))
@@ -363,6 +480,84 @@ object TextQueries {
              THEN 'test' ELSE 'train' END AS split,
            count(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY split""",
+    "quality_deciles" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT count(*) AS n FROM toks),
+         scored AS (
+           SELECT doc_id, round(avg(-ln(c / CAST(n AS DOUBLE))), 6) AS neg_logp
+           FROM toks JOIN freq USING (tok), tot GROUP BY doc_id),
+         ranked AS (
+           SELECT d.lang, s.doc_id, s.neg_logp,
+             CAST(ntile(10) OVER (PARTITION BY d.lang
+               ORDER BY s.neg_logp, s.doc_id) AS INTEGER) AS decile
+           FROM scored s JOIN documents d USING (doc_id))
+         SELECT lang, decile, count(*) AS n_docs,
+           min(neg_logp) AS lo, max(neg_logp) AS hi
+         FROM ranked GROUP BY 1, 2 ORDER BY lang, decile""",
+    "text_chunk_windows" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tok
+           FROM documents),
+         st AS (
+           SELECT doc_id, tok,
+             unnest(range(0, greatest(len(tok), 1), 24)) AS start
+           FROM t)
+         SELECT doc_id,
+           CAST(start // 24 AS INTEGER) AS chunk_id,
+           array_to_string(tok[start+1 : start+32], ' ') AS chunk,
+           CAST(len(tok[start+1 : start+32]) AS INTEGER) AS n_chunk_tokens
+         FROM st ORDER BY doc_id, chunk_id""",
+    "text_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+             AS ptext
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(ptext,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(ptext, '\d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_phones,
+           regexp_replace(
+             regexp_replace(ptext,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
+         FROM p ORDER BY doc_id""",
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(SUM(CASE WHEN
+             strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+             < CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 2 ELSE 1 END
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    "decontaminate_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')
+               THEN 'test' ELSE 'train' END AS split,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tokens
+           FROM documents),
+         sh8 AS (
+           SELECT doc_id, split, unnest(list_distinct(CASE WHEN len(tokens) >= 8
+             THEN list_transform(range(1, len(tokens) - 6),
+               i -> array_to_string(tokens[i:i+7], ' '))
+             ELSE [array_to_string(tokens, ' ')] END)) AS shingle
+           FROM toks),
+         flagged AS (
+           SELECT DISTINCT t.doc_id
+           FROM sh8 t JOIN sh8 tr ON t.shingle = tr.shingle
+           WHERE t.split = 'test' AND tr.split = 'train')
+         SELECT true AS bloom_catches_all,
+           CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_exact_contaminated,
+           CAST((SELECT count(*) FROM toks WHERE split = 'test') AS BIGINT) AS n_test_docs""",
     "decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,

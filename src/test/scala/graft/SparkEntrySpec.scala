@@ -49,10 +49,14 @@ class SparkEntrySpec extends SparkSpec {
     // deliberately compare a scale path against its brute-force twin
     // (ann_topk_lsh/ivf recall vs exact, embed_neardup_lsh pair-recall vs
     // exact, dedup_simhash vs all-pairs Hamming) — the verification side is
-    // all-pairs, the operator under test is not.
+    // all-pairs, the operator under test is not. decontaminate_bloom's only
+    // NL join is the 1×1 crossJoin stitching three single-row aggregates
+    // into the verdict row (constant-width by construction, same shape as
+    // dedup_simhash's).
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
       "embed_neardup", "embed_neardup_lsh",
-      "embed_quantize_int8", "dedup_simhash", "sql_scalar_subquery")
+      "embed_quantize_int8", "dedup_simhash", "decontaminate_bloom",
+      "sql_scalar_subquery")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>

@@ -29,6 +29,39 @@ class TextStatsSpec extends SparkSpec {
     assert(fps(3) !== fps(0))
   }
 
+  test("chunk windows: overlap, short docs, empty doc, exact boundary") {
+    def chunks(t: String, w: Int, s: Int): Seq[String] =
+      Seq(t).toDF("t").select(TextStats.chunkWindows(col("t"), w, s).as("c"))
+        .as[Seq[String]].collect().head
+    // 7 tokens, window 4, stride 3: starts 0,3,6 — overlap of 1 token
+    assert(chunks("a b c d e f g", 4, 3) === Seq("a b c d", "d e f g", "g"))
+    // doc shorter than a window: one whole-doc chunk
+    assert(chunks("x y", 4, 3) === Seq("x y"))
+    // empty doc: exactly one empty chunk (sequence(0,-1) would DESCEND —
+    // the greatest() guard pins start list to [0])
+    assert(chunks("", 4, 3) === Seq(""))
+    // stride == window: exact tiling, no overlap, no dropped tail
+    assert(chunks("a b c d e f", 3, 3) === Seq("a b c", "d e f"))
+    // every token appears in at least one chunk (no boundary loss)
+    val toks = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10".split(" ").toSet
+    assert(chunks("t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", 4, 3)
+      .flatMap(_.split(" ")).toSet === toks)
+  }
+
+  test("PII scrub redacts emails and phones, counts via the same regexes") {
+    val r = Seq(
+      "mail bob.smith+x@sub.example.co.uk and call 555-123-4567 twice",
+      "no pii here 123-45 not-a-phone a@b", // a@b has no TLD → not an email
+      "two mails a.b@c.org d_e@f.io").toDF("t")
+      .select(TextStats.scrubPii(col("t")).as("s"),
+        size(regexp_extract_all(col("t"), lit(TextStats.EmailRe), lit(0))).as("ne"),
+        size(regexp_extract_all(col("t"), lit(TextStats.PhoneRe), lit(0))).as("np"))
+      .as[(String, Int, Int)].collect().toSeq
+    assert(r(0) === (("mail [EMAIL] and call [PHONE] twice", 1, 1)))
+    assert(r(1) === (("no pii here 123-45 not-a-phone a@b", 0, 0)))
+    assert(r(2) === (("two mails [EMAIL] [EMAIL]", 2, 0)))
+  }
+
   test("language-ID picks the profile with most stopword hits; und when none") {
     val preds = Seq(
       "the cat is on the mat and it is warm",
