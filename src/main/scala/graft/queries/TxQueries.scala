@@ -48,6 +48,39 @@ object TxQueries {
     f.delete(): Unit
   }
 
+  /** (tablePath, vMerge, vDelete) for the MUTATION queries — a separate
+    * table from [[ensureTable]] (whose queries pin the append-only history).
+    * Built as: commit ALL events → MERGE an upsert source (event_id%10==3
+    * rows with `value` doubled = updates; event_id%10==4 rows re-keyed to
+    * id+100000000 with value+1000 = inserts) → DELETE every 'error' row.
+    * Both mutations are file-granular copy-on-write; the DuckDB oracles
+    * re-derive each stage's final state from the source parquet, so a wrong
+    * matched-set, a lost unmatched row in a rewritten file, or a dropped
+    * untouched file flips the hash. */
+  private val builtMut = new ConcurrentHashMap[String, (String, Long, Long)]()
+
+  private def ensureMutTable(s: SparkSession, d: String): (String, Long, Long) =
+    builtMut.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txmut_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      val ev = events(s, d)
+      // many small files so the copy-on-write probe has real granularity to
+      // preserve: most files contain no matched key and must survive by
+      // reference (TxMutationSpec asserts exactly that on the manifests)
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val updates = ev.filter(pmod(col("event_id"), lit(10)) === 3)
+        .withColumn("value", col("value") * 2)
+      val inserts = ev.filter(pmod(col("event_id"), lit(10)) === 4)
+        .withColumn("event_id", col("event_id") + 100000000L)
+        .withColumn("value", col("value") + 1000)
+      val vMerge = CommitLog.merge(s, table, updates.union(inserts), Seq("event_id"))
+      val vDelete = CommitLog.delete(s, table, col("event_type") === "error")
+      (table, vMerge, vDelete)
+    })
+
   val queries: Map[String, Q] = Map(
     // Latest snapshot after two appends + schema evolution: per-type counts
     // must equal the source table's, and the evolved column must be non-null
@@ -84,6 +117,50 @@ object TxQueries {
         .agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+
+    // MERGE upsert pinned at its own version (time travel INTO the merge,
+    // before the later delete): per-type counts include the re-keyed
+    // inserts, and min/max(value) pin the doubled update values exactly
+    // (min/max are order-independent, so doubles hash stably — a sum
+    // would not). A matched row surviving un-replaced, an unmatched row
+    // lost from a rewritten file, or an untouched file dropped from the
+    // manifest all flip the aggregate.
+    "tx_merge_upsert" -> ((s, d) => {
+      val (table, vMerge, _) = ensureMutTable(s, d)
+      CommitLog.readAt(s, table, vMerge)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .orderBy("event_type")
+    }),
+
+    // DELETE WHERE pinned on the latest snapshot: 'error' rows gone (the
+    // grouping itself loses the row), everything else — including the
+    // merge's updates/inserts — intact.
+    "tx_delete_where" -> ((s, d) => {
+      val (table, _, _) = ensureMutTable(s, d)
+      CommitLog.read(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .orderBy("event_type")
+    }),
+
+    // Data-skipping snapshot read (the commit log's footer-stats sidecars):
+    // readPruned drops whole files whose [min,max] exclude the predicate,
+    // then filters row-level — the result must be EXACTLY the plain
+    // filtered read, which the DuckDB twin pins. File-level prune
+    // effectiveness itself is asserted in FileStatsSpec; this gate pins
+    // that skipping never changes an answer.
+    "tx_read_pruned" -> ((s, d) => {
+      val (table, _, _) = ensureTable(s, d)
+      CommitLog.readPruned(s, table,
+          col("event_type") === "purchase" && col("value") > lit(500.0))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -100,5 +177,38 @@ object TxQueries {
       """SELECT event_type, count(*) AS n_events
          FROM events WHERE event_id % 2 = 0
          GROUP BY 1 ORDER BY event_type""",
+    "tx_merge_upsert" ->
+      """WITH merged AS (
+           SELECT event_id, event_type, value * 2 AS value
+             FROM events WHERE event_id % 10 = 3
+           UNION ALL
+           SELECT event_id, event_type, value
+             FROM events WHERE event_id % 10 <> 3
+           UNION ALL
+           SELECT event_id + 100000000 AS event_id, event_type, value + 1000 AS value
+             FROM events WHERE event_id % 10 = 4)
+         SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max
+         FROM merged GROUP BY 1 ORDER BY event_type""",
+    "tx_delete_where" ->
+      """WITH merged AS (
+           SELECT event_id, event_type, value * 2 AS value
+             FROM events WHERE event_id % 10 = 3
+           UNION ALL
+           SELECT event_id, event_type, value
+             FROM events WHERE event_id % 10 <> 3
+           UNION ALL
+           SELECT event_id + 100000000 AS event_id, event_type, value + 1000 AS value
+             FROM events WHERE event_id % 10 = 4)
+         SELECT event_type, count(*) AS n_events,
+           min(value) AS v_min, max(value) AS v_max
+         FROM merged WHERE event_type <> 'error'
+         GROUP BY 1 ORDER BY event_type""",
+    "tx_read_pruned" ->
+      """SELECT count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max
+         FROM events WHERE event_type = 'purchase' AND value > 500.0""",
   )
 }

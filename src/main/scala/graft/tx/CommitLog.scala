@@ -115,11 +115,7 @@ object CommitLog {
         }
       }
     }
-    val dataDirName = s"data/${UUID.randomUUID().toString}"
-    val dataDir = tableDir.resolve(dataDirName)
-    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
-    writer.parquet(dataDir.toString)
-    val newFiles = listParquet(dataDir).map(f => s"$dataDirName/${dataDir.relativize(f)}")
+    val newFiles = writeDataDir(df, tableDir, partitionBy)
 
     val logDir = tableDir.resolve(LogDir)
     Files.createDirectories(logDir)
@@ -429,13 +425,7 @@ object CommitLog {
         graft.cluster.ClusterWrite.zorder(base,
           zorderBy.map(org.apache.spark.sql.functions.col), numPartitions = Some(parts))
       else base.coalesce(parts)
-    val tableDir = Paths.get(table)
-    val dataDirName = s"data/${UUID.randomUUID().toString}"
-    val dataDir = tableDir.resolve(dataDirName)
-    val writer = snap.write
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dataDir.toString)
-    val newFiles = listParquet(dataDir).map(f => s"$dataDirName/${dataDir.relativize(f)}")
+    val newFiles = writeDataDir(snap, Paths.get(table), partitionBy)
     publishRewrite(table, m, newFiles)
   }
 
@@ -472,13 +462,198 @@ object CommitLog {
     val parts = math.max(1, math.ceil(foldBytes.toDouble / targetBytes).toInt)
     val folded = readManifest(spark, table, m.copy(files = fold.flatMap(_._2)))
       .coalesce(parts)
+    val newFiles = writeDataDir(folded, tableDir, partitionBy)
+    publishRewrite(table, m, keep.flatMap(_._2) ++ newFiles)
+  }
+
+  /** Copy-on-write DELETE (Delta `DELETE FROM t WHERE cond`): remove the
+    * rows matching `condition` from the latest snapshot by rewriting ONLY
+    * the data files that contain at least one matching row — every other
+    * file is carried into the new version by reference, untouched. At
+    * 100 TB a predicate that touches one partition's worth of files costs
+    * one scan (predicate pushed to parquet, so stats-pruned row groups are
+    * never read) plus a rewrite of just those files, never a table rewrite.
+    *
+    * SQL DELETE semantics: a row is removed iff `condition` evaluates TRUE;
+    * NULL keeps the row. Published like a compaction rewrite — single
+    * attempt, invalidated by any concurrent commit (the rewrite is only
+    * valid against the exact snapshot it read); mode `delete` in the
+    * manifest, so [[changesSince]] refuses to treat it as an append delta.
+    * Returns the new version, or the current one when nothing matched. */
+  def delete(spark: SparkSession, table: String, condition: org.apache.spark.sql.Column,
+      partitionBy: Seq[String] = Nil): Long = {
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val tableDir = Paths.get(table)
+    // stats sidecars pre-shrink the probe: files whose [min,max] exclude
+    // the predicate can't contain a match, so they're never even scanned
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+    val touched = touchedFiles(
+      readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
+      "__graft_file", tableDir)
+    if (touched.isEmpty) return m.version // nothing matched; snapshot unchanged
+    val keepCond = org.apache.spark.sql.functions.not(
+      org.apache.spark.sql.functions.coalesce(
+        condition, org.apache.spark.sql.functions.lit(false)))
+    val survivors = readManifest(spark, table, m.copy(files = touched.toSeq.sorted))
+      .filter(keepCond)
+    val newFiles = writeDataDir(survivors, tableDir, partitionBy)
+    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles, mode = "delete")
+  }
+
+  /** Copy-on-write MERGE / upsert (Delta `MERGE INTO … WHEN MATCHED UPDATE
+    * SET * WHEN NOT MATCHED INSERT *`): rows of `source` whose `keys` match
+    * an existing row REPLACE it; the rest are inserted. File-granular like
+    * [[delete]]: only files containing a matched key are rewritten (their
+    * unmatched rows carried over), every untouched file moves to the new
+    * version by reference, and the whole source lands in the new data dir —
+    * so a trickle of upserts against a 100 TB table rewrites the few files
+    * the keys live in, not the table. The matched-file probe is a semi-join
+    * against the source's distinct keys — AQE broadcasts it when small, the
+    * common CDC shape.
+    *
+    * Duplicate keys in `source` are rejected (Delta's multiple-source-rows-
+    * match error): replacing one target row with two source rows is
+    * non-deterministic. Additive schema evolution applies as in append:
+    * `source` may add new columns (existing files read NULL), never change
+    * a type. Mode `merge` in the manifest; not expressible as an insertion
+    * delta, so merges never feed the `_stream/` mirror and [[changesSince]]
+    * refuses ranges containing one. Returns the new version. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val schema = mergeAdditive(Some(m.schema), source.schema)
+    val tableDir = Paths.get(table)
+    // one pass over source: distinct-key check piggybacks on the key set
+    val dup = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge source has multiple rows for key ${dup.head.toSeq.init.mkString("(", ",", ")")}; " +
+          "deduplicate the source first (Delta's multiple-source-rows-matched error)")
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val touched = touchedFiles(
+      readManifestWithFile(spark, table, m, "__graft_file")
+        .join(srcKeys, keys, "left_semi"),
+      "__graft_file", tableDir)
+    // align both sides to the merged (additively evolved) schema
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(schema.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val keptTouched =
+      if (touched.isEmpty) None
+      else Some(aligned(readManifest(spark, table, m.copy(files = touched.toSeq.sorted)))
+        .join(srcKeys, keys, "left_anti"))
+    val rewrite = keptTouched.foldLeft(aligned(source))(_ union _)
+    val newFiles = writeDataDir(rewrite, tableDir, partitionBy)
+    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
+      mode = "merge", schema = Some(schema))
+  }
+
+  /** Snapshot read with each row's originating data file attached as
+    * `fileCol` — the copy-on-write probe input. `input_file_name()` refuses
+    * plans with more than one file source, so the column is projected
+    * DIRECTLY above each per-commit-dir scan, before the union (and before
+    * any join a caller adds on top). */
+  private def readManifestWithFile(spark: SparkSession, table: String,
+      m: Manifest, fileCol: String): DataFrame = {
+    if (m.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema.add(fileCol, org.apache.spark.sql.types.StringType))
+    m.files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      .map { case (commitDir, files) =>
+        spark.read.schema(m.schema).option("basePath", s"$table/$commitDir")
+          .parquet(files.map(f => s"$table/$f"): _*)
+          .withColumn(fileCol, org.apache.spark.sql.functions.input_file_name())
+      }
+      .reduce(_ union _)
+  }
+
+  /** Relative manifest paths out of a probe frame's `fileCol` values. The
+    * collect is bounded by the file COUNT (paths, not rows). */
+  private def touchedFiles(df: DataFrame, fileCol: String, tableDir: Path): Set[String] = {
+    val root = tableDir.toAbsolutePath.normalize
+    df.select(fileCol).distinct().collect()
+      .map(_.getString(0))
+      .map { uri =>
+        val p = try {
+          val u = new java.net.URI(uri)
+          if (u.getPath != null) u.getPath else uri
+        } catch { case _: Exception => uri }
+        root.relativize(Paths.get(p).toAbsolutePath.normalize).toString
+      }.toSet
+  }
+
+  /** Write `df` under a fresh `data/<uuid>/` dir, record the per-file
+    * footer-stats sidecar ([[FileStats]] — the data-skipping index), and
+    * return the relative manifest paths (empty when `df` is empty — an
+    * empty rewrite publishes no files, e.g. a delete that empties every
+    * touched file). */
+  private def writeDataDir(df: DataFrame, tableDir: Path,
+      partitionBy: Seq[String]): Seq[String] = {
     val dataDirName = s"data/${UUID.randomUUID().toString}"
     val dataDir = tableDir.resolve(dataDirName)
-    val writer = folded.write
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dataDir.toString)
-    val newFiles = listParquet(dataDir).map(f => s"$dataDirName/${dataDir.relativize(f)}")
-    publishRewrite(table, m, keep.flatMap(_._2) ++ newFiles)
+    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    writer.parquet(dataDir.toString)
+    val files = listParquet(dataDir)
+    FileStats.writeSidecar(dataDir, files)
+    files.map(f => s"$dataDirName/${dataDir.relativize(f)}")
+  }
+
+  /** The subset of `m.files` whose stats sidecars cannot rule them out for
+    * `filters` — file-level data skipping (Delta's min/max pruning). Files
+    * without stats (pre-feature tables, failed footer reads) always
+    * survive; row-level filtering still applies downstream. */
+  def pruneFiles(table: String, m: Manifest,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    if (filters.isEmpty) return m.files
+    val tableDir = Paths.get(table)
+    m.files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      .flatMap { case (commitDir, fs) =>
+        val stats = FileStats.readSidecar(tableDir.resolve(commitDir))
+        fs.filter { f =>
+          stats.get(f.stripPrefix(commitDir + "/")) match {
+            case Some(cols) => filters.forall(FileStats.mightMatch(cols, _))
+            case None => true
+          }
+        }
+      }
+  }
+
+  /** Snapshot read that SKIPS files whose footer stats prove `condition`
+    * can't match (then applies `condition` row-level, so the result equals
+    * `read(...).filter(condition)` exactly). The conjuncts are translated
+    * with Spark's own pushdown translator; untranslatable residue simply
+    * doesn't prune. At 100 TB this turns a point-predicate snapshot query
+    * from "plan every file" into "plan the files whose [min,max] admit the
+    * key" — the same driver-side skipping Delta does with its stats. */
+  def readPruned(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column, version: Option[Long] = None): DataFrame = {
+    val m = version.map(manifest(table, _)).orElse(latestManifest(table)).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    readManifest(spark, table, m.copy(files = pruneFiles(table, m, toFilters(condition))))
+      .filter(condition)
+  }
+
+  /** Split a predicate into its translatable data-source filters (for
+    * stats pruning); conjuncts that don't translate are dropped — pruning
+    * on the rest stays conservative because ALL conjuncts must hold. */
+  private def toFilters(condition: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+    conjuncts(org.apache.spark.sql.graftbridge.ColumnBridge.expression(condition))
+      .flatMap(org.apache.spark.sql.graftbridge.ColumnBridge.translateFilter)
   }
 
   /** Retention GC (Delta VACUUM): delete data files referenced ONLY by
@@ -543,22 +718,26 @@ object CommitLog {
     deleted
   }
 
-  /** Publish a rewrite (same rows, new files) as the next version, keeping
-    * schema and txn watermarks. Single-attempt by design: a rewrite is only
-    * valid against the exact snapshot it read, so ANY concurrent commit —
-    * detected either by the version check or by losing the link race —
-    * invalidates it and the caller must re-run compaction over the new
-    * snapshot (retrying here would publish stale data as an overwrite). */
-  private def publishRewrite(table: String, base: Manifest, newFiles: Seq[String]): Long = {
+  /** Publish a rewrite as the next version, keeping txn watermarks (and,
+    * unless a merge evolved it, the schema). Single-attempt by design: a
+    * rewrite is only valid against the exact snapshot it read, so ANY
+    * concurrent commit — detected either by the version check or by losing
+    * the link race — invalidates it and the caller must re-run over the new
+    * snapshot (retrying here would publish stale data). `mode` distinguishes
+    * compaction (`overwrite`) from [[delete]]/[[merge]] in the log; none of
+    * the three is an append delta, so [[changesSince]] rejects them all. */
+  private def publishRewrite(table: String, base: Manifest, newFiles: Seq[String],
+      mode: String = "overwrite", schema: Option[StructType] = None): Long = {
     val logDir = Paths.get(table).resolve(LogDir)
     val prev = latestManifest(table).getOrElse(base)
     if (prev.version != base.version)
       throw new IllegalStateException(
-        s"table advanced to v${prev.version} during compaction of v${base.version}; rerun")
+        s"table advanced to v${prev.version} during rewrite of v${base.version}; rerun")
     val version = prev.version + 1
     val txnLine = prev.txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(";")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
-    val body = (Seq("overwrite", prev.schema.json, txnLine) ++ newFiles).mkString("\n")
+    val body = (Seq(mode, schema.getOrElse(prev.schema).json, txnLine) ++ newFiles)
+      .mkString("\n")
     Files.write(tmp, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {

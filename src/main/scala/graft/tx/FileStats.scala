@@ -1,0 +1,282 @@
+package graft.tx
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources._
+
+/** Per-file column statistics for the commit log — Delta's file-level
+  * min/max skipping re-expressed over parquet footers (the stats parquet
+  * already wrote; collecting them is a METADATA read per file, never a data
+  * pass). [[CommitLog]] writes one `_graft_stats.tsv` sidecar per commit
+  * dir; [[CommitLog.readPruned]] consults it to drop whole files whose
+  * [min,max] provably exclude a predicate before Spark ever opens a footer.
+  * At 100 TB this is the difference between planning a scan over every
+  * file of a table and planning over the handful a point-ish predicate can
+  * touch — parquet row-group pruning still applies inside whatever
+  * survives, this layer just moves the same decision to the driver's file
+  * list, where it deletes scan tasks instead of row groups.
+  *
+  * The evaluator is strictly CONSERVATIVE: `mightMatch` answers false only
+  * when stats PROVE no row can satisfy the filter; unknown columns, exotic
+  * types, unsupported filters, and missing sidecars (tables written before
+  * this feature) all answer true and merely lose the optimization.
+  */
+object FileStats {
+
+  val SidecarName = "_graft_stats.tsv"
+
+  /** One column's aggregated stats in one file. `min`/`max` are None when
+    * parquet recorded no non-null value (all-null column chunk) or the type
+    * is unsupported; comparisons treat that as unknowable unless the null
+    * counts prove the column is entirely null. */
+  final case class ColStats(kind: String, min: Option[String], max: Option[String],
+      nulls: Long, values: Long) {
+    def allNull: Boolean = values > 0 && nulls == values
+  }
+
+  private val SupportedKinds = Set("long", "double", "string", "boolean")
+
+  /** Read footer stats for `files` (relative to `dataDir`) and write the
+    * sidecar. Best-effort: stats are an optimization, so any footer-read
+    * failure just omits that file's rows (readers keep the file). */
+  def writeSidecar(dataDir: Path, files: Seq[Path]): Unit = {
+    val conf = new Configuration()
+    val lines = files.flatMap { p =>
+      val rel = dataDir.relativize(p).toString
+      try collect(p, conf).map { case (col, s) =>
+        Seq(enc(rel), enc(col), s.kind, s.min.map(enc).getOrElse("-"),
+          s.max.map(enc).getOrElse("-"), s.nulls.toString, s.values.toString)
+          .mkString("\t")
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+    if (lines.nonEmpty)
+      Files.write(dataDir.resolve(SidecarName),
+        lines.mkString("\n").getBytes(UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+  }
+
+  /** Footer stats of one parquet file: leaf-column dotted name → stats,
+    * aggregated across row groups. Timestamps/decimals/nested types are
+    * skipped (conservative); strings longer than 64 bytes drop min/max so a
+    * truncated prefix can never masquerade as a real bound. */
+  private def collect(p: Path, conf: Configuration): Seq[(String, ColStats)] = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
+      footer.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          val st = cc.getStatistics
+          if (st != null) {
+            val prim = cc.getPrimitiveType
+            val logical = prim.getLogicalTypeAnnotation
+            val kindOpt: Option[String] = prim.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32
+                  if logical == null ||
+                    logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                Some("long")
+              case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT => Some("double")
+              case PrimitiveTypeName.BOOLEAN => Some("boolean")
+              case PrimitiveTypeName.BINARY
+                  if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                Some("string")
+              case _ => None
+            }
+            kindOpt.foreach { kind =>
+              val (mn, mx): (Option[String], Option[String]) =
+                if (!st.hasNonNullValue) (None, None)
+                else {
+                  val lo = render(st.genericGetMin, kind)
+                  val hi = render(st.genericGetMax, kind)
+                  if (lo.isEmpty || hi.isEmpty) (None, None) else (lo, hi)
+                }
+              val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+              val add = ColStats(kind, mn, mx, nulls, block.getRowCount)
+              acc.get(name) match {
+                case None => acc(name) = add
+                case Some(prev) => acc(name) = mergeStats(prev, add)
+              }
+            }
+          }
+        }
+      }
+      acc.toSeq
+    } finally reader.close()
+  }
+
+  private def mergeStats(a: ColStats, b: ColStats): ColStats = {
+    def pick(x: Option[String], y: Option[String], lo: Boolean): Option[String] =
+      (x, y) match {
+        // one chunk without bounds makes the file's bound unknowable
+        case (Some(v), Some(w)) =>
+          val c = compareRendered(a.kind, v, w)
+          Some(if ((c <= 0) == lo) v else w)
+        case _ => None
+      }
+    ColStats(a.kind, pick(a.min, b.min, lo = true), pick(a.max, b.max, lo = false),
+      if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls,
+      a.values + b.values)
+  }
+
+  private def render(v: Any, kind: String): Option[String] = (kind, v) match {
+    case ("long", n: Number) => Some(n.longValue.toString)
+    case ("double", n: Number) => Some(n.doubleValue.toString)
+    case ("boolean", b: java.lang.Boolean) => Some(b.toString)
+    case ("string", b: Binary) =>
+      val bytes = b.getBytes
+      if (bytes.length > 64) None else Some(new String(bytes, UTF_8))
+    case _ => None
+  }
+
+  /** Parse a sidecar: relative file → (column → stats). */
+  def readSidecar(dataDir: Path): Map[String, Map[String, ColStats]] = {
+    val p = dataDir.resolve(SidecarName)
+    if (!Files.exists(p)) return Map.empty
+    new String(Files.readAllBytes(p), UTF_8).split("\n").toSeq
+      .filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(f, c, kind, mn, mx, nulls, values) =>
+            Some((dec(f), dec(c),
+              ColStats(kind, if (mn == "-") None else Some(dec(mn)),
+                if (mx == "-") None else Some(dec(mx)),
+                nulls.toLong, values.toLong)))
+          case _ => None
+        }
+      }
+      .groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
+  }
+
+  /** Can any row of a file with `stats` satisfy `filter`? Conservative:
+    * only a PROVEN impossibility answers false. */
+  def mightMatch(stats: Map[String, ColStats], filter: Filter): Boolean = filter match {
+    case And(l, r) => mightMatch(stats, l) && mightMatch(stats, r)
+    case Or(l, r) => mightMatch(stats, l) || mightMatch(stats, r)
+    case EqualTo(a, v) => inRange(stats.get(a), v, allowEq = true, allowLt = false, allowGt = false)
+    case GreaterThan(a, v) => boundAbove(stats.get(a), v, strict = true)
+    case GreaterThanOrEqual(a, v) => boundAbove(stats.get(a), v, strict = false)
+    case LessThan(a, v) => boundBelow(stats.get(a), v, strict = true)
+    case LessThanOrEqual(a, v) => boundBelow(stats.get(a), v, strict = false)
+    case In(a, vs) => vs.isEmpty ||
+      vs.exists(v => inRange(stats.get(a), v, allowEq = true, allowLt = false, allowGt = false))
+    case IsNull(a) => stats.get(a).forall(s => s.nulls != 0L)
+    case IsNotNull(a) => stats.get(a).forall(s => !s.allNull)
+    case StringStartsWith(a, prefix) => stats.get(a) match {
+      // a prefix-prefixed string can live in [min,max] iff prefix <= max
+      // AND min's first |prefix| bytes are <= prefix (comparing min against
+      // "prefix + infinitely-high bytes" without materializing a bound —
+      // appending any concrete character would under-shoot 4-byte UTF-8)
+      case Some(s) if s.min.isDefined && s.max.isDefined && s.kind == "string" =>
+        utf8CmpTruncated(s.min.get, prefix) <= 0 && utf8Cmp(prefix, s.max.get) <= 0
+      case Some(s) if s.allNull => false
+      case _ => true
+    }
+    case _ => true // unsupported filter: never prune on it
+  }
+
+  /** value ∈ [min,max] possible? */
+  private def inRange(s: Option[ColStats], v: Any,
+      allowEq: Boolean, allowLt: Boolean, allowGt: Boolean): Boolean = s match {
+    case Some(st) if st.allNull => false // comparisons never match null
+    case Some(st) =>
+      (st.min, st.max, renderValue(st.kind, v)) match {
+        case (Some(lo), Some(hi), Some(x)) =>
+          compareRendered(st.kind, x, lo) >= 0 && compareRendered(st.kind, x, hi) <= 0
+        case _ => true
+      }
+    case None => true
+  }
+
+  /** can some value > v (or >= v) exist? needs max > v (max >= v). */
+  private def boundAbove(s: Option[ColStats], v: Any, strict: Boolean): Boolean = s match {
+    case Some(st) if st.allNull => false
+    case Some(st) => (st.max, renderValue(st.kind, v)) match {
+      case (Some(hi), Some(x)) =>
+        val c = compareRendered(st.kind, hi, x)
+        if (strict) c > 0 else c >= 0
+      case _ => true
+    }
+    case None => true
+  }
+
+  /** can some value < v (or <= v) exist? needs min < v (min <= v). */
+  private def boundBelow(s: Option[ColStats], v: Any, strict: Boolean): Boolean = s match {
+    case Some(st) if st.allNull => false
+    case Some(st) => (st.min, renderValue(st.kind, v)) match {
+      case (Some(lo), Some(x)) =>
+        val c = compareRendered(st.kind, lo, x)
+        if (strict) c < 0 else c <= 0
+      case _ => true
+    }
+    case None => true
+  }
+
+  /** Render a Spark filter literal into the sidecar's string space; None
+    * (type mismatch, exotic literal) disables pruning on that comparison. */
+  private def renderValue(kind: String, v: Any): Option[String] = (kind, v) match {
+    case ("long", n: Byte) => Some(n.toLong.toString)
+    case ("long", n: Short) => Some(n.toLong.toString)
+    case ("long", n: Int) => Some(n.toLong.toString)
+    case ("long", n: Long) => Some(n.toString)
+    case ("double", n: Float) => Some(n.toDouble.toString)
+    case ("double", n: Double) => Some(n.toString)
+    case ("double", n: Number) => Some(n.doubleValue.toString)
+    case ("boolean", b: Boolean) => Some(b.toString)
+    case ("string", s: String) => Some(s)
+    case _ => None
+  }
+
+  /** Compare two rendered values of the same kind. Strings compare by UTF-8
+    * bytes (unsigned) — parquet's and Spark's binary string order; Java's
+    * UTF-16 compareTo would disagree on supplementary characters. */
+  private[tx] def compareRendered(kind: String, a: String, b: String): Int = kind match {
+    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "boolean" => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case _ => utf8Cmp(a, b)
+  }
+
+  /** Compare `a`'s first |prefix| UTF-8 bytes against `prefix` — the
+    * "is min still below some prefix-extension" test for StartsWith. */
+  private def utf8CmpTruncated(a: String, prefix: String): Int = {
+    val x = a.getBytes(UTF_8); val y = prefix.getBytes(UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    if (x.length >= y.length) 0 else -1 // shorter min sorts below the prefix
+  }
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+}

@@ -23,4 +23,13 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Catalyst predicate → data-source [[org.apache.spark.sql.sources.Filter]],
+    * when expressible — the same translation Spark runs before handing
+    * pushed filters to a DSv2 source (`DataSourceStrategy.translateFilter`
+    * is `private[sql]`). Conjuncts that don't translate return None and the
+    * caller must keep them row-level. */
+  def translateFilter(predicate: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = true)
 }

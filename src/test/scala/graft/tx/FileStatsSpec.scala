@@ -1,0 +1,102 @@
+package graft.tx
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+/** File-level data skipping over the commit log's footer-stats sidecars:
+  * pruning must be exact where provable and conservative everywhere else —
+  * `readPruned` must ALWAYS equal `read().filter(cond)`, with fewer files
+  * planned whenever stats allow. */
+class FileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_fstats").resolve("t").toString
+
+  /** 4 single-file commits with EXACT disjoint id ranges [0,25), [25,50),
+    * [50,75), [75,100) — deterministic stats bounds (a hash repartition
+    * could collide two ranges into one file and widen them). */
+  private def seedRanged(t: String): CommitLog.Manifest = {
+    (0 until 4).foreach { q =>
+      val df = (q * 25 until (q + 1) * 25)
+        .map(i => (i.toLong, s"s%03d".format(i), i / 25)).toDF("id", "s", "bucket")
+      CommitLog.commit(df.coalesce(1), t, "append")
+    }
+    CommitLog.manifest(t, 4L)
+  }
+
+  test("commit writes a stats sidecar; pruneFiles keeps only files admitting the key") {
+    val t = freshTable()
+    val m = seedRanged(t)
+    val dirs = m.files.map(_.split("/").take(2).mkString("/")).distinct
+    dirs.foreach { d =>
+      assert(Files.exists(Paths.get(t).resolve(d).resolve(FileStats.SidecarName)))
+    }
+    val kept = CommitLog.pruneFiles(t, m, Seq(EqualTo("id", 7L)))
+    assert(kept.size === 1) // only the [0,25) file admits id=7
+    assert(CommitLog.pruneFiles(t, m, Seq(EqualTo("id", 7000L))).isEmpty)
+    // range predicates
+    assert(CommitLog.pruneFiles(t, m, Seq(GreaterThan("id", 74L))).size === 1)
+    assert(CommitLog.pruneFiles(t, m, Seq(LessThanOrEqual("id", 25L))).size === 2)
+    // string stats prune too
+    assert(CommitLog.pruneFiles(t, m, Seq(EqualTo("s", "s050"))).size === 1)
+    assert(CommitLog.pruneFiles(t, m, Seq(StringStartsWith("s", "s09"))).size === 1)
+    assert(CommitLog.pruneFiles(t, m, Seq(StringStartsWith("s", "zzz"))).isEmpty)
+  }
+
+  test("readPruned equals read().filter for every predicate shape") {
+    val t = freshTable()
+    seedRanged(t)
+    val preds = Seq(
+      col("id") === 7L,
+      col("id") > 80L && col("s") < "s095",
+      col("id") === 7L || col("id") === 93L,
+      col("bucket").isin(1, 2) && col("id") % 2 === 0, // untranslatable residue
+      col("s").startsWith("s04"))
+    preds.foreach { p =>
+      val expect = CommitLog.read(spark, t).filter(p)
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      val got = CommitLog.readPruned(spark, t, p)
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      assert(got === expect, s"for predicate $p")
+    }
+  }
+
+  test("missing sidecar disables pruning, never correctness") {
+    val t = freshTable()
+    val m = seedRanged(t)
+    val dir = m.files.head.split("/").take(2).mkString("/")
+    Files.delete(Paths.get(t).resolve(dir).resolve(FileStats.SidecarName))
+    // the sidecar-less dir's files always survive; the other dirs still prune
+    assert(CommitLog.pruneFiles(t, m, Seq(EqualTo("id", 7000L)))
+      === m.files.filter(_.startsWith(dir + "/")))
+    assert(CommitLog.readPruned(spark, t, col("id") === 7L).count() === 1L)
+  }
+
+  test("all-null columns prune comparisons but keep IsNull") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s"),
+      t, "append")
+    CommitLog.commit(Seq((3L, Some("x"))).toDF("id", "s"), t, "append")
+    val m = CommitLog.manifest(t, 2L)
+    assert(CommitLog.pruneFiles(t, m, Seq(EqualTo("s", "x"))).size === 1)
+    assert(CommitLog.pruneFiles(t, m, Seq(IsNull("s"))).size >= 1)
+    assert(CommitLog.readPruned(spark, t, col("s") === "x").count() === 1L)
+    assert(CommitLog.readPruned(spark, t, col("s").isNull).count() === 2L)
+  }
+
+  test("delete's probe scans only stats-surviving files") {
+    val t = freshTable()
+    val before = seedRanged(t)
+    // a point delete: stats confine the probe to one file, and the rewrite
+    // touches exactly that file
+    val v = CommitLog.delete(spark, t, col("id") === 7L)
+    val after = CommitLog.manifest(t, v).files
+    val carried = before.files.filter(after.contains)
+    assert(carried.size === before.files.size - 1)
+    assert(CommitLog.read(spark, t).count() === 99L)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.tx
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write DELETE and MERGE on the commit log: only files containing
+  * a matched row may be rewritten — every other file must carry into the
+  * new version BY REFERENCE (same relative path), which is what keeps a
+  * trickle of point mutations O(touched files), not O(table), at 100 TB. */
+class TxMutationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_txmut").resolve("t").toString
+
+  /** 100 rows in 4 range-partitioned files: ids 0-24 / 25-49 / 50-74 / 75-99,
+    * one file per range, so a predicate on one range touches exactly one
+    * file and the other three must survive untouched. */
+  private def seedRanged(t: String): Seq[String] = {
+    val df = (0 until 100).map(i => (i.toLong, s"s$i", i / 25)).toDF("id", "s", "bucket")
+    CommitLog.commit(df.repartition(4, col("bucket")), t, "append")
+    CommitLog.manifest(t, 1L).files
+  }
+
+  test("delete rewrites only the files containing matches; others carry by reference") {
+    val t = freshTable()
+    val before = seedRanged(t)
+    assert(before.size >= 2) // granularity exists to preserve
+    // which files hold ids < 10? (hash partitioning on bucket: all in bucket-0's file(s))
+    val touched = CommitLog.read(spark, t).filter(col("id") < 10)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    val touchedRel = before.filter(f => touched.exists(_.endsWith(f.split("/").last)))
+    assert(touchedRel.nonEmpty && touchedRel.size < before.size)
+    val v = CommitLog.delete(spark, t, col("id") < 10)
+    assert(v === 2L)
+    val after = CommitLog.manifest(t, v).files
+    // untouched files: same relative paths, never rewritten
+    val untouched = before.filterNot(touchedRel.contains)
+    assert(untouched.forall(after.contains))
+    // touched files are gone from the manifest (still on disk for time travel)
+    assert(touchedRel.forall(f => !after.contains(f)))
+    assert(touchedRel.forall(f => Files.exists(java.nio.file.Paths.get(t).resolve(f))))
+    // rows: 90 survivors, old snapshot intact via time travel
+    assert(CommitLog.read(spark, t).count() === 90L)
+    assert(CommitLog.read(spark, t).filter(col("id") < 10).count() === 0L)
+    assert(CommitLog.readAt(spark, t, 1L).count() === 100L)
+    assert(CommitLog.manifest(t, v).mode === "delete")
+  }
+
+  test("delete with no matches is a no-op returning the current version") {
+    val t = freshTable()
+    seedRanged(t)
+    assert(CommitLog.delete(spark, t, col("id") > 1000) === 1L)
+    assert(CommitLog.versions(t) === Seq(1L))
+  }
+
+  test("delete keeps NULL-condition rows (SQL DELETE semantics)") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("id", "s"), t, "append")
+    CommitLog.delete(spark, t, col("s") === "x")
+    // row 2's condition is NULL -> kept; only the TRUE row is deleted
+    assert(CommitLog.read(spark, t).select("id").as[Long].collect().sorted
+      === Seq(2L, 3L))
+  }
+
+  test("merge upserts: matched rows replaced, new keys inserted, untouched files by reference") {
+    val t = freshTable()
+    val before = seedRanged(t)
+    // source: update ids 3 and 7 (bucket 0), insert ids 1003/1007
+    val source = Seq(
+      (3L, "UPD3", 0), (7L, "UPD7", 0),
+      (1003L, "NEW3", 40), (1007L, "NEW7", 40)).toDF("id", "s", "bucket")
+    val v = CommitLog.merge(spark, t, source, Seq("id"))
+    assert(v === 2L)
+    val after = CommitLog.manifest(t, v).files
+    val touched = CommitLog.readAt(spark, t, 1L)
+      .join(source.select("id"), Seq("id"), "left_semi")
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    val touchedRel = before.filter(f => touched.exists(_.endsWith(f.split("/").last)))
+    assert(touchedRel.nonEmpty && touchedRel.size < before.size)
+    val untouched = before.filterNot(touchedRel.contains)
+    assert(untouched.forall(after.contains))
+    assert(touchedRel.forall(f => !after.contains(f)))
+    val snap = CommitLog.read(spark, t)
+    assert(snap.count() === 102L) // 100 + 2 inserts
+    assert(snap.filter(col("id") === 3L).select("s").as[String].head() === "UPD3")
+    assert(snap.filter(col("id") === 1007L).select("s").as[String].head() === "NEW7")
+    // unmatched rows in the rewritten file survive
+    assert(snap.filter(col("id") === 5L).select("s").as[String].head() === "s5")
+    assert(CommitLog.manifest(t, v).mode === "merge")
+  }
+
+  test("merge rejects duplicate source keys (Delta's multiple-source-rows error)") {
+    val t = freshTable()
+    seedRanged(t)
+    val dup = Seq((3L, "a", 0), (3L, "b", 0)).toDF("id", "s", "bucket")
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, t, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("multiple rows"))
+  }
+
+  test("merge evolves the schema additively; old files back-fill NULL") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, "append")
+    val source = Seq((2L, "B", 9.5), (3L, "c", 7.0)).toDF("id", "s", "score")
+    CommitLog.merge(spark, t, source, Seq("id"))
+    val snap = CommitLog.read(spark, t)
+    assert(snap.columns.toSeq === Seq("id", "s", "score"))
+    val rows = snap.as[(Long, String, Option[Double])].collect().sortBy(_._1)
+    assert(rows === Seq((1L, "a", None), (2L, "B", Some(9.5)), (3L, "c", Some(7.0))))
+  }
+
+  test("mutations work on multi-commit-dir snapshots with a file-backed source") {
+    // regression: input_file_name() refuses plans with >1 file source — the
+    // probe must attach it under each per-commit-dir scan, not above the
+    // union/join (the first cut failed exactly here at sf0.01, where the
+    // merge source is itself a parquet scan and the snapshot spans commits)
+    val t = freshTable()
+    CommitLog.commit((0 until 50).map(i => (i.toLong, s"s$i")).toDF("id", "s"), t, "append")
+    CommitLog.commit((50 until 100).map(i => (i.toLong, s"s$i")).toDF("id", "s"), t, "append")
+    val srcPath = Files.createTempDirectory("graft_txmut_src").resolve("src").toString
+    Seq((7L, "UPD7"), (63L, "UPD63"), (1000L, "NEW")).toDF("id", "s")
+      .write.parquet(srcPath)
+    val v = CommitLog.merge(spark, t, spark.read.parquet(srcPath), Seq("id"))
+    val snap = CommitLog.read(spark, t)
+    assert(snap.count() === 101L)
+    assert(snap.filter(col("id") === 63L).select("s").as[String].head() === "UPD63")
+    val v2 = CommitLog.delete(spark, t, col("id") >= 90L && col("id") < 100L)
+    assert(v2 === v + 1)
+    assert(CommitLog.read(spark, t).count() === 91L)
+  }
+
+  test("changesSince refuses ranges containing a delete or merge") {
+    val t = freshTable()
+    seedRanged(t)
+    CommitLog.delete(spark, t, col("id") < 10)
+    val e = intercept[IllegalStateException] {
+      CommitLog.changesSince(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("not an append"))
+  }
+}
