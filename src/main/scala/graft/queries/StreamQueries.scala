@@ -82,6 +82,44 @@ object StreamQueries {
     f.delete(): Unit
   }
 
+  /** sfDir → path of the streamed-dedup output parquet. The landing is the
+    * events table written TWICE (every row a planted duplicate), streamed in
+    * several micro-batches; `dropDuplicates(event_id)` must emit each key
+    * exactly once no matter how the duplicates split across batches. Exact
+    * keyed state is the deterministic choice for the oracle gate; the
+    * bounded-state production variant (`dropDuplicatesWithinWatermark`) is
+    * spec'd in StreamingJobsSpec — its output depends on batch arrival
+    * order for late keys, which an engine-diff gate can't pin. */
+  private val builtDedup = new ConcurrentHashMap[String, String]()
+
+  private def runDedup(s: SparkSession, d: String): String =
+    builtDedup.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sdedup_${tag}_$pid"
+      deleteRecursively(new java.io.File(root))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      val landing = s"$root/landing"
+      ev.repartition(8).write.parquet(s"$landing/a")
+      ev.repartition(8).write.parquet(s"$landing/b")
+      val outName = s"sdedup_${tag}_$pid"
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$landing/*")
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique"))
+        .writeStream.format("memory").queryName(outName)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      val outPath = s"$root/out"
+      s.table(outName).write.mode("overwrite").parquet(outPath)
+      outPath
+    })
+
   val queries: Map[String, Q] = Map(
     // Streamed silver vs batch recompute: counts and decimal-exact sums per
     // event type must agree row-for-row; the boolean verdict is oracle-pinned
@@ -97,6 +135,22 @@ object StreamQueries {
             .as("stream_matches_batch"))
         .orderBy("event_type")
     }),
+
+    // Streaming exact dedup: every event arrives twice across several
+    // micro-batches; the stateful dropDuplicates must emit each event_id
+    // exactly once. Verdict joins the streamed per-type unique counts
+    // against the batch COUNT(DISTINCT) — the oracle pins both the counts
+    // and the all-types-match boolean.
+    "stream_dedup" -> ((s, d) => {
+      val streamed = s.read.parquet(runDedup(s, d))
+      val batch = events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("event_id")).as("n_distinct"))
+      batch.join(streamed, Seq("event_type"), "full_outer")
+        .select(col("event_type"), col("n_distinct"),
+          coalesce(col("n_distinct") === col("n_unique"), lit(false))
+            .as("stream_matches_batch"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Operator-only twin for the bench split (round-4 VERDICT item 2): the
@@ -106,12 +160,19 @@ object StreamQueries {
   val operatorOnly: Map[String, Q] = Map(
     "stream_medallion_counts" -> ((s, d) =>
       s.read.parquet(runChain(s, d)).orderBy("event_type")),
+    "stream_dedup" -> ((s, d) =>
+      s.read.parquet(runDedup(s, d)).orderBy("event_type")),
   )
 
   val oracle: Map[String, String] = Map(
     "stream_medallion_counts" ->
       """SELECT event_type, count(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           true AS stream_matches_batch
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "stream_dedup" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
            true AS stream_matches_batch
          FROM events GROUP BY 1 ORDER BY event_type""",
   )

@@ -303,11 +303,18 @@ object TextQueries {
       val sh = tagged.select(col("split"), col("doc_id"),
         explode(graft.functions.ShingleHashes.shingleHashes(
           TextStats.tokens(col("text")), 8)).as("__sh"))
-      // fpp 1e-4 keeps the DOC-level false-positive rate low too: a doc is
-      // flagged if ANY of its ~10²-10³ shingles probes true, so per-shingle
-      // fpp must sit well under 1/shingles-per-doc
+      // Size the Bloom sketch from a one-aggregate corpus statistic
+      // (shingles ≲ tokens ≈ chars/5, so chars/4 over-covers): a hard-coded
+      // expectedItems either overloads the filter at scale or — the failure
+      // this replaced — allocates a multi-MB bitmap PER PARTIAL AGGREGATE
+      // for a small corpus, and merging 32 oversized bitmaps dwarfs the
+      // actual scan. fpp 1e-4 keeps the DOC-level false-positive rate low
+      // too: a doc is flagged if ANY of its ~10²-10³ shingles probes true,
+      // so per-shingle fpp must sit well under 1/shingles-per-doc.
+      val expectedShingles = math.max(1000L,
+        documents(s, d).agg(sum(length(col("text")))).first().getLong(0) / 4)
       val bf = sh.filter(col("split") === "train")
-        .stat.bloomFilter("__sh", 4000000L, 1e-4)
+        .stat.bloomFilter("__sh", expectedShingles, 1e-4)
       val testSh = sh.filter(col("split") === "test")
       val flaggedBloom = testSh
         .filter(graft.functions.BloomColumns.mightContain(bf, col("__sh")))
@@ -333,6 +340,45 @@ object TextQueries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy("keep_id")),
+
+    // Sequence packing — the concat-and-chunk step that turns a curated
+    // corpus into fixed-length training sequences (ctx 512): documents are
+    // concatenated in doc_id order and cut every 512 tokens; a document
+    // spanning a cut contributes to both sequences. The global token
+    // offset is a DISTRIBUTED two-phase prefix sum — running sum within
+    // each range partition, plus a broadcast per-partition offset — never
+    // a single-partition global window, so the shape survives 100 TB (the
+    // offsets frame has one row per partition). The result is independent
+    // of the partitioning: DuckDB re-derives it with a plain global window
+    // and every sequence's (n_docs, n_tokens) must hash-match.
+    "pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val C = 512
+      val toks = documents(s, d)
+        .select(col("doc_id"), size(TextStats.tokens(col("text"))).as("n"))
+        .filter(col("n") > 0)
+      val parts = toks.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", spark_partition_id())
+      val within = parts.withColumn("cum_in",
+        sum(col("n")).over(Window.partitionBy("pid").orderBy("doc_id")))
+      val offsets = within.groupBy("pid").agg(max(col("cum_in")).as("ptot"))
+        .withColumn("offset", coalesce(sum(col("ptot")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("pid", "offset")
+      val placed = within.join(broadcast(offsets), "pid")
+        .withColumn("start", col("offset") + col("cum_in") - col("n"))
+      val spans = placed.select(col("doc_id"), col("n"), col("start"),
+        explode(sequence(floor(col("start") / C),
+          floor((col("start") + col("n") - 1) / C))).as("seq_id"))
+      spans
+        .withColumn("t", least((col("seq_id") + 1) * C, col("start") + col("n"))
+          - greatest(col("seq_id") * C, col("start")))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+        .orderBy("seq_id")
+    }),
   )
 
   /** Operator-only twin for the bench split (round-4 VERDICT item 2): the
@@ -342,6 +388,28 @@ object TextQueries {
     "text_rolling_fp" -> ((s, d) => documents(s, d)
       .select(col("doc_id"),
         graft.functions.TextExpressions.rollingHash(col("text"), 16).as("windows"))),
+
+    // The Bloom decontamination path alone: build the train-shingle sketch,
+    // probe test shingles map-side, count flagged docs — without the exact
+    // all-pairs twin the full query runs for its no-false-negative oracle.
+    "decontaminate_bloom" -> ((s, d) => {
+      val tagged = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d", "e", "f"), "test")
+            .otherwise("train"))
+      val sh = tagged.select(col("split"), col("doc_id"),
+        explode(graft.functions.ShingleHashes.shingleHashes(
+          TextStats.tokens(col("text")), 8)).as("__sh"))
+      val expectedShingles = math.max(1000L,
+        documents(s, d).agg(sum(length(col("text")))).first().getLong(0) / 4)
+      val bf = sh.filter(col("split") === "train")
+        .stat.bloomFilter("__sh", expectedShingles, 1e-4)
+      sh.filter(col("split") === "test")
+        .filter(graft.functions.BloomColumns.mightContain(bf, col("__sh")))
+        .select("doc_id").distinct()
+        .agg(count(lit(1)).as("n_bloom_flagged"))
+    }),
   )
 
   /** 1 - distinct 4-grams / total 4-grams, rounded to 6 decimals — shared
@@ -538,6 +606,25 @@ object TextQueries {
              < CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 2 ELSE 1 END
              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM documents GROUP BY 1 ORDER BY lang""",
+    "pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) - n AS start
+           FROM toks WHERE n > 0),
+         spans AS (
+           SELECT doc_id, n, start,
+             unnest(range(CAST(floor(start / 512) AS BIGINT),
+               CAST(floor((start + n - 1) / 512) AS BIGINT) + 1)) AS seq_id
+           FROM c),
+         contrib AS (
+           SELECT seq_id, doc_id,
+             least((seq_id + 1) * 512, start + n) - greatest(seq_id * 512, start) AS t
+           FROM spans)
+         SELECT seq_id, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens
+         FROM contrib GROUP BY 1 ORDER BY seq_id""",
     "decontaminate_bloom" ->
       """WITH toks AS (
            SELECT doc_id,
