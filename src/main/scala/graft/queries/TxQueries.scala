@@ -48,18 +48,19 @@ object TxQueries {
     f.delete(): Unit
   }
 
-  /** (tablePath, vMerge, vDelete) for the MUTATION queries — a separate
-    * table from [[ensureTable]] (whose queries pin the append-only history).
-    * Built as: commit ALL events → MERGE an upsert source (event_id%10==3
-    * rows with `value` doubled = updates; event_id%10==4 rows re-keyed to
-    * id+100000000 with value+1000 = inserts) → DELETE every 'error' row.
-    * Both mutations are file-granular copy-on-write; the DuckDB oracles
+  /** (tablePath, vMerge, vDelete, vUpdate) for the MUTATION queries — a
+    * separate table from [[ensureTable]] (whose queries pin the append-only
+    * history). Built as: commit ALL events → MERGE an upsert source
+    * (event_id%10==3 rows with `value` doubled = updates; event_id%10==4
+    * rows re-keyed to id+100000000 with value+1000 = inserts) → DELETE
+    * every 'error' row → UPDATE every 'signup' row's value by +0.5. All
+    * three mutations are file-granular copy-on-write; the DuckDB oracles
     * re-derive each stage's final state from the source parquet, so a wrong
     * matched-set, a lost unmatched row in a rewritten file, or a dropped
     * untouched file flips the hash. */
-  private val builtMut = new ConcurrentHashMap[String, (String, Long, Long)]()
+  private val builtMut = new ConcurrentHashMap[String, (String, Long, Long, Long)]()
 
-  private def ensureMutTable(s: SparkSession, d: String): (String, Long, Long) =
+  private def ensureMutTable(s: SparkSession, d: String): (String, Long, Long, Long) =
     builtMut.computeIfAbsent(d, _ => {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val pid = ProcessHandle.current().pid()
@@ -78,7 +79,9 @@ object TxQueries {
         .withColumn("value", col("value") + 1000)
       val vMerge = CommitLog.merge(s, table, updates.union(inserts), Seq("event_id"))
       val vDelete = CommitLog.delete(s, table, col("event_type") === "error")
-      (table, vMerge, vDelete)
+      val vUpdate = CommitLog.update(s, table, col("event_type") === "signup",
+        Map("value" -> (col("value") + 0.5)))
+      (table, vMerge, vDelete, vUpdate)
     })
 
   val queries: Map[String, Q] = Map(
@@ -126,7 +129,7 @@ object TxQueries {
     // lost from a rewritten file, or an untouched file dropped from the
     // manifest all flip the aggregate.
     "tx_merge_upsert" -> ((s, d) => {
-      val (table, vMerge, _) = ensureMutTable(s, d)
+      val (table, vMerge, _, _) = ensureMutTable(s, d)
       CommitLog.readAt(s, table, vMerge)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -135,11 +138,23 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
-    // DELETE WHERE pinned on the latest snapshot: 'error' rows gone (the
-    // grouping itself loses the row), everything else — including the
-    // merge's updates/inserts — intact.
+    // DELETE WHERE pinned at its version: 'error' rows gone (the grouping
+    // itself loses the row), everything else — including the merge's
+    // updates/inserts — intact.
     "tx_delete_where" -> ((s, d) => {
-      val (table, _, _) = ensureMutTable(s, d)
+      val (table, _, vDelete, _) = ensureMutTable(s, d)
+      CommitLog.readAt(s, table, vDelete)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .orderBy("event_type")
+    }),
+
+    // UPDATE WHERE on the latest snapshot: every surviving signup value
+    // shifted by exactly +0.5 (IEEE-deterministic on both engines), no
+    // cardinality change, all other rows byte-identical.
+    "tx_update_where" -> ((s, d) => {
+      val (table, _, _, _) = ensureMutTable(s, d)
       CommitLog.read(s, table)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -205,6 +220,23 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max
          FROM merged WHERE event_type <> 'error'
          GROUP BY 1 ORDER BY event_type""",
+    "tx_update_where" ->
+      """WITH merged AS (
+           SELECT event_id, event_type, value * 2 AS value
+             FROM events WHERE event_id % 10 = 3
+           UNION ALL
+           SELECT event_id, event_type, value
+             FROM events WHERE event_id % 10 <> 3
+           UNION ALL
+           SELECT event_id + 100000000 AS event_id, event_type, value + 1000 AS value
+             FROM events WHERE event_id % 10 = 4),
+         updated AS (
+           SELECT event_type,
+             CASE WHEN event_type = 'signup' THEN value + 0.5 ELSE value END AS value
+           FROM merged WHERE event_type <> 'error')
+         SELECT event_type, count(*) AS n_events,
+           min(value) AS v_min, max(value) AS v_max
+         FROM updated GROUP BY 1 ORDER BY event_type""",
     "tx_read_pruned" ->
       """SELECT count(*) AS n_events,
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,

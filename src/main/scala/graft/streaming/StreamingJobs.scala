@@ -118,6 +118,32 @@ object StreamingJobs {
           txn = Some((appId, batchId)), mirror = mirror): Unit
       }
 
+  /** Streaming CDC apply — the foreachBatch MERGE pattern (Delta's
+    * canonical "apply changes" recipe): each micro-batch of upsert rows is
+    * key-merged into the transactional table, matched rows replaced and new
+    * keys inserted, with the batchId recorded as a per-writer txn watermark
+    * so a REPLAYED batch (restart mid-chain) re-applies nothing. The batch
+    * must be key-unique (compact your CDC feed upstream — e.g.
+    * `latestRevision` per key); duplicate keys throw merge's
+    * multiple-source-rows error rather than applying nondeterministically. */
+  def mergeSink(updates: DataFrame, table: String, checkpointDir: String,
+      appId: String, keys: Seq[String],
+      partitionBy: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(mergeBatch(table, appId, keys, partitionBy))
+
+  /** The foreachBatch body of [[mergeSink]], exposed for direct testing and
+    * replay-idempotence composition. */
+  def mergeBatch(table: String, appId: String, keys: Seq[String],
+      partitionBy: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        graft.tx.CommitLog.merge(batch.sparkSession, table, batch, keys,
+          partitionBy, txn = Some((appId, batchId))): Unit
+      }
+
   /** Custom streaming state via `mapGroupsWithState`: cumulative per-key
     * event counts that survive across micro-batches — the §2.9 upgrade the
     * reference's blind hourly re-append cannot express (its only state is

@@ -171,8 +171,66 @@ object ScaleSmoke {
     timed("commitlog snapshot read") {
       graft.tx.CommitLog.read(spark, txTable).count()
     }
-    timed("commitlog compact") {
-      graft.tx.CommitLog.compact(spark, txTable)
+    timed("commitlog compact zorder") {
+      // Z-order on the mutation key: clustered files get TIGHT event_id
+      // ranges in their stats sidecars, which is what lets the skipping
+      // and copy-on-write audits below touch O(1) files instead of O(table).
+      // 4 MB targets stand in for 128 MB ones at this test volume — the
+      // point is MANY clustered files, so skipping has granularity to prove.
+      graft.tx.CommitLog.compact(spark, txTable, targetBytes = 4L * 1024 * 1024,
+        zorderBy = Seq("event_id"))
+    }
+
+    // Copy-on-write mutations + footer-stats skipping at scale (round 5):
+    // against the zorder-compacted table, a point predicate must (a) plan
+    // only the files whose [min,max] admit the key and (b) rewrite only
+    // those files on delete/merge, carrying the rest by reference — the
+    // O(touched), never O(table), contract that makes trickle mutations
+    // viable at 100 TB.
+    {
+      val mv = graft.tx.CommitLog.latestVersion(txTable).get
+      val m0 = graft.tx.CommitLog.manifest(txTable, mv)
+      val probeId = 100000042L // a real key (copy 1's shift of id 42)
+      timed("stats-pruned point read") {
+        val kept = graft.tx.CommitLog.pruneFiles(txTable, m0,
+          Seq(org.apache.spark.sql.sources.EqualTo("event_id", probeId)))
+        println(s"[scale] stats skipping plans ${kept.size} of ${m0.files.size} files")
+        graft.tx.CommitLog.readPruned(spark, txTable,
+          col("event_id") === probeId).count()
+      }
+      timed("delete 1 key (CoW)") {
+        val v = graft.tx.CommitLog.delete(spark, txTable, col("event_id") === probeId)
+        val m1 = graft.tx.CommitLog.manifest(txTable, v)
+        val carried = m0.files.count(m1.files.contains)
+        println(s"[scale] delete rewrote ${m0.files.size - carried} of ${m0.files.size} files")
+        m1.version
+      }
+      timed("update 1 key (CoW)") {
+        val base = graft.tx.CommitLog.manifest(txTable,
+          graft.tx.CommitLog.latestVersion(txTable).get)
+        val v = graft.tx.CommitLog.update(spark, txTable,
+          col("event_id") === (probeId + 1),
+          Map("value" -> (col("value") + 1)))
+        val m1 = graft.tx.CommitLog.manifest(txTable, v)
+        val carried = base.files.count(m1.files.contains)
+        println(s"[scale] update rewrote ${base.files.size - carried} of ${base.files.size} files")
+        m1.version
+      }
+      timed("merge 110-row upsert (CoW)") {
+        val ev = spark.read.parquet(scaled("events", Seq("event_id", "user_id"), copies))
+        val updates = ev.filter(col("event_id").between(1000L, 1099L))
+          .withColumn("value", col("value") * 2)
+        val inserts = ev.filter(col("event_id").between(2000L, 2009L))
+          .withColumn("event_id", col("event_id") + 900000000L)
+        val base = graft.tx.CommitLog.manifest(txTable,
+          graft.tx.CommitLog.latestVersion(txTable).get)
+        val v = graft.tx.CommitLog.merge(spark, txTable,
+          updates.unionByName(inserts), Seq("event_id"))
+        val m1 = graft.tx.CommitLog.manifest(txTable, v)
+        val carried = base.files.count(m1.files.contains)
+        println(s"[scale] merge rewrote ${base.files.size - carried} of ${base.files.size} files")
+        m1.version
+      }
     }
     // Many-append plan-width audit (round-3 VERDICT item 4): 100 small
     // appends under the auto-compaction policy must leave a snapshot whose

@@ -501,6 +501,44 @@ object CommitLog {
     publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles, mode = "delete")
   }
 
+  /** Copy-on-write UPDATE (Delta `UPDATE t SET col = expr WHERE cond`):
+    * apply `set` to the rows matching `condition`, rewriting only the files
+    * that contain at least one such row — the same file-granular probe and
+    * carry-by-reference as [[delete]]. Set expressions may reference the
+    * row's existing columns; they may not add columns (Delta's UPDATE can't
+    * either — that's [[merge]]'s schema evolution). SQL semantics: NULL
+    * `condition` leaves the row unchanged. Returns the new version, or the
+    * current one when nothing matched. */
+  def update(spark: SparkSession, table: String, condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      partitionBy: Seq[String] = Nil): Long = {
+    require(set.nonEmpty, "update requires at least one SET column")
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    set.keys.foreach { k =>
+      require(m.schema.fieldNames.contains(k),
+        s"UPDATE cannot add column '$k'; use merge for schema evolution")
+    }
+    val tableDir = Paths.get(table)
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+    val touched = touchedFiles(
+      readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
+      "__graft_file", tableDir)
+    if (touched.isEmpty) return m.version
+    import org.apache.spark.sql.functions.{coalesce => cz, lit, when => cwhen, col}
+    val hit = cz(condition, lit(false))
+    val rewritten = m.schema.fieldNames.foldLeft(
+      readManifest(spark, table, m.copy(files = touched.toSeq.sorted))) { (df, name) =>
+      set.get(name) match {
+        case Some(expr) => df.withColumn(name, cwhen(hit, expr.cast(
+          m.schema(name).dataType)).otherwise(col(name)))
+        case None => df
+      }
+    }
+    val newFiles = writeDataDir(rewritten, tableDir, partitionBy)
+    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles, mode = "update")
+  }
+
   /** Copy-on-write MERGE / upsert (Delta `MERGE INTO … WHEN MATCHED UPDATE
     * SET * WHEN NOT MATCHED INSERT *`): rows of `source` whose `keys` match
     * an existing row REPLACE it; the rest are inserted. File-granular like
@@ -520,11 +558,18 @@ object CommitLog {
     * delta, so merges never feed the `_stream/` mirror and [[changesSince]]
     * refuses ranges containing one. Returns the new version. */
   def merge(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+      keys: Seq[String], partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "merge requires at least one key column")
     import org.apache.spark.sql.functions.{col, count, lit}
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
+    // per-writer idempotence (same contract as commit's txn): a replayed
+    // CDC micro-batch whose batchId is already recorded re-applies nothing —
+    // the primitive that makes a foreachBatch MERGE sink exactly-once
+    txn.foreach { case (app, batch) =>
+      if (m.txns.get(app).exists(_ >= batch)) return m.version
+    }
     val schema = mergeAdditive(Some(m.schema), source.schema)
     val tableDir = Paths.get(table)
     // one pass over source: distinct-key check piggybacks on the key set
@@ -554,7 +599,7 @@ object CommitLog {
     val rewrite = keptTouched.foldLeft(aligned(source))(_ union _)
     val newFiles = writeDataDir(rewrite, tableDir, partitionBy)
     publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
-      mode = "merge", schema = Some(schema))
+      mode = "merge", schema = Some(schema), addTxn = txn)
   }
 
   /** Snapshot read with each row's originating data file attached as
@@ -619,10 +664,11 @@ object CommitLog {
       .flatMap { case (commitDir, fs) =>
         val stats = FileStats.readSidecar(tableDir.resolve(commitDir))
         fs.filter { f =>
-          stats.get(f.stripPrefix(commitDir + "/")) match {
-            case Some(cols) => filters.forall(FileStats.mightMatch(cols, _))
-            case None => true
-          }
+          val rel = f.stripPrefix(commitDir + "/")
+          // hive partition segments give exact bounds for the partition
+          // columns (absent from footers); footer stats cover the rest
+          val cols = FileStats.partitionStats(rel) ++ stats.getOrElse(rel, Map.empty)
+          filters.forall(FileStats.mightMatch(cols, _))
         }
       }
   }
@@ -727,14 +773,16 @@ object CommitLog {
     * compaction (`overwrite`) from [[delete]]/[[merge]] in the log; none of
     * the three is an append delta, so [[changesSince]] rejects them all. */
   private def publishRewrite(table: String, base: Manifest, newFiles: Seq[String],
-      mode: String = "overwrite", schema: Option[StructType] = None): Long = {
+      mode: String = "overwrite", schema: Option[StructType] = None,
+      addTxn: Option[(String, Long)] = None): Long = {
     val logDir = Paths.get(table).resolve(LogDir)
     val prev = latestManifest(table).getOrElse(base)
     if (prev.version != base.version)
       throw new IllegalStateException(
         s"table advanced to v${prev.version} during rewrite of v${base.version}; rerun")
     val version = prev.version + 1
-    val txnLine = prev.txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(";")
+    val txns = prev.txns ++ addTxn.map { case (a, b) => a -> b }
+    val txnLine = txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(";")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
     val body = (Seq(mode, schema.getOrElse(prev.schema).json, txnLine) ++ newFiles)
       .mkString("\n")

@@ -140,6 +140,39 @@ object FileStats {
     case _ => None
   }
 
+  /** Stats derived from a file's hive partition-dir segments
+    * (`col=value/`): an exact min=max bound per partition column — these
+    * columns live in paths, not parquet footers, so without this a
+    * predicate on the table's own partition key would never skip a file.
+    * The value's kind is guessed from its lexical form; a guess that
+    * disagrees with the filter literal's type disables pruning on that
+    * comparison (renderValue returns None), staying conservative. */
+  def partitionStats(relPath: String): Map[String, ColStats] = {
+    relPath.split("/").dropRight(1).toSeq.flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq <= 0) None
+      else {
+        val k = dec(seg.substring(0, eq))
+        val raw = dec(seg.substring(eq + 1))
+        if (raw == "__HIVE_DEFAULT_PARTITION__")
+          Some(k -> ColStats("string", None, None, nulls = 1L, values = 1L))
+        else {
+          val kind =
+            if (raw.matches("-?\\d{1,18}")) "long"
+            else if (raw.matches("-?\\d+\\.\\d+([eE][+-]?\\d+)?")) "double"
+            else if (raw == "true" || raw == "false") "boolean"
+            else "string"
+          val v = kind match {
+            case "long" => raw.toLong.toString
+            case "double" => raw.toDouble.toString
+            case _ => raw
+          }
+          Some(k -> ColStats(kind, Some(v), Some(v), nulls = 0L, values = 1L))
+        }
+      }
+    }.toMap
+  }
+
   /** Parse a sidecar: relative file → (column → stats). */
   def readSidecar(dataDir: Path): Map[String, Map[String, ColStats]] = {
     val p = dataDir.resolve(SidecarName)

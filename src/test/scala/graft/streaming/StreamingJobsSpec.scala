@@ -159,6 +159,37 @@ class StreamingJobsSpec extends SparkSpec {
     assert(graft.tx.CommitLog.read(spark, table).count() === 4)
   }
 
+  test("mergeSink applies a CDC stream as exactly-once upserts") {
+    import spark.implicits._
+    val table = tmpDir("cdc_table") + "/t"
+    graft.tx.CommitLog.commit(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "s", "v"),
+      table, "append")
+    // CDC landing: two files -> two micro-batches of key-unique upserts
+    val landing = tmpDir("cdc_landing")
+    Seq((2L, "B", 21), (4L, "d", 40)).toDF("id", "s", "v")
+      .coalesce(1).write.parquet(s"$landing/f1")
+    Seq((3L, "C", 31), (5L, "e", 50)).toDF("id", "s", "v")
+      .coalesce(1).write.parquet(s"$landing/f2")
+    val updates = spark.readStream
+      .schema(Seq((1L, "a", 1)).toDF("id", "s", "v").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$landing/*")
+    val q = StreamingJobs.mergeSink(updates, table, tmpDir("cdc_ck"),
+      "cdc-app", keys = Seq("id")).start()
+    q.awaitTermination(60000)
+    val got = graft.tx.CommitLog.read(spark, table)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", 10), (2L, "B", 21), (3L, "C", 31),
+      (4L, "d", 40), (5L, "e", 50)))
+    // a replayed micro-batch (same appId+batchId) re-applies nothing
+    val vBefore = graft.tx.CommitLog.latestVersion(table).get
+    StreamingJobs.mergeBatch(table, "cdc-app", Seq("id"))(
+      Seq((2L, "ZZZ", 999)).toDF("id", "s", "v"), 0L)
+    assert(graft.tx.CommitLog.latestVersion(table).get === vBefore)
+    assert(graft.tx.CommitLog.read(spark, table)
+      .filter(col("id") === 2L).select("s").as[String].head() === "B")
+  }
+
   test("full streaming medallion: landing -> transactional bronze -> streaming silver") {
     val dir = tmpDir("landing_med")
     writeLanding(dir)

@@ -88,6 +88,22 @@ class FileStatsSpec extends SparkSpec {
     assert(CommitLog.readPruned(spark, t, col("s").isNull).count() === 2L)
   }
 
+  test("hive partition segments prune files on partition columns") {
+    val t = freshTable()
+    val df = (0 until 100).map(i => (i.toLong, s"s$i", i % 4)).toDF("id", "s", "p")
+    CommitLog.commit(df, t, "append", partitionBy = Seq("p"))
+    val m = CommitLog.manifest(t, 1L)
+    // partition columns never reach parquet footers; the path segments must
+    // carry the bound instead
+    val kept = CommitLog.pruneFiles(t, m, Seq(EqualTo("p", 2)))
+    assert(kept.nonEmpty && kept.size < m.files.size)
+    assert(kept.forall(_.contains("p=2")))
+    assert(CommitLog.pruneFiles(t, m, Seq(EqualTo("p", 9))).isEmpty)
+    // a string-typed literal against the long-guessed kind stays conservative
+    assert(CommitLog.pruneFiles(t, m, Seq(EqualTo("p", "2"))) === m.files)
+    assert(CommitLog.readPruned(spark, t, col("p") === 2).count() === 25L)
+  }
+
   test("delete's probe scans only stats-surviving files") {
     val t = freshTable()
     val before = seedRanged(t)

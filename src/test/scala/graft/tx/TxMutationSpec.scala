@@ -93,6 +93,29 @@ class TxMutationSpec extends SparkSpec {
     assert(CommitLog.manifest(t, v).mode === "merge")
   }
 
+  test("update rewrites only matched files; SET sees the old row; no new columns") {
+    val t = freshTable()
+    val before = seedRanged(t)
+    val v = CommitLog.update(spark, t, col("id") < 10,
+      Map("s" -> concat(col("s"), lit("!")), "bucket" -> (col("bucket") + 100)))
+    assert(v === 2L)
+    val after = CommitLog.manifest(t, v).files
+    val carried = before.filter(after.contains)
+    assert(carried.nonEmpty && carried.size < before.size)
+    val snap = CommitLog.read(spark, t)
+    assert(snap.count() === 100L) // update never changes cardinality
+    assert(snap.filter(col("id") === 3L).select("s").as[String].head() === "s3!")
+    assert(snap.filter(col("id") === 3L).select("bucket").as[Int].head() === 100)
+    assert(snap.filter(col("id") === 50L).select("s").as[String].head() === "s50")
+    assert(CommitLog.manifest(t, v).mode === "update")
+    // no-match update is a no-op; unknown SET column rejected
+    assert(CommitLog.update(spark, t, col("id") > 1000, Map("s" -> lit("x"))) === v)
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.update(spark, t, col("id") < 10, Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("cannot add column"))
+  }
+
   test("merge rejects duplicate source keys (Delta's multiple-source-rows error)") {
     val t = freshTable()
     seedRanged(t)
