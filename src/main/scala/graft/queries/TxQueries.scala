@@ -162,6 +162,21 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // Change data feed across the whole mutation history: appends derive
+    // inserts from the manifest delta, delete/update/merge read the typed
+    // change rows they wrote at commit time. The oracle recomputes every
+    // (version, change_type) cardinality from the source parquet — a
+    // missing pre-image, a double-written insert, or a feed row for an
+    // untouched record all flip the hash.
+    "tx_change_feed" -> ((s, d) => {
+      val (table, _, _, _) = ensureMutTable(s, d)
+      CommitLog.changeFeed(s, table, 0L)
+        .groupBy(col(CommitLog.CommitVersionCol).as("v"),
+          col(CommitLog.ChangeTypeCol).as("ct"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("v", "ct")
+    }),
+
     // Data-skipping snapshot read (the commit log's footer-stats sidecars):
     // readPruned drops whole files whose [min,max] exclude the predicate,
     // then filters row-level — the result must be EXACTLY the plain
@@ -237,6 +252,28 @@ object TxQueries {
          SELECT event_type, count(*) AS n_events,
            min(value) AS v_min, max(value) AS v_max
          FROM updated GROUP BY 1 ORDER BY event_type""",
+    "tx_change_feed" ->
+      """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
+           SELECT 1 AS v, 'insert' AS ct, count(*) AS n FROM events
+           UNION ALL
+           SELECT 2, 'update_preimage', count(*) FROM events WHERE event_id % 10 = 3
+           UNION ALL
+           SELECT 2, 'update_postimage', count(*) FROM events WHERE event_id % 10 = 3
+           UNION ALL
+           SELECT 2, 'insert', count(*) FROM events WHERE event_id % 10 = 4
+           UNION ALL
+           SELECT 3, 'delete',
+             count(*) + count(*) FILTER (WHERE event_id % 10 = 4)
+           FROM events WHERE event_type = 'error'
+           UNION ALL
+           SELECT 4, 'update_preimage',
+             count(*) + count(*) FILTER (WHERE event_id % 10 = 4)
+           FROM events WHERE event_type = 'signup'
+           UNION ALL
+           SELECT 4, 'update_postimage',
+             count(*) + count(*) FILTER (WHERE event_id % 10 = 4)
+           FROM events WHERE event_type = 'signup')
+         ORDER BY v, ct""",
     "tx_read_pruned" ->
       """SELECT count(*) AS n_events,
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,

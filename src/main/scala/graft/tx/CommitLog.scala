@@ -60,8 +60,13 @@ object CommitLog {
   private val LogDir = "_graft_log"
   private val StreamDir = "_stream"
   private val LedgerDir = "_ledger"
+  private val CdcDir = "_cdc"
   private val PrunedThroughFile = "_pruned_through"
   private val Suffix = ".commit"
+
+  /** Column names of the change feed (Delta CDF's convention). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
 
   /** Default in-flight-writer retention for [[vacuum]] (7 days — Delta's
     * `deletedFileRetentionDuration` default, chosen there for the same
@@ -492,13 +497,17 @@ object CommitLog {
       readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
       "__graft_file", tableDir)
     if (touched.isEmpty) return m.version // nothing matched; snapshot unchanged
-    val keepCond = org.apache.spark.sql.functions.not(
-      org.apache.spark.sql.functions.coalesce(
-        condition, org.apache.spark.sql.functions.lit(false)))
-    val survivors = readManifest(spark, table, m.copy(files = touched.toSeq.sorted))
-      .filter(keepCond)
-    val newFiles = writeDataDir(survivors, tableDir, partitionBy)
-    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles, mode = "delete")
+    import org.apache.spark.sql.functions.{coalesce => cz, lit, not}
+    val keepCond = not(cz(condition, lit(false)))
+    val touchedDf = readManifest(spark, table, m.copy(files = touched.toSeq.sorted))
+    val newFiles = writeDataDir(touchedDf.filter(keepCond), tableDir, partitionBy)
+    // change feed: the deleted rows themselves (one extra pass over the
+    // touched files only — the same cost profile Delta's CDF pays)
+    val cdc = writeCdcTmp(
+      touchedDf.filter(cz(condition, lit(false)))
+        .withColumn(ChangeTypeCol, lit("delete")), tableDir)
+    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
+      mode = "delete", cdcTmp = cdc)
   }
 
   /** Copy-on-write UPDATE (Delta `UPDATE t SET col = expr WHERE cond`):
@@ -527,16 +536,23 @@ object CommitLog {
     if (touched.isEmpty) return m.version
     import org.apache.spark.sql.functions.{coalesce => cz, lit, when => cwhen, col}
     val hit = cz(condition, lit(false))
-    val rewritten = m.schema.fieldNames.foldLeft(
-      readManifest(spark, table, m.copy(files = touched.toSeq.sorted))) { (df, name) =>
-      set.get(name) match {
-        case Some(expr) => df.withColumn(name, cwhen(hit, expr.cast(
-          m.schema(name).dataType)).otherwise(col(name)))
-        case None => df
+    val touchedDf = readManifest(spark, table, m.copy(files = touched.toSeq.sorted))
+    def applySet(df: DataFrame): DataFrame =
+      m.schema.fieldNames.foldLeft(df) { (acc, name) =>
+        set.get(name) match {
+          case Some(expr) => acc.withColumn(name, cwhen(hit, expr.cast(
+            m.schema(name).dataType)).otherwise(col(name)))
+          case None => acc
+        }
       }
-    }
-    val newFiles = writeDataDir(rewritten, tableDir, partitionBy)
-    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles, mode = "update")
+    val newFiles = writeDataDir(applySet(touchedDf), tableDir, partitionBy)
+    // change feed: pre- and post-image of every matched row
+    val pre = touchedDf.filter(hit).withColumn(ChangeTypeCol, lit("update_preimage"))
+    val post = applySet(touchedDf.filter(hit))
+      .withColumn(ChangeTypeCol, lit("update_postimage"))
+    val cdc = writeCdcTmp(pre.union(post), tableDir)
+    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
+      mode = "update", cdcTmp = cdc)
   }
 
   /** Copy-on-write MERGE / upsert (Delta `MERGE INTO … WHEN MATCHED UPDATE
@@ -592,14 +608,30 @@ object CommitLog {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val keptTouched =
+    val touchedAligned =
       if (touched.isEmpty) None
-      else Some(aligned(readManifest(spark, table, m.copy(files = touched.toSeq.sorted)))
-        .join(srcKeys, keys, "left_anti"))
-    val rewrite = keptTouched.foldLeft(aligned(source))(_ union _)
+      else Some(aligned(readManifest(spark, table, m.copy(files = touched.toSeq.sorted))))
+    val keptTouched = touchedAligned.map(_.join(srcKeys, keys, "left_anti"))
+    val srcAligned = aligned(source)
+    val rewrite = keptTouched.foldLeft(srcAligned)(_ union _)
     val newFiles = writeDataDir(rewrite, tableDir, partitionBy)
+    // change feed: matched target rows are update pre-images, matched
+    // source rows post-images, the rest of the source plain inserts
+    import org.apache.spark.sql.functions.{lit => clit}
+    val cdcRows = touchedAligned match {
+      case Some(t) =>
+        val matchedKeys = t.select(keys.map(col): _*).distinct()
+        t.join(srcKeys, keys, "left_semi")
+          .withColumn(ChangeTypeCol, clit("update_preimage"))
+          .union(srcAligned.join(matchedKeys, keys, "left_semi")
+            .withColumn(ChangeTypeCol, clit("update_postimage")))
+          .union(srcAligned.join(matchedKeys, keys, "left_anti")
+            .withColumn(ChangeTypeCol, clit("insert")))
+      case None => srcAligned.withColumn(ChangeTypeCol, clit("insert"))
+    }
+    val cdc = writeCdcTmp(cdcRows, tableDir)
     publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
-      mode = "merge", schema = Some(schema), addTxn = txn)
+      mode = "merge", schema = Some(schema), addTxn = txn, cdcTmp = cdc)
   }
 
   /** Snapshot read with each row's originating data file attached as
@@ -760,7 +792,11 @@ object CommitLog {
         }
     }
     val logDir = tableDir.resolve(LogDir)
-    drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"$v%020d$Suffix")))
+    drop.foreach { v =>
+      Files.deleteIfExists(logDir.resolve(f"$v%020d$Suffix"))
+      // change-feed rows share the version's retention
+      deleteTree(tableDir.resolve(CdcDir).resolve(f"$v%020d"))
+    }
     deleted
   }
 
@@ -774,12 +810,14 @@ object CommitLog {
     * the three is an append delta, so [[changesSince]] rejects them all. */
   private def publishRewrite(table: String, base: Manifest, newFiles: Seq[String],
       mode: String = "overwrite", schema: Option[StructType] = None,
-      addTxn: Option[(String, Long)] = None): Long = {
+      addTxn: Option[(String, Long)] = None, cdcTmp: Option[Path] = None): Long = {
     val logDir = Paths.get(table).resolve(LogDir)
     val prev = latestManifest(table).getOrElse(base)
-    if (prev.version != base.version)
+    if (prev.version != base.version) {
+      cdcTmp.foreach(deleteTree)
       throw new IllegalStateException(
         s"table advanced to v${prev.version} during rewrite of v${base.version}; rerun")
+    }
     val version = prev.version + 1
     val txns = prev.txns ++ addTxn.map { case (a, b) => a -> b }
     val txnLine = txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(";")
@@ -788,6 +826,15 @@ object CommitLog {
       .mkString("\n")
     Files.write(tmp, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    // claim the version's cdc slot BEFORE the manifest link: readers find
+    // feed versions through manifests only, so an unclaimed-version cdc dir
+    // is invisible; a lost link race deletes it again
+    val cdcFinal = cdcTmp.map { t =>
+      val dst = Paths.get(table).resolve(CdcDir).resolve(f"$version%020d")
+      Files.createDirectories(dst.getParent)
+      Files.move(t, dst)
+      dst
+    }
     try {
       Files.createLink(logDir.resolve(f"$version%020d$Suffix"), tmp)
       Files.delete(tmp)
@@ -795,9 +842,80 @@ object CommitLog {
     } catch {
       case _: FileAlreadyExistsException =>
         Files.delete(tmp)
+        cdcFinal.foreach(deleteTree)
         throw new IllegalStateException(
-          s"a concurrent commit claimed v$version during compaction of ${base.version}; rerun")
+          s"a concurrent commit claimed v$version during rewrite of ${base.version}; rerun")
     }
+  }
+
+  /** Write change rows for a mutation to a temp dir under `_cdc/`;
+    * [[publishRewrite]] moves it to the version's slot on success. */
+  private def writeCdcTmp(rows: DataFrame, tableDir: Path): Option[Path] = {
+    val tmp = tableDir.resolve(CdcDir).resolve(s".tmp-${UUID.randomUUID().toString}")
+    rows.write.parquet(tmp.toString)
+    Some(tmp)
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      withStream(Files.walk(p))(_.iterator().asScala.toSeq).reverse
+        .foreach(f => Files.deleteIfExists(f))
+    else Files.deleteIfExists(p): Unit
+  }
+
+  /** Change data feed (Delta CDF): every row-level change after
+    * `fromVersion` (exclusive) up to `toVersion` (inclusive), typed by
+    * [[ChangeTypeCol]] (`insert`, `delete`, `update_preimage`,
+    * `update_postimage`) and stamped with [[CommitVersionCol]]. Appends
+    * derive their inserts from the manifest file delta (no extra storage);
+    * [[delete]]/[[update]]/[[merge]] read the change rows they wrote at
+    * commit time. Overwrites and compaction rewrites are not expressible
+    * as row changes — the call throws and the consumer rebuilds from the
+    * snapshot, the same contract as [[changesSince]]. Columns align to the
+    * latest schema in range (earlier rows read NULL for later columns). */
+  def changeFeed(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => ccol, lit => clit}
+    val to = toVersion.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    require(to >= fromVersion, s"toVersion $to < fromVersion $fromVersion")
+    val tableDir = Paths.get(table)
+    val outSchema = manifest(table, to).schema
+      .add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
+    def alignedTo(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(outSchema.fields.toSeq.map { f =>
+        if (have(f.name)) ccol(f.name).cast(f.dataType).as(f.name)
+        else clit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val parts = ((fromVersion + 1) to to).map { v =>
+      val man = manifest(table, v)
+      val cdcPath = tableDir.resolve(CdcDir).resolve(f"$v%020d")
+      man.mode match {
+        case "append" =>
+          val baseFiles =
+            if (v == 1) Set.empty[String]
+            else manifest(table, v - 1).files.toSet
+          val added = man.files.filterNot(baseFiles)
+          alignedTo(readManifest(spark, table, man.copy(files = added))
+            .withColumn(ChangeTypeCol, clit("insert")))
+            .withColumn(CommitVersionCol, clit(v))
+        case "delete" | "update" | "merge" =>
+          if (!Files.isDirectory(cdcPath))
+            throw new IllegalStateException(
+              s"version $v (${man.mode}) predates the change feed; rebuild from the snapshot")
+          alignedTo(spark.read.parquet(cdcPath.toString))
+            .withColumn(CommitVersionCol, clit(v))
+        case other =>
+          throw new IllegalStateException(
+            s"version $v is a '$other' rewrite — not expressible as row changes; " +
+              "rebuild from the snapshot instead")
+      }
+    }
+    parts.reduceOption(_ union _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        outSchema.add(CommitVersionCol, org.apache.spark.sql.types.LongType)))
   }
 
   /** Latest committed version, if any. */

@@ -157,6 +157,34 @@ class TxMutationSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() === 91L)
   }
 
+  test("changeFeed yields typed row changes across append, delete, update, merge") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t, "append") // v1
+    CommitLog.commit(Seq((4L, "d")).toDF("id", "s"), t, "append")                        // v2
+    CommitLog.delete(spark, t, col("id") === 2L)                                         // v3
+    CommitLog.update(spark, t, col("id") === 3L, Map("s" -> lit("C")))                   // v4
+    CommitLog.merge(spark, t, Seq((4L, "D"), (5L, "e")).toDF("id", "s"), Seq("id"))      // v5
+    val feed = CommitLog.changeFeed(spark, t, 0L)
+      .as[(Long, String, String, Long)].collect().toSeq
+      .map { case (id, s, ct, v) => (v, ct, id, s) }.sorted
+    assert(feed === Seq(
+      (1L, "insert", 1L, "a"), (1L, "insert", 2L, "b"), (1L, "insert", 3L, "c"),
+      (2L, "insert", 4L, "d"),
+      (3L, "delete", 2L, "b"),
+      (4L, "update_postimage", 3L, "C"), (4L, "update_preimage", 3L, "c"),
+      (5L, "insert", 5L, "e"),
+      (5L, "update_postimage", 4L, "D"), (5L, "update_preimage", 4L, "d")))
+    // a partial range reads only its versions; a compaction rewrite refuses
+    assert(CommitLog.changeFeed(spark, t, 4L).count() === 3L)
+    CommitLog.compact(spark, t)
+    val e = intercept[IllegalStateException] { CommitLog.changeFeed(spark, t, 4L) }
+    assert(e.getMessage.contains("rewrite"))
+    // vacuum reclaims the dropped versions' change rows with their manifests
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(t).resolve("_cdc")
+      .resolve(f"${3L}%020d")))
+  }
+
   test("changesSince refuses ranges containing a delete or merge") {
     val t = freshTable()
     seedRanged(t)
