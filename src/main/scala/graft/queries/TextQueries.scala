@@ -341,6 +341,22 @@ object TextQueries {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")),
 
+    // Deterministic corpus shuffle + shard assignment — the "shuffle then
+    // shard" step before training: order is a pure function of (seed, id)
+    // via md5, so it is engine/partitioning/rerun-invariant (no RNG state),
+    // and the shard is a hash bucket of the same key. At 100 TB the ORDER
+    // BY is a range exchange on the hash key and the shard column rides
+    // along — one shuffle, then `write.partitionBy(shard)` fans out files.
+    // The oracle re-derives key, order, and shard in DuckDB; LIMIT keeps
+    // the dumped frame small while still pinning the global order's head.
+    "shuffle_shard" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("seed42:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long"), lit(8L)))
+      .orderBy("shuffle_key")
+      .limit(200)),
+
     // Sequence packing — the concat-and-chunk step that turns a curated
     // corpus into fixed-length training sequences (ctx 512): documents are
     // concatenated in doc_id order and cut every 512 tokens; a document
@@ -606,6 +622,12 @@ object TextQueries {
              < CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 2 ELSE 1 END
              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM documents GROUP BY 1 ORDER BY lang""",
+    "shuffle_shard" ->
+      """SELECT doc_id,
+           md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(CAST('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 4)
+             AS BIGINT) % 8 AS BIGINT) AS shard
+         FROM documents ORDER BY shuffle_key LIMIT 200""",
     "pack_sequences" ->
       """WITH toks AS (
            SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'),

@@ -596,8 +596,23 @@ object CommitLog {
         s"merge source has multiple rows for key ${dup.head.toSeq.init.mkString("(", ",", ")")}; " +
           "deduplicate the source first (Delta's multiple-source-rows-matched error)")
     val srcKeys = source.select(keys.map(col): _*).distinct()
+    // single-key merges pre-shrink the probe with the SOURCE's key bounds:
+    // one tiny agg over the source buys file-level skipping on the target
+    // (a CDC trickle's keys usually live in a narrow range, and the
+    // zorder-clustered files they can touch are few); multi-key merges and
+    // unprunable types just probe everything, as before
+    val keyBounds: Seq[org.apache.spark.sql.sources.Filter] =
+      if (keys.size != 1) Nil
+      else {
+        import org.apache.spark.sql.functions.{max => cmax, min => cmin}
+        val r = srcKeys.agg(cmin(col(keys.head)), cmax(col(keys.head))).first()
+        if (r.isNullAt(0)) return m.version // empty source: nothing to merge
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(keys.head, r.get(0)),
+          org.apache.spark.sql.sources.LessThanOrEqual(keys.head, r.get(1)))
+      }
+    val candidates = m.copy(files = pruneFiles(table, m, keyBounds))
     val touched = touchedFiles(
-      readManifestWithFile(spark, table, m, "__graft_file")
+      readManifestWithFile(spark, table, candidates, "__graft_file")
         .join(srcKeys, keys, "left_semi"),
       "__graft_file", tableDir)
     // align both sides to the merged (additively evolved) schema
