@@ -231,6 +231,42 @@ object TextQueries {
         .orderBy("lang", "decile")
     }),
 
+    // The 100 TB path for quality bucketing (the exact `quality_deciles`
+    // above is one full sort per stratum): per-language decile CUTPOINTS
+    // from the mergeable KLL sketch — O(k) state per stratum over one
+    // shuffle — then a broadcast join buckets every doc map-side. Below
+    // the sketch's capacity (512) the compactors hold every value and the
+    // cutpoints are EXACT, so small strata degrade to the exact answer.
+    // PROPERTY oracle: scores are distinct-ish (continuous), so all 10
+    // buckets must be populated and every bucket's size must sit within
+    // 5% of n/10 (KLL rank-error ≈ 2% at this k) — a broken sketch merge,
+    // wrong cutpoint rank, or bucket-boundary off-by-one empties or
+    // inflates a bucket and flips the pinned verdict.
+    "quality_deciles_sketch" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val scored = TextStats.unigramLogProb(docs, col("text"), col("doc_id"))
+        .select(col("__id").as("doc_id"), col("neg_logp"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val probs = (1 to 9).map(_ / 10.0)
+      val cuts = scored.select(col("lang"), col("neg_logp")).as[(String, Double)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.ext.KllQuantileAggregator(512, probs).toColumn.name("cuts"))
+        .toDF("clang", "cuts")
+      val bucketed = scored.join(broadcast(cuts), col("lang") === col("clang"))
+        .withColumn("decile",
+          size(filter(col("cuts"), c => c < col("neg_logp"))) + 1)
+      val sizes = bucketed.groupBy("lang", "decile").agg(count(lit(1)).as("nb"))
+        .withColumn("tot", sum(col("nb")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      sizes.groupBy("lang")
+        .agg(max(col("tot")).as("n_docs"),
+          countDistinct(col("decile")).as("n_deciles"),
+          (max(abs(col("nb") - col("tot") / 10.0)) / max(col("tot")) <= 0.05)
+            .as("deciles_balanced"))
+        .orderBy("lang")
+    }),
+
     // Overlapping token-window chunking (window 32, stride 24 → 8-token
     // overlap): the document → fixed-size-model-input assembly step. One
     // row per chunk; DuckDB re-derives every chunk via list slicing, so a
@@ -582,6 +618,17 @@ object TextQueries {
          SELECT lang, decile, count(*) AS n_docs,
            min(neg_logp) AS lo, max(neg_logp) AS hi
          FROM ranked GROUP BY 1, 2 ORDER BY lang, decile""",
+    "quality_deciles_sketch" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS tok
+           FROM documents),
+         scored AS (
+           SELECT doc_id FROM toks GROUP BY doc_id)
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(10 AS BIGINT) AS n_deciles, true AS deciles_balanced
+         FROM scored s JOIN documents d USING (doc_id)
+         GROUP BY 1 ORDER BY d.lang""",
     "text_chunk_windows" ->
       """WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
