@@ -104,6 +104,32 @@ class FileStatsSpec extends SparkSpec {
     assert(CommitLog.readPruned(spark, t, col("p") === 2).count() === 25L)
   }
 
+  test("multi-row-group files merge stats across blocks (min of mins, max of maxes)") {
+    val t = freshTable()
+    // tiny block size forces several row groups in one file; the sidecar
+    // must aggregate across them, not record just the first block's bounds
+    val df = (0 until 20000).map(i => (i.toLong, s"v%05d".format(i))).toDF("id", "s")
+    val dataDir = java.nio.file.Paths.get(t, "raw")
+    df.coalesce(1).write
+      .option("parquet.block.size", "65536")
+      .option("parquet.page.size", "8192")
+      .parquet(dataDir.toString)
+    val files = java.nio.file.Files.list(dataDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(files.size === 1)
+    FileStats.writeSidecar(dataDir, files)
+    val stats = FileStats.readSidecar(dataDir)(dataDir.relativize(files.head).toString)
+    assert(stats("id").min.contains("0") && stats("id").max.contains("19999"))
+    assert(stats("s").min.contains("v00000") && stats("s").max.contains("v19999"))
+    // and the file genuinely has >1 row group, or this test proves nothing
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(files.head.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try assert(reader.getFooter.getBlocks.size() > 1)
+    finally reader.close()
+  }
+
   test("delete's probe scans only stats-surviving files") {
     val t = freshTable()
     val before = seedRanged(t)
