@@ -933,6 +933,101 @@ object CommitLog {
         outSchema.add(CommitVersionCol, org.apache.spark.sql.types.LongType)))
   }
 
+  /** Integrity audit of a table ([[fsck]] output). `missingFiles` are
+    * manifest-referenced files absent on disk (reads of those versions
+    * would fail — real corruption, or a vacuum raced by a reader-less
+    * retention misconfig); `orphanDirs` are commit dirs no manifest
+    * references (crashed writers' invisible leftovers — harmless but they
+    * hold bytes); `orphanCdc` are change-feed dirs whose version is gone
+    * or was never a mutation; `tmpManifests` are crash-leftover temp
+    * manifest files. */
+  final case class FsckReport(missingFiles: Seq[(Long, String)],
+      orphanDirs: Seq[String], orphanCdc: Seq[Long], tmpManifests: Seq[String]) {
+    def clean: Boolean =
+      missingFiles.isEmpty && orphanDirs.isEmpty && orphanCdc.isEmpty && tmpManifests.isEmpty
+  }
+
+  /** Audit manifests against the filesystem (Delta's FSCK). Read-only. */
+  def fsck(table: String): FsckReport = {
+    val tableDir = Paths.get(table)
+    val vs = versions(table)
+    val manifests = vs.map(v => manifest(table, v))
+    val missing = manifests.flatMap { m =>
+      m.files.filterNot(f => Files.exists(tableDir.resolve(f)))
+        .map(f => (m.version, f))
+    }
+    val referencedDirs = manifests.flatMap(_.files)
+      .map(_.split("/").take(2).mkString("/")).toSet
+    val dataRoot = tableDir.resolve("data")
+    val orphans =
+      if (!Files.isDirectory(dataRoot)) Nil
+      else withStream(Files.list(dataRoot))(_.iterator().asScala.toSeq)
+        .filter(Files.isDirectory(_))
+        .map(d => s"data/${d.getFileName}")
+        .filterNot(referencedDirs.contains)
+        .sorted
+    val mutationModes = Set("delete", "update", "merge")
+    val byVersion = manifests.map(m => m.version -> m.mode).toMap
+    val cdcRoot = tableDir.resolve(CdcDir)
+    val orphanCdc =
+      if (!Files.isDirectory(cdcRoot)) Nil
+      else withStream(Files.list(cdcRoot))(_.iterator().asScala.toSeq)
+        .map(_.getFileName.toString)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong)
+        .filterNot(v => byVersion.get(v).exists(mutationModes.contains))
+        .sorted
+    val logDir = tableDir.resolve(LogDir)
+    val tmps =
+      if (!Files.isDirectory(logDir)) Nil
+      else withStream(Files.list(logDir))(_.iterator().asScala.toSeq)
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(".tmp-"))
+        .sorted
+    FsckReport(missing, orphans, orphanCdc, tmps)
+  }
+
+  /** Drop MISSING file references from the LATEST snapshot and publish the
+    * result as a new version (Delta's `FSCK REPAIR TABLE`): readers stop
+    * failing on the vanished files, at the cost of the rows they held.
+    * Earlier versions keep their (broken) references — time travel to them
+    * still fails, as in Delta. No-op returning the current version when
+    * the latest snapshot is whole. */
+  def repairMissing(table: String): Long = {
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val tableDir = Paths.get(table)
+    val (present, gone) = m.files.partition(f => Files.exists(tableDir.resolve(f)))
+    if (gone.isEmpty) m.version
+    else publishRewrite(table, m, present)
+  }
+
+  /** Remove crash leftovers found by [[fsck]]: orphan commit dirs, orphan
+    * cdc dirs, and tmp manifests, all gated by the same in-flight-writer
+    * age window as [[vacuum]] (an orphan younger than the window may be a
+    * commit still writing). Missing-file damage is NOT touched — that is
+    * [[repairMissing]]'s explicit call. Returns deleted path count. */
+  def fsckClean(table: String, minAgeMillis: Long = DefaultVacuumRetentionMillis,
+      force: Boolean = false): Long = {
+    require(force || minAgeMillis >= DefaultVacuumRetentionMillis,
+      s"minAgeMillis $minAgeMillis ms is below the in-flight-writer retention window; " +
+        "pass force = true only when no writer can be in flight.")
+    val report = fsck(table)
+    val tableDir = Paths.get(table)
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    def oldEnough(p: Path): Boolean =
+      !Files.exists(p) || Files.getLastModifiedTime(p).toMillis <= cutoff
+    var removed = 0L
+    report.orphanDirs.map(tableDir.resolve).filter(oldEnough).foreach { d =>
+      deleteTree(d); removed += 1
+    }
+    report.orphanCdc.map(v => tableDir.resolve(CdcDir).resolve(f"$v%020d"))
+      .filter(oldEnough).foreach { d => deleteTree(d); removed += 1 }
+    report.tmpManifests.map(tableDir.resolve(LogDir).resolve(_))
+      .filter(oldEnough).foreach { p => Files.deleteIfExists(p); removed += 1 }
+    removed
+  }
+
   /** Latest committed version, if any. */
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
 
