@@ -398,6 +398,30 @@ object CommitLog {
     spark.readStream.schema(m.schema).parquet(s"$table/$StreamDir")
   }
 
+  /** Subscribe to the table's MUTATION change rows as a Structured
+    * Streaming source — the streaming read side of the change feed:
+    * every [[delete]]/[[update]]/[[merge]] lands its typed rows
+    * ([[ChangeTypeCol]]) in a per-version `_cdc` dir claimed atomically
+    * with the manifest, and this stream picks each up as a new file set,
+    * stamping [[CommitVersionCol]] from the path. Append INSERTIONS are
+    * not here — they stream through the `_stream` mirror ([[readStream]]);
+    * a unified CDC consumer runs both subscriptions (separating them keeps
+    * appends zero-copy hard links while mutations pay one extra write of
+    * only their changed rows, Delta's CDF cost model). Schema is the
+    * LATEST snapshot's; a mutation published mid-stream under an evolved
+    * schema needs a restart, the standard file-source contract. */
+  def changeFeedStream(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    Files.createDirectories(Paths.get(table).resolve(CdcDir))
+    spark.readStream
+      .schema(m.schema.add(ChangeTypeCol, org.apache.spark.sql.types.StringType))
+      .parquet(s"$table/$CdcDir/*")
+      .withColumn(CommitVersionCol,
+        regexp_extract(input_file_name(), "_cdc/0*([0-9]+)/", 1).cast("long"))
+  }
+
   /** Highest batchId committed by `appId`, if any — the restart question a
     * streaming sink asks before replaying a micro-batch. */
   def txnVersion(table: String, appId: String): Option[Long] =

@@ -185,6 +185,36 @@ class TxMutationSpec extends SparkSpec {
       .resolve(f"${3L}%020d")))
   }
 
+  test("changeFeedStream streams mutation rows with their commit versions") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t, "append")
+    CommitLog.delete(spark, t, col("id") === 2L)                                    // v2
+    CommitLog.update(spark, t, col("id") === 3L, Map("s" -> lit("C")))              // v3
+    val root = Files.createTempDirectory("graft_cdcstream")
+    val ck = root.resolve("ck").toString
+    val out = root.resolve("out").toString
+    // parquet sink (append) recovers from its checkpoint, so the second
+    // drain on the SAME checkpoint reads only the files it hasn't seen
+    def drain(): Seq[(Long, String, Long, String)] = {
+      val q = CommitLog.changeFeedStream(spark, t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out).as[(Long, String, String, Long)].collect().toSeq
+        .map { case (id, s, ct, v) => (v, ct, id, s) }.sorted
+    }
+    assert(drain() === Seq(
+      (2L, "delete", 2L, "b"),
+      (3L, "update_postimage", 3L, "C"), (3L, "update_preimage", 3L, "c")))
+    // a later mutation arrives incrementally on the same checkpoint
+    CommitLog.merge(spark, t, Seq((9L, "z")).toDF("id", "s"), Seq("id"))            // v4
+    assert(drain() === Seq(
+      (2L, "delete", 2L, "b"),
+      (3L, "update_postimage", 3L, "C"), (3L, "update_preimage", 3L, "c"),
+      (4L, "insert", 9L, "z")))
+  }
+
   test("changesSince refuses ranges containing a delete or merge") {
     val t = freshTable()
     seedRanged(t)
