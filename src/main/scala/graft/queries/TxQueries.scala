@@ -59,6 +59,7 @@ object TxQueries {
     * matched-set, a lost unmatched row in a rewritten file, or a dropped
     * untouched file flips the hash. */
   private val builtMut = new ConcurrentHashMap[String, (String, Long, Long, Long)]()
+  private val builtIncrAgg = new ConcurrentHashMap[String, String]()
 
   private def ensureMutTable(s: SparkSession, d: String): (String, Long, Long, Long) =
     builtMut.computeIfAbsent(d, _ => {
@@ -177,6 +178,39 @@ object TxQueries {
         .orderBy("v", "ct")
     }),
 
+    // Incremental view maintenance from the change feed: a per-type count
+    // rollup maintained ONLY from CDC rows (never rescanning the base)
+    // across the table's whole mutation history — append, merge (with
+    // re-keyed inserts), delete, update. The in-query verdict compares the
+    // maintained rollup to a full recompute of the final snapshot, and the
+    // DuckDB twin pins both the counts and the all-match boolean.
+    "tx_incr_agg" -> ((s, d) => {
+      val (table, _, _, _) = ensureMutTable(s, d)
+      val aggTable = builtIncrAgg.computeIfAbsent(d, _ => {
+        val agg = table + "_agg"
+        deleteRecursively(new java.io.File(agg))
+        sys.addShutdownHook(deleteRecursively(new java.io.File(agg)))
+        CommitLog.commit(
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("event_type",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType)))),
+          agg, "append")
+        graft.tx.ChangeApply.applyCounts(s, agg,
+          CommitLog.changeFeed(s, table, 0L), Seq("event_type"))
+        agg
+      })
+      val maintained = CommitLog.read(s, aggTable)
+      val recomputed = CommitLog.read(s, table)
+        .groupBy("event_type").agg(count(lit(1)).as("n_direct"))
+      maintained.join(recomputed, Seq("event_type"), "full_outer")
+        .select(col("event_type"), col("n"),
+          coalesce(col("n") === col("n_direct"), lit(false)).as("matches_recompute"))
+        .orderBy("event_type")
+    }),
+
     // Data-skipping snapshot read (the commit log's footer-stats sidecars):
     // readPruned drops whole files whose [min,max] exclude the predicate,
     // then filters row-level — the result must be EXACTLY the plain
@@ -252,6 +286,16 @@ object TxQueries {
          SELECT event_type, count(*) AS n_events,
            min(value) AS v_min, max(value) AS v_max
          FROM updated GROUP BY 1 ORDER BY event_type""",
+    "tx_incr_agg" ->
+      """WITH merged AS (
+           SELECT event_id, event_type FROM events WHERE event_id % 10 = 3
+           UNION ALL
+           SELECT event_id, event_type FROM events WHERE event_id % 10 <> 3
+           UNION ALL
+           SELECT event_id + 100000000, event_type FROM events WHERE event_id % 10 = 4)
+         SELECT event_type, count(*) AS n, true AS matches_recompute
+         FROM merged WHERE event_type <> 'error'
+         GROUP BY 1 ORDER BY event_type""",
     "tx_change_feed" ->
       """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
            SELECT 1 AS v, 'insert' AS ct, count(*) AS n FROM events

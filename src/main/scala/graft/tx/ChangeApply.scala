@@ -1,0 +1,41 @@
+package graft.tx
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance from the change feed — the APPLY side of
+  * the CDC triangle ([[CommitLog.changeFeed]] read, mutations write,
+  * this folds). A keyed COUNT aggregate is maintained WITHOUT re-scanning
+  * the base table: every change row carries a sign (+1 for
+  * `insert`/`update_postimage`, −1 for `delete`/`update_preimage`), the
+  * slice folds to one small delta per key, and the delta merges into the
+  * aggregate table file-granularly — so maintaining a per-key rollup of a
+  * 100 TB base costs O(changed keys), the whole point of a change feed.
+  * An update that MOVES a row between groups is handled for free: its
+  * pre-image decrements the old group, its post-image increments the new.
+  */
+object ChangeApply {
+
+  /** Fold a change-feed slice into `aggTable` (schema: `keys…, n`).
+    * Returns the aggregate table's new latest version (unchanged when the
+    * slice nets to zero). Zero-count groups are deleted from the
+    * aggregate, keeping it minimal. First call may target an empty-seeded
+    * table (commit an empty `keys…, n` frame). */
+  def applyCounts(spark: SparkSession, aggTable: String, feed: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "applyCounts requires at least one key column")
+    val sign = when(col(CommitLog.ChangeTypeCol)
+      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    val delta = feed.groupBy(keys.map(col): _*).agg(sum(sign).as("__dn"))
+      .filter(col("__dn") =!= 0L)
+    val current = CommitLog.read(spark, aggTable)
+    val merged = delta.join(current, keys, "left_outer")
+      .select(keys.map(col) :+
+        (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"): _*)
+    if (merged.isEmpty) return CommitLog.latestVersion(aggTable).getOrElse(0L)
+    val v = CommitLog.merge(spark, aggTable, merged, keys)
+    // groups that netted to zero leave the aggregate entirely
+    if (merged.filter(col("n") === 0L).isEmpty) v
+    else CommitLog.delete(spark, aggTable, col("n") === 0L)
+  }
+}
