@@ -20,10 +20,24 @@ object ChangeApply {
     * Returns the aggregate table's new latest version (unchanged when the
     * slice nets to zero). Zero-count groups are deleted from the
     * aggregate, keeping it minimal. First call may target an empty-seeded
-    * table (commit an empty `keys…, n` frame). */
+    * table (commit an empty `keys…, n` frame).
+    *
+    * `txn = Some((appId, batchId))` makes the fold IDEMPOTENT per writer,
+    * the same contract as `CommitLog.commit`/`merge`: a replayed slice
+    * (restarted foreachBatch consumer) whose batchId is already recorded
+    * re-applies NOTHING — without it, a replay double-counts every key in
+    * the slice. The watermark lands with the merge; the zero-sweep delete
+    * is re-run on replay (idempotent — deleting no rows is a no-op), so a
+    * crash between the merge and its sweep still converges. */
   def applyCounts(spark: SparkSession, aggTable: String, feed: DataFrame,
-      keys: Seq[String]): Long = {
+      keys: Seq[String], txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "applyCounts requires at least one key column")
+    def sweepZeros(): Long =
+      CommitLog.delete(spark, aggTable, col("n") === 0L)
+    txn.foreach { case (app, batch) =>
+      if (CommitLog.txnVersion(aggTable, app).exists(_ >= batch))
+        return sweepZeros() // already applied; finish a possibly-crashed sweep
+    }
     val sign = when(col(CommitLog.ChangeTypeCol)
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
     val delta = feed.groupBy(keys.map(col): _*).agg(sum(sign).as("__dn"))
@@ -33,9 +47,9 @@ object ChangeApply {
       .select(keys.map(col) :+
         (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"): _*)
     if (merged.isEmpty) return CommitLog.latestVersion(aggTable).getOrElse(0L)
-    val v = CommitLog.merge(spark, aggTable, merged, keys)
+    val v = CommitLog.merge(spark, aggTable, merged, keys, txn = txn)
     // groups that netted to zero leave the aggregate entirely
     if (merged.filter(col("n") === 0L).isEmpty) v
-    else CommitLog.delete(spark, aggTable, col("n") === 0L)
+    else sweepZeros()
   }
 }

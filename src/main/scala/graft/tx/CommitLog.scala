@@ -154,7 +154,15 @@ object CommitLog {
       try {
         Files.createLink(logDir.resolve(f"$version%020d$Suffix"), tmp)
         Files.delete(tmp)
-        if (mirror) mirrorVersion(tableDir, version, newFiles)
+        // the version is DURABLE once the link lands: a mirror failure
+        // (ENOSPC mid-hard-link, ledger write error) must not surface as a
+        // failed commit — a non-txn caller's retry would double-append.
+        // The gap self-heals: txn replays call repairMirror, and the
+        // public repairMirror(table) maintenance op covers non-txn tables.
+        if (mirror) {
+          try mirrorVersion(tableDir, version, newFiles)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         // Auto-compaction policy: once the snapshot spans enough commit
         // dirs, fold the SMALL ones ([[compactIncremental]] — O(delta)
         // bytes, never a full-table rewrite on the commit hot path) so the
@@ -234,6 +242,13 @@ object CommitLog {
     * ADVICE, high), and appends whose predecessor manifest was vacuumed
     * (delta no longer derivable; any commit that old was mirrored or
     * consumed long before the retention window let vacuum near it). */
+  /** Maintenance entry point: heal every crashed/failed mirror step up to
+    * the latest version — the non-txn analogue of the automatic repair a
+    * txn replay performs (a `commit(mirror = true)` without a txn that
+    * failed its mirror step after publishing has no replay to heal it). */
+  def repairMirror(table: String): Unit =
+    latestManifest(table).foreach(m => repairMirror(Paths.get(table), m))
+
   private def repairMirror(tableDir: Path, m: Manifest): Unit = {
     val table = tableDir.toString
     val ledgerDir = tableDir.resolve(StreamDir).resolve(LedgerDir)
@@ -280,30 +295,35 @@ object CommitLog {
     val streamDir = tableDir.resolve(StreamDir)
     val ledgerDir = streamDir.resolve(LedgerDir)
     if (!Files.isDirectory(ledgerDir)) return 0L
-    var removed = 0L
-    var maxPruned = 0L
-    withStream(Files.list(ledgerDir))(_.iterator().asScala.toSeq)
+    val candidates = withStream(Files.list(ledgerDir))(_.iterator().asScala.toSeq)
       .filter { p =>
         val n = p.getFileName.toString
         n.nonEmpty && n.forall(_.isDigit) && n.toLong <= throughVersion
       }
       .sortBy(_.getFileName.toString)
-      .foreach { lp =>
-        new String(Files.readAllBytes(lp), "UTF-8").split("\n")
-          .filter(_.nonEmpty).foreach { rel =>
-            if (Files.deleteIfExists(streamDir.resolve(rel))) removed += 1
-          }
-        Files.delete(lp)
-        maxPruned = math.max(maxPruned, lp.getFileName.toString.toLong)
-      }
-    // Persist the watermark BEFORE sweeping dirs: once a ledger entry is
-    // gone, repairMirror must never read its absence as a crashed mirror
-    // step and resurrect the reclaimed history (round-4 ADVICE, high).
-    if (maxPruned > prunedThrough(tableDir))
+    // Persist the watermark BEFORE the first ledger deletion: a crash
+    // mid-prune must never leave a deleted ledger entry below a stale
+    // watermark, or repairMirror reads the absence as a crashed mirror
+    // step and resurrects consumed history (round-4 ADVICE, high; the
+    // round-5 review moved the write ahead of the loop — writing it after
+    // protected only a COMPLETED prune). An advanced watermark with the
+    // deletions unfinished is safe: repair skips ≤ watermark either way,
+    // and rerunning pruneMirror completes the sweep.
+    val target = candidates.lastOption
+      .map(_.getFileName.toString.toLong).getOrElse(0L)
+    if (target > prunedThrough(tableDir))
       Files.write(ledgerDir.resolve(PrunedThroughFile),
-        maxPruned.toString.getBytes("UTF-8"),
+        target.toString.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
         StandardOpenOption.WRITE)
+    var removed = 0L
+    candidates.foreach { lp =>
+      new String(Files.readAllBytes(lp), "UTF-8").split("\n")
+        .filter(_.nonEmpty).foreach { rel =>
+          if (Files.deleteIfExists(streamDir.resolve(rel))) removed += 1
+        }
+      Files.delete(lp)
+    }
     // Prune now-empty partition dirs under _stream/ (deepest first). The
     // emptiness check races a concurrent commit mirroring into the same
     // partition dir — losing that race is fine (the dir stays), so the
@@ -395,6 +415,9 @@ object CommitLog {
   def readStream(spark: SparkSession, table: String): DataFrame = {
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
+    // a table with no mirrored commit yet has no _stream/ dir; the file
+    // source throws at query START on a missing path, so pre-create it
+    Files.createDirectories(Paths.get(table).resolve(StreamDir))
     spark.readStream.schema(m.schema).parquet(s"$table/$StreamDir")
   }
 
@@ -455,7 +478,7 @@ object CommitLog {
           zorderBy.map(org.apache.spark.sql.functions.col), numPartitions = Some(parts))
       else base.coalesce(parts)
     val newFiles = writeDataDir(snap, Paths.get(table), partitionBy)
-    publishRewrite(table, m, newFiles)
+    publishRewrite(table, m, newFiles, mode = "compact")
   }
 
   /** Incremental bin-pack compaction — the commit-hot-path tier of
@@ -492,7 +515,7 @@ object CommitLog {
     val folded = readManifest(spark, table, m.copy(files = fold.flatMap(_._2)))
       .coalesce(parts)
     val newFiles = writeDataDir(folded, tableDir, partitionBy)
-    publishRewrite(table, m, keep.flatMap(_._2) ++ newFiles)
+    publishRewrite(table, m, keep.flatMap(_._2) ++ newFiles, mode = "compact")
   }
 
   /** Copy-on-write DELETE (Delta `DELETE FROM t WHERE cond`): remove the
@@ -612,8 +635,14 @@ object CommitLog {
     }
     val schema = mergeAdditive(Some(m.schema), source.schema)
     val tableDir = Paths.get(table)
-    // one pass over source: distinct-key check piggybacks on the key set
-    val dup = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    // one pass over source: distinct-key check piggybacks on the key set.
+    // NULL-key rows are exempt — they can never MATCH a target row (SQL
+    // NULL joins nothing), so several of them are several inserts, not
+    // "multiple source rows for one target" (groupBy would wrongly pool
+    // NULLs into one group and reject a legal source)
+    val dup = source
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).collect()
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
@@ -628,11 +657,17 @@ object CommitLog {
     val keyBounds: Seq[org.apache.spark.sql.sources.Filter] =
       if (keys.size != 1) Nil
       else {
-        import org.apache.spark.sql.functions.{max => cmax, min => cmin}
-        val r = srcKeys.agg(cmin(col(keys.head)), cmax(col(keys.head))).first()
-        if (r.isNullAt(0)) return m.version // empty source: nothing to merge
-        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(keys.head, r.get(0)),
-          org.apache.spark.sql.sources.LessThanOrEqual(keys.head, r.get(1)))
+        import org.apache.spark.sql.functions.{count => ccount, lit => clit, max => cmax, min => cmin}
+        val r = srcKeys.agg(ccount(clit(1)), cmin(col(keys.head)), cmax(col(keys.head))).first()
+        if (r.getLong(0) == 0L) return m.version // empty source: nothing to merge
+        // NULL bounds with rows present = all-NULL keys: they match no
+        // target row (SQL NULL never joins) and must INSERT as NOT
+        // MATCHED — the semi-join probe finds nothing touched and the
+        // whole source lands as new rows; dropping them (the old "empty
+        // source" early return keyed on min alone) lost data
+        if (r.isNullAt(1)) Nil
+        else Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(keys.head, r.get(1)),
+          org.apache.spark.sql.sources.LessThanOrEqual(keys.head, r.get(2)))
       }
     val candidates = m.copy(files = pruneFiles(table, m, keyBounds))
     val touched = touchedFiles(
@@ -805,6 +840,11 @@ object CommitLog {
     if (all.size <= keepVersions) return 0L
     val (drop, keep) = all.splitAt(all.size - keepVersions)
     val referenced = keep.flatMap(v => manifest(table, v).files).toSet
+    // commit dirs still holding referenced files keep their stats sidecar:
+    // the sidecar is never manifest-listed, so without this carve-out the
+    // sweep would delete it and silently disable file-level skipping for
+    // every surviving file in the dir
+    val liveDirs = referenced.map(_.split("/").take(2).mkString("/"))
     val tableDir = Paths.get(table)
     val dataRoot = tableDir.resolve("data")
     val cutoff = System.currentTimeMillis() - minAgeMillis
@@ -814,6 +854,11 @@ object CommitLog {
         _.iterator().asScala
           .filter(Files.isRegularFile(_))
           .filter(p => !referenced.contains(tableDir.relativize(p).toString))
+          .filter { p =>
+            val rel = tableDir.relativize(p).toString
+            !(p.getFileName.toString == FileStats.SidecarName &&
+              liveDirs.contains(rel.split("/").take(2).mkString("/")))
+          }
           .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
           .toSeq
       }.foreach { p => Files.delete(p); deleted += 1 }
@@ -871,6 +916,11 @@ object CommitLog {
     val cdcFinal = cdcTmp.map { t =>
       val dst = Paths.get(table).resolve(CdcDir).resolve(f"$version%020d")
       Files.createDirectories(dst.getParent)
+      // a crash between a previous attempt's move and ITS link leaves an
+      // orphan at this (still-unclaimed) version — evict it, or every
+      // later mutation recomputing version N would throw on the move and
+      // the table's mutations would brick until fsckClean's age gate
+      if (Files.exists(dst)) deleteTree(dst)
       Files.move(t, dst)
       dst
     }
@@ -928,24 +978,29 @@ object CommitLog {
         else clit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val parts = ((fromVersion + 1) to to).map { v =>
+    val parts = ((fromVersion + 1) to to).flatMap { v =>
       val man = manifest(table, v)
       val cdcPath = tableDir.resolve(CdcDir).resolve(f"$v%020d")
       man.mode match {
+        // a compaction rewrites the same rows into different files — zero
+        // row-level changes, so the feed skips it instead of refusing;
+        // incremental consumers survive the auto-compaction every ~32-64
+        // appends (only genuine overwrites still force a snapshot rebuild)
+        case "compact" => None
         case "append" =>
           val baseFiles =
             if (v == 1) Set.empty[String]
             else manifest(table, v - 1).files.toSet
           val added = man.files.filterNot(baseFiles)
-          alignedTo(readManifest(spark, table, man.copy(files = added))
+          Some(alignedTo(readManifest(spark, table, man.copy(files = added))
             .withColumn(ChangeTypeCol, clit("insert")))
-            .withColumn(CommitVersionCol, clit(v))
+            .withColumn(CommitVersionCol, clit(v)))
         case "delete" | "update" | "merge" =>
           if (!Files.isDirectory(cdcPath))
             throw new IllegalStateException(
               s"version $v (${man.mode}) predates the change feed; rebuild from the snapshot")
-          alignedTo(spark.read.parquet(cdcPath.toString))
-            .withColumn(CommitVersionCol, clit(v))
+          Some(alignedTo(spark.read.parquet(cdcPath.toString))
+            .withColumn(CommitVersionCol, clit(v)))
         case other =>
           throw new IllegalStateException(
             s"version $v is a '$other' rewrite — not expressible as row changes; " +

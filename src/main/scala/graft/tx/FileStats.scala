@@ -152,8 +152,8 @@ object FileStats {
       val eq = seg.indexOf('=')
       if (eq <= 0) None
       else {
-        val k = dec(seg.substring(0, eq))
-        val raw = dec(seg.substring(eq + 1))
+        val k = hiveUnescape(seg.substring(0, eq))
+        val raw = hiveUnescape(seg.substring(eq + 1))
         if (raw == "__HIVE_DEFAULT_PARTITION__")
           Some(k -> ColStats("string", None, None, nulls = 1L, values = 1L))
         else {
@@ -312,4 +312,25 @@ object FileStats {
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Hive partition-segment unescape: ONLY `%XX` sequences decode (Spark's
+    * `unescapePathName`). URLDecoder would also turn '+' into a space —
+    * Spark does NOT escape '+', so a partition value `a+b` round-tripped
+    * through URLDecoder would become `a b`, mis-bounding the file and
+    * silently excluding it from mutations and pruned reads. */
+  private def hiveUnescape(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) | lo).toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

@@ -129,6 +129,20 @@ class CommitLogSpec extends SparkSpec {
     assert(snap.select("event_id").as[Long].collect().sorted === Seq(1L, 2L))
   }
 
+  test("readStream starts on a table with no mirrored commit yet (empty feed)") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1, "a")).toDF("id", "s"), t, "append") // no mirror
+    // regression: _stream/ didn't exist and the file source threw at
+    // query start; now it pre-creates and drains an empty feed cleanly
+    val q = CommitLog.readStream(spark, t)
+      .writeStream.format("memory").queryName("empty_feed")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_emptyfeed").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("empty_feed").count() === 0L)
+  }
+
   test("compaction merges small files into few, keeps rows and time travel") {
     val t = freshTable()
     // 10 tiny commits → >= 10 data files
@@ -192,8 +206,9 @@ class CommitLogSpec extends SparkSpec {
     val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
     // plan width == distinct commit dirs == scan nodes in the union
     assert(commitDirs(m) <= 8, s"snapshot spans ${commitDirs(m)} commit dirs")
-    // the rewrites are real overwrite versions in the chain
-    assert(CommitLog.versions(t).exists(v => CommitLog.manifest(t, v).mode == "overwrite"))
+    // the rewrites are real compaction versions in the chain (a dedicated
+    // mode, so the change feed can SKIP them instead of refusing)
+    assert(CommitLog.versions(t).exists(v => CommitLog.manifest(t, v).mode == "compact"))
     // and no row was lost or duplicated across the rewrites
     assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 30))
   }

@@ -104,6 +104,38 @@ class FileStatsSpec extends SparkSpec {
     assert(CommitLog.readPruned(spark, t, col("p") === 2).count() === 25L)
   }
 
+  test("partition values containing '+' prune correctly (hive unescape, not URL-decode)") {
+    val t = freshTable()
+    // Spark does NOT escape '+' in partition paths; URLDecoder would read
+    // 'a+b' back as 'a b', mis-bound the file, and silently exclude it
+    // from mutations and pruned reads
+    val df = Seq((1L, "a+b"), (2L, "a+b"), (3L, "c d"), (4L, "x%y")).toDF("id", "p")
+    CommitLog.commit(df, t, "append", partitionBy = Seq("p"))
+    val m = CommitLog.manifest(t, 1L)
+    assert(CommitLog.pruneFiles(t, m, Seq(EqualTo("p", "a+b"))).nonEmpty)
+    assert(CommitLog.readPruned(spark, t, col("p") === "a+b").count() === 2L)
+    assert(CommitLog.readPruned(spark, t, col("p") === "c d").count() === 1L)
+    assert(CommitLog.readPruned(spark, t, col("p") === "x%y").count() === 1L)
+    val v = CommitLog.delete(spark, t, col("p") === "a+b")
+    assert(v === 2L && CommitLog.read(spark, t).count() === 2L)
+  }
+
+  test("vacuum keeps the stats sidecars of dirs with surviving files") {
+    val t = freshTable()
+    val m = seedRanged(t)
+    CommitLog.commit((100 until 125).map(i => (i.toLong, s"s$i", 4)).toDF("id", "s", "bucket"),
+      t, "append") // v5; v1-v4's dirs stay fully referenced
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true)
+    // the sweep must not delete live dirs' sidecars (they are never
+    // manifest-listed) — skipping would silently die table-wide otherwise
+    m.files.map(_.split("/").take(2).mkString("/")).distinct.foreach { d =>
+      assert(Files.exists(Paths.get(t).resolve(d).resolve(FileStats.SidecarName)),
+        s"sidecar of live dir $d was vacuumed")
+    }
+    val latest = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(CommitLog.pruneFiles(t, latest, Seq(EqualTo("id", 7L))).size === 1)
+  }
+
   test("multi-row-group files merge stats across blocks (min of mins, max of maxes)") {
     val t = freshTable()
     // tiny block size forces several row groups in one file; the sidecar

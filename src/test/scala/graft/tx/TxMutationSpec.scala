@@ -116,6 +116,37 @@ class TxMutationSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot add column"))
   }
 
+  test("merge inserts NULL-key source rows as NOT MATCHED (never drops them)") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, "a")).toDF("id", "s"), t, "append")
+    // regression: the key-bounds pre-filter's early return keyed on
+    // min==NULL alone, which silently dropped an all-NULL-key source
+    val allNull = Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("id", "s")
+    CommitLog.merge(spark, t, allNull, Seq("id"))
+    val snap = CommitLog.read(spark, t)
+    assert(snap.count() === 3L)
+    assert(snap.filter(col("id").isNull).count() === 2L)
+    assert(snap.filter(col("id") === 1L).select("s").as[String].head() === "a")
+    // and a genuinely empty source is still a no-op
+    val v = CommitLog.latestVersion(t).get
+    assert(CommitLog.merge(spark, t,
+      Seq.empty[(Long, String)].toDF("id", "s"), Seq("id")) === v)
+  }
+
+  test("applyCounts with a txn watermark ignores a replayed slice") {
+    val base = freshTable()
+    val agg = freshTable()
+    CommitLog.commit(Seq((1L, "x"), (2L, "y")).toDF("id", "g"), base, "append")
+    CommitLog.commit(Seq.empty[(String, Long)].toDF("g", "n"), agg, "append")
+    val feed = CommitLog.changeFeed(spark, base, 0L)
+    ChangeApply.applyCounts(spark, agg, feed, Seq("g"), txn = Some(("ivm", 1L)))
+    // the replayed slice (same appId+batchId) must re-apply NOTHING
+    ChangeApply.applyCounts(spark, agg, feed, Seq("g"), txn = Some(("ivm", 1L)))
+    assert(CommitLog.read(spark, agg).as[(String, Long)].collect().toMap
+      === Map("x" -> 1L, "y" -> 1L))
+  }
+
   test("merge rejects duplicate source keys (Delta's multiple-source-rows error)") {
     val t = freshTable()
     seedRanged(t)
@@ -174,9 +205,19 @@ class TxMutationSpec extends SparkSpec {
       (4L, "update_postimage", 3L, "C"), (4L, "update_preimage", 3L, "c"),
       (5L, "insert", 5L, "e"),
       (5L, "update_postimage", 4L, "D"), (5L, "update_preimage", 4L, "d")))
-    // a partial range reads only its versions; a compaction rewrite refuses
+    // a partial range reads only its versions
     assert(CommitLog.changeFeed(spark, t, 4L).count() === 3L)
+    // a compaction is row-preserving: the feed SKIPS it (zero changes) —
+    // incremental consumers survive the auto-compaction cadence...
     CommitLog.compact(spark, t)
+    assert(CommitLog.changeFeed(spark, t, 4L).count() === 3L)
+    // ...and appends after it still derive their inserts exactly
+    CommitLog.commit(Seq((7L, "g")).toDF("id", "s"), t, "append")
+    assert(CommitLog.changeFeed(spark, t, 4L)
+      .filter(col(CommitLog.ChangeTypeCol) === "insert")
+      .select("id").as[Long].collect().sorted === Seq(5L, 7L))
+    // a genuine overwrite is a data change no feed row can express
+    CommitLog.commit(Seq((1L, "reset")).toDF("id", "s"), t, "overwrite")
     val e = intercept[IllegalStateException] { CommitLog.changeFeed(spark, t, 4L) }
     assert(e.getMessage.contains("rewrite"))
     // vacuum reclaims the dropped versions' change rows with their manifests
