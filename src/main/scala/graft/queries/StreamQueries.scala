@@ -58,7 +58,7 @@ object StreamQueries {
           .parquet(landing),
         table, s"$root/ck_bronze", appId = "graft-medallion", mirror = true)
         .start()
-      in.awaitTermination(300000)
+      drain(in)
 
       // stage 2: an independent streaming job subscribes to the committed
       // insertions feed and maintains the silver aggregate
@@ -70,7 +70,7 @@ object StreamQueries {
         .outputMode("complete")
         .option("checkpointLocation", s"$root/ck_silver")
         .trigger(Trigger.AvailableNow()).start()
-      out.awaitTermination(300000)
+      drain(out)
 
       val silverPath = s"$root/silver"
       s.table(silverName).write.mode("overwrite").parquet(silverPath)
@@ -80,6 +80,18 @@ object StreamQueries {
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Drain an AvailableNow query and FAIL LOUDLY if it didn't finish or
+    * died (round-5 ADVICE, low): a swallowed timeout/failure here would
+    * dump a partial memory-sink table, cache it for the process lifetime,
+    * and surface at the oracle gate as a spurious engine mismatch instead
+    * of the real error. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 300000): Unit = {
+    val finished = q.awaitTermination(timeoutMs)
+    q.exception.foreach(e => throw e)
+    require(finished, s"streaming query ${q.name} did not finish within ${timeoutMs} ms")
   }
 
   /** sfDir → path of the streamed-dedup output parquet. The landing is the
@@ -114,7 +126,7 @@ object StreamQueries {
         .outputMode("complete")
         .option("checkpointLocation", s"$root/ck")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      drain(q)
       val outPath = s"$root/out"
       s.table(outName).write.mode("overwrite").parquet(outPath)
       outPath

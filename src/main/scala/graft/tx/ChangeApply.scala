@@ -42,6 +42,16 @@ object ChangeApply {
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
     val delta = feed.groupBy(keys.map(col): _*).agg(sum(sign).as("__dn"))
       .filter(col("__dn") =!= 0L)
+    // NULL group keys are rejected, not folded (round-5 ADVICE, low): a
+    // NULL-key delta row can never MATCH in CommitLog.merge (SQL NULL joins
+    // nothing), so every applied slice would INSERT a fresh NULL-key row
+    // instead of updating the prior one — the rollup would accumulate
+    // duplicates the zero-sweep can't reconcile. Callers maintaining a
+    // NULL-able dimension must coalesce it to a sentinel first.
+    val nullKeyed = delta.filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).collect()
+    require(nullKeyed.isEmpty,
+      s"applyCounts cannot fold NULL group keys (row ${nullKeyed.headOption.orNull}); " +
+        "coalesce the key to a sentinel value in the feed first")
     val current = CommitLog.read(spark, aggTable)
     val merged = delta.join(current, keys, "left_outer")
       .select(keys.map(col) :+

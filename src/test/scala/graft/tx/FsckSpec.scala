@@ -70,4 +70,52 @@ class FsckSpec extends SparkSpec {
     // the table itself was never touched
     assert(CommitLog.read(spark, t).count() === 3L)
   }
+
+  test("a crashed cdc slot move is pendingCdc, readable, and repairCdc completes it") {
+    val t = freshTable()
+    seed(t)
+    val v = CommitLog.delete(spark, t, col("id") === 1L)
+    val man = CommitLog.manifest(t, v)
+    assert(man.cdcName.isDefined) // manifest records the attempt dir
+    // simulate the crash window: the manifest linked but the slot move never
+    // ran — put the rows back at the attempt-unique dir
+    val cdcRoot = Paths.get(t).resolve("_cdc")
+    Files.move(cdcRoot.resolve(f"$v%020d"), cdcRoot.resolve(man.cdcName.get))
+    val report = CommitLog.fsck(t)
+    assert(report.pendingCdc === Seq(v))
+    assert(report.missingCdc.isEmpty) // rows are safe, not lost
+    // changeFeed serves the pending rows straight from the manifest
+    val feed = CommitLog.changeFeed(spark, t, v - 1, Some(v))
+    assert(feed.filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 1L)
+    assert(CommitLog.repairCdc(t) === 1L)
+    assert(CommitLog.fsck(t).clean)
+    // and the published slot serves the same rows after the repair
+    assert(CommitLog.changeFeed(spark, t, v - 1, Some(v))
+      .filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 1L)
+    assert(CommitLog.repairCdc(t) === 0L) // idempotent
+  }
+
+  test("a mutation whose change rows are truly gone is missingCdc") {
+    val t = freshTable()
+    seed(t)
+    val v = CommitLog.delete(spark, t, col("id") === 1L)
+    CommitLog.deleteTree(Paths.get(t).resolve("_cdc").resolve(f"$v%020d"))
+    val report = CommitLog.fsck(t)
+    assert(report.missingCdc === Seq(v))
+    intercept[IllegalStateException] {
+      CommitLog.changeFeed(spark, t, v - 1, Some(v)).count()
+    }
+  }
+
+  test("a lost mirror step is flagged unmirrored; repairMirror clears it") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, "a")).toDF("id", "s"), t, "append", mirror = true)
+    val v2 = CommitLog.commit(Seq((2L, "b")).toDF("id", "s"), t, "append", mirror = true)
+    assert(CommitLog.fsck(t).unmirrored.isEmpty)
+    // simulate the swallowed mirror failure: v2's ledger entry never landed
+    Files.delete(Paths.get(t).resolve("_stream/_ledger").resolve(f"$v2%020d"))
+    assert(CommitLog.fsck(t).unmirrored === Seq(v2))
+    CommitLog.repairMirror(t)
+    assert(CommitLog.fsck(t).unmirrored.isEmpty)
+  }
 }

@@ -134,6 +134,54 @@ class TxMutationSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("id", "s"), Seq("id")) === v)
   }
 
+  test("update with a non-deterministic SET publishes post-images matching the committed data") {
+    val t = freshTable()
+    seedRanged(t)
+    // rand() is the adversarial case (round-5 ADVICE, low): evaluating SET
+    // once for the data files and again for the CDC post-images would
+    // publish post-images disagreeing with what was committed
+    val v = CommitLog.update(spark, t, col("id") < 10,
+      Map("s" -> concat(lit("r"), (rand() * 1e9).cast("long").cast("string"))))
+    val committed = CommitLog.read(spark, t).filter(col("id") < 10)
+      .select("id", "s").as[(Long, String)].collect().toMap
+    val postImages = CommitLog.changeFeed(spark, t, v - 1, Some(v))
+      .filter(col(CommitLog.ChangeTypeCol) === "update_postimage")
+      .select("id", "s").as[(Long, String)].collect().toMap
+    assert(postImages.keySet === committed.keySet)
+    assert(postImages === committed)
+  }
+
+  test("update condition is evaluated on the OLD row even when SET rewrites its column") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 5.0), (2L, 9.8), (3L, 20.0)).toDF("id", "v"), t, "append")
+    // 9.8 + 1.0 = 10.8 no longer satisfies v < 10; the post-image must
+    // still carry it (hit is decided pre-update, SQL UPDATE semantics)
+    val ver = CommitLog.update(spark, t, col("v") < 10.0, Map("v" -> (col("v") + 1.0)))
+    assert(CommitLog.read(spark, t).orderBy("id").select("v").as[Double].collect()
+      === Seq(6.0, 10.8, 20.0))
+    assert(CommitLog.changeFeed(spark, t, ver - 1, Some(ver))
+      .filter(col(CommitLog.ChangeTypeCol) === "update_postimage")
+      .count() === 2L)
+  }
+
+  test("applyCounts rejects NULL group keys in the folded delta") {
+    val base = freshTable()
+    val agg = freshTable()
+    CommitLog.commit(Seq((1L, Option("x")), (2L, Option.empty[String]))
+      .toDF("id", "g"), base, "append")
+    CommitLog.commit(Seq.empty[(String, Long)].toDF("g", "n"), agg, "append")
+    val e = intercept[IllegalArgumentException] {
+      ChangeApply.applyCounts(spark, agg,
+        CommitLog.changeFeed(spark, base, 0L), Seq("g"))
+    }
+    assert(e.getMessage.contains("NULL group keys"))
+    // a coalesced feed folds fine
+    ChangeApply.applyCounts(spark, agg,
+      CommitLog.changeFeed(spark, base, 0L)
+        .withColumn("g", coalesce(col("g"), lit("__null__"))), Seq("g"))
+    assert(CommitLog.read(spark, agg).count() === 2L)
+  }
+
   test("applyCounts with a txn watermark ignores a replayed slice") {
     val base = freshTable()
     val agg = freshTable()
