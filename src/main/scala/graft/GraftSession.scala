@@ -35,6 +35,10 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT96 (Spark's legacy default) writes NO usable footer min/max, which
+      // would blind the commit log's file-level data skipping on time
+      // predicates — the reference's dominant filter shape
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
 
   /** Local session for tools/exploration: `local[cores]` with the same

