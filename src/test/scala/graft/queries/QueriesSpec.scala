@@ -72,6 +72,28 @@ class QueriesSpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("packSequences output is invariant across prefix-sum widths") {
+    // the two-phase prefix sum claims partitioning-independence; prove it
+    // (round-5 VERDICT item 2): identical (seq_id, n_docs, n_tokens) rows
+    // at width 3, width 8, and a width larger than the row count
+    import graft.ext.TextStats
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextStats.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0)
+    val at3 = TextQueries.packSequences(toks, ctx = 512, width = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val at8 = TextQueries.packSequences(toks, ctx = 512, width = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    val wide = TextQueries.packSequences(toks, ctx = 512, width = 10000)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(at3.nonEmpty)
+    assert(at3 === at8)
+    assert(at3 === wide)
+    // packing conservation: total packed tokens == total corpus tokens
+    val total = toks.agg(sum(col("n"))).as[Long].head()
+    assert(at3.map(_._3).sum === total)
+  }
+
   test("decontaminate equals a driver-side string-shingle recompute") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
