@@ -61,6 +61,25 @@ object TxQueries {
   private val builtMut = new ConcurrentHashMap[String, (String, Long, Long, Long)]()
   private val builtIncrAgg = new ConcurrentHashMap[String, String]()
 
+  /** Table whose history spans a PLAIN OVERWRITE (the reference's prod
+    * bronze path, `save_to_raw_delta_prod.py:143`): v1 appends the even-id
+    * slice, v2 overwrites with the %3==0 slice — ids divisible by 6 survive
+    * identically across the overwrite and must emit NO change row. */
+  private val builtOvw = new ConcurrentHashMap[String, String]()
+
+  private def ensureOvwTable(s: SparkSession, d: String): String =
+    builtOvw.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txovw_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 0), table, "append")
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(3)) === 0), table, "overwrite")
+      table
+    })
+
   private def ensureMutTable(s: SparkSession, d: String): (String, Long, Long, Long) =
     builtMut.computeIfAbsent(d, _ => {
       val tag = java.lang.Integer.toHexString(d.hashCode)
@@ -211,6 +230,22 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // CDC across a plain overwrite (round-5 VERDICT item 3): with
+    // overwriteDiff the feed derives the overwrite as a snapshot diff —
+    // rows gone emit delete, rows new emit insert, rows surviving
+    // IDENTICALLY (ids % 6 == 0 here) emit nothing. The oracle recomputes
+    // every (version, change_type) count from the source parquet, so an
+    // over-wide diff (emitting unchanged rows) or a lost delete flips the
+    // hash.
+    "tx_change_feed_overwrite" -> ((s, d) => {
+      val table = ensureOvwTable(s, d)
+      CommitLog.changeFeed(s, table, 0L, overwriteDiff = true)
+        .groupBy(col(CommitLog.CommitVersionCol).as("v"),
+          col(CommitLog.ChangeTypeCol).as("ct"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("v", "ct")
+    }),
+
     // Data-skipping snapshot read (the commit log's footer-stats sidecars):
     // readPruned drops whole files whose [min,max] exclude the predicate,
     // then filters row-level — the result must be EXACTLY the plain
@@ -334,6 +369,17 @@ object TxQueries {
            SELECT 4, 'update_postimage',
              count(*) + count(*) FILTER (WHERE event_id % 10 = 4)
            FROM events WHERE event_type = 'signup')
+         ORDER BY v, ct""",
+    "tx_change_feed_overwrite" ->
+      """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
+           SELECT 1 AS v, 'insert' AS ct, count(*) AS n
+             FROM events WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT 2, 'delete', count(*)
+             FROM events WHERE event_id % 2 = 0 AND event_id % 3 <> 0
+           UNION ALL
+           SELECT 2, 'insert', count(*)
+             FROM events WHERE event_id % 3 = 0 AND event_id % 2 <> 0)
          ORDER BY v, ct""",
     "tx_read_pruned" ->
       """SELECT count(*) AS n_events,

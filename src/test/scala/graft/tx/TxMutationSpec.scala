@@ -336,6 +336,48 @@ class TxMutationSpec extends SparkSpec {
     assert(CommitLog.latestVersion(agg).get === v)
   }
 
+  test("changeFeed derives an overwrite as a minimal snapshot diff when opted in") {
+    val t = freshTable()
+    // v1: a,a,b,c — duplicate 'a' rows exercise BAG semantics
+    CommitLog.commit(Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "s"), t, "append")
+    // v2 overwrite: one 'a' dropped, 'b' survives identically, 'c' → 'C',
+    // new column tag appears (schema-evolving overwrite)
+    CommitLog.commit(Seq((1L, "a", "t1"), (2L, "b", null), (3L, "C", "t3"))
+      .toDF("id", "s", "tag"), t, "overwrite")
+    // default contract unchanged: refuse, pointing at the opt-in
+    val e = intercept[IllegalStateException] {
+      CommitLog.changeFeed(spark, t, 0L).count()
+    }
+    assert(e.getMessage.contains("overwriteDiff"))
+    val feed = CommitLog.changeFeed(spark, t, 0L, overwriteDiff = true)
+      .filter(col(CommitLog.CommitVersionCol) === 2L)
+      .select(col("id"), col("s"), col("tag"), col(CommitLog.ChangeTypeCol))
+      .as[(Long, String, Option[String], String)].collect()
+      .sortBy(r => (r._1, r._2, r._3.getOrElse(""), r._4)).toSeq
+    // identical survivor (2,b,NULL-aligned) emits nothing; both duplicate
+    // 'a' rows differ from the new (a,t1) on the evolved column, so both
+    // delete and the new row inserts; c→C is delete+insert
+    assert(feed === Seq(
+      (1L, "a", None, "delete"),
+      (1L, "a", None, "delete"),
+      (1L, "a", Some("t1"), "insert"),
+      (3L, "C", Some("t3"), "insert"),
+      (3L, "c", None, "delete")))
+    // bag multiplicity: overwriting a,a with a,a,a emits exactly ONE insert
+    val t3 = freshTable()
+    CommitLog.commit(Seq((9L, "z"), (9L, "z")).toDF("id", "s"), t3, "append")
+    CommitLog.commit(Seq((9L, "z"), (9L, "z"), (9L, "z")).toDF("id", "s"), t3, "overwrite")
+    val d3 = CommitLog.changeFeed(spark, t3, 1L, overwriteDiff = true)
+      .select(col(CommitLog.ChangeTypeCol)).as[String].collect().toSeq
+    assert(d3 === Seq("insert"))
+    // and a same-schema overwrite whose rows all survive emits NOTHING
+    val t2 = freshTable()
+    CommitLog.commit(Seq((1L, "x")).toDF("id", "s"), t2, "append")
+    CommitLog.commit(Seq((1L, "x")).toDF("id", "s"), t2, "overwrite")
+    assert(CommitLog.changeFeed(spark, t2, 1L, overwriteDiff = true).count() === 0L)
+  }
+
   test("changesSince refuses ranges containing a delete or merge") {
     val t = freshTable()
     seedRanged(t)
