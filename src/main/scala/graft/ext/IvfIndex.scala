@@ -111,19 +111,32 @@ object IvfIndex {
       nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cacheKey: Option[String] = None): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val idx = build(corpus, nCells, idCol, vecCol, cacheKey)
-    val centroids = idx.centroids.toDF("__cell", "__centroid")
+    probeTopK(
+      idx.assigned.select(col(idCol), col(vecCol), col("__cell")),
+      idx.centroids, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** The probe/rerank half of IVF query answering, shared by the in-memory
+    * index above and the commit-log-persisted [[IvfStore]]: rank centroids
+    * per query, keep the `nProbe` best cells, bucket-join the (already
+    * cell-assigned) corpus against the broadcast probe set, exact-cosine
+    * rerank inside. `assigned` must carry (idCol, vecCol, `__cell`). */
+  private[ext] def probeTopK(assigned: DataFrame, centroids: Seq[(Int, Array[Float])],
+      queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centroidsDf = centroids.toDF("__cell", "__centroid")
     val probeW = Window.partitionBy("query_id").orderBy(col("__cdist").desc, col("__cell"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centroidsDf))
       .withColumn("__cdist", Similarity.cosine(col("__qv"), col("__centroid")))
       .withColumn("__crank", row_number().over(probeW))
       .filter(col("__crank") <= nProbe)
       .select("query_id", "__qv", "__cell")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    idx.assigned
+    assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cell"))
       .join(broadcast(probes), "__cell")
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tx.CommitLog
+
+/** IVF index PERSISTED as commit-log tables and maintained from the base
+  * table's change feed (round-5 VERDICT item 5). At 100 TB the index IS the
+  * artifact: the full-corpus assignment pass is the expensive step, and the
+  * per-JVM session cache in [[IvfIndex]] throws it away at process exit.
+  * Here the index lives on storage:
+  *
+  * {{{
+  *   <indexRoot>/centroids   (cell INT, centroid ARRAY<FLOAT>)
+  *   <indexRoot>/assigned    (<idCol>, <vecCol>, cell INT)
+  * }}}
+  *
+  * The covered base version rides on the `assigned` table as a transaction
+  * watermark (appId [[AppId]]) — CommitLog's own exactly-once primitive —
+  * so [[refresh]] folds ONLY the base's insertions since the watermark
+  * through an assign-only pass (broadcast-centroid argmin, NO refit, cost
+  * O(delta × nCells)), and a replayed refresh is a no-op. Queries
+  * ([[topK]]) read both tables fresh each call: a new session (process
+  * restart, another executor fleet) answers immediately without refitting,
+  * which is the whole point.
+  *
+  * Centroids intentionally stay FROZEN across refreshes (the standard IVF
+  * maintenance contract): appended vectors are binned into existing cells,
+  * and recall degrades only if the data distribution drifts — at which
+  * point [[build]] is the explicit re-index maintenance op, exactly like
+  * `compact` is for the commit log's file layout. Deletes/updates in the
+  * base are refused (the slice throws) — rebuild, or delete from
+  * `assigned` through the same CommitLog mutations a caller uses on any
+  * table. */
+object IvfStore {
+
+  /** Writer id for the version watermark on `assigned`. */
+  val AppId = "graft-ivf"
+
+  private def centroidsTable(root: String) = s"$root/centroids"
+  private def assignedTable(root: String) = s"$root/assigned"
+
+  /** Fit + assign the FULL base snapshot and publish both tables; returns
+    * the covered base version. One sampled quantizer fit + one assignment
+    * pass over the corpus — the bounded one-time index-build cost. */
+  def build(spark: SparkSession, baseTable: String, indexRoot: String,
+      nCells: Int = 16, idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val baseVersion = CommitLog.latestVersion(baseTable).getOrElse(
+      throw new IllegalArgumentException(s"$baseTable has no committed versions"))
+    val corpus = CommitLog.read(spark, baseTable)
+    val idx = IvfIndex.build(corpus, nCells, idCol, vecCol)
+    import spark.implicits._
+    CommitLog.commit(idx.centroids.toDF("cell", "centroid"),
+      centroidsTable(indexRoot), "overwrite")
+    CommitLog.commit(
+      idx.assigned.select(col(idCol), col(vecCol), col("__cell").as("cell")),
+      assignedTable(indexRoot), "overwrite", txn = Some((AppId, baseVersion)))
+    baseVersion
+  }
+
+  /** Base version the index currently covers (the txn watermark). */
+  def coveredVersion(indexRoot: String): Option[Long] =
+    CommitLog.txnVersion(assignedTable(indexRoot), AppId)
+
+  /** Fold the base table's insertions since the covered watermark into the
+    * index WITHOUT refitting: each new vector is assigned to its nearest
+    * frozen centroid (squared Euclidean — the same metric the k-means fit
+    * assigns by) via a crossJoin against the broadcast centroid literals,
+    * then appended with the new watermark. O(delta × nCells), never a
+    * corpus pass. Idempotent per base version; returns the newly covered
+    * version (unchanged when the index is already current). Throws if the
+    * slice contains anything but insertions — rebuild on mutation. */
+  def refresh(spark: SparkSession, baseTable: String, indexRoot: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val covered = coveredVersion(indexRoot).getOrElse(
+      throw new IllegalStateException(s"$indexRoot has no built index; run build first"))
+    val latest = CommitLog.latestVersion(baseTable).getOrElse(
+      throw new IllegalArgumentException(s"$baseTable has no committed versions"))
+    if (latest <= covered) return covered
+    val feed = CommitLog.changeFeed(spark, baseTable, covered, Some(latest))
+    val nonInsert = feed.filter(col(CommitLog.ChangeTypeCol) =!= "insert").limit(1).collect()
+    if (nonInsert.nonEmpty)
+      throw new IllegalStateException(
+        s"base slice ($covered, $latest] contains ${nonInsert.head.toString}; " +
+          "an IVF index folds insertions only — rebuild after mutations")
+    val fresh = feed.select(col(idCol), col(vecCol))
+    val centroids = CommitLog.read(spark, centroidsTable(indexRoot))
+    // squared Euclidean argmin over ≤ nCells broadcast rows per new vector;
+    // float subtraction promotes through the double accumulator, matching
+    // the fit's own assignment metric
+    val dist = aggregate(
+      zip_with(col(vecCol), col("centroid"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+    val w = Window.partitionBy(idCol).orderBy(col("__dist").asc, col("cell").asc)
+    val assignedDelta = fresh.crossJoin(broadcast(centroids))
+      .withColumn("__dist", dist)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+    CommitLog.commit(assignedDelta, assignedTable(indexRoot), "append",
+      txn = Some((AppId, latest)))
+    latest
+  }
+
+  /** Answer queries from the PERSISTED index — no fit, no session cache;
+    * any process with the storage answers immediately. Same probe/rerank
+    * plan as [[IvfIndex.topK]]. */
+  def topK(spark: SparkSession, indexRoot: String, queries: DataFrame, k: Int,
+      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = CommitLog.read(spark, assignedTable(indexRoot))
+      .withColumnRenamed("cell", "__cell")
+    val centroids = CommitLog.read(spark, centroidsTable(indexRoot))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    IvfIndex.probeTopK(assigned, centroids, queries, k, nProbe, idCol, vecCol)
+  }
+}

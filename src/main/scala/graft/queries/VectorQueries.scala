@@ -66,9 +66,52 @@ object VectorQueries {
         cacheKey = Some(d)),
       IvfMinRecall)),
 
+    // PERSISTED IVF (round-5 VERDICT item 5): the index lives as commit-log
+    // tables, not a session cache — built on 90% of the corpus, the last
+    // tenth appended to the base afterwards and folded in by an assign-only
+    // refresh from the change feed (no refit). The query answers purely
+    // from storage (recall floor vs the exact top-5 over the FULL corpus,
+    // held-out vectors included — a lost refresh or a stale watermark
+    // drops them from cells and craters recall). Restart semantics and
+    // watermark idempotence are IvfStoreSpec's asserts.
+    "ann_topk_ivf_persist" -> ((s, d) => recallCheck(
+      Similarity.topKExact(embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5),
+      graft.ext.IvfStore.topK(s, ensurePersistIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") < 20), k = 5),
+      IvfMinRecall)),
+
     // int8 quantization fidelity (see quantizedRecallQuery).
     "embed_quantize_int8" -> ((s, d) => quantizedRecallQuery(s, d)),
   )
+
+  /** sf dir → root of the persisted IVF index, built once per session over
+    * a commit-log base table: commit 90% of embeddings → build → append the
+    * held-out tenth → change-feed refresh. Pid-unique paths (two JVMs in
+    * one round never race each other's files). */
+  private val builtPersist = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensurePersistIndex(s: SparkSession, d: String): String =
+    builtPersist.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_${tag}_$pid"
+      def deleteRecursively(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+        f.delete(): Unit
+      }
+      deleteRecursively(new java.io.File(root))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+      val base = s"$root/base"
+      val index = s"$root/index"
+      val emb = embeddings(s, d)
+      graft.tx.CommitLog.commit(
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 7), base, "append")
+      graft.ext.IvfStore.build(s, base, index, nCells = 16)
+      graft.tx.CommitLog.commit(
+        emb.filter(pmod(col("vec_id"), lit(10)) === 7), base, "append")
+      graft.ext.IvfStore.refresh(s, base, index)
+      index
+    })
 
   /** Operator-only twins of the property-oracle queries above: the SAME
     * approximate path minus the in-query verification twin (the exact
@@ -84,6 +127,9 @@ object VectorQueries {
     "ann_topk_ivf" -> ((s, d) => graft.ext.IvfIndex.topK(
       embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5,
       cacheKey = Some(d))),
+    "ann_topk_ivf_persist" -> ((s, d) => graft.ext.IvfStore.topK(
+      s, ensurePersistIndex(s, d),
+      embeddings(s, d).filter(col("vec_id") < 20), k = 5)),
     // embed_quantize_int8 is deliberately absent: its "operator" is itself
     // a brute-force exact scan over the dequantized corpus (quantization is
     // inseparable from the scoring pass), so there is no approximate path
@@ -196,6 +242,21 @@ object VectorQueries {
            FROM scored QUALIFY rank <= 5)
          SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
     "embed_quantize_int8" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         topk AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored QUALIFY rank <= 5)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
+    "ann_topk_ivf_persist" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
              FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

@@ -53,8 +53,11 @@ class SparkEntrySpec extends SparkSpec {
     // NL join is the 1×1 crossJoin stitching three single-row aggregates
     // into the verdict row (constant-width by construction, same shape as
     // dedup_simhash's).
+    // ann_topk_ivf_persist shares ann_topk_ivf's probe shape (queries ×
+    // broadcast centroid rows, constant-width) plus the same recall-vs-exact
+    // verification twin.
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
-      "embed_neardup", "embed_neardup_lsh",
+      "ann_topk_ivf_persist", "embed_neardup", "embed_neardup_lsh",
       "embed_quantize_int8", "dedup_simhash", "decontaminate_bloom",
       "sql_scalar_subquery")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1,0 +1,111 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.tx.CommitLog
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF index: build once, answer from storage in any later
+  * process (no refit, no session cache), fold base appends in through the
+  * change feed with an idempotent watermark, refuse mutation slices. */
+class IvfStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_ivfstore").toString
+
+  private def emb = graft.queries.Tables.embeddings(spark, sf)
+
+  test("build → query from storage; appended vectors fold in via refresh without refit") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(emb.filter(pmod(col("vec_id"), lit(10)) =!= 7), base, "append")
+    val covered = IvfStore.build(spark, base, index, nCells = 16)
+    assert(covered === 1L)
+    assert(IvfStore.coveredVersion(index) === Some(1L))
+    val nBase = CommitLog.read(spark, base).count()
+    assert(CommitLog.read(spark, s"$index/assigned").count() === nBase)
+
+    // restart simulation: drop every in-memory index cache — the persisted
+    // index must answer with NOTHING in this process but the storage
+    IvfIndex.releaseCaches()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.topKExact(emb, queries, k = 5)
+    val approx = IvfStore.topK(spark, index, queries, k = 5)
+    def recall(ex: org.apache.spark.sql.DataFrame, ap: org.apache.spark.sql.DataFrame): Double = {
+      val e = ex.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val a = ap.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      e.intersect(a).size.toDouble / e.size
+    }
+    // floor vs the FULL corpus exact even though the index covers 90% yet
+    val r0 = recall(exact, approx)
+    assert(r0 >= 0.3, s"pre-refresh recall $r0")
+
+    // append the held-out tenth; refresh assigns ONLY the delta
+    CommitLog.commit(emb.filter(pmod(col("vec_id"), lit(10)) === 7), base, "append")
+    val newCovered = IvfStore.refresh(spark, base, index)
+    assert(newCovered === 2L)
+    assert(IvfStore.coveredVersion(index) === Some(2L))
+    val nAll = emb.count()
+    assert(CommitLog.read(spark, s"$index/assigned").count() === nAll)
+    // the delta landed as ONE append version, not a rewrite (no refit)
+    assert(CommitLog.manifest(s"$index/assigned", 2L).mode === "append")
+
+    // recall over the full corpus clears the production floor now
+    val r1 = recall(exact, IvfStore.topK(spark, index, queries, k = 5))
+    assert(r1 >= graft.queries.VectorQueries.IvfMinRecall, s"post-refresh recall $r1")
+    assert(r1 >= r0)
+
+    // replayed refresh is a watermark no-op: same version, no new rows
+    assert(IvfStore.refresh(spark, base, index) === 2L)
+    assert(CommitLog.latestVersion(s"$index/assigned") === Some(2L))
+    assert(CommitLog.read(spark, s"$index/assigned").count() === nAll)
+  }
+
+  test("incremental assignment bins a vector into the same cell as the fit's metric") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(emb.filter(col("vec_id") >= 20), base, "append")
+    IvfStore.build(spark, base, index, nCells = 8)
+    // re-append vectors the MODEL already assigned during build: refresh
+    // must put each copy (re-keyed) into the same cell the model chose
+    val dup = CommitLog.read(spark, base).limit(30)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    CommitLog.commit(dup, base, "append")
+    IvfStore.refresh(spark, base, index)
+    val assigned = CommitLog.read(spark, s"$index/assigned")
+    val mismatch = assigned.filter(col("vec_id") >= 1000000L)
+      .withColumn("orig_id", col("vec_id") - 1000000L)
+      .select(col("orig_id"), col("cell").as("inc_cell"))
+      .join(assigned.filter(col("vec_id") < 1000000L)
+        .select(col("vec_id").as("orig_id"), col("cell").as("fit_cell")), "orig_id")
+      .filter(col("inc_cell") =!= col("fit_cell"))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("refresh refuses a slice containing mutations; build is the re-index path") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(emb, base, "append")
+    IvfStore.build(spark, base, index, nCells = 8)
+    CommitLog.delete(spark, base, col("vec_id") === 0L)
+    val e = intercept[IllegalStateException] {
+      IvfStore.refresh(spark, base, index)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // rebuild covers the mutated snapshot and queries fine again
+    IvfStore.build(spark, base, index, nCells = 8)
+    assert(IvfStore.coveredVersion(index) === CommitLog.latestVersion(base))
+    assert(CommitLog.read(spark, s"$index/assigned").count()
+      === CommitLog.read(spark, base).count())
+    assert(IvfStore.topK(spark, index, emb.filter(col("vec_id") < 5), k = 3)
+      .count() > 0L)
+  }
+}
