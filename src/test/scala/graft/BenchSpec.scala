@@ -57,4 +57,32 @@ class BenchSpec extends SparkSpec {
     assert(j2.contains("\"operator\":{\"q_prop\":-1"))
     assert(j2.contains("\"errors\":{\"operator:q_prop\":"))
   }
+
+  test("cross-run medians aggregate per query over the history file") {
+    val hist = java.nio.file.Files.createTempDirectory("graft_bench")
+      .resolve("hist.jsonl").toString
+    def t(sec: Double) = Bench.Timing(Some(sec), None)
+    // three runs with a drifty q1 and a stable q2; q3 fails in run 2
+    val (m1, r1) = Bench.crossRunMedians(hist, "sfX",
+      Seq("q1" -> t(1.0), "q2" -> t(0.5), "q3" -> t(2.0)))
+    assert(r1 === 1 && m1("q1") === 1.0)
+    val (_, r2) = Bench.crossRunMedians(hist, "sfX",
+      Seq("q1" -> t(9.0), "q2" -> t(0.5), "q3" -> Bench.Timing(None, Some("boom"))))
+    assert(r2 === 2)
+    val (m3, r3) = Bench.crossRunMedians(hist, "sfX",
+      Seq("q1" -> t(1.2), "q2" -> t(0.6), "q3" -> t(2.2)))
+    assert(r3 === 3)
+    // median discards the 9.0 spike; failed run contributes nothing for q3
+    assert(m3("q1") === 1.2)
+    assert(m3("q2") === 0.5)
+    assert(m3("q3") === 2.2)
+    // a different sf shares the file without cross-talk
+    val (mY, rY) = Bench.crossRunMedians(hist, "sfY", Seq("q1" -> t(100.0)))
+    assert(rY === 1 && mY("q1") === 100.0)
+    // and the rendered line carries the cross-run fields
+    val json = Bench.renderJson(Seq("q1" -> t(1.2)), "sfX", Nil, m3, r3)
+    assert(json.contains("\"runs\":3"))
+    assert(json.contains("\"median_queries\":{"))
+    assert(json.contains("\"median_value\":"))
+  }
 }
