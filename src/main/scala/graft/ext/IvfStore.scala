@@ -44,7 +44,16 @@ object IvfStore {
 
   /** Fit + assign the FULL base snapshot and publish both tables; returns
     * the covered base version. One sampled quantizer fit + one assignment
-    * pass over the corpus — the bounded one-time index-build cost. */
+    * pass over the corpus — the bounded one-time index-build cost.
+    * Re-building at an UNCHANGED base version (the documented drift
+    * re-index path, e.g. a different `nCells`) must still rewrite the
+    * assignments — so the txn watermark is attached only when it ADVANCES;
+    * when the watermark already covers `baseVersion`, the overwrite
+    * commits bare and the inherited watermark stays correct (it equals
+    * this rebuild's own base version). Attaching it unconditionally would
+    * trip CommitLog's exactly-once fast path and silently SKIP the
+    * assignment rewrite while the centroids table was already replaced —
+    * a permanently inconsistent index. */
   def build(spark: SparkSession, baseTable: String, indexRoot: String,
       nCells: Int = 16, idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
     val baseVersion = CommitLog.latestVersion(baseTable).getOrElse(
@@ -52,11 +61,17 @@ object IvfStore {
     val corpus = CommitLog.read(spark, baseTable)
     val idx = IvfIndex.build(corpus, nCells, idCol, vecCol)
     import spark.implicits._
-    CommitLog.commit(idx.centroids.toDF("cell", "centroid"),
-      centroidsTable(indexRoot), "overwrite")
+    val txn =
+      if (coveredVersion(indexRoot).exists(_ >= baseVersion)) None
+      else Some((AppId, baseVersion))
     CommitLog.commit(
       idx.assigned.select(col(idCol), col(vecCol), col("__cell").as("cell")),
-      assignedTable(indexRoot), "overwrite", txn = Some((AppId, baseVersion)))
+      assignedTable(indexRoot), "overwrite", txn = txn)
+    // centroids second: a probe that races the rebuild reads old centroids
+    // with old-or-new assignments (consistent or a superset of cells),
+    // never new centroids over old cell ids
+    CommitLog.commit(idx.centroids.toDF("cell", "centroid"),
+      centroidsTable(indexRoot), "overwrite")
     baseVersion
   }
 
@@ -87,11 +102,13 @@ object IvfStore {
           "an IVF index folds insertions only — rebuild after mutations")
     val fresh = feed.select(col(idCol), col(vecCol))
     val centroids = CommitLog.read(spark, centroidsTable(indexRoot))
-    // squared Euclidean argmin over ≤ nCells broadcast rows per new vector;
-    // float subtraction promotes through the double accumulator, matching
-    // the fit's own assignment metric
+    // squared Euclidean argmin over ≤ nCells broadcast rows per new vector,
+    // in DOUBLE precision end-to-end (float subtraction would accumulate
+    // different rounding than the k-means fit's double-precision centers
+    // and could flip a near-equidistant vector into a different cell)
     val dist = aggregate(
-      zip_with(col(vecCol), col("centroid"), (x, y) => (x - y) * (x - y)),
+      zip_with(col(vecCol).cast("array<double>"),
+        col("centroid").cast("array<double>"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, e) => acc + e)
     val w = Window.partitionBy(idCol).orderBy(col("__dist").asc, col("cell").asc)
     val assignedDelta = fresh.crossJoin(broadcast(centroids))

@@ -77,11 +77,6 @@ object StreamQueries {
       silverPath
     })
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
   /** Drain an AvailableNow query and FAIL LOUDLY if it didn't finish or
     * died (round-5 ADVICE, low): a swallowed timeout/failure here would
     * dump a partial memory-sink table, cache it for the process lifetime,

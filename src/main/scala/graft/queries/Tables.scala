@@ -34,6 +34,13 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Recursive delete for the query-built scratch tables (one shared copy —
+    * three query objects used to carry private clones that could drift). */
+  private[queries] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Order-independent money sum: casting each double to DECIMAL(18,2) before
     * summing makes the aggregate exact (no float accumulation order effects),
     * so Spark and the DuckDB oracle produce bit-identical doubles. DuckDB

@@ -43,11 +43,6 @@ object TxQueries {
       (table, v1, v2)
     })
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
   /** (tablePath, vMerge, vDelete, vUpdate) for the MUTATION queries — a
     * separate table from [[ensureTable]] (whose queries pin the append-only
     * history). Built as: commit ALL events → MERGE an upsert source

@@ -95,12 +95,8 @@ object VectorQueries {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val pid = ProcessHandle.current().pid()
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_${tag}_$pid"
-      def deleteRecursively(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-        f.delete(): Unit
-      }
-      deleteRecursively(new java.io.File(root))
-      sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+      Tables.deleteRecursively(new java.io.File(root))
+      sys.addShutdownHook(Tables.deleteRecursively(new java.io.File(root)))
       val base = s"$root/base"
       val index = s"$root/index"
       val emb = embeddings(s, d)

@@ -59,7 +59,7 @@ object Maintenance {
     val latest = CommitLog.latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
     val dirs = CommitLog.manifest(table, latest).files
-      .map(_.split("/").take(2).mkString("/")).distinct.size
+      .map(CommitLog.commitDirOf).distinct.size
     val compactedTo =
       if (dirs > policy.compactWhenDirsExceed)
         Some(CommitLog.compact(spark, table, policy.partitionBy,
@@ -71,9 +71,13 @@ object Maintenance {
     // 4. version retention GC
     val vacuumed = CommitLog.vacuum(table, policy.vacuumKeepVersions,
       policy.minAgeMillis, policy.force)
-    // 5. crash-leftover sweep + final audit
+    // 5. crash-leftover sweep + final audit; the audit ignores leftovers
+    // younger than the retention window — they are indistinguishable from
+    // a concurrent writer's in-flight files, and an hourly cron must not
+    // page on a healthy table mid-commit
     val cleaned = CommitLog.fsckClean(table, policy.minAgeMillis, policy.force)
-    Report(repairedCdc, compactedTo, pruned, vacuumed, cleaned, CommitLog.fsck(table))
+    Report(repairedCdc, compactedTo, pruned, vacuumed, cleaned,
+      CommitLog.fsck(table, policy.minAgeMillis))
   }
 
   /** CLI: `Maintenance <table> [zorderCol,...] [subscriberCheckpoint]` —

@@ -251,7 +251,7 @@ object ScaleSmoke {
       val snap = graft.tx.CommitLog.read(spark, manyTable)
       val m = graft.tx.CommitLog.manifest(manyTable,
         graft.tx.CommitLog.latestVersion(manyTable).get)
-      val dirs = m.files.map(_.split("/").take(2).mkString("/")).distinct.size
+      val dirs = m.files.map(graft.tx.CommitLog.commitDirOf).distinct.size
       println(s"[scale] 100-append snapshot spans $dirs commit dirs " +
         s"(policy cap ${graft.tx.CommitLog.AutoCompactEvery})")
       snap.count()
@@ -305,7 +305,7 @@ object ScaleSmoke {
         s"streamed silver diverged from batch recompute: $streamed vs $batch")
       val m = graft.tx.CommitLog.manifest(table,
         graft.tx.CommitLog.latestVersion(table).get)
-      val dirs = m.files.map(_.split("/").take(2).mkString("/")).distinct.size
+      val dirs = m.files.map(graft.tx.CommitLog.commitDirOf).distinct.size
       println(s"[scale] medallion bronze: ${graft.tx.CommitLog.versions(table).size} versions, " +
         s"snapshot spans $dirs commit dirs; stream == batch over ${streamed.size} event types")
       streamed.values.map(_._1).sum

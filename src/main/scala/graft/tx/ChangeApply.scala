@@ -40,26 +40,33 @@ object ChangeApply {
     }
     val sign = when(col(CommitLog.ChangeTypeCol)
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    // persisted: the delta (one small row per changed key) is consulted by
+    // the NULL probe below AND by several of merge's own passes (dup
+    // check, key bounds, probe, rewrite, CDC) — without pinning it, each
+    // would re-run the full feed scan + aggregation
     val delta = feed.groupBy(keys.map(col): _*).agg(sum(sign).as("__dn"))
       .filter(col("__dn") =!= 0L)
-    // NULL group keys are rejected, not folded (round-5 ADVICE, low): a
-    // NULL-key delta row can never MATCH in CommitLog.merge (SQL NULL joins
-    // nothing), so every applied slice would INSERT a fresh NULL-key row
-    // instead of updating the prior one — the rollup would accumulate
-    // duplicates the zero-sweep can't reconcile. Callers maintaining a
-    // NULL-able dimension must coalesce it to a sentinel first.
-    val nullKeyed = delta.filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).collect()
-    require(nullKeyed.isEmpty,
-      s"applyCounts cannot fold NULL group keys (row ${nullKeyed.headOption.orNull}); " +
-        "coalesce the key to a sentinel value in the feed first")
-    val current = CommitLog.read(spark, aggTable)
-    val merged = delta.join(current, keys, "left_outer")
-      .select(keys.map(col) :+
-        (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"): _*)
-    if (merged.isEmpty) return CommitLog.latestVersion(aggTable).getOrElse(0L)
-    val v = CommitLog.merge(spark, aggTable, merged, keys, txn = txn)
-    // groups that netted to zero leave the aggregate entirely
-    if (merged.filter(col("n") === 0L).isEmpty) v
-    else sweepZeros()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // NULL group keys are rejected, not folded (round-5 ADVICE, low): a
+      // NULL-key delta row can never MATCH in CommitLog.merge (SQL NULL
+      // joins nothing), so every applied slice would INSERT a fresh
+      // NULL-key row instead of updating the prior one — the rollup would
+      // accumulate duplicates the zero-sweep can't reconcile. Callers
+      // maintaining a NULL-able dimension must coalesce to a sentinel.
+      val nullKeyed = delta.filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).collect()
+      require(nullKeyed.isEmpty,
+        s"applyCounts cannot fold NULL group keys (row ${nullKeyed.headOption.orNull}); " +
+          "coalesce the key to a sentinel value in the feed first")
+      val current = CommitLog.read(spark, aggTable)
+      val merged = delta.join(current, keys, "left_outer")
+        .select(keys.map(col) :+
+          (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"): _*)
+      if (merged.isEmpty) return CommitLog.latestVersion(aggTable).getOrElse(0L)
+      val v = CommitLog.merge(spark, aggTable, merged, keys, txn = txn)
+      // groups that netted to zero leave the aggregate entirely
+      if (merged.filter(col("n") === 0L).isEmpty) v
+      else sweepZeros()
+    } finally delta.unpersist(blocking = false): Unit
   }
 }

@@ -191,7 +191,7 @@ object CommitLog {
         // so commit() must report success or a non-txn caller's retry
         // would double-append (round-4 ADVICE, medium).
         if (mode == "append" && autoCompactEvery > 0 &&
-            files.map(_.split("/").take(2).mkString("/")).distinct.size >= autoCompactEvery) {
+            files.map(commitDirOf).distinct.size >= autoCompactEvery) {
           try compactIncremental(df.sparkSession, table, partitionBy,
             keepLargest = math.max(1, autoCompactEvery / 2))
           catch { case scala.util.control.NonFatal(_) => () }
@@ -522,7 +522,7 @@ object CommitLog {
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
     val tableDir = Paths.get(table)
-    val byDir = m.files.groupBy(_.split("/").take(2).mkString("/")).toSeq
+    val byDir = m.files.groupBy(commitDirOf).toSeq
       .map { case (dir, fs) =>
         (dir, fs, fs.map(f => Files.size(tableDir.resolve(f))).sum)
       }
@@ -740,7 +740,7 @@ object CommitLog {
     if (m.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         m.schema.add(fileCol, org.apache.spark.sql.types.StringType))
-    m.files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+    m.files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
       .map { case (commitDir, files) =>
         spark.read.schema(m.schema).option("basePath", s"$table/$commitDir")
           .parquet(files.map(f => s"$table/$f"): _*)
@@ -788,7 +788,7 @@ object CommitLog {
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     if (filters.isEmpty) return m.files
     val tableDir = Paths.get(table)
-    m.files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+    m.files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
       .flatMap { case (commitDir, fs) =>
         val stats = FileStats.readSidecar(tableDir.resolve(commitDir))
         fs.filter { f =>
@@ -854,7 +854,7 @@ object CommitLog {
     val kindByKey = keys.zip(kinds.map(_.get))
     val tableDir = Paths.get(table)
     val entries: Seq[(String, Option[Seq[(Any, Any)]])] =
-      m.files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      m.files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
         .flatMap { case (commitDir, fs) =>
           val stats = FileStats.readSidecar(tableDir.resolve(commitDir))
           fs.map { f =>
@@ -956,7 +956,7 @@ object CommitLog {
     // the sidecar is never manifest-listed, so without this carve-out the
     // sweep would delete it and silently disable file-level skipping for
     // every surviving file in the dir
-    val liveDirs = referenced.map(_.split("/").take(2).mkString("/"))
+    val liveDirs = referenced.map(commitDirOf)
     val tableDir = Paths.get(table)
     val dataRoot = tableDir.resolve("data")
     val cutoff = System.currentTimeMillis() - minAgeMillis
@@ -969,7 +969,7 @@ object CommitLog {
           .filter { p =>
             val rel = tableDir.relativize(p).toString
             !(p.getFileName.toString == FileStats.SidecarName &&
-              liveDirs.contains(rel.split("/").take(2).mkString("/")))
+              liveDirs.contains(commitDirOf(rel)))
           }
           .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
           .toSeq
@@ -1206,9 +1206,22 @@ object CommitLog {
         unmirrored.isEmpty && orphanCdcTmp.isEmpty
   }
 
-  /** Audit manifests against the filesystem (Delta's FSCK). Read-only. */
-  def fsck(table: String): FsckReport = {
+  /** Audit manifests against the filesystem (Delta's FSCK). Read-only.
+    *
+    * `leftoverMinAgeMillis` filters the CRASH-LEFTOVER classes (orphan
+    * commit dirs, stray/unreferenced cdc dirs, tmp manifests) to entries at
+    * least that old: a younger one is indistinguishable from a LIVE
+    * writer's in-flight files (a mutation writes its data and cdc dirs
+    * minutes before linking the manifest at scale), so an hourly
+    * maintenance audit must not page on them. Manifest-referenced damage
+    * (missing files/cdc, pending moves, unmirrored versions) is always
+    * reported — a manifest exists, so no writer is in flight for it. The
+    * default 0 reports everything (the forensic audit). */
+  def fsck(table: String, leftoverMinAgeMillis: Long = 0L): FsckReport = {
     val tableDir = Paths.get(table)
+    val leftoverCutoff = System.currentTimeMillis() - leftoverMinAgeMillis
+    def oldEnough(p: Path): Boolean =
+      !Files.exists(p) || Files.getLastModifiedTime(p).toMillis <= leftoverCutoff
     val vs = versions(table)
     val manifests = vs.map(v => manifest(table, v))
     val missing = manifests.flatMap { m =>
@@ -1216,12 +1229,13 @@ object CommitLog {
         .map(f => (m.version, f))
     }
     val referencedDirs = manifests.flatMap(_.files)
-      .map(_.split("/").take(2).mkString("/")).toSet
+      .map(commitDirOf).toSet
     val dataRoot = tableDir.resolve("data")
     val orphans =
       if (!Files.isDirectory(dataRoot)) Nil
       else withStream(Files.list(dataRoot))(_.iterator().asScala.toSeq)
         .filter(Files.isDirectory(_))
+        .filter(oldEnough)
         .map(d => s"data/${d.getFileName}")
         .filterNot(referencedDirs.contains)
         .sorted
@@ -1231,6 +1245,7 @@ object CommitLog {
     val orphanCdc =
       if (!Files.isDirectory(cdcRoot)) Nil
       else withStream(Files.list(cdcRoot))(_.iterator().asScala.toSeq)
+        .filter(oldEnough)
         .map(_.getFileName.toString)
         .filter(n => n.nonEmpty && n.forall(_.isDigit))
         .map(_.toLong)
@@ -1240,6 +1255,7 @@ object CommitLog {
     val tmps =
       if (!Files.isDirectory(logDir)) Nil
       else withStream(Files.list(logDir))(_.iterator().asScala.toSeq)
+        .filter(oldEnough)
         .map(_.getFileName.toString)
         .filter(_.startsWith(".tmp-"))
         .sorted
@@ -1261,6 +1277,7 @@ object CommitLog {
       if (!Files.isDirectory(cdcRoot)) Nil
       else withStream(Files.list(cdcRoot))(_.iterator().asScala.toSeq)
         .filter(Files.isDirectory(_))
+        .filter(oldEnough)
         .map(_.getFileName.toString)
         .filter(_.startsWith("."))
         .filterNot(referencedCdcTmp.contains)
@@ -1352,6 +1369,13 @@ object CommitLog {
       .filter(oldEnough).foreach { p => Files.deleteIfExists(p); removed += 1 }
     removed
   }
+
+  /** A manifest-relative file path's commit dir — its first two segments
+    * (`data/<uuid>`): the unit of scan grouping, sidecar placement, and
+    * incremental folding. One definition so a layout change cannot
+    * silently mis-group files at some call sites. */
+  def commitDirOf(relFile: String): String =
+    relFile.split("/").take(2).mkString("/")
 
   /** Latest committed version, if any. */
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
@@ -1446,7 +1470,7 @@ object CommitLog {
     // Plan width is bounded by policy, not hope: commit() auto-compacts once
     // a snapshot spans AutoCompactEvery commit dirs, so the union factor
     // never exceeds that threshold regardless of append count.
-    m.files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+    m.files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
       .map { case (commitDir, files) =>
         spark.read.schema(m.schema).option("basePath", s"$table/$commitDir")
           .parquet(files.map(f => s"$table/$f"): _*)

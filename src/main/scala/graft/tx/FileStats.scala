@@ -42,8 +42,6 @@ object FileStats {
     def allNull: Boolean = values > 0 && nulls == values
   }
 
-  private val SupportedKinds = Set("long", "double", "string", "boolean", "ts", "date")
-
   /** Read footer stats for `files` (relative to `dataDir`) and write the
     * sidecar. Best-effort: stats are an optimization, so any footer-read
     * failure just omits that file's rows (readers keep the file). */
@@ -318,6 +316,12 @@ object FileStats {
       Some((l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000).toString)
     case ("date", d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toString)
     case ("date", d: java.time.LocalDate) => Some(d.toEpochDay.toString)
+    // a STRING-typed partition column holding ISO dates gets kind-guessed
+    // as "date" from its path segments — a plain string literal against it
+    // must still prune, so parse it into the same epoch-day space
+    case ("date", s: String) =>
+      try Some(java.time.LocalDate.parse(s).toEpochDay.toString)
+      catch { case _: java.time.format.DateTimeParseException => None }
     case _ => None
   }
 

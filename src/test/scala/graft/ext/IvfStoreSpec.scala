@@ -89,6 +89,35 @@ class IvfStoreSpec extends SparkSpec {
     assert(mismatch === 0L)
   }
 
+  test("rebuild at an unchanged base version rewrites assignments (no watermark skip)") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(emb, base, "append")
+    IvfStore.build(spark, base, index, nCells = 4)
+    assert(CommitLog.read(spark, s"$index/centroids").count() === 4L)
+    // drift re-index with a different cell count, NO intervening base
+    // commit: the watermark already covers v1, so a txn-guarded overwrite
+    // would be silently skipped and leave new centroids over old cells
+    IvfStore.build(spark, base, index, nCells = 12)
+    assert(CommitLog.read(spark, s"$index/centroids").count() === 12L)
+    val aV = CommitLog.latestVersion(s"$index/assigned").get
+    assert(aV === 2L) // the rewrite genuinely published
+    assert(CommitLog.manifest(s"$index/assigned", aV).mode === "overwrite")
+    // index self-consistent: every assigned cell has a centroid row
+    val cells = CommitLog.read(spark, s"$index/assigned")
+      .select("cell").distinct().as[Int].collect().toSet
+    val centroidCells = CommitLog.read(spark, s"$index/centroids")
+      .select("cell").as[Int].collect().toSet
+    assert(cells.subsetOf(centroidCells))
+    // watermark intact; a later append + refresh still folds
+    assert(IvfStore.coveredVersion(index) === Some(1L))
+    CommitLog.commit(CommitLog.read(spark, base).limit(10)
+      .withColumn("vec_id", col("vec_id") + 5000000L), base, "append")
+    assert(IvfStore.refresh(spark, base, index) === 2L)
+    assert(CommitLog.read(spark, s"$index/assigned").count() === emb.count() + 10L)
+  }
+
   test("refresh refuses a slice containing mutations; build is the re-index path") {
     val root = freshRoot()
     val base = s"$root/base"

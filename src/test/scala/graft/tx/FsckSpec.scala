@@ -71,6 +71,30 @@ class FsckSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() === 3L)
   }
 
+  test("young crash leftovers don't dirty an age-gated audit (in-flight writer window)") {
+    val t = freshTable()
+    seed(t)
+    // all three leftover shapes, freshly written — exactly what a LIVE
+    // writer's in-flight commit looks like from the outside
+    val orphan = Paths.get(t).resolve("data/inflight-commit")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1))
+    Files.write(Paths.get(t).resolve("_graft_log").resolve(".tmp-inflight"),
+      "x".getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(t).resolve("_cdc").resolve(".tmp-inflight"))
+    // forensic default reports everything...
+    val forensic = CommitLog.fsck(t)
+    assert(forensic.orphanDirs.nonEmpty && forensic.tmpManifests.nonEmpty &&
+      forensic.orphanCdcTmp.nonEmpty && !forensic.clean)
+    // ...but the operational audit (Maintenance's view) must not page on a
+    // healthy table mid-commit
+    assert(CommitLog.fsck(t, leftoverMinAgeMillis = 3600000L).clean)
+    // manifest-referenced damage is reported regardless of age
+    val v = CommitLog.delete(spark, t, col("id") === 1L)
+    CommitLog.deleteTree(Paths.get(t).resolve("_cdc").resolve(f"$v%020d"))
+    assert(CommitLog.fsck(t, leftoverMinAgeMillis = 3600000L).missingCdc === Seq(v))
+  }
+
   test("a crashed cdc slot move is pendingCdc, readable, and repairCdc completes it") {
     val t = freshTable()
     seed(t)
