@@ -79,14 +79,26 @@ object IvfStore {
   def coveredVersion(indexRoot: String): Option[Long] =
     CommitLog.txnVersion(assignedTable(indexRoot), AppId)
 
-  /** Fold the base table's insertions since the covered watermark into the
-    * index WITHOUT refitting: each new vector is assigned to its nearest
-    * frozen centroid (squared Euclidean — the same metric the k-means fit
-    * assigns by) via a crossJoin against the broadcast centroid literals,
-    * then appended with the new watermark. O(delta × nCells), never a
-    * corpus pass. Idempotent per base version; returns the newly covered
-    * version (unchanged when the index is already current). Throws if the
-    * slice contains anything but insertions — rebuild on mutation. */
+  /** Fold EVERY base change since the covered watermark into the index
+    * WITHOUT refitting — full CDC-driven maintenance over frozen
+    * centroids. The slice (including plain overwrites, derived as a
+    * snapshot diff) reduces to one final action per vector id — the
+    * highest-version row, insert winning over delete at the same version
+    * (an overwrite diff emits both for a changed id) — then:
+    *
+    *  - retired ids ([[CommitLog.deleteKeys]] on `assigned`) leave their
+    *    cells file-granularly;
+    *  - new and re-embedded vectors are assigned to their nearest frozen
+    *    centroid (squared Euclidean in DOUBLE precision — the k-means
+    *    fit's own metric; float rounding could flip a near-equidistant
+    *    vector) via a crossJoin against the broadcast centroids and
+    *    upserted ([[CommitLog.merge]]).
+    *
+    * O(delta × nCells) compute plus O(touched files) rewrite — never a
+    * corpus pass. The watermark rides the LAST mutation, so a replay
+    * after a crash between the two re-runs the delete (idempotent — the
+    * keys are already gone) and then the upsert; a fully replayed refresh
+    * is a watermark no-op. Returns the newly covered version. */
   def refresh(spark: SparkSession, baseTable: String, indexRoot: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
     val covered = coveredVersion(indexRoot).getOrElse(
@@ -94,31 +106,45 @@ object IvfStore {
     val latest = CommitLog.latestVersion(baseTable).getOrElse(
       throw new IllegalArgumentException(s"$baseTable has no committed versions"))
     if (latest <= covered) return covered
-    val feed = CommitLog.changeFeed(spark, baseTable, covered, Some(latest))
-    val nonInsert = feed.filter(col(CommitLog.ChangeTypeCol) =!= "insert").limit(1).collect()
-    if (nonInsert.nonEmpty)
-      throw new IllegalStateException(
-        s"base slice ($covered, $latest] contains ${nonInsert.head.toString}; " +
-          "an IVF index folds insertions only — rebuild after mutations")
-    val fresh = feed.select(col(idCol), col(vecCol))
-    val centroids = CommitLog.read(spark, centroidsTable(indexRoot))
-    // squared Euclidean argmin over ≤ nCells broadcast rows per new vector,
-    // in DOUBLE precision end-to-end (float subtraction would accumulate
-    // different rounding than the k-means fit's double-precision centers
-    // and could flip a near-equidistant vector into a different cell)
-    val dist = aggregate(
-      zip_with(col(vecCol).cast("array<double>"),
-        col("centroid").cast("array<double>"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, e) => acc + e)
-    val w = Window.partitionBy(idCol).orderBy(col("__dist").asc, col("cell").asc)
-    val assignedDelta = fresh.crossJoin(broadcast(centroids))
-      .withColumn("__dist", dist)
-      .withColumn("__r", row_number().over(w))
+    val feed = CommitLog.changeFeed(spark, baseTable, covered, Some(latest),
+      overwriteDiff = true)
+    // one final action per id: drop pre-images (their post-image carries
+    // the id), keep the highest-version row, insert beats delete at the
+    // same version (overwrite-diff pairs)
+    val actW = Window.partitionBy(idCol).orderBy(
+      col(CommitLog.CommitVersionCol).desc, col("__pri").desc)
+    val finalActs = feed
+      .filter(col(CommitLog.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("__pri",
+        when(col(CommitLog.ChangeTypeCol) === "delete", 0).otherwise(1))
+      .withColumn("__r", row_number().over(actW))
       .filter(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
-    CommitLog.commit(assignedDelta, assignedTable(indexRoot), "append",
-      txn = Some((AppId, latest)))
-    latest
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val retired = finalActs.filter(col(CommitLog.ChangeTypeCol) === "delete")
+        .select(col(idCol))
+      val fresh = finalActs.filter(col(CommitLog.ChangeTypeCol) =!= "delete")
+        .select(col(idCol), col(vecCol))
+      val hasFresh = !fresh.isEmpty
+      CommitLog.deleteKeys(spark, assignedTable(indexRoot), retired, Seq(idCol),
+        txn = if (hasFresh) None else Some((AppId, latest)))
+      if (hasFresh) {
+        val centroids = CommitLog.read(spark, centroidsTable(indexRoot))
+        val dist = aggregate(
+          zip_with(col(vecCol).cast("array<double>"),
+            col("centroid").cast("array<double>"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e)
+        val w = Window.partitionBy(idCol).orderBy(col("__dist").asc, col("cell").asc)
+        val assignedDelta = fresh.crossJoin(broadcast(centroids))
+          .withColumn("__dist", dist)
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") === 1)
+          .select(col(idCol), col(vecCol), col("cell"))
+        CommitLog.merge(spark, assignedTable(indexRoot), assignedDelta, Seq(idCol),
+          txn = Some((AppId, latest)))
+      }
+      latest
+    } finally finalActs.unpersist(blocking = false): Unit
   }
 
   /** Answer queries from the PERSISTED index — no fit, no session cache;

@@ -62,6 +62,26 @@ object TxQueries {
     * identically across the overwrite and must emit NO change row. */
   private val builtOvw = new ConcurrentHashMap[String, String]()
 
+  /** Table mutated by [[CommitLog.deleteKeys]] — the CDC-apply delete shape
+    * (`DELETE WHERE key IN (subquery)`): commit all events, then retire
+    * every event_id divisible by 7 via a key-set frame. */
+  private val builtDelKeys = new ConcurrentHashMap[String, String]()
+
+  private def ensureDelKeysTable(s: SparkSession, d: String): String =
+    builtDelKeys.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txdelk_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      CommitLog.commit(ev.repartition(8), table, "append")
+      CommitLog.deleteKeys(s, table,
+        ev.filter(pmod(col("event_id"), lit(7)) === 0).select("event_id"),
+        Seq("event_id"))
+      table
+    })
+
   private def ensureOvwTable(s: SparkSession, d: String): String =
     builtOvw.computeIfAbsent(d, _ => {
       val tag = java.lang.Integer.toHexString(d.hashCode)
@@ -225,6 +245,24 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // DELETE by key set — the APPLY shape for a change feed's delete rows
+    // (a Column predicate can't express "key IN (frame)"): every %7 id
+    // retired file-granularly; the snapshot aggregate AND the delete's own
+    // change rows are both pinned (a key that survived, a non-matched row
+    // lost from a rewritten file, or an over-wide CDC dump all flip it).
+    "tx_delete_keys" -> ((s, d) => {
+      val table = ensureDelKeysTable(s, d)
+      val snap = CommitLog.read(s, table)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      val deleted = CommitLog.changeFeed(s, table, 1L)
+        .filter(col(CommitLog.ChangeTypeCol) === "delete")
+        .groupBy("event_type").agg(count(lit(1)).as("n_deleted"))
+      snap.join(deleted, Seq("event_type"), "full_outer")
+        .select(col("event_type"), col("n_events"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+        .orderBy("event_type")
+    }),
+
     // CDC across a plain overwrite (round-5 VERDICT item 3): with
     // overwriteDiff the feed derives the overwrite as a snapshot diff —
     // rows gone emit delete, rows new emit insert, rows surviving
@@ -365,6 +403,11 @@ object TxQueries {
              count(*) + count(*) FILTER (WHERE event_id % 10 = 4)
            FROM events WHERE event_type = 'signup')
          ORDER BY v, ct""",
+    "tx_delete_keys" ->
+      """SELECT event_type,
+           count(*) FILTER (WHERE event_id % 7 <> 0) AS n_events,
+           count(*) FILTER (WHERE event_id % 7 = 0) AS n_deleted
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "tx_change_feed_overwrite" ->
       """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
            SELECT 1 AS v, 'insert' AS ct, count(*) AS n

@@ -629,6 +629,48 @@ object CommitLog {
     } finally updated.unpersist(blocking = false): Unit
   }
 
+  /** Copy-on-write DELETE by KEY SET (`DELETE FROM t WHERE (k…) IN
+    * (SELECT k… FROM source)` — Delta expresses it as a MERGE WHEN MATCHED
+    * THEN DELETE): remove every row whose key tuple appears in `keys`,
+    * rewriting only the files that contain at least one matched key — the
+    * same per-file-bounds probe pre-shrink and carry-by-reference as
+    * [[merge]], so a CDC consumer retiring a trickle of keys from a 100 TB
+    * table pays O(touched files), never O(table). This is the APPLY shape
+    * for a change feed's `delete` rows, where [[delete]]'s Column
+    * predicate can't express the key set. SQL IN semantics: NULL key
+    * tuples match nothing (such rows survive). `txn` gives the mutation
+    * per-writer exactly-once, as in [[merge]]. Returns the new version, or
+    * the current one when nothing matched. */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+      keyCols: Seq[String], partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
+    require(keyCols.nonEmpty, "deleteKeys requires at least one key column")
+    import org.apache.spark.sql.functions.col
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    txn.foreach { case (app, batch) =>
+      if (m.txns.get(app).exists(_ >= batch)) return m.version
+    }
+    val tableDir = Paths.get(table)
+    val srcKeys = keys.select(keyCols.map(col): _*).distinct()
+    if (srcKeys.isEmpty) return m.version
+    val candidates = m.copy(files = pruneFilesByKeys(spark, table, m, keyCols, srcKeys))
+    val touched = touchedFiles(
+      readManifestWithFile(spark, table, candidates, "__graft_file")
+        .join(srcKeys, keyCols, "left_semi"),
+      "__graft_file", tableDir)
+    if (touched.isEmpty) return m.version
+    def reorder(df: DataFrame): DataFrame =
+      df.select(m.schema.fieldNames.toSeq.map(col): _*)
+    val touchedDf = readManifest(spark, table, m.copy(files = touched.toSeq.sorted))
+    val kept = reorder(touchedDf.join(srcKeys, keyCols, "left_anti"))
+    val newFiles = writeDataDir(kept, tableDir, partitionBy)
+    val cdc = writeCdcTmp(reorder(touchedDf.join(srcKeys, keyCols, "left_semi"))
+      .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete")), tableDir)
+    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
+      mode = "delete", addTxn = txn, cdcTmp = cdc)
+  }
+
   /** Copy-on-write MERGE / upsert (Delta `MERGE INTO … WHEN MATCHED UPDATE
     * SET * WHEN NOT MATCHED INSERT *`): rows of `source` whose `keys` match
     * an existing row REPLACE it; the rest are inserted. File-granular like

@@ -52,8 +52,11 @@ class IvfStoreSpec extends SparkSpec {
     assert(IvfStore.coveredVersion(index) === Some(2L))
     val nAll = emb.count()
     assert(CommitLog.read(spark, s"$index/assigned").count() === nAll)
-    // the delta landed as ONE append version, not a rewrite (no refit)
-    assert(CommitLog.manifest(s"$index/assigned", 2L).mode === "append")
+    // the delta landed as ONE upsert version whose insert-only merge
+    // carried every pre-existing file by reference (no refit, no rewrite)
+    val m2 = CommitLog.manifest(s"$index/assigned", 2L)
+    assert(m2.mode === "merge")
+    assert(CommitLog.manifest(s"$index/assigned", 1L).files.forall(m2.files.contains))
 
     // recall over the full corpus clears the production floor now
     val r1 = recall(exact, IvfStore.topK(spark, index, queries, k = 5))
@@ -118,23 +121,44 @@ class IvfStoreSpec extends SparkSpec {
     assert(CommitLog.read(spark, s"$index/assigned").count() === emb.count() + 10L)
   }
 
-  test("refresh refuses a slice containing mutations; build is the re-index path") {
+  test("refresh folds deletes, re-embeddings, appends, and overwrites from the change feed") {
     val root = freshRoot()
     val base = s"$root/base"
     val index = s"$root/index"
     CommitLog.commit(emb, base, "append")
     IvfStore.build(spark, base, index, nCells = 8)
-    CommitLog.delete(spark, base, col("vec_id") === 0L)
-    val e = intercept[IllegalStateException] {
-      IvfStore.refresh(spark, base, index)
-    }
-    assert(e.getMessage.contains("rebuild"))
-    // rebuild covers the mutated snapshot and queries fine again
-    IvfStore.build(spark, base, index, nCells = 8)
-    assert(IvfStore.coveredVersion(index) === CommitLog.latestVersion(base))
-    assert(CommitLog.read(spark, s"$index/assigned").count()
-      === CommitLog.read(spark, base).count())
-    assert(IvfStore.topK(spark, index, emb.filter(col("vec_id") < 5), k = 3)
-      .count() > 0L)
+    def assignedIds: Set[Long] = CommitLog.read(spark, s"$index/assigned")
+      .select("vec_id").as[Long].collect().toSet
+    def baseIds: Set[Long] = CommitLog.read(spark, base)
+      .select("vec_id").as[Long].collect().toSet
+
+    // v2: retire vectors; v3: RE-EMBED ids 10-14 (merge replaces their
+    // vectors with other rows' embeddings); v4: append new ids
+    CommitLog.delete(spark, base, col("vec_id") < 5L)
+    val reembed = emb.filter(col("vec_id").between(110L, 114L))
+      .withColumn("vec_id", col("vec_id") - 100L)
+    CommitLog.merge(spark, base, reembed, Seq("vec_id"))
+    CommitLog.commit(emb.filter(col("vec_id") < 5L)
+      .withColumn("vec_id", col("vec_id") + 7000000L), base, "append")
+    val covered = IvfStore.refresh(spark, base, index)
+    assert(covered === CommitLog.latestVersion(base).get)
+    assert(assignedIds === baseIds) // deletes out, appends in, no ghosts
+    // the re-embedded vectors carry their NEW embedding in the index
+    val got = CommitLog.read(spark, s"$index/assigned")
+      .filter(col("vec_id") === 10L).select("embedding")
+      .as[Seq[Float]].head()
+    val want = emb.filter(col("vec_id") === 110L).select("embedding")
+      .as[Seq[Float]].head()
+    assert(got === want)
+    // replayed refresh: watermark no-op, no duplicate rows
+    assert(IvfStore.refresh(spark, base, index) === covered)
+    assert(assignedIds === baseIds)
+
+    // a plain OVERWRITE folds too (snapshot-diff slice)
+    CommitLog.commit(emb.filter(col("vec_id") >= 250L), base, "overwrite")
+    IvfStore.refresh(spark, base, index)
+    assert(assignedIds === baseIds)
+    assert(IvfStore.topK(spark, index, emb.filter(col("vec_id") < 270L)
+      .filter(col("vec_id") >= 250L).limit(5), k = 3).count() > 0L)
   }
 }

@@ -336,6 +336,37 @@ class TxMutationSpec extends SparkSpec {
     assert(CommitLog.latestVersion(agg).get === v)
   }
 
+  test("deleteKeys retires a key set file-granularly with delete change rows") {
+    val t = freshTable()
+    val before = seedRanged(t)
+    // keys confined to one range file; NULL key tuples match nothing
+    val keys = Seq(Some(3L), Some(7L), Option.empty[Long]).toDF("id")
+    val v = CommitLog.deleteKeys(spark, t, keys, Seq("id"))
+    assert(v === 2L)
+    val after = CommitLog.manifest(t, v).files
+    assert(before.count(after.contains) === before.size - 1,
+      "exactly the one file holding ids 3 and 7 may be rewritten")
+    assert(CommitLog.manifest(t, v).mode === "delete")
+    val snap = CommitLog.read(spark, t)
+    assert(snap.count() === 98L)
+    assert(snap.filter(col("id").isin(3L, 7L)).count() === 0L)
+    // change rows: exactly the retired rows
+    val cdc = CommitLog.changeFeed(spark, t, v - 1, Some(v))
+    assert(cdc.filter(col(CommitLog.ChangeTypeCol) === "delete")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(3L, 7L))
+    // no-match and empty key sets are version no-ops
+    assert(CommitLog.deleteKeys(spark, t,
+      Seq(9999L).toDF("id"), Seq("id")) === v)
+    assert(CommitLog.deleteKeys(spark, t,
+      Seq.empty[Long].toDF("id"), Seq("id")) === v)
+    // txn watermark: a replayed slice re-applies nothing
+    val v2 = CommitLog.deleteKeys(spark, t, Seq(11L).toDF("id"), Seq("id"),
+      txn = Some(("delk-app", 1L)))
+    assert(CommitLog.deleteKeys(spark, t, Seq(12L).toDF("id"), Seq("id"),
+      txn = Some(("delk-app", 1L))) === v2)
+    assert(CommitLog.read(spark, t).filter(col("id") === 12L).count() === 1L)
+  }
+
   test("merge probe pre-shrinks with per-file bounds: multi-key and disjoint key clusters") {
     val t = freshTable()
     // 4 single-file commits with disjoint id ranges and a distinct bucket
