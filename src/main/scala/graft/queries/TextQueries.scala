@@ -393,6 +393,54 @@ object TextQueries {
       .orderBy("shuffle_key")
       .limit(200)),
 
+    // Data-mixture re-weighting, hash-rate form — THE scale path for "give
+    // each source a token budget": one tiny per-source token-total agg, a
+    // broadcast rate join, then a MAP-SIDE deterministic keep decision per
+    // doc (first 8 md5 hex chars as a uniform [0,1) draw — engine-,
+    // partitioning-, and rerun-invariant, no RNG state). No sort, no
+    // per-source window: at 100 TB this is one shuffle for the totals and
+    // one scan for the filter. Over-represented sources are downsampled
+    // toward the budget in expectation; rate-1.0 sources pass through.
+    "mixture_resample" -> ((s, d) => {
+      val budget = 5000L
+      val toks = documents(s, d).select(col("source"), col("doc_id"),
+        size(TextStats.tokens(col("text"))).as("n"))
+      val totals = toks.groupBy("source").agg(sum(col("n")).as("total"))
+        .withColumn("rate",
+          least(lit(1.0), lit(budget).cast("double") / col("total")))
+      toks.join(broadcast(totals), "source")
+        .withColumn("u",
+          conv(substring(md5(concat(lit("mix42:"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long").cast("double") / lit(4294967296.0))
+        .filter(col("u") < col("rate"))
+        .groupBy(col("source"), round(col("rate"), 6).as("rate"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    // Data-mixture selection, exact greedy form — the oracle-able twin:
+    // shuffle each source deterministically (same md5 order the corpus
+    // shuffle uses) and take documents until the token budget is crossed
+    // (the boundary doc is included — C4's take-while-start-under-budget).
+    // One window per source ⇒ a per-source sort: few sources mean giant
+    // sort tasks at 100 TB, so mixture_resample above is the declared
+    // scale path and this exact form certifies the semantics (the same
+    // exact/scale pairing as quality_deciles and embed_neardup).
+    "mixture_select" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 5000L
+      val toks = documents(s, d).select(col("source"), col("doc_id"),
+        size(TextStats.tokens(col("text"))).as("n"))
+        .withColumn("k", md5(concat(lit("mix42:"), col("doc_id").cast("string"))))
+      val w = Window.partitionBy("source").orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+        .filter(col("start") < budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sel_tokens"))
+        .orderBy("source")
+    }),
+
     // Sequence packing — the concat-and-chunk step that turns a curated
     // corpus into fixed-length training sequences (ctx 512): documents are
     // concatenated in doc_id order and cut every 512 tokens; a document
@@ -611,6 +659,36 @@ object TextQueries {
              THEN 'test' ELSE 'train' END AS split,
            count(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY split""",
+    "mixture_resample" ->
+      """WITH toks AS (
+           SELECT source, doc_id, len(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS n
+           FROM documents),
+         tot AS (
+           SELECT source,
+             least(CAST(1.0 AS DOUBLE), 5000.0 / CAST(sum(n) AS DOUBLE)) AS rate
+           FROM toks GROUP BY 1),
+         kept AS (
+           SELECT t.source, r.rate, t.n
+           FROM toks t JOIN tot r USING (source)
+           WHERE CAST('0x' || substr(md5('mix42:' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) / 4294967296.0 < r.rate)
+         SELECT source, round(rate, 6) AS rate, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS kept_tokens
+         FROM kept GROUP BY 1, 2 ORDER BY source""",
+    "mixture_select" ->
+      """WITH toks AS (
+           SELECT source, doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n,
+             md5('mix42:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         placed AS (
+           SELECT source, n,
+             COALESCE(sum(n) OVER (PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           FROM toks)
+         SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sel_tokens
+         FROM placed WHERE start < 5000 GROUP BY 1 ORDER BY source""",
     "quality_deciles" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),

@@ -72,6 +72,46 @@ class QueriesSpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("mixture operators: budget semantics, pass-through sources, determinism") {
+    import graft.ext.TextStats
+    val budget = 5000L
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), size(TextStats.tokens(col("text"))).as("n"))
+    val totals = toks.groupBy("source").agg(sum(col("n")).as("total"), max(col("n")).as("mx"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // exact greedy: every source selects min-ish(budget) — the boundary doc
+    // may overshoot by at most its own length; under-budget sources select
+    // everything
+    val sel = TextQueries.queries("mixture_select")(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sel.keySet === totals.keySet)
+    sel.foreach { case (src, (_, tokens)) =>
+      val (total, mx) = totals(src)
+      if (total <= budget) assert(tokens === total, s"$src under-budget must keep all")
+      else {
+        assert(tokens >= budget, s"$src must reach the budget")
+        assert(tokens < budget + mx, s"$src may overshoot only by the boundary doc")
+      }
+    }
+
+    // hash-rate: rate-1 sources pass through exactly; downsampled sources
+    // land near rate*total (hash draws are uniform; allow wide tolerance)
+    val res = TextQueries.queries("mixture_resample")(spark, sf)
+      .select("source", "rate", "kept_tokens")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    res.foreach { case (src, (rate, kept)) =>
+      val (total, _) = totals(src)
+      if (rate >= 1.0) assert(kept === total, s"$src rate-1 must pass through")
+      else assert(math.abs(kept - rate * total) <= 0.5 * total,
+        s"$src kept $kept far from ${rate * total}")
+    }
+
+    // determinism: a rerun yields the identical frame (no RNG state)
+    assert(TextQueries.queries("mixture_resample")(spark, sf).collect().toSeq ===
+      TextQueries.queries("mixture_resample")(spark, sf).collect().toSeq)
+  }
+
   test("packSequences output is invariant across prefix-sum widths") {
     // the two-phase prefix sum claims partitioning-independence; prove it
     // (round-5 VERDICT item 2): identical (seq_id, n_docs, n_tokens) rows
