@@ -19,21 +19,19 @@ import graft.tx.CommitLog
   *
   * The covered base version rides on the `assigned` table as a transaction
   * watermark (appId [[AppId]]) — CommitLog's own exactly-once primitive —
-  * so [[refresh]] folds ONLY the base's insertions since the watermark
-  * through an assign-only pass (broadcast-centroid argmin, NO refit, cost
-  * O(delta × nCells)), and a replayed refresh is a no-op. Queries
-  * ([[topK]]) read both tables fresh each call: a new session (process
-  * restart, another executor fleet) answers immediately without refitting,
-  * which is the whole point.
+  * so [[refresh]] folds EVERY base change since the watermark (appends,
+  * deletes, re-embeddings, even plain overwrites via the snapshot-diff
+  * feed) through an assign-only pass (broadcast-centroid argmin, NO
+  * refit, cost O(delta × nCells) + O(touched files)), and a replayed
+  * refresh re-applies nothing. Queries ([[topK]]) read both tables fresh
+  * each call: a new session (process restart, another executor fleet)
+  * answers immediately without refitting, which is the whole point.
   *
   * Centroids intentionally stay FROZEN across refreshes (the standard IVF
-  * maintenance contract): appended vectors are binned into existing cells,
+  * maintenance contract): changed vectors are binned into existing cells,
   * and recall degrades only if the data distribution drifts — at which
   * point [[build]] is the explicit re-index maintenance op, exactly like
-  * `compact` is for the commit log's file layout. Deletes/updates in the
-  * base are refused (the slice throws) — rebuild, or delete from
-  * `assigned` through the same CommitLog mutations a caller uses on any
-  * table. */
+  * `compact` is for the commit log's file layout. */
 object IvfStore {
 
   /** Writer id for the version watermark on `assigned`. */
@@ -64,14 +62,18 @@ object IvfStore {
     val txn =
       if (coveredVersion(indexRoot).exists(_ >= baseVersion)) None
       else Some((AppId, baseVersion))
+    // centroids FIRST, assignments (carrying the watermark) LAST: a crash
+    // between the two leaves the watermark UN-advanced — an honest state a
+    // re-run of build() fully repairs — rather than a watermark that
+    // claims currency over a half-published index (refresh would then
+    // no-op forever on silently degraded recall). The cost is a transient
+    // reader race (new centroids over old assignments) during the build,
+    // bounded by the build itself.
+    CommitLog.commit(idx.centroids.toDF("cell", "centroid"),
+      centroidsTable(indexRoot), "overwrite")
     CommitLog.commit(
       idx.assigned.select(col(idCol), col(vecCol), col("__cell").as("cell")),
       assignedTable(indexRoot), "overwrite", txn = txn)
-    // centroids second: a probe that races the rebuild reads old centroids
-    // with old-or-new assignments (consistent or a superset of cells),
-    // never new centroids over old cell ids
-    CommitLog.commit(idx.centroids.toDF("cell", "centroid"),
-      centroidsTable(indexRoot), "overwrite")
     baseVersion
   }
 
@@ -143,6 +145,14 @@ object IvfStore {
         CommitLog.merge(spark, assignedTable(indexRoot), assignedDelta, Seq(idCol),
           txn = Some((AppId, latest)))
       }
+      // a no-op terminal mutation (empty slice; retirements of never-
+      // indexed ids) records no txn — pin the watermark with an empty
+      // append, or every later refresh re-derives this same slice and a
+      // vacuum inside the stale range would eventually brick the feed read
+      if (!coveredVersion(indexRoot).exists(_ >= latest))
+        CommitLog.commit(
+          CommitLog.read(spark, assignedTable(indexRoot)).limit(0),
+          assignedTable(indexRoot), "append", txn = Some((AppId, latest)))
       latest
     } finally finalActs.unpersist(blocking = false): Unit
   }

@@ -258,7 +258,8 @@ object TxQueries {
         .filter(col(CommitLog.ChangeTypeCol) === "delete")
         .groupBy("event_type").agg(count(lit(1)).as("n_deleted"))
       snap.join(deleted, Seq("event_type"), "full_outer")
-        .select(col("event_type"), col("n_events"),
+        .select(col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"), // fully-retired type
           coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
         .orderBy("event_type")
     }),

@@ -267,7 +267,10 @@ object ScaleSmoke {
         import spark.implicits._
         val mm = graft.tx.CommitLog.manifest(txTable,
           graft.tx.CommitLog.latestVersion(txTable).get)
-        val srcKeys = Seq(100000042L, (copies.toLong - 1) * 100000000L + 42L)
+        // copy 0's id 42 and the LAST copy's shifted twin — genuinely
+        // disjoint clusters for every copies >= 2 (the old first key sat
+        // in copy 1 and collided with the last copy at copies = 2)
+        val srcKeys = Seq(42L, (copies.toLong - 1) * 100000000L + 42L)
           .toDF("event_id")
         val kept = graft.tx.CommitLog.pruneFilesByKeys(
           spark, txTable, mm, Seq("event_id"), srcKeys)

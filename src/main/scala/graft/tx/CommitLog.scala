@@ -652,23 +652,30 @@ object CommitLog {
       if (m.txns.get(app).exists(_ >= batch)) return m.version
     }
     val tableDir = Paths.get(table)
+    // pinned: the key set is consulted by FIVE passes (emptiness, bounds
+    // join, probe, kept anti-join, CDC semi-join) — without it a caller's
+    // expensive keys plan re-runs each time, and a non-deterministic one
+    // could even commit data files and change rows that DISAGREE
     val srcKeys = keys.select(keyCols.map(col): _*).distinct()
-    if (srcKeys.isEmpty) return m.version
-    val candidates = m.copy(files = pruneFilesByKeys(spark, table, m, keyCols, srcKeys))
-    val touched = touchedFiles(
-      readManifestWithFile(spark, table, candidates, "__graft_file")
-        .join(srcKeys, keyCols, "left_semi"),
-      "__graft_file", tableDir)
-    if (touched.isEmpty) return m.version
-    def reorder(df: DataFrame): DataFrame =
-      df.select(m.schema.fieldNames.toSeq.map(col): _*)
-    val touchedDf = readManifest(spark, table, m.copy(files = touched.toSeq.sorted))
-    val kept = reorder(touchedDf.join(srcKeys, keyCols, "left_anti"))
-    val newFiles = writeDataDir(kept, tableDir, partitionBy)
-    val cdc = writeCdcTmp(reorder(touchedDf.join(srcKeys, keyCols, "left_semi"))
-      .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete")), tableDir)
-    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
-      mode = "delete", addTxn = txn, cdcTmp = cdc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (srcKeys.isEmpty) return m.version
+      val candidates = m.copy(files = pruneFilesByKeys(spark, table, m, keyCols, srcKeys))
+      val touched = touchedFiles(
+        readManifestWithFile(spark, table, candidates, "__graft_file")
+          .join(srcKeys, keyCols, "left_semi"),
+        "__graft_file", tableDir)
+      if (touched.isEmpty) return m.version
+      def reorder(df: DataFrame): DataFrame =
+        df.select(m.schema.fieldNames.toSeq.map(col): _*)
+      val touchedDf = readManifest(spark, table, m.copy(files = touched.toSeq.sorted))
+      val kept = reorder(touchedDf.join(srcKeys, keyCols, "left_anti"))
+      val newFiles = writeDataDir(kept, tableDir, partitionBy)
+      val cdc = writeCdcTmp(reorder(touchedDf.join(srcKeys, keyCols, "left_semi"))
+        .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete")), tableDir)
+      publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
+        mode = "delete", addTxn = txn, cdcTmp = cdc)
+    } finally srcKeys.unpersist(blocking = false): Unit
   }
 
   /** Copy-on-write MERGE / upsert (Delta `MERGE INTO … WHEN MATCHED UPDATE
@@ -1262,8 +1269,12 @@ object CommitLog {
   def fsck(table: String, leftoverMinAgeMillis: Long = 0L): FsckReport = {
     val tableDir = Paths.get(table)
     val leftoverCutoff = System.currentTimeMillis() - leftoverMinAgeMillis
+    // a path that vanishes between listing and statting is a WRITER
+    // finishing (tmp manifest hard-linked then deleted) — not a leftover;
+    // an exists-then-stat pair would throw on exactly that race
     def oldEnough(p: Path): Boolean =
-      !Files.exists(p) || Files.getLastModifiedTime(p).toMillis <= leftoverCutoff
+      try Files.getLastModifiedTime(p).toMillis <= leftoverCutoff
+      catch { case _: java.nio.file.NoSuchFileException => false }
     val vs = versions(table)
     val manifests = vs.map(v => manifest(table, v))
     val missing = manifests.flatMap { m =>
@@ -1398,7 +1409,8 @@ object CommitLog {
     val tableDir = Paths.get(table)
     val cutoff = System.currentTimeMillis() - minAgeMillis
     def oldEnough(p: Path): Boolean =
-      !Files.exists(p) || Files.getLastModifiedTime(p).toMillis <= cutoff
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.nio.file.NoSuchFileException => true } // gone = nothing to clean
     var removed = 0L
     report.orphanDirs.map(tableDir.resolve).filter(oldEnough).foreach { d =>
       deleteTree(d); removed += 1

@@ -121,6 +121,35 @@ class IvfStoreSpec extends SparkSpec {
     assert(CommitLog.read(spark, s"$index/assigned").count() === emb.count() + 10L)
   }
 
+  test("refresh pins the watermark across empty-effect slices") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(emb.filter(col("vec_id") < 100L).repartition(4), base, "append")
+    IvfStore.build(spark, base, index, nCells = 4)
+    val n0 = CommitLog.read(spark, s"$index/assigned").count()
+    // compaction-only slice: the feed emits ZERO rows for it — the
+    // watermark must still advance or every later refresh re-derives the
+    // slice (and a vacuum inside the stale range would brick the read)
+    CommitLog.compact(spark, base)
+    assert(IvfStore.refresh(spark, base, index) === CommitLog.latestVersion(base).get)
+    assert(IvfStore.coveredVersion(index) === CommitLog.latestVersion(base))
+    assert(CommitLog.read(spark, s"$index/assigned").count() === n0)
+    // insert-and-delete within one slice: the final action is a delete of
+    // a NEVER-indexed id — deleteKeys matches nothing, yet the watermark
+    // must pin
+    CommitLog.commit(emb.filter(col("vec_id") === 499L)
+      .withColumn("vec_id", lit(8000000L)), base, "append")
+    CommitLog.delete(spark, base, col("vec_id") === 8000000L)
+    assert(IvfStore.refresh(spark, base, index) === CommitLog.latestVersion(base).get)
+    assert(IvfStore.coveredVersion(index) === CommitLog.latestVersion(base))
+    assert(CommitLog.read(spark, s"$index/assigned").count() === n0)
+    // and a genuinely effectful refresh still works afterwards
+    CommitLog.commit(emb.filter(col("vec_id") === 499L), base, "append")
+    IvfStore.refresh(spark, base, index)
+    assert(CommitLog.read(spark, s"$index/assigned").count() === n0 + 1)
+  }
+
   test("refresh folds deletes, re-embeddings, appends, and overwrites from the change feed") {
     val root = freshRoot()
     val base = s"$root/base"
