@@ -496,7 +496,7 @@ object CommitLog {
           zorderBy.map(org.apache.spark.sql.functions.col), numPartitions = Some(parts))
       else base.coalesce(parts)
     val newFiles = writeDataDir(snap, Paths.get(table), partitionBy)
-    publishRewrite(table, m, newFiles, mode = "compact")
+    publishRewrite(table, m, newFiles, mode = "compact", freshFiles = newFiles)
   }
 
   /** Incremental bin-pack compaction — the commit-hot-path tier of
@@ -533,7 +533,8 @@ object CommitLog {
     val folded = readManifest(spark, table, m.copy(files = fold.flatMap(_._2)))
       .coalesce(parts)
     val newFiles = writeDataDir(folded, tableDir, partitionBy)
-    publishRewrite(table, m, keep.flatMap(_._2) ++ newFiles, mode = "compact")
+    publishRewrite(table, m, keep.flatMap(_._2) ++ newFiles, mode = "compact",
+      freshFiles = newFiles)
   }
 
   /** Copy-on-write DELETE (Delta `DELETE FROM t WHERE cond`): remove the
@@ -572,7 +573,7 @@ object CommitLog {
       touchedDf.filter(cz(condition, lit(false)))
         .withColumn(ChangeTypeCol, lit("delete")), tableDir)
     publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
-      mode = "delete", cdcTmp = cdc)
+      mode = "delete", cdcTmp = cdc, freshFiles = newFiles)
   }
 
   /** Copy-on-write UPDATE (Delta `UPDATE t SET col = expr WHERE cond`):
@@ -625,7 +626,7 @@ object CommitLog {
         .withColumn(ChangeTypeCol, lit("update_postimage"))
       val cdc = writeCdcTmp(pre.union(post), tableDir)
       publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
-        mode = "update", cdcTmp = cdc)
+        mode = "update", cdcTmp = cdc, freshFiles = newFiles)
     } finally updated.unpersist(blocking = false): Unit
   }
 
@@ -674,7 +675,7 @@ object CommitLog {
       val cdc = writeCdcTmp(reorder(touchedDf.join(srcKeys, keyCols, "left_semi"))
         .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete")), tableDir)
       publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
-        mode = "delete", addTxn = txn, cdcTmp = cdc)
+        mode = "delete", addTxn = txn, cdcTmp = cdc, freshFiles = newFiles)
     } finally srcKeys.unpersist(blocking = false): Unit
   }
 
@@ -776,7 +777,8 @@ object CommitLog {
     }
     val cdc = writeCdcTmp(cdcRows, tableDir)
     publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
-      mode = "merge", schema = Some(schema), addTxn = txn, cdcTmp = cdc)
+      mode = "merge", schema = Some(schema), addTxn = txn, cdcTmp = cdc,
+      freshFiles = newFiles)
   }
 
   /** Snapshot read with each row's originating data file attached as
@@ -1060,11 +1062,20 @@ object CommitLog {
     * the three is an append delta, so [[changesSince]] rejects them all. */
   private def publishRewrite(table: String, base: Manifest, newFiles: Seq[String],
       mode: String = "overwrite", schema: Option[StructType] = None,
-      addTxn: Option[(String, Long)] = None, cdcTmp: Option[Path] = None): Long = {
+      addTxn: Option[(String, Long)] = None, cdcTmp: Option[Path] = None,
+      freshFiles: Seq[String] = Nil): Long = {
     val logDir = Paths.get(table).resolve(LogDir)
+    // a LOSING attempt owns its freshly written commit dirs outright (no
+    // manifest ever referenced them) — reclaim them eagerly instead of
+    // leaving orphan rewrite-sized garbage per retry for fsckClean's age
+    // gate to find days later (a contended mutation retry loop would
+    // otherwise strand one full rewrite of the touched files per loss)
+    def dropFresh(): Unit = freshFiles.map(commitDirOf).distinct
+      .foreach(d => deleteTree(Paths.get(table).resolve(d)))
     val prev = latestManifest(table).getOrElse(base)
     if (prev.version != base.version) {
       cdcTmp.foreach(deleteTree)
+      dropFresh()
       throw new IllegalStateException(
         s"table advanced to v${prev.version} during rewrite of v${base.version}; rerun")
     }
@@ -1109,6 +1120,7 @@ object CommitLog {
       case _: FileAlreadyExistsException =>
         Files.delete(tmp)
         cdcTmp.foreach(deleteTree) // only this attempt's own dir — never a slot
+        dropFresh()
         throw new IllegalStateException(
           s"a concurrent commit claimed v$version during rewrite of ${base.version}; rerun")
     }
