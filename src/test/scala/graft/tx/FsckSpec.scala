@@ -119,6 +119,83 @@ class FsckSpec extends SparkSpec {
     assert(CommitLog.repairCdc(t) === 0L) // idempotent
   }
 
+  test("repairCdc replaces a genuine stale slot with the authoritative attempt rows") {
+    val t = freshTable()
+    seed(t)
+    val v = CommitLog.delete(spark, t, col("id") === 1L)
+    val man = CommitLog.manifest(t, v)
+    val cdcRoot = Paths.get(t).resolve("_cdc")
+    val slot = cdcRoot.resolve(f"$v%020d")
+    val attempt = cdcRoot.resolve(man.cdcName.get)
+    // pre-fix crash shape: the manifest-named attempt holds the real rows
+    // while the slot is occupied by something stale (here: an empty husk)
+    Files.move(slot, attempt)
+    Files.createDirectories(slot)
+    Files.write(slot.resolve("stale.bin"), Array[Byte](1, 2, 3))
+    assert(CommitLog.repairCdc(t) === 1L)
+    assert(!Files.exists(attempt))
+    assert(!Files.exists(slot.resolve("stale.bin")))
+    assert(CommitLog.changeFeed(spark, t, v - 1, Some(v))
+      .filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 1L)
+    assert(CommitLog.fsck(t).clean)
+  }
+
+  test("repairCdc racing live publishers never destroys published change rows") {
+    // round-6 ADVICE (medium): the old delete-then-move could observe the
+    // attempt dir, lose the slot race to the writer's own post-link move,
+    // deleteTree the JUST-published rows, and throw on the vanished
+    // attempt — permanent CDC loss. Twelve pending versions are published
+    // by four writer threads (the writer's exact move-and-swallow shape)
+    // while repairCdc sweeps the same table concurrently; afterwards every
+    // version must still serve its change rows from the version slot.
+    val t = freshTable()
+    CommitLog.commit((0 until 12).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+      t, "append")
+    val cdcRoot = Paths.get(t).resolve("_cdc")
+    val pending = (0 until 12).map { i =>
+      val v = CommitLog.delete(spark, t, col("id") === i.toLong)
+      val man = CommitLog.manifest(t, v)
+      val slot = cdcRoot.resolve(f"$v%020d")
+      val attempt = cdcRoot.resolve(man.cdcName.get)
+      Files.move(slot, attempt) // crash window: linked, slot move pending
+      (v, attempt, slot)
+    }
+    assert(CommitLog.fsck(t).pendingCdc.size === 12)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      val repairer = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { start.await(); CommitLog.repairCdc(t) + CommitLog.repairCdc(t) }
+      })
+      val publishers = (0 until 4).map { g =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            start.await()
+            pending.drop(g * 3).take(3).foreach { case (_, attempt, slot) =>
+              // the writer's publish shape (CommitLog.publishRewrite): plain
+              // move, any failure swallowed — repair owns the leftover
+              try Files.move(attempt, slot)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+          }
+        })
+      }
+      start.countDown()
+      publishers.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      repairer.get(120, java.util.concurrent.TimeUnit.SECONDS): Unit
+    } finally pool.shutdown()
+    // invariant: every version's rows live at the slot, no attempt remains
+    pending.foreach { case (v, attempt, slot) =>
+      assert(Files.isDirectory(slot), s"v$v slot lost")
+      assert(!Files.exists(attempt), s"v$v attempt dir leaked")
+      assert(CommitLog.changeFeed(spark, t, v - 1, Some(v))
+        .filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 1L,
+        s"v$v change rows destroyed")
+    }
+    assert(CommitLog.fsck(t).clean)
+    assert(CommitLog.repairCdc(t) === 0L)
+  }
+
   test("a mutation whose change rows are truly gone is missingCdc") {
     val t = freshTable()
     seed(t)
