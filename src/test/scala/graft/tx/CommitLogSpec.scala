@@ -197,6 +197,43 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 3))
   }
 
+  test("a registered CDC reader's cursor pins vacuum retention; the override bricks it knowingly") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, "append") // v1
+    CommitLog.commit(Seq((3L, "c")).toDF("id", "s"), t, "append")            // v2
+    // a lagging subscriber checkpoints its consumption through v1
+    val rv = CommitLog.registerCdcReader(spark, t, "sub", 1L)                // v3
+    assert(rv === 3L)
+    assert(CommitLog.minCdcReaderCursor(t) === Some(1L))
+    // a non-advancing call no-ops on the txn fast path: no new version
+    assert(CommitLog.registerCdcReader(spark, t, "sub", 1L) === 3L)
+    assert(CommitLog.latestVersion(t) === Some(3L))
+    CommitLog.commit(Seq((9L, "z")).toDF("id", "s"), t, "overwrite")         // v4 (plain!)
+    CommitLog.commit(Seq((10L, "y")).toDF("id", "s"), t, "append")           // v5
+    // default vacuum would keep only v4..v5 — the reader guard keeps
+    // everything from the cursor version on, so NOTHING drops here
+    assert(CommitLog.vacuum(t, keepVersions = 2, minAgeMillis = 0, force = true) === 0L)
+    assert(CommitLog.versions(t) === (1L to 5L))
+    // the lagging subscriber SURVIVES: its next slice (v2..v5) still
+    // derives, including the plain overwrite's snapshot diff, which reads
+    // the PRE-overwrite manifest a default vacuum would have deleted
+    val slice = CommitLog.changeFeed(spark, t, 1L, overwriteDiff = true)
+    assert(slice.filter(col(CommitLog.ChangeTypeCol) === "insert")
+      .select("id").as[Long].collect().toSet === Set(3L, 9L, 10L))
+    // the reader catches up and checkpoints; retention follows it
+    CommitLog.registerCdcReader(spark, t, "sub", 5L)                         // v6
+    assert(CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true) > 0L)
+    assert(CommitLog.versions(t) === Seq(5L, 6L))
+    // an abandoned reader pins forever — dropLaggingReaders is the
+    // explicit, documented brick
+    CommitLog.commit(Seq((11L, "x")).toDF("id", "s"), t, "append")           // v7
+    CommitLog.commit(Seq((12L, "w")).toDF("id", "s"), t, "append")           // v8
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true,
+      dropLaggingReaders = true)
+    assert(CommitLog.versions(t) === Seq(8L))
+    intercept[Exception] { CommitLog.changeFeed(spark, t, 5L).count() }
+  }
+
   test("auto-compaction bounds snapshot scan width at the policy threshold") {
     val t = freshTable()
     (1 to 30).foreach(i =>

@@ -274,6 +274,41 @@ class TxMutationSpec extends SparkSpec {
       .resolve(f"${3L}%020d")))
   }
 
+  test("a journaled overwrite (cdc = true) stores its diff and serves it without overwriteDiff") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t, "append")
+    // (2,b) retired, (3,c) rewritten to (3,C), (4,d) new, (1,a) survives
+    CommitLog.commit(Seq((1L, "a"), (3L, "C"), (4L, "d")).toDF("id", "s"), t,
+      "overwrite", cdc = true)
+    val man = CommitLog.manifest(t, 2L)
+    assert(man.cdcName.isDefined) // the manifest names the journal dir
+    def slice(): Seq[(Long, String, Long, String)] =
+      CommitLog.changeFeed(spark, t, 1L) // note: NO overwriteDiff opt-in
+        .select(col(CommitLog.CommitVersionCol), col(CommitLog.ChangeTypeCol),
+          col("id"), col("s"))
+        .as[(Long, String, Long, String)].collect().toSeq.sorted
+    assert(slice() === Seq(
+      (2L, "delete", 2L, "b"), (2L, "delete", 3L, "c"),
+      (2L, "insert", 3L, "C"), (2L, "insert", 4L, "d")))
+    // fsck accounts the journaled overwrite as cdc-bearing: clean now, and
+    // the crash window (linked manifest, slot move pending) is pendingCdc
+    assert(CommitLog.fsck(t).clean)
+    val cdcRoot = java.nio.file.Paths.get(t).resolve("_cdc")
+    Files.move(cdcRoot.resolve(f"${2L}%020d"), cdcRoot.resolve(man.cdcName.get))
+    assert(CommitLog.fsck(t).pendingCdc === Seq(2L))
+    assert(slice().size === 4) // pending rows serve from the manifest name
+    assert(CommitLog.repairCdc(t) === 1L)
+    assert(CommitLog.fsck(t).clean)
+    // retention decoupled: vacuuming the PREDECESSOR manifest (the thing
+    // that bricks read-time overwrite-diff) leaves the stored rows served
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true)
+    assert(slice().size === 4)
+    // appends never journal — they stream through the _stream mirror
+    intercept[IllegalArgumentException] {
+      CommitLog.commit(Seq((9L, "z")).toDF("id", "s"), t, "append", cdc = true)
+    }
+  }
+
   test("changeFeedStream streams mutation rows with their commit versions") {
     val t = freshTable()
     CommitLog.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t, "append")
