@@ -188,6 +188,38 @@ object IvfStore {
     fresh.select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
   }
 
+  /** Cheap drift proxy for "does this index need a [[build]] rather than
+    * another [[refresh]]": the byte fraction of the current `assigned`
+    * snapshot living in commit dirs the last build (the newest `overwrite`
+    * manifest) did NOT write — i.e. how much of the index was binned
+    * against frozen centroids instead of fit. Metadata-only (a manifest
+    * walk plus `Files.size` over the snapshot's file list — no data scan),
+    * so a maintenance cycle can evaluate it every run at any scale.
+    * OVERestimates drift: a merge rewrite carries untouched neighbors of
+    * changed rows into new dirs too — acceptable for a threshold alarm
+    * (the false-positive cost is one early re-index). When no build
+    * manifest is retained (vacuumed), the earliest retained manifest is
+    * the baseline. */
+  def staleFraction(indexRoot: String): Double = {
+    val t = assignedTable(indexRoot)
+    val vs = CommitLog.versions(t)
+    if (vs.isEmpty) return 0.0
+    val manifests = vs.map(CommitLog.manifest(t, _))
+    val baseline = manifests.reverse.find(_.mode == "overwrite").getOrElse(manifests.head)
+    val baseDirs = baseline.files.map(CommitLog.commitDirOf).toSet
+    val dir = java.nio.file.Paths.get(t)
+    val sizes = manifests.last.files.map { f =>
+      (f, try java.nio.file.Files.size(dir.resolve(f)) catch {
+        case _: java.io.IOException => 0L
+      })
+    }
+    val total = sizes.map(_._2).sum
+    if (total == 0L) 0.0
+    else sizes.collect {
+      case (f, n) if !baseDirs.contains(CommitLog.commitDirOf(f)) => n
+    }.sum.toDouble / total
+  }
+
   /** Answer queries from the PERSISTED index — no fit, no session cache;
     * any process with the storage answers immediately. Same probe/rerank
     * plan as [[IvfIndex.topK]]. */

@@ -17,12 +17,20 @@ import graft.tx.CommitLog
   *     the snapshot spans more commit dirs than the policy width; the
   *     inline auto-compaction bounds width between cycles, this resets it
   *     to minimal and re-clusters;
-  *  3. reclaim — [[CommitLog.pruneMirrorConsumed]] against the slowest
+  *  3. index upkeep — [[graft.ext.IvfStore.refresh]] for every registered
+  *     index whose covered watermark lags the base (before vacuum, so the
+  *     change-feed slice it folds still exists), with a drift-staleness
+  *     flag when only a re-`build` will do;
+  *  4. reclaim — [[CommitLog.pruneMirrorConsumed]] against the slowest
   *     subscriber's own checkpoint, releasing consumed feed bytes;
-  *  4. vacuum — retention GC of unreachable versions (the explicit
-  *     disk-vs-time-travel trade, Delta's VACUUM);
-  *  5. sweep — [[CommitLog.fsckClean]] for crash leftovers, then a final
-  *     read-only [[CommitLog.fsck]] audit returned to the operator.
+  *  5. vacuum — retention GC of unreachable versions (the explicit
+  *     disk-vs-time-travel trade, Delta's VACUUM), stopping at any
+  *     registered change-feed reader's cursor;
+  *  6. sweep — [[CommitLog.fsckClean]] for crash leftovers, then a final
+  *     read-only [[CommitLog.fsck]] audit returned to the operator —
+  *     re-healed and re-audited once if it overlaps a live writer's
+  *     publish window, so a cron never pages on a healthy mid-commit
+  *     table.
   *
   * At 100 TB the cycle is driver-cheap except compaction (a data rewrite —
   * which is why it is threshold-gated) and vacuum's directory walk. */
@@ -30,7 +38,17 @@ object Maintenance {
 
   /** Cadence/threshold policy. `force`+`minAgeMillis = 0` are for tests and
     * decommissioned tables only — see [[CommitLog.vacuum]]'s retention
-    * contract. */
+    * contract. `indexes` registers [[graft.ext.IvfStore]] indexes BUILT
+    * OVER this table: each cycle refreshes any whose covered watermark
+    * lags the base (replay-safe — an already-covered index no-ops), and
+    * flags indexes whose [[graft.ext.IvfStore.staleFraction]] crosses
+    * `indexStaleThreshold` as needing an explicit re-`build` (centroid
+    * drift is not refreshable — same operator decision as a Z-order
+    * re-cluster). NOTE: an index is also a change-feed consumer — a table
+    * vacuumed OUTSIDE this cycle should have its indexes registered via
+    * [[CommitLog.registerCdcReader]] so retention can't outrun them;
+    * inside a cycle the ordering (refresh before vacuum) already
+    * protects them. */
   final case class Policy(
       compactWhenDirsExceed: Int = 32,
       zorderBy: Seq[String] = Nil,
@@ -39,7 +57,14 @@ object Maintenance {
       vacuumKeepVersions: Int = 2,
       minAgeMillis: Long = CommitLog.DefaultVacuumRetentionMillis,
       force: Boolean = false,
-      subscriberCheckpoint: Option[String] = None)
+      subscriberCheckpoint: Option[String] = None,
+      indexes: Seq[IndexRef] = Nil,
+      indexStaleThreshold: Double = 0.5)
+
+  /** A persisted IVF index rooted at `indexRoot`, built over the
+    * maintained table. */
+  final case class IndexRef(indexRoot: String,
+      idCol: String = "vec_id", vecCol: String = "embedding")
 
   final case class Report(
       repairedCdc: Long,
@@ -47,14 +72,16 @@ object Maintenance {
       prunedMirrorLinks: Long,
       vacuumedFiles: Long,
       cleanedLeftovers: Long,
-      fsck: CommitLog.FsckReport) {
+      fsck: CommitLog.FsckReport,
+      refreshedIndexes: Seq[(String, Long)] = Nil,
+      staleIndexes: Seq[String] = Nil) {
     def healthy: Boolean = fsck.clean
   }
 
   def run(spark: SparkSession, table: String, policy: Policy = Policy()): Report = {
     // 1. heal (before anything widens the damage window)
     CommitLog.repairMirror(table)
-    val repairedCdc = CommitLog.repairCdc(table)
+    var repairedCdc = CommitLog.repairCdc(table)
     // 2. threshold-gated full compaction
     val latest = CommitLog.latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
@@ -65,37 +92,66 @@ object Maintenance {
         Some(CommitLog.compact(spark, table, policy.partitionBy,
           policy.targetBytes, policy.zorderBy))
       else None
-    // 3. subscriber-driven feed retention
+    // 3. registered indexes: fold the base's changes since each index's
+    // covered watermark (BEFORE vacuum, so the feed slice still exists);
+    // report — don't auto-run — the rebuild decision on drift
+    val refreshed = policy.indexes.map { ix =>
+      ix.indexRoot -> graft.ext.IvfStore.refresh(spark, table, ix.indexRoot,
+        ix.idCol, ix.vecCol)
+    }
+    val stale = policy.indexes
+      .filter(ix => graft.ext.IvfStore.staleFraction(ix.indexRoot) >
+        policy.indexStaleThreshold)
+      .map(_.indexRoot)
+    // 4. subscriber-driven feed retention
     val pruned = policy.subscriberCheckpoint
       .map(CommitLog.pruneMirrorConsumed(table, _)).getOrElse(0L)
-    // 4. version retention GC
+    // 5. version retention GC
     val vacuumed = CommitLog.vacuum(table, policy.vacuumKeepVersions,
       policy.minAgeMillis, policy.force)
-    // 5. crash-leftover sweep + final audit; the audit ignores leftovers
+    // 6. crash-leftover sweep + final audit; the audit ignores leftovers
     // younger than the retention window — they are indistinguishable from
     // a concurrent writer's in-flight files, and an hourly cron must not
     // page on a healthy table mid-commit
     val cleaned = CommitLog.fsckClean(table, policy.minAgeMillis, policy.force)
-    Report(repairedCdc, compactedTo, pruned, vacuumed, cleaned,
-      CommitLog.fsck(table, policy.minAgeMillis))
+    var audit = CommitLog.fsck(table, policy.minAgeMillis)
+    if (audit.pendingCdc.nonEmpty || audit.unmirrored.nonEmpty) {
+      // manifest-referenced damage is reported regardless of age, but a
+      // LIVE writer's millisecond publish window (manifest linked, slot
+      // move or mirror not yet run) can overlap the audit — that exact
+      // state is what heal repairs, so re-heal and re-audit once instead
+      // of paging the cron on a healthy mid-publish table (round-6
+      // ADVICE, low; repairCdc is publish-race-safe as of this round)
+      CommitLog.repairMirror(table)
+      repairedCdc += CommitLog.repairCdc(table)
+      audit = CommitLog.fsck(table, policy.minAgeMillis)
+    }
+    Report(repairedCdc, compactedTo, pruned, vacuumed, cleaned, audit,
+      refreshed, stale)
   }
 
-  /** CLI: `Maintenance <table> [zorderCol,...] [subscriberCheckpoint]` —
-    * the shape a cron wires up. Prints one summary line; exits non-zero
-    * when the final audit is not clean. */
+  /** CLI: `Maintenance <table> [zorderCol,...] [subscriberCheckpoint]
+    * [ivfIndexRoot,...]` — the shape a cron wires up. Prints one summary
+    * line; exits non-zero when the final audit is not clean. */
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Maintenance <table> [zorderCols] [subscriberCheckpoint]")
+    require(args.nonEmpty,
+      "usage: Maintenance <table> [zorderCols] [subscriberCheckpoint] [ivfIndexRoots]")
     val table = args(0)
     val zorder = if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Nil
-    val ck = if (args.length > 2) Some(args(2)) else None
+    val ck = if (args.length > 2) Some(args(2)).filter(_.nonEmpty) else None
+    val ixs = if (args.length > 3)
+      args(3).split(",").toSeq.filter(_.nonEmpty).map(IndexRef(_)) else Nil
     val spark = graft.GraftSession.local("graft-maintenance",
       Runtime.getRuntime.availableProcessors())
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val r = run(spark, table, Policy(zorderBy = zorder, subscriberCheckpoint = ck))
+      val r = run(spark, table,
+        Policy(zorderBy = zorder, subscriberCheckpoint = ck, indexes = ixs))
       println(s"maintenance $table: repairedCdc=${r.repairedCdc} " +
         s"compactedTo=${r.compactedTo.getOrElse(-1L)} prunedMirror=${r.prunedMirrorLinks} " +
-        s"vacuumed=${r.vacuumedFiles} cleaned=${r.cleanedLeftovers} healthy=${r.healthy}")
+        s"vacuumed=${r.vacuumedFiles} cleaned=${r.cleanedLeftovers} " +
+        s"refreshedIndexes=${r.refreshedIndexes.map { case (p, v) => s"$p@$v" }.mkString(",")} " +
+        s"staleIndexes=${r.staleIndexes.mkString(",")} healthy=${r.healthy}")
       if (!r.healthy) {
         System.err.println(s"fsck: ${r.fsck}")
         sys.exit(2)

@@ -719,34 +719,42 @@ object CommitLog {
       readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
       "__graft_file", tableDir)
     if (touched.isEmpty) return m.version
-    import org.apache.spark.sql.functions.{coalesce => cz, lit, when => cwhen, col}
+    import org.apache.spark.sql.functions.{coalesce => cz, lit, col, not}
     val hit = cz(condition, lit(false))
     val touchedDf = readManifest(spark, table, m.copy(files = touched.toSeq.sorted))
-    // SET is evaluated ONCE (round-5 ADVICE, low — Delta's contract): the
-    // hit flag is computed on the ORIGINAL row (a SET that rewrites a column
-    // the condition reads must not re-test the condition post-update), the
-    // updated frame is persisted, and BOTH the rewritten data files and the
-    // CDC post-images derive from that one materialization — a
-    // non-deterministic SET expression (rand(), current_timestamp()) can no
-    // longer publish post-images disagreeing with the committed data.
-    val updated = m.schema.fieldNames.foldLeft(
-      touchedDf.withColumn("__graft_hit", hit)) { (acc, name) =>
+    val ordered = m.schema.fieldNames.toSeq.map(col)
+    // SET is evaluated ONCE, on STORAGE (round-5 ADVICE low, hardened for
+    // round-6 ADVICE low): the hit flag is computed on the ORIGINAL row (a
+    // SET that rewrites a column the condition reads must not re-test the
+    // condition post-update), the post-images are written to the cdc
+    // attempt dir FIRST — that parquet write is the single materialization
+    // of the SET expressions — and the rewritten data files then derive
+    // from the STORED post-images plus the untouched rows. A persist()
+    // cannot give this guarantee (an evicted block or lost executor
+    // recomputes the partition, so rand()/current_timestamp() SETs could
+    // diverge between the data files and the post-images); immutable
+    // parquet can. The update CONDITION must itself be deterministic, as
+    // in Delta.
+    val updatedHit = m.schema.fieldNames.foldLeft(touchedDf.filter(hit)) {
+      (acc, name) =>
         set.get(name) match {
-          case Some(expr) => acc.withColumn(name, cwhen(col("__graft_hit"), expr.cast(
-            m.schema(name).dataType)).otherwise(col(name)))
+          case Some(expr) =>
+            acc.withColumn(name, expr.cast(m.schema(name).dataType))
           case None => acc
         }
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val newFiles = writeDataDir(updated.drop("__graft_hit"), tableDir, partitionBy)
-      // change feed: pre- and post-image of every matched row
-      val pre = touchedDf.filter(hit).withColumn(ChangeTypeCol, lit("update_preimage"))
-      val post = updated.filter(col("__graft_hit")).drop("__graft_hit")
-        .withColumn(ChangeTypeCol, lit("update_postimage"))
-      val cdc = writeCdcTmp(pre.union(post), tableDir)
-      publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
-        mode = "update", cdcTmp = cdc, freshFiles = newFiles)
-    } finally updated.unpersist(blocking = false): Unit
+    }
+    val pre = touchedDf.filter(hit).select(ordered: _*)
+      .withColumn(ChangeTypeCol, lit("update_preimage"))
+    val post = updatedHit.select(ordered: _*)
+      .withColumn(ChangeTypeCol, lit("update_postimage"))
+    val cdc = writeCdcTmp(pre.union(post), tableDir)
+    val postStored = spark.read.parquet(cdc.get.toString)
+      .filter(col(ChangeTypeCol) === "update_postimage")
+      .select(ordered: _*)
+    val newData = touchedDf.filter(not(hit)).select(ordered: _*).union(postStored)
+    val newFiles = writeDataDir(newData, tableDir, partitionBy)
+    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
+      mode = "update", cdcTmp = cdc, freshFiles = newFiles)
   }
 
   /** Copy-on-write DELETE by KEY SET (`DELETE FROM t WHERE (k…) IN

@@ -74,6 +74,82 @@ class MaintenanceSpec extends SparkSpec {
     assert(again.healthy)
   }
 
+  test("the cycle refreshes a registered IVF index, replay-safe, and flags drift-staleness") {
+    val root = Files.createTempDirectory("graft_maint_ivf").toString
+    val base = s"$root/base"
+    val index = s"$root/index"
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    CommitLog.commit(emb.filter(col("vec_id") < 400L), base, "append")
+    graft.ext.IvfStore.build(spark, base, index, nCells = 8)
+    // base advances between cron ticks; the cycle must fold the delta in
+    CommitLog.commit(
+      emb.filter(col("vec_id") >= 400L && col("vec_id") < 450L), base, "append")
+    val pol = Maintenance.Policy(minAgeMillis = 0, force = true,
+      vacuumKeepVersions = 3, indexes = Seq(Maintenance.IndexRef(index)))
+    val r1 = Maintenance.run(spark, base, pol)
+    assert(r1.refreshedIndexes === Seq(index -> CommitLog.latestVersion(base).get))
+    assert(graft.ext.IvfStore.coveredVersion(index) === CommitLog.latestVersion(base))
+    assert(CommitLog.read(spark, s"$index/assigned").count()
+      === CommitLog.read(spark, base).count())
+    assert(r1.staleIndexes.isEmpty) // ~11% of the corpus binned post-build
+    assert(r1.healthy)
+    // replay-safe: a second cycle no-ops the refresh — covered watermark
+    // unchanged, NO new version published on the assigned table
+    val aV = CommitLog.latestVersion(s"$index/assigned").get
+    val r2 = Maintenance.run(spark, base, pol)
+    assert(r2.refreshedIndexes === Seq(index -> CommitLog.latestVersion(base).get))
+    assert(CommitLog.latestVersion(s"$index/assigned") === Some(aV))
+    // heavy growth: the cycle still folds it (recall is served) but flags
+    // the index as drift-stale — the rebuild is an explicit operator op,
+    // like a Z-order re-cluster
+    CommitLog.commit(emb.withColumn("vec_id", col("vec_id") + 1000000L),
+      base, "append")
+    val r3 = Maintenance.run(spark, base, pol.copy(indexStaleThreshold = 0.3))
+    assert(r3.refreshedIndexes === Seq(index -> CommitLog.latestVersion(base).get))
+    assert(r3.staleIndexes === Seq(index))
+    assert(CommitLog.read(spark, s"$index/assigned").count()
+      === CommitLog.read(spark, base).count())
+    // an explicit rebuild resets the drift measure
+    graft.ext.IvfStore.build(spark, base, index, nCells = 8)
+    assert(graft.ext.IvfStore.staleFraction(index) <= 0.3)
+  }
+
+  test("cycles overlapping live writers never page on a healthy table") {
+    // round-6 ADVICE (low): the final audit always reported pendingCdc /
+    // unmirrored regardless of age, so a cron overlapping a writer's
+    // millisecond publish window returned healthy=false — a spurious page.
+    // The cycle now re-heals and re-audits once before declaring unhealthy
+    // (safe because repairCdc is publish-race-free as of this round).
+    val t = Files.createTempDirectory("graft_maint3").resolve("t").toString
+    CommitLog.commit((0 until 200).map(i => (i.toLong, s"s$i"))
+      .toDF("id", "s").repartition(4), t, "append")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val writer = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (0 until 6).foreach { i =>
+          var done = false
+          var tries = 0
+          while (!done && tries < 32) {
+            tries += 1
+            try { CommitLog.delete(spark, t, col("id") === i.toLong); done = true }
+            catch { case _: IllegalStateException => () }
+          }
+          assert(done, s"delete $i never committed")
+        }
+      })
+      // default policy: retention windows at production values, vacuum and
+      // compaction no-op — the pure audit cadence racing the writer
+      val reports = (0 until 3).map(_ => Maintenance.run(spark, t, Maintenance.Policy()))
+      writer.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      reports.foreach(r => assert(r.healthy, s"spurious page: ${r.fsck}"))
+    } finally pool.shutdown()
+    // and nothing was damaged: every mutation still serves its change rows
+    val latest = CommitLog.latestVersion(t).get
+    assert(CommitLog.changeFeed(spark, t, 1L, Some(latest))
+      .filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 6L)
+    assert(CommitLog.read(spark, t).count() === 194L)
+  }
+
   test("the cycle heals a crashed cdc publish before auditing") {
     val t = Files.createTempDirectory("graft_maint2").resolve("t").toString
     CommitLog.commit((0 until 10).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
