@@ -63,26 +63,50 @@ class BenchSpec extends SparkSpec {
       .resolve("hist.jsonl").toString
     def t(sec: Double) = Bench.Timing(Some(sec), None)
     // three runs with a drifty q1 and a stable q2; q3 fails in run 2
-    val (m1, r1) = Bench.crossRunMedians(hist, "sfX",
+    val (m1, r1, _) = Bench.crossRunMedians(hist, "sfX",
       Seq("q1" -> t(1.0), "q2" -> t(0.5), "q3" -> t(2.0)))
     assert(r1 === 1 && m1("q1") === 1.0)
-    val (_, r2) = Bench.crossRunMedians(hist, "sfX",
+    val (_, r2, _) = Bench.crossRunMedians(hist, "sfX",
       Seq("q1" -> t(9.0), "q2" -> t(0.5), "q3" -> Bench.Timing(None, Some("boom"))))
     assert(r2 === 2)
-    val (m3, r3) = Bench.crossRunMedians(hist, "sfX",
+    val (m3, r3, minRuns3) = Bench.crossRunMedians(hist, "sfX",
       Seq("q1" -> t(1.2), "q2" -> t(0.6), "q3" -> t(2.2)))
     assert(r3 === 3)
     // median discards the 9.0 spike; failed run contributes nothing for q3
     assert(m3("q1") === 1.2)
     assert(m3("q2") === 0.5)
     assert(m3("q3") === 2.2)
+    // q3 has only 2 recorded samples (its run-2 failure recorded nothing):
+    // the min-series length exposes that `runs` overclaims its sample
+    assert(minRuns3 === 2)
     // a different sf shares the file without cross-talk
-    val (mY, rY) = Bench.crossRunMedians(hist, "sfY", Seq("q1" -> t(100.0)))
+    val (mY, rY, _) = Bench.crossRunMedians(hist, "sfY", Seq("q1" -> t(100.0)))
     assert(rY === 1 && mY("q1") === 100.0)
     // and the rendered line carries the cross-run fields
-    val json = Bench.renderJson(Seq("q1" -> t(1.2)), "sfX", Nil, m3, r3)
+    val json = Bench.renderJson(Seq("q1" -> t(1.2)), "sfX", Nil, m3, r3, minRuns3)
     assert(json.contains("\"runs\":3"))
+    assert(json.contains("\"median_min_runs\":2"))
     assert(json.contains("\"median_queries\":{"))
     assert(json.contains("\"median_value\":"))
+  }
+
+  test("medians are restricted to the current run's query set (like-for-like)") {
+    val hist = java.nio.file.Files.createTempDirectory("graft_bench2")
+      .resolve("hist.jsonl").toString
+    def t(sec: Double) = Bench.Timing(Some(sec), None)
+    // two historical runs carry q_old; the current run renamed it to q_new
+    Bench.crossRunMedians(hist, "sfX", Seq("q_old" -> t(5.0), "q_keep" -> t(1.0)))
+    Bench.crossRunMedians(hist, "sfX", Seq("q_old" -> t(5.0), "q_keep" -> t(1.0)))
+    val (m, runs, minRuns) = Bench.crossRunMedians(hist, "sfX",
+      Seq("q_new" -> t(2.0), "q_keep" -> t(1.0)))
+    assert(runs === 3)
+    // the removed query's stale history no longer leaks into the medians
+    assert(!m.contains("q_old"))
+    assert(m("q_keep") === 1.0)
+    // the new query's median exists but over a 1-run series — surfaced via
+    // the min-series length, not silently blended into `runs`
+    assert(m("q_new") === 2.0)
+    assert(minRuns === 1)
+    assert(math.abs(m.values.sum - 3.0) < 1e-9)
   }
 }
