@@ -85,16 +85,22 @@ object Bench {
       }.mkString(""","operator":{""", ",", "}")
     val medField =
       if (crossRun.isEmpty) ""
-      else {
-        val m = crossRun.toSeq.sorted
-          .map { case (k, v) => jsonStr(k) + ":" + v.toString }
-          .mkString("{", ",", "}")
-        s""","runs":$runs,"median_min_runs":$medianMinRuns,""" +
-          s""""median_value":${crossRun.values.sum},"median_queries":$m"""
-      }
-    val total = results.flatMap(_._2.seconds).sum
+      else s""","runs":$runs,"median_min_runs":$medianMinRuns,""" +
+        s""""median_value":${crossRun.values.sum},""" +
+        s""""median_queries":${medianQueriesJson(crossRun)}"""
+    val total = totalSeconds(results)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$opField$errField$medField,"sf":"${sfDir}"}"""
   }
+
+  /** Shared serializers so the main line and the BENCH_SUMMARY artifact
+    * cannot drift apart. */
+  private def medianQueriesJson(medians: Map[String, Double]): String =
+    medians.toSeq.sorted
+      .map { case (k, v) => jsonStr(k) + ":" + v.toString }
+      .mkString("{", ",", "}")
+
+  private def totalSeconds(results: Seq[(String, Timing)]): Double =
+    results.flatMap(_._2.seconds).sum
 
   /** Append this run's per-query seconds to the history file and return
     * per-query medians across the recorded runs of the same sf (current
@@ -118,7 +124,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not append $historyFile: $e")
     }
-    val currentKeys = current.collect { case (k, Timing(Some(_), None)) => k }.toSet
+    // ALL current keys, errored included: a query that failed THIS run
+    // contributes no new sample but must keep its historical median, or
+    // the failure would masquerade as a median_value improvement (its
+    // error is already loud in n_errors / the errors object)
+    val currentKeys = current.map(_._1).toSet
     val pair = """"((?:[^"\\]|\\.)+)":(-?[0-9][0-9.eE+-]*)""".r
     val runs = scala.util.Try {
       new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
@@ -195,15 +205,13 @@ object Bench {
     // the LAST stdout line, so the driver can always recover the totals
     // from the file even when stdout truncates.
     val summaryFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")
-    val total = results.flatMap(_._2.seconds).sum
     val nErr = results.count(_._2.error.isDefined)
-    val medQ = medians.toSeq.sorted
-      .map { case (k, v) => jsonStr(k) + ":" + v.toString }
-      .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":${totalSeconds(results)},"unit":"sec",""" +
+        s""""n_queries":${results.size},""" +
         s""""n_errors":$nErr,"runs":$runs,"median_min_runs":$minRuns,""" +
-        s""""median_value":${medians.values.sum},"median_queries":$medQ,""" +
+        s""""median_value":${medians.values.sum},""" +
+        s""""median_queries":${medianQueriesJson(medians)},""" +
         s""""sf":${jsonStr(sfDir)}}"""
     try {
       val p = java.nio.file.Paths.get(summaryFile).toAbsolutePath

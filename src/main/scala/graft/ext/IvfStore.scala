@@ -189,35 +189,40 @@ object IvfStore {
   }
 
   /** Cheap drift proxy for "does this index need a [[build]] rather than
-    * another [[refresh]]": the byte fraction of the current `assigned`
-    * snapshot living in commit dirs the last build (the newest `overwrite`
-    * manifest) did NOT write — i.e. how much of the index was binned
-    * against frozen centroids instead of fit. Metadata-only (a manifest
-    * walk plus `Files.size` over the snapshot's file list — no data scan),
-    * so a maintenance cycle can evaluate it every run at any scale.
-    * OVERestimates drift: a merge rewrite carries untouched neighbors of
-    * changed rows into new dirs too — acceptable for a threshold alarm
-    * (the false-positive cost is one early re-index). When no build
-    * manifest is retained (vacuumed), the earliest retained manifest is
-    * the baseline. */
+    * another [[refresh]]": the byte share of the current `assigned`
+    * snapshot attributable to refresh MERGES since the last build — i.e.
+    * how much of the index was binned against frozen centroids instead of
+    * fit. Accumulated from per-VERSION file deltas of `merge` manifests
+    * after the newest `overwrite` (the build — both compaction tiers
+    * publish mode `compact`, so a later compaction rearranges files
+    * without contributing drift; a dir-membership measure would spuriously
+    * report ~1.0 after any compaction). Metadata-only (a manifest walk
+    * plus `Files.size` — no data scan), so a maintenance cycle can
+    * evaluate it every run at any scale. OVERestimates drift (a merge
+    * rewrite carries untouched neighbors of changed rows into its delta)
+    * and UNDERestimates once vacuum deletes a merge's delta files that a
+    * later compaction folded — threshold-alarm semantics, not a
+    * measurement; the false-positive cost is one early re-index. */
   def staleFraction(indexRoot: String): Double = {
     val t = assignedTable(indexRoot)
     val vs = CommitLog.versions(t)
     if (vs.isEmpty) return 0.0
     val manifests = vs.map(CommitLog.manifest(t, _))
-    val baseline = manifests.reverse.find(_.mode == "overwrite").getOrElse(manifests.head)
-    val baseDirs = baseline.files.map(CommitLog.commitDirOf).toSet
     val dir = java.nio.file.Paths.get(t)
-    val sizes = manifests.last.files.map { f =>
-      (f, try java.nio.file.Files.size(dir.resolve(f)) catch {
+    def size(f: String): Long =
+      try java.nio.file.Files.size(dir.resolve(f)) catch {
         case _: java.io.IOException => 0L
-      })
-    }
-    val total = sizes.map(_._2).sum
-    if (total == 0L) 0.0
-    else sizes.collect {
-      case (f, n) if !baseDirs.contains(CommitLog.commitDirOf(f)) => n
-    }.sum.toDouble / total
+      }
+    val total = manifests.last.files.map(size).sum
+    if (total == 0L) return 0.0
+    val sinceBuild = manifests.drop(
+      math.max(manifests.lastIndexWhere(_.mode == "overwrite"), 0))
+    val driftBytes = sinceBuild.sliding(2).collect {
+      case Seq(prev, cur) if cur.mode == "merge" =>
+        val before = prev.files.toSet
+        cur.files.filterNot(before).map(size).sum
+    }.sum
+    math.min(1.0, driftBytes.toDouble / total)
   }
 
   /** Answer queries from the PERSISTED index — no fit, no session cache;

@@ -59,7 +59,8 @@ object Maintenance {
       force: Boolean = false,
       subscriberCheckpoint: Option[String] = None,
       indexes: Seq[IndexRef] = Nil,
-      indexStaleThreshold: Double = 0.5)
+      indexStaleThreshold: Double = 0.5,
+      dropLaggingReaders: Boolean = false)
 
   /** A persisted IVF index rooted at `indexRoot`, built over the
     * maintained table. */
@@ -74,7 +75,8 @@ object Maintenance {
       cleanedLeftovers: Long,
       fsck: CommitLog.FsckReport,
       refreshedIndexes: Seq[(String, Long)] = Nil,
-      staleIndexes: Seq[String] = Nil) {
+      staleIndexes: Seq[String] = Nil,
+      laggingReaderCursor: Option[Long] = None) {
     def healthy: Boolean = fsck.clean
   }
 
@@ -106,9 +108,17 @@ object Maintenance {
     // 4. subscriber-driven feed retention
     val pruned = policy.subscriberCheckpoint
       .map(CommitLog.pruneMirrorConsumed(table, _)).getOrElse(0L)
-    // 5. version retention GC
+    // 5. version retention GC. A registered reader cursor that pins
+    // retention below the policy's keepVersions is SURFACED in the report
+    // (an abandoned reader would otherwise silently disable vacuum
+    // forever — disk grows with healthy=true and no operator signal);
+    // Policy.dropLaggingReaders is the cron-reachable override.
+    val latestNow = CommitLog.latestVersion(table).getOrElse(latest)
+    val laggingCursor = CommitLog.minCdcReaderCursor(table)
+      .filter(c => !policy.dropLaggingReaders &&
+        latestNow - c + 1 > policy.vacuumKeepVersions)
     val vacuumed = CommitLog.vacuum(table, policy.vacuumKeepVersions,
-      policy.minAgeMillis, policy.force)
+      policy.minAgeMillis, policy.force, policy.dropLaggingReaders)
     // 6. crash-leftover sweep + final audit; the audit ignores leftovers
     // younger than the retention window — they are indistinguishable from
     // a concurrent writer's in-flight files, and an hourly cron must not
@@ -127,7 +137,7 @@ object Maintenance {
       audit = CommitLog.fsck(table, policy.minAgeMillis)
     }
     Report(repairedCdc, compactedTo, pruned, vacuumed, cleaned, audit,
-      refreshed, stale)
+      refreshed, stale, laggingCursor)
   }
 
   /** CLI: `Maintenance <table> [zorderCol,...] [subscriberCheckpoint]
@@ -151,7 +161,9 @@ object Maintenance {
         s"compactedTo=${r.compactedTo.getOrElse(-1L)} prunedMirror=${r.prunedMirrorLinks} " +
         s"vacuumed=${r.vacuumedFiles} cleaned=${r.cleanedLeftovers} " +
         s"refreshedIndexes=${r.refreshedIndexes.map { case (p, v) => s"$p@$v" }.mkString(",")} " +
-        s"staleIndexes=${r.staleIndexes.mkString(",")} healthy=${r.healthy}")
+        s"staleIndexes=${r.staleIndexes.mkString(",")} " +
+        s"laggingReaderCursor=${r.laggingReaderCursor.getOrElse(-1L)} " +
+        s"healthy=${r.healthy}")
       if (!r.healthy) {
         System.err.println(s"fsck: ${r.fsck}")
         sys.exit(2)

@@ -1568,7 +1568,15 @@ object CommitLog {
     * attempt dir STILL exists after the failed move — the genuine pre-fix
     * stale-slot crash, a state no live writer can produce (a linked
     * manifest with both its attempt and an occupied slot means the mover
-    * died mid-publish long ago) — is the slot replaced. */
+    * died mid-publish long ago) — is the slot replaced, and that replace
+    * runs under an exclusive per-version lock dir (`.repair-<v>`, claimed
+    * by atomic createDirectory) so two CONCURRENT repairs cannot
+    * interleave delete-then-move on the same slot (the loser would
+    * otherwise delete the rows the winner just published). An unclaimed
+    * lock means another repair owns the slot right now — skip, idempotent
+    * next cycle; a lock orphaned by a crash is dot-prefixed in `_cdc/`,
+    * so fsck reports it as `orphanCdcTmp` and the age-gated [[fsckClean]]
+    * reclaims it, unblocking the next repair. */
   def repairCdc(table: String): Long = {
     val tableDir = Paths.get(table)
     var repaired = 0L
@@ -1594,16 +1602,31 @@ object CommitLog {
               // died long ago, no writer can be in flight, so replacing
               // the slot with the authoritative attempt is safe.
               if (Files.isDirectory(attempt)) {
-                deleteTree(dst)
-                try {
-                  Files.move(attempt, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                  repaired += 1
-                } catch {
-                  case e: java.nio.file.FileSystemException =>
-                    // a concurrent repair may have finished it between our
-                    // delete and move; anything else is genuine damage
-                    if (Files.isDirectory(attempt)) throw e
+                val lock = tableDir.resolve(CdcDir).resolve(s".repair-$v")
+                val claimed =
+                  try { Files.createDirectory(lock); true }
+                  catch { case _: FileAlreadyExistsException => false }
+                if (claimed) {
+                  try {
+                    // re-check under the lock: the prior owner may have
+                    // completed the publish before releasing
+                    if (Files.isDirectory(attempt)) {
+                      deleteTree(dst)
+                      try {
+                        Files.move(attempt, dst,
+                          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                        repaired += 1
+                      } catch {
+                        case e: java.nio.file.FileSystemException =>
+                          // the live publisher can still finish between the
+                          // lock claim and our move; anything else is
+                          // genuine damage
+                          if (Files.isDirectory(attempt)) throw e
+                      }
+                    }
+                  } finally Files.deleteIfExists(lock): Unit
                 }
+                // not claimed: another repair owns this slot — leave it
               }
           }
         }

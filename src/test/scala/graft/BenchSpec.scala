@@ -66,9 +66,13 @@ class BenchSpec extends SparkSpec {
     val (m1, r1, _) = Bench.crossRunMedians(hist, "sfX",
       Seq("q1" -> t(1.0), "q2" -> t(0.5), "q3" -> t(2.0)))
     assert(r1 === 1 && m1("q1") === 1.0)
-    val (_, r2, _) = Bench.crossRunMedians(hist, "sfX",
+    val (m2, r2, _) = Bench.crossRunMedians(hist, "sfX",
       Seq("q1" -> t(9.0), "q2" -> t(0.5), "q3" -> Bench.Timing(None, Some("boom"))))
     assert(r2 === 2)
+    // a query that ERRORED this run keeps its historical median — the
+    // failure is loud in n_errors, and dropping it would shrink
+    // median_value into a fake improvement
+    assert(m2("q3") === 2.0)
     val (m3, r3, minRuns3) = Bench.crossRunMedians(hist, "sfX",
       Seq("q1" -> t(1.2), "q2" -> t(0.6), "q3" -> t(2.2)))
     assert(r3 === 3)

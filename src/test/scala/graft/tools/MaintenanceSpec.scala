@@ -99,6 +99,16 @@ class MaintenanceSpec extends SparkSpec {
     val r2 = Maintenance.run(spark, base, pol)
     assert(r2.refreshedIndexes === Seq(index -> CommitLog.latestVersion(base).get))
     assert(CommitLog.latestVersion(s"$index/assigned") === Some(aV))
+    // a compaction of the assigned table rearranges files without drift:
+    // the alarm must not fire (delta-walk accumulation, not dir
+    // membership — review finding: the latter reads ~1.0 after ANY
+    // compaction and pages the operator into a pointless rebuild)
+    val preCompact = graft.ext.IvfStore.staleFraction(index)
+    CommitLog.compact(spark, s"$index/assigned")
+    val postCompact = graft.ext.IvfStore.staleFraction(index)
+    assert(postCompact < 0.5, s"compaction inflated drift to $postCompact")
+    assert(math.abs(postCompact - preCompact) < 0.2,
+      s"compaction moved drift $preCompact -> $postCompact")
     // heavy growth: the cycle still folds it (recall is served) but flags
     // the index as drift-stale — the rebuild is an explicit operator op,
     // like a Z-order re-cluster
@@ -112,6 +122,27 @@ class MaintenanceSpec extends SparkSpec {
     // an explicit rebuild resets the drift measure
     graft.ext.IvfStore.build(spark, base, index, nCells = 8)
     assert(graft.ext.IvfStore.staleFraction(index) <= 0.3)
+  }
+
+  test("an abandoned reader cursor pinning vacuum is surfaced, and the override drops it") {
+    val t = Files.createTempDirectory("graft_maint4").resolve("t").toString
+    (0 until 3).foreach { i =>
+      CommitLog.commit(Seq((i.toLong, s"s$i")).toDF("id", "s"), t, "append",
+        autoCompactEvery = 0)
+    }
+    CommitLog.registerCdcReader(spark, t, "ghost", 1L) // then decommissioned
+    CommitLog.commit(Seq((9L, "z")).toDF("id", "s"), t, "append", autoCompactEvery = 0)
+    val pol = Maintenance.Policy(vacuumKeepVersions = 1, minAgeMillis = 0, force = true)
+    val r = Maintenance.run(spark, t, pol)
+    // vacuum held back by the ghost cursor — and the report SAYS so
+    // (review finding: silently-disabled vacuum grew disk with healthy=true)
+    assert(r.vacuumedFiles === 0L)
+    assert(r.laggingReaderCursor === Some(1L))
+    assert(CommitLog.versions(t).head === 1L)
+    // the documented override is reachable from the cron policy
+    val r2 = Maintenance.run(spark, t, pol.copy(dropLaggingReaders = true))
+    assert(r2.laggingReaderCursor.isEmpty)
+    assert(CommitLog.versions(t) === Seq(CommitLog.latestVersion(t).get))
   }
 
   test("cycles overlapping live writers never page on a healthy table") {

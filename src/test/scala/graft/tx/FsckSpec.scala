@@ -196,6 +196,71 @@ class FsckSpec extends SparkSpec {
     assert(CommitLog.repairCdc(t) === 0L)
   }
 
+  test("concurrent stale-slot repairs serialize on the lock; exactly one publishes") {
+    // review finding (round 7): two concurrent repairCdc calls in the
+    // stale-slot branch could interleave delete-then-move — the loser
+    // deleting the rows the winner just published. The .repair-<v> lock
+    // dir serializes the replace; the loser skips and the next cycle
+    // no-ops.
+    val t = freshTable()
+    seed(t)
+    val v = CommitLog.delete(spark, t, col("id") === 1L)
+    val man = CommitLog.manifest(t, v)
+    val cdcRoot = Paths.get(t).resolve("_cdc")
+    val slot = cdcRoot.resolve(f"$v%020d")
+    val attempt = cdcRoot.resolve(man.cdcName.get)
+    (0 until 4).foreach { round =>
+      // (re)create the stale-slot shape: attempt authoritative, slot stale
+      Files.move(slot, attempt)
+      Files.createDirectories(slot)
+      Files.write(slot.resolve("stale.bin"), Array[Byte](9))
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fs = (0 until 2).map(_ =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = { start.await(); CommitLog.repairCdc(t) }
+          }))
+        start.countDown()
+        assert(fs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS)).sum === 1L,
+          s"round $round: exactly one repairer must publish")
+      } finally pool.shutdown()
+      assert(Files.isDirectory(slot) && !Files.exists(slot.resolve("stale.bin")),
+        s"round $round: slot must hold the authoritative rows")
+      assert(!Files.exists(attempt), s"round $round: attempt must be consumed")
+      assert(CommitLog.changeFeed(spark, t, v - 1, Some(v))
+        .filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 1L,
+        s"round $round: change rows destroyed")
+      assert(!Files.exists(cdcRoot.resolve(s".repair-$v"))) // lock released
+    }
+  }
+
+  test("an orphaned repair lock blocks the replace until fsckClean reclaims it") {
+    val t = freshTable()
+    seed(t)
+    val v = CommitLog.delete(spark, t, col("id") === 1L)
+    val man = CommitLog.manifest(t, v)
+    val cdcRoot = Paths.get(t).resolve("_cdc")
+    val slot = cdcRoot.resolve(f"$v%020d")
+    val attempt = cdcRoot.resolve(man.cdcName.get)
+    Files.move(slot, attempt)
+    Files.createDirectories(slot)
+    Files.write(slot.resolve("stale.bin"), Array[Byte](9))
+    // a repairer crashed while holding the lock
+    Files.createDirectory(cdcRoot.resolve(s".repair-$v"))
+    assert(CommitLog.repairCdc(t) === 0L) // skipped — never delete under a foreign lock
+    assert(Files.isDirectory(attempt)) // nothing destroyed
+    // rows stay readable through the manifest's attempt name meanwhile
+    assert(CommitLog.changeFeed(spark, t, v - 1, Some(v))
+      .filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 1L)
+    // the dot-prefixed lock is an unreferenced cdc tmp: the age-gated
+    // sweep reclaims it, and the next repair completes the publish
+    assert(CommitLog.fsck(t).orphanCdcTmp.contains(s".repair-$v"))
+    CommitLog.fsckClean(t, minAgeMillis = 0, force = true)
+    assert(CommitLog.repairCdc(t) === 1L)
+    assert(CommitLog.fsck(t).clean)
+  }
+
   test("a mutation whose change rows are truly gone is missingCdc") {
     val t = freshTable()
     seed(t)
