@@ -209,19 +209,25 @@ object IvfStore {
     if (vs.isEmpty) return 0.0
     val manifests = vs.map(CommitLog.manifest(t, _))
     val dir = java.nio.file.Paths.get(t)
-    def size(f: String): Long =
+    // one stat per distinct file across the whole walk — with a pinned
+    // reader keeping history deep, a per-window re-stat would turn the
+    // every-cycle check into O(versions × files)
+    val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
+    def size(f: String): Long = sizeCache.getOrElseUpdate(f,
       try java.nio.file.Files.size(dir.resolve(f)) catch {
         case _: java.io.IOException => 0L
-      }
+      })
     val total = manifests.last.files.map(size).sum
     if (total == 0L) return 0.0
     val sinceBuild = manifests.drop(
       math.max(manifests.lastIndexWhere(_.mode == "overwrite"), 0))
-    val driftBytes = sinceBuild.sliding(2).collect {
-      case Seq(prev, cur) if cur.mode == "merge" =>
-        val before = prev.files.toSet
-        cur.files.filterNot(before).map(size).sum
-    }.sum
+    var prevFiles = sinceBuild.head.files.toSet
+    var driftBytes = 0L
+    sinceBuild.tail.foreach { cur =>
+      if (cur.mode == "merge")
+        driftBytes += cur.files.iterator.filterNot(prevFiles).map(size).sum
+      prevFiles = cur.files.toSet
+    }
     math.min(1.0, driftBytes.toDouble / total)
   }
 

@@ -112,7 +112,10 @@ object Maintenance {
     // retention below the policy's keepVersions is SURFACED in the report
     // (an abandoned reader would otherwise silently disable vacuum
     // forever — disk grows with healthy=true and no operator signal);
-    // Policy.dropLaggingReaders is the cron-reachable override.
+    // Policy.dropLaggingReaders is the one-shot cron override, and
+    // CommitLog.deregisterCdcReader(table, id) is the durable fix for a
+    // specific abandoned id (the override left on permanently would
+    // unguard every FUTURE legitimate reader too).
     val latestNow = CommitLog.latestVersion(table).getOrElse(latest)
     val laggingCursor = CommitLog.minCdcReaderCursor(table)
       .filter(c => !policy.dropLaggingReaders &&

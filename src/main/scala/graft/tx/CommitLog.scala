@@ -587,6 +587,23 @@ object CommitLog {
       .collect { case (app, v) if app.startsWith(CdcReaderPrefix) => v }
       .minOption
 
+  /** Remove a decommissioned reader's cursor so retention stops pinning
+    * on it — the depth-correct fix for an abandoned reader (vacuum's
+    * `dropLaggingReaders` knowingly bricks EVERY lagging reader and must
+    * stay enabled forever, since an un-deregistered cursor rides each
+    * manifest forward). Publishes one empty append-mode version whose
+    * txns map drops the entry; single-attempt like every rewrite (a
+    * concurrent commit invalidates it — rerun). No-op returning the
+    * current version when the reader is not registered. */
+  def deregisterCdcReader(table: String, readerId: String): Long = {
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val app = CdcReaderPrefix + readerId
+    if (!m.txns.contains(app)) return m.version
+    publishRewrite(table, m, m.files, mode = "append",
+      schema = Some(m.schema), dropTxn = Some(app))
+  }
+
   /** Compact the current snapshot's many small files into ~`targetBytes`
     * files (Delta OPTIMIZE): rewrite through one clustered write, publish as
     * a new overwrite version. Old versions stay readable (their files are
@@ -1126,10 +1143,12 @@ object CommitLog {
     * a vacuum past it would permanently brick the subscriber. The horizon
     * is `min(registered cursors)`: versions at or above it are kept even
     * when `keepVersions` would drop them. `dropLaggingReaders = true` is
-    * the explicit override — it vacuums to `keepVersions` regardless and
-    * KNOWINGLY bricks any reader still behind (the reader must rebuild
-    * from the snapshot); a permanently-abandoned reader id is exactly when
-    * to use it, since txn watermarks are never removed. */
+    * the explicit one-shot override — it vacuums to `keepVersions`
+    * regardless and KNOWINGLY bricks EVERY reader still behind (each must
+    * rebuild from the snapshot). For a permanently-abandoned reader id,
+    * [[deregisterCdcReader]] is the durable fix: it removes that one
+    * cursor so future vacuums stay guarded for the readers that remain,
+    * where leaving the override on would silently unguard them all. */
   def vacuum(table: String, keepVersions: Int = 2,
       minAgeMillis: Long = DefaultVacuumRetentionMillis,
       force: Boolean = false, dropLaggingReaders: Boolean = false): Long = {
@@ -1215,7 +1234,7 @@ object CommitLog {
   private def publishRewrite(table: String, base: Manifest, newFiles: Seq[String],
       mode: String = "overwrite", schema: Option[StructType] = None,
       addTxn: Option[(String, Long)] = None, cdcTmp: Option[Path] = None,
-      freshFiles: Seq[String] = Nil): Long = {
+      freshFiles: Seq[String] = Nil, dropTxn: Option[String] = None): Long = {
     val logDir = Paths.get(table).resolve(LogDir)
     // a LOSING attempt owns its freshly written commit dirs outright (no
     // manifest ever referenced them) — reclaim them eagerly instead of
@@ -1232,7 +1251,7 @@ object CommitLog {
         s"table advanced to v${prev.version} during rewrite of v${base.version}; rerun")
     }
     val version = prev.version + 1
-    val txns = prev.txns ++ addTxn.map { case (a, b) => a -> b }
+    val txns = (prev.txns -- dropTxn) ++ addTxn.map { case (a, b) => a -> b }
     val txnLine = txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(";")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
     // the manifest records the ATTEMPT-UNIQUE cdc dir name, so readers can
@@ -1603,24 +1622,41 @@ object CommitLog {
               // the slot with the authoritative attempt is safe.
               if (Files.isDirectory(attempt)) {
                 val lock = tableDir.resolve(CdcDir).resolve(s".repair-$v")
-                val claimed =
+                // claim, or STEAL a lease-expired lock: a repairer that
+                // died holding it would otherwise leave the version
+                // paging as pendingCdc for the full fsckClean age window
+                // (7 days) while the stale slot keeps serving the stream.
+                // The lease (10 min) is orders of magnitude above any
+                // delete+move critical section.
+                val leaseMillis = 10L * 60 * 1000
+                def tryClaim(): Boolean =
                   try { Files.createDirectory(lock); true }
                   catch { case _: FileAlreadyExistsException => false }
+                val claimed = tryClaim() || {
+                  val expired =
+                    try Files.getLastModifiedTime(lock).toMillis <
+                      System.currentTimeMillis() - leaseMillis
+                    catch { case _: java.nio.file.NoSuchFileException => false }
+                  expired && { Files.deleteIfExists(lock); tryClaim() }
+                }
                 if (claimed) {
                   try {
                     // re-check under the lock: the prior owner may have
                     // completed the publish before releasing
                     if (Files.isDirectory(attempt)) {
-                      deleteTree(dst)
                       try {
+                        // the delete AND the move sit in one guard: a
+                        // concurrent repairer's lock-free first move can
+                        // legally land the instant our deleteTree empties
+                        // the slot (rename replaces an EMPTY dir), making
+                        // the delete of the re-filled dir throw — that is
+                        // "publisher won", not damage
+                        deleteTree(dst)
                         Files.move(attempt, dst,
                           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
                         repaired += 1
                       } catch {
                         case e: java.nio.file.FileSystemException =>
-                          // the live publisher can still finish between the
-                          // lock claim and our move; anything else is
-                          // genuine damage
                           if (Files.isDirectory(attempt)) throw e
                       }
                     }

@@ -234,6 +234,27 @@ class CommitLogSpec extends SparkSpec {
     intercept[Exception] { CommitLog.changeFeed(spark, t, 5L).count() }
   }
 
+  test("deregisterCdcReader removes one cursor; remaining readers stay guarded") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, "a")).toDF("id", "s"), t, "append")  // v1
+    CommitLog.commit(Seq((2L, "b")).toDF("id", "s"), t, "append")  // v2
+    CommitLog.registerCdcReader(spark, t, "ghost", 1L)             // v3
+    CommitLog.registerCdcReader(spark, t, "live", 3L)              // v4
+    CommitLog.commit(Seq((3L, "c")).toDF("id", "s"), t, "append")  // v5
+    assert(CommitLog.minCdcReaderCursor(t) === Some(1L))
+    // the ghost pins everything; deregistering ONLY it restores the live
+    // reader's horizon instead of unguarding all readers the way a
+    // permanently-enabled dropLaggingReaders would
+    CommitLog.deregisterCdcReader(t, "ghost")                      // v6
+    assert(CommitLog.minCdcReaderCursor(t) === Some(3L))
+    assert(CommitLog.txnVersion(t, CommitLog.CdcReaderPrefix + "live") === Some(3L))
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true)
+    assert(CommitLog.versions(t).head === 3L) // live cursor still holds
+    // deregistering an unknown reader no-ops; the rewrite emitted no rows
+    assert(CommitLog.deregisterCdcReader(t, "nope") === CommitLog.latestVersion(t).get)
+    assert(CommitLog.changeFeed(spark, t, 5L).count() === 0L)
+  }
+
   test("auto-compaction bounds snapshot scan width at the policy threshold") {
     val t = freshTable()
     (1 to 30).foreach(i =>

@@ -253,12 +253,20 @@ class FsckSpec extends SparkSpec {
     // rows stay readable through the manifest's attempt name meanwhile
     assert(CommitLog.changeFeed(spark, t, v - 1, Some(v))
       .filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 1L)
-    // the dot-prefixed lock is an unreferenced cdc tmp: the age-gated
-    // sweep reclaims it, and the next repair completes the publish
+    // the dot-prefixed lock is visible to the forensic audit meanwhile
     assert(CommitLog.fsck(t).orphanCdcTmp.contains(s".repair-$v"))
-    CommitLog.fsckClean(t, minAgeMillis = 0, force = true)
+    // once the lock outlives its lease the next repair STEALS it and
+    // completes the publish — without this, a crashed lock holder would
+    // leave the version paging as pendingCdc (and the stale slot serving
+    // the stream) for the full fsckClean age window
+    Files.setLastModifiedTime(cdcRoot.resolve(s".repair-$v"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 11L * 60 * 1000))
     assert(CommitLog.repairCdc(t) === 1L)
+    assert(!Files.exists(cdcRoot.resolve(s".repair-$v")))
     assert(CommitLog.fsck(t).clean)
+    assert(CommitLog.changeFeed(spark, t, v - 1, Some(v))
+      .filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 1L)
   }
 
   test("a mutation whose change rows are truly gone is missingCdc") {
