@@ -61,6 +61,7 @@ object TxQueries {
     * slice, v2 overwrites with the %3==0 slice — ids divisible by 6 survive
     * identically across the overwrite and must emit NO change row. */
   private val builtOvw = new ConcurrentHashMap[String, String]()
+  private val builtJrn = new ConcurrentHashMap[String, String]()
 
   /** Table mutated by [[CommitLog.deleteKeys]] — the CDC-apply delete shape
     * (`DELETE WHERE key IN (subquery)`): commit all events, then retire
@@ -92,6 +93,27 @@ object TxQueries {
       val ev = events(s, d).select("event_id", "event_type", "value")
       CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 0), table, "append")
       CommitLog.commit(ev.filter(pmod(col("event_id"), lit(3)) === 0), table, "overwrite")
+      table
+    })
+
+  /** Same append→overwrite history as [[ensureOvwTable]], but the
+    * overwrite is JOURNALED (`cdc = true`) and the PRE-overwrite manifest
+    * is then vacuumed away — the exact state where read-time
+    * reconstruction (`overwriteDiff`) is impossible and only the stored
+    * journal can serve the slice (round-7: write-time CDC decouples
+    * overwrite feeds from predecessor retention). */
+  private def ensureJournaledTable(s: SparkSession, d: String): String =
+    builtJrn.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txjrn_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 0), table, "append")
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(3)) === 0), table,
+        "overwrite", cdc = true)
+      CommitLog.vacuum(table, keepVersions = 1, minAgeMillis = 0, force = true)
       table
     })
 
@@ -280,6 +302,22 @@ object TxQueries {
         .orderBy("v", "ct")
     }),
 
+    // CDC from a JOURNALED overwrite (round-7): commit(cdc = true) stored
+    // the snapshot diff at write time, so the feed serves it WITHOUT the
+    // overwriteDiff opt-in and — the point — WITHOUT the pre-overwrite
+    // manifest, which this table's vacuum already deleted. The oracle
+    // recomputes the (version, change_type) counts from the source
+    // parquet: identical rows (ids % 6 == 0) must emit nothing, so an
+    // over-wide journal or a lost delete flips the hash.
+    "tx_change_feed_journaled" -> ((s, d) => {
+      val table = ensureJournaledTable(s, d)
+      CommitLog.changeFeed(s, table, 1L) // NO overwriteDiff; v1 is vacuumed
+        .groupBy(col(CommitLog.CommitVersionCol).as("v"),
+          col(CommitLog.ChangeTypeCol).as("ct"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("v", "ct")
+    }),
+
     // Data-skipping snapshot read (the commit log's footer-stats sidecars):
     // readPruned drops whole files whose [min,max] exclude the predicate,
     // then filters row-level — the result must be EXACTLY the plain
@@ -415,6 +453,14 @@ object TxQueries {
              FROM events WHERE event_id % 2 = 0
            UNION ALL
            SELECT 2, 'delete', count(*)
+             FROM events WHERE event_id % 2 = 0 AND event_id % 3 <> 0
+           UNION ALL
+           SELECT 2, 'insert', count(*)
+             FROM events WHERE event_id % 3 = 0 AND event_id % 2 <> 0)
+         ORDER BY v, ct""",
+    "tx_change_feed_journaled" ->
+      """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
+           SELECT 2 AS v, 'delete' AS ct, count(*) AS n
              FROM events WHERE event_id % 2 = 0 AND event_id % 3 <> 0
            UNION ALL
            SELECT 2, 'insert', count(*)
