@@ -127,7 +127,57 @@ object StreamQueries {
       outPath
     })
 
+  /** sfDir → parquet path of the unified-CDC rollup. The table lives one
+    * full lifecycle — two mirrored appends, a mutation delete, a JOURNALED
+    * overwrite (`cdc = true`, the round-7 write-time CDC) — and ONE
+    * [[CommitLog.changeStreamUnified]] subscription must observe all of
+    * it: mirror insertions (version NULL → coalesced to 0) plus the
+    * `_cdc` feed's typed rows. Counts per (version, change_type) are
+    * arrival-order-invariant, which is what an engine-diff gate can pin
+    * (cross-source ordering is explicitly not guaranteed). */
+  private val builtUnified = new ConcurrentHashMap[String, String]()
+
+  private def runUnified(s: SparkSession, d: String): String =
+    builtUnified.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_scdcu_${tag}_$pid"
+      deleteRecursively(new java.io.File(root))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      val table = s"$root/bronze"
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        table, "append", mirror = true)                                  // v1
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        table, "append", mirror = true)                                  // v2
+      CommitLog.delete(s, table, col("event_type") === "error")          // v3
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(3)) === 0),
+        table, "overwrite", cdc = true)                                  // v4
+      val outName = s"scdcu_${tag}_$pid"
+      val q = CommitLog.changeStreamUnified(s, table)
+        .groupBy(coalesce(col(CommitLog.CommitVersionCol), lit(0L)).as("v"),
+          col(CommitLog.ChangeTypeCol).as("ct"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(outName)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      val outPath = s"$root/out"
+      s.table(outName).write.mode("overwrite").parquet(outPath)
+      outPath
+    })
+
   val queries: Map[String, Q] = Map(
+    // One unified subscription over a full table lifecycle: mirror
+    // insertions (v coalesced to 0), the delete's change rows (v3), and
+    // the journaled overwrite's stored diff (v4) — the oracle recomputes
+    // every (version, change_type) count from the source parquet, so a
+    // missed journal row, a double-reported mirror row, or an over-wide
+    // diff flips the hash.
+    "stream_cdc_unified" -> ((s, d) =>
+      s.read.parquet(runUnified(s, d)).orderBy("v", "ct")),
+
     // Streamed silver vs batch recompute: counts and decimal-exact sums per
     // event type must agree row-for-row; the boolean verdict is oracle-pinned
     // to true, so any exactly-once violation in the chain flips the hash.
@@ -172,6 +222,18 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_cdc_unified" ->
+      """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
+           SELECT 0 AS v, 'insert' AS ct, count(*) AS n FROM events
+           UNION ALL
+           SELECT 3, 'delete', count(*) FROM events WHERE event_type = 'error'
+           UNION ALL
+           SELECT 4, 'delete', count(*)
+             FROM events WHERE event_type <> 'error' AND event_id % 3 <> 0
+           UNION ALL
+           SELECT 4, 'insert', count(*)
+             FROM events WHERE event_type = 'error' AND event_id % 3 = 0)
+         ORDER BY v, ct""",
     "stream_medallion_counts" ->
       """SELECT event_type, count(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -541,6 +541,31 @@ object CommitLog {
         regexp_extract(input_file_name(), "_cdc/0*([0-9]+)/", 1).cast("long"))
   }
 
+  /** UNIFIED CDC subscription: one streaming DataFrame carrying every
+    * row-level change a mirrored table publishes — append insertions from
+    * the `_stream` mirror (stamped [[ChangeTypeCol]] `insert`,
+    * [[CommitVersionCol]] NULL: mirror files are not version-named, and
+    * the ledger that maps them is not consultable per-file from a
+    * streaming source) unioned with the `_cdc` feed's typed mutation and
+    * journaled-overwrite rows (version stamped from the path). This is
+    * the one-call form of the documented two-subscription consumer.
+    *
+    * Contract: appends should commit `mirror = true`; overwrites should
+    * commit `cdc = true` AND `mirror = false` — a journaled overwrite
+    * that also mirrors would double-report its surviving rows (once as a
+    * mirror insertion, once per journal row). No ordering guarantee holds
+    * ACROSS the two sources (the file sources interleave arbitrarily);
+    * consumers needing strict version-ordered application use the batch
+    * [[changeFeed]] — this stream is the observation feed (counts,
+    * monitors, at-least-once-keyed sinks). */
+  def changeStreamUnified(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val inserts = readStream(spark, table)
+      .withColumn(ChangeTypeCol, lit("insert"))
+      .withColumn(CommitVersionCol, lit(null).cast("long"))
+    inserts.unionByName(changeFeedStream(spark, table))
+  }
+
   /** Highest batchId committed by `appId`, if any — the restart question a
     * streaming sink asks before replaying a micro-batch. */
   def txnVersion(table: String, appId: String): Option[Long] =

@@ -292,6 +292,43 @@ class StreamingJobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out").count() === streamed.size.toLong)
   }
 
+  test("changeStreamUnified carries mirror insertions and cdc rows in one subscription") {
+    import graft.tx.CommitLog
+    val t = tmpDir("cdc_uni") + "/t"
+    CommitLog.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      t, "append", mirror = true)                                        // v1
+    CommitLog.delete(spark, t, col("id") === 2L)                         // v2
+    val root = tmpDir("cdc_uni_stream")
+    def drainRows(): Seq[(Option[Long], String, Long, String)] = {
+      val q = CommitLog.changeStreamUnified(spark, t)
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(s"$root/out")
+        .select(col(CommitLog.CommitVersionCol), col(CommitLog.ChangeTypeCol),
+          col("id"), col("s"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getString(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    }
+    val first = drainRows()
+    // three mirror insertions (version NULL) plus the delete's change row
+    assert(first.count(r => r._1.isEmpty && r._2 == "insert") === 3)
+    assert(first.collect { case (Some(v), "delete", id, _) => (v, id) } === Seq((2L, 2L)))
+    assert(first.size === 4)
+    // a journaled, UNmirrored overwrite lands mid-stream (the documented
+    // contract: journal carries its rows, mirroring it too would
+    // double-report) — the same subscription picks up exactly its diff
+    CommitLog.commit(Seq((1L, "a"), (4L, "d")).toDF("id", "s"), t,
+      "overwrite", cdc = true)                                           // v3
+    val second = drainRows()
+    assert(second.size === first.size + 2)
+    assert(second.collect { case (Some(3L), ct, id, _) => (ct, id) }.toSet
+      === Set(("delete", 3L), ("insert", 4L)))
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks only") {
     val clickSchema = StructType(Seq(
       StructField("c_user", LongType),
