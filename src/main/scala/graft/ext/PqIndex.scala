@@ -1,0 +1,283 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the embedding-COMPRESSION scale path
+  * beside IVF ([[IvfIndex]]) and LSH ([[Similarity.topKLsh]]): each
+  * vector is split into `m` subvectors, each subvector is quantized to
+  * one of 256 per-subspace centroids, and the corpus is stored as `m`
+  * BYTES per vector (64-dim float → 8 bytes at m = 8: 32× smaller than
+  * the floats, 4× smaller than [[Similarity.quantizeInt8]]). Queries
+  * score compressed codes with ADC (asymmetric distance computation): a
+  * per-query lookup table of m × 256 partial distances is built ONCE
+  * from the uncompressed query, and each corpus vector costs m table
+  * lookups — no decompression, no float dot product in the corpus-wide
+  * scan. Only the tiny ADC shortlist (k × refine ids per query) is then
+  * re-scored against original floats (see [[topK]]).
+  *
+  * Vectors are L2-NORMALIZED before fit/encode/query, so the squared-L2
+  * ADC ranking is monotone in cosine (‖a−b‖² = 2 − 2·cos on unit
+  * vectors) and PQ top-k approximates the same exact-cosine twin every
+  * other ANN path here is certified against.
+  *
+  * The sub-quantizers are fit on the driver over a BOUNDED deterministic
+  * sample (per-partition reservoirs over ≤ 16 pruned partitions, the
+  * [[IvfIndex.build]] shape): Lloyd's on 256 × ≤4096 × (dim/m) doubles
+  * is microseconds-scale there, fully seeded, and never touches the full
+  * corpus — at 100 TB the only corpus-wide work is the single encode
+  * pass (a per-row map, no shuffle) and the broadcast ADC scan at query
+  * time. Scaladoc provenance: the reference pipeline has no ANN at all —
+  * this is engine breadth for the training-data workload (SURVEY §2
+  * "beyond the reference" family). */
+object PqIndex {
+
+  /** Per-subspace codebooks: `centers(j)(c)` is centroid `c` of subspace
+    * `j`, each of length `subDim`. */
+  final case class Codebooks(m: Int, subDim: Int,
+      centers: Array[Array[Array[Double]]])
+
+  /** (codebooks, encoded corpus) memoized per cacheKey so repeated query
+    * invocations in one session don't refit/re-encode. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Codebooks, DataFrame)]()
+  private val unkeyedCache = new LastCache
+
+  def releaseCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.values.asScala.foreach(_._2.unpersist(blocking = false))
+    cache.clear()
+    unkeyedCache.release()
+  }
+
+  private def normalized(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    transform(v, x => x / greatest(norm, lit(1e-12)))
+  }
+
+  /** Seeded driver-side Lloyd's over one subspace's sample rows. Empty
+    * clusters keep their previous center (standard small-sample guard). */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val kk = math.min(k, n)
+    var centers = rnd.shuffle(points.indices.toList).take(kk)
+      .map(i => points(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](points(0).length))
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          while (j < p.length) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < p.length) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centers = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centers(c)
+        else { val s = sums(c); val out = new Array[Double](s.length)
+          var j = 0; while (j < s.length) { out(j) = s(j) / counts(c); j += 1 }; out }
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Bounded deterministic sample of normalized vectors (≤ `target` rows
+    * from ≤ 16 pruned partitions — reservoirs, not heads: clustered
+    * layouts make partition heads correlated). */
+  private def sampleVectors(corpus: DataFrame, vecCol: String,
+      target: Int): Array[Array[Double]] = {
+    val rdd = corpus.select(normalized(col(vecCol)).as("v")).rdd
+    val np = math.max(rdd.getNumPartitions, 1)
+    val chosen = new scala.util.Random(42L).shuffle((0 until np).toList)
+      .take(math.min(np, 16)).toSet
+    val perPart = math.max(1, math.ceil(target.toDouble / chosen.size).toInt)
+    org.apache.spark.rdd.PartitionPruningRDD.create(rdd, chosen.contains)
+      .mapPartitionsWithIndex { (pi, it) =>
+        val rnd = new scala.util.Random(42L ^ (pi.toLong * 0x9e3779b9L))
+        val res = new Array[Array[Double]](perPart)
+        var n = 0L
+        it.foreach { r =>
+          val arr = r.getSeq[Double](0).toArray
+          if (n < perPart) res(n.toInt) = arr
+          else {
+            val j = (rnd.nextDouble() * (n + 1)).toLong
+            if (j < perPart) res(j.toInt) = arr
+          }
+          n += 1
+        }
+        res.iterator.take(math.min(n, perPart.toLong).toInt)
+      }.collect()
+  }
+
+  /** Fit per-subspace codebooks from a bounded sample. */
+  def fit(corpus: DataFrame, m: Int = 8, nCodes: Int = 256,
+      vecCol: String = "embedding", sampleRows: Int = 4096): Codebooks = {
+    val sample = sampleVectors(corpus, vecCol, sampleRows)
+    require(sample.nonEmpty, "PQ fit needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m = $m")
+    val subDim = dim / m
+    val centers = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      lloyd(sub, nCodes, iters = 15, seed = 42L + j)
+    }
+    Codebooks(m, subDim, centers)
+  }
+
+  /** Encode: per row, per subspace, the argmin centroid — a pure per-row
+    * map with NO join and NO shuffle. The codebooks are broadcast and the
+    * argmin runs as a tight JVM loop inside `mapPartitions` (the same
+    * incremental-assignment role as [[IvfStore.assignToNearest]], but
+    * m × nCodes candidates per row make a Catalyst HOF fold here a
+    * CodegenFallback allocation storm — measured minutes vs sub-second on
+    * the same 500-row corpus). Ties break toward the LOWEST code id
+    * (strict `<` over ascending codes), matching the fit metric in double
+    * precision. Output: (idCol long, `pq_code` array<int> of length m,
+    * values 0..nCodes-1). */
+  def encode(corpus: DataFrame, books: Codebooks,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bBooks = spark.sparkContext.broadcast(books)
+    corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val bk = bBooks.value
+        it.map { case (id, raw) =>
+          val v = raw.toArray
+          var nsq = 0.0
+          var i = 0
+          while (i < v.length) { nsq += v(i) * v(i); i += 1 }
+          val inv = 1.0 / math.max(math.sqrt(nsq), 1e-12)
+          val code = new Array[Int](bk.m)
+          var j = 0
+          while (j < bk.m) {
+            val cs = bk.centers(j)
+            val off = j * bk.subDim
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < cs.length) {
+              val cent = cs(c)
+              var d = 0.0; var s = 0
+              while (s < bk.subDim) {
+                val t = v(off + s) * inv - cent(s); d += t * t; s += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            code(j) = best
+            j += 1
+          }
+          (id, code.toSeq)
+        }
+      }
+      .toDF(idCol, "pq_code")
+      .select(col(idCol), col("pq_code").cast("array<int>"))
+  }
+
+  /** ADC top-k with exact re-rank: per collected query (queries are few;
+    * the corpus is the big side), a flat m × nCodes lookup table of
+    * partial squared-L2 distances is computed on the driver and shipped
+    * as a broadcast-join row; each corpus code then costs m `element_at`
+    * lookups summed by a fold. The ADC scan shortlists the best
+    * `k × refine` codes per query, then the shortlist ONLY is re-ranked
+    * by exact cosine against the original vectors (the standard PQ
+    * refine step — quantization error re-orders near-ties, so pure ADC
+    * recall decays with corpus size while a small shortlist re-rank
+    * holds it). The refine fetch is a broadcast-probe of the tiny
+    * shortlist against the corpus scan — at commit-log scale it should
+    * ride a key-pruned read ([[graft.tx.CommitLog.readPruned]] point
+    * lookups) instead of a full float-column pass; `refine = 1` keeps
+    * the compressed-domain-only scan. Smaller ADC distance = nearer;
+    * deterministic id tie-breaks at both stages. Output: (query_id,
+    * rank, neighbor_id, sim) — [[Similarity.topKExact]]'s shape, with
+    * sim the exact cosine on the refined path and the ADC approximation
+    * 1 − dist/2 (unit vectors: ‖a−b‖² = 2 − 2·cos) when refine = 1. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      nCodes: Int = 256, idCol: String = "vec_id", vecCol: String = "embedding",
+      cacheKey: Option[String] = None, refine: Int = 8): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    def make(keyed: Boolean): (Codebooks, DataFrame) = {
+      val books = fit(corpus, m, nCodes, vecCol)
+      val raw = encode(corpus, books, idCol, vecCol)
+      val codes = if (keyed) { val p = raw.persist(); p.count(); p }
+        else unkeyedCache.swap(raw)
+      (books, codes)
+    }
+    val (books, codes) = cacheKey match {
+      case Some(key) => cache.computeIfAbsent(key, _ => make(keyed = true))
+      case None => make(keyed = false)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long").as("qid"),
+        normalized(col(vecCol)).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val luts = qRows.map { case (qid, qv) =>
+      val flat = new Array[Double](books.m * books.centers(0).length)
+      var j = 0
+      while (j < books.m) {
+        val cs = books.centers(j)
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < books.subDim) {
+            val t = qv(j * books.subDim + i) - cs(c)(i); d += t * t; i += 1
+          }
+          flat(j * cs.length + c) = d
+          c += 1
+        }
+        j += 1
+      }
+      (qid, flat.toSeq)
+    }.toSeq
+    val nC = books.centers(0).length
+    val lutDf = luts.toDF("query_id", "__lut")
+    val dist = aggregate(
+      zip_with(col("pq_code"), sequence(lit(0), lit(books.m - 1)),
+        (c, j) => element_at(col("__lut"), (j * nC + c + 1).cast("int"))),
+      lit(0.0), (a, e) => a + e)
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))
+    val shortlist = codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
+      .crossJoin(broadcast(lutDf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * refine)
+    if (refine == 1)
+      shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
+        (lit(1.0) - col("dist") / 2.0).as("sim"))
+    else {
+      // Raw float vectors on BOTH sides of the refine cosine: the codegen'd
+      // CosineSimilarity reads elements as floats, and scoring the same
+      // arrays as the exact twin keeps near-tie ordering aligned with it.
+      val qDf = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("__qv"))
+      val rw = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("__cv"))
+        .join(broadcast(shortlist.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+        .join(broadcast(qDf), Seq("query_id"))
+        .withColumn("sim", Similarity.cosine(col("__qv"), col("__cv")))
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    }
+  }
+}

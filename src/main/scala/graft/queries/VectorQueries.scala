@@ -82,6 +82,19 @@ object VectorQueries {
 
     // int8 quantization fidelity (see quantizedRecallQuery).
     "embed_quantize_int8" -> ((s, d) => quantizedRecallQuery(s, d)),
+
+    // Product-quantization ANN (m = 8 sub-codebooks × 256 cells → 8 BYTES
+    // per 64-dim vector, 32× smaller than float; ADC scoring — no
+    // decompression). Same recall-floor PROPERTY oracle as the other
+    // approximate paths: the query verifies itself against the exact
+    // cosine twin in-query (PQ normalizes, so its squared-L2 ranking is
+    // monotone in cosine) and the oracle pins the verdict.
+    "ann_topk_pq" -> ((s, d) => recallCheck(
+      Similarity.topKExact(embeddings(s, d),
+        embeddings(s, d).filter(col("vec_id") < 20), k = 5),
+      graft.ext.PqIndex.topK(embeddings(s, d),
+        embeddings(s, d).filter(col("vec_id") < 20), k = 5, cacheKey = Some(d)),
+      PqMinRecall)),
   )
 
   /** sf dir → root of the persisted IVF index, built once per session over
@@ -126,6 +139,9 @@ object VectorQueries {
     "ann_topk_ivf_persist" -> ((s, d) => graft.ext.IvfStore.topK(
       s, ensurePersistIndex(s, d),
       embeddings(s, d).filter(col("vec_id") < 20), k = 5)),
+    "ann_topk_pq" -> ((s, d) => graft.ext.PqIndex.topK(
+      embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5,
+      cacheKey = Some(d))),
     // embed_quantize_int8 is deliberately absent: its "operator" is itself
     // a brute-force exact scan over the dequantized corpus (quantization is
     // inseparable from the scoring pass), so there is no approximate path
@@ -157,6 +173,15 @@ object VectorQueries {
   val LshMinRecall = 0.5
   val IvfMinRecall = 0.4
   val QuantMinRecall = 0.8
+
+  /** PQ recall floor. The ADC shortlist (k × 8 candidates) plus exact
+    * re-rank measures recall@5 = 0.99 / 0.99 / 0.74 at sf0.001/0.01/0.1
+    * (fully deterministic: seeded fit, deterministic sample and
+    * tie-breaks), so 0.5 is a real margin even on sf0.1's near-uniform
+    * vectors — the hardest case for PQ, where quantization error
+    * dominates the flat cosine spectrum. A broken codebook, LUT offset,
+    * or normalization craters it toward 0. */
+  val PqMinRecall = 0.5
 
   /** Pair-recall floor for embed_neardup_lsh. Analytic per-pair recall at
     * the defaults (8 tables × 4 planes, cosine > 0.95 ⇒ collision prob per
@@ -253,6 +278,21 @@ object VectorQueries {
            FROM scored QUALIFY rank <= 5)
          SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
     "ann_topk_ivf_persist" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         topk AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored QUALIFY rank <= 5)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
+    "ann_topk_pq" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
              FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
