@@ -42,6 +42,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.ext.Dedup.releaseCaches()
     graft.ext.IvfIndex.releaseCaches()
+    graft.ext.PqIndex.releaseCaches()
     spark.stop()
   }
 }

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 /** Product quantization (PQ) ANN — the embedding-COMPRESSION scale path
   * beside IVF ([[IvfIndex]]) and LSH ([[Similarity.topKLsh]]): each
   * vector is split into `m` subvectors, each subvector is quantized to
-  * one of 256 per-subspace centroids, and the corpus is stored as `m`
-  * BYTES per vector (64-dim float → 8 bytes at m = 8: 32× smaller than
-  * the floats, 4× smaller than [[Similarity.quantizeInt8]]). Queries
+  * one of 256 per-subspace centroids, so a vector carries m code values
+  * of 8 useful bits each (64-dim float → 8 codes at m = 8). The codes
+  * column is `array<int>` — 32 B/vector in-memory, 8× under the floats
+  * and ~2× under [[Similarity.quantizeInt8]]; at rest parquet's
+  * dictionary/RLE encoding of the ≤256-value ints lands near the
+  * canonical m bytes. Queries
   * score compressed codes with ADC (asymmetric distance computation): a
   * per-query lookup table of m × 256 partial distances is built ONCE
   * from the uncompressed query, and each corpus vector costs m table
@@ -95,33 +98,15 @@ object PqIndex {
     centers
   }
 
-  /** Bounded deterministic sample of normalized vectors (≤ `target` rows
-    * from ≤ 16 pruned partitions — reservoirs, not heads: clustered
-    * layouts make partition heads correlated). */
+  /** Bounded deterministic sample of normalized vectors
+    * ([[Sampling.prunedReservoir]] — ≤ `target` rows from ≤ 16 pruned
+    * partitions). */
   private def sampleVectors(corpus: DataFrame, vecCol: String,
-      target: Int): Array[Array[Double]] = {
-    val rdd = corpus.select(normalized(col(vecCol)).as("v")).rdd
-    val np = math.max(rdd.getNumPartitions, 1)
-    val chosen = new scala.util.Random(42L).shuffle((0 until np).toList)
-      .take(math.min(np, 16)).toSet
-    val perPart = math.max(1, math.ceil(target.toDouble / chosen.size).toInt)
-    org.apache.spark.rdd.PartitionPruningRDD.create(rdd, chosen.contains)
-      .mapPartitionsWithIndex { (pi, it) =>
-        val rnd = new scala.util.Random(42L ^ (pi.toLong * 0x9e3779b9L))
-        val res = new Array[Array[Double]](perPart)
-        var n = 0L
-        it.foreach { r =>
-          val arr = r.getSeq[Double](0).toArray
-          if (n < perPart) res(n.toInt) = arr
-          else {
-            val j = (rnd.nextDouble() * (n + 1)).toLong
-            if (j < perPart) res(j.toInt) = arr
-          }
-          n += 1
-        }
-        res.iterator.take(math.min(n, perPart.toLong).toInt)
-      }.collect()
-  }
+      target: Int): Array[Array[Double]] =
+    Sampling.prunedReservoir(
+      corpus.select(normalized(col(vecCol)).as("v")).rdd
+        .map(_.getSeq[Double](0).toArray),
+      target)
 
   /** Fit per-subspace codebooks from a bounded sample. */
   def fit(corpus: DataFrame, m: Int = 8, nCodes: Int = 256,
@@ -218,8 +203,13 @@ object PqIndex {
         else unkeyedCache.swap(raw)
       (books, codes)
     }
+    // Every result-shaping parameter participates in the memo key — a hit
+    // on the bare caller key with different m/nCodes/columns would
+    // silently serve the first call's trade-off.
     val (books, codes) = cacheKey match {
-      case Some(key) => cache.computeIfAbsent(key, _ => make(keyed = true))
+      case Some(key) =>
+        cache.computeIfAbsent(s"$key|$m|$nCodes|$idCol|$vecCol",
+          _ => make(keyed = true))
       case None => make(keyed = false)
     }
     val spark = corpus.sparkSession

@@ -83,9 +83,11 @@ object VectorQueries {
     // int8 quantization fidelity (see quantizedRecallQuery).
     "embed_quantize_int8" -> ((s, d) => quantizedRecallQuery(s, d)),
 
-    // Product-quantization ANN (m = 8 sub-codebooks × 256 cells → 8 BYTES
-    // per 64-dim vector, 32× smaller than float; ADC scoring — no
-    // decompression). Same recall-floor PROPERTY oracle as the other
+    // Product-quantization ANN (m = 8 sub-codebooks × 256 cells → 8 codes
+    // per 64-dim vector, 8× under float in-memory as array<int>, near m
+    // bytes at rest under parquet dictionary encoding; corpus-wide ADC
+    // scoring — no decompression — then an exact re-rank of the tiny
+    // shortlist). Same recall-floor PROPERTY oracle as the other
     // approximate paths: the query verifies itself against the exact
     // cosine twin in-query (PQ normalizes, so its squared-L2 ranking is
     // monotone in cosine) and the oracle pins the verdict.

@@ -56,8 +56,8 @@ class SparkEntrySpec extends SparkSpec {
     // ann_topk_ivf_persist shares ann_topk_ivf's probe shape (queries ×
     // broadcast centroid rows, constant-width) plus the same recall-vs-exact
     // verification twin. ann_topk_pq's ADC scan is corpus codes × the
-    // broadcast per-query LUT rows (constant-width: one 2 KB row per
-    // query) plus the same recall-vs-exact twin.
+    // broadcast per-query LUT rows (constant-width: one m × nCodes = 2048
+    // double row, ~16 KB per query) plus the same recall-vs-exact twin.
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
       "ann_topk_ivf_persist", "ann_topk_pq", "embed_neardup",
       "embed_neardup_lsh", "embed_quantize_int8", "dedup_simhash",

@@ -44,5 +44,7 @@ class PqIndexSpec extends SparkSpec {
     // rank-1 neighbors must be genuinely near
     val top1 = PqIndex.topK(emb, queries, k = 1)
     assert(top1.count() === 20)
+    // the unkeyed path pins a persisted codes frame in the shared session
+    PqIndex.releaseCaches()
   }
 }
