@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tx.CommitLog
+
+/** Maintenance primitives shared by the persisted index stores
+  * ([[IvfStore]], [[PqStore]]): both follow the same contract — the
+  * index artifact is a commit-log table built by `overwrite` (the fit /
+  * re-index), incrementally maintained by `merge` (assign/encode against
+  * frozen quantizers), with the covered base version riding as a txn
+  * watermark. */
+object IndexUpkeep {
+
+  /** Reduce a change-feed slice to ONE final action per vector id: drop
+    * pre-images (their post-image carries the id), keep the
+    * highest-version row, insert beats delete at the same version (an
+    * overwrite diff emits both for a changed id). The result's
+    * [[CommitLog.ChangeTypeCol]] is either `delete` (retire the id) or an
+    * insert/post-image (re-encode the id). Callers persist the returned
+    * frame — it feeds several downstream actions. */
+  def finalActions(feed: DataFrame, idCol: String): DataFrame = {
+    val actW = Window.partitionBy(idCol).orderBy(
+      col(CommitLog.CommitVersionCol).desc, col("__pri").desc)
+    feed
+      .filter(col(CommitLog.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("__pri",
+        when(col(CommitLog.ChangeTypeCol) === "delete", 0).otherwise(1))
+      .withColumn("__r", row_number().over(actW))
+      .filter(col("__r") === 1)
+      .drop("__pri", "__r")
+  }
+
+  /** Cheap drift proxy for "does this index need a re-`build` rather than
+    * another `refresh`": the byte share of the artifact table's current
+    * snapshot attributable to refresh MERGES since the last build — i.e.
+    * how much of the index was quantized against frozen codebooks or
+    * centroids instead of fit. Accumulated from per-VERSION file deltas
+    * of `merge` manifests after the newest `overwrite` (the build — both
+    * compaction tiers publish mode `compact`, so a later compaction
+    * rearranges files without contributing drift; a dir-membership
+    * measure would spuriously report ~1.0 after any compaction).
+    * Metadata-only (a manifest walk plus `Files.size` — no data scan), so
+    * a maintenance cycle can evaluate it every run at any scale.
+    * OVERestimates drift (a merge rewrite carries untouched neighbors of
+    * changed rows into its delta) and UNDERestimates once vacuum deletes
+    * a merge's delta files that a later compaction folded —
+    * threshold-alarm semantics, not a measurement; the false-positive
+    * cost is one early re-index. */
+  def mergeDriftFraction(table: String): Double = {
+    val vs = CommitLog.versions(table)
+    if (vs.isEmpty) return 0.0
+    val manifests = vs.map(CommitLog.manifest(table, _))
+    val dir = java.nio.file.Paths.get(table)
+    // one stat per distinct file across the whole walk — with a pinned
+    // reader keeping history deep, a per-window re-stat would turn the
+    // every-cycle check into O(versions × files)
+    val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
+    def size(f: String): Long = sizeCache.getOrElseUpdate(f,
+      try java.nio.file.Files.size(dir.resolve(f)) catch {
+        case _: java.io.IOException => 0L
+      })
+    val total = manifests.last.files.map(size).sum
+    if (total == 0L) return 0.0
+    val sinceBuild = manifests.drop(
+      math.max(manifests.lastIndexWhere(_.mode == "overwrite"), 0))
+    var prevFiles = sinceBuild.head.files.toSet
+    var driftBytes = 0L
+    sinceBuild.tail.foreach { cur =>
+      if (cur.mode == "merge")
+        driftBytes += cur.files.iterator.filterNot(prevFiles).map(size).sum
+      prevFiles = cur.files.toSet
+    }
+    math.min(1.0, driftBytes.toDouble / total)
+  }
+}

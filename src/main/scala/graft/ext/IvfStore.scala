@@ -109,17 +109,7 @@ object IvfStore {
     if (latest <= covered) return covered
     val feed = CommitLog.changeFeed(spark, baseTable, covered, Some(latest),
       overwriteDiff = true)
-    // one final action per id: drop pre-images (their post-image carries
-    // the id), keep the highest-version row, insert beats delete at the
-    // same version (overwrite-diff pairs)
-    val actW = Window.partitionBy(idCol).orderBy(
-      col(CommitLog.CommitVersionCol).desc, col("__pri").desc)
-    val finalActs = feed
-      .filter(col(CommitLog.ChangeTypeCol) =!= "update_preimage")
-      .withColumn("__pri",
-        when(col(CommitLog.ChangeTypeCol) === "delete", 0).otherwise(1))
-      .withColumn("__r", row_number().over(actW))
-      .filter(col("__r") === 1)
+    val finalActs = IndexUpkeep.finalActions(feed, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val retired = finalActs.filter(col(CommitLog.ChangeTypeCol) === "delete")
@@ -203,33 +193,8 @@ object IvfStore {
     * and UNDERestimates once vacuum deletes a merge's delta files that a
     * later compaction folded — threshold-alarm semantics, not a
     * measurement; the false-positive cost is one early re-index. */
-  def staleFraction(indexRoot: String): Double = {
-    val t = assignedTable(indexRoot)
-    val vs = CommitLog.versions(t)
-    if (vs.isEmpty) return 0.0
-    val manifests = vs.map(CommitLog.manifest(t, _))
-    val dir = java.nio.file.Paths.get(t)
-    // one stat per distinct file across the whole walk — with a pinned
-    // reader keeping history deep, a per-window re-stat would turn the
-    // every-cycle check into O(versions × files)
-    val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
-    def size(f: String): Long = sizeCache.getOrElseUpdate(f,
-      try java.nio.file.Files.size(dir.resolve(f)) catch {
-        case _: java.io.IOException => 0L
-      })
-    val total = manifests.last.files.map(size).sum
-    if (total == 0L) return 0.0
-    val sinceBuild = manifests.drop(
-      math.max(manifests.lastIndexWhere(_.mode == "overwrite"), 0))
-    var prevFiles = sinceBuild.head.files.toSet
-    var driftBytes = 0L
-    sinceBuild.tail.foreach { cur =>
-      if (cur.mode == "merge")
-        driftBytes += cur.files.iterator.filterNot(prevFiles).map(size).sum
-      prevFiles = cur.files.toSet
-    }
-    math.min(1.0, driftBytes.toDouble / total)
-  }
+  def staleFraction(indexRoot: String): Double =
+    IndexUpkeep.mergeDriftFraction(assignedTable(indexRoot))
 
   /** Answer queries from the PERSISTED index — no fit, no session cache;
     * any process with the storage answers immediately. Same probe/rerank

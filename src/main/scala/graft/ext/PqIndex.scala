@@ -212,7 +212,24 @@ object PqIndex {
           _ => make(keyed = true))
       case None => make(keyed = false)
     }
-    val spark = corpus.sparkSession
+    val shortlist = adcShortlist(codes, books, queries, k * refine, idCol, vecCol)
+    if (refine == 1)
+      shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
+        (lit(1.0) - col("dist") / 2.0).as("sim"))
+    else
+      rerankExact(shortlist,
+        corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("__cv")),
+        queries, k, idCol, vecCol)
+  }
+
+  /** The ADC scan shared by the session path above and [[PqStore.topK]]:
+    * corpus codes × broadcast per-query LUT rows, ranked per query by ADC
+    * distance (id tie-break), kept to the best `limit` per query. Output:
+    * (query_id, neighbor_id, dist, rank). */
+  private[ext] def adcShortlist(codes: DataFrame, books: Codebooks,
+      queries: DataFrame, limit: Int, idCol: String, vecCol: String): DataFrame = {
+    val spark = codes.sparkSession
     import spark.implicits._
     val qRows = queries.select(col(idCol).cast("long").as("qid"),
         normalized(col(vecCol)).as("qv"))
@@ -243,31 +260,34 @@ object PqIndex {
         (c, j) => element_at(col("__lut"), (j * nC + c + 1).cast("int"))),
       lit(0.0), (a, e) => a + e)
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))
-    val shortlist = codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
+    codes.select(col(idCol).cast("long").as("neighbor_id"), col("pq_code"))
       .crossJoin(broadcast(lutDf))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("dist", dist)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k * refine)
-    if (refine == 1)
-      shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
-        (lit(1.0) - col("dist") / 2.0).as("sim"))
-    else {
-      // Raw float vectors on BOTH sides of the refine cosine: the codegen'd
-      // CosineSimilarity reads elements as floats, and scoring the same
-      // arrays as the exact twin keeps near-tie ordering aligned with it.
-      val qDf = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).as("__qv"))
-      val rw = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      corpus.select(col(idCol).cast("long").as("neighbor_id"),
-          col(vecCol).as("__cv"))
-        .join(broadcast(shortlist.select("query_id", "neighbor_id")), Seq("neighbor_id"))
-        .join(broadcast(qDf), Seq("query_id"))
-        .withColumn("sim", Similarity.cosine(col("__qv"), col("__cv")))
-        .withColumn("rank", row_number().over(rw))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-    }
+      .filter(col("rank") <= limit)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
+
+  /** Exact-cosine re-rank of an ADC shortlist against fetched original
+    * vectors (`vectors`: (neighbor_id long, __cv float array) — the full
+    * corpus projection on the session path, a key-pruned point read on
+    * [[PqStore]]'s). Raw float vectors on BOTH sides of the refine
+    * cosine: the codegen'd CosineSimilarity reads elements as floats,
+    * and scoring the same arrays as the exact twin keeps near-tie
+    * ordering aligned with it. */
+  private[ext] def rerankExact(shortlist: DataFrame, vectors: DataFrame,
+      queries: DataFrame, k: Int, idCol: String, vecCol: String): DataFrame = {
+    val qDf = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    vectors
+      .join(broadcast(shortlist.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .withColumn("sim", Similarity.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 }

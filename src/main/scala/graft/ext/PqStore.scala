@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tx.CommitLog
+
+/** PQ index PERSISTED as commit-log tables and maintained from the base
+  * table's change feed — [[IvfStore]]'s contract applied to the
+  * compression path ([[PqIndex]]). At 100 TB the encoded corpus is the
+  * artifact worth keeping: the full-corpus encode pass is the expensive
+  * step, and [[PqIndex]]'s session cache throws it away at process exit.
+  * Here the index lives on storage:
+  *
+  * {{{
+  *   <indexRoot>/codebooks   (subspace INT, code INT, centroid ARRAY<DOUBLE>)
+  *   <indexRoot>/codes       (<idCol> LONG, pq_code ARRAY<INT>)
+  * }}}
+  *
+  * The covered base version rides on the `codes` table as a transaction
+  * watermark (appId [[AppId]]), so [[refresh]] folds EVERY base change
+  * since the watermark (appends, deletes, re-embeddings, plain
+  * overwrites via the snapshot-diff feed) through an encode-only pass
+  * against FROZEN codebooks (a per-row map — O(delta × m × nCodes)
+  * compute, O(touched files) rewrite, never a corpus pass), and a
+  * replayed refresh re-applies nothing. Codebooks stay frozen across
+  * refreshes exactly like [[IvfStore]]'s centroids: drift is measured
+  * ([[staleFraction]]) and answered by an explicit re-[[build]].
+  *
+  * Unlike `IvfStore.assigned`, the `codes` table does NOT carry the
+  * vectors — compression is the point — so [[topK]]'s exact re-rank
+  * fetches the shortlist's original vectors from the BASE table with a
+  * key point-lookup ([[CommitLog.readPruned]] over an `isin` predicate):
+  * per-file key bounds keep the fetch O(touched files), the promised
+  * scale shape for the refine step. The fetch reads the base's CURRENT
+  * snapshot — the only vacuum-safe choice; between refreshes the index
+  * lags the base like any asynchronous index, and an id retired from the
+  * base since the covered version simply drops out of the re-rank. */
+object PqStore {
+
+  /** Writer id for the version watermark on `codes`. */
+  val AppId = "graft-pq"
+
+  private def codebooksTable(root: String) = s"$root/codebooks"
+  private def codesTable(root: String) = s"$root/codes"
+
+  /** Fit + encode the FULL base snapshot and publish both tables; returns
+    * the covered base version. Watermark-advance rules are [[IvfStore
+    * .build]]'s verbatim: the txn is attached only when it ADVANCES (a
+    * drift re-build at an unchanged base version must still rewrite the
+    * codes — tripping the exactly-once fast path would skip it over
+    * already-replaced codebooks); codebooks commit FIRST and the
+    * watermark rides the LAST write, so a crash between the two leaves
+    * an honest un-advanced state a re-run fully repairs. */
+  def build(spark: SparkSession, baseTable: String, indexRoot: String,
+      m: Int = 8, nCodes: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val baseVersion = CommitLog.latestVersion(baseTable).getOrElse(
+      throw new IllegalArgumentException(s"$baseTable has no committed versions"))
+    val corpus = CommitLog.read(spark, baseTable)
+    val books = PqIndex.fit(corpus, m, nCodes, vecCol)
+    import spark.implicits._
+    val bookRows = for {
+      j <- 0 until books.m
+      (cent, c) <- books.centers(j).zipWithIndex
+    } yield (j, c, cent.toSeq)
+    val txn =
+      if (coveredVersion(indexRoot).exists(_ >= baseVersion)) None
+      else Some((AppId, baseVersion))
+    CommitLog.commit(bookRows.toDF("subspace", "code", "centroid"),
+      codebooksTable(indexRoot), "overwrite")
+    CommitLog.commit(PqIndex.encode(corpus, books, idCol, vecCol),
+      codesTable(indexRoot), "overwrite", txn = txn)
+    baseVersion
+  }
+
+  /** Base version the index currently covers (the txn watermark). */
+  def coveredVersion(indexRoot: String): Option[Long] =
+    CommitLog.txnVersion(codesTable(indexRoot), AppId)
+
+  /** Reload the frozen codebooks from storage (bounded by construction:
+    * m × nCodes rows). */
+  def loadBooks(spark: SparkSession, indexRoot: String): PqIndex.Codebooks = {
+    val rows = CommitLog.read(spark, codebooksTable(indexRoot))
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"$indexRoot has no codebooks; run build first")
+    val m = rows.map(_._1).max + 1
+    val centers = Array.tabulate(m) { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    val perSub = centers.map(_.length).distinct
+    require(perSub.length == 1,
+      s"ragged codebooks (codes per subspace: ${perSub.mkString(",")})")
+    require(centers.forall(cs => cs.forall(_.length == cs.head.length)),
+      "ragged centroid widths")
+    PqIndex.Codebooks(m, centers(0)(0).length, centers)
+  }
+
+  /** Fold EVERY base change since the covered watermark into the codes
+    * table WITHOUT refitting — [[IvfStore.refresh]]'s structure with the
+    * assignment step replaced by a frozen-codebook encode. Replay and
+    * watermark-pinning semantics are identical: the watermark rides the
+    * LAST mutation; an empty-effect slice pins it with an empty append so
+    * later refreshes don't re-derive the slice forever. Returns the newly
+    * covered version. */
+  def refresh(spark: SparkSession, baseTable: String, indexRoot: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val covered = coveredVersion(indexRoot).getOrElse(
+      throw new IllegalStateException(s"$indexRoot has no built index; run build first"))
+    val latest = CommitLog.latestVersion(baseTable).getOrElse(
+      throw new IllegalArgumentException(s"$baseTable has no committed versions"))
+    if (latest <= covered) return covered
+    val feed = CommitLog.changeFeed(spark, baseTable, covered, Some(latest),
+      overwriteDiff = true)
+    val finalActs = IndexUpkeep.finalActions(feed, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val retired = finalActs.filter(col(CommitLog.ChangeTypeCol) === "delete")
+        .select(col(idCol))
+      val fresh = finalActs.filter(col(CommitLog.ChangeTypeCol) =!= "delete")
+        .select(col(idCol), col(vecCol))
+      val hasFresh = !fresh.isEmpty
+      CommitLog.deleteKeys(spark, codesTable(indexRoot), retired, Seq(idCol),
+        txn = if (hasFresh) None else Some((AppId, latest)))
+      if (hasFresh) {
+        val books = loadBooks(spark, indexRoot)
+        CommitLog.merge(spark,
+          codesTable(indexRoot), PqIndex.encode(fresh, books, idCol, vecCol),
+          Seq(idCol), txn = Some((AppId, latest)))
+      }
+      if (!coveredVersion(indexRoot).exists(_ >= latest))
+        CommitLog.commit(
+          CommitLog.read(spark, codesTable(indexRoot)).limit(0),
+          codesTable(indexRoot), "append", txn = Some((AppId, latest)))
+      latest
+    } finally finalActs.unpersist(blocking = false): Unit
+  }
+
+  /** [[IndexUpkeep.mergeDriftFraction]] over the codes table: the byte
+    * share encoded against frozen codebooks since the last build. */
+  def staleFraction(indexRoot: String): Double =
+    IndexUpkeep.mergeDriftFraction(codesTable(indexRoot))
+
+  /** Answer queries from the PERSISTED index — no fit, no session cache;
+    * any process with the storage answers immediately. ADC scan over the
+    * stored codes ([[PqIndex.adcShortlist]]), then the exact re-rank
+    * fetches the shortlist's vectors from the base with a key
+    * point-lookup: the shortlist id set is bounded by construction
+    * (queries × k × refine rows — the same boundedness argument as the
+    * centroid collect), and [[CommitLog.readPruned]]'s per-file key
+    * bounds plan only the files whose [min,max] admit one of the ids.
+    * `refine = 1` skips the fetch and answers purely from the compressed
+    * domain. */
+  def topK(spark: SparkSession, baseTable: String, indexRoot: String,
+      queries: DataFrame, k: Int, refine: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    val books = loadBooks(spark, indexRoot)
+    val codes = CommitLog.read(spark, codesTable(indexRoot))
+    val shortlist = PqIndex.adcShortlist(codes, books, queries, k * refine,
+      idCol, vecCol)
+    if (refine == 1)
+      shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
+        (lit(1.0) - col("dist") / 2.0).as("sim"))
+    else {
+      val ids = shortlist.select("neighbor_id").distinct()
+        .collect().map(_.getLong(0))
+      val vectors =
+        if (ids.isEmpty) CommitLog.read(spark, baseTable).limit(0)
+        else CommitLog.readPruned(spark, baseTable,
+          col(idCol).isin(ids.toIndexedSeq: _*))
+      PqIndex.rerankExact(shortlist,
+        vectors.select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("__cv")),
+        queries, k, idCol, vecCol)
+    }
+  }
+}

@@ -97,6 +97,21 @@ object VectorQueries {
       graft.ext.PqIndex.topK(embeddings(s, d),
         embeddings(s, d).filter(col("vec_id") < 20), k = 5, cacheKey = Some(d)),
       PqMinRecall)),
+
+    // PERSISTED PQ (ann_topk_ivf_persist's contract on the compression
+    // path): codebooks + codes live as commit-log tables — built on 90%
+    // of the corpus, the held-out tenth appended afterwards and folded in
+    // by an encode-only refresh against frozen codebooks. The query
+    // answers from storage (ADC over stored codes; the exact re-rank
+    // fetches shortlist vectors from the BASE table via a key-pruned
+    // point read — the promised 100 TB refine shape, actually exercised).
+    // Same full-corpus recall floor: a lost refresh, stale watermark, or
+    // broken point-read drops the held-out vectors and craters recall.
+    "ann_topk_pq_persist" -> ((s, d) => recallCheck(
+      Similarity.topKExact(embeddings(s, d),
+        embeddings(s, d).filter(col("vec_id") < 20), k = 5),
+      pqPersistTopK(s, d),
+      PqMinRecall)),
   )
 
   /** sf dir → root of the persisted IVF index, built once per session over
@@ -107,22 +122,52 @@ object VectorQueries {
 
   private def ensurePersistIndex(s: SparkSession, d: String): String =
     builtPersist.computeIfAbsent(d, _ => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val pid = ProcessHandle.current().pid()
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_${tag}_$pid"
-      Tables.deleteRecursively(new java.io.File(root))
-      sys.addShutdownHook(Tables.deleteRecursively(new java.io.File(root)))
-      val base = s"$root/base"
-      val index = s"$root/index"
-      val emb = embeddings(s, d)
-      graft.tx.CommitLog.commit(
-        emb.filter(pmod(col("vec_id"), lit(10)) =!= 7), base, "append")
+      val (base, index) = persistRoots(s, d, "ivfstore")
       graft.ext.IvfStore.build(s, base, index, nCells = 16)
       graft.tx.CommitLog.commit(
-        emb.filter(pmod(col("vec_id"), lit(10)) === 7), base, "append")
+        embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 7),
+        base, "append")
       graft.ext.IvfStore.refresh(s, base, index)
       index
     })
+
+  /** sf dir → (base, index) roots of the persisted PQ index, same
+    * 90%-build / 10%-append / refresh harness as the IVF one. topK needs
+    * BOTH roots: the refine fetch point-reads the base. */
+  private val builtPqPersist = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def ensurePqPersistIndex(s: SparkSession, d: String): (String, String) =
+    builtPqPersist.computeIfAbsent(d, _ => {
+      val (base, index) = persistRoots(s, d, "pqstore")
+      graft.ext.PqStore.build(s, base, index)
+      graft.tx.CommitLog.commit(
+        embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 7),
+        base, "append")
+      graft.ext.PqStore.refresh(s, base, index)
+      (base, index)
+    })
+
+  private def pqPersistTopK(s: SparkSession, d: String): DataFrame = {
+    val (base, index) = ensurePqPersistIndex(s, d)
+    graft.ext.PqStore.topK(s, base, index,
+      embeddings(s, d).filter(col("vec_id") < 20), k = 5)
+  }
+
+  /** Pid-unique commit-log base (seeded with 90% of the embeddings) and
+    * an empty index root under tmp (two JVMs in one round never race each
+    * other's files); cleaned at JVM exit. */
+  private def persistRoots(s: SparkSession, d: String, flavor: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val pid = ProcessHandle.current().pid()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${flavor}_${tag}_$pid"
+    Tables.deleteRecursively(new java.io.File(root))
+    sys.addShutdownHook(Tables.deleteRecursively(new java.io.File(root)))
+    val base = s"$root/base"
+    graft.tx.CommitLog.commit(
+      embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) =!= 7),
+      base, "append")
+    (base, s"$root/index")
+  }
 
   /** Operator-only twins of the property-oracle queries above: the SAME
     * approximate path minus the in-query verification twin (the exact
@@ -144,6 +189,7 @@ object VectorQueries {
     "ann_topk_pq" -> ((s, d) => graft.ext.PqIndex.topK(
       embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5,
       cacheKey = Some(d))),
+    "ann_topk_pq_persist" -> ((s, d) => pqPersistTopK(s, d)),
     // embed_quantize_int8 is deliberately absent: its "operator" is itself
     // a brute-force exact scan over the dequantized corpus (quantization is
     // inseparable from the scoring pass), so there is no approximate path
@@ -280,6 +326,21 @@ object VectorQueries {
            FROM scored QUALIFY rank <= 5)
          SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
     "ann_topk_ivf_persist" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         topk AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored QUALIFY rank <= 5)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
+    "ann_topk_pq_persist" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
              FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

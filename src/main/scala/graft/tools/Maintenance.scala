@@ -17,10 +17,11 @@ import graft.tx.CommitLog
   *     the snapshot spans more commit dirs than the policy width; the
   *     inline auto-compaction bounds width between cycles, this resets it
   *     to minimal and re-clusters;
-  *  3. index upkeep — [[graft.ext.IvfStore.refresh]] for every registered
-  *     index whose covered watermark lags the base (before vacuum, so the
-  *     change-feed slice it folds still exists), with a drift-staleness
-  *     flag when only a re-`build` will do;
+  *  3. index upkeep — [[graft.ext.IvfStore.refresh]] /
+  *     [[graft.ext.PqStore.refresh]] for every registered index whose
+  *     covered watermark lags the base (before vacuum, so the change-feed
+  *     slice it folds still exists), with a drift-staleness flag when
+  *     only a re-`build` will do;
   *  4. reclaim — [[CommitLog.pruneMirrorConsumed]] against the slowest
   *     subscriber's own checkpoint, releasing consumed feed bytes;
   *  5. vacuum — retention GC of unreachable versions (the explicit
@@ -38,10 +39,12 @@ object Maintenance {
 
   /** Cadence/threshold policy. `force`+`minAgeMillis = 0` are for tests and
     * decommissioned tables only — see [[CommitLog.vacuum]]'s retention
-    * contract. `indexes` registers [[graft.ext.IvfStore]] indexes BUILT
-    * OVER this table: each cycle refreshes any whose covered watermark
-    * lags the base (replay-safe — an already-covered index no-ops), and
-    * flags indexes whose [[graft.ext.IvfStore.staleFraction]] crosses
+    * contract. `indexes` registers persisted indexes
+    * ([[graft.ext.IvfStore]] / [[graft.ext.PqStore]], per
+    * [[IndexRef.kind]]) BUILT OVER this table: each cycle refreshes any
+    * whose covered watermark lags the base (replay-safe — an
+    * already-covered index no-ops), and flags indexes whose
+    * drift `staleFraction` crosses
     * `indexStaleThreshold` as needing an explicit re-`build` (centroid
     * drift is not refreshable — same operator decision as a Z-order
     * re-cluster). NOTE: an index is also a change-feed consumer — a table
@@ -62,10 +65,23 @@ object Maintenance {
       indexStaleThreshold: Double = 0.5,
       dropLaggingReaders: Boolean = false)
 
-  /** A persisted IVF index rooted at `indexRoot`, built over the
-    * maintained table. */
+  /** A persisted index rooted at `indexRoot`, built over the maintained
+    * table. `kind` selects the store: "ivf" ([[graft.ext.IvfStore]]) or
+    * "pq" ([[graft.ext.PqStore]]) — both share the
+    * watermark-refresh/drift-rebuild contract this cycle drives. */
   final case class IndexRef(indexRoot: String,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      kind: String = "ivf") {
+    require(kind == "ivf" || kind == "pq", s"unknown index kind: $kind")
+    def refresh(spark: SparkSession, table: String): Long = kind match {
+      case "pq" => graft.ext.PqStore.refresh(spark, table, indexRoot, idCol, vecCol)
+      case _ => graft.ext.IvfStore.refresh(spark, table, indexRoot, idCol, vecCol)
+    }
+    def staleFraction(): Double = kind match {
+      case "pq" => graft.ext.PqStore.staleFraction(indexRoot)
+      case _ => graft.ext.IvfStore.staleFraction(indexRoot)
+    }
+  }
 
   final case class Report(
       repairedCdc: Long,
@@ -98,12 +114,10 @@ object Maintenance {
     // covered watermark (BEFORE vacuum, so the feed slice still exists);
     // report — don't auto-run — the rebuild decision on drift
     val refreshed = policy.indexes.map { ix =>
-      ix.indexRoot -> graft.ext.IvfStore.refresh(spark, table, ix.indexRoot,
-        ix.idCol, ix.vecCol)
+      ix.indexRoot -> ix.refresh(spark, table)
     }
     val stale = policy.indexes
-      .filter(ix => graft.ext.IvfStore.staleFraction(ix.indexRoot) >
-        policy.indexStaleThreshold)
+      .filter(_.staleFraction() > policy.indexStaleThreshold)
       .map(_.indexRoot)
     // 4. subscriber-driven feed retention
     val pruned = policy.subscriberCheckpoint
@@ -144,16 +158,21 @@ object Maintenance {
   }
 
   /** CLI: `Maintenance <table> [zorderCol,...] [subscriberCheckpoint]
-    * [ivfIndexRoot,...]` — the shape a cron wires up. Prints one summary
-    * line; exits non-zero when the final audit is not clean. */
+    * [indexRoot,...]` — the shape a cron wires up (prefix a root with
+    * `pq:` for a [[graft.ext.PqStore]] index; bare roots are IVF).
+    * Prints one summary line; exits non-zero when the final audit is not
+    * clean. */
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Maintenance <table> [zorderCols] [subscriberCheckpoint] [ivfIndexRoots]")
+      "usage: Maintenance <table> [zorderCols] [subscriberCheckpoint] [indexRoots]")
     val table = args(0)
     val zorder = if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Nil
     val ck = if (args.length > 2) Some(args(2)).filter(_.nonEmpty) else None
     val ixs = if (args.length > 3)
-      args(3).split(",").toSeq.filter(_.nonEmpty).map(IndexRef(_)) else Nil
+      args(3).split(",").toSeq.filter(_.nonEmpty).map {
+        case r if r.startsWith("pq:") => IndexRef(r.stripPrefix("pq:"), kind = "pq")
+        case r => IndexRef(r)
+      } else Nil
     val spark = graft.GraftSession.local("graft-maintenance",
       Runtime.getRuntime.availableProcessors())
     spark.sparkContext.setLogLevel("WARN")

@@ -59,9 +59,9 @@ class SparkEntrySpec extends SparkSpec {
     // broadcast per-query LUT rows (constant-width: one m × nCodes = 2048
     // double row, ~16 KB per query) plus the same recall-vs-exact twin.
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
-      "ann_topk_ivf_persist", "ann_topk_pq", "embed_neardup",
-      "embed_neardup_lsh", "embed_quantize_int8", "dedup_simhash",
-      "decontaminate_bloom", "sql_scalar_subquery")
+      "ann_topk_ivf_persist", "ann_topk_pq", "ann_topk_pq_persist",
+      "embed_neardup", "embed_neardup_lsh", "embed_quantize_int8",
+      "dedup_simhash", "decontaminate_bloom", "sql_scalar_subquery")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>

@@ -124,6 +124,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(graft.ext.IvfStore.staleFraction(index) <= 0.3)
   }
 
+  test("the cycle refreshes a registered PQ index through the same IndexRef contract") {
+    val root = Files.createTempDirectory("graft_maint_pq").toString
+    val base = s"$root/base"
+    val index = s"$root/index"
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    CommitLog.commit(emb.filter(col("vec_id") < 400L), base, "append")
+    graft.ext.PqStore.build(spark, base, index)
+    CommitLog.commit(
+      emb.filter(col("vec_id") >= 400L && col("vec_id") < 450L), base, "append")
+    val pol = Maintenance.Policy(minAgeMillis = 0, force = true,
+      vacuumKeepVersions = 3,
+      indexes = Seq(Maintenance.IndexRef(index, kind = "pq")))
+    val r1 = Maintenance.run(spark, base, pol)
+    assert(r1.refreshedIndexes === Seq(index -> CommitLog.latestVersion(base).get))
+    assert(graft.ext.PqStore.coveredVersion(index) === CommitLog.latestVersion(base))
+    assert(CommitLog.read(spark, s"$index/codes").count()
+      === CommitLog.read(spark, base).count())
+    assert(r1.healthy)
+    // replay-safe: a second cycle no-ops the refresh
+    val cV = CommitLog.latestVersion(s"$index/codes").get
+    val r2 = Maintenance.run(spark, base, pol)
+    assert(r2.refreshedIndexes === Seq(index -> CommitLog.latestVersion(base).get))
+    assert(CommitLog.latestVersion(s"$index/codes") === Some(cV))
+    // the maintained index keeps answering from storage
+    graft.ext.PqIndex.releaseCaches()
+    val res = graft.ext.PqStore.topK(spark, base, index,
+      emb.filter(col("vec_id") < 10), k = 3)
+    assert(res.groupBy("query_id").count().count() === 10L)
+  }
+
   test("an abandoned reader cursor pinning vacuum is surfaced, and the override drops it") {
     val t = Files.createTempDirectory("graft_maint4").resolve("t").toString
     (0 until 3).foreach { i =>
