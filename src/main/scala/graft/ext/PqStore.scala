@@ -78,6 +78,25 @@ object PqStore {
   def coveredVersion(indexRoot: String): Option[Long] =
     CommitLog.txnVersion(codesTable(indexRoot), AppId)
 
+  /** Guard the codebooks↔codes structural contract: a [[build]] crash
+    * between the codebooks overwrite and the codes overwrite (the
+    * documented honest-unadvanced window) leaves NEW m-wide codebooks
+    * over OLD codes. For IVF the analogous window only mis-bins vectors;
+    * for PQ a width mismatch is structural — a refresh would merge
+    * mixed-width codes and the ADC zip would null-pad stale rows to the
+    * TOP of every shortlist. Refresh/topK call this to fail loudly (the
+    * repair is re-running build) instead of advancing a watermark over a
+    * corrupt artifact. One limit(1) action — bounded by construction. */
+  private def requireWidthAgreement(codes: DataFrame,
+      books: PqIndex.Codebooks, indexRoot: String): Unit =
+    codes.limit(1).select(size(col("pq_code")).as("w")).collect()
+      .headOption.map(_.getInt(0)).foreach { w =>
+        if (w != books.m) throw new IllegalStateException(
+          s"$indexRoot: codebooks have m = ${books.m} subspaces but stored " +
+          s"codes are $w wide - an interrupted build left the index " +
+          "structurally inconsistent; re-run build to repair")
+      }
+
   /** Reload the frozen codebooks from storage (bounded by construction:
     * m × nCodes rows). */
   def loadBooks(spark: SparkSession, indexRoot: String): PqIndex.Codebooks = {
@@ -123,12 +142,19 @@ object PqStore {
       val fresh = finalActs.filter(col(CommitLog.ChangeTypeCol) =!= "delete")
         .select(col(idCol), col(vecCol))
       val hasFresh = !fresh.isEmpty
+      // width guard BEFORE any mutation: abort a structurally inconsistent
+      // index with nothing applied, not mid-slice
+      val books = if (hasFresh) {
+        val b = loadBooks(spark, indexRoot)
+        requireWidthAgreement(CommitLog.read(spark, codesTable(indexRoot)),
+          b, indexRoot)
+        Some(b)
+      } else None
       CommitLog.deleteKeys(spark, codesTable(indexRoot), retired, Seq(idCol),
         txn = if (hasFresh) None else Some((AppId, latest)))
-      if (hasFresh) {
-        val books = loadBooks(spark, indexRoot)
+      books.foreach { b =>
         CommitLog.merge(spark,
-          codesTable(indexRoot), PqIndex.encode(fresh, books, idCol, vecCol),
+          codesTable(indexRoot), PqIndex.encode(fresh, b, idCol, vecCol),
           Seq(idCol), txn = Some((AppId, latest)))
       }
       if (!coveredVersion(indexRoot).exists(_ >= latest))
@@ -160,19 +186,27 @@ object PqStore {
     require(refine >= 1, s"refine factor must be >= 1, got $refine")
     val books = loadBooks(spark, indexRoot)
     val codes = CommitLog.read(spark, codesTable(indexRoot))
+    requireWidthAgreement(codes, books, indexRoot)
     val shortlist = PqIndex.adcShortlist(codes, books, queries, k * refine,
       idCol, vecCol)
     if (refine == 1)
       shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
         (lit(1.0) - col("dist") / 2.0).as("sim"))
     else {
-      val ids = shortlist.select("neighbor_id").distinct()
-        .collect().map(_.getLong(0))
+      // ONE ADC scan: the shortlist is bounded by construction (queries ×
+      // k × refine rows), so collect it once and drive both the key
+      // point-read and the re-rank probe from the collected rows — an
+      // unpersisted lazy shortlist would re-run the whole codes ×
+      // queries scan for each of the two downstream actions
+      import spark.implicits._
+      val short = shortlist.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ids = short.map(_._2).distinct
       val vectors =
         if (ids.isEmpty) CommitLog.read(spark, baseTable).limit(0)
         else CommitLog.readPruned(spark, baseTable,
           col(idCol).isin(ids.toIndexedSeq: _*))
-      PqIndex.rerankExact(shortlist,
+      PqIndex.rerankExact(short.toSeq.toDF("query_id", "neighbor_id"),
         vectors.select(col(idCol).cast("long").as("neighbor_id"),
           col(vecCol).as("__cv")),
         queries, k, idCol, vecCol)

@@ -168,4 +168,41 @@ class PqStoreSpec extends SparkSpec {
     val drift = PqStore.staleFraction(index)
     assert(drift > 0.0, s"staleFraction $drift")
   }
+
+  test("a build crash between the codebooks and codes overwrites fails loudly, not silently") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(emb, base, "append")
+    PqStore.build(spark, base, index)
+    // simulate a drift re-build(m = 16) dying AFTER the codebooks
+    // overwrite and BEFORE the codes overwrite: new 16-subspace books
+    // over old 8-wide codes (the documented honest-unadvanced window)
+    val wide = CommitLog.read(spark, s"$index/codebooks")
+      .withColumn("subspace", col("subspace") + lit(8))
+      .union(CommitLog.read(spark, s"$index/codebooks"))
+    CommitLog.commit(wide, s"$index/codebooks", "overwrite")
+    // a cron refresh over a base advance must ABORT with nothing applied
+    // (merging 16-wide delta codes into the 8-wide table would null-pad
+    // stale rows to the TOP of every ADC shortlist), and queries must
+    // refuse too — the repair is re-running build
+    CommitLog.commit(emb.limit(5)
+      .withColumn("vec_id", col("vec_id") + 9000000L), base, "append")
+    val nCodes = CommitLog.read(spark, s"$index/codes").count()
+    val e1 = intercept[IllegalStateException] {
+      PqStore.refresh(spark, base, index)
+    }
+    assert(e1.getMessage.contains("structurally inconsistent"))
+    assert(CommitLog.read(spark, s"$index/codes").count() === nCodes)
+    assert(PqStore.coveredVersion(index) === Some(1L)) // honest: not advanced
+    intercept[IllegalStateException] {
+      PqStore.topK(spark, base, index, emb.filter(col("vec_id") < 5), k = 3)
+        .collect()
+    }
+    // re-running build repairs the window; refresh then folds normally
+    PqStore.build(spark, base, index, m = 16)
+    assert(PqStore.refresh(spark, base, index) === CommitLog.latestVersion(base).get)
+    assert(CommitLog.read(spark, s"$index/codes").count()
+      === CommitLog.read(spark, base).count())
+  }
 }
