@@ -349,6 +349,33 @@ object TxQueries {
           countDistinct(col("event_id")).as("n_ids"),
           min(col("value")).as("v_min"), max(col("value")).as("v_max"))
     }),
+
+    // METADATA-ONLY aggregates: COUNT(*)/MIN/MAX/COUNT(col) answered from
+    // the manifest's footer-stats sidecars with NO data scan and NO Spark
+    // job (metaAggregate takes no SparkSession — it is O(files) driver
+    // work, Delta's SELECT-COUNT(*) trick). Runs on the MUTATION table so
+    // the evidence must survive merge/delete/update rewrites: the merge
+    // re-keys ids past 100000000 (max moves), the delete removes every
+    // 'error' row (count shrinks), the update shifts signup values by
+    // +0.5 (double bounds move). The DuckDB oracle re-derives the same
+    // final state from the source parquet and aggregates it with a full
+    // scan — a stale sidecar, a carried-file accounting slip, or a
+    // widened bound flips the hash.
+    "tx_stats_meta" -> ((s, d) => {
+      import s.implicits._
+      val (table, _, _, _) = ensureMutTable(s, d)
+      val agg = CommitLog.metaAggregate(table, Seq("event_id", "value"))
+        .getOrElse(throw new IllegalStateException(
+          s"$table: sidecar evidence incomplete - metadata aggregate must not fall back here"))
+      val ids = agg.cols("event_id")
+      val vals = agg.cols("value")
+      Seq((agg.rowCount,
+          ids.min.get.asInstanceOf[Long], ids.max.get.asInstanceOf[Long],
+          ids.nonNull,
+          vals.min.get.asInstanceOf[Double], vals.max.get.asInstanceOf[Double],
+          vals.nonNull))
+        .toDF("n_rows", "id_min", "id_max", "n_ids", "v_min", "v_max", "n_vals")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -477,5 +504,25 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'click'""",
+    "tx_stats_meta" ->
+      """WITH merged AS (
+           SELECT event_id, event_type, value * 2 AS value
+             FROM events WHERE event_id % 10 = 3
+           UNION ALL
+           SELECT event_id, event_type, value
+             FROM events WHERE event_id % 10 <> 3
+           UNION ALL
+           SELECT event_id + 100000000 AS event_id, event_type, value + 1000 AS value
+             FROM events WHERE event_id % 10 = 4),
+         updated AS (
+           SELECT event_id,
+             CASE WHEN event_type = 'signup' THEN value + 0.5 ELSE value END AS value
+           FROM merged WHERE event_type <> 'error')
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(event_id) AS id_min, max(event_id) AS id_max,
+           CAST(count(event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max,
+           CAST(count(value) AS BIGINT) AS n_vals
+         FROM updated""",
   )
 }

@@ -1111,6 +1111,91 @@ object CommitLog {
     m.files.filter(f => unboundedSet.contains(f) || hit.contains(f))
   }
 
+  /** One column's metadata-derived aggregate: min/max are None when the
+    * column holds no non-null value in the snapshot (SQL MIN/MAX = NULL);
+    * `nonNull` backs COUNT(col). */
+  final case class MetaColAgg(min: Option[Any], max: Option[Any], nonNull: Long)
+
+  /** Snapshot aggregates answered from metadata ([[metaAggregate]]). */
+  final case class MetaAgg(rowCount: Long, cols: Map[String, MetaColAgg])
+
+  /** COUNT(*) / MIN / MAX / COUNT(col) over a snapshot answered ENTIRELY
+    * from the manifest's footer-stats sidecars — no data scan, no Spark
+    * job: O(files) driver work, the same trick Delta pulls from its stats
+    * for `SELECT COUNT(*)`. Copy-on-write makes this exact: a manifest's
+    * files ARE the snapshot, so their row counts and bounds are the
+    * table's. Honest fallback contract — returns None (caller scans)
+    * whenever the evidence is not airtight: a file missing from its
+    * sidecar (pre-feature or foreign writer), a column whose rendered
+    * bounds are not exact values ([[FileStats.exactStatsKind]]: timestamp
+    * bounds are unit-WIDENED, long-string bounds dropped/truncated), a
+    * kind conflict across files, unset parquet null counts, or non-null
+    * values with no recorded bounds (e.g. NaN-poisoned double chunks).
+    * A column absent from every file (or from some files — additive
+    * schema evolution reads those rows as NULL) simply contributes
+    * nothing to bounds and zero to `nonNull`. Partition-path columns are
+    * not aggregated (their sidecars carry no counts) — they return None.
+    * `version` time-travels like [[readPruned]].
+    *
+    * Floating caveats, both per the parquet spec: signed-zero bounds are
+    * writer-widened across the sign and surface as +0.0 (numerically
+    * equal — see [[FileStats.parseExact]]); double stats are
+    * NaN-EXCLUSIVE, so on a column that can contain NaN the metadata MAX
+    * understates engines that order NaN above all values (Spark) —
+    * callers needing NaN-aware extremes must scan. Delta's stats-backed
+    * answers carry the same trade. */
+  def metaAggregate(table: String, columns: Seq[String],
+      version: Option[Long] = None): Option[MetaAgg] = {
+    val m = version.map(manifest(table, _)).orElse(latestManifest(table)).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val tableDir = Paths.get(table)
+    val perFile: Seq[Option[Map[String, FileStats.ColStats]]] =
+      m.files.groupBy(commitDirOf).toSeq.sortBy(_._1).flatMap { case (cd, fs) =>
+        val stats = FileStats.readSidecar(tableDir.resolve(cd))
+        fs.map(f => stats.get(f.stripPrefix(cd + "/")).filter(_.nonEmpty))
+      }
+    if (perFile.exists(_.isEmpty)) return None
+    val files = perFile.map(_.get)
+    val rows = files.map(_.valuesIterator.map(_.values).max).sum
+    val colAggs = columns.map(c => metaColAgg(files, c))
+    if (colAggs.exists(_.isEmpty)) None
+    else Some(MetaAgg(rows, columns.zip(colAggs.map(_.get)).toMap))
+  }
+
+  /** COUNT(*)-only fast path of [[metaAggregate]]. */
+  def metaRowCount(table: String, version: Option[Long] = None): Option[Long] =
+    metaAggregate(table, Nil, version).map(_.rowCount)
+
+  private def metaColAgg(files: Seq[Map[String, FileStats.ColStats]],
+      c: String): Option[MetaColAgg] = {
+    val present = files.flatMap(_.get(c))
+    if (present.isEmpty) return Some(MetaColAgg(None, None, 0L))
+    val kinds = present.map(_.kind).distinct
+    if (kinds.size != 1 || !FileStats.exactStatsKind(kinds.head)) return None
+    val kind = kinds.head
+    var nonNull = 0L
+    var mn: Option[String] = None
+    var mx: Option[String] = None
+    var i = 0
+    while (i < present.length) {
+      val cs = present(i)
+      if (cs.nulls < 0) return None // parquet null count unset: uncountable
+      val nn = cs.values - cs.nulls
+      nonNull += nn
+      if (nn > 0) (cs.min, cs.max) match {
+        case (Some(a), Some(b)) =>
+          mn = Some(mn.fold(a)(p =>
+            if (FileStats.compareRendered(kind, a, p) < 0) a else p))
+          mx = Some(mx.fold(b)(p =>
+            if (FileStats.compareRendered(kind, b, p) > 0) b else p))
+        case _ => return None // non-null values but no bounds: unknowable
+      }
+      i += 1
+    }
+    Some(MetaColAgg(mn.map(FileStats.parseExact(kind, _)),
+      mx.map(FileStats.parseExact(kind, _)), nonNull))
+  }
+
   /** Snapshot read that SKIPS files whose footer stats prove `condition`
     * can't match (then applies `condition` row-level, so the result equals
     * `read(...).filter(condition)` exactly). The conjuncts are translated

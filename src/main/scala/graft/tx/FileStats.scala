@@ -145,6 +145,34 @@ object FileStats {
     } finally reader.close()
   }
 
+  /** Kinds whose rendered bounds are EXACT values drawn from the column —
+    * safe to surface as MIN/MAX aggregates ([[CommitLog.metaAggregate]]).
+    * Timestamps are unit-normalized with floor/ceil WIDENING (a NANOS
+    * bound truncated to micros may lie outside the data) and long strings
+    * drop bounds entirely (and a parquet writer may truncate them) — for
+    * skipping that conservatism is free, for aggregates it would be a
+    * wrong answer, so those kinds are excluded. */
+  private[tx] def exactStatsKind(kind: String): Boolean =
+    kind == "long" || kind == "double" || kind == "boolean" || kind == "date"
+
+  /** Parse an [[exactStatsKind]] rendered bound back to a JVM value.
+    * Signed zeros normalize to +0.0: the parquet spec directs writers to
+    * WIDEN floating bounds across the zero sign (min +0.0 is written as
+    * -0.0 so total-order readers can't miss a -0.0 row), so a ±0.0 bound
+    * is a sign-ambiguous stand-in for a value it numerically equals —
+    * surfacing +0.0 matches what SQL engines return for MIN/MAX over any
+    * mix of zeros. (Double bounds are also NaN-exclusive per the spec;
+    * see [[graft.tx.CommitLog.metaAggregate]]'s caveat.) */
+  private[tx] def parseExact(kind: String, s: String): Any = kind match {
+    case "long" => s.toLong
+    case "double" =>
+      val d = s.toDouble
+      if (d == 0.0) 0.0 else d
+    case "boolean" => s.toBoolean
+    case "date" => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong))
+    case other => throw new IllegalArgumentException(s"not an exact kind: $other")
+  }
+
   private def mergeStats(a: ColStats, b: ColStats): ColStats = {
     def pick(x: Option[String], y: Option[String], lo: Boolean): Option[String] =
       (x, y) match {

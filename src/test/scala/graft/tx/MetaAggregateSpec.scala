@@ -1,0 +1,98 @@
+package graft.tx
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Metadata-only snapshot aggregates: exact agreement with a scan across
+  * copy-on-write mutations, honest None fallbacks, time travel — all with
+  * no SparkSession in the API (the computation is O(files) driver work
+  * over the stats sidecars). */
+class MetaAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_meta").resolve("t").toString
+
+  private def events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("count/min/max/count(col) match a full scan across merge, delete, and update") {
+    val t = freshTable()
+    CommitLog.commit(events.select("event_id", "event_type", "value"), t, "append")
+    CommitLog.merge(spark,
+      t, events.filter(col("event_id") % 10 === 4)
+        .select((col("event_id") + 100000000L).as("event_id"),
+          col("event_type"), (col("value") + 1000.0).as("value")),
+      Seq("event_id"))
+    CommitLog.delete(spark, t, col("event_type") === "error")
+    CommitLog.update(spark, t, col("event_type") === "signup",
+      Map("value" -> (col("value") + 0.5)))
+
+    val agg = CommitLog.metaAggregate(t, Seq("event_id", "value")).get
+    val scan = CommitLog.read(spark, t)
+      .agg(count(lit(1)), min("event_id"), max("event_id"),
+        count("event_id"), min("value"), max("value"), count("value"))
+      .as[(Long, Long, Long, Long, Double, Double, Long)].head()
+    assert(agg.rowCount === scan._1)
+    assert(agg.cols("event_id") ===
+      CommitLog.MetaColAgg(Some(scan._2), Some(scan._3), scan._4))
+    assert(agg.cols("value") ===
+      CommitLog.MetaColAgg(Some(scan._5), Some(scan._6), scan._7))
+    // count-only fast path
+    assert(CommitLog.metaRowCount(t) === Some(scan._1))
+    // time travel: version 1's metadata answers version 1's scan
+    val v1Scan = CommitLog.readAt(spark, t, 1L).count()
+    assert(CommitLog.metaRowCount(t, Some(1L)) === Some(v1Scan))
+  }
+
+  test("additive schema evolution: the late column counts only its own rows, absent = all-null") {
+    val t = freshTable()
+    CommitLog.commit(events.limit(100).select("event_id", "value"), t, "append")
+    CommitLog.commit(events.limit(40).select(
+      (col("event_id") + 5000000L).as("event_id"), col("value"),
+      col("event_id").as("late_id")), t, "append")
+    val agg = CommitLog.metaAggregate(t, Seq("late_id", "ghost")).get
+    assert(agg.rowCount === 140L)
+    assert(agg.cols("late_id").nonNull === 40L)
+    assert(agg.cols("late_id").min.isDefined)
+    // a column in NO file: SQL MIN/MAX = NULL, COUNT = 0 — not a fallback
+    assert(agg.cols("ghost") === CommitLog.MetaColAgg(None, None, 0L))
+  }
+
+  test("signed-zero bounds surface as +0.0 (parquet writers widen across the sign)") {
+    val t = freshTable()
+    // with a 0.0 present, the parquet footer stores min = -0.0 (spec-
+    // directed widening); surfacing it raw hash-diverges from every
+    // engine's scan MIN (caught live at sf0.1 by tx_stats_meta)
+    CommitLog.commit(Seq((1L, 0.0), (2L, 3.5)).toDF("id", "v"), t, "append")
+    val agg = CommitLog.metaAggregate(t, Seq("v")).get
+    assert(agg.cols("v").min === Some(0.0))
+    assert(java.lang.Double.doubleToRawLongBits(
+      agg.cols("v").min.get.asInstanceOf[Double]) === 0L) // +0.0, bit-exact
+    // genuinely negative bounds pass through untouched
+    val t2 = freshTable()
+    CommitLog.commit(Seq((1L, 0.0), (2L, -2.5)).toDF("id", "v"), t2, "append")
+    assert(CommitLog.metaAggregate(t2, Seq("v")).get.cols("v")
+      === CommitLog.MetaColAgg(Some(-2.5), Some(0.0), 2L))
+  }
+
+  test("honest None: inexact kinds, missing sidecars — never a wrong answer") {
+    val t = freshTable()
+    CommitLog.commit(events.select("event_id", "event_type", "ets", "value"),
+      t, "append")
+    // string bounds may be writer-truncated; timestamp bounds are
+    // unit-widened (events.ets is NANOS) — both refuse
+    assert(CommitLog.metaAggregate(t, Seq("event_type")) === None)
+    assert(CommitLog.metaAggregate(t, Seq("ets")) === None)
+    // count alone is still fine on the same table
+    assert(CommitLog.metaRowCount(t).isDefined)
+    // a vanished sidecar (pre-feature table / foreign writer) refuses
+    // EVERYTHING rather than undercounting
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    val dir = CommitLog.commitDirOf(m.files.head)
+    Files.delete(Paths.get(t).resolve(dir).resolve(FileStats.SidecarName))
+    assert(CommitLog.metaAggregate(t, Nil) === None)
+    assert(CommitLog.metaRowCount(t) === None)
+  }
+}
