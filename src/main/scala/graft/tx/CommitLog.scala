@@ -1007,16 +1007,27 @@ object CommitLog {
   def pruneFiles(table: String, m: Manifest,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     if (filters.isEmpty) return m.files
+    perFileStats(table, m).filter { case (_, rel, stats) =>
+      // hive partition segments give exact bounds for the partition
+      // columns (absent from footers); footer stats cover the rest
+      val cols = FileStats.partitionStats(rel) ++ stats
+      filters.forall(FileStats.mightMatch(cols, _))
+    }.map(_._1)
+  }
+
+  /** (manifest file, path inside its commit dir, footer-stats map) for
+    * every file of `m`, in stable order — the sidecar traversal shared by
+    * [[pruneFiles]], [[pruneFilesByKeys]], and [[metaAggregate]]. A file
+    * missing from its commit dir's sidecar gets an empty map. */
+  private def perFileStats(table: String,
+      m: Manifest): Seq[(String, String, Map[String, FileStats.ColStats])] = {
     val tableDir = Paths.get(table)
-    m.files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
+    m.files.groupBy(commitDirOf).toSeq.sortBy(_._1)
       .flatMap { case (commitDir, fs) =>
         val stats = FileStats.readSidecar(tableDir.resolve(commitDir))
-        fs.filter { f =>
+        fs.map { f =>
           val rel = f.stripPrefix(commitDir + "/")
-          // hive partition segments give exact bounds for the partition
-          // columns (absent from footers); footer stats cover the rest
-          val cols = FileStats.partitionStats(rel) ++ stats.getOrElse(rel, Map.empty)
-          filters.forall(FileStats.mightMatch(cols, _))
+          (f, rel, stats.getOrElse(rel, Map.empty[String, FileStats.ColStats]))
         }
       }
   }
@@ -1072,24 +1083,18 @@ object CommitLog {
       m.schema.fields.find(_.name == k).flatMap(f => kindFor(f.dataType)))
     if (kinds.exists(_.isEmpty)) return m.files // unprunable key type
     val kindByKey = keys.zip(kinds.map(_.get))
-    val tableDir = Paths.get(table)
     val entries: Seq[(String, Option[Seq[(Any, Any)]])] =
-      m.files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
-        .flatMap { case (commitDir, fs) =>
-          val stats = FileStats.readSidecar(tableDir.resolve(commitDir))
-          fs.map { f =>
-            val rel = f.stripPrefix(commitDir + "/")
-            val cols = FileStats.partitionStats(rel) ++ stats.getOrElse(rel, Map.empty)
-            val bounds = kindByKey.map { case (k, kind) =>
-              cols.get(k) match {
-                case Some(cs) if cs.kind == kind && cs.min.isDefined && cs.max.isDefined =>
-                  Some((typedValue(kind, cs.min.get), typedValue(kind, cs.max.get)))
-                case _ => None
-              }
-            }
-            f -> (if (bounds.forall(_.isDefined)) Some(bounds.map(_.get)) else None)
+      perFileStats(table, m).map { case (f, rel, stats) =>
+        val cols = FileStats.partitionStats(rel) ++ stats
+        val bounds = kindByKey.map { case (k, kind) =>
+          cols.get(k) match {
+            case Some(cs) if cs.kind == kind && cs.min.isDefined && cs.max.isDefined =>
+              Some((typedValue(kind, cs.min.get), typedValue(kind, cs.max.get)))
+            case _ => None
           }
         }
+        f -> (if (bounds.forall(_.isDefined)) Some(bounds.map(_.get)) else None)
+      }
     val bounded = entries.collect { case (f, Some(bs)) => (f, bs) }
     if (bounded.isEmpty) return m.files
     val unboundedSet = entries.collect { case (f, None) => f }.toSet
@@ -1126,11 +1131,14 @@ object CommitLog {
     * files ARE the snapshot, so their row counts and bounds are the
     * table's. Honest fallback contract — returns None (caller scans)
     * whenever the evidence is not airtight: a file missing from its
-    * sidecar (pre-feature or foreign writer), a column whose rendered
-    * bounds are not exact values ([[FileStats.exactStatsKind]]: timestamp
-    * bounds are unit-WIDENED, long-string bounds dropped/truncated), a
-    * kind conflict across files, unset parquet null counts, or non-null
-    * values with no recorded bounds (e.g. NaN-poisoned double chunks).
+    * sidecar (pre-feature or foreign writer), a column whose SNAPSHOT
+    * SCHEMA type has no exact rendered bounds (timestamp bounds are
+    * unit-WIDENED, long-string bounds dropped/truncated, decimal/binary/
+    * nested stats uncollected), a partition-path column (exact bounds but
+    * no null counts), a schema/stats kind disagreement, unset parquet
+    * null counts, or non-null values with no recorded bounds (e.g.
+    * NaN-poisoned double chunks). A name not in the snapshot schema
+    * throws, as in SQL.
     * A column absent from every file (or from some files — additive
     * schema evolution reads those rows as NULL) simply contributes
     * nothing to bounds and zero to `nonNull`. Partition-path columns are
@@ -1146,18 +1154,36 @@ object CommitLog {
     * answers carry the same trade. */
   def metaAggregate(table: String, columns: Seq[String],
       version: Option[Long] = None): Option[MetaAgg] = {
+    import org.apache.spark.sql.types._
     val m = version.map(manifest(table, _)).orElse(latestManifest(table)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    val tableDir = Paths.get(table)
-    val perFile: Seq[Option[Map[String, FileStats.ColStats]]] =
-      m.files.groupBy(commitDirOf).toSeq.sortBy(_._1).flatMap { case (cd, fs) =>
-        val stats = FileStats.readSidecar(tableDir.resolve(cd))
-        fs.map(f => stats.get(f.stripPrefix(cd + "/")).filter(_.nonEmpty))
+    // resolve every requested column against the SNAPSHOT schema up front:
+    // an unknown name is a caller error (as in SQL), and the schema type —
+    // not sidecar presence — decides aggregability, so a type whose stats
+    // are never collected (decimal, binary, nested) refuses instead of
+    // masquerading as an all-null column
+    val fields = columns.map { c =>
+      m.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"$table has no column '$c' at version ${m.version}"))
+    }
+    val perFile = perFileStats(table, m)
+    if (perFile.exists(_._3.isEmpty)) return None // file absent from sidecar
+    val rows = perFile.map(_._3.valuesIterator.map(_.values).max).sum
+    val colAggs = fields.map { f =>
+      val exactKind = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some("long")
+        case FloatType | DoubleType => Some("double")
+        case BooleanType => Some("boolean")
+        case DateType => Some("date")
+        case _ => None // string bounds truncate, ts bounds widen, rest uncollected
       }
-    if (perFile.exists(_.isEmpty)) return None
-    val files = perFile.map(_.get)
-    val rows = files.map(_.valuesIterator.map(_.values).max).sum
-    val colAggs = columns.map(c => metaColAgg(files, c))
+      // partition-path columns live in dir names, not footers: exact
+      // bounds would be derivable but null counts are not — refuse
+      if (exactKind.isEmpty ||
+          perFile.exists(pf => FileStats.partitionStats(pf._2).contains(f.name)))
+        None
+      else metaColAgg(perFile.map(_._3), f.name, exactKind.get, f.dataType)
+    }
     if (colAggs.exists(_.isEmpty)) None
     else Some(MetaAgg(rows, columns.zip(colAggs.map(_.get)).toMap))
   }
@@ -1166,19 +1192,20 @@ object CommitLog {
   def metaRowCount(table: String, version: Option[Long] = None): Option[Long] =
     metaAggregate(table, Nil, version).map(_.rowCount)
 
-  private def metaColAgg(files: Seq[Map[String, FileStats.ColStats]],
-      c: String): Option[MetaColAgg] = {
+  private def metaColAgg(files: Seq[Map[String, FileStats.ColStats]], c: String,
+      kind: String, dt: org.apache.spark.sql.types.DataType): Option[MetaColAgg] = {
+    // a file without the column predates it (additive evolution): its rows
+    // read as NULL — sound because CommitLog writes every file itself and
+    // Spark's writer always records primitive stats it can collect
     val present = files.flatMap(_.get(c))
     if (present.isEmpty) return Some(MetaColAgg(None, None, 0L))
-    val kinds = present.map(_.kind).distinct
-    if (kinds.size != 1 || !FileStats.exactStatsKind(kinds.head)) return None
-    val kind = kinds.head
     var nonNull = 0L
     var mn: Option[String] = None
     var mx: Option[String] = None
     var i = 0
     while (i < present.length) {
       val cs = present(i)
+      if (cs.kind != kind) return None // schema/stats disagreement
       if (cs.nulls < 0) return None // parquet null count unset: uncountable
       val nn = cs.values - cs.nulls
       nonNull += nn
@@ -1192,8 +1219,24 @@ object CommitLog {
       }
       i += 1
     }
-    Some(MetaColAgg(mn.map(FileStats.parseExact(kind, _)),
-      mx.map(FileStats.parseExact(kind, _)), nonNull))
+    def typed(s: String): Any = coerceToType(FileStats.parseExact(kind, s), dt)
+    Some(MetaColAgg(mn.map(typed), mx.map(typed), nonNull))
+  }
+
+  /** Narrow a parsed stats bound to the column's declared Spark type, so
+    * a FloatType column surfaces Float and an IntegerType column Int —
+    * what a scan of the same column returns. Exact: the stats value was
+    * written FROM that narrower type, so the round-trip loses nothing. */
+  private def coerceToType(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (ByteType, l: Long) => l.toByte
+      case (ShortType, l: Long) => l.toShort
+      case (IntegerType, l: Long) => l.toInt
+      case (FloatType, d: Double) => d.toFloat
+      case _ => v
+    }
   }
 
   /** Snapshot read that SKIPS files whose footer stats prove `condition`

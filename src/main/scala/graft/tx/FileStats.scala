@@ -145,17 +145,8 @@ object FileStats {
     } finally reader.close()
   }
 
-  /** Kinds whose rendered bounds are EXACT values drawn from the column —
-    * safe to surface as MIN/MAX aggregates ([[CommitLog.metaAggregate]]).
-    * Timestamps are unit-normalized with floor/ceil WIDENING (a NANOS
-    * bound truncated to micros may lie outside the data) and long strings
-    * drop bounds entirely (and a parquet writer may truncate them) — for
-    * skipping that conservatism is free, for aggregates it would be a
-    * wrong answer, so those kinds are excluded. */
-  private[tx] def exactStatsKind(kind: String): Boolean =
-    kind == "long" || kind == "double" || kind == "boolean" || kind == "date"
-
-  /** Parse an [[exactStatsKind]] rendered bound back to a JVM value.
+  /** Parse a rendered bound of an exact kind (long/double/boolean/date —
+    * [[CommitLog.metaAggregate]]'s schema-gated set) back to a JVM value.
     * Signed zeros normalize to +0.0: the parquet spec directs writers to
     * WIDEN floating bounds across the zero sign (min +0.0 is written as
     * -0.0 so total-order readers can't miss a -0.0 row), so a ±0.0 bound

@@ -52,12 +52,48 @@ class MetaAggregateSpec extends SparkSpec {
     CommitLog.commit(events.limit(40).select(
       (col("event_id") + 5000000L).as("event_id"), col("value"),
       col("event_id").as("late_id")), t, "append")
-    val agg = CommitLog.metaAggregate(t, Seq("late_id", "ghost")).get
+    val agg = CommitLog.metaAggregate(t, Seq("late_id")).get
     assert(agg.rowCount === 140L)
     assert(agg.cols("late_id").nonNull === 40L)
     assert(agg.cols("late_id").min.isDefined)
-    // a column in NO file: SQL MIN/MAX = NULL, COUNT = 0 — not a fallback
-    assert(agg.cols("ghost") === CommitLog.MetaColAgg(None, None, 0L))
+    // a name the snapshot schema doesn't have is a caller error, as in SQL
+    intercept[IllegalArgumentException] {
+      CommitLog.metaAggregate(t, Seq("ghost"))
+    }
+  }
+
+  test("bounds surface in the column's declared type, matching a scan") {
+    val t = freshTable()
+    CommitLog.commit(
+      Seq((1, 1.5f, 7.toShort), (2, -3.25f, 9.toShort)).toDF("i", "f", "sh"),
+      t, "append")
+    val agg = CommitLog.metaAggregate(t, Seq("i", "f", "sh")).get
+    assert(agg.cols("i") === CommitLog.MetaColAgg(Some(1), Some(2), 2L))
+    assert(agg.cols("f") === CommitLog.MetaColAgg(Some(-3.25f), Some(1.5f), 2L))
+    assert(agg.cols("sh") === CommitLog.MetaColAgg(Some(7.toShort), Some(9.toShort), 2L))
+    assert(agg.cols("i").min.get.isInstanceOf[Int])
+    assert(agg.cols("f").min.get.isInstanceOf[Float])
+  }
+
+  test("types whose stats are never collected refuse rather than reading as all-null") {
+    val t = freshTable()
+    // decimal stats are uncollected (conservative skip in FileStats): a
+    // populated decimal column must fall back, NOT report COUNT = 0
+    CommitLog.commit(
+      Seq((1L, BigDecimal("10.25")), (2L, BigDecimal("3.75")))
+        .toDF("id", "amount"), t, "append")
+    assert(CommitLog.metaAggregate(t, Seq("amount")) === None)
+    assert(CommitLog.metaAggregate(t, Seq("id")).isDefined)
+  }
+
+  test("partition-path columns refuse (exact bounds exist, null counts do not)") {
+    val t = freshTable()
+    CommitLog.commit(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "p", "v"),
+      t, "append", partitionBy = Seq("p"))
+    assert(CommitLog.metaAggregate(t, Seq("p")) === None)
+    val agg = CommitLog.metaAggregate(t, Seq("id", "v"))
+    assert(agg.isDefined && agg.get.rowCount === 3L)
   }
 
   test("signed-zero bounds surface as +0.0 (parquet writers widen across the sign)") {
