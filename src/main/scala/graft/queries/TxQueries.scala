@@ -55,6 +55,7 @@ object TxQueries {
     * untouched file flips the hash. */
   private val builtMut = new ConcurrentHashMap[String, (String, Long, Long, Long)]()
   private val builtIncrAgg = new ConcurrentHashMap[String, String]()
+  private val builtIncrSums = new ConcurrentHashMap[String, String]()
 
   /** Table whose history spans a PLAIN OVERWRITE (the reference's prod
     * bronze path, `save_to_raw_delta_prod.py:143`): v1 appends the even-id
@@ -267,6 +268,47 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // IVM beyond counts: SUM/COUNT(col) maintained per key from the same
+    // change feed (ChangeApply.applyAggregates). Sums live as
+    // DECIMAL(38,6) — incremental maintenance REQUIRES an associative
+    // exact sum (a float fold depends on delta arrival order, and an
+    // update's -pre/+post pair would leave residue forever), which is
+    // also exactly what lets this oracle hash-match: the maintained
+    // decimal equals DuckDB's from-scratch decimal sum bit-for-bit. The
+    // in-query matches flag re-checks against a direct recompute of the
+    // mutated table.
+    "tx_incr_sums" -> ((s, d) => {
+      val (table, _, _, _) = ensureMutTable(s, d)
+      val aggTable = builtIncrSums.computeIfAbsent(d, _ => {
+        val agg = table + "_sums"
+        deleteRecursively(new java.io.File(agg))
+        sys.addShutdownHook(deleteRecursively(new java.io.File(agg)))
+        import org.apache.spark.sql.types._
+        CommitLog.commit(
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(
+              StructField("event_type", StringType),
+              StructField("n", LongType),
+              StructField("sum_value", graft.tx.ChangeApply.SumType),
+              StructField("cnt_value", LongType)))),
+          agg, "append")
+        graft.tx.ChangeApply.applyAggregates(s, agg,
+          CommitLog.changeFeed(s, table, 0L), Seq("event_type"), Seq("value"))
+        agg
+      })
+      val maintained = CommitLog.read(s, aggTable)
+      val recomputed = CommitLog.read(s, table)
+        .groupBy("event_type")
+        .agg(sum(col("value").cast(graft.tx.ChangeApply.SumType)).cast(
+          graft.tx.ChangeApply.SumType).as("sum_direct"))
+      maintained.join(recomputed, Seq("event_type"), "full_outer")
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_v"), col("cnt_value"),
+          coalesce(col("sum_value") === col("sum_direct"), lit(false))
+            .as("matches_recompute"))
+        .orderBy("event_type")
+    }),
+
     // DELETE by key set — the APPLY shape for a change feed's delete rows
     // (a Column predicate can't express "key IN (frame)"): every %7 id
     // retired file-granularly; the snapshot aggregate AND the delete's own
@@ -447,6 +489,25 @@ object TxQueries {
          SELECT event_type, count(*) AS n, true AS matches_recompute
          FROM merged WHERE event_type <> 'error'
          GROUP BY 1 ORDER BY event_type""",
+    "tx_incr_sums" ->
+      """WITH merged AS (
+           SELECT event_id, event_type, value * 2 AS value
+             FROM events WHERE event_id % 10 = 3
+           UNION ALL
+           SELECT event_id, event_type, value
+             FROM events WHERE event_id % 10 <> 3
+           UNION ALL
+           SELECT event_id + 100000000 AS event_id, event_type, value + 1000 AS value
+             FROM events WHERE event_id % 10 = 4),
+         updated AS (
+           SELECT event_type,
+             CASE WHEN event_type = 'signup' THEN value + 0.5 ELSE value END AS value
+           FROM merged WHERE event_type <> 'error')
+         SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+           CAST(count(value) AS BIGINT) AS cnt_value,
+           true AS matches_recompute
+         FROM updated GROUP BY 1 ORDER BY event_type""",
     "tx_change_feed" ->
       """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
            SELECT 1 AS v, 'insert' AS ct, count(*) AS n FROM events

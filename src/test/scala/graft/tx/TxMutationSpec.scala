@@ -371,6 +371,63 @@ class TxMutationSpec extends SparkSpec {
     assert(CommitLog.latestVersion(agg).get === v)
   }
 
+  test("ChangeApply.applyAggregates maintains exact decimal sums per key") {
+    import org.apache.spark.sql.types._
+    val base = freshTable()
+    val agg = freshTable()
+    CommitLog.commit(
+      Seq((1L, "x", Some(1.25)), (2L, "x", Some(2.5)), (3L, "y", Some(10.0)),
+        (4L, "y", Option.empty[Double])).toDF("id", "g", "v"),
+      base, "append")
+    CommitLog.commit(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("g", StringType), StructField("n", LongType),
+          StructField("sum_v", ChangeApply.SumType), StructField("cnt_v", LongType)))),
+      agg, "append")
+    def applyAll(from: Long): Long = {
+      val to = CommitLog.latestVersion(base).get
+      ChangeApply.applyAggregates(spark,
+        agg, CommitLog.changeFeed(spark, base, from, Some(to)), Seq("g"), Seq("v"))
+      to
+    }
+    var cursor = applyAll(0L)
+    def state(): Map[String, (Long, Option[BigDecimal], Long)] =
+      CommitLog.read(spark, agg).as[(String, Long, Option[BigDecimal], Long)]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // NULL value rows count in n but not in sum/cnt — SQL SUM semantics
+    assert(state() === Map(
+      "x" -> ((2L, Some(BigDecimal("3.750000")), 2L)),
+      "y" -> ((2L, Some(BigDecimal("10.000000")), 1L))))
+    // a value-only UPDATE nets __dn = 0 but must still land (-pre +post);
+    // a delete subtracts; a group-moving update shifts both groups
+    CommitLog.update(spark, base, col("id") === 1L, Map("v" -> lit(2.0)))
+    CommitLog.delete(spark, base, col("id") === 3L)
+    CommitLog.update(spark, base, col("id") === 2L, Map("g" -> lit("y")))
+    cursor = applyAll(cursor)
+    assert(state() === Map(
+      "x" -> ((1L, Some(BigDecimal("2.000000")), 1L)),
+      "y" -> ((2L, Some(BigDecimal("2.500000")), 1L))))
+    // maintained == recomputed, bit-for-bit (decimal associativity)
+    val recomputed = CommitLog.read(spark, base).groupBy("g")
+      .agg(count(lit(1)), sum(col("v").cast(ChangeApply.SumType))
+        .cast(ChangeApply.SumType), count("v"))
+      .as[(String, Long, Option[BigDecimal], Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(state() === recomputed)
+    // replay with a txn watermark re-applies nothing
+    val slice = CommitLog.changeFeed(spark, base, 0L, Some(cursor))
+    val agg2 = freshTable()
+    CommitLog.commit(CommitLog.read(spark, agg).limit(0), agg2, "append")
+    ChangeApply.applyAggregates(spark, agg2, slice, Seq("g"), Seq("v"),
+      txn = Some(("w", cursor)))
+    val v2 = CommitLog.latestVersion(agg2).get
+    ChangeApply.applyAggregates(spark, agg2, slice, Seq("g"), Seq("v"),
+      txn = Some(("w", cursor)))
+    assert(CommitLog.latestVersion(agg2).get === v2)
+    assert(CommitLog.read(spark, agg2).as[(String, Long, Option[BigDecimal], Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap === recomputed)
+  }
+
   test("deleteKeys retires a key set file-granularly with delete change rows") {
     val t = freshTable()
     val before = seedRanged(t)
