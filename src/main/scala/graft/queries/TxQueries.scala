@@ -57,6 +57,28 @@ object TxQueries {
   private val builtIncrAgg = new ConcurrentHashMap[String, String]()
   private val builtIncrSums = new ConcurrentHashMap[String, String]()
 
+  /** Shared bootstrap for the IVM rollup queries: wipe + reap-on-exit a
+    * scratch aggregate table beside `baseTable`, seed it empty with
+    * (event_type, aggCols…), and fold the base's full change feed in. */
+  private def ensureScratchAgg(s: SparkSession,
+      memo: ConcurrentHashMap[String, String], d: String, baseTable: String,
+      suffix: String,
+      aggCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      apply: (String, DataFrame) => Unit): String =
+    memo.computeIfAbsent(d, _ => {
+      val agg = baseTable + suffix
+      deleteRecursively(new java.io.File(agg))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(agg)))
+      import org.apache.spark.sql.types._
+      CommitLog.commit(
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(StructField("event_type", StringType) +:
+            aggCols.map { case (n, t) => StructField(n, t) })),
+        agg, "append")
+      apply(agg, CommitLog.changeFeed(s, baseTable, 0L))
+      agg
+    })
+
   /** Table whose history spans a PLAIN OVERWRITE (the reference's prod
     * bronze path, `save_to_raw_delta_prod.py:143`): v1 appends the even-id
     * slice, v2 overwrites with the %3==0 slice — ids divisible by 6 survive
@@ -243,22 +265,10 @@ object TxQueries {
     // DuckDB twin pins both the counts and the all-match boolean.
     "tx_incr_agg" -> ((s, d) => {
       val (table, _, _, _) = ensureMutTable(s, d)
-      val aggTable = builtIncrAgg.computeIfAbsent(d, _ => {
-        val agg = table + "_agg"
-        deleteRecursively(new java.io.File(agg))
-        sys.addShutdownHook(deleteRecursively(new java.io.File(agg)))
-        CommitLog.commit(
-          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("event_type",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("n",
-                org.apache.spark.sql.types.LongType)))),
-          agg, "append")
-        graft.tx.ChangeApply.applyCounts(s, agg,
-          CommitLog.changeFeed(s, table, 0L), Seq("event_type"))
-        agg
-      })
+      val aggTable = ensureScratchAgg(s, builtIncrAgg, d, table, "_agg",
+        Seq(("n", org.apache.spark.sql.types.LongType)),
+        (agg, feed) => graft.tx.ChangeApply.applyCounts(s, agg, feed,
+          Seq("event_type")): Unit)
       val maintained = CommitLog.read(s, aggTable)
       val recomputed = CommitLog.read(s, table)
         .groupBy("event_type").agg(count(lit(1)).as("n_direct"))
@@ -279,33 +289,26 @@ object TxQueries {
     // mutated table.
     "tx_incr_sums" -> ((s, d) => {
       val (table, _, _, _) = ensureMutTable(s, d)
-      val aggTable = builtIncrSums.computeIfAbsent(d, _ => {
-        val agg = table + "_sums"
-        deleteRecursively(new java.io.File(agg))
-        sys.addShutdownHook(deleteRecursively(new java.io.File(agg)))
-        import org.apache.spark.sql.types._
-        CommitLog.commit(
-          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(
-              StructField("event_type", StringType),
-              StructField("n", LongType),
-              StructField("sum_value", graft.tx.ChangeApply.SumType),
-              StructField("cnt_value", LongType)))),
-          agg, "append")
-        graft.tx.ChangeApply.applyAggregates(s, agg,
-          CommitLog.changeFeed(s, table, 0L), Seq("event_type"), Seq("value"))
-        agg
-      })
+      val aggTable = ensureScratchAgg(s, builtIncrSums, d, table, "_sums",
+        Seq(("n", org.apache.spark.sql.types.LongType),
+          ("sum_value", graft.tx.ChangeApply.SumType),
+          ("cnt_value", org.apache.spark.sql.types.LongType)),
+        (agg, feed) => graft.tx.ChangeApply.applyAggregates(s, agg, feed,
+          Seq("event_type"), Seq("value")): Unit)
       val maintained = CommitLog.read(s, aggTable)
+      // the SERVING rule the rollup's docstring requires: a group whose
+      // values are all NULL stores sum 0 / cnt 0 and must serve SQL's
+      // SUM = NULL; null-safe compare keeps the matches flag honest there
+      val servedSum = when(col("cnt_value") === 0L, lit(null))
+        .otherwise(col("sum_value"))
       val recomputed = CommitLog.read(s, table)
         .groupBy("event_type")
-        .agg(sum(col("value").cast(graft.tx.ChangeApply.SumType)).cast(
-          graft.tx.ChangeApply.SumType).as("sum_direct"))
+        .agg(sum(col("value").cast(graft.tx.ChangeApply.SumType))
+          .as("sum_direct"))
       maintained.join(recomputed, Seq("event_type"), "full_outer")
         .select(col("event_type"), col("n"),
-          col("sum_value").cast("double").as("sum_v"), col("cnt_value"),
-          coalesce(col("sum_value") === col("sum_direct"), lit(false))
-            .as("matches_recompute"))
+          servedSum.cast("double").as("sum_v"), col("cnt_value"),
+          (servedSum <=> col("sum_direct")).as("matches_recompute"))
         .orderBy("event_type")
     }),
 

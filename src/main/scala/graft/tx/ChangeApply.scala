@@ -57,7 +57,7 @@ object ChangeApply {
   def applyAggregates(spark: SparkSession, aggTable: String, feed: DataFrame,
       keys: Seq[String], valueCols: Seq[String],
       txn: Option[(String, Long)] = None): Long = {
-    require(keys.nonEmpty, "applyAggregates requires at least one key column")
+    require(keys.nonEmpty, "ChangeApply requires at least one key column")
     def sweepZeros(): Long =
       CommitLog.delete(spark, aggTable, col("n") === 0L)
     txn.foreach { case (app, batch) =>
@@ -92,7 +92,7 @@ object ChangeApply {
       // maintaining a NULL-able dimension must coalesce to a sentinel.
       val nullKeyed = delta.filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).collect()
       require(nullKeyed.isEmpty,
-        s"applyAggregates cannot fold NULL group keys (row ${nullKeyed.headOption.orNull}); " +
+        s"ChangeApply cannot fold NULL group keys (row ${nullKeyed.headOption.orNull}); " +
           "coalesce the key to a sentinel value in the feed first")
       val current = CommitLog.read(spark, aggTable)
       val outCols = keys.map(col) ++

@@ -409,8 +409,7 @@ class TxMutationSpec extends SparkSpec {
       "y" -> ((2L, Some(BigDecimal("2.500000")), 1L))))
     // maintained == recomputed, bit-for-bit (decimal associativity)
     val recomputed = CommitLog.read(spark, base).groupBy("g")
-      .agg(count(lit(1)), sum(col("v").cast(ChangeApply.SumType))
-        .cast(ChangeApply.SumType), count("v"))
+      .agg(count(lit(1)), sum(col("v").cast(ChangeApply.SumType)), count("v"))
       .as[(String, Long, Option[BigDecimal], Long)]
       .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(state() === recomputed)
@@ -426,6 +425,12 @@ class TxMutationSpec extends SparkSpec {
     assert(CommitLog.latestVersion(agg2).get === v2)
     assert(CommitLog.read(spark, agg2).as[(String, Long, Option[BigDecimal], Long)]
       .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap === recomputed)
+    // an ALL-NULL-value group: counted in n, stored sum 0 / cnt 0 — the
+    // state where the serving rule (SQL SUM = NULL when cnt = 0) applies
+    CommitLog.merge(spark, base,
+      Seq((50L, "z", Option.empty[Double])).toDF("id", "g", "v"), Seq("id"))
+    applyAll(cursor)
+    assert(state()("z") === ((1L, Some(BigDecimal("0.000000")), 0L)))
   }
 
   test("deleteKeys retires a key set file-granularly with delete change rows") {
