@@ -62,7 +62,7 @@ object PqIndex {
 
   /** Seeded driver-side Lloyd's over one subspace's sample rows. Empty
     * clusters keep their previous center (standard small-sample guard). */
-  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+  private[ext] def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
       seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     val n = points.length
@@ -134,15 +134,33 @@ object PqIndex {
     * precision. Output: (idCol long, `pq_code` array<int> of length m,
     * values 0..nCodes-1). */
   def encode(corpus: DataFrame, books: Codebooks,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    encodeImpl(corpus, books, idCol, vecCol, None)
+
+  /** [[encode]] that ALSO bins each row to its nearest coarse centroid in
+    * the same per-row pass — the IVF-PQ composite's build/refresh step
+    * ([[PqStore]] cell gating). Cell argmin runs on the RAW vector in
+    * double precision with a lowest-cell tie-break — exactly
+    * [[IvfStore.assignToNearest]]'s metric, so the two index families bin
+    * identically. Output: (idCol, pq_code, cell). */
+  def encodeWithCells(corpus: DataFrame, books: Codebooks,
+      cells: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    encodeImpl(corpus, books, idCol, vecCol, Some(cells))
+
+  private def encodeImpl(corpus: DataFrame, books: Codebooks,
+      idCol: String, vecCol: String,
+      cellsOpt: Option[Array[Array[Double]]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bBooks = spark.sparkContext.broadcast(books)
-    corpus
+    val bCells = cellsOpt.map(spark.sparkContext.broadcast(_))
+    val encoded = corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val bk = bBooks.value
+        val cells = bCells.map(_.value).orNull
         it.map { case (id, raw) =>
           val v = raw.toArray
           var nsq = 0.0
@@ -167,11 +185,24 @@ object PqIndex {
             code(j) = best
             j += 1
           }
-          (id, code.toSeq)
+          var cell = -1
+          if (cells != null) {
+            var bc = 0; var bd = Double.MaxValue; var c = 0
+            while (c < cells.length) {
+              val cent = cells(c)
+              var d = 0.0; var s = 0
+              while (s < cent.length) { val t = v(s) - cent(s); d += t * t; s += 1 }
+              if (d < bd) { bd = d; bc = c }
+              c += 1
+            }
+            cell = bc
+          }
+          (id, code.toSeq, cell)
         }
       }
-      .toDF(idCol, "pq_code")
-      .select(col(idCol), col("pq_code").cast("array<int>"))
+      .toDF(idCol, "pq_code", "cell")
+      .select(col(idCol), col("pq_code").cast("array<int>"), col("cell"))
+    if (cellsOpt.isDefined) encoded else encoded.drop("cell")
   }
 
   /** ADC top-k with exact re-rank: per collected query (queries are few;
@@ -231,11 +262,63 @@ object PqIndex {
       queries: DataFrame, limit: Int, idCol: String, vecCol: String): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col(idCol).cast("long").as("qid"),
+    val lutDf = lutsFor(books, collectQueries(queries, idCol, vecCol))
+      .toDF("query_id", "__lut")
+    rankAdc(
+      codes.select(col(idCol).cast("long").as("neighbor_id"), col("pq_code"))
+        .crossJoin(broadcast(lutDf)),
+      books, limit)
+  }
+
+  /** The IVF-gated ADC scan ([[PqStore]] cell gating): candidates are the
+    * probed (query, cell) pairs' codes instead of the full cross product,
+    * so the compressed scan touches ~nProbe/nCells of the corpus per
+    * query. Both the probe list and the LUTs are tiny broadcasts. */
+  private[ext] def adcShortlistGated(codes: DataFrame, books: Codebooks,
+      luts: Seq[(Long, Seq[Double])], probes: Seq[(Long, Int)],
+      limit: Int, idCol: String): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val lutDf = luts.toDF("query_id", "__lut")
+    val probeDf = probes.toDF("query_id", "cell")
+    rankAdc(
+      codes.select(col(idCol).cast("long").as("neighbor_id"),
+          col("pq_code"), col("cell"))
+        .join(broadcast(probeDf), Seq("cell"))
+        .join(broadcast(lutDf), Seq("query_id")),
+      books, limit)
+  }
+
+  private def rankAdc(candidates: DataFrame, books: Codebooks,
+      limit: Int): DataFrame = {
+    val nC = books.centers(0).length
+    val dist = aggregate(
+      zip_with(col("pq_code"), sequence(lit(0), lit(books.m - 1)),
+        (c, j) => element_at(col("__lut"), (j * nC + c + 1).cast("int"))),
+      lit(0.0), (a, e) => a + e)
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))
+    candidates
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
+
+  /** Collected (id, L2-normalized vector) query rows — bounded by the
+    * query set (queries are few; the corpus is the big side). */
+  private[ext] def collectQueries(queries: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Double])] =
+    queries.select(col(idCol).cast("long").as("qid"),
         normalized(col(vecCol)).as("qv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val luts = qRows.map { case (qid, qv) =>
+
+  /** Per-query flat m × nCodes ADC lookup tables from normalized query
+    * vectors. */
+  private[ext] def lutsFor(books: Codebooks,
+      qRows: Array[(Long, Array[Double])]): Seq[(Long, Seq[Double])] =
+    qRows.map { case (qid, qv) =>
       val flat = new Array[Double](books.m * books.centers(0).length)
       var j = 0
       while (j < books.m) {
@@ -253,21 +336,6 @@ object PqIndex {
       }
       (qid, flat.toSeq)
     }.toSeq
-    val nC = books.centers(0).length
-    val lutDf = luts.toDF("query_id", "__lut")
-    val dist = aggregate(
-      zip_with(col("pq_code"), sequence(lit(0), lit(books.m - 1)),
-        (c, j) => element_at(col("__lut"), (j * nC + c + 1).cast("int"))),
-      lit(0.0), (a, e) => a + e)
-    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))
-    codes.select(col(idCol).cast("long").as("neighbor_id"), col("pq_code"))
-      .crossJoin(broadcast(lutDf))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", dist)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= limit)
-      .select("query_id", "neighbor_id", "dist", "rank")
-  }
 
   /** Exact-cosine re-rank of an ADC shortlist against fetched original
     * vectors (`vectors`: (neighbor_id long, __cv float array) — the full

@@ -14,8 +14,21 @@ import graft.tx.CommitLog
   *
   * {{{
   *   <indexRoot>/codebooks   (subspace INT, code INT, centroid ARRAY<DOUBLE>)
-  *   <indexRoot>/codes       (<idCol> LONG, pq_code ARRAY<INT>)
+  *   <indexRoot>/codes       (<idCol> LONG, pq_code ARRAY<INT>[, cell INT])
+  *   <indexRoot>/cells       (cell INT, centroid ARRAY<DOUBLE>) — optional
   * }}}
+  *
+  * With `nCells > 0` the store is the IVF-PQ COMPOSITE (FAISS's IVFPQ
+  * minus residual encoding — codes quantize the vectors themselves, so
+  * one codebook set serves gated and ungated scans; residual coding
+  * would cut quantization error further at the cost of coupling the
+  * codebooks to the cell structure): build fits a coarse quantizer from
+  * the same bounded sample machinery, every code row carries its cell,
+  * and [[topK]] gates the ADC scan to each query's `nProbe` nearest
+  * cells — the compressed scan then touches ~nProbe/nCells of the
+  * corpus instead of all of it, the shape that keeps query cost sublinear
+  * at 100 TB. Cells are FROZEN across refreshes like everything else
+  * here; drift → re-[[build]].
   *
   * The covered base version rides on the `codes` table as a transaction
   * watermark (appId [[AppId]]), so [[refresh]] folds EVERY base change
@@ -43,6 +56,7 @@ object PqStore {
 
   private def codebooksTable(root: String) = s"$root/codebooks"
   private def codesTable(root: String) = s"$root/codes"
+  private def cellsTable(root: String) = s"$root/cells"
 
   /** Fit + encode the FULL base snapshot and publish both tables; returns
     * the covered base version. Watermark-advance rules are [[IvfStore
@@ -53,7 +67,7 @@ object PqStore {
     * watermark rides the LAST write, so a crash between the two leaves
     * an honest un-advanced state a re-run fully repairs. */
   def build(spark: SparkSession, baseTable: String, indexRoot: String,
-      m: Int = 8, nCodes: Int = 256,
+      m: Int = 8, nCodes: Int = 256, nCells: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
     val baseVersion = CommitLog.latestVersion(baseTable).getOrElse(
       throw new IllegalArgumentException(s"$baseTable has no committed versions"))
@@ -67,12 +81,62 @@ object PqStore {
     val txn =
       if (coveredVersion(indexRoot).exists(_ >= baseVersion)) None
       else Some((AppId, baseVersion))
+    // cells (IVF-PQ composite) commit FIRST of all: a crash anywhere
+    // before the codes overwrite leaves the watermark un-advanced — the
+    // same honest transient as IvfStore.build's centroids-over-old-
+    // assignments window, repaired by re-running build
+    val cellsOpt =
+      if (nCells <= 0) None
+      else {
+        val cells = fitCells(corpus, nCells, vecCol)
+        CommitLog.commit(
+          cells.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("cell", "centroid"),
+          cellsTable(indexRoot), "overwrite")
+        Some(cells)
+      }
     CommitLog.commit(bookRows.toDF("subspace", "code", "centroid"),
       codebooksTable(indexRoot), "overwrite")
-    CommitLog.commit(PqIndex.encode(corpus, books, idCol, vecCol),
-      codesTable(indexRoot), "overwrite", txn = txn)
+    val codes = cellsOpt match {
+      case Some(cells) => PqIndex.encodeWithCells(corpus, books, cells, idCol, vecCol)
+      case None => PqIndex.encode(corpus, books, idCol, vecCol)
+    }
+    CommitLog.commit(codes, codesTable(indexRoot), "overwrite", txn = txn)
     baseVersion
   }
+
+  /** Coarse cell quantizer for the IVF-PQ composite: seeded Lloyd's over
+    * a pruned-reservoir sample of RAW vectors (squared-L2 on raw —
+    * [[IvfStore.assignToNearest]]'s metric, so both index families bin
+    * identically). */
+  private def fitCells(corpus: DataFrame, nCells: Int,
+      vecCol: String): Array[Array[Double]] = {
+    val sample = Sampling.prunedReservoir(
+      corpus.select(col(vecCol).cast("array<double>")).rdd
+        .map(_.getSeq[Double](0).toArray),
+      math.max(256 * nCells, 4096))
+    require(sample.nonEmpty, "cell fit needs a non-empty corpus")
+    PqIndex.lloyd(sample, nCells, iters = 15, seed = 42L)
+  }
+
+  /** The composite's cell centroids, cell-ascending — None when the index
+    * was built without cells. */
+  def loadCells(spark: SparkSession, indexRoot: String): Option[Array[Array[Double]]] =
+    if (CommitLog.latestVersion(cellsTable(indexRoot)).isEmpty) None
+    else Some(CommitLog.read(spark, cellsTable(indexRoot))
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2))
+
+  /** Guard the cells↔codes structural contract (the gated sibling of
+    * [[requireWidthAgreement]]): a gated index whose codes table predates
+    * the cells (interrupted ungated→gated rebuild) must refuse. */
+  private def requireCellAgreement(codes: DataFrame, indexRoot: String): Unit =
+    if (!codes.columns.contains("cell")) throw new IllegalStateException(
+      s"$indexRoot: a cells table exists but the stored codes carry no " +
+      "cell column - an interrupted build left the index structurally " +
+      "inconsistent; re-run build to repair")
 
   /** Base version the index currently covers (the txn watermark). */
   def coveredVersion(indexRoot: String): Option[Long] =
@@ -142,19 +206,24 @@ object PqStore {
       val fresh = finalActs.filter(col(CommitLog.ChangeTypeCol) =!= "delete")
         .select(col(idCol), col(vecCol))
       val hasFresh = !fresh.isEmpty
-      // width guard BEFORE any mutation: abort a structurally inconsistent
+      // structural guards BEFORE any mutation: abort an inconsistent
       // index with nothing applied, not mid-slice
       val books = if (hasFresh) {
         val b = loadBooks(spark, indexRoot)
-        requireWidthAgreement(CommitLog.read(spark, codesTable(indexRoot)),
-          b, indexRoot)
-        Some(b)
+        val codes = CommitLog.read(spark, codesTable(indexRoot))
+        requireWidthAgreement(codes, b, indexRoot)
+        val cells = loadCells(spark, indexRoot)
+        cells.foreach(_ => requireCellAgreement(codes, indexRoot))
+        Some((b, cells))
       } else None
       CommitLog.deleteKeys(spark, codesTable(indexRoot), retired, Seq(idCol),
         txn = if (hasFresh) None else Some((AppId, latest)))
-      books.foreach { b =>
-        CommitLog.merge(spark,
-          codesTable(indexRoot), PqIndex.encode(fresh, b, idCol, vecCol),
+      books.foreach { case (b, cells) =>
+        val delta = cells match {
+          case Some(cs) => PqIndex.encodeWithCells(fresh, b, cs, idCol, vecCol)
+          case None => PqIndex.encode(fresh, b, idCol, vecCol)
+        }
+        CommitLog.merge(spark, codesTable(indexRoot), delta,
           Seq(idCol), txn = Some((AppId, latest)))
       }
       if (!coveredVersion(indexRoot).exists(_ >= latest))
@@ -163,6 +232,20 @@ object PqStore {
           codesTable(indexRoot), "append", txn = Some((AppId, latest)))
       latest
     } finally finalActs.unpersist(blocking = false): Unit
+  }
+
+  /** Cosine probe: the `nProbe` nearest cell ids for one normalized
+    * query vector, highest similarity first, cell-asc tie-break —
+    * [[IvfIndex.probeTopK]]'s selection rule, driver-side (the centroid
+    * set is bounded). */
+  private def nearestCells(qv: Array[Double], cells: Array[Array[Double]],
+      nProbe: Int): Seq[Int] = {
+    val sims = cells.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var nc = 0.0; var j = 0
+      while (j < c.length) { dot += qv(j) * c(j); nc += c(j) * c(j); j += 1 }
+      (i, dot / math.max(math.sqrt(nc), 1e-12)) // qv is unit-norm already
+    }
+    sims.sortBy { case (i, sim) => (-sim, i) }.take(nProbe).map(_._1).toSeq
   }
 
   /** [[IndexUpkeep.mergeDriftFraction]] over the codes table: the byte
@@ -181,14 +264,28 @@ object PqStore {
     * `refine = 1` skips the fetch and answers purely from the compressed
     * domain. */
   def topK(spark: SparkSession, baseTable: String, indexRoot: String,
-      queries: DataFrame, k: Int, refine: Int = 8,
+      queries: DataFrame, k: Int, refine: Int = 8, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(refine >= 1, s"refine factor must be >= 1, got $refine")
     val books = loadBooks(spark, indexRoot)
     val codes = CommitLog.read(spark, codesTable(indexRoot))
     requireWidthAgreement(codes, books, indexRoot)
-    val shortlist = PqIndex.adcShortlist(codes, books, queries, k * refine,
-      idCol, vecCol)
+    val shortlist = loadCells(spark, indexRoot) match {
+      case Some(cells) =>
+        // IVF-PQ composite: gate the compressed scan to each query's
+        // nProbe nearest cells (cosine probe over the collected
+        // centroids, IvfIndex.probeTopK's rule) — the scan touches
+        // ~nProbe/nCells of the codes instead of all of them
+        requireCellAgreement(codes, indexRoot)
+        val qRows = PqIndex.collectQueries(queries, idCol, vecCol)
+        val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+          nearestCells(qv, cells, nProbe).map(qid -> _)
+        }
+        PqIndex.adcShortlistGated(codes, books,
+          PqIndex.lutsFor(books, qRows), probes, k * refine, idCol)
+      case None =>
+        PqIndex.adcShortlist(codes, books, queries, k * refine, idCol, vecCol)
+    }
     if (refine == 1)
       shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
         (lit(1.0) - col("dist") / 2.0).as("sim"))

@@ -112,6 +112,20 @@ object VectorQueries {
         embeddings(s, d).filter(col("vec_id") < 20), k = 5),
       pqPersistTopK(s, d),
       PqMinRecall)),
+
+    // IVF-PQ COMPOSITE (PqStore with nCells > 0): the coarse quantizer
+    // gates the compressed ADC scan to each query's nProbe nearest cells
+    // — ~nProbe/nCells of the codes touched per query, the sublinear
+    // query shape at 100 TB — then the usual shortlist re-rank
+    // point-reads the base. Compound approximation (cell miss × PQ
+    // error), so the floor is the IVF family's: measured recall@5 =
+    // 0.86/0.82/0.66 at sf0.001/0.01/0.1 with nProbe = 8 of 16 cells
+    // (deterministic end to end).
+    "ann_topk_ivfpq" -> ((s, d) => recallCheck(
+      Similarity.topKExact(embeddings(s, d),
+        embeddings(s, d).filter(col("vec_id") < 20), k = 5),
+      ivfPqPersistTopK(s, d),
+      IvfMinRecall)),
   )
 
   /** sf dir → root of the persisted IVF index, built once per session over
@@ -153,6 +167,24 @@ object VectorQueries {
       embeddings(s, d).filter(col("vec_id") < 20), k = 5)
   }
 
+  /** The IVF-PQ composite harness: same 90%-build / 10%-append / refresh
+    * shape, with the coarse quantizer fitted at build. */
+  private val builtIvfPqPersist = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def ivfPqPersistTopK(s: SparkSession, d: String): DataFrame = {
+    val (base, index) = builtIvfPqPersist.computeIfAbsent(d, _ => {
+      val (b, ix) = persistRoots(s, d, "ivfpq")
+      graft.ext.PqStore.build(s, b, ix, nCells = 16)
+      graft.tx.CommitLog.commit(
+        embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 7),
+        b, "append")
+      graft.ext.PqStore.refresh(s, b, ix)
+      (b, ix)
+    })
+    graft.ext.PqStore.topK(s, base, index,
+      embeddings(s, d).filter(col("vec_id") < 20), k = 5, nProbe = 8)
+  }
+
   /** Pid-unique commit-log base (seeded with 90% of the embeddings) and
     * an empty index root under tmp (two JVMs in one round never race each
     * other's files); cleaned at JVM exit. */
@@ -190,6 +222,7 @@ object VectorQueries {
       embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5,
       cacheKey = Some(d))),
     "ann_topk_pq_persist" -> ((s, d) => pqPersistTopK(s, d)),
+    "ann_topk_ivfpq" -> ((s, d) => ivfPqPersistTopK(s, d)),
     // embed_quantize_int8 is deliberately absent: its "operator" is itself
     // a brute-force exact scan over the dequantized corpus (quantization is
     // inseparable from the scoring pass), so there is no approximate path
@@ -326,6 +359,21 @@ object VectorQueries {
            FROM scored QUALIFY rank <= 5)
          SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
     "ann_topk_ivf_persist" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         topk AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored QUALIFY rank <= 5)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM topk""",
+    "ann_topk_ivfpq" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
              FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

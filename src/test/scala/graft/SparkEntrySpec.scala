@@ -60,8 +60,9 @@ class SparkEntrySpec extends SparkSpec {
     // double row, ~16 KB per query) plus the same recall-vs-exact twin.
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
       "ann_topk_ivf_persist", "ann_topk_pq", "ann_topk_pq_persist",
-      "embed_neardup", "embed_neardup_lsh", "embed_quantize_int8",
-      "dedup_simhash", "decontaminate_bloom", "sql_scalar_subquery")
+      "ann_topk_ivfpq", "embed_neardup", "embed_neardup_lsh",
+      "embed_quantize_int8", "dedup_simhash", "decontaminate_bloom",
+      "sql_scalar_subquery")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>

@@ -169,6 +169,65 @@ class PqStoreSpec extends SparkSpec {
     assert(drift > 0.0, s"staleFraction $drift")
   }
 
+  test("IVF-PQ composite: cell-gated ADC with frozen cells across refresh") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(emb.filter(pmod(col("vec_id"), lit(10)) =!= 7), base, "append")
+    PqStore.build(spark, base, index, nCells = 16)
+    // the composite's three tables, codes carrying their cell
+    assert(CommitLog.read(spark, s"$index/cells").count() === 16L)
+    val codes = CommitLog.read(spark, s"$index/codes")
+    assert(codes.columns.contains("cell"))
+    assert(codes.agg(min("cell"), max("cell"))
+      .as[(Int, Int)].head() match { case (lo, hi) => lo >= 0 && hi < 16 })
+
+    // refresh bins the delta against FROZEN cells: a re-appended copy of
+    // an already-indexed vector lands in the same cell with the same code
+    CommitLog.commit(emb.filter(pmod(col("vec_id"), lit(10)) === 7), base, "append")
+    val dup = CommitLog.read(spark, base).limit(20)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    CommitLog.commit(dup, base, "append")
+    PqStore.refresh(spark, base, index)
+    assert(CommitLog.latestVersion(s"$index/cells") === Some(1L)) // frozen
+    val after = CommitLog.read(spark, s"$index/codes")
+    val mismatch = after.filter(col("vec_id") >= 1000000L)
+      .withColumn("orig_id", col("vec_id") - 1000000L)
+      .select(col("orig_id"), col("pq_code").as("ic"), col("cell").as("icell"))
+      .join(after.filter(col("vec_id") < 1000000L)
+        .select(col("vec_id").as("orig_id"), col("pq_code").as("fc"),
+          col("cell").as("fcell")), "orig_id")
+      .filter(col("ic") =!= col("fc") || col("icell") =!= col("fcell"))
+      .count()
+    assert(mismatch === 0L)
+
+    // gated answers clear the compound (cell miss × PQ error) floor over
+    // the FULL corpus, held-out tenth included
+    PqIndex.releaseCaches()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.topKExact(emb, queries, k = 5)
+    val r = recall(exact,
+      PqStore.topK(spark, base, index, queries, k = 5, nProbe = 8))
+    assert(r >= graft.queries.VectorQueries.IvfMinRecall, s"gated recall $r")
+    // widening the probe can only help (monotone gate)
+    val rAll = recall(exact,
+      PqStore.topK(spark, base, index, queries, k = 5, nProbe = 16))
+    assert(rAll >= r, s"nProbe=16 recall $rAll < nProbe=8 recall $r")
+
+    // interrupted ungated→gated rebuild: a cells table over cell-less
+    // codes must refuse, not gate on a missing column
+    val root2 = freshRoot()
+    CommitLog.commit(emb.limit(100), s"$root2/base", "append")
+    PqStore.build(spark, s"$root2/base", s"$root2/index")
+    CommitLog.commit(CommitLog.read(spark, s"$index/cells"),
+      s"$root2/index/cells", "overwrite")
+    val e = intercept[IllegalStateException] {
+      PqStore.topK(spark, s"$root2/base", s"$root2/index",
+        emb.filter(col("vec_id") < 5), k = 3)
+    }
+    assert(e.getMessage.contains("no cell column"))
+  }
+
   test("a build crash between the codebooks and codes overwrites fails loudly, not silently") {
     val root = freshRoot()
     val base = s"$root/base"
