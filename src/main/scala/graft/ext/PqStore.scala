@@ -84,10 +84,17 @@ object PqStore {
     // cells (IVF-PQ composite) commit FIRST of all: a crash anywhere
     // before the codes overwrite leaves the watermark un-advanced — the
     // same honest transient as IvfStore.build's centroids-over-old-
-    // assignments window, repaired by re-running build
+    // assignments window, repaired by re-running build. An UNGATED
+    // rebuild over a previously gated index retires the cells table up
+    // front (leaving it would make every later topK/refresh refuse
+    // forever — a state no re-run could repair); the crash window there
+    // (no cells, codes still carrying a cell column) degrades gracefully
+    // to the ungated scan, which never reads the column.
     val cellsOpt =
-      if (nCells <= 0) None
-      else {
+      if (nCells <= 0) {
+        deleteTree(java.nio.file.Paths.get(cellsTable(indexRoot)))
+        None
+      } else {
         val cells = fitCells(corpus, nCells, vecCol)
         CommitLog.commit(
           cells.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -97,13 +104,29 @@ object PqStore {
       }
     CommitLog.commit(bookRows.toDF("subspace", "code", "centroid"),
       codebooksTable(indexRoot), "overwrite")
+    // gated codes commit RANGE-CLUSTERED on cell, so each file's footer
+    // stats carry a tight [min,max] cell window and the gated read can
+    // SKIP unprobed cells' files — without the clustering, the gate
+    // would only filter rows after a full codes scan and query I/O would
+    // stay linear in corpus size
     val codes = cellsOpt match {
-      case Some(cells) => PqIndex.encodeWithCells(corpus, books, cells, idCol, vecCol)
+      case Some(cells) =>
+        PqIndex.encodeWithCells(corpus, books, cells, idCol, vecCol)
+          .repartitionByRange(math.max(
+            spark.sparkContext.defaultParallelism, 1), col("cell"))
+          .sortWithinPartitions("cell")
       case None => PqIndex.encode(corpus, books, idCol, vecCol)
     }
     CommitLog.commit(codes, codesTable(indexRoot), "overwrite", txn = txn)
     baseVersion
   }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
   /** Coarse cell quantizer for the IVF-PQ composite: seeded Lloyd's over
     * a pruned-reservoir sample of RAW vectors (squared-L2 on raw —
@@ -131,12 +154,30 @@ object PqStore {
 
   /** Guard the cells↔codes structural contract (the gated sibling of
     * [[requireWidthAgreement]]): a gated index whose codes table predates
-    * the cells (interrupted ungated→gated rebuild) must refuse. */
-  private def requireCellAgreement(codes: DataFrame, indexRoot: String): Unit =
+    * the cells (interrupted ungated→gated rebuild) must refuse, and so
+    * must codes whose cell ids overflow the cells table (a gated rebuild
+    * with SMALLER nCells that crashed between the cells and codes
+    * overwrites — rows in vanished cells would silently never be probed,
+    * a recall collapse instead of a loud refusal). The overflow check
+    * rides [[CommitLog.metaAggregate]] — max(cell) from footer stats, no
+    * scan — with a one-column scan fallback when stats are unavailable. */
+  private def requireCellAgreement(codes: DataFrame, indexRoot: String,
+      nCells: Int): Unit = {
     if (!codes.columns.contains("cell")) throw new IllegalStateException(
       s"$indexRoot: a cells table exists but the stored codes carry no " +
       "cell column - an interrupted build left the index structurally " +
       "inconsistent; re-run build to repair")
+    val maxCell = CommitLog.metaAggregate(codesTable(indexRoot), Seq("cell"))
+      .flatMap(_.cols("cell").max.map(_.asInstanceOf[Int].toLong))
+      .orElse(Option(codes.agg(max(col("cell"))).head().get(0))
+        .map(_.asInstanceOf[Number].longValue))
+    maxCell.filter(_ >= nCells).foreach { mc =>
+      throw new IllegalStateException(
+        s"$indexRoot: stored codes reference cell $mc but the cells table " +
+        s"has only $nCells - an interrupted build left the index " +
+        "structurally inconsistent; re-run build to repair")
+    }
+  }
 
   /** Base version the index currently covers (the txn watermark). */
   def coveredVersion(indexRoot: String): Option[Long] =
@@ -213,7 +254,7 @@ object PqStore {
         val codes = CommitLog.read(spark, codesTable(indexRoot))
         requireWidthAgreement(codes, b, indexRoot)
         val cells = loadCells(spark, indexRoot)
-        cells.foreach(_ => requireCellAgreement(codes, indexRoot))
+        cells.foreach(cs => requireCellAgreement(codes, indexRoot, cs.length))
         Some((b, cells))
       } else None
       CommitLog.deleteKeys(spark, codesTable(indexRoot), retired, Seq(idCol),
@@ -274,14 +315,22 @@ object PqStore {
       case Some(cells) =>
         // IVF-PQ composite: gate the compressed scan to each query's
         // nProbe nearest cells (cosine probe over the collected
-        // centroids, IvfIndex.probeTopK's rule) — the scan touches
-        // ~nProbe/nCells of the codes instead of all of them
-        requireCellAgreement(codes, indexRoot)
+        // centroids, IvfIndex.probeTopK's rule). The scan reads through
+        // readPruned over the union of probed cells, so the build's
+        // cell-range clustering lets footer stats SKIP unprobed cells'
+        // files at the driver — I/O ~nProbe/nCells of the codes, not a
+        // full scan filtered after the fact (refresh merges land
+        // unclustered and stay conservative until a compaction; the
+        // per-(query, cell) broadcast join then refines row-level)
+        requireCellAgreement(codes, indexRoot, cells.length)
         val qRows = PqIndex.collectQueries(queries, idCol, vecCol)
         val probes = qRows.toSeq.flatMap { case (qid, qv) =>
           nearestCells(qv, cells, nProbe).map(qid -> _)
         }
-        PqIndex.adcShortlistGated(codes, books,
+        val probedCells = probes.map(_._2).distinct
+        val prunedCodes = CommitLog.readPruned(spark, codesTable(indexRoot),
+          col("cell").isin(probedCells.map(Int.box): _*))
+        PqIndex.adcShortlistGated(prunedCodes, books,
           PqIndex.lutsFor(books, qRows), probes, k * refine, idCol)
       case None =>
         PqIndex.adcShortlist(codes, books, queries, k * refine, idCol, vecCol)

@@ -171,16 +171,19 @@ object VectorQueries {
     * shape, with the coarse quantizer fitted at build. */
   private val builtIvfPqPersist = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def ivfPqPersistTopK(s: SparkSession, d: String): DataFrame = {
-    val (base, index) = builtIvfPqPersist.computeIfAbsent(d, _ => {
-      val (b, ix) = persistRoots(s, d, "ivfpq")
-      graft.ext.PqStore.build(s, b, ix, nCells = 16)
+  private def ensureIvfPqPersistIndex(s: SparkSession, d: String): (String, String) =
+    builtIvfPqPersist.computeIfAbsent(d, _ => {
+      val (base, index) = persistRoots(s, d, "ivfpq")
+      graft.ext.PqStore.build(s, base, index, nCells = 16)
       graft.tx.CommitLog.commit(
         embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 7),
-        b, "append")
-      graft.ext.PqStore.refresh(s, b, ix)
-      (b, ix)
+        base, "append")
+      graft.ext.PqStore.refresh(s, base, index)
+      (base, index)
     })
+
+  private def ivfPqPersistTopK(s: SparkSession, d: String): DataFrame = {
+    val (base, index) = ensureIvfPqPersistIndex(s, d)
     graft.ext.PqStore.topK(s, base, index,
       embeddings(s, d).filter(col("vec_id") < 20), k = 5, nProbe = 8)
   }

@@ -209,10 +209,25 @@ class PqStoreSpec extends SparkSpec {
     val r = recall(exact,
       PqStore.topK(spark, base, index, queries, k = 5, nProbe = 8))
     assert(r >= graft.queries.VectorQueries.IvfMinRecall, s"gated recall $r")
-    // widening the probe can only help (monotone gate)
-    val rAll = recall(exact,
-      PqStore.topK(spark, base, index, queries, k = 5, nProbe = 16))
-    assert(rAll >= r, s"nProbe=16 recall $rAll < nProbe=8 recall $r")
+    // probing EVERY cell degenerates to the ungated scan exactly: same
+    // candidates, same ADC distances, same tie-breaks, same re-rank.
+    // (Recall is NOT monotone in nProbe at a fixed shortlist size — a
+    // widened probe can evict a true neighbor from the k × refine
+    // shortlist via better ADC distances from other cells' non-
+    // neighbors — so full-probe equivalence is the sound invariant.)
+    val gatedAll = PqStore.topK(spark, base, index, queries, k = 5, nProbe = 16)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val ungated = PqIndex.rerankExact(
+      PqIndex.adcShortlist(CommitLog.read(spark, s"$index/codes"),
+        PqStore.loadBooks(spark, index), queries, 5 * 8, "vec_id", "embedding"),
+      CommitLog.read(spark, base)
+        .select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding").as("__cv")),
+      queries, 5, "vec_id", "embedding")
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(gatedAll === ungated)
 
     // interrupted ungated→gated rebuild: a cells table over cell-less
     // codes must refuse, not gate on a missing column
