@@ -80,6 +80,10 @@ object IvfStore {
   def coveredVersion(indexRoot: String): Option[Long] =
     CommitLog.txnVersion(assignedTable(indexRoot), AppId)
 
+  /** The assigned artifact table path — the table a maintenance cycle
+    * re-clusters ([[graft.tools.Maintenance]]). */
+  def artifactTable(indexRoot: String): String = assignedTable(indexRoot)
+
   /** Fold EVERY base change since the covered watermark into the index
     * WITHOUT refitting — full CDC-driven maintenance over frozen
     * centroids. The slice (including plain overwrites, derived as a

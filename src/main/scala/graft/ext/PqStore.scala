@@ -142,6 +142,15 @@ object PqStore {
     PqIndex.lloyd(sample, nCells, iters = 15, seed = 42L)
   }
 
+  /** Cheap existence probe for the composite's cells table (no collect —
+    * callers that need the centroids use [[loadCells]]). */
+  def isGated(indexRoot: String): Boolean =
+    CommitLog.latestVersion(cellsTable(indexRoot)).isDefined
+
+  /** The codes artifact table path — the table a maintenance cycle
+    * re-clusters ([[graft.tools.Maintenance]]). */
+  def artifactTable(indexRoot: String): String = codesTable(indexRoot)
+
   /** The composite's cell centroids, cell-ascending — None when the index
     * was built without cells. */
   def loadCells(spark: SparkSession, indexRoot: String): Option[Array[Array[Double]]] =

@@ -20,8 +20,10 @@ import graft.tx.CommitLog
   *  3. index upkeep — [[graft.ext.IvfStore.refresh]] /
   *     [[graft.ext.PqStore.refresh]] for every registered index whose
   *     covered watermark lags the base (before vacuum, so the change-feed
-  *     slice it folds still exists), with a drift-staleness flag when
-  *     only a re-`build` will do;
+  *     slice it folds still exists), a width-gated re-cluster of the
+  *     index's artifact table on its gate column (refresh merges land
+  *     unclustered and would otherwise erode cell-gated file skipping),
+  *     and a drift-staleness flag when only a re-`build` will do;
   *  4. reclaim — [[CommitLog.pruneMirrorConsumed]] against the slowest
   *     subscriber's own checkpoint, releasing consumed feed bytes;
   *  5. vacuum — retention GC of unreachable versions (the explicit
@@ -81,6 +83,18 @@ object Maintenance {
       case "pq" => graft.ext.PqStore.staleFraction(indexRoot)
       case _ => graft.ext.IvfStore.staleFraction(indexRoot)
     }
+    def artifactTable: String = kind match {
+      case "pq" => graft.ext.PqStore.artifactTable(indexRoot)
+      case _ => graft.ext.IvfStore.artifactTable(indexRoot)
+    }
+    /** Cluster key for the artifact re-cluster: `cell` wherever the
+      * layout powers a gate (IVF probe reads filter on it; the gated
+      * composite's file skipping depends on it). */
+    def clusterBy: Seq[String] = kind match {
+      case "pq" =>
+        if (graft.ext.PqStore.isGated(indexRoot)) Seq("cell") else Nil
+      case _ => Seq("cell")
+    }
   }
 
   final case class Report(
@@ -114,7 +128,21 @@ object Maintenance {
     // covered watermark (BEFORE vacuum, so the feed slice still exists);
     // report — don't auto-run — the rebuild decision on drift
     val refreshed = policy.indexes.map { ix =>
-      ix.indexRoot -> ix.refresh(spark, table)
+      val v = ix.refresh(spark, table)
+      // the artifact table accumulates refresh-merge dirs like any hot
+      // table — and each merge lands UNCLUSTERED, eroding the cell
+      // gate's file skipping. Width-gate a re-cluster on the gate column
+      // (compaction carries the txn watermark forward, so the covered
+      // version survives the rewrite).
+      val at = ix.artifactTable
+      CommitLog.latestVersion(at).foreach { lv =>
+        val dirs = CommitLog.manifest(at, lv).files
+          .map(CommitLog.commitDirOf).distinct.size
+        if (dirs > policy.compactWhenDirsExceed)
+          CommitLog.compact(spark, at, targetBytes = policy.targetBytes,
+            zorderBy = ix.clusterBy)
+      }
+      ix.indexRoot -> v
     }
     val stale = policy.indexes
       .filter(_.staleFraction() > policy.indexStaleThreshold)

@@ -154,6 +154,54 @@ class MaintenanceSpec extends SparkSpec {
     assert(res.groupBy("query_id").count().count() === 10L)
   }
 
+  test("the cycle re-clusters a gated index's codes once refresh merges widen it") {
+    val root = Files.createTempDirectory("graft_maint_ivfpq").toString
+    val base = s"$root/base"
+    val index = s"$root/index"
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    CommitLog.commit(emb.filter(col("vec_id") < 300L), base, "append")
+    graft.ext.PqStore.build(spark, base, index, nCells = 8)
+    val codes = s"$index/codes"
+    // several appends + cycle-driven refresh merges: each merge lands a
+    // NEW unclustered dir on the codes table
+    // tiny target bytes so the re-cluster emits several cell-range files
+    // at this corpus size (128 MB would coalesce to one file and leave
+    // the gate nothing to skip)
+    val pol = Maintenance.Policy(minAgeMillis = 0, force = true,
+      vacuumKeepVersions = 3, compactWhenDirsExceed = 1, targetBytes = 2048,
+      indexes = Seq(Maintenance.IndexRef(index, kind = "pq")))
+    (0 until 3).foreach { i =>
+      CommitLog.commit(
+        emb.filter(col("vec_id") >= 300L + i * 50L && col("vec_id") < 350L + i * 50L),
+        base, "append")
+      Maintenance.run(spark, base, pol)
+    }
+    // settling cycle: the last refresh merge landed AFTER its cycle's
+    // compact; an idle cycle re-clusters it (and no-ops the refresh)
+    Maintenance.run(spark, base, pol)
+    val lv = CommitLog.latestVersion(codes).get
+    val m = CommitLog.manifest(codes, lv)
+    // the width gate held: the codes snapshot spans few dirs again and
+    // the re-cluster published as a compact
+    val dirs = m.files.map(CommitLog.commitDirOf).distinct.size
+    assert(dirs <= 3, s"codes snapshot spans $dirs dirs after the cycles")
+    assert(CommitLog.versions(codes)
+      .map(CommitLog.manifest(codes, _).mode).contains("compact"))
+    // the covered watermark SURVIVED the rewrites (compaction carries
+    // txns forward) — a lost watermark would make every refresh re-fold
+    assert(graft.ext.PqStore.coveredVersion(index) === CommitLog.latestVersion(base))
+    // cell-clustering restored: a 2-of-8-cells probe set prunes files
+    val kept = CommitLog.pruneFiles(codes, m,
+      Seq(org.apache.spark.sql.sources.In("cell", Array(Int.box(0), Int.box(1)))))
+    assert(kept.size < m.files.size,
+      s"cell gate prunes nothing: ${kept.size} of ${m.files.size}")
+    // and the gated query still answers
+    graft.ext.PqIndex.releaseCaches()
+    val res = graft.ext.PqStore.topK(spark, base, index,
+      emb.filter(col("vec_id") < 10), k = 3, nProbe = 4)
+    assert(res.groupBy("query_id").count().count() === 10L)
+  }
+
   test("an abandoned reader cursor pinning vacuum is surfaced, and the override drops it") {
     val t = Files.createTempDirectory("graft_maint4").resolve("t").toString
     (0 until 3).foreach { i =>
