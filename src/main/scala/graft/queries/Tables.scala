@@ -10,19 +10,35 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark refuses to
-      // read natively; read nanos as long and derive a µs timestamp. DuckDB
-      // (the oracle) truncates the same ns→µs, so `ets` matches its `ts`.
+      // historical events.parquet generations carried INT64 TIMESTAMP(NANOS),
+      // which Spark refuses to read natively; the conf lets those files read
+      // the nanos as a plain long (harmless for µs-typed generations).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with `ets`: TimestampType(µs) derived from the raw nanos long via
-    * integer division (never double division — 1.7e18 ns exceeds the 2^53
-    * exact-integer range of Double). */
+  /** Normalize the driver testdata's `ts` column to an `ets` TimestampType
+    * (µs, session-UTC) column, across testdata generations: INT64
+    * TIMESTAMP(NANOS) reads as a long (divided to µs as integers — never
+    * double division, 1.7e18 ns exceeds Double's 2^53 exact range), and the
+    * round-7 TIMESTAMP_MICROS files read as TIMESTAMP_NTZ (cast is a pure
+    * wall-clock relabel under the session's UTC zone, so values match the
+    * DuckDB oracle's naive timestamps exactly as the nanos path did). */
+  def withEts(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    case _: org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ets", col("ts").cast("timestamp"))
+    case _: org.apache.spark.sql.types.TimestampType =>
+      df.withColumn("ets", col("ts"))
+    case other =>
+      throw new IllegalStateException(s"unexpected events.ts type: $other")
+  }
+
+  /** events with `ets`: TimestampType(µs) normalized via [[withEts]]. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events").withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    withEts(table(spark, dir, "events"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
