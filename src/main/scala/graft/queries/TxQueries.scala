@@ -140,6 +140,72 @@ object TxQueries {
       table
     })
 
+  /** Table whose history is append → DELETE → RESTORE(v1, cdc = true): the
+    * undo story. The restore moves NO data (its manifest re-references
+    * v1's files) and journals the row diff, so the feed shows exactly the
+    * resurrected rows. */
+  private val builtRestore = new ConcurrentHashMap[String, String]()
+
+  private def ensureRestoreTable(s: SparkSession, d: String): String =
+    builtRestore.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txrst_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      CommitLog.commit(ev.repartition(4), table, "append")
+      CommitLog.delete(s, table, col("event_type") === "error")
+      CommitLog.restore(s, table, 1L, cdc = true)
+      table
+    })
+
+  /** Table mutated by [[CommitLog.replaceWhere]] — the idempotent-backfill
+    * shape: one predicate region (event_type = 'purchase') atomically
+    * swapped for a recomputed slice (even ids only, value + 10000), every
+    * other region's files carried by reference. */
+  private val builtRepl = new ConcurrentHashMap[String, String]()
+
+  private def ensureReplTable(s: SparkSession, d: String): String =
+    builtRepl.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txrpl_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val replacement = ev.filter(col("event_type") === "purchase" &&
+          pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("value", col("value") + 10000)
+      CommitLog.replaceWhere(s, table, replacement, col("event_type") === "purchase")
+      table
+    })
+
+  /** (src, clone) pair for [[CommitLog.cloneTable]]: clone the committed
+    * events, then mutate BOTH sides differently — the clone loses its
+    * 'error' rows, the source its 'click' rows — so the query's per-side
+    * counts certify full independence of the zero-copy clone. */
+  private val builtClone = new ConcurrentHashMap[String, (String, String)]()
+
+  private def ensureCloneTables(s: SparkSession, d: String): (String, String) =
+    builtClone.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val src = s"${System.getProperty("java.io.tmpdir")}/graft_txcls_${tag}_$pid"
+      val dst = s"${System.getProperty("java.io.tmpdir")}/graft_txclc_${tag}_$pid"
+      Seq(src, dst).foreach { t =>
+        deleteRecursively(new java.io.File(t))
+        sys.addShutdownHook(deleteRecursively(new java.io.File(t)))
+      }
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      CommitLog.commit(ev.repartition(4), src, "append")
+      CommitLog.cloneTable(src, dst)
+      CommitLog.delete(s, dst, col("event_type") === "error")
+      CommitLog.delete(s, src, col("event_type") === "click")
+      (src, dst)
+    })
+
   private def ensureMutTable(s: SparkSession, d: String): (String, Long, Long, Long) =
     builtMut.computeIfAbsent(d, _ => {
       val tag = java.lang.Integer.toHexString(d.hashCode)
@@ -395,6 +461,58 @@ object TxQueries {
           min(col("value")).as("v_min"), max(col("value")).as("v_max"))
     }),
 
+    // RESTORE as undo (Delta's RESTORE TABLE … VERSION AS OF): after a
+    // DELETE of every 'error' row, restore(v1, cdc = true) brings the
+    // snapshot back to the full source BY REFERENCE (the new manifest
+    // re-lists v1's files — no data write; TxRestoreCloneSpec pins the
+    // file identity) and journals the diff. The query reads the restored
+    // snapshot AND the restore's feed slice: n_events must equal the
+    // source counts, n_restored must be exactly the resurrected rows —
+    // a restore that lost rows, resurrected too many, or journaled an
+    // over-wide diff flips the hash.
+    "tx_restore" -> ((s, d) => {
+      val table = ensureRestoreTable(s, d)
+      val snap = CommitLog.read(s, table)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      val restored = CommitLog.changeFeed(s, table, 2L)
+        .filter(col(CommitLog.ChangeTypeCol) === "insert")
+        .groupBy("event_type").agg(count(lit(1)).as("n_restored"))
+      snap.join(restored, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("n_events"),
+          coalesce(col("n_restored"), lit(0L)).as("n_restored"))
+        .orderBy("event_type")
+    }),
+
+    // Predicate-scoped atomic overwrite (Delta's replaceWhere — the
+    // idempotent-backfill shape): the 'purchase' region is swapped for a
+    // recomputed slice in ONE version while every other region's files
+    // carry by reference. The oracle recomputes the final state from the
+    // source parquet: a leaked out-of-region row, a lost survivor in a
+    // rewritten file, or a dropped untouched file flips the hash.
+    "tx_replace_where" -> ((s, d) => {
+      val table = ensureReplTable(s, d)
+      CommitLog.read(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
+    // Zero-copy shallow CLONE: src and clone diverge after the clone (the
+    // clone drops 'error' rows, the source drops 'click' rows) — the
+    // per-side counts certify that hard-link sharing never couples the
+    // two snapshots (a mutation bleeding across, or a clone that missed
+    // files, flips the hash).
+    "tx_clone" -> ((s, d) => {
+      val (src, dst) = ensureCloneTables(s, d)
+      CommitLog.read(s, src).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events")).withColumn("side", lit("src"))
+        .unionByName(
+          CommitLog.read(s, dst).groupBy("event_type")
+            .agg(count(lit(1)).as("n_events")).withColumn("side", lit("clone")))
+        .select("side", "event_type", "n_events")
+        .orderBy("side", "event_type")
+    }),
+
     // METADATA-ONLY aggregates: COUNT(*)/MIN/MAX/COUNT(col) answered from
     // the manifest's footer-stats sidecars with NO data scan and NO Spark
     // job (metaAggregate takes no SparkSession — it is O(files) driver
@@ -568,6 +686,27 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'click'""",
+    "tx_restore" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'error') AS n_restored
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "tx_replace_where" ->
+      """WITH replaced AS (
+           SELECT event_type, value FROM events WHERE event_type <> 'purchase'
+           UNION ALL
+           SELECT event_type, value + 10000 AS value
+             FROM events WHERE event_type = 'purchase' AND event_id % 2 = 0)
+         SELECT event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM replaced GROUP BY 1 ORDER BY event_type""",
+    "tx_clone" ->
+      """SELECT side, event_type, n_events FROM (
+           SELECT 'src' AS side, event_type, count(*) AS n_events
+             FROM events WHERE event_type <> 'click' GROUP BY 2
+           UNION ALL
+           SELECT 'clone', event_type, count(*)
+             FROM events WHERE event_type <> 'error' GROUP BY 2)
+         ORDER BY side, event_type""",
     "tx_stats_meta" ->
       """WITH merged AS (
            SELECT event_id, event_type, value * 2 AS value

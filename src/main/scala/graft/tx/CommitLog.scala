@@ -950,6 +950,168 @@ object CommitLog {
       freshFiles = newFiles)
   }
 
+  /** Predicate-scoped atomic overwrite (Delta's `replaceWhere` write
+    * option): in ONE version, delete every row matching `condition` and
+    * insert `source` — the idempotent-backfill shape (re-materialize one
+    * partition/date-range of a 100 TB table without touching the rest).
+    * Every `source` row must satisfy `condition` (Delta's constraint
+    * check; anything else would silently leak rows outside the replaced
+    * region, breaking re-run idempotence) — enforced distributed, surfaced
+    * as one bounded `limit(1)` probe.
+    *
+    * File-granular like [[delete]]: the stats-sidecar pre-shrink keeps
+    * untouched files moving by reference, so replacing one day of a
+    * time-clustered table rewrites O(that day's files) + O(source), never
+    * O(table). Mode `replace` in the manifest; the change feed serves the
+    * journaled rows (deleted rows + inserted rows) like any mutation's.
+    * Additive schema evolution as in append/merge. `txn` gives the
+    * per-writer exactly-once contract. Returns the new version. */
+  def replaceWhere(spark: SparkSession, table: String, source: DataFrame,
+      condition: org.apache.spark.sql.Column, partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce => cz, col, lit, not}
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    txn.foreach { case (app, batch) =>
+      if (m.txns.get(app).exists(_ >= batch)) return m.version
+    }
+    val schema = mergeAdditive(Some(m.schema), source.schema)
+    val tableDir = Paths.get(table)
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(schema.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    // the constraint check must see the source EXACTLY as it will be
+    // written (post-alignment casts can change what the predicate sees)
+    val srcAligned = aligned(source)
+    val violating = srcAligned.filter(not(cz(condition, lit(false)))).limit(1)
+    if (violating.count() > 0)
+      throw new IllegalArgumentException(
+        "replaceWhere source contains rows NOT matching the replace condition; " +
+          "writing them would corrupt the non-replaced region (Delta's " +
+          "replaceWhere constraint)")
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+    val touched = touchedFiles(
+      readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
+      "__graft_file", tableDir)
+    val hit = cz(condition, lit(false))
+    val touchedAligned =
+      if (touched.isEmpty) None
+      else Some(aligned(readManifest(spark, table, m.copy(files = touched.toSeq.sorted))))
+    // kept survivors of rewritten files ride in the same fresh write as the
+    // source (one writeDataDir — same file-count profile as merge)
+    val rewrite = touchedAligned.map(_.filter(not(hit)))
+      .foldLeft(srcAligned)(_ union _)
+    val newFiles = writeDataDir(rewrite, tableDir, partitionBy)
+    val cdcRows = touchedAligned.map(_.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
+      .foldLeft(srcAligned.withColumn(ChangeTypeCol, lit("insert")))(_ union _)
+    val cdc = writeCdcTmp(cdcRows, tableDir)
+    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
+      mode = "replace", schema = Some(schema), addTxn = txn, cdcTmp = cdc,
+      freshFiles = newFiles)
+  }
+
+  /** RESTORE the table to its state at `toVersion` (Delta's `RESTORE TABLE
+    * … VERSION AS OF`): publishes a NEW version whose manifest references
+    * the target version's files — zero data movement and O(files) driver
+    * metadata work at any table size, because a snapshot here is just a
+    * file list. History is preserved: the restore is one more version, so
+    * the undone versions remain time-travelable (as in Delta). Snapshot
+    * semantics are total — the target's SCHEMA is restored with its data
+    * (time travel time-travels the schema, so restore must too).
+    *
+    * Requires every target data file to still exist; a vacuum may have
+    * reclaimed them (Delta's RESTORE fails the same way), and the error
+    * counts the casualties. Published as mode `overwrite`, which is what a
+    * restore IS (a full-snapshot replacement by reference) — every
+    * existing consumer (changeFeed's overwriteDiff reconstruction, fsck,
+    * vacuum reachability, compaction) already understands it.
+    *
+    * `cdc = true` journals the row-level diff (current → target) at
+    * restore time, exactly like `commit(cdc = true)` journals an
+    * overwrite's: [[changeFeed]] serves it with no opt-in and
+    * [[changeFeedStream]] subscribers see the restore. Without it the
+    * restore is feed-invisible like any plain overwrite (reconstructable
+    * via `overwriteDiff` while the pre-restore manifest lives). */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+      cdc: Boolean = false): Long = {
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    if (toVersion == m.version) return m.version // already there
+    require(toVersion < m.version,
+      s"cannot restore $table to v$toVersion: latest is v${m.version}")
+    if (!versions(table).contains(toVersion))
+      throw new IllegalArgumentException(
+        s"cannot restore $table to v$toVersion: its manifest was vacuumed or never existed")
+    val target = manifest(table, toVersion)
+    val tableDir = Paths.get(table)
+    val gone = target.files.filterNot(f => Files.exists(tableDir.resolve(f)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore $table to v$toVersion: ${gone.size} of ${target.files.size} " +
+          s"data files were vacuumed (first: ${gone.head}); pick a version still " +
+          "inside the vacuum retention window")
+    val cdcTmp =
+      if (!cdc) None
+      else writeCdcTmp(overwriteDiffRows(spark,
+        readManifest(spark, table, target),
+        Some(readManifest(spark, table, m)), target.schema), tableDir)
+    publishRewrite(table, m, target.files, mode = "overwrite",
+      schema = Some(target.schema), cdcTmp = cdcTmp)
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`):
+    * materialize `src`'s snapshot (latest, or `version`) as a brand-new
+    * independent table at `dst` without copying data — every referenced
+    * data file (and each live commit dir's stats sidecar, so file-skipping
+    * keeps working on the clone) is HARD-LINKED into the same relative
+    * layout, then a v1 `overwrite` manifest is published. O(files)
+    * metadata work; cloning a 100 TB table moves no bytes. On a
+    * filesystem that refuses the link (cross-device) the file is copied —
+    * correctness first, zero-copy when the platform allows (on HDFS/S3
+    * Delta's shallow clone records absolute URIs instead; hard links are
+    * the local-fs equivalent that additionally survives source vacuums).
+    *
+    * The clone is fully independent afterwards: writes, mutations,
+    * compaction, and vacuum on either table never affect the other (a
+    * hard-linked inode survives until BOTH tables unlink it — unlike
+    * Delta's URI-based shallow clone, vacuuming the source cannot brick
+    * the clone). History does NOT carry over: the clone starts at v1
+    * (Delta's clones likewise start fresh history). Returns the clone's
+    * version (always 1). */
+  def cloneTable(src: String, dst: String, version: Option[Long] = None): Long = {
+    val m = version.map(v => manifest(src, v)).getOrElse(latestManifest(src)
+      .getOrElse(throw new IllegalArgumentException(s"$src has no committed versions")))
+    require(latestVersion(dst).isEmpty,
+      s"clone target $dst already has committed versions")
+    val srcDir = Paths.get(src)
+    val dstDir = Paths.get(dst)
+    Files.createDirectories(dstDir.resolve(LogDir))
+    def linkOrCopy(s: Path, d: Path): Unit = {
+      Files.createDirectories(d.getParent)
+      try Files.createLink(d, s)
+      catch {
+        case _: FileAlreadyExistsException => () // idempotent re-clone attempt
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          try Files.copy(s, d)
+          catch { case _: FileAlreadyExistsException => () }
+      }
+    }
+    m.files.foreach(f => linkOrCopy(srcDir.resolve(f), dstDir.resolve(f)))
+    // share the per-commit-dir footer-stats sidecars: same files, same
+    // stats — the clone prunes/metaAggregates identically to the source
+    m.files.map(commitDirOf).distinct.foreach { dir =>
+      val sc = srcDir.resolve(dir).resolve(FileStats.SidecarName)
+      if (Files.isRegularFile(sc))
+        linkOrCopy(sc, dstDir.resolve(dir).resolve(FileStats.SidecarName))
+    }
+    publishRewrite(dst, Manifest(0L, "overwrite", m.schema, Nil, Map.empty),
+      m.files, mode = "overwrite", schema = Some(m.schema))
+  }
+
   /** Snapshot read with each row's originating data file attached as
     * `fileCol` — the copy-on-write probe input. `input_file_name()` refuses
     * plans with more than one file source, so the column is projected
@@ -1524,7 +1686,7 @@ object CommitLog {
           Some(alignedTo(readManifest(spark, table, man.copy(files = added))
             .withColumn(ChangeTypeCol, clit("insert")))
             .withColumn(CommitVersionCol, clit(v)))
-        case "delete" | "update" | "merge" =>
+        case "delete" | "update" | "merge" | "replace" =>
           // the manifest-named attempt dir is authoritative while it exists
           // (publish crashed before the slot move — repairCdc completes it);
           // normally the move emptied it into the version-named slot
@@ -1645,7 +1807,7 @@ object CommitLog {
         .map(d => s"data/${d.getFileName}")
         .filterNot(referencedDirs.contains)
         .sorted
-    val mutationModes = Set("delete", "update", "merge")
+    val mutationModes = Set("delete", "update", "merge", "replace")
     // cdc-bearing = mutations (always journal) plus overwrites written
     // with cdc = true (their manifest names an attempt dir)
     def cdcBearing(m: Manifest): Boolean =
