@@ -38,6 +38,61 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
 
+  /** ccnet-style duplicated-SEGMENT removal (Wenzek et al. 2020 §3.1,
+    * "deduplicating paragraphs" — the boilerplate-stripping pass every
+    * web-scale training corpus runs before document-level dedup): drop
+    * every segment whose content appears in at least `minDocs` DISTINCT
+    * documents, keep each document's surviving segments in original
+    * order. `segments` is any array-of-string segmentation column —
+    * `split(text, "\n")` for line/paragraph corpora,
+    * [[TextStats.chunkWindows]] with window == stride for token-window
+    * segmentation of unstructured text.
+    *
+    * Output: the input row plus `text_deduped` (surviving segments
+    * re-joined with `sep`; empty string when every segment was dropped —
+    * the row SURVIVES, downstream quality filters decide its fate),
+    * `n_kept`, `n_dropped`.
+    *
+    * Scale posture: never all-pairs and never a window over the corpus.
+    * Segment rows group on the segment's 128-bit canonicalization
+    * fingerprint ([[TextStats.fingerprint]] — ccnet hashes normalized
+    * lines the same way; raw segment text never rides a shuffle twice),
+    * with map-side partial aggregation ahead of both exchanges; the
+    * duplicate set then anti-joins the segment rows on the same
+    * fingerprint (AQE broadcasts it when small), and reassembly is one
+    * groupBy on the document id with a bounded per-doc `collect_list`.
+    * Three shuffles total — O(corpus segments), independent of document
+    * count × document count. A repeat WITHIN one document counts once
+    * toward `minDocs` (distinct-doc semantics, as ccnet). */
+  def dropDuplicateSegments(df: DataFrame, segments: Column, id: Column,
+      minDocs: Int = 2, sep: String = " "): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would drop every segment")
+    val segRows = df.select(id.as("__did"),
+        posexplode(segments).as(Seq("__pos", "__seg")))
+      .withColumn("__fp", TextStats.fingerprint(col("__seg")))
+    val dup = segRows.groupBy("__fp")
+      .agg(countDistinct(col("__did")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__fp")
+    val kept = segRows.join(dup, Seq("__fp"), "left_anti")
+    val rebuilt = kept.groupBy(col("__did"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            s => s("__seg")),
+          sep).as("text_deduped"),
+        count(lit(1)).as("n_kept"))
+    val total = segRows.groupBy(col("__did"))
+      .agg(count(lit(1)).as("__n_total"))
+    df.join(total, id === total("__did"), "left_outer").drop("__did")
+      .join(rebuilt, id === rebuilt("__did"), "left_outer").drop("__did")
+      .withColumn("text_deduped", coalesce(col("text_deduped"), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_dropped",
+        coalesce(col("__n_total"), lit(0L)) - col("n_kept"))
+      .drop("__n_total")
+  }
+
   /** Latest-revision dedup — the reconciliation the reference lacks
     * (SURVEY.md §2.9): among rows sharing `key`, keep the one with the
     * greatest `revision` (reference: latest `updated` per event id). */

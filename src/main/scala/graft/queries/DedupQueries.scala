@@ -71,6 +71,23 @@ object DedupQueries {
       Dedup.fuzzyDedupKeep(documents(s, d), col("text"), col("doc_id"))
         .select("doc_id").orderBy("doc_id")),
 
+    // ccnet-style duplicated-SEGMENT removal (sub-document dedup — the
+    // boilerplate strip that runs BEFORE document-level dedup in every
+    // web-scale curation pipeline): segments whose content appears in ≥2
+    // distinct docs are dropped, survivors re-joined in order. This corpus
+    // has no newlines, so segmentation = non-overlapping 8-token windows
+    // (the operator takes any array-of-string segmentation — `split(text,
+    // '\n')` on line corpora). The deduped TEXT itself is hash-compared:
+    // a lost segment, a kept duplicate, wrong order, or a dropped
+    // empty-result doc flips the hash.
+    "dedup_segments" -> ((s, d) =>
+      Dedup.dropDuplicateSegments(
+          documents(s, d).select("doc_id", "text"),
+          graft.ext.TextStats.chunkWindows(col("text"), window = 8, stride = 8),
+          col("doc_id"), minDocs = 2)
+        .select(col("doc_id"), col("text_deduped"), col("n_kept"), col("n_dropped"))
+        .orderBy("doc_id")),
+
     // Duplicate CLUSTERS: connected components (min-label propagation) over
     // the MinHash-LSH candidate pairs — the transitive-closure step every
     // production dedup pipeline needs between "similar pairs" and "keep one
@@ -175,6 +192,36 @@ object DedupQueries {
       """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_missing,
            CAST(0 AS BIGINT) AS n_extra
          FROM documents""",
+    "dedup_segments" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tok
+           FROM documents),
+         seg AS (
+           SELECT doc_id, CAST(start // 8 AS INTEGER) AS pos,
+             array_to_string(tok[start+1 : start+8], ' ') AS seg
+           FROM (SELECT doc_id, tok,
+                   unnest(range(0, greatest(len(tok), 1), 8)) AS start
+                 FROM t)),
+         dup AS (
+           SELECT seg FROM seg GROUP BY seg
+           HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (
+           SELECT doc_id, pos, seg FROM seg
+           WHERE seg NOT IN (SELECT seg FROM dup)),
+         agg AS (
+           SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_deduped,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_total FROM seg GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(a.text_deduped, '') AS text_deduped,
+           coalesce(a.n_kept, 0) AS n_kept,
+           tot.n_total - coalesce(a.n_kept, 0) AS n_dropped
+         FROM documents d
+         JOIN tot USING (doc_id)
+         LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
     "dedup_fuzzy_keep" ->
       s"""WITH RECURSIVE $jaccardCtes,
          vsym AS (

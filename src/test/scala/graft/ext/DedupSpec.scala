@@ -172,4 +172,48 @@ class DedupSpec extends SparkSpec {
     assert(labels.filter(col("comp") =!= 0L).count() === 0L)
     assert(labels.count() === 10001L)
   }
+
+  test("dropDuplicateSegments strips cross-doc lines, keeps order, counts distinct docs") {
+    // the ccnet shape proper: newline-segmented docs sharing a boilerplate
+    // footer; doc 4 repeats a line WITHIN itself (counts once toward minDocs)
+    val lined = Seq(
+      (1L, "alpha one\nshared footer line\nalpha two"),
+      (2L, "beta one\nshared footer line"),
+      (3L, "gamma only content"),
+      (4L, "delta self\ndelta self\ndelta tail")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSegments(lined, split(col("text"), "\n"),
+        col("doc_id"), minDocs = 2, sep = "\n")
+      .select("doc_id", "text_deduped", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "alpha one\nalpha two", 2L, 1L),       // footer stripped, order kept
+      (2L, "beta one", 1L, 1L),
+      (3L, "gamma only content", 1L, 0L),
+      (4L, "delta self\ndelta self\ndelta tail", 3L, 0L))) // within-doc repeat survives
+  }
+
+  test("dropDuplicateSegments keeps a fully-deduped doc with empty text") {
+    val lined = Seq(
+      (1L, "only line"),
+      (2L, "only line")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSegments(lined, split(col("text"), "\n"),
+        col("doc_id"), minDocs = 2)
+      .select("doc_id", "text_deduped", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // both docs survive as rows with empty deduped text — the downstream
+    // quality filter decides their fate, not the dedup pass
+    assert(out === Seq((1L, "", 0L, 1L), (2L, "", 0L, 1L)))
+  }
+
+  test("dropDuplicateSegments matches fingerprint canonicalization (case/space)") {
+    // segments equal after lowercase+whitespace-collapse dedup together,
+    // exactly as ccnet hashes normalized lines
+    val lined = Seq(
+      (1L, "Shared  Line\nkeep a"),
+      (2L, "shared line\nkeep b")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSegments(lined, split(col("text"), "\n"),
+        col("doc_id"), minDocs = 2)
+      .select("doc_id", "text_deduped").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, "keep a"), (2L, "keep b")))
+  }
 }
