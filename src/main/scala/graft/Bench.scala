@@ -221,6 +221,14 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] could not write $summaryFile: $e")
     }
+    // The LAST stdout line is the compact headline JSON itself (round-7
+    // VERDICT item 5): the driver parses stdout, not the artifact file, and
+    // a path-only last line left BENCH_r07.json with parsed:null. No
+    // per-query map here — this line must fit any capture window.
+    println(
+      s"""{"metric":"total","value":${totalSeconds(results)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"n_errors":$nErr,"runs":$runs,""" +
+        s""""median_value":${medians.values.sum},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -204,11 +204,15 @@ object DedupQueries {
                    unnest(range(0, greatest(len(tok), 1), 8)) AS start
                  FROM t)),
          dup AS (
-           SELECT seg FROM seg GROUP BY seg
+           -- group on lower(seg): the Spark side fingerprints segments
+           -- case-insensitively (md5 of lowercased text, per ccnet), so the
+           -- oracle's duplicate test must canonicalize identically or a
+           -- case-variant duplicate window would split the hash
+           SELECT lower(seg) AS lseg FROM seg GROUP BY lower(seg)
            HAVING count(DISTINCT doc_id) >= 2),
          kept AS (
            SELECT doc_id, pos, seg FROM seg
-           WHERE seg NOT IN (SELECT seg FROM dup)),
+           WHERE lower(seg) NOT IN (SELECT lseg FROM dup)),
          agg AS (
            SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_deduped,
              count(*) AS n_kept

@@ -984,34 +984,59 @@ object CommitLog {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    // the constraint check must see the source EXACTLY as it will be
-    // written (post-alignment casts can change what the predicate sees)
-    val srcAligned = aligned(source)
-    val violating = srcAligned.filter(not(cz(condition, lit(false)))).limit(1)
-    if (violating.count() > 0)
+    // Single evaluation of the caller's source (round-7 ADVICE, low): the
+    // parquet write below IS the one materialization — the constraint
+    // probe, the committed data, and the CDC journal all derive from these
+    // STORED rows, so a non-deterministic source (uuid()/rand(), a source
+    // table mutated mid-call) cannot journal change rows that differ from
+    // the rows actually committed, and cannot sneak a violating row past a
+    // probe that ran over a different evaluation. The post-alignment casts
+    // still run before the write, so the probe sees the source exactly as
+    // written.
+    val srcFiles = writeDataDir(aligned(source), tableDir, partitionBy)
+    def dropSrc(): Unit = srcFiles.map(commitDirOf).distinct
+      .foreach(d => deleteTree(tableDir.resolve(d)))
+    val srcStored = readManifest(spark, table,
+      m.copy(schema = schema, files = srcFiles))
+    val violating =
+      try srcStored.filter(not(cz(condition, lit(false)))).limit(1).count()
+      catch { case e: Throwable => dropSrc(); throw e }
+    if (violating > 0) {
+      dropSrc()
       throw new IllegalArgumentException(
         "replaceWhere source contains rows NOT matching the replace condition; " +
           "writing them would corrupt the non-replaced region (Delta's " +
           "replaceWhere constraint)")
-    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
-    val touched = touchedFiles(
-      readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
-      "__graft_file", tableDir)
-    val hit = cz(condition, lit(false))
-    val touchedAligned =
-      if (touched.isEmpty) None
-      else Some(aligned(readManifest(spark, table, m.copy(files = touched.toSeq.sorted))))
-    // kept survivors of rewritten files ride in the same fresh write as the
-    // source (one writeDataDir — same file-count profile as merge)
-    val rewrite = touchedAligned.map(_.filter(not(hit)))
-      .foldLeft(srcAligned)(_ union _)
-    val newFiles = writeDataDir(rewrite, tableDir, partitionBy)
-    val cdcRows = touchedAligned.map(_.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
-      .foldLeft(srcAligned.withColumn(ChangeTypeCol, lit("insert")))(_ union _)
-    val cdc = writeCdcTmp(cdcRows, tableDir)
-    publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
-      mode = "replace", schema = Some(schema), addTxn = txn, cdcTmp = cdc,
-      freshFiles = newFiles)
+    }
+    try {
+      val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+      val touched = touchedFiles(
+        readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
+        "__graft_file", tableDir)
+      val hit = cz(condition, lit(false))
+      val touchedAligned =
+        if (touched.isEmpty) None
+        else Some(aligned(readManifest(spark, table, m.copy(files = touched.toSeq.sorted))))
+      // kept survivors of rewritten files land in a second fresh write
+      // (the source's files are already on disk and committed by
+      // reference — rewriting them into a combined dir would defeat the
+      // single-materialization contract above)
+      val survivorFiles = touchedAligned.map(_.filter(not(hit)))
+        .map(writeDataDir(_, tableDir, partitionBy)).getOrElse(Nil)
+      val newFiles = srcFiles ++ survivorFiles
+      val cdcRows = touchedAligned.map(_.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
+        .foldLeft(srcStored.withColumn(ChangeTypeCol, lit("insert")))(_ union _)
+      val cdc = writeCdcTmp(cdcRows, tableDir)
+      publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
+        mode = "replace", schema = Some(schema), addTxn = txn, cdcTmp = cdc,
+        freshFiles = newFiles)
+    } catch {
+      // publishRewrite reclaims freshFiles itself on a lost race; anything
+      // failing BEFORE publish (probe scan, survivor write, cdc write)
+      // must not strand the already-written source commit dir
+      case e: IllegalStateException => throw e
+      case e: Throwable => dropSrc(); throw e
+    }
   }
 
   /** RESTORE the table to its state at `toVersion` (Delta's `RESTORE TABLE
@@ -1059,8 +1084,24 @@ object CommitLog {
       else writeCdcTmp(overwriteDiffRows(spark,
         readManifest(spark, table, target),
         Some(readManifest(spark, table, m)), target.schema), tableDir)
-    publishRewrite(table, m, target.files, mode = "overwrite",
+    val v = publishRewrite(table, m, target.files, mode = "overwrite",
       schema = Some(target.schema), cdcTmp = cdcTmp)
+    // Post-publish re-verification (round-7 ADVICE, low): a vacuum racing
+    // between the pre-check above and the publish can reclaim target files
+    // the new manifest now references — an unreadable latest version. The
+    // published manifest makes those files REACHABLE again, so a vacuum
+    // starting after the link cannot take them; only the in-flight race
+    // window needs detection. Failing loudly here (the restore version
+    // stays published but is known-bad) beats returning success over a
+    // bricked snapshot; recovery is another restore to a live version.
+    val lost = target.files.filterNot(f => Files.exists(tableDir.resolve(f)))
+    if (lost.nonEmpty)
+      throw new IllegalStateException(
+        s"restore of $table to v$toVersion published v$v but a concurrent " +
+          s"vacuum reclaimed ${lost.size} of ${target.files.size} referenced " +
+          s"data files (first: ${lost.head}); v$v is unreadable — restore " +
+          "again to a version inside the retention window")
+    v
   }
 
   /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`):
@@ -1089,12 +1130,33 @@ object CommitLog {
       s"clone target $dst already has committed versions")
     val srcDir = Paths.get(src)
     val dstDir = Paths.get(dst)
+    // Up-front existence check over the target snapshot's files (round-7
+    // ADVICE, low), mirroring restore's: cloning an old `version` whose
+    // data was since vacuumed must fail with the counted diagnosis BEFORE
+    // anything is created under dst — without it the link failure routes
+    // into the cross-device copy fallback (NoSuchFileException extends
+    // FileSystemException) and surfaces as a raw NoSuchFileException over
+    // a partially-populated clone.
+    val gone = m.files.filterNot(f => Files.exists(srcDir.resolve(f)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot clone $src at v${m.version}: ${gone.size} of ${m.files.size} " +
+          s"data files were vacuumed (first: ${gone.head}); pick a version still " +
+          "inside the vacuum retention window")
     Files.createDirectories(dstDir.resolve(LogDir))
     def linkOrCopy(s: Path, d: Path): Unit = {
       Files.createDirectories(d.getParent)
       try Files.createLink(d, s)
       catch {
         case _: FileAlreadyExistsException => () // idempotent re-clone attempt
+        // a source file that vanished AFTER the up-front check means a
+        // concurrent vacuum raced the clone — fail loudly instead of
+        // letting NoSuchFileException (a FileSystemException) route into
+        // the cross-device copy fallback and strand a partial clone
+        case e: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"clone of $src lost source file $s to a concurrent vacuum " +
+              s"mid-clone; the partial clone at $dst should be deleted", e)
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
           try Files.copy(s, d)
           catch { case _: FileAlreadyExistsException => () }

@@ -155,6 +155,26 @@ class TxRestoreCloneSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).filter(col("id") === 1000L).count() === 1L)
   }
 
+  test("replaceWhere evaluates a non-deterministic source ONCE: journal == committed rows") {
+    val t = freshTable()
+    seedRanged(t)
+    // rand() re-evaluates differently per pass — under the old
+    // probe/write/journal triple evaluation the CDC insert rows could
+    // differ from the committed snapshot; single materialization makes
+    // them identical by construction
+    val src = (1000 until 1010).map(i => (i.toLong, 0)).toDF("id", "bucket")
+      .withColumn("s", concat(lit("r"), (rand() * 1e9).cast("long").cast("string")))
+      .select("id", "s", "bucket")
+    val v = CommitLog.replaceWhere(spark, t, src, col("bucket") === 0)
+    val committed = CommitLog.read(spark, t)
+      .filter(col("id") >= 1000L).orderBy("id").collect()
+    val journaled = CommitLog.changeFeed(spark, t, fromVersion = v - 1, toVersion = Some(v))
+      .filter(col(CommitLog.ChangeTypeCol) === "insert")
+      .select("id", "s", "bucket").orderBy("id").collect()
+    assert(committed.length === 10)
+    assert(journaled.sameElements(committed))
+  }
+
   test("fsck is clean after replaceWhere and changesSince refuses the range") {
     val t = freshTable()
     seedRanged(t)
@@ -203,6 +223,20 @@ class TxRestoreCloneSpec extends SparkSpec {
     CommitLog.delete(spark, c, col("id") < 50)
     assert(CommitLog.read(spark, c).count() === 50L)
     assert(CommitLog.read(spark, t).count() === 1L)
+  }
+
+  test("cloneTable refuses a snapshot with vacuumed files up front — nothing created under dst") {
+    val t = freshTable()
+    val files = seedRanged(t)
+    // simulate what a vacuum (or a racing one) does to an old snapshot:
+    // the manifest survives, a referenced data file is gone
+    Files.delete(Paths.get(t).resolve(files.head))
+    val c = freshTable()
+    val e = intercept[IllegalStateException] { CommitLog.cloneTable(t, c) }
+    assert(e.getMessage.contains("vacuumed"))
+    assert(e.getMessage.contains(s"1 of ${files.size}"))
+    // the counted refusal happened BEFORE any dst mutation — no partial clone
+    assert(!Files.exists(Paths.get(c)))
   }
 
   test("cloneTable can clone a time-travel version and refuses a non-empty target") {
