@@ -33,6 +33,28 @@ object IndexUpkeep {
       .drop("__pri", "__r")
   }
 
+  /** Tight-loop nearest-centroid argmin (index = array position): squared
+    * Euclidean in DOUBLE precision, strict `<` so the LOWEST index wins
+    * exact distance ties deterministically. THE shared quantizer-assignment
+    * core — [[IvfStore.assignToNearest]]'s per-row map and [[PqIndex]]'s
+    * cell binning both call it, so the two index families bin identically;
+    * and it is a plain JVM loop precisely because the Catalyst
+    * higher-order-function fold alternative is a CodegenFallback
+    * allocation storm at design-target candidate counts (measured MINUTES
+    * vs sub-second at 2048 candidates/row — NOTES_r7; 100 TB IVF wants
+    * nCells ≈ 10⁴). */
+  def nearestIndex(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0; var s = 0
+      while (s < cent.length) { val t = v(s) - cent(s); d += t * t; s += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Cheap drift proxy for "does this index need a re-`build` rather than
     * another `refresh`": the byte share of the artifact table's current
     * snapshot attributable to refresh MERGES since the last build — i.e.

@@ -191,6 +191,47 @@ class IvfStoreSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"per-row argmin must not join:\n$plan")
   }
 
+  test("assignToNearest survives design-target nCells: brute-force agreement at 2048 cells") {
+    import org.apache.spark.sql.expressions.Window
+    // 2048 synthetic centroids in the corpus's own dimension — the regime
+    // where the round-7 Catalyst HOF fold was a CodegenFallback allocation
+    // storm (measured minutes; NOTES_r7) and 100 TB IVF actually lives
+    // (nCells ≈ 10⁴). The mapPartitions argmin must agree with the
+    // crossJoin + window brute force on every row and stay exchange-free.
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val rnd = new scala.util.Random(1234L)
+    val cents = (0 until 2048).map { c =>
+      (c, Seq.fill(dim)(rnd.nextDouble().toFloat))
+    }.toDF("cell", "centroid")
+    // filter, not limit: a global limit plans its own SinglePartition
+    // exchange, which would trip the plan-shape assertion below for
+    // reasons unrelated to the argmin
+    val fresh = emb.filter(col("vec_id") < 150L)
+    val t0 = System.nanoTime()
+    val got = IvfStore.assignToNearest(fresh, cents, "vec_id", "embedding")
+    val gotRows = got.select(col("vec_id"), col("cell").as("got_cell")).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"assignToNearest at nCells=2048 over ${gotRows.length} rows: $secs%.2f s")
+    val dist = aggregate(
+      zip_with(col("embedding").cast("array<double>"),
+        col("centroid").cast("array<double>"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+    val w = Window.partitionBy("vec_id").orderBy(col("__dist").asc, col("cell").asc)
+    val want = fresh.crossJoin(broadcast(cents))
+      .withColumn("__dist", dist)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"), col("cell").as("want_cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotRows.length === fresh.count())
+    gotRows.foreach { r =>
+      assert(want(r.getLong(0)) === r.getInt(1), s"vec ${r.getLong(0)}")
+    }
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange") &&
+      !plan.contains("Join"), s"argmin must stay a per-row map:\n$plan")
+  }
+
   test("refresh folds deletes, re-embeddings, appends, and overwrites from the change feed") {
     val root = freshRoot()
     val base = s"$root/base"
