@@ -60,6 +60,26 @@ object PqIndex {
     transform(v, x => x / greatest(norm, lit(1e-12)))
   }
 
+  /** Driver/executor-side unit normalization — the JVM twin of
+    * [[normalized]], shared by the residual fit/encode/query paths so all
+    * three subtract identically scaled centroids. */
+  private[ext] def unitOf(v: Array[Double]): Array[Double] = {
+    var nsq = 0.0; var i = 0
+    while (i < v.length) { nsq += v(i) * v(i); i += 1 }
+    val inv = 1.0 / math.max(math.sqrt(nsq), 1e-12)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+    out
+  }
+
+  private[ext] def minus(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
+    out
+  }
+
   /** Seeded driver-side Lloyd's over one subspace's sample rows. Empty
     * clusters keep their previous center (standard small-sample guard). */
   private[ext] def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
@@ -108,10 +128,45 @@ object PqIndex {
         .map(_.getSeq[Double](0).toArray),
       target)
 
+  /** Same bounded sample, RAW vectors — the residual fit needs the raw
+    * vector for cell binning ([[IndexUpkeep.nearestIndex]]'s raw-L2
+    * metric) and its unit form for the residual itself. */
+  private def sampleRaw(corpus: DataFrame, vecCol: String,
+      target: Int): Array[Array[Double]] =
+    Sampling.prunedReservoir(
+      corpus.select(col(vecCol).cast("array<double>").as("v")).rdd
+        .map(_.getSeq[Double](0).toArray),
+      target)
+
   /** Fit per-subspace codebooks from a bounded sample. */
   def fit(corpus: DataFrame, m: Int = 8, nCodes: Int = 256,
-      vecCol: String = "embedding", sampleRows: Int = 4096): Codebooks = {
-    val sample = sampleVectors(corpus, vecCol, sampleRows)
+      vecCol: String = "embedding", sampleRows: Int = 4096): Codebooks =
+    fitOn(sampleVectors(corpus, vecCol, sampleRows), m, nCodes)
+
+  /** Fit per-subspace codebooks on RESIDUALS `unit(v) − unit(cell
+    * centroid)` — FAISS IVFPQ proper: residuals concentrate around the
+    * origin with far less variance than the vectors themselves, so 256
+    * codes per subspace quantize them with correspondingly less error
+    * (the standard trick that reclaims composite recall). Each sample
+    * vector is binned to its cell with the SAME raw-L2 argmin the encode
+    * pass uses ([[IndexUpkeep.nearestIndex]]), and the subtracted
+    * centroid is unit-normalized because the encoded space is the
+    * unit sphere (the ADC metric is squared L2 on unit vectors). The
+    * codebooks are thereby COUPLED to the cell structure — the price of
+    * residual coding; [[PqStore]] freezes cells and codebooks together
+    * and re-fits both on a drift re-build. */
+  def fitResidual(corpus: DataFrame, cells: Array[Array[Double]],
+      m: Int = 8, nCodes: Int = 256, vecCol: String = "embedding",
+      sampleRows: Int = 4096): Codebooks = {
+    val cellsHat = cells.map(unitOf)
+    val residuals = sampleRaw(corpus, vecCol, sampleRows).map { v =>
+      minus(unitOf(v), cellsHat(IndexUpkeep.nearestIndex(v, cells)))
+    }
+    fitOn(residuals, m, nCodes)
+  }
+
+  private def fitOn(sample: Array[Array[Double]], m: Int,
+      nCodes: Int): Codebooks = {
     require(sample.nonEmpty, "PQ fit needs a non-empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m = $m")
@@ -142,15 +197,21 @@ object PqIndex {
     * ([[PqStore]] cell gating). Cell argmin runs on the RAW vector in
     * double precision with a lowest-cell tie-break — exactly
     * [[IvfStore.assignToNearest]]'s metric, so the two index families bin
-    * identically. Output: (idCol, pq_code, cell). */
+    * identically. With `residual = true` the codes quantize
+    * `unit(v) − unit(centroid(cell))` against [[fitResidual]] codebooks
+    * (FAISS IVFPQ proper) instead of the unit vector itself. Output:
+    * (idCol, pq_code, cell). */
   def encodeWithCells(corpus: DataFrame, books: Codebooks,
       cells: Array[Array[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    encodeImpl(corpus, books, idCol, vecCol, Some(cells))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residual: Boolean = false): DataFrame =
+    encodeImpl(corpus, books, idCol, vecCol, Some(cells), residual)
 
   private def encodeImpl(corpus: DataFrame, books: Codebooks,
       idCol: String, vecCol: String,
-      cellsOpt: Option[Array[Array[Double]]]): DataFrame = {
+      cellsOpt: Option[Array[Array[Double]]],
+      residual: Boolean = false): DataFrame = {
+    require(!residual || cellsOpt.isDefined, "residual encoding needs cells")
     val spark = corpus.sparkSession
     import spark.implicits._
     val bBooks = spark.sparkContext.broadcast(books)
@@ -161,12 +222,17 @@ object PqIndex {
       .mapPartitions { it =>
         val bk = bBooks.value
         val cells = bCells.map(_.value).orNull
+        val cellsHat = if (residual) cells.map(unitOf) else null
         it.map { case (id, raw) =>
           val v = raw.toArray
-          var nsq = 0.0
-          var i = 0
-          while (i < v.length) { nsq += v(i) * v(i); i += 1 }
-          val inv = 1.0 / math.max(math.sqrt(nsq), 1e-12)
+          // raw-vector double-precision cell binning through the SAME
+          // shared argmin IvfStore.assignToNearest uses, so the two index
+          // families bin identically by construction
+          val cell = if (cells != null) IndexUpkeep.nearestIndex(v, cells) else -1
+          // the encoded point: the unit vector, minus its cell's unit
+          // centroid on the residual path
+          val u = unitOf(v)
+          val enc = if (residual) minus(u, cellsHat(cell)) else u
           val code = new Array[Int](bk.m)
           var j = 0
           while (j < bk.m) {
@@ -177,25 +243,13 @@ object PqIndex {
               val cent = cs(c)
               var d = 0.0; var s = 0
               while (s < bk.subDim) {
-                val t = v(off + s) * inv - cent(s); d += t * t; s += 1
+                val t = enc(off + s) - cent(s); d += t * t; s += 1
               }
               if (d < bestD) { bestD = d; best = c }
               c += 1
             }
             code(j) = best
             j += 1
-          }
-          var cell = -1
-          if (cells != null) {
-            var bc = 0; var bd = Double.MaxValue; var c = 0
-            while (c < cells.length) {
-              val cent = cells(c)
-              var d = 0.0; var s = 0
-              while (s < cent.length) { val t = v(s) - cent(s); d += t * t; s += 1 }
-              if (d < bd) { bd = d; bc = c }
-              c += 1
-            }
-            cell = bc
           }
           (id, code.toSeq, cell)
         }
@@ -273,33 +327,55 @@ object PqIndex {
   /** The IVF-gated ADC scan ([[PqStore]] cell gating): candidates are the
     * probed (query, cell) pairs' codes instead of the full cross product,
     * so the compressed scan touches ~nProbe/nCells of the corpus per
-    * query. Both the probe list and the LUTs are tiny broadcasts. */
+    * query. Each probe pair carries its OWN flat LUT (a residual
+    * composite shifts the query by the probed cell's centroid, so the
+    * table is genuinely per-cell; a non-residual one repeats the query's)
+    * — one broadcast of nProbe × m × nCodes doubles per query, still
+    * tiny.
+    *
+    * The shortlist keeps the best `limit` codes PER PROBED CELL (not
+    * `limit` globally): per-cell quotas make the candidate set MONOTONE
+    * in nProbe — a widened probe can only ADD candidates, never evict one
+    * via better ADC distances from another cell's non-neighbors — which
+    * under the exact-cosine re-rank makes recall@k non-decreasing in
+    * nProbe (round-7 VERDICT item 7; a global cut was measured
+    * non-monotone, NOTES_r7). `rank` is the global per-query ADC rank
+    * over the retained union, for refine = 1 consumers. */
   private[ext] def adcShortlistGated(codes: DataFrame, books: Codebooks,
-      luts: Seq[(Long, Seq[Double])], probes: Seq[(Long, Int)],
-      limit: Int, idCol: String): DataFrame = {
+      luts: Seq[(Long, Int, Seq[Double])], limit: Int, idCol: String): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val lutDf = luts.toDF("query_id", "__lut")
-    val probeDf = probes.toDF("query_id", "cell")
-    rankAdc(
-      codes.select(col(idCol).cast("long").as("neighbor_id"),
-          col("pq_code"), col("cell"))
-        .join(broadcast(probeDf), Seq("cell"))
-        .join(broadcast(lutDf), Seq("query_id")),
-      books, limit)
+    val lutDf = luts.toDF("query_id", "cell", "__lut")
+    val wCell = Window.partitionBy("query_id", "cell")
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    val wAll = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    codes.select(col(idCol).cast("long").as("neighbor_id"),
+        col("pq_code"), col("cell"))
+      .join(broadcast(lutDf), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", adcDist(books))
+      .withColumn("__cr", row_number().over(wCell))
+      .filter(col("__cr") <= limit)
+      .withColumn("rank", row_number().over(wAll))
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
+
+  /** m `element_at` lookups into the joined `__lut`, summed by a fold. */
+  private def adcDist(books: Codebooks): Column = {
+    val nC = books.centers(0).length
+    aggregate(
+      zip_with(col("pq_code"), sequence(lit(0), lit(books.m - 1)),
+        (c, j) => element_at(col("__lut"), (j * nC + c + 1).cast("int"))),
+      lit(0.0), (a, e) => a + e)
   }
 
   private def rankAdc(candidates: DataFrame, books: Codebooks,
       limit: Int): DataFrame = {
-    val nC = books.centers(0).length
-    val dist = aggregate(
-      zip_with(col("pq_code"), sequence(lit(0), lit(books.m - 1)),
-        (c, j) => element_at(col("__lut"), (j * nC + c + 1).cast("int"))),
-      lit(0.0), (a, e) => a + e)
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))
     candidates
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", dist)
+      .withColumn("dist", adcDist(books))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= limit)
       .select("query_id", "neighbor_id", "dist", "rank")
@@ -318,24 +394,30 @@ object PqIndex {
     * vectors. */
   private[ext] def lutsFor(books: Codebooks,
       qRows: Array[(Long, Array[Double])]): Seq[(Long, Seq[Double])] =
-    qRows.map { case (qid, qv) =>
-      val flat = new Array[Double](books.m * books.centers(0).length)
-      var j = 0
-      while (j < books.m) {
-        val cs = books.centers(j)
-        var c = 0
-        while (c < cs.length) {
-          var d = 0.0; var i = 0
-          while (i < books.subDim) {
-            val t = qv(j * books.subDim + i) - cs(c)(i); d += t * t; i += 1
-          }
-          flat(j * cs.length + c) = d
-          c += 1
+    qRows.map { case (qid, qv) => (qid, flatLut(books, qv)) }.toSeq
+
+  /** One flat m × nCodes table of per-subspace partial squared-L2
+    * distances from `qv` — which on the residual path is the query's
+    * residual against a probed cell, so "adding the centroid back" is
+    * simply building the table from `q̂ − ĉ(cell)`. */
+  private[ext] def flatLut(books: Codebooks, qv: Array[Double]): Seq[Double] = {
+    val flat = new Array[Double](books.m * books.centers(0).length)
+    var j = 0
+    while (j < books.m) {
+      val cs = books.centers(j)
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < books.subDim) {
+          val t = qv(j * books.subDim + i) - cs(c)(i); d += t * t; i += 1
         }
-        j += 1
+        flat(j * cs.length + c) = d
+        c += 1
       }
-      (qid, flat.toSeq)
-    }.toSeq
+      j += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(flat)
+  }
 
   /** Exact-cosine re-rank of an ADC shortlist against fetched original
     * vectors (`vectors`: (neighbor_id long, __cv float array) — the full

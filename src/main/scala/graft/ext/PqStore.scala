@@ -72,8 +72,15 @@ object PqStore {
     val baseVersion = CommitLog.latestVersion(baseTable).getOrElse(
       throw new IllegalArgumentException(s"$baseTable has no committed versions"))
     val corpus = CommitLog.read(spark, baseTable)
-    val books = PqIndex.fit(corpus, m, nCodes, vecCol)
     import spark.implicits._
+    // the coarse quantizer is fit FIRST because the composite's codebooks
+    // are fit on residuals against it (FAISS IVFPQ proper — cells and
+    // codebooks are coupled and freeze/re-fit together)
+    val cellsFit = if (nCells <= 0) None else Some(fitCells(corpus, nCells, vecCol))
+    val books = cellsFit match {
+      case Some(cells) => PqIndex.fitResidual(corpus, cells, m, nCodes, vecCol)
+      case None => PqIndex.fit(corpus, m, nCodes, vecCol)
+    }
     val bookRows = for {
       j <- 0 until books.m
       (cent, c) <- books.centers(j).zipWithIndex
@@ -84,24 +91,16 @@ object PqStore {
     // cells (IVF-PQ composite) commit FIRST of all: a crash anywhere
     // before the codes overwrite leaves the watermark un-advanced — the
     // same honest transient as IvfStore.build's centroids-over-old-
-    // assignments window, repaired by re-running build. An UNGATED
-    // rebuild over a previously gated index retires the cells table up
-    // front (leaving it would make every later topK/refresh refuse
-    // forever — a state no re-run could repair); the crash window there
-    // (no cells, codes still carrying a cell column) degrades gracefully
-    // to the ungated scan, which never reads the column.
-    val cellsOpt =
-      if (nCells <= 0) {
-        deleteTree(java.nio.file.Paths.get(cellsTable(indexRoot)))
-        None
-      } else {
-        val cells = fitCells(corpus, nCells, vecCol)
-        CommitLog.commit(
-          cells.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-            .toDF("cell", "centroid"),
-          cellsTable(indexRoot), "overwrite")
-        Some(cells)
-      }
+    // assignments window, repaired by re-running build. The `residual`
+    // marker column rides the cells rows so readers decode the codes in
+    // the space they were encoded in.
+    val cellsOpt = cellsFit.map { cells =>
+      CommitLog.commit(
+        cells.zipWithIndex.map { case (c, i) => (i, c.toSeq, true) }.toSeq
+          .toDF("cell", "centroid", "residual"),
+        cellsTable(indexRoot), "overwrite")
+      cells
+    }
     CommitLog.commit(bookRows.toDF("subspace", "code", "centroid"),
       codebooksTable(indexRoot), "overwrite")
     // gated codes commit RANGE-CLUSTERED on cell, so each file's footer
@@ -111,13 +110,23 @@ object PqStore {
     // stay linear in corpus size
     val codes = cellsOpt match {
       case Some(cells) =>
-        PqIndex.encodeWithCells(corpus, books, cells, idCol, vecCol)
+        PqIndex.encodeWithCells(corpus, books, cells, idCol, vecCol,
+            residual = true)
           .repartitionByRange(math.max(
             spark.sparkContext.defaultParallelism, 1), col("cell"))
           .sortWithinPartitions("cell")
       case None => PqIndex.encode(corpus, books, idCol, vecCol)
     }
     CommitLog.commit(codes, codesTable(indexRoot), "overwrite", txn = txn)
+    // An UNGATED rebuild over a previously gated index retires the cells
+    // table LAST (leaving it would make every later topK/refresh refuse
+    // forever — a state no re-run could repair). Deleting it AFTER the
+    // codes overwrite matters since residual coding: the pre-fix order
+    // (cells first) left a crash window of no-cells + still-RESIDUAL old
+    // codes, which the ungated scan would have ADC'd in the wrong space
+    // silently; with this order the window is cells-over-cell-less-codes,
+    // which requireCellAgreement refuses LOUDLY and a re-run repairs.
+    if (nCells <= 0) deleteTree(java.nio.file.Paths.get(cellsTable(indexRoot)))
     baseVersion
   }
 
@@ -151,15 +160,26 @@ object PqStore {
     * re-clusters ([[graft.tools.Maintenance]]). */
   def artifactTable(indexRoot: String): String = codesTable(indexRoot)
 
-  /** The composite's cell centroids, cell-ascending — None when the index
-    * was built without cells. */
-  def loadCells(spark: SparkSession, indexRoot: String): Option[Array[Array[Double]]] =
+  /** The composite's cell centroids (cell-ascending) and whether the
+    * codes quantize RESIDUALS against them — None when the index was
+    * built without cells. Indexes persisted before residual coding have
+    * no `residual` column and read as plain-vector codes. */
+  def loadCells(spark: SparkSession,
+      indexRoot: String): Option[(Array[Array[Double]], Boolean)] =
     if (CommitLog.latestVersion(cellsTable(indexRoot)).isEmpty) None
-    else Some(CommitLog.read(spark, cellsTable(indexRoot))
-      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).map(_._2))
+    else {
+      val df = CommitLog.read(spark, cellsTable(indexRoot))
+      val residual = df.columns.contains("residual") &&
+        df.select(col("residual")).limit(1).collect()
+          .headOption.exists(!_.isNullAt(0)) &&
+        df.select(col("residual")).limit(1).head().getBoolean(0)
+      val cents = df
+        .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      Some((cents, residual))
+    }
 
   /** Guard the cells↔codes structural contract (the gated sibling of
     * [[requireWidthAgreement]]): a gated index whose codes table predates
@@ -263,14 +283,17 @@ object PqStore {
         val codes = CommitLog.read(spark, codesTable(indexRoot))
         requireWidthAgreement(codes, b, indexRoot)
         val cells = loadCells(spark, indexRoot)
-        cells.foreach(cs => requireCellAgreement(codes, indexRoot, cs.length))
+        cells.foreach { case (cs, _) => requireCellAgreement(codes, indexRoot, cs.length) }
         Some((b, cells))
       } else None
       CommitLog.deleteKeys(spark, codesTable(indexRoot), retired, Seq(idCol),
         txn = if (hasFresh) None else Some((AppId, latest)))
       books.foreach { case (b, cells) =>
         val delta = cells match {
-          case Some(cs) => PqIndex.encodeWithCells(fresh, b, cs, idCol, vecCol)
+          // frozen cells + frozen codebooks ⇒ the delta bins and encodes
+          // in the SAME residual space the build used, by construction
+          case Some((cs, residual)) =>
+            PqIndex.encodeWithCells(fresh, b, cs, idCol, vecCol, residual)
           case None => PqIndex.encode(fresh, b, idCol, vecCol)
         }
         CommitLog.merge(spark, codesTable(indexRoot), delta,
@@ -321,7 +344,7 @@ object PqStore {
     val codes = CommitLog.read(spark, codesTable(indexRoot))
     requireWidthAgreement(codes, books, indexRoot)
     val shortlist = loadCells(spark, indexRoot) match {
-      case Some(cells) =>
+      case Some((cells, residual)) =>
         // IVF-PQ composite: gate the compressed scan to each query's
         // nProbe nearest cells (cosine probe over the collected
         // centroids, IvfIndex.probeTopK's rule). The scan reads through
@@ -330,23 +353,36 @@ object PqStore {
         // files at the driver — I/O ~nProbe/nCells of the codes, not a
         // full scan filtered after the fact (refresh merges land
         // unclustered and stay conservative until a compaction; the
-        // per-(query, cell) broadcast join then refines row-level)
+        // per-(query, cell) broadcast join then refines row-level).
+        // Residual composite: each probe pair's LUT is built from the
+        // query's residual against THAT cell (q̂ − ĉ), which is exactly
+        // "adding the centroid back" on the decode side.
         requireCellAgreement(codes, indexRoot, cells.length)
+        val cellsHat = if (residual) cells.map(PqIndex.unitOf) else null
         val qRows = PqIndex.collectQueries(queries, idCol, vecCol)
         val probes = qRows.toSeq.flatMap { case (qid, qv) =>
           nearestCells(qv, cells, nProbe).map(qid -> _)
         }
+        val qById = qRows.toMap
+        val luts = probes.map { case (qid, cell) =>
+          val qv = qById(qid)
+          val vec = if (residual) PqIndex.minus(qv, cellsHat(cell)) else qv
+          (qid, cell, PqIndex.flatLut(books, vec))
+        }
         val probedCells = probes.map(_._2).distinct
         val prunedCodes = CommitLog.readPruned(spark, codesTable(indexRoot),
           col("cell").isin(probedCells.map(Int.box): _*))
-        PqIndex.adcShortlistGated(prunedCodes, books,
-          PqIndex.lutsFor(books, qRows), probes, k * refine, idCol)
+        PqIndex.adcShortlistGated(prunedCodes, books, luts, k * refine, idCol)
       case None =>
         PqIndex.adcShortlist(codes, books, queries, k * refine, idCol, vecCol)
     }
     if (refine == 1)
-      shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
-        (lit(1.0) - col("dist") / 2.0).as("sim"))
+      // the gated shortlist carries per-cell quotas (up to nProbe × k
+      // rows per query); the compressed-domain answer is the global ADC
+      // top-k of the retained union
+      shortlist.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          (lit(1.0) - col("dist") / 2.0).as("sim"))
     else {
       // ONE ADC scan: the shortlist is bounded by construction (queries ×
       // k × refine rows), so collect it once and drive both the key

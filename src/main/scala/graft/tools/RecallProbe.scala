@@ -35,6 +35,19 @@ object RecallProbe {
         Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("embedding"))
       println(f"[$d] int8 recall@5 = ${recall(
         Similarity.topKExact(deq, deq.filter(col("vec_id") < 20), 5))}%.3f")
+      // IVF-PQ composite (residual codes): the query harness's 90%-build /
+      // 10%-append / refresh shape, swept over nProbe — the evidence
+      // behind IvfPqMinRecall and the monotone-in-nProbe property
+      val root = java.nio.file.Files.createTempDirectory("graft_recallprobe").toString
+      val (base, index) = (s"$root/base", s"$root/index")
+      graft.tx.CommitLog.commit(emb.filter(pmod(col("vec_id"), lit(10)) =!= 7), base, "append")
+      graft.ext.PqStore.build(spark, base, index, nCells = 16)
+      graft.tx.CommitLog.commit(emb.filter(pmod(col("vec_id"), lit(10)) === 7), base, "append")
+      graft.ext.PqStore.refresh(spark, base, index)
+      val sweep = Seq(1, 2, 4, 8, 16).map { p =>
+        f"$p=${recall(graft.ext.PqStore.topK(spark, base, index, q, 5, nProbe = p))}%.3f"
+      }
+      println(s"[$d] ivfpq recall@5 by nProbe: ${sweep.mkString(" ")}")
     }
     spark.stop()
   }

@@ -208,26 +208,25 @@ class PqStoreSpec extends SparkSpec {
     val exact = Similarity.topKExact(emb, queries, k = 5)
     val r = recall(exact,
       PqStore.topK(spark, base, index, queries, k = 5, nProbe = 8))
-    assert(r >= graft.queries.VectorQueries.IvfMinRecall, s"gated recall $r")
-    // probing EVERY cell degenerates to the ungated scan exactly: same
-    // candidates, same ADC distances, same tie-breaks, same re-rank.
-    // (Recall is NOT monotone in nProbe at a fixed shortlist size — a
-    // widened probe can evict a true neighbor from the k × refine
-    // shortlist via better ADC distances from other cells' non-
-    // neighbors — so full-probe equivalence is the sound invariant.)
-    val gatedAll = PqStore.topK(spark, base, index, queries, k = 5, nProbe = 16)
-      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
-      .collect().toSet
-    val ungated = PqIndex.rerankExact(
-      PqIndex.adcShortlist(CommitLog.read(spark, s"$index/codes"),
-        PqStore.loadBooks(spark, index), queries, 5 * 8, "vec_id", "embedding"),
-      CommitLog.read(spark, base)
-        .select(col("vec_id").cast("long").as("neighbor_id"),
-          col("embedding").as("__cv")),
-      queries, 5, "vec_id", "embedding")
-      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
-      .collect().toSet
-    assert(gatedAll === ungated)
+    assert(r >= graft.queries.VectorQueries.IvfPqMinRecall, s"gated recall $r")
+    // recall@5 is NON-DECREASING in nProbe (round-7 VERDICT item 7): the
+    // per-cell shortlist quotas make the candidate set monotone in the
+    // probed-cell set (nearestCells ranks cells once, so probe sets are
+    // nested), and under the exact-cosine re-rank any candidate that
+    // outranks a true neighbor is itself a true neighbor — so a widened
+    // probe can no longer evict a found neighbor. (The pre-quota global
+    // k × refine ADC cut was measured non-monotone, NOTES_r7; the old
+    // "full probe == ungated scan" equivalence is gone by design —
+    // residual codes cannot be ADC'd without a cell, and per-cell quotas
+    // retain a SUPERSET of any global cut's candidates.)
+    val recalls = Seq(1, 2, 4, 8, 16).map { p =>
+      p -> recall(exact, PqStore.topK(spark, base, index, queries, k = 5, nProbe = p))
+    }
+    recalls.sliding(2).foreach {
+      case Seq((p0, r0), (p1, r1)) =>
+        assert(r1 >= r0, s"recall regressed widening nProbe $p0->$p1: $recalls")
+      case _ => ()
+    }
 
     // interrupted ungated→gated rebuild: a cells table over cell-less
     // codes must refuse, not gate on a missing column

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.tx.CommitLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The SQL front door: `spark.read.format("graft").load(root)` must serve
+  * the commit-log snapshot through Spark's ordinary parquet scan — with
+  * the stats-sidecar file skipping `readPruned` does, applied
+  * automatically to every pushed predicate, and hive partition dirs
+  * surfacing as real pruned partition columns. */
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_dsv").resolve("t").toString
+
+  /** id-range-clustered commits so footer stats genuinely prune. */
+  private def seedClustered(t: String): Unit = {
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    CommitLog.commit(batch(0, 400), t, "append")
+    CommitLog.commit(batch(400, 800), t, "append")
+  }
+
+  private def scanFileCount(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"no file scan in:\n${df.queryExecution.executedPlan}")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("format(\"graft\") reads the current snapshot; spark.sql works over a view") {
+    val t = freshTable()
+    seedClustered(t)
+    CommitLog.delete(spark, t, col("id") < 100L)
+    val df = spark.read.format("graft").load(t)
+    assert(df.count() === CommitLog.read(spark, t).count())
+    assert(df.orderBy("id").collect()
+      .sameElements(CommitLog.read(spark, t).orderBy("id").collect()))
+    // the reference's consumption model: plain SQL over the lake
+    df.createOrReplaceTempView("graft_events_v")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft_events_v WHERE id >= 700").head().getLong(0)
+    assert(n === 100L)
+  }
+
+  test("versionAsOf time travel matches readAt, schema included") {
+    val t = freshTable()
+    seedClustered(t) // v1, v2
+    CommitLog.commit(Seq((9000L, "x", "late")).toDF("id", "s", "tag"), t, "append") // v3 + tag
+    val v1 = spark.read.format("graft").option("versionAsOf", 1L).load(t)
+    assert(v1.count() === 400L)
+    assert(!v1.columns.contains("tag"))
+    assert(v1.orderBy("id").collect()
+      .sameElements(CommitLog.readAt(spark, t, 1L).orderBy("id").collect()))
+    assert(spark.read.format("graft").load(t).columns.contains("tag"))
+  }
+
+  test("pushed predicates prune files through the stats sidecars, matching readPruned") {
+    val t = freshTable()
+    seedClustered(t)
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    val expected = CommitLog.pruneFiles(t, m,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 3L))).size
+    assert(expected < m.files.size, "fixture must actually prune")
+    val q = spark.read.format("graft").load(t).filter(col("id") === 3L)
+    assert(scanFileCount(q) === expected.toLong)
+    // and the rows equal the opt-in API's
+    assert(q.collect().sameElements(
+      CommitLog.readPruned(spark, t, col("id") === 3L).collect()))
+    // PushedFilters reached the parquet scan (row-group pushdown intact)
+    val scanStr = q.queryExecution.executedPlan.toString
+    assert(scanStr.contains("EqualTo(id,3)") && scanStr.contains("PushedFilters: ["), scanStr)
+  }
+
+  test("additive evolution reads NULL for pre-column files — even when the " +
+      "snapshot schema recorded the column non-nullable") {
+    val t = freshTable()
+    CommitLog.commit((0 until 10).map(i => (i.toLong, s"s$i")).toDF("id", "s"), t, "append")
+    // lit() makes batch_tag NON-nullable in the committed schema; a file
+    // source serving that schema verbatim refuses v1 files ("required
+    // column is missing") and lets the optimizer rewrite count(tag) to
+    // count(*) on the never-null premise — both observed live before the
+    // schemas were forced nullable like Spark's own reader does
+    CommitLog.commit((10 until 20).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+      .withColumn("tag", lit("late")), t, "append")
+    val g = spark.read.format("graft").load(t)
+    assert(g.agg(count(lit(1)), count(col("tag"))).head().toSeq === Seq(20L, 10L))
+    assert(g.filter(col("tag").isNull).count() === 10L)
+  }
+
+  test("snapshot isolation: a commit after relation creation is invisible") {
+    val t = freshTable()
+    seedClustered(t)
+    val df = spark.read.format("graft").load(t)
+    assert(df.count() === 800L)
+    CommitLog.commit(Seq((9000L, "x")).toDF("id", "s"), t, "append")
+    assert(df.count() === 800L) // pinned manifest
+    assert(spark.read.format("graft").load(t).count() === 801L)
+  }
+
+  test("hive-partitioned commit dirs surface as pruned partition columns") {
+    val t = freshTable()
+    val df = (0 until 300).map(i => (i.toLong, s"s$i", i % 3)).toDF("id", "s", "bucket")
+    CommitLog.commit(df, t, "append", partitionBy = Seq("bucket"))
+    CommitLog.commit(df.filter(col("bucket") === 0).withColumn("id", col("id") + 1000L),
+      t, "append", partitionBy = Seq("bucket"))
+    val g = spark.read.format("graft").load(t)
+    // partition column round-trips with its type and values
+    assert(g.schema("bucket").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(g.count() === 400L)
+    assert(g.groupBy("bucket").count().orderBy("bucket")
+      .as[(Int, Long)].collect().toSeq === Seq((0, 200L), (1, 100L), (2, 100L)))
+    // a partition predicate prunes DIRECTORIES: only bucket=1 files scanned
+    val q = g.filter(col("bucket") === 1)
+    val all = CommitLog.manifest(t, CommitLog.latestVersion(t).get).files
+    val bucket1 = all.count(_.contains("bucket=1"))
+    assert(bucket1 < all.size)
+    assert(scanFileCount(q) === bucket1.toLong)
+    assert(q.count() === 100L)
+  }
+}
