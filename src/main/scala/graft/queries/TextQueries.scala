@@ -199,15 +199,26 @@ object TextQueries {
     // above; this query proves the COMPOSITION against one SQL oracle.
     // Scale: all gates are one-pass column predicates fused into the scan,
     // the only shuffle is the final fingerprint groupBy.
-    "curation_keep" -> ((s, d) => {
-      val toks = TextStats.tokens(col("text"))
-      val filtered = documents(s, d)
-        .filter(TextStats.langId(col("text")) === "en")
-        .filter(size(toks).between(5, 5000))
-        .filter(TextStats.stopwordRatio(col("text")) >= 0.05)
-        .filter(repetitionRatio(col("text")) <= 0.2)
-      graft.ext.Dedup.exact(filtered, col("text"), col("doc_id"))
-        .select("doc_id").orderBy("doc_id")
+    "curation_keep" -> ((s, d) =>
+      curationGatesAndDedup(documents(s, d))),
+
+    // The ccnet-ORDERED curation chain (round-7 VERDICT item 8): duplicated-
+    // segment removal (boilerplate strip) runs FIRST, the quality gates
+    // evaluate the STRIPPED text, and document-level exact dedup closes —
+    // exactly ccnet's pipeline order, where a nav-bar shared across a
+    // domain must not drag every page's stopword ratio or repetition score
+    // before the gates see the content. Composition adds no shuffle beyond
+    // the segment pass's own three (the gates are per-row filters on the
+    // reassembled text; the exact dedup's shuffle exists in curation_keep
+    // already). A doc whose text is ALL boilerplate dedups to "" and falls
+    // to the token-count gate.
+    "curation_keep_ccnet" -> ((s, d) => {
+      curationGatesAndDedup(
+        graft.ext.Dedup.dropDuplicateSegments(
+            documents(s, d).select("doc_id", "text"),
+            TextStats.chunkWindows(col("text"), window = 8, stride = 8),
+            col("doc_id"), minDocs = 2)
+          .select(col("doc_id"), col("text_deduped").as("text")))
     }),
 
     // Per-language quality deciles — perplexity-bucketing for training-mix
@@ -525,6 +536,22 @@ object TextQueries {
 
   /** 1 - distinct 4-grams / total 4-grams, rounded to 6 decimals — shared
     * by text_repetition and the curation_keep repetition gate. */
+  /** The ONE copy of the curation gate chain (language, token count,
+    * stopword ratio, repetition) plus the closing exact dedup — shared by
+    * `curation_keep` and `curation_keep_ccnet` so a threshold tweak can't
+    * desynchronize the twins from their oracles (the two DuckDB twins
+    * restate the same gates; Scala-side drift is the risk worth removing). */
+  private def curationGatesAndDedup(docs: DataFrame): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val filtered = docs
+      .filter(TextStats.langId(col("text")) === "en")
+      .filter(size(toks).between(5, 5000))
+      .filter(TextStats.stopwordRatio(col("text")) >= 0.05)
+      .filter(repetitionRatio(col("text")) <= 0.2)
+    graft.ext.Dedup.exact(filtered, col("text"), col("doc_id"))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   private def repetitionRatio(text: Column): Column = {
     val toks = TextStats.tokens(text)
     round(lit(1.0) -
@@ -825,6 +852,59 @@ object TextQueries {
            SELECT doc_id, text,
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tok
            FROM documents),
+         s AS (SELECT doc_id, text, tok,
+           len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+           len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+           len(list_filter(tok, x -> x IN ('el','la','de','que','y','es','en','un','una','por'))) AS s_es,
+           len(list_filter(tok, x -> x IN ('le','la','de','et','est','un','une','que','pour','dans'))) AS s_fr,
+           len(list_filter(tok, x -> x IN ('的','是','在','了','我','有','和','不','这','中'))) AS s_zh
+           FROM t),
+         q AS (
+           SELECT doc_id, text FROM s
+           WHERE greatest(s_en, s_de, s_es, s_fr, s_zh) > 0
+             AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
+             AND len(tok) BETWEEN 5 AND 5000
+             AND CAST(s_en AS DOUBLE) / len(tok) >= 0.05
+             AND 1 - CAST(len(list_distinct(CASE WHEN len(tok) >= 4
+               THEN list_transform(range(1, len(tok) - 2),
+                 i -> array_to_string(tok[i:i+3], ' '))
+               ELSE [array_to_string(tok, ' ')] END)) AS DOUBLE)
+               / greatest(len(tok) - 3, 1) <= 0.2)
+         SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (
+             PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             ORDER BY doc_id) AS rn
+           FROM q)
+         WHERE rn = 1 ORDER BY doc_id""",
+    // curation_keep's gates applied to the SEGMENT-DEDUPED text: the
+    // boilerplate strip (dedup_segments' oracle CTEs, duplicates grouped
+    // on lower(seg) to mirror the fingerprint canonicalization) feeds the
+    // same language/length/stopword/repetition gates and final exact dedup
+    "curation_keep_ccnet" ->
+      """WITH t0 AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tok0
+           FROM documents),
+         segs AS (
+           SELECT doc_id, CAST(start // 8 AS INTEGER) AS pos,
+             array_to_string(tok0[start+1 : start+8], ' ') AS seg
+           FROM (SELECT doc_id, tok0,
+                   unnest(range(0, greatest(len(tok0), 1), 8)) AS start
+                 FROM t0)),
+         dup AS (
+           SELECT lower(seg) AS lseg FROM segs GROUP BY lower(seg)
+           HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (
+           SELECT doc_id, pos, seg FROM segs
+           WHERE lower(seg) NOT IN (SELECT lseg FROM dup)),
+         agg AS (
+           SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+           FROM kept GROUP BY doc_id),
+         t AS (
+           SELECT t0.doc_id, coalesce(a.text, '') AS text,
+             list_filter(regexp_split_to_array(coalesce(a.text, ''), '\s+'),
+               x -> x <> '') AS tok
+           FROM t0 LEFT JOIN agg a USING (doc_id)),
          s AS (SELECT doc_id, text, tok,
            len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
            len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,

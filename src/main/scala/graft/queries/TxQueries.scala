@@ -86,6 +86,25 @@ object TxQueries {
   private val builtOvw = new ConcurrentHashMap[String, String]()
   private val builtJrn = new ConcurrentHashMap[String, String]()
 
+  /** Table mutated by [[CommitLog.deleteDv]] — merge-on-read deletion
+    * vectors (round-7 VERDICT item 3): commit all events, then retire the
+    * ~1% trickle (event_id % 97 == 0) as dead POSITIONS. Every data file
+    * carries by reference; readers anti-join the deaths away. */
+  private val builtDv = new ConcurrentHashMap[String, String]()
+
+  private def ensureDvTable(s: SparkSession, d: String): String =
+    builtDv.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txdv_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      CommitLog.commit(ev.repartition(8), table, "append")
+      CommitLog.deleteDv(s, table, pmod(col("event_id"), lit(97)) === 0)
+      table
+    })
+
   /** Table mutated by [[CommitLog.deleteKeys]] — the CDC-apply delete shape
     * (`DELETE WHERE key IN (subquery)`): commit all events, then retire
     * every event_id divisible by 7 via a key-set frame. */
@@ -461,6 +480,30 @@ object TxQueries {
           min(col("value")).as("v_min"), max(col("value")).as("v_max"))
     }),
 
+    // Merge-on-read DELETE via deletion vectors (round-7 VERDICT item 3):
+    // the trickle retirement (~1% of rows) writes O(rows) DV bytes and
+    // rewrites NO data file — `files_untouched` pins the zero-rewrite
+    // claim under the hash gate (the manifest file lists of v1 and the
+    // delete version are compared verbatim), while the snapshot aggregate
+    // and the feed's per-type death counts pin row-level exactness.
+    "tx_delete_dv" -> ((s, d) => {
+      val table = ensureDvTable(s, d)
+      val m1 = CommitLog.manifest(table, 1L).files
+      val mN = CommitLog.manifest(table, CommitLog.latestVersion(table).get).files
+      val snap = CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+      val dead = CommitLog.changeFeed(s, table, fromVersion = 1L)
+        .filter(col(CommitLog.ChangeTypeCol) === "delete")
+        .groupBy("event_type").agg(count(lit(1)).as("__nd"))
+      snap.join(dead, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_events"),
+          coalesce(col("__nd"), lit(0L)).as("n_deleted"),
+          col("v_min"), col("v_max"),
+          lit(m1 == mN).as("files_untouched"))
+        .orderBy("event_type")
+    }),
+
     // The SQL front door (round-7 VERDICT item 2): the registered `graft`
     // source serves the commit-log snapshot to `spark.sql` — the
     // reference's actual consumption model (every silver job is SQL over
@@ -708,6 +751,14 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'click'""",
+    "tx_delete_dv" ->
+      """SELECT event_type,
+           count(*) FILTER (WHERE event_id % 97 <> 0) AS n_events,
+           count(*) FILTER (WHERE event_id % 97 = 0) AS n_deleted,
+           min(value) FILTER (WHERE event_id % 97 <> 0) AS v_min,
+           max(value) FILTER (WHERE event_id % 97 <> 0) AS v_max,
+           TRUE AS files_untouched
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // batch_tag = 'late' rode the second (odd-id) append only, so its
     // non-null count is the odd-id slice of the filtered rows
     "tx_sql_scan" ->

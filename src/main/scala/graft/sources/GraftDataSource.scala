@@ -54,6 +54,15 @@ final class GraftSourceProvider extends RelationProvider with DataSourceRegister
         .getOrElse(throw new IllegalArgumentException(
           s"$table has no committed versions"))
     }
+    // Deletion vectors are merge-on-read state a bare file scan cannot
+    // apply (the anti-join lives in CommitLog's read path) — serving the
+    // files raw would resurrect deleted rows. Refuse loudly; compact()
+    // folds the DVs into clean files and re-enables the SQL path.
+    if (m.dvDirs.nonEmpty)
+      throw new IllegalStateException(
+        s"$table carries ${m.dvDirs.size} deletion-vector dir(s); the graft " +
+          "SQL source serves raw files and would resurrect deleted rows. " +
+          "Read via CommitLog.read, or run CommitLog.compact to fold the DVs.")
     val spark = sqlContext.sparkSession
     val index = new GraftFileIndex(spark, table, m)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,

@@ -1,0 +1,174 @@
+package graft.tx
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Deletion vectors (merge-on-read): a trickle delete publishes dead row
+  * POSITIONS and carries every data file by reference — O(rows) bytes
+  * written, not O(files) rewritten — and every reader, mutation probe,
+  * feed, and maintenance op stays exact. */
+class TxDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_dv").resolve("t").toString
+
+  /** 400 rows, 4 id-clustered files. */
+  private def seed(t: String): Unit =
+    CommitLog.commit(
+      (0 until 400).map(i => (i.toLong, s"s$i", i % 5)).toDF("id", "s", "grp")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, "append")
+
+  test("deleteDv removes rows WITHOUT rewriting any data file") {
+    val t = freshTable()
+    seed(t)
+    val before = CommitLog.manifest(t, 1L)
+    val v = CommitLog.deleteDv(spark, t, col("id").isin(3L, 77L, 250L))
+    assert(v === 2L)
+    val after = CommitLog.manifest(t, v)
+    // THE merge-on-read claim: identical file list, by reference
+    assert(after.files === before.files)
+    assert(after.dvDirs.size === 1)
+    assert(after.mode === "delete")
+    // the snapshot is exact
+    val rows = CommitLog.read(spark, t)
+    assert(rows.count() === 397L)
+    assert(rows.filter(col("id").isin(3L, 77L, 250L)).count() === 0L)
+    // time travel still sees the full pre-delete snapshot
+    assert(CommitLog.readAt(spark, t, 1L).count() === 400L)
+    // the change feed serves the same delete rows a copy-on-write would
+    val feed = CommitLog.changeFeed(spark, t, fromVersion = 1L)
+    assert(feed.filter(col(CommitLog.ChangeTypeCol) === "delete")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(3L, 77L, 250L))
+    // and the DV artifact is tiny — row-scale, not file-scale
+    def treeBytes(p: java.nio.file.Path): Long = {
+      val st = Files.walk(p)
+      try st.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally st.close()
+    }
+    val dvBytes = treeBytes(Paths.get(t).resolve(after.dvDirs.head))
+    val dataBytes = before.files.map(f => Files.size(Paths.get(t).resolve(f))).sum
+    assert(dvBytes < dataBytes / 2, s"dv $dvBytes vs data $dataBytes")
+  }
+
+  test("layered DVs: a second deleteDv only journals NEW deaths; readPruned stays exact") {
+    val t = freshTable()
+    seed(t)
+    CommitLog.deleteDv(spark, t, col("id") < 10L)
+    val v3 = CommitLog.deleteDv(spark, t, col("id") < 20L) // overlaps the first
+    val feed = CommitLog.changeFeed(spark, t, fromVersion = 2L, toVersion = Some(v3))
+    // only ids 10-19 die at v3 — 0-9 were already dead and must not re-journal
+    assert(feed.select("id").as[Long].collect().sorted.toSeq === (10L until 20L))
+    assert(CommitLog.read(spark, t).count() === 380L)
+    assert(CommitLog.manifest(t, v3).dvDirs.size === 2)
+    // pruned read composes with DVs
+    val pruned = CommitLog.readPruned(spark, t, col("id") < 30L)
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq === (20L until 30L))
+    // no-match deleteDv is a version no-op
+    assert(CommitLog.deleteDv(spark, t, col("id") === -1L) === v3)
+  }
+
+  test("mutations on a DV table neither match nor resurrect dead rows; DV refs carry") {
+    val t = freshTable()
+    seed(t)
+    CommitLog.deleteDv(spark, t, col("id") === 100L)
+    // copy-on-write UPDATE touching the dead row's FILE: the dead row must
+    // not reappear in the rewritten file, and untouched files keep DV refs
+    CommitLog.update(spark, t, col("id") === 101L, Map("s" -> lit("updated")))
+    val rows = CommitLog.read(spark, t)
+    assert(rows.filter(col("id") === 100L).count() === 0L)
+    assert(rows.filter(col("id") === 101L).select("s").head().getString(0) === "updated")
+    assert(rows.count() === 399L)
+    assert(CommitLog.manifest(t, CommitLog.latestVersion(t).get).dvDirs.nonEmpty) // carried forward
+    // a merge can't resurrect it either
+    CommitLog.merge(spark, t,
+      Seq((100L, "back", 0)).toDF("id", "s", "grp"), Seq("id"))
+    assert(CommitLog.read(spark, t).filter(col("id") === 100L).count() === 1L) // insert path
+    assert(CommitLog.read(spark, t).count() === 400L)
+  }
+
+  test("compact folds DVs into clean files; metaAggregate honest before, exact after") {
+    val t = freshTable()
+    seed(t)
+    CommitLog.deleteDv(spark, t, col("id") < 50L)
+    // metadata-only aggregates refuse while DVs ride (stats over-count)
+    assert(CommitLog.metaAggregate(t, Seq("id")).isEmpty)
+    // the SQL source refuses too — a raw file scan would resurrect rows
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft").load(t).count()
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+    CommitLog.compact(spark, t)
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(m.dvDirs.isEmpty)
+    assert(CommitLog.read(spark, t).count() === 350L)
+    assert(CommitLog.metaAggregate(t, Seq("id")).nonEmpty)
+    assert(spark.read.format("graft").load(t).count() === 350L)
+    // fsck clean end to end (live DV dirs of OLD versions are not orphans)
+    assert(CommitLog.fsck(t).clean, CommitLog.fsck(t).toString)
+  }
+
+  test("vacuum keeps live DV dirs, reclaims dropped ones; fsck flags a missing DV dir") {
+    val t = freshTable()
+    seed(t)
+    CommitLog.deleteDv(spark, t, col("id") === 7L) // v2 + dv1
+    CommitLog.deleteDv(spark, t, col("id") === 8L) // v3 + dv2
+    val dv1 = CommitLog.manifest(t, 2L).dvDirs.head
+    CommitLog.compact(spark, t)                    // v4, no DVs
+    CommitLog.deleteDv(spark, t, col("id") === 9L) // v5 + dv3
+    val dv3 = CommitLog.manifest(t, 5L).dvDirs.head
+    CommitLog.vacuum(t, keepVersions = 2, minAgeMillis = 0, force = true)
+    // dv3 is referenced by a kept version — alive; dv1/dv2 only by dropped ones — gone
+    assert(Files.isDirectory(Paths.get(t).resolve(dv3)))
+    assert(!Files.exists(Paths.get(t).resolve(dv1)))
+    assert(CommitLog.read(spark, t).count() === 397L)
+    assert(CommitLog.fsck(t).clean)
+    // a vanished LIVE DV dir is manifest-referenced damage
+    CommitLog.deleteTree(Paths.get(t).resolve(dv3))
+    val report = CommitLog.fsck(t)
+    assert(report.missingFiles.exists(_._2 == dv3), report.toString)
+  }
+
+  test("DV-dir fold: the trickle's accumulated dirs collapse at the threshold, deaths intact") {
+    val t = freshTable()
+    seed(t)
+    // foldAt = 3: the 4th trickle delete finds 3 dirs and absorbs every
+    // prior death into ONE — bounding the per-read DV relation count and
+    // broadcast size that an unbounded trickle would otherwise grow
+    (0 until 4).foreach(i =>
+      CommitLog.deleteDv(spark, t, col("id") === (i * 10L), foldAt = 3))
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(m.dvDirs.size === 1, m.dvDirs)
+    val rows = CommitLog.read(spark, t)
+    assert(rows.count() === 396L)
+    assert(rows.filter(col("id").isin(0L, 10L, 20L, 30L)).count() === 0L)
+    // superseded dirs are unreferenced by the latest version → vacuumable
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true)
+    assert(CommitLog.read(spark, t).count() === 396L)
+    assert(CommitLog.fsck(t).clean)
+  }
+
+  test("clone and restore carry deletion vectors with the snapshot") {
+    val t = freshTable()
+    seed(t)
+    CommitLog.deleteDv(spark, t, col("id") < 5L) // v2
+    val c = freshTable()
+    CommitLog.cloneTable(t, c)
+    assert(CommitLog.read(spark, c).count() === 395L)
+    assert(CommitLog.manifest(c, CommitLog.latestVersion(c).get).dvDirs.nonEmpty)
+    // source vacuum can't break the clone's DVs (hard links)
+    CommitLog.compact(spark, t)
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true)
+    assert(CommitLog.read(spark, c).count() === 395L)
+    // restore back to the DV-carrying version re-references its dvDirs
+    CommitLog.commit(Seq((9000L, "x", 0)).toDF("id", "s", "grp"), c, "overwrite")
+    assert(CommitLog.read(spark, c).count() === 1L)
+    CommitLog.restore(spark, c, 1L)
+    assert(CommitLog.read(spark, c).count() === 395L)
+    assert(CommitLog.manifest(c, CommitLog.latestVersion(c).get).dvDirs.nonEmpty)
+  }
+}

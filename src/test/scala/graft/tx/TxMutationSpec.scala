@@ -587,6 +587,81 @@ class TxMutationSpec extends SparkSpec {
     assert(CommitLog.fsck(t).clean, CommitLog.fsck(t).toString)
   }
 
+  test("racing DISJOINT mutations: the loser's re-run lands both effects (round-7 item 6)") {
+    // The conflict contract, pinned end-to-end: a rewrite is valid only
+    // against the exact snapshot it read — any intervening commit
+    // invalidates it (stricter than Delta's WriteSerializable, which lets
+    // disjoint-FILE mutations both succeed first-try). The loser re-runs
+    // against the winner's snapshot; because each mutation re-derives its
+    // touched set from the CURRENT snapshot, disjoint changes compose and
+    // BOTH effects must be present afterwards, under every interleaving.
+    val t = freshTable()
+    CommitLog.commit((0 until 100).map(i => (i.toLong, s"s$i", i / 25))
+      .toDF("id", "s", "bucket").repartition(4, col("bucket")), t, "append")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def retrying(op: () => Long): java.util.concurrent.Future[Long] =
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          var done = -1L; var attempts = 0
+          while (done < 0 && attempts < 64) {
+            attempts += 1
+            try done = op()
+            catch { case _: IllegalStateException => () } // invalidated; re-run
+          }
+          assert(done > 0, "mutation never committed"); done
+        }
+      })
+    try {
+      val del = retrying(() => CommitLog.delete(spark, t, col("id") < 10L))
+      val mrg = retrying(() => CommitLog.merge(spark, t,
+        ((990 until 995).map(i => (i.toLong, "new", 9)) ++
+          (50 until 55).map(i => (i.toLong, "upd", 2))).toDF("id", "s", "bucket"),
+        Seq("id")))
+      del.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      mrg.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val rows = CommitLog.read(spark, t)
+    assert(rows.filter(col("id") < 10L).count() === 0L)            // delete landed
+    assert(rows.filter(col("id") >= 990L).count() === 5L)          // merge inserts landed
+    assert(rows.filter(col("id").between(50L, 54L) && col("s") === "upd")
+      .count() === 5L)                                             // merge updates landed
+    assert(rows.count() === 95L)                                   // 100 − 10 + 5
+    assert(CommitLog.fsck(t).clean)
+  }
+
+  test("racing OVERLAPPING updates: no lost update — both apply in some serial order") {
+    // Two writers mutate the SAME row. The losing rewrite is cleanly
+    // invalidated (never published over the winner) and its retry
+    // re-reads the winner's snapshot, so both SETs apply serially: the
+    // classic read-modify-write that silently loses one increment under
+    // snapshot-blind publishing must end with BOTH marks present.
+    val t = freshTable()
+    seedRanged(t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def retrying(tag: String): java.util.concurrent.Future[Long] =
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          var done = -1L; var attempts = 0
+          while (done < 0 && attempts < 64) {
+            attempts += 1
+            try done = CommitLog.update(spark, t, col("id") === 5L,
+              Map("s" -> concat(col("s"), lit(tag))))
+            catch { case _: IllegalStateException => () }
+          }
+          assert(done > 0, s"update $tag never committed"); done
+        }
+      })
+    try {
+      val a = retrying("+A"); val b = retrying("+B")
+      a.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      b.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val s5 = CommitLog.read(spark, t).filter(col("id") === 5L)
+      .select("s").head().getString(0)
+    assert(s5 === "s5+A+B" || s5 === "s5+B+A", s"lost update: $s5")
+    assert(CommitLog.fsck(t).clean)
+  }
+
   test("changesSince refuses ranges containing a delete or merge") {
     val t = freshTable()
     seedRanged(t)
