@@ -105,6 +105,29 @@ object TxQueries {
       table
     })
 
+  /** Table upserted by [[CommitLog.mergeDv]] — the merge-on-read CDC-apply
+    * shape: commit all events, then one trickle upsert (event_id % 103 == 5
+    * rows re-valued +1000 = updates; % 103 == 6 rows re-keyed +300000000 =
+    * inserts) that retires matched rows by POSITION and rewrites no file. */
+  private val builtMergeDv = new ConcurrentHashMap[String, String]()
+
+  private def ensureMergeDvTable(s: SparkSession, d: String): String =
+    builtMergeDv.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txmdv_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val src = ev.filter(pmod(col("event_id"), lit(103)) === 5)
+          .withColumn("value", col("value") + lit(1000.0))
+        .unionByName(ev.filter(pmod(col("event_id"), lit(103)) === 6)
+          .withColumn("event_id", col("event_id") + lit(300000000L)))
+      CommitLog.mergeDv(s, table, src, Seq("event_id"))
+      table
+    })
+
   /** Table mutated by [[CommitLog.deleteKeys]] — the CDC-apply delete shape
     * (`DELETE WHERE key IN (subquery)`): commit all events, then retire
     * every event_id divisible by 7 via a key-set frame. */
@@ -504,6 +527,23 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // Merge-on-read MERGE via deletion vectors: the trickle upsert retires
+    // matched rows by POSITION (DV) and appends the source — `files_kept`
+    // pins that every pre-upsert data file survives by reference, while
+    // the per-type aggregate pins update/insert row-level exactness
+    // against the DuckDB recompute.
+    "tx_merge_dv" -> ((s, d) => {
+      val table = ensureMergeDvTable(s, d)
+      val m1 = CommitLog.manifest(table, 1L).files
+      val mN = CommitLog.manifest(table, CommitLog.latestVersion(table).get).files
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .withColumn("files_kept", lit(m1.forall(mN.contains)))
+        .orderBy("event_type")
+    }),
+
     // The SQL front door (round-7 VERDICT item 2): the registered `graft`
     // source serves the commit-log snapshot to `spark.sql` — the
     // reference's actual consumption model (every silver job is SQL over
@@ -751,6 +791,21 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'click'""",
+    "tx_merge_dv" ->
+      """WITH merged AS (
+           SELECT event_id, event_type, value + 1000 AS value
+             FROM events WHERE event_id % 103 = 5
+           UNION ALL
+           SELECT event_id, event_type, value
+             FROM events WHERE event_id % 103 <> 5
+           UNION ALL
+           SELECT event_id + 300000000 AS event_id, event_type, value
+             FROM events WHERE event_id % 103 = 6)
+         SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max,
+           TRUE AS files_kept
+         FROM merged GROUP BY 1 ORDER BY event_type""",
     "tx_delete_dv" ->
       """SELECT event_type,
            count(*) FILTER (WHERE event_id % 97 <> 0) AS n_events,

@@ -65,7 +65,13 @@ object Maintenance {
       subscriberCheckpoint: Option[String] = None,
       indexes: Seq[IndexRef] = Nil,
       indexStaleThreshold: Double = 0.5,
-      dropLaggingReaders: Boolean = false)
+      dropLaggingReaders: Boolean = false,
+      /** Fold deletion vectors once the snapshot carries this many DV
+        * dirs: merge-on-read trades read-time anti-joins for O(rows)
+        * trickle writes, and the cycle is where that debt gets repaid
+        * (Delta's OPTIMIZE on a DV table). deleteDv's own fold-at-32
+        * bounds dir COUNT; this threshold repays the row debt itself. */
+      compactWhenDvDirsExceed: Int = 8)
 
   /** A persisted index rooted at `indexRoot`, built over the maintained
     * table. `kind` selects the store: "ivf" ([[graft.ext.IvfStore]]) or
@@ -114,13 +120,17 @@ object Maintenance {
     // 1. heal (before anything widens the damage window)
     CommitLog.repairMirror(table)
     var repairedCdc = CommitLog.repairCdc(table)
-    // 2. threshold-gated full compaction
+    // 2. threshold-gated full compaction — triggered by commit-dir WIDTH
+    // (plan-width debt) or accumulated DELETION VECTORS (merge-on-read
+    // debt: every snapshot read pays the anti-join until a compact folds
+    // the deaths into clean files)
     val latest = CommitLog.latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    val dirs = CommitLog.manifest(table, latest).files
-      .map(CommitLog.commitDirOf).distinct.size
+    val m0 = CommitLog.manifest(table, latest)
+    val dirs = m0.files.map(CommitLog.commitDirOf).distinct.size
     val compactedTo =
-      if (dirs > policy.compactWhenDirsExceed)
+      if (dirs > policy.compactWhenDirsExceed ||
+          m0.dvDirs.size > policy.compactWhenDvDirsExceed)
         Some(CommitLog.compact(spark, table, policy.partitionBy,
           policy.targetBytes, policy.zorderBy))
       else None

@@ -948,6 +948,105 @@ object CommitLog {
     } finally srcKeys.unpersist(blocking = false): Unit
   }
 
+  /** Reject duplicate non-NULL key tuples in a merge source (Delta's
+    * multiple-source-rows-matched error): replacing one target row with
+    * two source rows is non-deterministic. NULL-key rows are exempt —
+    * they can never MATCH a target row (SQL NULL joins nothing), so
+    * several of them are several inserts, not "multiple source rows for
+    * one target" (groupBy would wrongly pool NULLs into one group and
+    * reject a legal source). One `limit(1)` probe — bounded. */
+  private def requireUniqueSourceKeys(source: DataFrame, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = source
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge source has multiple rows for key ${dup.head.toSeq.init.mkString("(", ",", ")")}; " +
+          "deduplicate the source first (Delta's multiple-source-rows-matched error)")
+  }
+
+  /** Merge-on-read MERGE / upsert — [[deleteDv]]'s contract applied to THE
+    * steady-state CDC shape (apply a trickle of upserts-by-PK, the
+    * reference's serving semantics `db-script.cql:37`): matched target
+    * rows are retired as deletion-vector POSITIONS, the whole source lands
+    * in one fresh data dir, and every existing data file carries by
+    * reference — O(source + probe) work with ZERO file rewrites, where
+    * copy-on-write [[merge]] rewrites every file a matched key lives in.
+    * Readers pay the DV anti-join until [[compact]] folds; the change feed
+    * serves the same typed rows (`update_preimage`/`update_postimage`/
+    * `insert`) a copy-on-write merge journals. Duplicate source keys
+    * rejected; additive schema evolution as in [[merge]]; `txn` gives the
+    * per-writer exactly-once contract (the foreachBatch CDC-apply sink's
+    * primitive). Returns the new version. */
+  def mergeDv(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None, foldAt: Int = DvFoldAt): Long = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    txn.foreach { case (app, batch) =>
+      if (m.txns.get(app).exists(_ >= batch)) return m.version
+    }
+    val schema = mergeAdditive(Some(m.schema), source.schema)
+    val tableDir = Paths.get(table)
+    requireUniqueSourceKeys(source, keys)
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    if (srcKeys.isEmpty) return m.version
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(schema.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    def reorder(df: DataFrame): DataFrame =
+      df.select(schema.fieldNames.toSeq.map(col): _*)
+    // the probe reads through the DV filter (already-dead rows can't
+    // match) and keeps each matched row's (file, row_index) identity —
+    // pre-shrunk by the per-file key bounds like merge's probe
+    val candidates = m.copy(files = pruneFilesByKeys(spark, table, m, keys, srcKeys))
+    val matched = readManifestWithPos(spark, table, candidates)
+      .join(srcKeys, keys, "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hasMatches = !matched.isEmpty
+      val srcAligned = aligned(source)
+      val newFiles = writeDataDir(srcAligned, tableDir, partitionBy)
+      val cdcRows =
+        if (!hasMatches) srcAligned.withColumn(ChangeTypeCol, lit("insert"))
+        else {
+          val matchedKeys = matched.select(keys.map(col): _*).distinct()
+          reorder(aligned(matched.drop("__dv_file", "__dv_row")))
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+            .union(reorder(srcAligned.join(matchedKeys, keys, "left_semi"))
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+            .union(reorder(srcAligned.join(matchedKeys, keys, "left_anti"))
+              .withColumn(ChangeTypeCol, lit("insert")))
+        }
+      val cdc = writeCdcTmp(cdcRows, tableDir)
+      val (dvRefs, dvFresh) =
+        if (!hasMatches) (m.dvDirs, Nil)
+        else {
+          val dvName = s"data/dv-${UUID.randomUUID().toString}"
+          val newDeaths = matched.select(col("__dv_file").as("file"),
+            col("__dv_row").as("row_index"))
+          val dvRows =
+            if (m.dvDirs.size < foldAt) newDeaths
+            else spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
+              .select("file", "row_index").union(newDeaths)
+          dvRows.write.parquet(tableDir.resolve(dvName).toString)
+          (if (m.dvDirs.size < foldAt) m.dvDirs :+ dvName else Seq(dvName),
+            Seq(s"$dvName/_marker"))
+        }
+      publishRewrite(table, m, m.files ++ newFiles, mode = "merge",
+        schema = Some(schema), addTxn = txn, cdcTmp = cdc,
+        dvDirs = dvRefs, freshFiles = newFiles ++ dvFresh)
+    } finally matched.unpersist(blocking = false): Unit
+  }
+
   /** Copy-on-write MERGE / upsert (Delta `MERGE INTO … WHEN MATCHED UPDATE
     * SET * WHEN NOT MATCHED INSERT *`): rows of `source` whose `keys` match
     * an existing row REPLACE it; the rest are inserted. File-granular like
@@ -981,19 +1080,7 @@ object CommitLog {
     }
     val schema = mergeAdditive(Some(m.schema), source.schema)
     val tableDir = Paths.get(table)
-    // one pass over source: distinct-key check piggybacks on the key set.
-    // NULL-key rows are exempt — they can never MATCH a target row (SQL
-    // NULL joins nothing), so several of them are several inserts, not
-    // "multiple source rows for one target" (groupBy would wrongly pool
-    // NULLs into one group and reject a legal source)
-    val dup = source
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new IllegalArgumentException(
-        s"merge source has multiple rows for key ${dup.head.toSeq.init.mkString("(", ",", ")")}; " +
-          "deduplicate the source first (Delta's multiple-source-rows-matched error)")
+    requireUniqueSourceKeys(source, keys)
     val srcKeys = source.select(keys.map(col): _*).distinct()
     if (srcKeys.isEmpty) return m.version // empty source: nothing to merge
     // pre-shrink the probe with PER-FILE key bounds (round-5 VERDICT item

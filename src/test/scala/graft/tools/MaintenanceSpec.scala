@@ -74,6 +74,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(again.healthy)
   }
 
+  test("accumulated deletion vectors trigger the cycle's compact — merge-on-read debt repaid") {
+    val t = Files.createTempDirectory("graft_maint_dv").resolve("t").toString
+    CommitLog.commit((0 until 200).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+      .repartition(2), t, "append")
+    // a trickle of DV deletes: few commit dirs (width trigger stays cold),
+    // many DV dirs (merge-on-read debt accumulates)
+    (0 until 4).foreach(i => CommitLog.deleteDv(spark, t, col("id") === i.toLong))
+    assert(CommitLog.manifest(t, CommitLog.latestVersion(t).get).dvDirs.size === 4)
+    // below the DV threshold: no compact
+    val r0 = Maintenance.run(spark, t, Maintenance.Policy(
+      compactWhenDvDirsExceed = 8, minAgeMillis = 0, force = true))
+    assert(r0.compactedTo.isEmpty)
+    // at the threshold: the cycle folds the deaths into clean files
+    val r1 = Maintenance.run(spark, t, Maintenance.Policy(
+      compactWhenDvDirsExceed = 3, minAgeMillis = 0, force = true))
+    assert(r1.compactedTo.nonEmpty)
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(m.dvDirs.isEmpty)
+    assert(CommitLog.read(spark, t).count() === 196L)
+    assert(r1.healthy, r1.toString)
+  }
+
   test("the cycle refreshes a registered IVF index, replay-safe, and flags drift-staleness") {
     val root = Files.createTempDirectory("graft_maint_ivf").toString
     val base = s"$root/base"

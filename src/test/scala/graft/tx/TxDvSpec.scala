@@ -152,6 +152,42 @@ class TxDvSpec extends SparkSpec {
     assert(CommitLog.fsck(t).clean)
   }
 
+  test("mergeDv upserts with ZERO file rewrites: matched rows die by position, source appends") {
+    val t = freshTable()
+    seed(t)
+    val before = CommitLog.manifest(t, 1L)
+    // 5 updates (existing ids, changed payload) + 3 inserts (new ids)
+    val src = ((10 until 15).map(i => (i.toLong, "upd", 99)) ++
+      (900 until 903).map(i => (i.toLong, "new", 99))).toDF("id", "s", "grp")
+    val v = CommitLog.mergeDv(spark, t, src, Seq("id"))
+    val after = CommitLog.manifest(t, v)
+    // merge-on-read claim: every pre-existing file carried BY REFERENCE
+    assert(before.files.forall(after.files.contains))
+    assert(after.dvDirs.size === 1)
+    assert(after.mode === "merge")
+    val rows = CommitLog.read(spark, t)
+    assert(rows.count() === 403L) // 400 − 5 dead + 8 source
+    assert(rows.filter(col("s") === "upd").count() === 5L)
+    assert(rows.filter(col("id") >= 900L).count() === 3L)
+    // the OLD images of updated ids are gone (DV'd, not rewritten away)
+    assert(rows.filter(col("id").between(10L, 14L) && col("s") =!= "upd").count() === 0L)
+    // typed change feed, exactly copy-on-write merge's rows
+    val feed = CommitLog.changeFeed(spark, t, fromVersion = v - 1, toVersion = Some(v))
+    val byType = feed.groupBy(CommitLog.ChangeTypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("update_preimage" -> 5L, "update_postimage" -> 5L,
+      "insert" -> 3L))
+    // txn replay re-applies nothing
+    val v2 = CommitLog.mergeDv(spark, t, src, Seq("id"), txn = Some(("cdc", 7L)))
+    assert(CommitLog.mergeDv(spark, t, src, Seq("id"), txn = Some(("cdc", 7L))) === v2)
+    // a later copy-on-write mutation and a compact both stay exact
+    CommitLog.delete(spark, t, col("id") === 900L)
+    CommitLog.compact(spark, t)
+    assert(CommitLog.manifest(t, CommitLog.latestVersion(t).get).dvDirs.isEmpty)
+    assert(CommitLog.read(spark, t).count() === 402L)
+    assert(CommitLog.fsck(t).clean, CommitLog.fsck(t).toString)
+  }
+
   test("clone and restore carry deletion vectors with the snapshot") {
     val t = freshTable()
     seed(t)
