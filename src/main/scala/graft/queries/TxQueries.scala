@@ -105,6 +105,28 @@ object TxQueries {
       table
     })
 
+  /** Table mutated by [[CommitLog.updateDv]] — merge-on-read UPDATE layered
+    * OVER a DV delete on one table, so the query exercises DV layering:
+    * commit all events → deleteDv (% 97 == 0) → updateDv (+0.5 on every
+    * surviving 'signup' row). Both mutations retire rows by POSITION;
+    * nothing is ever rewritten. */
+  private val builtUpdateDv = new ConcurrentHashMap[String, String]()
+
+  private def ensureUpdateDvTable(s: SparkSession, d: String): String =
+    builtUpdateDv.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txudv_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      CommitLog.commit(ev.repartition(8), table, "append")
+      CommitLog.deleteDv(s, table, pmod(col("event_id"), lit(97)) === 0)
+      CommitLog.updateDv(s, table, col("event_type") === "signup",
+        Map("value" -> (col("value") + lit(0.5))))
+      table
+    })
+
   /** Table upserted by [[CommitLog.mergeDv]] — the merge-on-read CDC-apply
     * shape: commit all events, then one trickle upsert (event_id % 103 == 5
     * rows re-valued +1000 = updates; % 103 == 6 rows re-keyed +300000000 =
@@ -527,6 +549,22 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // Merge-on-read UPDATE layered over a DV delete on ONE table: both
+    // mutations retire positions (the update's post-images append), so
+    // the snapshot must compose two DV generations plus an appended dir —
+    // `files_kept` pins that the original commit's files all survived
+    // both mutations by reference.
+    "tx_update_dv" -> ((s, d) => {
+      val table = ensureUpdateDvTable(s, d)
+      val m1 = CommitLog.manifest(table, 1L).files
+      val mN = CommitLog.manifest(table, CommitLog.latestVersion(table).get).files
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .withColumn("files_kept", lit(m1.forall(mN.contains)))
+        .orderBy("event_type")
+    }),
+
     // Merge-on-read MERGE via deletion vectors: the trickle upsert retires
     // matched rows by POSITION (DV) and appends the source — `files_kept`
     // pins that every pre-upsert data file survives by reference, while
@@ -791,6 +829,15 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'click'""",
+    "tx_update_dv" ->
+      """WITH alive AS (
+           SELECT event_id, event_type,
+             CASE WHEN event_type = 'signup' THEN value + 0.5 ELSE value END AS value
+           FROM events WHERE event_id % 97 <> 0)
+         SELECT event_type, count(*) AS n_events,
+           min(value) AS v_min, max(value) AS v_max,
+           TRUE AS files_kept
+         FROM alive GROUP BY event_type ORDER BY event_type""",
     "tx_merge_dv" ->
       """WITH merged AS (
            SELECT event_id, event_type, value + 1000 AS value

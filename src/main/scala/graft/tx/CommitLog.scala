@@ -948,6 +948,68 @@ object CommitLog {
     } finally srcKeys.unpersist(blocking = false): Unit
   }
 
+  /** Merge-on-read UPDATE — [[deleteDv]]'s contract applied to `UPDATE t
+    * SET col = expr WHERE cond`: matched rows retire as deletion-vector
+    * positions and their post-images land in one fresh data dir; no file
+    * is rewritten. [[update]]'s single-evaluation contract holds
+    * verbatim: the hit flag is computed on the ORIGINAL row, post-images
+    * are written to the cdc attempt dir FIRST (that parquet write is the
+    * single materialization of the SET expressions — may be
+    * non-deterministic), and the appended data derives from the STORED
+    * post-images; the update CONDITION must be deterministic. SET cannot
+    * add columns. Returns the new version, or the current one when
+    * nothing matched. */
+  def updateDv(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      foldAt: Int = DvFoldAt): Long = {
+    require(set.nonEmpty, "update requires at least one SET column")
+    import org.apache.spark.sql.functions.{coalesce => cz, col, lit}
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    set.keys.foreach { k =>
+      require(m.schema.fieldNames.contains(k),
+        s"UPDATE cannot add column '$k'; use merge for schema evolution")
+    }
+    val tableDir = Paths.get(table)
+    val hit = cz(condition, lit(false))
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+    val matched = readManifestWithPos(spark, table, candidates).filter(hit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (matched.isEmpty) return m.version
+      val ordered = m.schema.fieldNames.toSeq.map(col)
+      val updatedHit = m.schema.fieldNames.foldLeft(matched: DataFrame) {
+        (acc, name) =>
+          set.get(name) match {
+            case Some(expr) => acc.withColumn(name, expr.cast(m.schema(name).dataType))
+            case None => acc
+          }
+      }
+      val pre = matched.select(ordered: _*)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+      val post = updatedHit.select(ordered: _*)
+        .withColumn(ChangeTypeCol, lit("update_postimage"))
+      val cdc = writeCdcTmp(pre.union(post), tableDir)
+      val postStored = spark.read.parquet(cdc.get.toString)
+        .filter(col(ChangeTypeCol) === "update_postimage")
+        .select(ordered: _*)
+      val newFiles = writeDataDir(postStored, tableDir, Nil)
+      val dvName = s"data/dv-${UUID.randomUUID().toString}"
+      val newDeaths = matched.select(col("__dv_file").as("file"),
+        col("__dv_row").as("row_index"))
+      val dvRows =
+        if (m.dvDirs.size < foldAt) newDeaths
+        else spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
+          .select("file", "row_index").union(newDeaths)
+      dvRows.write.parquet(tableDir.resolve(dvName).toString)
+      publishRewrite(table, m, m.files ++ newFiles, mode = "update",
+        cdcTmp = cdc,
+        dvDirs = if (m.dvDirs.size < foldAt) m.dvDirs :+ dvName else Seq(dvName),
+        freshFiles = newFiles :+ s"$dvName/_marker")
+    } finally matched.unpersist(blocking = false): Unit
+  }
+
   /** Reject duplicate non-NULL key tuples in a merge source (Delta's
     * multiple-source-rows-matched error): replacing one target row with
     * two source rows is non-deterministic. NULL-key rows are exempt —

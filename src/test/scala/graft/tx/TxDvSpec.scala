@@ -188,6 +188,37 @@ class TxDvSpec extends SparkSpec {
     assert(CommitLog.fsck(t).clean, CommitLog.fsck(t).toString)
   }
 
+  test("updateDv rewrites nothing: matched rows die by position, post-images append") {
+    val t = freshTable()
+    seed(t)
+    val before = CommitLog.manifest(t, 1L)
+    val v = CommitLog.updateDv(spark, t, col("id").between(40L, 44L),
+      Map("s" -> concat(col("s"), lit("!")), "grp" -> lit(77)))
+    val after = CommitLog.manifest(t, v)
+    assert(before.files.forall(after.files.contains)) // zero rewrites
+    assert(after.dvDirs.size === 1)
+    assert(after.mode === "update")
+    val rows = CommitLog.read(spark, t)
+    assert(rows.count() === 400L) // update: row count preserved
+    val updated = rows.filter(col("id").between(40L, 44L)).orderBy("id").collect()
+    assert(updated.length === 5)
+    updated.foreach { r =>
+      assert(r.getString(1).endsWith("!"), r.toString)
+      assert(r.getInt(2) === 77)
+    }
+    // typed change feed: 5 pre + 5 post images
+    val byType = CommitLog.changeFeed(spark, t, fromVersion = v - 1, toVersion = Some(v))
+      .groupBy(CommitLog.ChangeTypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("update_preimage" -> 5L, "update_postimage" -> 5L))
+    // no-match updateDv is a version no-op; SET can't add columns
+    assert(CommitLog.updateDv(spark, t, col("id") === -1L, Map("s" -> lit("x"))) === v)
+    intercept[IllegalArgumentException] {
+      CommitLog.updateDv(spark, t, col("id") === 1L, Map("nope" -> lit("x")))
+    }
+    assert(CommitLog.fsck(t).clean)
+  }
+
   test("clone and restore carry deletion vectors with the snapshot") {
     val t = freshTable()
     seed(t)
