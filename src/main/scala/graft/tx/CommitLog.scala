@@ -787,32 +787,44 @@ object CommitLog {
       val cdc = writeCdcTmp(
         dead.select(m.schema.fieldNames.toSeq.map(col): _*)
           .withColumn(ChangeTypeCol, lit("delete")), tableDir)
-      val dvName = s"data/dv-${UUID.randomUUID().toString}"
-      val newDeaths = dead.select(col("__dv_file").as("file"),
-        col("__dv_row").as("row_index"))
-      // DV-dir FOLD policy (round-8 review finding): the steady-state
-      // trickle adds one DV dir per call; unbounded, a year of trickle
-      // deletes would make every read plan thousands of DV relations and
-      // blow the forced broadcast. At DvFoldAt dirs the new write absorbs
-      // every prior death row into ONE dir (cheap — DV rows are the
-      // trickle's, not the table's) and the superseded dirs fall to
-      // vacuum. Same LSM-ish bound as commit()'s auto-compact.
-      val (dvRows, dvRefs) =
-        if (m.dvDirs.size < foldAt) (newDeaths, m.dvDirs :+ dvName)
-        else (spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
-          .select("file", "row_index").union(newDeaths), Seq(dvName))
-      dvRows.write.parquet(tableDir.resolve(dvName).toString)
-      // freshFiles names a path INSIDE the new DV dir so a lost version
-      // race reclaims the whole dir via dropFresh's commitDirOf grouping
+      val (dvRefs, dvFresh) = writeDvDeaths(spark, table, m, dead, foldAt)
       publishRewrite(table, m, m.files, mode = "delete", cdcTmp = cdc,
-        dvDirs = dvRefs, freshFiles = Seq(s"$dvName/_marker"))
+        dvDirs = dvRefs, freshFiles = dvFresh)
     } finally dead.unpersist(blocking = false): Unit
   }
 
-  /** DV dirs a snapshot may accumulate before [[deleteDv]] folds them into
-    * one — bounds the per-read DV relation count and broadcast size under
-    * a pure trickle-delete workload that never runs [[compact]]. */
+  /** DV dirs a snapshot may accumulate before the DV mutations fold them
+    * into one — bounds the per-read DV relation count and broadcast size
+    * under a pure trickle workload that never runs [[compact]]. */
   val DvFoldAt: Int = 32
+
+  /** Write one deletion-vector dir for `dead` (a frame carrying
+    * [[readManifestWithPos]]'s `__dv_file`/`__dv_row` identity) and return
+    * (the new snapshot's dvDir refs, the freshFiles entry for
+    * [[publishRewrite]]'s lost-race reclaim — a path INSIDE the new dir so
+    * dropFresh's commitDirOf grouping deletes the whole dir). THE shared
+    * write/fold step of [[deleteDv]]/[[updateDv]]/[[mergeDv]].
+    *
+    * FOLD policy (round-8 review finding): the steady-state trickle adds
+    * one DV dir per mutation; unbounded, a year of trickle deletes would
+    * make every read plan thousands of DV relations and blow the forced
+    * broadcast. At `foldAt` dirs the new write absorbs every prior death
+    * row into ONE dir (cheap — DV rows are the trickle's, not the
+    * table's) and the superseded dirs fall to vacuum. Same LSM-ish bound
+    * as commit()'s auto-compact. */
+  private def writeDvDeaths(spark: SparkSession, table: String, m: Manifest,
+      dead: DataFrame, foldAt: Int): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val dvName = s"data/dv-${UUID.randomUUID().toString}"
+    val newDeaths = dead.select(col("__dv_file").as("file"),
+      col("__dv_row").as("row_index"))
+    val (dvRows, dvRefs) =
+      if (m.dvDirs.size < foldAt) (newDeaths, m.dvDirs :+ dvName)
+      else (spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
+        .select("file", "row_index").union(newDeaths), Seq(dvName))
+    dvRows.write.parquet(Paths.get(table).resolve(dvName).toString)
+    (dvRefs, Seq(s"$dvName/_marker"))
+  }
 
   /** Snapshot read (DV-filtered) with each row's (file name, parquet row
     * index) attached as `__dv_file`/`__dv_row` — the merge-on-read probe
@@ -995,18 +1007,9 @@ object CommitLog {
         .filter(col(ChangeTypeCol) === "update_postimage")
         .select(ordered: _*)
       val newFiles = writeDataDir(postStored, tableDir, Nil)
-      val dvName = s"data/dv-${UUID.randomUUID().toString}"
-      val newDeaths = matched.select(col("__dv_file").as("file"),
-        col("__dv_row").as("row_index"))
-      val dvRows =
-        if (m.dvDirs.size < foldAt) newDeaths
-        else spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
-          .select("file", "row_index").union(newDeaths)
-      dvRows.write.parquet(tableDir.resolve(dvName).toString)
+      val (dvRefs, dvFresh) = writeDvDeaths(spark, table, m, matched, foldAt)
       publishRewrite(table, m, m.files ++ newFiles, mode = "update",
-        cdcTmp = cdc,
-        dvDirs = if (m.dvDirs.size < foldAt) m.dvDirs :+ dvName else Seq(dvName),
-        freshFiles = newFiles :+ s"$dvName/_marker")
+        cdcTmp = cdc, dvDirs = dvRefs, freshFiles = newFiles ++ dvFresh)
     } finally matched.unpersist(blocking = false): Unit
   }
 
@@ -1091,18 +1094,7 @@ object CommitLog {
       val cdc = writeCdcTmp(cdcRows, tableDir)
       val (dvRefs, dvFresh) =
         if (!hasMatches) (m.dvDirs, Nil)
-        else {
-          val dvName = s"data/dv-${UUID.randomUUID().toString}"
-          val newDeaths = matched.select(col("__dv_file").as("file"),
-            col("__dv_row").as("row_index"))
-          val dvRows =
-            if (m.dvDirs.size < foldAt) newDeaths
-            else spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
-              .select("file", "row_index").union(newDeaths)
-          dvRows.write.parquet(tableDir.resolve(dvName).toString)
-          (if (m.dvDirs.size < foldAt) m.dvDirs :+ dvName else Seq(dvName),
-            Seq(s"$dvName/_marker"))
-        }
+        else writeDvDeaths(spark, table, m, matched, foldAt)
       publishRewrite(table, m, m.files ++ newFiles, mode = "merge",
         schema = Some(schema), addTxn = txn, cdcTmp = cdc,
         dvDirs = dvRefs, freshFiles = newFiles ++ dvFresh)

@@ -53,6 +53,18 @@ class TxDvSpec extends SparkSpec {
     val dvBytes = treeBytes(Paths.get(t).resolve(after.dvDirs.head))
     val dataBytes = before.files.map(f => Files.size(Paths.get(t).resolve(f))).sum
     assert(dvBytes < dataBytes / 2, s"dv $dvBytes vs data $dataBytes")
+    // plan shape: the death set BROADCASTS into a left-anti join — the
+    // table side must never shuffle for merge-on-read (the whole point
+    // of bounding the DV set is that reads pay a map-side probe)
+    val readPlan = {
+      val df = CommitLog.read(spark, t)
+      df.count()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(readPlan.contains("BroadcastHashJoin") && readPlan.contains("LeftAnti"),
+      s"DV filter must be a broadcast anti-join:\n$readPlan")
+    assert(!readPlan.contains("SortMergeJoin"),
+      s"DV filter must not shuffle the table side:\n$readPlan")
   }
 
   test("layered DVs: a second deleteDv only journals NEW deaths; readPruned stays exact") {
