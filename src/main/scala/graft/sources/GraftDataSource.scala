@@ -1,12 +1,12 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.tx.CommitLog
@@ -36,11 +36,45 @@ import graft.tx.CommitLog
   *  - hive-partitioned commit dirs surface as real partition columns with
   *    exact directory pruning.
   *
-  * Time travel: `.option("versionAsOf", v)`. Writes go through
-  * [[CommitLog]] (this is deliberately a read-only surface — the commit
-  * protocol owns manifests, stats sidecars, and CDC journaling). */
-final class GraftSourceProvider extends RelationProvider with DataSourceRegister {
+  * Time travel: `.option("versionAsOf", v)`. Writes route through
+  * [[CommitLog.commit]] — `df.write.format("graft").mode("append"|
+  * "overwrite").save(root)` IS a transactional commit (atomic publish,
+  * stats sidecars, optimistic concurrency, auto-compaction), with
+  * `.option("partitionBy", "a,b")` for hive layout and
+  * `.option("txnAppId"/"txnVersion", …)` for the per-writer exactly-once
+  * contract — so a pure SQL/DataFrame user gets the full write protocol
+  * without touching the Scala API. Mutations (delete/update/merge) stay
+  * Scala-surface, as in Delta's pre-SQL days. */
+final class GraftSourceProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source needs a table root: .save(<path>)"))
+    val partitionBy = parameters.get("partitionby").orElse(parameters.get("partitionBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val txn = for {
+      app <- parameters.get("txnappid").orElse(parameters.get("txnAppId"))
+      v <- parameters.get("txnversion").orElse(parameters.get("txnVersion"))
+    } yield (app, v.toLong)
+    val exists = CommitLog.latestVersion(table).isDefined
+    mode match {
+      case SaveMode.Append =>
+        CommitLog.commit(data, table, "append", partitionBy, txn = txn): Unit
+      case SaveMode.Overwrite =>
+        CommitLog.commit(data, table, "overwrite", partitionBy, txn = txn): Unit
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"$table already has committed versions (SaveMode.ErrorIfExists)")
+        CommitLog.commit(data, table, "append", partitionBy, txn = txn): Unit
+      case SaveMode.Ignore =>
+        if (!exists)
+          CommitLog.commit(data, table, "append", partitionBy, txn = txn): Unit
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -107,6 +107,37 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(t).count() === 801L)
   }
 
+  test("df.write.format(\"graft\") IS a transactional commit: modes, txn, partitionBy") {
+    val t = freshTable()
+    val df1 = (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "bucket")
+    df1.write.format("graft").mode("append")
+      .option("partitionBy", "bucket").save(t)
+    assert(CommitLog.latestVersion(t) === Some(1L))
+    assert(CommitLog.manifest(t, 1L).files.exists(_.contains("bucket=")))
+    // append accumulates; overwrite replaces — through the commit protocol
+    df1.write.format("graft").mode("append").save(t)
+    assert(CommitLog.read(spark, t).count() === 200L)
+    df1.write.format("graft").mode("overwrite").save(t)
+    assert(CommitLog.read(spark, t).count() === 100L)
+    assert(CommitLog.versions(t).size === 3)
+    // per-writer exactly-once via options: the replayed batch lands once
+    val more = Seq((900L, 9)).toDF("id", "bucket")
+    more.write.format("graft").mode("append")
+      .option("txnAppId", "sqlwriter").option("txnVersion", "1").save(t)
+    more.write.format("graft").mode("append")
+      .option("txnAppId", "sqlwriter").option("txnVersion", "1").save(t)
+    assert(CommitLog.read(spark, t).filter(col("id") === 900L).count() === 1L)
+    // ErrorIfExists refuses a live table; Ignore no-ops
+    intercept[IllegalStateException] {
+      df1.write.format("graft").mode("error").save(t)
+    }
+    val n = CommitLog.read(spark, t).count()
+    df1.write.format("graft").mode("ignore").save(t)
+    assert(CommitLog.read(spark, t).count() === n)
+    // and the round-trip reads back through the same source
+    assert(spark.read.format("graft").load(t).count() === n)
+  }
+
   test("hive-partitioned commit dirs surface as pruned partition columns") {
     val t = freshTable()
     val df = (0 until 300).map(i => (i.toLong, s"s$i", i % 3)).toDF("id", "s", "bucket")
