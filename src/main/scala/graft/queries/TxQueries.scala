@@ -86,6 +86,23 @@ object TxQueries {
   private val builtOvw = new ConcurrentHashMap[String, String]()
   private val builtJrn = new ConcurrentHashMap[String, String]()
 
+  /** One scratch commit-log table per (sf dir, prefix): pid-unique path
+    * (two JVMs in one round never race each other's files), wiped before
+    * rebuild, reaped at JVM exit. `build` receives the path plus the
+    * 3-column events projection every mutation harness starts from — THE
+    * one copy of the lifecycle boilerplate (round-8 review finding). */
+  private def scratchTable(s: SparkSession, memo: ConcurrentHashMap[String, String],
+      d: String, prefix: String)(build: (String, DataFrame) => Unit): String =
+    memo.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_${tag}_$pid"
+      deleteRecursively(new java.io.File(table))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
+      build(table, events(s, d).select("event_id", "event_type", "value"))
+      table
+    })
+
   /** Table mutated by [[CommitLog.deleteDv]] — merge-on-read deletion
     * vectors (round-7 VERDICT item 3): commit all events, then retire the
     * ~1% trickle (event_id % 97 == 0) as dead POSITIONS. Every data file
@@ -93,17 +110,10 @@ object TxQueries {
   private val builtDv = new ConcurrentHashMap[String, String]()
 
   private def ensureDvTable(s: SparkSession, d: String): String =
-    builtDv.computeIfAbsent(d, _ => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val pid = ProcessHandle.current().pid()
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txdv_${tag}_$pid"
-      deleteRecursively(new java.io.File(table))
-      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
-      val ev = events(s, d).select("event_id", "event_type", "value")
+    scratchTable(s, builtDv, d, "txdv") { (table, ev) =>
       CommitLog.commit(ev.repartition(8), table, "append")
-      CommitLog.deleteDv(s, table, pmod(col("event_id"), lit(97)) === 0)
-      table
-    })
+      CommitLog.deleteDv(s, table, pmod(col("event_id"), lit(97)) === 0): Unit
+    }
 
   /** Table mutated by [[CommitLog.updateDv]] — merge-on-read UPDATE layered
     * OVER a DV delete on one table, so the query exercises DV layering:
@@ -113,19 +123,12 @@ object TxQueries {
   private val builtUpdateDv = new ConcurrentHashMap[String, String]()
 
   private def ensureUpdateDvTable(s: SparkSession, d: String): String =
-    builtUpdateDv.computeIfAbsent(d, _ => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val pid = ProcessHandle.current().pid()
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txudv_${tag}_$pid"
-      deleteRecursively(new java.io.File(table))
-      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
-      val ev = events(s, d).select("event_id", "event_type", "value")
+    scratchTable(s, builtUpdateDv, d, "txudv") { (table, ev) =>
       CommitLog.commit(ev.repartition(8), table, "append")
       CommitLog.deleteDv(s, table, pmod(col("event_id"), lit(97)) === 0)
       CommitLog.updateDv(s, table, col("event_type") === "signup",
-        Map("value" -> (col("value") + lit(0.5))))
-      table
-    })
+        Map("value" -> (col("value") + lit(0.5)))): Unit
+    }
 
   /** Table upserted by [[CommitLog.mergeDv]] — the merge-on-read CDC-apply
     * shape: commit all events, then one trickle upsert (event_id % 103 == 5
@@ -134,21 +137,14 @@ object TxQueries {
   private val builtMergeDv = new ConcurrentHashMap[String, String]()
 
   private def ensureMergeDvTable(s: SparkSession, d: String): String =
-    builtMergeDv.computeIfAbsent(d, _ => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val pid = ProcessHandle.current().pid()
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txmdv_${tag}_$pid"
-      deleteRecursively(new java.io.File(table))
-      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
-      val ev = events(s, d).select("event_id", "event_type", "value")
+    scratchTable(s, builtMergeDv, d, "txmdv") { (table, ev) =>
       CommitLog.commit(ev.repartition(8), table, "append")
       val src = ev.filter(pmod(col("event_id"), lit(103)) === 5)
           .withColumn("value", col("value") + lit(1000.0))
         .unionByName(ev.filter(pmod(col("event_id"), lit(103)) === 6)
           .withColumn("event_id", col("event_id") + lit(300000000L)))
-      CommitLog.mergeDv(s, table, src, Seq("event_id"))
-      table
-    })
+      CommitLog.mergeDv(s, table, src, Seq("event_id")): Unit
+    }
 
   /** Table mutated by [[CommitLog.deleteKeys]] — the CDC-apply delete shape
     * (`DELETE WHERE key IN (subquery)`): commit all events, then retire
@@ -156,32 +152,18 @@ object TxQueries {
   private val builtDelKeys = new ConcurrentHashMap[String, String]()
 
   private def ensureDelKeysTable(s: SparkSession, d: String): String =
-    builtDelKeys.computeIfAbsent(d, _ => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val pid = ProcessHandle.current().pid()
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txdelk_${tag}_$pid"
-      deleteRecursively(new java.io.File(table))
-      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
-      val ev = events(s, d).select("event_id", "event_type", "value")
+    scratchTable(s, builtDelKeys, d, "txdelk") { (table, ev) =>
       CommitLog.commit(ev.repartition(8), table, "append")
       CommitLog.deleteKeys(s, table,
         ev.filter(pmod(col("event_id"), lit(7)) === 0).select("event_id"),
-        Seq("event_id"))
-      table
-    })
+        Seq("event_id")): Unit
+    }
 
   private def ensureOvwTable(s: SparkSession, d: String): String =
-    builtOvw.computeIfAbsent(d, _ => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val pid = ProcessHandle.current().pid()
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txovw_${tag}_$pid"
-      deleteRecursively(new java.io.File(table))
-      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
-      val ev = events(s, d).select("event_id", "event_type", "value")
+    scratchTable(s, builtOvw, d, "txovw") { (table, ev) =>
       CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 0), table, "append")
-      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(3)) === 0), table, "overwrite")
-      table
-    })
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(3)) === 0), table, "overwrite"): Unit
+    }
 
   /** Same append→overwrite history as [[ensureOvwTable]], but the
     * overwrite is JOURNALED (`cdc = true`) and the PRE-overwrite manifest
@@ -190,19 +172,12 @@ object TxQueries {
     * journal can serve the slice (round-7: write-time CDC decouples
     * overwrite feeds from predecessor retention). */
   private def ensureJournaledTable(s: SparkSession, d: String): String =
-    builtJrn.computeIfAbsent(d, _ => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val pid = ProcessHandle.current().pid()
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_txjrn_${tag}_$pid"
-      deleteRecursively(new java.io.File(table))
-      sys.addShutdownHook(deleteRecursively(new java.io.File(table)))
-      val ev = events(s, d).select("event_id", "event_type", "value")
+    scratchTable(s, builtJrn, d, "txjrn") { (table, ev) =>
       CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 0), table, "append")
       CommitLog.commit(ev.filter(pmod(col("event_id"), lit(3)) === 0), table,
         "overwrite", cdc = true)
-      CommitLog.vacuum(table, keepVersions = 1, minAgeMillis = 0, force = true)
-      table
-    })
+      CommitLog.vacuum(table, keepVersions = 1, minAgeMillis = 0, force = true): Unit
+    }
 
   /** Table whose history is append → DELETE → RESTORE(v1, cdc = true): the
     * undo story. The restore moves NO data (its manifest re-references

@@ -55,10 +55,14 @@ final class GraftSourceProvider extends RelationProvider
       "graft source needs a table root: .save(<path>)"))
     val partitionBy = parameters.get("partitionby").orElse(parameters.get("partitionBy"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val txn = for {
-      app <- parameters.get("txnappid").orElse(parameters.get("txnAppId"))
-      v <- parameters.get("txnversion").orElse(parameters.get("txnVersion"))
-    } yield (app, v.toLong)
+    val appOpt = parameters.get("txnappid").orElse(parameters.get("txnAppId"))
+    val verOpt = parameters.get("txnversion").orElse(parameters.get("txnVersion"))
+    // both-or-neither, as Delta enforces: half a txn pair silently dropping
+    // the exactly-once contract is a replayed-batch double-append waiting
+    // to happen (round-8 review finding)
+    require(appOpt.isDefined == verOpt.isDefined,
+      "txnAppId and txnVersion must be set together (or neither)")
+    val txn = appOpt.zip(verOpt).map { case (a, v) => (a, v.toLong) }.headOption
     val exists = CommitLog.latestVersion(table).isDefined
     mode match {
       case SaveMode.Append =>
@@ -73,7 +77,18 @@ final class GraftSourceProvider extends RelationProvider
         if (!exists)
           CommitLog.commit(data, table, "append", partitionBy, txn = txn): Unit
     }
-    createRelation(sqlContext, parameters)
+    // a lightweight schema-only relation, NOT the read relation: building
+    // the read path here would re-stat every file — and, worse, THROW on
+    // a DV-carrying table, surfacing a successfully committed write as a
+    // failure whose naive retry double-appends (round-8 review finding);
+    // DataFrameWriter.save discards the returned relation anyway
+    val committedSchema = CommitLog.latestVersion(table)
+      .map(v => CommitLog.manifest(table, v).schema).getOrElse(data.schema)
+    val sql = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = sql
+      override def schema: StructType = committedSchema
+    }
   }
 
   override def createRelation(sqlContext: SQLContext,

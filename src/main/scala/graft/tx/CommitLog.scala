@@ -1057,9 +1057,6 @@ object CommitLog {
     }
     val schema = mergeAdditive(Some(m.schema), source.schema)
     val tableDir = Paths.get(table)
-    requireUniqueSourceKeys(source, keys)
-    val srcKeys = source.select(keys.map(col): _*).distinct()
-    if (srcKeys.isEmpty) return m.version
     def aligned(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
       df.select(schema.fields.toSeq.map { f =>
@@ -1069,36 +1066,58 @@ object CommitLog {
     }
     def reorder(df: DataFrame): DataFrame =
       df.select(schema.fieldNames.toSeq.map(col): _*)
-    // the probe reads through the DV filter (already-dead rows can't
-    // match) and keeps each matched row's (file, row_index) identity —
-    // pre-shrunk by the per-file key bounds like merge's probe
-    val candidates = m.copy(files = pruneFilesByKeys(spark, table, m, keys, srcKeys))
-    val matched = readManifestWithPos(spark, table, candidates)
-      .join(srcKeys, keys, "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Single evaluation of the caller's source (round-8 review finding —
+    // the same contract replaceWhere holds): the data-dir write below IS
+    // the one materialization, and the uniqueness check, key probe, CDC
+    // journal, and committed data all derive from these STORED rows. A
+    // non-deterministic source evaluated independently per consumer could
+    // pass the uniqueness check yet commit duplicate keys, or journal
+    // change rows disagreeing with the data files; it would also re-run
+    // an arbitrarily expensive caller plan ~5 times.
+    val srcFiles = writeDataDir(aligned(source), tableDir, partitionBy)
+    def dropSrc(): Unit = srcFiles.map(commitDirOf).distinct
+      .foreach(d => deleteTree(tableDir.resolve(d)))
     try {
-      val hasMatches = !matched.isEmpty
-      val srcAligned = aligned(source)
-      val newFiles = writeDataDir(srcAligned, tableDir, partitionBy)
-      val cdcRows =
-        if (!hasMatches) srcAligned.withColumn(ChangeTypeCol, lit("insert"))
-        else {
-          val matchedKeys = matched.select(keys.map(col): _*).distinct()
-          reorder(aligned(matched.drop("__dv_file", "__dv_row")))
-            .withColumn(ChangeTypeCol, lit("update_preimage"))
-            .union(reorder(srcAligned.join(matchedKeys, keys, "left_semi"))
-              .withColumn(ChangeTypeCol, lit("update_postimage")))
-            .union(reorder(srcAligned.join(matchedKeys, keys, "left_anti"))
-              .withColumn(ChangeTypeCol, lit("insert")))
-        }
-      val cdc = writeCdcTmp(cdcRows, tableDir)
-      val (dvRefs, dvFresh) =
-        if (!hasMatches) (m.dvDirs, Nil)
-        else writeDvDeaths(spark, table, m, matched, foldAt)
-      publishRewrite(table, m, m.files ++ newFiles, mode = "merge",
-        schema = Some(schema), addTxn = txn, cdcTmp = cdc,
-        dvDirs = dvRefs, freshFiles = newFiles ++ dvFresh)
-    } finally matched.unpersist(blocking = false): Unit
+      val srcStored = readManifest(spark, table,
+        m.copy(schema = schema, files = srcFiles, dvDirs = Nil))
+      requireUniqueSourceKeys(srcStored, keys)
+      val srcKeys = srcStored.select(keys.map(col): _*).distinct()
+      if (srcKeys.isEmpty) { dropSrc(); return m.version }
+      // the probe reads through the DV filter (already-dead rows can't
+      // match) and keeps each matched row's (file, row_index) identity —
+      // pre-shrunk by the per-file key bounds like merge's probe
+      val candidates = m.copy(files = pruneFilesByKeys(spark, table, m, keys, srcKeys))
+      val matched = readManifestWithPos(spark, table, candidates)
+        .join(srcKeys, keys, "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hasMatches = !matched.isEmpty
+        val cdcRows =
+          if (!hasMatches) srcStored.withColumn(ChangeTypeCol, lit("insert"))
+          else {
+            val matchedKeys = matched.select(keys.map(col): _*).distinct()
+            reorder(aligned(matched.drop("__dv_file", "__dv_row")))
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+              .union(reorder(srcStored.join(matchedKeys, keys, "left_semi"))
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .union(reorder(srcStored.join(matchedKeys, keys, "left_anti"))
+                .withColumn(ChangeTypeCol, lit("insert")))
+          }
+        val cdc = writeCdcTmp(cdcRows, tableDir)
+        val (dvRefs, dvFresh) =
+          if (!hasMatches) (m.dvDirs, Nil)
+          else writeDvDeaths(spark, table, m, matched, foldAt)
+        publishRewrite(table, m, m.files ++ srcFiles, mode = "merge",
+          schema = Some(schema), addTxn = txn, cdcTmp = cdc,
+          dvDirs = dvRefs, freshFiles = srcFiles ++ dvFresh)
+      } finally matched.unpersist(blocking = false): Unit
+    } catch {
+      // publishRewrite reclaims freshFiles itself on a lost race; anything
+      // failing BEFORE publish (uniqueness refusal, probe, cdc/dv writes)
+      // must not strand the already-written source dir
+      case e: IllegalStateException => throw e
+      case e: Throwable => dropSrc(); throw e
+    }
   }
 
   /** Copy-on-write MERGE / upsert (Delta `MERGE INTO … WHEN MATCHED UPDATE

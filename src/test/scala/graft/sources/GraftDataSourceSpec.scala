@@ -138,6 +138,23 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(t).count() === n)
   }
 
+  test("a write to a DV-carrying table succeeds (only READS refuse DV snapshots)") {
+    val t = freshTable()
+    seedClustered(t)
+    CommitLog.deleteDv(spark, t, col("id") === 3L)
+    // the write must commit cleanly — the pre-fix code built the READ
+    // relation after committing, which throws on DV tables and surfaced a
+    // durable write as a failure (whose naive retry double-appends)
+    Seq((9000L, "x")).toDF("id", "s").write.format("graft").mode("append").save(t)
+    assert(CommitLog.read(spark, t).count() === 800L) // 800 − 1 dead + 1 new
+    // half a txn pair is refused, not silently dropped
+    val e = intercept[IllegalArgumentException] {
+      Seq((9001L, "y")).toDF("id", "s").write.format("graft").mode("append")
+        .option("txnAppId", "w").save(t)
+    }
+    assert(e.getMessage.contains("together"))
+  }
+
   test("hive-partitioned commit dirs surface as pruned partition columns") {
     val t = freshTable()
     val df = (0 until 300).map(i => (i.toLong, s"s$i", i % 3)).toDF("id", "s", "bucket")
