@@ -231,6 +231,30 @@ class TxDvSpec extends SparkSpec {
     assert(CommitLog.fsck(t).clean)
   }
 
+  test("changeFeedStream subscribers see DV mutations like any other (streaming CDC apply works)") {
+    // the DV mutations publish their change rows through the same slot
+    // protocol as copy-on-write — a streaming CDC consumer must see the
+    // trickle deletes and upserts with their versions, indistinguishably
+    val t = freshTable()
+    CommitLog.commit((0 until 20).map(i => (i.toLong, s"s$i", 0)).toDF("id", "s", "grp"),
+      t, "append")
+    CommitLog.deleteDv(spark, t, col("id") === 2L)                        // v2
+    CommitLog.mergeDv(spark, t, Seq((3L, "UP", 9)).toDF("id", "s", "grp"),
+      Seq("id"))                                                          // v3
+    val root = Files.createTempDirectory("graft_dvstream")
+    val q = CommitLog.changeFeedStream(spark, t)
+      .writeStream.format("parquet").option("path", root.resolve("out").toString)
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.read.parquet(root.resolve("out").toString)
+      .select(col(CommitLog.CommitVersionCol), col(CommitLog.ChangeTypeCol), col("id"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(rows === Seq(
+      (2L, "delete", 2L),
+      (3L, "update_postimage", 3L), (3L, "update_preimage", 3L)))
+  }
+
   test("clone and restore carry deletion vectors with the snapshot") {
     val t = freshTable()
     seed(t)
