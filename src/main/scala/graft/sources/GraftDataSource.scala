@@ -63,19 +63,24 @@ final class GraftSourceProvider extends RelationProvider
     require(appOpt.isDefined == verOpt.isDefined,
       "txnAppId and txnVersion must be set together (or neither)")
     val txn = appOpt.zip(verOpt).map { case (a, v) => (a, v.toLong) }.headOption
+    // mirror = feed the _stream insertion mirror (readStream subscribers);
+    // cdc = journal an overwrite's row diff at write time (changeFeed /
+    // changeFeedStream serve it with no opt-in) — the same knobs the
+    // Scala commit() surface has
+    val mirror = parameters.get("mirror").exists(_.toBoolean)
+    val cdc = parameters.get("cdc").exists(_.toBoolean)
     val exists = CommitLog.latestVersion(table).isDefined
+    def commit(m: String): Unit =
+      CommitLog.commit(data, table, m, partitionBy, txn = txn,
+        mirror = mirror, cdc = cdc): Unit
     mode match {
-      case SaveMode.Append =>
-        CommitLog.commit(data, table, "append", partitionBy, txn = txn): Unit
-      case SaveMode.Overwrite =>
-        CommitLog.commit(data, table, "overwrite", partitionBy, txn = txn): Unit
+      case SaveMode.Append => commit("append")
+      case SaveMode.Overwrite => commit("overwrite")
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"$table already has committed versions (SaveMode.ErrorIfExists)")
-        CommitLog.commit(data, table, "append", partitionBy, txn = txn): Unit
-      case SaveMode.Ignore =>
-        if (!exists)
-          CommitLog.commit(data, table, "append", partitionBy, txn = txn): Unit
+        commit("append")
+      case SaveMode.Ignore => if (!exists) commit("append")
     }
     // a lightweight schema-only relation, NOT the read relation: building
     // the read path here would re-stat every file — and, worse, THROW on
