@@ -832,20 +832,25 @@ object CommitLog {
     * and retained through the anti-join. */
   private def readManifestWithPos(spark: SparkSession, table: String,
       m: Manifest): DataFrame = {
-    import org.apache.spark.sql.functions.col
     if (m.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         m.schema.add("__dv_file", org.apache.spark.sql.types.StringType)
           .add("__dv_row", org.apache.spark.sql.types.LongType))
-    val base = m.files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
-      .map { case (commitDir, files) =>
-        spark.read.schema(m.schema).option("basePath", s"$table/$commitDir")
-          .parquet(files.map(f => s"$table/$f"): _*)
-          .withColumn("__dv_file", fileNameCol)
-          .withColumn("__dv_row", col("_metadata.row_index"))
-      }
-      .reduce(_ union _)
-    applyDvs(spark, table, m, base, retainIdentity = true)
+    if (m.dvDirs.isEmpty)
+      return scanFiles(spark, table, m, m.files, withIdentity = true).get
+    // the identity columns ride EVERY row (new deaths can land in clean
+    // files), but only death-carrying files pay the anti-join. Explicit
+    // column order on BOTH branches: the anti-join's USING columns hoist
+    // __dv_file/__dv_row to the front of its output, and the union below
+    // resolves by position.
+    import org.apache.spark.sql.functions.col
+    val out = (m.schema.fieldNames.toSeq ++ Seq("__dv_file", "__dv_row")).map(col)
+    val deadNames = dvDeadFileNames(spark, table, m)
+    val (deadFiles, cleanFiles) = m.files.partition(f => deadNames(fileNameOf(f)))
+    val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = true)
+    val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true)
+      .map(df => applyDvs(spark, table, m, df, retainIdentity = true))
+    (clean.toSeq ++ dead.toSeq).map(_.select(out: _*)).reduce(_ union _)
   }
 
   /** Copy-on-write UPDATE (Delta `UPDATE t SET col = expr WHERE cond`):
@@ -1449,22 +1454,23 @@ object CommitLog {
     * any join a caller adds on top). */
   private def readManifestWithFile(spark: SparkSession, table: String,
       m: Manifest, fileCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
     if (m.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         m.schema.add(fileCol, org.apache.spark.sql.types.StringType))
-    val base = m.files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
-      .map { case (commitDir, files) =>
-        withDvIdentity(m,
-          spark.read.schema(m.schema).option("basePath", s"$table/$commitDir")
-            .parquet(files.map(f => s"$table/$f"): _*), table)
-          .withColumn(fileCol, org.apache.spark.sql.functions.input_file_name())
-      }
-      .reduce(_ union _)
-    // DV-filtered like every snapshot read: a mutation probing a
-    // DV-carrying table must neither match nor resurrect dead rows
-    applyDvs(spark, table, m, base)
-      .select((m.schema.fieldNames.toSeq :+ fileCol)
-        .map(org.apache.spark.sql.functions.col): _*)
+    val addFile = (df: DataFrame) => df.withColumn(fileCol, input_file_name())
+    if (m.dvDirs.isEmpty)
+      return scanFiles(spark, table, m, m.files, withIdentity = false, addFile).get
+    // DV-filtered like every snapshot read — death-scoped: a mutation
+    // probing a DV-carrying table must neither match nor resurrect dead
+    // rows, and only the files actually carrying deaths pay the join
+    val out = (m.schema.fieldNames.toSeq :+ fileCol).map(col)
+    val deadNames = dvDeadFileNames(spark, table, m)
+    val (deadFiles, cleanFiles) = m.files.partition(f => deadNames(fileNameOf(f)))
+    val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = false, addFile)
+    val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true, addFile)
+      .map(df => applyDvs(spark, table, m, df).select(out: _*))
+    (clean.map(_.select(out: _*)).toSeq ++ dead.toSeq).reduce(_ union _)
   }
 
   /** Relative manifest paths out of a probe frame's `fileCol` values. The
@@ -2496,42 +2502,68 @@ object CommitLog {
   private def readManifest(spark: SparkSession, table: String, m: Manifest): DataFrame = {
     if (m.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    // Explicit snapshot schema (not mergeSchema): files predating an added
-    // column read NULL for it. Hive partition dirs sit BELOW each commit's
-    // data/<uuid> root, so partition discovery runs per commit dir (its own
-    // basePath) and the per-commit frames union — one scan node per commit.
-    // Plan width is bounded by policy, not hope: commit() auto-compacts once
-    // a snapshot spans AutoCompactEvery commit dirs, so the union factor
-    // never exceeds that threshold regardless of append count.
-    val base = m.files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
-      .map { case (commitDir, files) =>
-        withDvIdentity(m,
-          spark.read.schema(m.schema).option("basePath", s"$table/$commitDir")
-            .parquet(files.map(f => s"$table/$f"): _*), table)
-      }
-      .reduce(_ union _)
-    applyDvs(spark, table, m, base)
-      .select(m.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    import org.apache.spark.sql.functions.col
+    if (m.dvDirs.isEmpty)
+      return scanFiles(spark, table, m, m.files, withIdentity = false).get
+    // Merge-on-read, DEATH-SCOPED (round-8): only files that actually
+    // carry deaths pay the anti-join; the clean majority — at 100 TB
+    // under a trickle workload, almost every file — scans pure, inside
+    // whole-stage codegen with no probe per row. The dead-file split is
+    // one driver-side distinct over the (bounded) DV rows.
+    val deadNames = dvDeadFileNames(spark, table, m)
+    val (deadFiles, cleanFiles) = m.files.partition(f => deadNames(fileNameOf(f)))
+    val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = false)
+    val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true)
+      .map(df => applyDvs(spark, table, m, df)
+        .select(m.schema.fieldNames.toSeq.map(col): _*))
+    (clean.toSeq ++ dead.toSeq).reduce(_ union _)
   }
 
-  /** Project the (file name, row index) DV identity onto one commit-dir
-    * scan — `_metadata` resolves only directly above a file relation, so
-    * this must run BEFORE the per-commit union. No-op for DV-free
-    * snapshots. */
-  private def withDvIdentity(m: Manifest, scan: DataFrame, table: String): DataFrame =
-    if (m.dvDirs.isEmpty) scan
-    else scan.withColumn("__dv_file", fileNameCol)
-      .withColumn("__dv_row",
-        org.apache.spark.sql.functions.col("_metadata.row_index"))
+  /** One scan per commit dir over `files`, unioned — the snapshot-read
+    * core. Explicit snapshot schema (not mergeSchema): files predating an
+    * added column read NULL for it. Hive partition dirs sit BELOW each
+    * commit's data/<uuid> root, so partition discovery runs per commit dir
+    * (its own basePath). Plan width is bounded by policy, not hope:
+    * commit() auto-compacts once a snapshot spans AutoCompactEvery commit
+    * dirs. `withIdentity` projects the (file name, `_metadata.row_index`)
+    * DV identity below the union (`_metadata` resolves only directly above
+    * a file relation). */
+  private def scanFiles(spark: SparkSession, table: String, m: Manifest,
+      files: Seq[String], withIdentity: Boolean,
+      perDir: DataFrame => DataFrame = identity): Option[DataFrame] = {
+    if (files.isEmpty) return None
+    Some(files.groupBy(f => commitDirOf(f)).toSeq.sortBy(_._1)
+      .map { case (commitDir, fs) =>
+        val s = spark.read.schema(m.schema).option("basePath", s"$table/$commitDir")
+          .parquet(fs.map(f => s"$table/$f"): _*)
+        perDir(
+          if (!withIdentity) s
+          else s.withColumn("__dv_file", fileNameCol)
+            .withColumn("__dv_row",
+              org.apache.spark.sql.functions.col("_metadata.row_index")))
+      }
+      .reduce(_ union _))
+  }
+
+  /** The distinct data-file NAMES carrying at least one death — bounded
+    * by min(DV row count, file count); one small driver-side job per
+    * DV-table read, which buys every clean file a probe-free scan. */
+  private def dvDeadFileNames(spark: SparkSession, table: String,
+      m: Manifest): Set[String] =
+    spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+
+  private def fileNameOf(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
 
   /** Merge-on-read: anti-join the manifest's deletion vectors away (the
-    * frame must carry [[withDvIdentity]]'s columns). The DV side is
+    * frame must carry [[scanFiles]]'s identity columns). The DV side is
     * bounded ([[deleteDv]] folds it at [[DvFoldAt]] dirs; compaction
     * clears it), so the join broadcasts and the big side never shuffles.
     * Row identity is (data file NAME, parquet `_metadata.row_index`) —
-    * stable because data files are immutable. No-op for the common
-    * DV-free snapshot. `retainIdentity` keeps the identity columns for
-    * callers that need them downstream ([[readManifestWithPos]]). */
+    * stable because data files are immutable. `retainIdentity` keeps the
+    * identity columns for callers that need them downstream
+    * ([[readManifestWithPos]]). */
   private def applyDvs(spark: SparkSession, table: String, m: Manifest,
       base: DataFrame, retainIdentity: Boolean = false): DataFrame = {
     if (m.dvDirs.isEmpty) return base

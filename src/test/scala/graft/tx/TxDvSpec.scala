@@ -65,6 +65,11 @@ class TxDvSpec extends SparkSpec {
       s"DV filter must be a broadcast anti-join:\n$readPlan")
     assert(!readPlan.contains("SortMergeJoin"),
       s"DV filter must not shuffle the table side:\n$readPlan")
+    // death-SCOPED: the deaths live in 2 of the 4 data files, so the plan
+    // must union a probe-free clean scan beside the anti-joined dead scan
+    // — at 100 TB under a trickle, the clean majority never pays the probe
+    assert(readPlan.contains("Union"),
+      s"clean files must scan outside the DV join:\n$readPlan")
   }
 
   test("layered DVs: a second deleteDv only journals NEW deaths; readPruned stays exact") {
