@@ -108,20 +108,72 @@ final class GraftSourceProvider extends RelationProvider
         .getOrElse(throw new IllegalArgumentException(
           s"$table has no committed versions"))
     }
+    val spark = sqlContext.sparkSession
     // Deletion vectors are merge-on-read state a bare file scan cannot
     // apply (the anti-join lives in CommitLog's read path) — serving the
-    // files raw would resurrect deleted rows. Refuse loudly; compact()
-    // folds the DVs into clean files and re-enables the SQL path.
+    // files raw would resurrect deleted rows. DV-carrying snapshots serve
+    // through a fallback relation that delegates to CommitLog's read
+    // plan: the INNER plan keeps its vectorized scans, death-scoped
+    // anti-join, and file pruning; only the row handoff at the relation
+    // boundary is generic. compact() folds the DVs and restores the
+    // direct HadoopFsRelation fast path.
     if (m.dvDirs.nonEmpty)
-      throw new IllegalStateException(
-        s"$table carries ${m.dvDirs.size} deletion-vector dir(s); the graft " +
-          "SQL source serves raw files and would resurrect deleted rows. " +
-          "Read via CommitLog.read, or run CommitLog.compact to fold the DVs.")
-    val spark = sqlContext.sparkSession
+      return new GraftDvRelation(spark, sqlContext, table, version)
     val index = new GraftFileIndex(spark, table, m)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
       bucketSpec = None, new ParquetFileFormat, parameters)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+}
+
+/** Merge-on-read fallback for DV-carrying snapshots: a
+  * [[org.apache.spark.sql.sources.PrunedFilteredScan]] whose buildScan
+  * delegates to [[CommitLog.readPruned]] — pushed predicates still prune
+  * files through the stats sidecars AND push into the inner parquet scans;
+  * the returned filters stay declared UNHANDLED so Spark re-applies them
+  * exactly (the translation below is best-effort pruning, not an answer
+  * contract). */
+private[sources] final class GraftDvRelation(spark: SparkSession,
+    sql: SQLContext, table: String, version: Option[Long])
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.{functions => F, Column, Row}
+  import org.apache.spark.sql.sources._
+
+  override def sqlContext: SQLContext = sql
+
+  override val schema: StructType = {
+    val m = version.map(CommitLog.manifest(table, _)).getOrElse(
+      CommitLog.manifest(table, CommitLog.latestVersion(table).get))
+    StructType(m.schema.fields.map(_.copy(nullable = true)))
+  }
+
+  /** data-source Filter → Column for the shapes worth pushing; None keeps
+    * the conjunct row-level only (Spark re-applies everything anyway). */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(F.col(a).isNull)
+    case IsNotNull(a) => Some(F.col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(F.col(a).startsWith(p))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[Row] = {
+    val cond = filters.flatMap(toColumn).reduceOption(_ && _)
+    val base = cond match {
+      case Some(c) => CommitLog.readPruned(spark, table, c, version)
+      case None => version.map(CommitLog.readAt(spark, table, _))
+        .getOrElse(CommitLog.read(spark, table))
+    }
+    // zero requiredColumns (a bare count) is a legal zero-column select
+    base.select(requiredColumns.toIndexedSeq.map(F.col): _*).rdd
   }
 }
 

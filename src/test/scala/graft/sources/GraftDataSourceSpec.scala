@@ -165,6 +165,30 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("together"))
   }
 
+  test("DV-carrying snapshots serve through the merge-on-read fallback relation") {
+    val t = freshTable()
+    seedClustered(t)
+    CommitLog.deleteDv(spark, t, col("id").isin(3L, 500L))
+    val g = spark.read.format("graft").load(t)
+    assert(g.count() === 798L)
+    assert(g.filter(col("id").isin(3L, 500L)).count() === 0L)
+    assert(g.orderBy("id").collect()
+      .sameElements(CommitLog.read(spark, t).orderBy("id").collect()))
+    // spark.sql over a view, pushed predicate included
+    g.createOrReplaceTempView("graft_dv_v")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_dv_v WHERE id < 10")
+      .head().getLong(0) === 9L)
+    // time travel to the pre-DV version (v2: both appends) takes the fast
+    // file-scan path
+    assert(spark.read.format("graft").option("versionAsOf", 2L).load(t)
+      .count() === 800L)
+    // and time travel INTO a DV version (v3) through the fallback
+    CommitLog.deleteDv(spark, t, col("id") === 700L) // v4
+    assert(spark.read.format("graft").option("versionAsOf", 3L).load(t)
+      .count() === 798L)
+    assert(spark.read.format("graft").load(t).count() === 797L)
+  }
+
   test("hive-partitioned commit dirs surface as pruned partition columns") {
     val t = freshTable()
     val df = (0 until 300).map(i => (i.toLong, s"s$i", i % 3)).toDF("id", "s", "bucket")

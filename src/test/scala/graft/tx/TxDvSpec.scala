@@ -114,11 +114,11 @@ class TxDvSpec extends SparkSpec {
     CommitLog.deleteDv(spark, t, col("id") < 50L)
     // metadata-only aggregates refuse while DVs ride (stats over-count)
     assert(CommitLog.metaAggregate(t, Seq("id")).isEmpty)
-    // the SQL source refuses too — a raw file scan would resurrect rows
-    val e = intercept[IllegalStateException] {
-      spark.read.format("graft").load(t).count()
-    }
-    assert(e.getMessage.contains("deletion-vector"))
+    // the SQL source serves the DV snapshot through the merge-on-read
+    // fallback relation — correct rows, pushed filter included
+    assert(spark.read.format("graft").load(t).count() === 350L)
+    assert(spark.read.format("graft").load(t)
+      .filter(col("id") < 60L).count() === 10L)
     CommitLog.compact(spark, t)
     val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
     assert(m.dvDirs.isEmpty)
