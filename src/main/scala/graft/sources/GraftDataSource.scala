@@ -118,7 +118,10 @@ final class GraftSourceProvider extends RelationProvider
     // boundary is generic. compact() folds the DVs and restores the
     // direct HadoopFsRelation fast path.
     if (m.dvDirs.nonEmpty)
-      return new GraftDvRelation(spark, sqlContext, table, version)
+      // pin the resolved version (review finding): an unpinned relation
+      // would re-resolve 'latest' per action — schema and data could
+      // straddle a concurrent commit, unlike the file-pinned fast path
+      return new GraftDvRelation(spark, sqlContext, table, Some(m.version))
     val index = new GraftFileIndex(spark, table, m)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
       bucketSpec = None, new ParquetFileFormat, parameters)(

@@ -845,11 +845,11 @@ object CommitLog {
     // resolves by position.
     import org.apache.spark.sql.functions.col
     val out = (m.schema.fieldNames.toSeq ++ Seq("__dv_file", "__dv_row")).map(col)
-    val deadNames = dvDeadFileNames(spark, table, m)
+    val (deadNames, dv) = loadDvs(spark, table, m)
     val (deadFiles, cleanFiles) = m.files.partition(f => deadNames(fileNameOf(f)))
     val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = true)
     val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true)
-      .map(df => applyDvs(spark, table, m, df, retainIdentity = true))
+      .map(df => applyDvs(dv, df, retainIdentity = true))
     (clean.toSeq ++ dead.toSeq).map(_.select(out: _*)).reduce(_ union _)
   }
 
@@ -1465,11 +1465,11 @@ object CommitLog {
     // probing a DV-carrying table must neither match nor resurrect dead
     // rows, and only the files actually carrying deaths pay the join
     val out = (m.schema.fieldNames.toSeq :+ fileCol).map(col)
-    val deadNames = dvDeadFileNames(spark, table, m)
+    val (deadNames, dv) = loadDvs(spark, table, m)
     val (deadFiles, cleanFiles) = m.files.partition(f => deadNames(fileNameOf(f)))
     val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = false, addFile)
     val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true, addFile)
-      .map(df => applyDvs(spark, table, m, df).select(out: _*))
+      .map(df => applyDvs(dv, df).select(out: _*))
     (clean.map(_.select(out: _*)).toSeq ++ dead.toSeq).reduce(_ union _)
   }
 
@@ -2510,11 +2510,11 @@ object CommitLog {
     // under a trickle workload, almost every file — scans pure, inside
     // whole-stage codegen with no probe per row. The dead-file split is
     // one driver-side distinct over the (bounded) DV rows.
-    val deadNames = dvDeadFileNames(spark, table, m)
+    val (deadNames, dv) = loadDvs(spark, table, m)
     val (deadFiles, cleanFiles) = m.files.partition(f => deadNames(fileNameOf(f)))
     val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = false)
     val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true)
-      .map(df => applyDvs(spark, table, m, df)
+      .map(df => applyDvs(dv, df)
         .select(m.schema.fieldNames.toSeq.map(col): _*))
     (clean.toSeq ++ dead.toSeq).reduce(_ union _)
   }
@@ -2545,31 +2545,42 @@ object CommitLog {
       .reduce(_ union _))
   }
 
-  /** The distinct data-file NAMES carrying at least one death — bounded
-    * by min(DV row count, file count); one small driver-side job per
-    * DV-table read, which buys every clean file a probe-free scan. */
-  private def dvDeadFileNames(spark: SparkSession, table: String,
-      m: Manifest): Set[String] =
-    spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
-      .select("file").distinct().collect().map(_.getString(0)).toSet
+  /** The manifest's DV rows, collected ONCE per read (round-8 review
+    * finding: they are broadcast-bound anyway — the anti-join ships them
+    * through the driver regardless — so a single scan of the DV dirs
+    * serves both the dead/clean file split and the join side): the
+    * distinct dead file NAMES, and the death set as a LOCAL frame the
+    * join broadcasts without re-scanning the parquet. */
+  private def loadDvs(spark: SparkSession, table: String,
+      m: Manifest): (Set[String], DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
+      .select(col("file").cast("string"), col("row_index").cast("long"))
+      .collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__dv_file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__dv_row",
+        org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    (rows.iterator.map(_.getString(0)).toSet,
+      spark.createDataFrame(rows.toSeq.asJava, schema))
+  }
 
   private def fileNameOf(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
 
-  /** Merge-on-read: anti-join the manifest's deletion vectors away (the
-    * frame must carry [[scanFiles]]'s identity columns). The DV side is
-    * bounded ([[deleteDv]] folds it at [[DvFoldAt]] dirs; compaction
-    * clears it), so the join broadcasts and the big side never shuffles.
-    * Row identity is (data file NAME, parquet `_metadata.row_index`) —
-    * stable because data files are immutable. `retainIdentity` keeps the
-    * identity columns for callers that need them downstream
-    * ([[readManifestWithPos]]). */
-  private def applyDvs(spark: SparkSession, table: String, m: Manifest,
-      base: DataFrame, retainIdentity: Boolean = false): DataFrame = {
-    if (m.dvDirs.isEmpty) return base
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val dv = spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
-      .select(col("file").as("__dv_file"), col("row_index").as("__dv_row"))
+  /** Merge-on-read: anti-join the collected deletion vectors away (the
+    * frame must carry [[scanFiles]]'s identity columns; `dv` is
+    * [[loadDvs]]'s local frame). The DV side is bounded ([[deleteDv]]
+    * folds it at [[DvFoldAt]] dirs; compaction clears it), so the join
+    * broadcasts and the big side never shuffles. Row identity is (data
+    * file NAME, parquet `_metadata.row_index`) — stable because data
+    * files are immutable. `retainIdentity` keeps the identity columns for
+    * callers that need them downstream ([[readManifestWithPos]]). */
+  private def applyDvs(dv: DataFrame, base: DataFrame,
+      retainIdentity: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val joined = base.join(broadcast(dv), Seq("__dv_file", "__dv_row"), "left_anti")
     if (retainIdentity) joined else joined.drop("__dv_file", "__dv_row")
   }
