@@ -657,6 +657,26 @@ object TxQueries {
           vals.nonNull))
         .toDF("n_rows", "id_min", "id_max", "n_ids", "v_min", "v_max", "n_vals")
     }),
+
+    // DV-EXACT metadata COUNT(*) (round-8, NOTES_r8 watch 2 cleared):
+    // a deletion-vector snapshot answers COUNT(*) from metadata alone —
+    // stored-row footer sums corrected by a driver-side read of the DV
+    // rows (capped; still no Spark job, no data scan) — across the whole
+    // DV history: v1 full, v2 after the %97 trickle delete, v3 after the
+    // signup updateDv (count-neutral: deaths + appended post-images).
+    // The final column pins metadata == scan agreement in-run; the
+    // DuckDB oracle recomputes each count from the source parquet.
+    "tx_meta_count_dv" -> ((s, d) => {
+      import s.implicits._
+      val table = ensureUpdateDvTable(s, d)
+      def mc(v: Option[Long]): Long =
+        CommitLog.metaRowCount(table, v).getOrElse(throw new IllegalStateException(
+          s"$table: DV metadata count must not fall back here"))
+      val latest = CommitLog.latestVersion(table).get
+      val scan = CommitLog.read(s, table).count()
+      Seq((mc(Some(1L)), mc(Some(2L)), mc(Some(latest)), mc(None) == scan))
+        .toDF("n_all", "n_after_delete", "n_after_update", "meta_equals_scan")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -886,5 +906,11 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max,
            CAST(count(value) AS BIGINT) AS n_vals
          FROM updated""",
+    "tx_meta_count_dv" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_after_delete,
+           CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_after_update,
+           TRUE AS meta_equals_scan
+         FROM events""",
   )
 }

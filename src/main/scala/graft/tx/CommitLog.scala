@@ -845,8 +845,8 @@ object CommitLog {
     // resolves by position.
     import org.apache.spark.sql.functions.col
     val out = (m.schema.fieldNames.toSeq ++ Seq("__dv_file", "__dv_row")).map(col)
-    val (deadNames, dv) = loadDvs(spark, table, m)
-    val (deadFiles, cleanFiles) = m.files.partition(f => deadNames(fileNameOf(f)))
+    val dv = loadDvs(spark, table, m)
+    val (deadFiles, cleanFiles) = m.files.partition(f => dv.deadNames(fileNameOf(f)))
     val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = true)
     val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true)
       .map(df => applyDvs(dv, df, retainIdentity = true))
@@ -1465,8 +1465,8 @@ object CommitLog {
     // probing a DV-carrying table must neither match nor resurrect dead
     // rows, and only the files actually carrying deaths pay the join
     val out = (m.schema.fieldNames.toSeq :+ fileCol).map(col)
-    val (deadNames, dv) = loadDvs(spark, table, m)
-    val (deadFiles, cleanFiles) = m.files.partition(f => deadNames(fileNameOf(f)))
+    val dv = loadDvs(spark, table, m)
+    val (deadFiles, cleanFiles) = m.files.partition(f => dv.deadNames(fileNameOf(f)))
     val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = false, addFile)
     val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true, addFile)
       .map(df => applyDvs(dv, df).select(out: _*))
@@ -1499,7 +1499,22 @@ object CommitLog {
     val dataDir = tableDir.resolve(dataDirName)
     val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
     writer.parquet(dataDir.toString)
-    val files = listParquet(dataDir)
+    // drop ZERO-ROW part files before committing (an empty upstream
+    // partition writes one): they carry no data, their footers hold no
+    // column chunks — so no sidecar lines, which would break the
+    // file-coverage invariant [[metaAggregate]] relies on — and at 100 TB
+    // each is a wasted footer fetch on every read. Footer probe only
+    // (metadata); an unreadable footer keeps the file, staying safe.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val (files, empties) = listParquet(dataDir).partition { p =>
+      try FileStats.footerRowCount(p, conf) > 0
+      catch { case scala.util.control.NonFatal(_) => true }
+    }
+    empties.foreach(Files.delete)
+    if (files.isEmpty) { // nothing survived: no files, no dir, no orphan
+      deleteTree(dataDir)
+      return Nil
+    }
     FileStats.writeSidecar(dataDir, files)
     files.map(f => s"$dataDirName/${dataDir.relativize(f)}")
   }
@@ -1649,6 +1664,13 @@ object CommitLog {
     * not aggregated (their sidecars carry no counts) — they return None.
     * `version` time-travels like [[readPruned]].
     *
+    * DELETION VECTORS: COUNT(*) stays exact on a DV-carrying snapshot —
+    * the stored-row sum is corrected by a driver-side read of the DV
+    * rows (capped at `maxDvRows`, default [[DvBroadcastMaxRows]];
+    * refused above it) filtered to files still in the manifest. COLUMN
+    * aggregates refuse under DVs: a dead row may be the recorded
+    * extreme. [[compact]] folds DVs and restores full answers.
+    *
     * Floating caveats, both per the parquet spec: signed-zero bounds are
     * writer-widened across the sign and surface as +0.0 (numerically
     * equal — see [[FileStats.parseExact]]); double stats are
@@ -1657,7 +1679,8 @@ object CommitLog {
     * callers needing NaN-aware extremes must scan. Delta's stats-backed
     * answers carry the same trade. */
   def metaAggregate(table: String, columns: Seq[String],
-      version: Option[Long] = None): Option[MetaAgg] = {
+      version: Option[Long] = None,
+      maxDvRows: Long = DvBroadcastMaxRows): Option[MetaAgg] = {
     import org.apache.spark.sql.types._
     val m = version.map(manifest(table, _)).orElse(latestManifest(table)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
@@ -1670,14 +1693,26 @@ object CommitLog {
       m.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
         s"$table has no column '$c' at version ${m.version}"))
     }
-    // deletion vectors make footer stats over-counting (dead rows still
-    // live in the pages): honest scan fallback, like any other
-    // exactness-unknown case. A compact() folds the DVs and re-enables
-    // metadata answers.
-    if (m.dvDirs.nonEmpty) return None
+    // Deletion vectors make footer stats over-counting (dead rows still
+    // live in the pages). COUNT(*) stays metadata-exact anyway: the dead
+    // positions are themselves tiny parquet files, so a driver-side read
+    // of the DV rows — capped at [[DvBroadcastMaxRows]]; above it the
+    // honest answer is "scan" — filtered to files STILL IN the manifest
+    // (a copy-on-write rewrite of a death-carrying file strands its DV
+    // entries as harmless dangling names) gives the exact correction.
+    // COLUMN stats stay refused under DVs: a dead row may BE the recorded
+    // extreme, and per-file null counts can't say which deaths were null.
+    // A compact() folds the DVs and re-enables full metadata answers.
+    if (m.dvDirs.nonEmpty && fields.nonEmpty) return None
     val perFile = perFileStats(table, m)
     if (perFile.exists(_._3.isEmpty)) return None // file absent from sidecar
-    val rows = perFile.map(_._3.valuesIterator.map(_.values).max).sum
+    val stored = perFile.map(_._3.valuesIterator.map(_.values).max).sum
+    val rows =
+      if (m.dvDirs.isEmpty) stored
+      else liveDvDeaths(table, m, maxDvRows) match {
+        case Some(deaths) => stored - deaths
+        case None => return None // DV side past the driver-read cap
+      }
     val colAggs = fields.map { f =>
       val exactKind = f.dataType match {
         case ByteType | ShortType | IntegerType | LongType => Some("long")
@@ -1697,9 +1732,33 @@ object CommitLog {
     else Some(MetaAgg(rows, columns.zip(colAggs.map(_.get)).toMap))
   }
 
-  /** COUNT(*)-only fast path of [[metaAggregate]]. */
+  /** COUNT(*)-only fast path of [[metaAggregate]] — exact even on a
+    * DV-carrying snapshot (the death correction reads the DV parquet
+    * driver-side, capped). */
   def metaRowCount(table: String, version: Option[Long] = None): Option[Long] =
     metaAggregate(table, Nil, version).map(_.rowCount)
+
+  /** Number of DV death rows naming files still in `m` — the exact
+    * COUNT(*) correction. Driver-side parquet reads over the DV dirs,
+    * refused (None) past [[DvBroadcastMaxRows]] rows by a footer-count
+    * probe. Exact WITHOUT dedup because live death rows are globally
+    * unique: every DV mutation probes THROUGH the existing DV filter (a
+    * dead row can never re-match), a fold is a union of those disjoint
+    * generations, and a file name that left the manifest never returns
+    * (every data dir carries a fresh job UUID) — so two entries for one
+    * live (file, row) position cannot exist. Pinned by TxDvSpec's
+    * death-disjointness property. */
+  private def liveDvDeaths(table: String, m: Manifest,
+      maxDvRows: Long): Option[Long] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = dvParquetFiles(table, m)
+    if (files.map(FileStats.footerRowCount(_, conf)).sum > maxDvRows)
+      return None
+    val live = m.files.map(fileNameOf).toSet
+    Some(files.iterator.map { p =>
+      FileStats.readDvPairs(p, conf).count(t => live(t._1)).toLong
+    }.sum)
+  }
 
   private def metaColAgg(files: Seq[Map[String, FileStats.ColStats]], c: String,
       kind: String, dt: org.apache.spark.sql.types.DataType): Option[MetaColAgg] = {
@@ -2510,8 +2569,8 @@ object CommitLog {
     // under a trickle workload, almost every file — scans pure, inside
     // whole-stage codegen with no probe per row. The dead-file split is
     // one driver-side distinct over the (bounded) DV rows.
-    val (deadNames, dv) = loadDvs(spark, table, m)
-    val (deadFiles, cleanFiles) = m.files.partition(f => deadNames(fileNameOf(f)))
+    val dv = loadDvs(spark, table, m)
+    val (deadFiles, cleanFiles) = m.files.partition(f => dv.deadNames(fileNameOf(f)))
     val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = false)
     val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true)
       .map(df => applyDvs(dv, df)
@@ -2545,15 +2604,52 @@ object CommitLog {
       .reduce(_ union _))
   }
 
-  /** The manifest's DV rows, collected ONCE per read (round-8 review
-    * finding: they are broadcast-bound anyway — the anti-join ships them
-    * through the driver regardless — so a single scan of the DV dirs
-    * serves both the dead/clean file split and the join side): the
-    * distinct dead file NAMES, and the death set as a LOCAL frame the
-    * join broadcasts without re-scanning the parquet. */
+  /** Collect-and-broadcast ceiling for a snapshot's deletion-vector rows,
+    * decided from the DV parquet FOOTERS (a metadata probe, no data pass):
+    * at or below it the DV side is collected once and broadcast — no
+    * re-scan, and only death-carrying files pay a hash probe. Above it the
+    * DV side stays a DISTRIBUTED frame and the anti-join runs unhinted, so
+    * AQE picks a shuffled join — a table carrying tens of millions of
+    * un-compacted deaths must not OOM the driver just to be READ
+    * (NOTES_r8 watch 3). The cap makes such a read survive, not fast; the
+    * real fix is [[compact]], which [[graft.tools.Maintenance]] triggers
+    * on accumulated DV debt. Override per session via
+    * `spark.graft.dv.broadcastMaxRows`. */
+  val DvBroadcastMaxRows: Long = 4L * 1000 * 1000
+
+  /** The deletion-vector side of one snapshot read: the distinct dead
+    * file NAMES (drives the clean/dead scan split), the death rows as a
+    * frame, and whether that frame is a collected local one the anti-join
+    * should broadcast (`broadcastable`) or a distributed scan it must
+    * shuffle. */
+  private final case class DvSide(deadNames: Set[String], rows: DataFrame,
+      broadcastable: Boolean)
+
+  private def dvParquetFiles(table: String, m: Manifest): Seq[Path] =
+    m.dvDirs.flatMap(d => listParquet(Paths.get(table).resolve(d)))
+
+  /** The manifest's DV rows. Small side (footer row-count probe ≤ the
+    * broadcast cap): collected ONCE per read — they are broadcast-bound
+    * anyway, so a single scan serves both the dead/clean file split and
+    * the join side (round-8 review finding). Big side: the rows stay a
+    * distributed parquet scan; only the distinct dead file NAMES are
+    * collected (bounded by the dead-FILE count, never the death count). */
   private def loadDvs(spark: SparkSession, table: String,
-      m: Manifest): (Set[String], DataFrame) = {
+      m: Manifest): DvSide = {
     import org.apache.spark.sql.functions.col
+    val cap = spark.conf.getOption("spark.graft.dv.broadcastMaxRows")
+      .map(_.toLong).getOrElse(DvBroadcastMaxRows)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val footerRows = dvParquetFiles(table, m)
+      .map(FileStats.footerRowCount(_, conf)).sum
+    if (footerRows > cap) {
+      val dv = spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
+        .select(col("file").cast("string").as("__dv_file"),
+          col("row_index").cast("long").as("__dv_row"))
+      val deadNames = dv.select("__dv_file").distinct().collect()
+        .map(_.getString(0)).toSet
+      return DvSide(deadNames, dv, broadcastable = false)
+    }
     val rows = spark.read.parquet(m.dvDirs.map(d => s"$table/$d"): _*)
       .select(col("file").cast("string"), col("row_index").cast("long"))
       .collect()
@@ -2563,25 +2659,28 @@ object CommitLog {
       org.apache.spark.sql.types.StructField("__dv_row",
         org.apache.spark.sql.types.LongType)))
     import scala.jdk.CollectionConverters._
-    (rows.iterator.map(_.getString(0)).toSet,
-      spark.createDataFrame(rows.toSeq.asJava, schema))
+    DvSide(rows.iterator.map(_.getString(0)).toSet,
+      spark.createDataFrame(rows.toSeq.asJava, schema), broadcastable = true)
   }
 
   private def fileNameOf(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
 
-  /** Merge-on-read: anti-join the collected deletion vectors away (the
-    * frame must carry [[scanFiles]]'s identity columns; `dv` is
-    * [[loadDvs]]'s local frame). The DV side is bounded ([[deleteDv]]
-    * folds it at [[DvFoldAt]] dirs; compaction clears it), so the join
-    * broadcasts and the big side never shuffles. Row identity is (data
-    * file NAME, parquet `_metadata.row_index`) — stable because data
-    * files are immutable. `retainIdentity` keeps the identity columns for
-    * callers that need them downstream ([[readManifestWithPos]]). */
-  private def applyDvs(dv: DataFrame, base: DataFrame,
+  /** Merge-on-read: anti-join the deletion vectors away (the frame must
+    * carry [[scanFiles]]'s identity columns; `dv` is [[loadDvs]]'s side).
+    * A bounded DV side ([[deleteDv]] folds dirs at [[DvFoldAt]];
+    * compaction clears them) broadcasts, so the big side never shuffles;
+    * a side past [[DvBroadcastMaxRows]] joins unhinted — AQE picks a
+    * shuffled join, trading speed for not OOMing the driver. Row identity
+    * is (data file NAME, parquet `_metadata.row_index`) — stable because
+    * data files are immutable. `retainIdentity` keeps the identity
+    * columns for callers that need them downstream
+    * ([[readManifestWithPos]]). */
+  private def applyDvs(dv: DvSide, base: DataFrame,
       retainIdentity: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val joined = base.join(broadcast(dv), Seq("__dv_file", "__dv_row"), "left_anti")
+    val side = if (dv.broadcastable) broadcast(dv.rows) else dv.rows
+    val joined = base.join(side, Seq("__dv_file", "__dv_row"), "left_anti")
     if (retainIdentity) joined else joined.drop("__dv_file", "__dv_row")
   }
 

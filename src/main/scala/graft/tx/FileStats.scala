@@ -145,6 +145,40 @@ object FileStats {
     } finally reader.close()
   }
 
+  /** Total row count of one parquet file from its FOOTER alone (sum of
+    * row-group counts) — a metadata read, never a data pass. Used to size
+    * a snapshot's deletion-vector side before deciding whether it is
+    * small enough to collect/broadcast ([[CommitLog]]'s DV read path) and
+    * to bound the driver-side DV row read behind
+    * [[CommitLog.metaAggregate]]. */
+  private[tx] def footerRowCount(p: Path, conf: Configuration): Long = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount.longValue).sum
+    finally reader.close()
+  }
+
+  /** Driver-side read of one deletion-vector parquet file's
+    * `(file STRING, row_index LONG)` rows — no Spark job, just the
+    * parquet example reader. Only called on DV files the footer row-count
+    * probe has already bounded, so the materialized Seq stays small by
+    * construction. */
+  private[tx] def readDvPairs(p: Path, conf: Configuration): Seq[(String, Long)] = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(p.toUri))
+      .withConf(conf).build()
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var g = reader.read()
+      while (g != null) {
+        buf += ((g.getBinary("file", 0).toStringUsingUTF8, g.getLong("row_index", 0)))
+        g = reader.read()
+      }
+      buf.toSeq
+    } finally reader.close()
+  }
+
   /** Parse a rendered bound of an exact kind (long/double/boolean/date —
     * [[CommitLog.metaAggregate]]'s schema-gated set) back to a JVM value.
     * Signed zeros normalize to +0.0: the parquet spec directs writers to
