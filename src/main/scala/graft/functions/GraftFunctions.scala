@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    // SQL DML over commit-log tables (INSERT/DELETE/UPDATE/MERGE via
+    // spark.sql) — main-batch resolution rule, deliberately BEFORE Spark's
+    // post-hoc DataSourceAnalysis would convert an INSERT over the graft
+    // HadoopFsRelation into a raw file write behind the commit log
+    e.injectResolutionRule(_ => graft.sql.GraftDmlRule)
   }
 }
 

@@ -146,6 +146,87 @@ object TxQueries {
       CommitLog.mergeDv(s, table, src, Seq("event_id")): Unit
     }
 
+  /** Table mutated ENTIRELY through `spark.sql` DML
+    * ([[graft.sql.GraftDmlRule]]) — the reference's actual mutation surface
+    * is SQL over the lake, and until round 8 ours was Scala-only. History:
+    * commit all events → SQL `INSERT INTO` (re-keyed clones of every
+    * 'click' row, +500000000 / value+5) → SQL `UPDATE` (+0.5 on every
+    * 'signup' row) → SQL `DELETE` (every 'error' row). The INSERT must
+    * route through the commit log (a raw file write behind the manifest
+    * would flip fsck AND the hash), the UPDATE/DELETE through the
+    * merge-on-read DV path. */
+  private val builtSqlDml = new ConcurrentHashMap[String, String]()
+
+  private def ensureSqlDmlTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtSqlDml, d, "txsqldml") { (table, ev) =>
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val tag = java.lang.Integer.toHexString(table.hashCode)
+      val (v, src) = (s"txsqldml_v_$tag", s"txsqldml_src_$tag")
+      ev.createOrReplaceTempView(src)
+      s.read.format("graft").load(table).createOrReplaceTempView(v)
+      s.sql(s"""INSERT INTO $v
+                SELECT event_id + 500000000, event_type, value + 5
+                FROM $src WHERE event_type = 'click'""")
+      s.sql(s"UPDATE $v SET value = value + 0.5 WHERE event_type = 'signup'")
+      s.sql(s"DELETE FROM $v WHERE event_type = 'error'"): Unit
+    }
+
+  /** Table upserted through SQL `MERGE INTO` (UPDATE SET * / INSERT *) —
+    * the upsert-by-PK serving shape issued from pure SQL; routes through
+    * [[CommitLog.mergeDv]], so every pre-merge data file survives by
+    * reference. */
+  private val builtSqlMerge = new ConcurrentHashMap[String, String]()
+
+  private def ensureSqlMergeTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtSqlMerge, d, "txsqlmrg") { (table, ev) =>
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val tag = java.lang.Integer.toHexString(table.hashCode)
+      val (v, src) = (s"txsqlmrg_v_$tag", s"txsqlmrg_src_$tag")
+      ev.createOrReplaceTempView(src)
+      s.read.format("graft").load(table).createOrReplaceTempView(v)
+      s.sql(
+        s"""MERGE INTO $v t
+            USING (SELECT event_id, event_type, value + 2000 AS value
+                     FROM $src WHERE event_id % 101 = 7
+                   UNION ALL
+                   SELECT event_id + 400000000, event_type, value
+                     FROM $src WHERE event_id % 101 = 8) s
+            ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *"""): Unit
+    }
+
+  /** Table mutated by SQL `MERGE ... WHEN MATCHED THEN DELETE` — the
+    * key-set retirement shape ([[CommitLog.deleteKeys]] under the hood). */
+  private val builtSqlMergeDel = new ConcurrentHashMap[String, String]()
+
+  private def ensureSqlMergeDelTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtSqlMergeDel, d, "txsqlmdel") { (table, ev) =>
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val tag = java.lang.Integer.toHexString(table.hashCode)
+      val (v, src) = (s"txsqlmdel_v_$tag", s"txsqlmdel_src_$tag")
+      ev.createOrReplaceTempView(src)
+      s.read.format("graft").load(table).createOrReplaceTempView(v)
+      s.sql(
+        s"""MERGE INTO $v t
+            USING (SELECT event_id FROM $src WHERE event_id % 11 = 0) s
+            ON t.event_id = s.event_id
+            WHEN MATCHED THEN DELETE"""): Unit
+    }
+
+  /** Table with a registered Bloom index on `event_id`, committed
+    * ROUND-ROBIN into 16 files so every file's [min,max] spans the whole
+    * key domain — the exact layout where stats pruning is useless and only
+    * the per-file Bloom sidecars can shrink a point lookup
+    * ([[graft.tx.BloomIndex]]). */
+  private val builtBloom = new ConcurrentHashMap[String, String]()
+
+  private def ensureBloomTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtBloom, d, "txbloom") { (table, ev) =>
+      graft.tx.BloomIndex.setColumns(table, Seq("event_id"))
+      CommitLog.commit(ev.repartition(16), table, "append"): Unit
+    }
+
   /** Table mutated by [[CommitLog.deleteKeys]] — the CDC-apply delete shape
     * (`DELETE WHERE key IN (subquery)`): commit all events, then retire
     * every event_id divisible by 7 via a key-set frame. */
@@ -579,6 +660,69 @@ object TxQueries {
             GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // SQL DML end-to-end (round-8: GraftDmlRule): INSERT + UPDATE + DELETE
+    // issued through spark.sql against a graft temp view, each a commit-log
+    // transaction (the INSERT must NOT fall through to Spark's raw
+    // InsertIntoHadoopFsRelationCommand — a file written behind the
+    // manifest would flip fsck and the hash). The oracle recomputes the
+    // final state from the source parquet.
+    "tx_sql_dml" -> ((s, d) => {
+      val table = ensureSqlDmlTable(s, d)
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+          dsum(col("value")).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
+    // SQL MERGE upsert (UPDATE SET * / INSERT *): the serving-layer
+    // upsert-by-PK issued from pure SQL; `files_kept` pins the
+    // merge-on-read routing (every pre-merge file carried by reference).
+    "tx_sql_merge" -> ((s, d) => {
+      val table = ensureSqlMergeTable(s, d)
+      val m1 = CommitLog.manifest(table, 1L).files
+      val mN = CommitLog.manifest(table, CommitLog.latestVersion(table).get).files
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .withColumn("files_kept", lit(m1.forall(mN.contains)))
+        .orderBy("event_type")
+    }),
+
+    // SQL MERGE ... WHEN MATCHED THEN DELETE: key-set retirement
+    // (DELETE WHERE key IN (subquery)) from pure SQL.
+    "tx_sql_merge_delete" -> ((s, d) => {
+      val table = ensureSqlMergeDelTable(s, d)
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .orderBy("event_type")
+    }),
+
+    // Point lookup through the per-file Bloom sidecars (Delta's bloom
+    // filter index): the table is committed round-robin, so every file's
+    // [min,max] covers the whole id domain and stats pruning keeps ALL 16
+    // files — the bloom pass plans only the files that might hold the
+    // probed keys. `bloom_pruned` pins that the planned file count
+    // actually shrank; the row values pin correctness (a false negative —
+    // the one failure a Bloom must never have — would drop a row and flip
+    // the hash).
+    "tx_point_lookup_bloom" -> ((s, d) => {
+      val table = ensureBloomTable(s, d)
+      val m = CommitLog.manifest(table, CommitLog.latestVersion(table).get)
+      val probe = Seq(11L, 222L, 777L)
+      val planned = CommitLog.pruneFiles(table, m,
+        Seq(org.apache.spark.sql.sources.In("event_id",
+          probe.map(_.asInstanceOf[Any]).toArray))).size
+      CommitLog.readPruned(s, table, col("event_id").isin(probe: _*))
+        .select("event_id", "event_type", "value")
+        .withColumn("bloom_pruned", lit(planned < m.files.size))
+        .orderBy("event_id")
+    }),
+
     // RESTORE as undo (Delta's RESTORE TABLE … VERSION AS OF): after a
     // DELETE of every 'error' row, restore(v1, cdc = true) brings the
     // snapshot back to the full source BY REFERENCE (the new manifest
@@ -906,6 +1050,50 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max,
            CAST(count(value) AS BIGINT) AS n_vals
          FROM updated""",
+    "tx_point_lookup_bloom" ->
+      """SELECT event_id, event_type, value, TRUE AS bloom_pruned
+         FROM events WHERE event_id IN (11, 222, 777)
+         ORDER BY event_id""",
+    // SQL DML pipeline recompute: + click clones (INSERT), signup values
+    // +0.5 (UPDATE), error rows gone (DELETE)
+    "tx_sql_dml" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events),
+           with_ins AS (
+             SELECT event_id, event_type, value FROM base
+             UNION ALL
+             SELECT event_id + 500000000, event_type, value + 5
+               FROM base WHERE event_type = 'click'),
+           upd AS (
+             SELECT event_id, event_type,
+               CASE WHEN event_type = 'signup' THEN value + 0.5 ELSE value END AS value
+             FROM with_ins),
+           fin AS (SELECT * FROM upd WHERE event_type <> 'error')
+         SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM fin GROUP BY event_type ORDER BY event_type""",
+    "tx_sql_merge" ->
+      """WITH merged AS (
+           SELECT event_id, event_type, value + 2000 AS value
+             FROM events WHERE event_id % 101 = 7
+           UNION ALL
+           SELECT event_id, event_type, value
+             FROM events WHERE event_id % 101 <> 7
+           UNION ALL
+           SELECT event_id + 400000000 AS event_id, event_type, value
+             FROM events WHERE event_id % 101 = 8)
+         SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max,
+           TRUE AS files_kept
+         FROM merged GROUP BY event_type ORDER BY event_type""",
+    "tx_sql_merge_delete" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max
+         FROM events WHERE event_id % 11 <> 0
+         GROUP BY event_type ORDER BY event_type""",
     "tx_meta_count_dv" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_all,
            CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_after_delete,

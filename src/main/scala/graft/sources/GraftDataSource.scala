@@ -136,9 +136,13 @@ final class GraftSourceProvider extends RelationProvider
   * the returned filters stay declared UNHANDLED so Spark re-applies them
   * exactly (the translation below is best-effort pruning, not an answer
   * contract). */
-private[sources] final class GraftDvRelation(spark: SparkSession,
+private[graft] final class GraftDvRelation(spark: SparkSession,
     sql: SQLContext, table: String, version: Option[Long])
     extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  /** Table root, for the DML rule ([[graft.sql.GraftDmlRule]]) to target
+    * mutations at. */
+  def tableRoot: String = table
   import org.apache.spark.sql.{functions => F, Column, Row}
   import org.apache.spark.sql.sources._
 
@@ -189,6 +193,10 @@ final class GraftFileIndex(spark: SparkSession, table: String,
     m: CommitLog.Manifest) extends FileIndex {
 
   private val tableDir = java.nio.file.Paths.get(table)
+
+  /** Table root, for the DML rule ([[graft.sql.GraftDmlRule]]) to target
+    * mutations at. */
+  def tableRoot: String = table
 
   /** Hive partition column names, from the first data file's path segments
     * (`name=value`); every file of a table written with `partitionBy`

@@ -731,7 +731,7 @@ object CommitLog {
     val tableDir = Paths.get(table)
     // stats sidecars pre-shrink the probe: files whose [min,max] exclude
     // the predicate can't contain a match, so they're never even scanned
-    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
     val touched = touchedFiles(
       readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
       "__graft_file", tableDir)
@@ -777,7 +777,7 @@ object CommitLog {
     val tableDir = Paths.get(table)
     import org.apache.spark.sql.functions.{coalesce => cz, col, lit}
     val hit = cz(condition, lit(false))
-    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
     // dead rows with their (file, row_index) identity, read through the
     // existing DV filter so a second deleteDv never re-journals old deaths
     val dead = readManifestWithPos(spark, table, candidates).filter(hit)
@@ -872,7 +872,7 @@ object CommitLog {
         s"UPDATE cannot add column '$k'; use merge for schema evolution")
     }
     val tableDir = Paths.get(table)
-    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
     val touched = touchedFiles(
       readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
       "__graft_file", tableDir)
@@ -990,7 +990,7 @@ object CommitLog {
     }
     val tableDir = Paths.get(table)
     val hit = cz(condition, lit(false))
-    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
     val matched = readManifestWithPos(spark, table, candidates).filter(hit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1274,7 +1274,7 @@ object CommitLog {
           "replaceWhere constraint)")
     }
     try {
-      val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition)))
+      val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
       val touched = touchedFiles(
         readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
         "__graft_file", tableDir)
@@ -1433,10 +1433,18 @@ object CommitLog {
     // share the per-commit-dir footer-stats sidecars: same files, same
     // stats — the clone prunes/metaAggregates identically to the source
     m.files.map(commitDirOf).distinct.foreach { dir =>
-      val sc = srcDir.resolve(dir).resolve(FileStats.SidecarName)
-      if (Files.isRegularFile(sc))
-        linkOrCopy(sc, dstDir.resolve(dir).resolve(FileStats.SidecarName))
+      Seq(FileStats.SidecarName, BloomIndex.SidecarName).foreach { name =>
+        val sc = srcDir.resolve(dir).resolve(name)
+        if (Files.isRegularFile(sc))
+          linkOrCopy(sc, dstDir.resolve(dir).resolve(name))
+      }
     }
+    // the bloom-column registration travels too: same data, same
+    // point-lookup shape — future writes to the clone keep indexing
+    val bloomCfg = srcDir.resolve(BloomIndex.ConfigName)
+    if (Files.isRegularFile(bloomCfg))
+      try Files.copy(bloomCfg, dstDir.resolve(BloomIndex.ConfigName))
+      catch { case _: FileAlreadyExistsException => () }
     // deletion vectors travel with the snapshot: link each DV dir's files
     // and keep the refs, or the clone would resurrect dead rows
     m.dvDirs.foreach { dir =>
@@ -1516,6 +1524,14 @@ object CommitLog {
       return Nil
     }
     FileStats.writeSidecar(dataDir, files)
+    // per-file Bloom sidecars for the registered point-lookup columns —
+    // one pass over the FRESH files only; compact() rewrites old data
+    // through here, so compaction backfills a newly registered index
+    val bloomCols = BloomIndex.columns(tableDir.toString).filter(c =>
+      df.schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(c) && BloomIndex.indexable(f.dataType)))
+    if (bloomCols.nonEmpty)
+      BloomIndex.writeSidecar(df.sparkSession, dataDir, files, bloomCols)
     files.map(f => s"$dataDirName/${dataDir.relativize(f)}")
   }
 
@@ -1526,11 +1542,26 @@ object CommitLog {
   def pruneFiles(table: String, m: Manifest,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     if (filters.isEmpty) return m.files
-    perFileStats(table, m).filter { case (_, rel, stats) =>
+    // Bloom pass only when an equality/IN conjunct targets a registered
+    // column — the sidecars are bigger than the stats TSV, so they're
+    // loaded lazily per commit dir and only for reads that can use them
+    val bloomCols = BloomIndex.columns(table)
+    val needBloom = bloomCols.nonEmpty &&
+      filters.exists(BloomIndex.usable(_, bloomCols))
+    val tableDir = Paths.get(table)
+    val bloomCache =
+      scala.collection.mutable.Map.empty[String, Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]]
+    perFileStats(table, m).filter { case (mfile, rel, stats) =>
       // hive partition segments give exact bounds for the partition
       // columns (absent from footers); footer stats cover the rest
       val cols = FileStats.partitionStats(rel) ++ stats
-      filters.forall(FileStats.mightMatch(cols, _))
+      filters.forall(FileStats.mightMatch(cols, _)) && (!needBloom || {
+        val dir = commitDirOf(mfile)
+        val blooms = bloomCache.getOrElseUpdate(dir,
+          BloomIndex.readSidecar(tableDir.resolve(dir)))
+        val fileBlooms = blooms.getOrElse(rel, Map.empty)
+        filters.forall(BloomIndex.mightMatch(fileBlooms, _))
+      })
     }.map(_._1)
   }
 
@@ -1818,22 +1849,41 @@ object CommitLog {
       condition: org.apache.spark.sql.Column, version: Option[Long] = None): DataFrame = {
     val m = version.map(manifest(table, _)).orElse(latestManifest(table)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    readManifest(spark, table, m.copy(files = pruneFiles(table, m, toFilters(condition))))
+    readManifest(spark, table, m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema))))
       .filter(condition)
   }
 
   /** Split a predicate into its translatable data-source filters (for
     * stats pruning); conjuncts that don't translate are dropped — pruning
     * on the rest stays conservative because ALL conjuncts must hold. */
-  private def toFilters(condition: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
+  private def toFilters(condition: org.apache.spark.sql.Column,
+      schema: StructType): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference}
     def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
       e match {
         case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
-    conjuncts(org.apache.spark.sql.graftbridge.ColumnBridge.expression(condition))
-      .flatMap(org.apache.spark.sql.graftbridge.ColumnBridge.translateFilter)
+    // bind bare names to TYPED attribute references against the snapshot
+    // schema first: Spark's filter translator needs dataType on the
+    // attribute for literal conversion, and the conditions arriving here
+    // (functions.col chains, SQL DML via GraftDmlRule) carry unresolved
+    // names; a name the schema doesn't know stays unresolved and its
+    // conjunct simply doesn't prune (the mutation's own df.filter will
+    // surface the error)
+    val bound = org.apache.spark.sql.graftbridge.ColumnBridge.expression(condition)
+      .transform {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          schema.fields.find(_.name.equalsIgnoreCase(u.nameParts.last))
+            .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+            .getOrElse(u)
+      }
+    conjuncts(bound).flatMap { c =>
+      // best-effort translation: a conjunct that still carries unresolved
+      // pieces (or any shape the translator refuses) prunes nothing
+      try org.apache.spark.sql.graftbridge.ColumnBridge.translateFilter(c)
+      catch { case _: org.apache.spark.sql.catalyst.analysis.UnresolvedException => None }
+    }
   }
 
   /** Retention GC (Delta VACUUM): delete data files referenced ONLY by
@@ -1917,7 +1967,8 @@ object CommitLog {
           .filter(p => !liveDvDirs.contains(commitDirOf(tableDir.relativize(p).toString)))
           .filter { p =>
             val rel = tableDir.relativize(p).toString
-            !(p.getFileName.toString == FileStats.SidecarName &&
+            val name = p.getFileName.toString
+            !((name == FileStats.SidecarName || name == BloomIndex.SidecarName) &&
               liveDirs.contains(commitDirOf(rel)))
           }
           .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)

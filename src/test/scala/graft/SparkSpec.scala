@@ -14,6 +14,11 @@ object SparkSpec {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
+    // the production session (GraftSession) injects these via
+    // spark.sql.extensions; tests exercise the same analyzer surface —
+    // notably the SQL DML rule (GraftDmlRule), which cannot be added to an
+    // already-built session
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 }
 
