@@ -168,7 +168,60 @@ object StreamQueries {
       outPath
     })
 
+  /** Version-tailing CDF stream (`spark.readStream.format("graft")`,
+    * round 8): a commit-log lifecycle — two appends, a DV delete, a DV
+    * merge — tailed from `startingVersion = earliest` through the
+    * registered streaming source. Unlike the file-source subscriptions,
+    * rows arrive exactly once with a REAL `_commit_version` on every row
+    * (appends included), so the gate pins (version, change_type) counts
+    * for the entire history. */
+  private val builtTail = new ConcurrentHashMap[String, String]()
+
+  private def runTail(s: SparkSession, d: String): String =
+    builtTail.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_stail_${tag}_$pid"
+      deleteRecursively(new java.io.File(root))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      val table = s"$root/bronze"
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        table, "append")                                                 // v1
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        table, "append")                                                 // v2
+      CommitLog.deleteDv(s, table, col("event_type") === "error")        // v3
+      CommitLog.mergeDv(s, table,                                        // v4
+        ev.filter(pmod(col("event_id"), lit(7)) === 1)
+          .withColumn("value", col("value") + lit(100.0)),
+        Seq("event_id"))
+      val outName = s"stail_${tag}_$pid"
+      val q = s.readStream.format("graft")
+        .option("startingVersion", "earliest").load(table)
+        .groupBy(col(CommitLog.CommitVersionCol).as("v"),
+          col(CommitLog.ChangeTypeCol).as("ct"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(outName)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      val outPath = s"$root/out"
+      s.table(outName).write.mode("overwrite").parquet(outPath)
+      outPath
+    })
+
   val queries: Map[String, Q] = Map(
+    // The version-tailing CDF stream over a full lifecycle: append inserts
+    // carry their real commit version (manifest-delta derived), the DV
+    // delete its typed rows, the DV merge its pre/post-images plus the
+    // resurrection inserts (deleted keys re-merged = NOT MATCHED). The
+    // oracle recomputes every (version, change_type) count from the source
+    // parquet; a missed version, a duplicated batch, or a mis-typed row
+    // flips the hash.
+    "stream_graft_tail" -> ((s, d) =>
+      s.read.parquet(runTail(s, d)).filter(col("n") > 0).orderBy("v", "ct")),
+
     // One unified subscription over a full table lifecycle: mirror
     // insertions (v coalesced to 0), the delete's change rows (v3), and
     // the journaled overwrite's stored diff (v4) — the oracle recomputes
@@ -222,6 +275,24 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_graft_tail" ->
+      """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
+           SELECT 1 AS v, 'insert' AS ct, count(*) AS n
+             FROM events WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT 2, 'insert', count(*) FROM events WHERE event_id % 2 = 1
+           UNION ALL
+           SELECT 3, 'delete', count(*) FROM events WHERE event_type = 'error'
+           UNION ALL
+           SELECT 4, 'update_preimage', count(*)
+             FROM events WHERE event_id % 7 = 1 AND event_type <> 'error'
+           UNION ALL
+           SELECT 4, 'update_postimage', count(*)
+             FROM events WHERE event_id % 7 = 1 AND event_type <> 'error'
+           UNION ALL
+           SELECT 4, 'insert', count(*)
+             FROM events WHERE event_id % 7 = 1 AND event_type = 'error')
+         WHERE n > 0 ORDER BY v, ct""",
     "stream_cdc_unified" ->
       """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
            SELECT 0 AS v, 'insert' AS ct, count(*) AS n FROM events

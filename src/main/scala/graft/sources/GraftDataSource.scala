@@ -46,8 +46,50 @@ import graft.tx.CommitLog
   * without touching the Scala API. Mutations (delete/update/merge) stay
   * Scala-surface, as in Delta's pre-SQL days. */
 final class GraftSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  // ---- streaming: spark.readStream.format("graft").load(root) ----------
+  //
+  // A VERSION-TAILING source over the commit log — offsets ARE commit
+  // versions, batches ARE changeFeed slices. Unlike the `_stream`/`_cdc`
+  // file-source subscriptions (CommitLog.readStream/changeFeedStream,
+  // which interleave arbitrarily), this source serves every row-level
+  // change exactly once, version-ordered, with `_change_type` and
+  // `_commit_version` attached — Delta's CDF streaming contract. Appends
+  // derive inserts from the manifest delta (zero extra storage, no
+  // mirror = true needed); mutations and journaled overwrites serve their
+  // stored change rows; a PLAIN overwrite inside the tailed range fails
+  // the stream loudly (journal overwrites with cdc = true on streamed
+  // tables). `.option("startingVersion", "latest" (default) | "earliest"
+  // | <n>)` picks where the tail begins; checkpoints persist progress as
+  // plain long offsets.
+
+  private def streamStart(parameters: Map[String, String], table: String): Long =
+    parameters.get("startingversion").orElse(parameters.get("startingVersion"))
+      .map(_.trim.toLowerCase) match {
+      case None | Some("latest") => CommitLog.latestVersion(table).getOrElse(0L)
+      case Some("earliest") => 0L
+      case Some(n) => n.toLong
+    }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft stream needs a table root: spark.readStream.format(\"graft\").load(<path>)"))
+    (shortName(), GraftStreamSource.feedSchema(table))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft stream needs a table root: spark.readStream.format(\"graft\").load(<path>)"))
+    new GraftStreamSource(sqlContext.sparkSession, table,
+      streamStart(parameters, table))
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -126,6 +168,63 @@ final class GraftSourceProvider extends RelationProvider
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
       bucketSpec = None, new ParquetFileFormat, parameters)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+}
+
+/** Version-tailing Structured Streaming source over a commit-log table:
+  * `getOffset` is the table's latest version, `getBatch(a, b)` is
+  * [[CommitLog.changeFeed]] over `(a, b]` aligned to the schema declared
+  * at stream start (columns added by later evolution are dropped until a
+  * restart — the standard streaming-source contract). Rows are exactly
+  * the batch feed's: typed by `_change_type`, stamped `_commit_version`,
+  * version-ordered within the micro-batch. */
+private[sources] final class GraftStreamSource(spark: SparkSession,
+    table: String, startVersion: Long)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+  import org.apache.spark.sql.{functions => F}
+
+  override val schema: StructType = GraftStreamSource.feedSchema(table)
+
+  override def getOffset: Option[V1Offset] =
+    CommitLog.latestVersion(table).filter(_ > startVersion).map(LongOffset(_))
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json().toLong
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): org.apache.spark.sql.DataFrame = {
+    val from = start.map(versionOf).getOrElse(startVersion)
+    val to = versionOf(end)
+    val feed = CommitLog.changeFeed(spark, table, from, Some(to))
+    // pin the stream's declared schema across mid-stream evolution
+    val have = feed.columns.toSet
+    val aligned = feed.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) F.col(f.name).cast(f.dataType).as(f.name)
+      else F.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    org.apache.spark.sql.graftbridge.ColumnBridge.streamingOfRows(spark, aligned)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$table from v$startVersion]"
+}
+
+private[sources] object GraftStreamSource {
+  /** The stream's row shape: the LATEST snapshot schema (nullable-forced,
+    * like every file-source schema) + the change-feed's type/version
+    * stamps. */
+  def feedSchema(table: String): StructType = {
+    val m = CommitLog.latestVersion(table).map(CommitLog.manifest(table, _))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no committed versions"))
+    StructType(m.schema.fields.map(_.copy(nullable = true)))
+      .add(CommitLog.ChangeTypeCol, org.apache.spark.sql.types.StringType)
+      .add(CommitLog.CommitVersionCol, org.apache.spark.sql.types.LongType)
   }
 }
 

@@ -223,6 +223,10 @@ object BloomIndex {
       case _ => true
     }
 
+  /** Might this filter contain `v`? Unsupported value shapes answer true
+    * (keep). Exposed for [[CommitLog]]'s key-probe pruning. */
+  def mightContainValue(bf: BloomFilter, v: Any): Boolean = contains(Some(bf), v)
+
   private def lookup(blooms: Map[String, BloomFilter], a: String): Option[BloomFilter] =
     blooms.get(a).orElse(blooms.collectFirst {
       case (k, v) if k.equalsIgnoreCase(a) => v

@@ -1596,6 +1596,70 @@ object CommitLog {
     * absence: unsupported key types, missing sidecars, kind-mismatched or
     * boundless columns all keep the file. */
   def pruneFilesByKeys(spark: SparkSession, table: String, m: Manifest,
+      keys: Seq[String], srcKeys: DataFrame): Seq[String] =
+    bloomKeyProbe(table, m, keys, srcKeys,
+      pruneFilesByKeyBounds(spark, table, m, keys, srcKeys))
+
+  /** Keys a [[bloomKeyProbe]] will collect to the driver. The probe exists
+    * for the TRICKLE shape (a CDC micro-batch of upserts against an
+    * unclustered table, where per-file key bounds cannot prune); a big
+    * backfill source skips it and keeps the bounds result — probing
+    * millions of keys against thousands of files driver-side would cost
+    * more than the scan it saves. */
+  val BloomKeyProbeMaxKeys: Int = 4096
+
+  /** Second pruning stage for key-probe reads ([[merge]]/[[mergeDv]]/
+    * [[deleteKeys]]): when EVERY key column carries a registered Bloom
+    * index and the source key set is trickle-sized, collect the keys and
+    * keep only files whose per-file blooms might contain at least one
+    * full key tuple. On an unclustered 100 TB table this is the difference
+    * between probing every file (bounds span the domain) and probing
+    * O(|source|) files. Conservative like every pruning layer: oversized
+    * sources, unregistered columns, missing sidecars, NULL-key rows
+    * (match nothing by SQL semantics, dropped from the probe) all fall
+    * back to the bounds result. */
+  private def bloomKeyProbe(table: String, m: Manifest, keys: Seq[String],
+      srcKeys: DataFrame, afterBounds: Seq[String]): Seq[String] = {
+    if (afterBounds.isEmpty || keys.isEmpty) return afterBounds
+    val bloomCols = BloomIndex.columns(table)
+    if (!keys.forall(k => bloomCols.exists(_.equalsIgnoreCase(k))))
+      return afterBounds
+    import org.apache.spark.sql.functions.col
+    val rows =
+      try srcKeys.select(keys.map(col): _*).na.drop().distinct()
+        .limit(BloomKeyProbeMaxKeys + 1).collect()
+      catch { case scala.util.control.NonFatal(_) => return afterBounds }
+    if (rows.isEmpty || rows.length > BloomKeyProbeMaxKeys) return afterBounds
+    val tableDir = Paths.get(table)
+    val cache = scala.collection.mutable.Map
+      .empty[String, Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]]
+    afterBounds.filter { f =>
+      val dir = commitDirOf(f)
+      val blooms = cache.getOrElseUpdate(dir,
+        BloomIndex.readSidecar(tableDir.resolve(dir)))
+      blooms.get(f.stripPrefix(dir + "/")) match {
+        case None => true // file not in its sidecar: keep, never guess
+        case Some(byCol) =>
+          val bfs = keys.map(k => byCol.collectFirst {
+            case (c, bf) if c.equalsIgnoreCase(k) => bf
+          })
+          bfs.exists(_.isEmpty) || {
+            val filters = bfs.map(_.get)
+            rows.exists { r =>
+              var i = 0
+              var all = true
+              while (all && i < filters.length) {
+                all = BloomIndex.mightContainValue(filters(i), r.get(i))
+                i += 1
+              }
+              all
+            }
+          }
+      }
+    }
+  }
+
+  private def pruneFilesByKeyBounds(spark: SparkSession, table: String, m: Manifest,
       keys: Seq[String], srcKeys: DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import org.apache.spark.sql.types._

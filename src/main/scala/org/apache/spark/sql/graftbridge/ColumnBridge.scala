@@ -24,6 +24,18 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Batch plan → STREAMING DataFrame over the same rows — what a v1
+    * [[org.apache.spark.sql.execution.streaming.Source]]'s `getBatch` must
+    * return (`isStreaming = true`), built exactly the way Spark's own file
+    * stream source does it (`internalCreateDataFrame` is `private[sql]`). */
+  def streamingOfRows(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(classic.queryExecution.toRdd, classic.schema,
+        isStreaming = true)
+  }
+
   /** Catalyst predicate → data-source [[org.apache.spark.sql.sources.Filter]],
     * when expressible — the same translation Spark runs before handing
     * pushed filters to a DSv2 source (`DataSourceStrategy.translateFilter`

@@ -117,6 +117,30 @@ class BloomIndexSpec extends SparkSpec {
     assert(CommitLog.readPruned(spark, t, col("id") === 437L).count() === 1L)
   }
 
+  test("merge key probes prune through blooms on unclustered layouts") {
+    val t = freshTable("bloom_mergeprobe")
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    val src = Seq(437L, 11L).toDF("id")
+    // bounds alone keep all 8 (round-robin layout); the key probe shrinks
+    val kept = CommitLog.pruneFilesByKeys(spark, t, m, Seq("id"), src)
+    assert(kept.size < 8, s"bloom key probe kept ${kept.size} of 8")
+    // and a real merge-on-read upsert through the shrunk probe is exact
+    val upd = Seq((437L, "name_437_v2", 437L % 7)).toDF("id", "nm", "grp")
+    CommitLog.mergeDv(spark, t, upd, Seq("id"))
+    val read = CommitLog.read(spark, t)
+    assert(read.count() === 1000L)
+    assert(read.filter(col("id") === 437L).select("nm").as[String].collect()
+      .toSeq === Seq("name_437_v2"))
+  }
+
+  test("NULL-key source rows drop out of the probe without crashing") {
+    val t = freshTable("bloom_nullkey")
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    val src = Seq(Some(437L), None).toDF("id")
+    val kept = CommitLog.pruneFilesByKeys(spark, t, m, Seq("id"), src)
+    assert(kept.size < 8)
+  }
+
   test("setColumns refuses non-indexable known types") {
     val t = tmpDir("bloom_badcol")
     new java.io.File(t).delete()
