@@ -66,13 +66,35 @@ final class GraftSourceProvider extends RelationProvider
   // | <n>)` picks where the tail begins; checkpoints persist progress as
   // plain long offsets.
 
-  private def streamStart(parameters: Map[String, String], table: String): Long =
-    parameters.get("startingversion").orElse(parameters.get("startingVersion"))
+  /** The stream's start anchor, PERSISTED under the source's metadata dir
+    * on first creation and read back on every restart — under the default
+    * `latest` the anchor is time-dependent, and recomputing it on restart
+    * would make a recovery replay of batch 0 (which arrives with
+    * `start = None`) serve the wrong range (round-8 review finding; the
+    * same mechanism Spark's file stream source uses for its own seed
+    * state). */
+  private def streamStart(parameters: Map[String, String], table: String,
+      metadataPath: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(new org.apache.hadoop.fs.Path(metadataPath).toUri.getPath)
+    val anchor = dir.resolve("graft-start")
+    if (Files.isRegularFile(anchor))
+      return new String(Files.readAllBytes(anchor),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    val v = parameters.get("startingversion").orElse(parameters.get("startingVersion"))
       .map(_.trim.toLowerCase) match {
       case None | Some("latest") => CommitLog.latestVersion(table).getOrElse(0L)
       case Some("earliest") => 0L
       case Some(n) => n.toLong
     }
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".graft-start-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try Files.move(tmp, anchor, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp): Unit }
+    v
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -88,7 +110,7 @@ final class GraftSourceProvider extends RelationProvider
     val table = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft stream needs a table root: spark.readStream.format(\"graft\").load(<path>)"))
     new GraftStreamSource(sqlContext.sparkSession, table,
-      streamStart(parameters, table))
+      streamStart(parameters, table, metadataPath))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -183,12 +205,19 @@ private[sources] final class GraftStreamSource(spark: SparkSession,
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-  import org.apache.spark.sql.{functions => F}
+
 
   override val schema: StructType = GraftStreamSource.feedSchema(table)
 
+  // NO startVersion filter here: startVersion gates only the FIRST batch
+  // (getBatch with start = None). Filtering offsets by it would make a
+  // restarted stream — whose createSource recomputed startVersion to the
+  // restart-time latest under the default 'latest' — silently skip every
+  // version committed while it was down, even though the checkpoint holds
+  // an older offset (round-8 review finding). An offset equal to the
+  // last-committed one simply yields no new batch.
   override def getOffset: Option[V1Offset] =
-    CommitLog.latestVersion(table).filter(_ > startVersion).map(LongOffset(_))
+    CommitLog.latestVersion(table).map(LongOffset(_))
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -201,12 +230,8 @@ private[sources] final class GraftStreamSource(spark: SparkSession,
     val to = versionOf(end)
     val feed = CommitLog.changeFeed(spark, table, from, Some(to))
     // pin the stream's declared schema across mid-stream evolution
-    val have = feed.columns.toSet
-    val aligned = feed.select(schema.fields.toSeq.map { f =>
-      if (have(f.name)) F.col(f.name).cast(f.dataType).as(f.name)
-      else F.lit(null).cast(f.dataType).as(f.name)
-    }: _*)
-    org.apache.spark.sql.graftbridge.ColumnBridge.streamingOfRows(spark, aligned)
+    org.apache.spark.sql.graftbridge.ColumnBridge.streamingOfRows(spark,
+      CommitLog.alignTo(feed, schema))
   }
 
   override def stop(): Unit = ()

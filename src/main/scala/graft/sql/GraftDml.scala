@@ -56,11 +56,14 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 
     case u: UpdateTable =>
       GraftDml.rootOf(u.table).map { root =>
-        val names = u.assignments.map(a => GraftDml.nameOf(a.key, "UPDATE SET target"))
+        val aliases = GraftDml.aliasesOf(u.table)
+        val names = u.assignments.map(a =>
+          GraftDml.nameOf(a.key, "UPDATE SET target", aliases))
         require(names.distinct.size == names.size,
           s"duplicate UPDATE SET targets: ${names.mkString(", ")}")
         val set = u.assignments.map { a =>
-          GraftDml.nameOf(a.key, "UPDATE SET target") -> GraftDml.toColumn(a.value)
+          GraftDml.nameOf(a.key, "UPDATE SET target", aliases) ->
+            GraftDml.toColumn(a.value)
         }.toMap
         val cond = u.condition.map(GraftDml.toColumn).getOrElse(F.lit(true))
         GraftUpdateCommand(root, cond, set)
@@ -118,12 +121,30 @@ private[graft] object GraftDml {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
 
-  /** Column name of an assignment target / key reference. */
-  def nameOf(e: Expression, what: String): String = e match {
+  /** Column name of an assignment target / key reference. Multi-part
+    * names are accepted ONLY when the qualifier is a known table alias —
+    * `t.value` strips to `value`, but `s.x` on a table with a struct `s`
+    * (a nested-field reference) and any unknown qualifier refuse loudly
+    * instead of silently binding to whatever top-level column shares the
+    * last segment (round-8 review finding). */
+  def nameOf(e: Expression, what: String,
+      allowedQualifiers: Set[String] = Set.empty): String = e match {
     case a: AttributeReference => a.name
-    case u: UnresolvedAttribute => u.nameParts.last
+    case u: UnresolvedAttribute if u.nameParts.size == 1 => u.nameParts.head
+    case u: UnresolvedAttribute if u.nameParts.size == 2 &&
+        allowedQualifiers.contains(u.nameParts.head.toLowerCase) =>
+      u.nameParts.last
     case other => throw new IllegalArgumentException(
-      s"$what must be a plain column, got: ${other.sql}")
+      s"$what must be a plain column (optionally qualified by a table " +
+        s"alias), got: ${other.sql}")
+  }
+
+  /** The alias names a DML target/source plan answers to (SubqueryAlias
+    * layers), lowercased. */
+  def aliasesOf(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) => aliasesOf(child) + id.name.toLowerCase
+    case v: View => aliasesOf(v.child)
+    case _ => Set.empty
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -147,6 +168,9 @@ private[graft] object GraftDml {
   def translateMerge(m: MergeIntoTable, root: String): LogicalPlan = {
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
+    val targetAliases = aliasesOf(m.targetTable)
+    val sourceAliases = aliasesOf(m.sourceTable)
+    val anyAlias = targetAliases ++ sourceAliases
     def side(e: Expression): Option[Boolean] = e match { // Some(true)=target
       case a: AttributeReference if targetOut.contains(a) => Some(true)
       case a: AttributeReference if sourceOut.contains(a) => Some(false)
@@ -154,7 +178,8 @@ private[graft] object GraftDml {
     }
     val keys = conjuncts(m.mergeCondition).map {
       case EqualTo(l, r) =>
-        val (ln, rn) = (nameOf(l, "MERGE ON reference"), nameOf(r, "MERGE ON reference"))
+        val (ln, rn) = (nameOf(l, "MERGE ON reference", anyAlias),
+          nameOf(r, "MERGE ON reference", anyAlias))
         require(ln.equalsIgnoreCase(rn),
           s"MERGE ON must equate same-named key columns (upsert-by-key), got $ln = $rn")
         // when resolved, insist the two sides actually straddle the tables
@@ -172,13 +197,21 @@ private[graft] object GraftDml {
     def unconditional(c: Option[Expression], what: String): Unit =
       require(c.isEmpty, s"conditional $what clauses are not supported on graft tables")
     // `UPDATE SET a = s.a, …` written out longhand is still SET * iff every
-    // assignment is the same-named source column
+    // assignment is the same-named SOURCE column — a target-qualified value
+    // (`SET value = t.value`, intent: keep the target's) is NOT the star
+    // shape and must refuse, resolved or not (round-8 review finding)
     def isIdentity(as: Seq[Assignment]): Boolean = as.forall { a =>
       a.value match {
         case v: AttributeReference =>
-          side(v).forall(_ == false) && nameOf(a.key, "SET").equalsIgnoreCase(v.name)
+          side(v).forall(_ == false) &&
+            nameOf(a.key, "SET", targetAliases).equalsIgnoreCase(v.name)
         case v: UnresolvedAttribute =>
-          nameOf(a.key, "SET").equalsIgnoreCase(v.nameParts.last)
+          val fromSource = v.nameParts.size == 1 ||
+            (v.nameParts.size == 2 &&
+              sourceAliases.contains(v.nameParts.head.toLowerCase) &&
+              !targetAliases.contains(v.nameParts.head.toLowerCase))
+          fromSource &&
+            nameOf(a.key, "SET", targetAliases).equalsIgnoreCase(v.nameParts.last)
         case _ => false
       }
     }
@@ -302,7 +335,22 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
     val targetSchema = CommitLog.latestVersion(table)
       .map(v => CommitLog.manifest(table, v).schema)
     val df =
-      if (byName) df0
+      if (byName) targetSchema match {
+        // BY NAME still validates: a misspelled column must error, not
+        // silently become a new column via additive evolution
+        // (round-8 review finding)
+        case Some(schema) =>
+          val unknown = df0.columns.filterNot(n =>
+            schema.fields.exists(_.name.equalsIgnoreCase(n)))
+          require(unknown.isEmpty,
+            s"INSERT BY NAME columns not in $table: ${unknown.mkString(", ")} " +
+              s"(schema: ${schema.fieldNames.mkString(", ")})")
+          df0.select(df0.columns.toIndexedSeq.map { n =>
+            val f = schema.fields.find(_.name.equalsIgnoreCase(n)).get
+            F.col(n).cast(f.dataType).as(f.name)
+          }: _*)
+        case None => df0
+      }
       else {
         val names =
           if (userCols.nonEmpty) userCols

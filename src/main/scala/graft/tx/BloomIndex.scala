@@ -100,12 +100,22 @@ object BloomIndex {
     if (cols.isEmpty || files.isEmpty) return
     try {
       val conf = new org.apache.hadoop.conf.Configuration()
+      // per-file identity is the dataDir-RELATIVE path, keyed by the
+      // file's URI as `_metadata.file_path` reports it — basenames
+      // collide across hive partition dirs (one write task emits the
+      // same part-NNNN name into every partition it touches), which
+      // would merge different files' filters and mis-attribute the
+      // result (round-8 review finding)
+      // canonical key = plain absolute filesystem path: `_metadata
+      // .file_path` is a HADOOP-style URI ("file:/tmp/…") while nio's
+      // toUri prints "file:///tmp/…" — comparing raw strings would
+      // silently match nothing
+      val relByUri: Map[String, String] =
+        files.map(p => p.toAbsolutePath.toString -> dataDir.relativize(p).toString).toMap
       // per-file expected sizes from the footers (metadata-only)
       val expected: Map[String, Long] = files.map { p =>
-        p.getFileName.toString -> math.max(1L, FileStats.footerRowCount(p, conf))
+        p.toAbsolutePath.toString -> math.max(1L, FileStats.footerRowCount(p, conf))
       }.toMap
-      val relOfName: Map[String, String] =
-        files.map(p => p.getFileName.toString -> dataDir.relativize(p).toString).toMap
       val schema = spark.read.parquet(files.head.toString).schema
       // hive partition columns live in directory names, not pages — they
       // are exactly dir-pruned already and cannot be bloom'd from the files
@@ -128,25 +138,27 @@ object BloomIndex {
         val local = mutable.Map.empty[(String, String), BloomFilter]
         it.foreach { row =>
           if (!row.isNullAt(0)) {
-            val fname = row.getString(0).substring(
-              row.getString(0).lastIndexOf('/') + 1)
-            val n = bcExpected.value.getOrElse(fname, 1024L)
-            var i = 0
-            while (i < bcCols.value.length) {
-              val kind = bcKinds.value(i)
-              if (kind != "skip" && !row.isNullAt(i + 1)) {
-                val bf = local.getOrElseUpdate((fname, bcCols.value(i)),
-                  BloomFilter.create(n, Fpp))
-                row.get(i + 1) match {
-                  case s: String => bf.putString(s)
-                  case l: Long => bf.putLong(l)
-                  case x: Int => bf.putLong(x.toLong)
-                  case x: Short => bf.putLong(x.toLong)
-                  case x: Byte => bf.putLong(x.toLong)
-                  case _ => ()
+            val uri = new org.apache.hadoop.fs.Path(row.getString(0)).toUri.getPath
+            // an URI the driver didn't list (shouldn't happen) indexes
+            // nothing — absent sidecar entries read conservatively
+            bcExpected.value.get(uri).foreach { n =>
+              var i = 0
+              while (i < bcCols.value.length) {
+                val kind = bcKinds.value(i)
+                if (kind != "skip" && !row.isNullAt(i + 1)) {
+                  val bf = local.getOrElseUpdate((uri, bcCols.value(i)),
+                    BloomFilter.create(n, Fpp))
+                  row.get(i + 1) match {
+                    case s: String => bf.putString(s)
+                    case l: Long => bf.putLong(l)
+                    case x: Int => bf.putLong(x.toLong)
+                    case x: Short => bf.putLong(x.toLong)
+                    case x: Byte => bf.putLong(x.toLong)
+                    case _ => ()
+                  }
                 }
+                i += 1
               }
-              i += 1
             }
           }
         }
@@ -162,10 +174,11 @@ object BloomIndex {
         bf.writeTo(out)
         out.toByteArray
       }.collect()
-      val lines = partials.toSeq.sortBy(_._1).flatMap { case ((fname, c), bytes) =>
-        relOfName.get(fname).map { rel =>
-          Seq(enc(rel), enc(c), Base64.getEncoder.encodeToString(bytes))
-            .mkString("\t")
+      val kindOf = cols0.zip(kinds).toMap
+      val lines = partials.toSeq.sortBy(_._1).flatMap { case ((uri, c), bytes) =>
+        relByUri.get(uri).map { rel =>
+          Seq(enc(rel), enc(c), kindOf.getOrElse(c, "skip"),
+            Base64.getEncoder.encodeToString(bytes)).mkString("\t")
         }
       }
       if (lines.nonEmpty)
@@ -176,18 +189,24 @@ object BloomIndex {
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** One column's filter plus the kind its values were hashed as
+    * (`long` | `string`) — a probe value of a DIFFERENT kind must answer
+    * "maybe": the hash families don't overlap, so a cross-kind probe
+    * would be a guaranteed (false-negative) miss. */
+  final case class ColBloom(kind: String, filter: BloomFilter)
+
   /** Sidecar of one commit dir: relative file → column → filter. Missing
     * or unreadable sidecars read empty (no pruning). */
-  def readSidecar(dataDir: Path): Map[String, Map[String, BloomFilter]] = {
+  def readSidecar(dataDir: Path): Map[String, Map[String, ColBloom]] = {
     val p = dataDir.resolve(SidecarName)
     if (!Files.isRegularFile(p)) return Map.empty
     try {
       new String(Files.readAllBytes(p), UTF_8).split("\n").toSeq
         .filter(_.nonEmpty).flatMap { line =>
           line.split("\t") match {
-            case Array(rel, c, b64) =>
-              try Some((dec(rel), dec(c), BloomFilter.readFrom(
-                new ByteArrayInputStream(Base64.getDecoder.decode(b64)))))
+            case Array(rel, c, kind, b64) =>
+              try Some((dec(rel), dec(c), ColBloom(kind, BloomFilter.readFrom(
+                new ByteArrayInputStream(Base64.getDecoder.decode(b64))))))
               catch { case scala.util.control.NonFatal(_) => None }
             case _ => None
           }
@@ -212,8 +231,9 @@ object BloomIndex {
   }
 
   /** Can `filter` match any row of a file with these blooms? Strictly
-    * conservative: only a DEFINITE bloom miss answers false. */
-  def mightMatch(blooms: Map[String, BloomFilter], filter: Filter): Boolean =
+    * conservative: only a DEFINITE, kind-matched bloom miss answers
+    * false. */
+  def mightMatch(blooms: Map[String, ColBloom], filter: Filter): Boolean =
     filter match {
       case And(l, r) => mightMatch(blooms, l) && mightMatch(blooms, r)
       case Or(l, r) => mightMatch(blooms, l) || mightMatch(blooms, r)
@@ -223,24 +243,27 @@ object BloomIndex {
       case _ => true
     }
 
-  /** Might this filter contain `v`? Unsupported value shapes answer true
-    * (keep). Exposed for [[CommitLog]]'s key-probe pruning. */
-  def mightContainValue(bf: BloomFilter, v: Any): Boolean = contains(Some(bf), v)
+  /** Might this filter contain `v`? Kind-mismatched or unsupported value
+    * shapes answer true (keep) — probing a string-hashed filter with an
+    * int (a condition Spark would answer via coercion) must never turn
+    * into a definite miss (round-8 review finding). Exposed for
+    * [[CommitLog]]'s key-probe pruning. */
+  def mightContainValue(cb: ColBloom, v: Any): Boolean = contains(Some(cb), v)
 
-  private def lookup(blooms: Map[String, BloomFilter], a: String): Option[BloomFilter] =
+  private def lookup(blooms: Map[String, ColBloom], a: String): Option[ColBloom] =
     blooms.get(a).orElse(blooms.collectFirst {
       case (k, v) if k.equalsIgnoreCase(a) => v
     })
 
-  private def contains(bf: Option[BloomFilter], v: Any): Boolean = bf match {
+  private def contains(cb: Option[ColBloom], v: Any): Boolean = cb match {
     case None => true
-    case Some(b) => v match {
-      case s: String => b.mightContainString(s)
-      case l: Long => b.mightContainLong(l)
-      case x: Int => b.mightContainLong(x.toLong)
-      case x: Short => b.mightContainLong(x.toLong)
-      case x: Byte => b.mightContainLong(x.toLong)
-      case _ => true // value shape we didn't index: keep the file
+    case Some(ColBloom(kind, b)) => v match {
+      case s: String if kind == "string" => b.mightContainString(s)
+      case l: Long if kind == "long" => b.mightContainLong(l)
+      case x: Int if kind == "long" => b.mightContainLong(x.toLong)
+      case x: Short if kind == "long" => b.mightContainLong(x.toLong)
+      case x: Byte if kind == "long" => b.mightContainLong(x.toLong)
+      case _ => true // kind mismatch or unindexed shape: keep the file
     }
   }
 

@@ -274,19 +274,27 @@ object CommitLog {
     * column compares as NULL), then bag-semantics exceptAll both ways —
     * old rows absent from new emit `delete`, new rows absent from old
     * emit `insert`, an identical surviving row emits nothing. */
+  /** Align `df` to `schema` by name: present columns cast to the declared
+    * type, absent ones null-fill — THE one copy of the alignment rule
+    * shared by the change feed, the overwrite diff, and the streaming
+    * source (round-8 review finding: three drifting copies). */
+  private[graft] def alignTo(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   private def overwriteDiffRows(spark: SparkSession, newDf: DataFrame,
       oldBase: Option[DataFrame], schema: StructType): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.lit
     val oldDf = oldBase match {
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(base) =>
-        val have = base.columns.toSet
-        base.select(schema.fields.toSeq.map { f =>
-          if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }: _*)
+      case Some(base) => alignTo(base, schema)
     }
     oldDf.exceptAll(newDf).withColumn(ChangeTypeCol, lit("delete"))
       .union(newDf.exceptAll(oldDf).withColumn(ChangeTypeCol, lit("insert")))
@@ -1550,7 +1558,7 @@ object CommitLog {
       filters.exists(BloomIndex.usable(_, bloomCols))
     val tableDir = Paths.get(table)
     val bloomCache =
-      scala.collection.mutable.Map.empty[String, Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]]
+      scala.collection.mutable.Map.empty[String, Map[String, Map[String, BloomIndex.ColBloom]]]
     perFileStats(table, m).filter { case (mfile, rel, stats) =>
       // hive partition segments give exact bounds for the partition
       // columns (absent from footers); footer stats cover the rest
@@ -1596,9 +1604,32 @@ object CommitLog {
     * absence: unsupported key types, missing sidecars, kind-mismatched or
     * boundless columns all keep the file. */
   def pruneFilesByKeys(spark: SparkSession, table: String, m: Manifest,
-      keys: Seq[String], srcKeys: DataFrame): Seq[String] =
-    bloomKeyProbe(table, m, keys, srcKeys,
-      pruneFilesByKeyBounds(spark, table, m, keys, srcKeys))
+      keys: Seq[String], srcKeys: DataFrame): Seq[String] = {
+    val bloomCols = BloomIndex.columns(table)
+    val bloomable = keys.nonEmpty &&
+      keys.forall(k => bloomCols.exists(_.equalsIgnoreCase(k)))
+    if (!bloomable) return pruneFilesByKeyBounds(spark, table, m, keys, srcKeys)
+    // SINGLE source evaluation (round-8 review finding): collect the
+    // trickle-sized key tuples once and reuse them for BOTH stages — the
+    // bounds join runs against the collected local relation, the bloom
+    // probe runs driver-side. An oversized source keeps the one-pass
+    // bounds join and skips the bloom stage.
+    import org.apache.spark.sql.functions.col
+    val projected =
+      try srcKeys.select(keys.map(col): _*).na.drop().distinct()
+      catch { case scala.util.control.NonFatal(_) =>
+        return pruneFilesByKeyBounds(spark, table, m, keys, srcKeys) }
+    val rows =
+      try projected.limit(BloomKeyProbeMaxKeys + 1).collect()
+      catch { case scala.util.control.NonFatal(_) =>
+        return pruneFilesByKeyBounds(spark, table, m, keys, srcKeys) }
+    if (rows.isEmpty || rows.length > BloomKeyProbeMaxKeys)
+      return pruneFilesByKeyBounds(spark, table, m, keys, srcKeys)
+    val localKeys = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), projected.schema)
+    bloomKeyProbe(table, keys, rows,
+      pruneFilesByKeyBounds(spark, table, m, keys, localKeys))
+  }
 
   /** Keys a [[bloomKeyProbe]] will collect to the driver. The probe exists
     * for the TRICKLE shape (a CDC micro-batch of upserts against an
@@ -1609,30 +1640,19 @@ object CommitLog {
   val BloomKeyProbeMaxKeys: Int = 4096
 
   /** Second pruning stage for key-probe reads ([[merge]]/[[mergeDv]]/
-    * [[deleteKeys]]): when EVERY key column carries a registered Bloom
-    * index and the source key set is trickle-sized, collect the keys and
-    * keep only files whose per-file blooms might contain at least one
-    * full key tuple. On an unclustered 100 TB table this is the difference
-    * between probing every file (bounds span the domain) and probing
-    * O(|source|) files. Conservative like every pruning layer: oversized
-    * sources, unregistered columns, missing sidecars, NULL-key rows
-    * (match nothing by SQL semantics, dropped from the probe) all fall
-    * back to the bounds result. */
-  private def bloomKeyProbe(table: String, m: Manifest, keys: Seq[String],
-      srcKeys: DataFrame, afterBounds: Seq[String]): Seq[String] = {
-    if (afterBounds.isEmpty || keys.isEmpty) return afterBounds
-    val bloomCols = BloomIndex.columns(table)
-    if (!keys.forall(k => bloomCols.exists(_.equalsIgnoreCase(k))))
-      return afterBounds
-    import org.apache.spark.sql.functions.col
-    val rows =
-      try srcKeys.select(keys.map(col): _*).na.drop().distinct()
-        .limit(BloomKeyProbeMaxKeys + 1).collect()
-      catch { case scala.util.control.NonFatal(_) => return afterBounds }
-    if (rows.isEmpty || rows.length > BloomKeyProbeMaxKeys) return afterBounds
+    * [[deleteKeys]]): keep only files whose per-file blooms might contain
+    * at least one full key tuple of the (already collected) source keys.
+    * On an unclustered 100 TB table this is the difference between
+    * probing every file (bounds span the domain) and probing O(|source|)
+    * files. Conservative like every pruning layer: missing sidecars,
+    * kind-mismatched probes, unindexed files all keep. */
+  private def bloomKeyProbe(table: String, keys: Seq[String],
+      rows: Array[org.apache.spark.sql.Row],
+      afterBounds: Seq[String]): Seq[String] = {
+    if (afterBounds.isEmpty) return afterBounds
     val tableDir = Paths.get(table)
     val cache = scala.collection.mutable.Map
-      .empty[String, Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]]
+      .empty[String, Map[String, Map[String, BloomIndex.ColBloom]]]
     afterBounds.filter { f =>
       val dir = commitDirOf(f)
       val blooms = cache.getOrElseUpdate(dir,
@@ -1935,10 +1955,15 @@ object CommitLog {
     // names; a name the schema doesn't know stays unresolved and its
     // conjunct simply doesn't prune (the mutation's own df.filter will
     // surface the error)
+    // single-part names only: a multi-part reference (nested struct
+    // field, qualified name) whose LAST segment collides with an
+    // unrelated top-level column must not bind to it — that would prune
+    // on the wrong column's stats (round-8 review finding)
     val bound = org.apache.spark.sql.graftbridge.ColumnBridge.expression(condition)
       .transform {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          schema.fields.find(_.name.equalsIgnoreCase(u.nameParts.last))
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.size == 1 =>
+          schema.fields.find(_.name.equalsIgnoreCase(u.nameParts.head))
             .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
             .getOrElse(u)
       }
@@ -2204,13 +2229,7 @@ object CommitLog {
     val tableDir = Paths.get(table)
     val outSchema = manifest(table, to).schema
       .add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
-    def alignedTo(df: DataFrame): DataFrame = {
-      val have = df.columns.toSet
-      df.select(outSchema.fields.toSeq.map { f =>
-        if (have(f.name)) ccol(f.name).cast(f.dataType).as(f.name)
-        else clit(null).cast(f.dataType).as(f.name)
-      }: _*)
-    }
+    def alignedTo(df: DataFrame): DataFrame = alignTo(df, outSchema)
     val parts = ((fromVersion + 1) to to).flatMap { v =>
       val man = manifest(table, v)
       val cdcPath = tableDir.resolve(CdcDir).resolve(f"$v%020d")

@@ -105,6 +105,31 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("default-latest restart does NOT skip versions committed while down") {
+    val t = freshTable("gss_downtime")
+    val ckpt = tmpDir("gss_downtime_ck")
+    val sink = tmpDir("gss_downtime_sink")
+    // default startingVersion (latest): the FIRST run anchors at v1
+    def run() = spark.readStream.format("graft").load(t)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", sink)
+      .outputMode("append").start()
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // two versions land while no stream is running; a restarted source
+    // recomputes 'latest' — which must NOT gate the checkpointed offset
+    CommitLog.commit(Seq((7L, "g", 70.0)).toDF("id", "typ", "value"), t, "append")
+    CommitLog.deleteDv(spark, t, col("id") === 3L)
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(sink)
+        .select(col("id"), col(CommitLog.ChangeTypeCol), col(CommitLog.CommitVersionCol))
+        .as[(Long, String, Long)].collect().sorted
+      assert(got.toSeq === Seq((3L, "delete", 3L), (7L, "insert", 2L)))
+    } finally q2.stop()
+  }
+
   test("a numeric startingVersion tails from that version (exclusive)") {
     val t = freshTable("gss_numstart")
     CommitLog.commit(Seq((4L, "d", 40.0)).toDF("id", "typ", "value"), t, "append")

@@ -113,6 +113,32 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(e2.getMessage.contains("key equalities"))
   }
 
+  test("MERGE SET value = t.value (keep target's) is NOT the star shape") {
+    val t = freshTable("sqldml_mrgtgt")
+    val v = view(t, "sqldml_mrgtgt_v")
+    Seq((1L, "a", 1.0)).toDF("id", "typ", "value")
+      .createOrReplaceTempView("sqldml_mrgtgt_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $v t USING sqldml_mrgtgt_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET value = t.value, typ = s.typ
+            WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("partial-column updates"))
+  }
+
+  test("INSERT BY NAME refuses unknown columns instead of evolving the schema") {
+    val t = freshTable("sqldml_byname")
+    val v = view(t, "sqldml_byname_v")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $v BY NAME SELECT 7L AS id, 'd' AS typ, 70.0 AS valu")
+    }
+    assert(e.getMessage.contains("not in"))
+    // the well-formed BY NAME insert aligns out-of-order columns
+    spark.sql(s"INSERT INTO $v BY NAME SELECT 70.0 AS value, 'd' AS typ, 7L AS id")
+    assert(rows(t).find(_._1 == 7L).get === ((7L, "d", 70.0)))
+  }
+
   test("INSERT INTO routes through the commit log, never a raw file write") {
     val t = freshTable("sqldml_ins")
     val v = view(t, "sqldml_ins_v")

@@ -117,6 +117,32 @@ class BloomIndexSpec extends SparkSpec {
     assert(CommitLog.readPruned(spark, t, col("id") === 437L).count() === 1L)
   }
 
+  test("a kind-mismatched probe never prunes (no cross-type false negative)") {
+    val t = freshTable("bloom_kind", bloomOn = Seq("nm"))
+    // probing the string-hashed nm filter with an Int — the shape Spark
+    // would answer via numeric coercion — must keep every file
+    assert(planned(t, EqualTo("nm", 5)) === 8)
+    // and a long-bloomed column probed with a string keeps too
+    val t2 = freshTable("bloom_kind2")
+    assert(planned(t2, EqualTo("id", "437")) === 8)
+  }
+
+  test("hive-partitioned tables bloom per file despite colliding basenames") {
+    val table = tmpDir("bloom_hive")
+    new java.io.File(table).delete()
+    BloomIndex.setColumns(table, Seq("id"))
+    // 2 partitions × several part files; one write task emits the SAME
+    // basename into both partition dirs — identity must be the relative
+    // path, not the basename
+    val df = (1L to 1000L).map(i => (i, i % 2)).toDF("id", "par")
+    CommitLog.commit(df.repartition(4), table, "append", partitionBy = Seq("par"))
+    val m = CommitLog.manifest(table, 1L)
+    assert(m.files.size >= 4)
+    val p = planned(table, EqualTo("id", 437L))
+    assert(p < m.files.size, s"partitioned bloom failed to prune: $p of ${m.files.size}")
+    assert(CommitLog.readPruned(spark, table, col("id") === 437L).count() === 1L)
+  }
+
   test("merge key probes prune through blooms on unclustered layouts") {
     val t = freshTable("bloom_mergeprobe")
     val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
