@@ -96,13 +96,26 @@ object ClusterWrite {
     * inspect or reuse the clustering key outside [[zorder]]'s write path. */
   def zorderColumn(df: DataFrame, keys: Seq[Column], bits: Int): Column = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     require(keys.nonEmpty && bits * keys.size <= 63)
-    val aggs = keys.zipWithIndex.flatMap { case (k, i) =>
-      Seq(min(k.cast("double")).as(s"__min$i"), max(k.cast("double")).as(s"__max$i"))
+    // orderable-numeric dimensions keep true range locality; everything
+    // else (strings, binaries, …) hashes to a numeric first — equal
+    // values still co-locate (the point-lookup win), range locality
+    // doesn't apply, and an ANSI cast-to-double crash on 'abc' is
+    // impossible
+    val keys0 = keys.map { k =>
+      df.select(k).schema.head.dataType match {
+        case _: NumericType | DateType | TimestampType | TimestampNTZType |
+             BooleanType => k.cast("double")
+        case _ => xxhash64(k).cast("double")
+      }
+    }
+    val aggs = keys0.zipWithIndex.flatMap { case (k, i) =>
+      Seq(min(k).as(s"__min$i"), max(k).as(s"__max$i"))
     }
     val stats = df.agg(aggs.head, aggs.tail: _*).collect().head
     val nBuckets = 1 << bits
-    val bucketCols = keys.zipWithIndex.map { case (k, i) =>
+    val bucketCols = keys0.zipWithIndex.map { case (k, i) =>
       val lo = stats.getDouble(2 * i)
       val hi = stats.getDouble(2 * i + 1)
       if (lo == hi) lit(0L)
@@ -111,7 +124,7 @@ object ClusterWrite {
       // wrap to bucket nBuckets, whose low `bits` bits interleave as 0 —
       // co-locating the max-value class with the min-value class. Clamp to
       // the top in-range bucket instead.
-      else least(width_bucket(k.cast("double"), lit(lo), lit(hi), lit(nBuckets)) - 1,
+      else least(width_bucket(k, lit(lo), lit(hi), lit(nBuckets)) - 1,
         lit(nBuckets - 1L))
     }
     graft.functions.ZOrderExpression.zorderValue(bits, bucketCols: _*)

@@ -27,11 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    // SELECT COUNT(*)/MIN/MAX/COUNT(col) over a graft relation answered
+    // from footer-stats sidecars — no scan, no job (honest fallback:
+    // any doubt leaves the plan untouched)
+    e.injectOptimizerRule(_ => graft.plans.MetaAggregateRewrite)
     // SQL DML over commit-log tables (INSERT/DELETE/UPDATE/MERGE via
     // spark.sql) — main-batch resolution rule, deliberately BEFORE Spark's
     // post-hoc DataSourceAnalysis would convert an INSERT over the graft
     // HadoopFsRelation into a raw file write behind the commit log
     e.injectResolutionRule(_ => graft.sql.GraftDmlRule)
+    // maintenance SQL (VACUUM / OPTIMIZE … ZORDER BY / DESCRIBE HISTORY)
+    // via the standard delegating-parser pattern — graft statements are
+    // tried first, everything else reaches Spark's parser verbatim
+    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.sources.{GraftDvRelation, GraftFileIndex}
+import graft.tx.CommitLog
+
+/** Answer whole-table `COUNT(*)` / `MIN` / `MAX` / `COUNT(col)` over a
+  * graft relation from the manifest's footer-stats sidecars — no scan, no
+  * Spark job (Delta's `SELECT COUNT(*)` metadata trick, already available
+  * on the Scala surface as [[CommitLog.metaAggregate]], now free for every
+  * `spark.sql` user through the optimizer).
+  *
+  * Matches an ungrouped, unfiltered Aggregate directly over the relation
+  * (modulo pure column-pruning Projects) whose aggregates are all of the
+  * four metadata-answerable shapes, and replaces the subtree with a
+  * one-row [[LocalRelation]]. Delegation to `metaAggregate` keeps the
+  * honesty contract: ANY doubt — a file missing from its sidecar, a
+  * non-exact column kind, deletion vectors beyond the bounded COUNT(*)
+  * correction, a partition-path column — returns None and the plan is
+  * left untouched (the scan answers). The rewrite aggregates the
+  * relation's PINNED snapshot version, so `versionAsOf` views answer for
+  * their own version.
+  *
+  * Disable with `spark.graft.sql.metaAggregates=false`. */
+object MetaAggregateRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.sql.metaAggregates", "true").toBoolean)
+      return plan
+    plan.transformDown {
+      case agg @ Aggregate(Nil, aggExprs, child, _) =>
+        target(child) match {
+          case Some((table, version)) =>
+            rewrite(table, version, aggExprs).getOrElse(agg)
+          case None => agg
+        }
+    }
+  }
+
+  /** Unwrap alias/view/pure-pruning-Project layers down to a graft
+    * relation's (table root, pinned version). A Project that computes
+    * anything, a Filter, a join — anything else — disqualifies. */
+  @annotation.tailrec
+  private def target(plan: LogicalPlan): Option[(String, Option[Long])] = plan match {
+    case SubqueryAlias(_, child) => target(child)
+    case v: View => target(v.child)
+    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      target(p.child)
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftFileIndex => Some((g.tableRoot, Some(g.snapshotVersion)))
+        case _ => None
+      }
+      case g: GraftDvRelation => Some((g.tableRoot, g.pinnedVersion))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The metadata-answerable aggregate shapes. */
+  private sealed trait Shape
+  private case object RowCount extends Shape
+  private final case class ColCount(col: String) extends Shape
+  private final case class ColMin(col: String) extends Shape
+  private final case class ColMax(col: String) extends Shape
+
+  private def shapeOf(e: NamedExpression): Option[(Shape, Alias)] = e match {
+    case a @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+      fn match {
+        case Count(Seq(Literal(_, _))) => Some((RowCount, a))
+        case Count(Seq(attr: AttributeReference)) => Some((ColCount(attr.name), a))
+        case Min(attr: AttributeReference) => Some((ColMin(attr.name), a))
+        case Max(attr: AttributeReference) => Some((ColMax(attr.name), a))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def rewrite(table: String, version: Option[Long],
+      aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    val shapes = aggExprs.map(shapeOf)
+    if (shapes.exists(_.isEmpty)) return None
+    val wanted = shapes.flatten.map(_._1)
+    // bounds-needing columns go through the exact-bounds gate; columns
+    // only ever COUNTed skip it (counts are exact for every collected
+    // type — a COUNT(string_col) must not refuse because string BOUNDS
+    // truncate)
+    val boundsCols = wanted.collect {
+      case ColMin(c) => c
+      case ColMax(c) => c
+    }.distinct
+    val countCols = wanted.collect { case ColCount(c) => c }
+      .distinct.filterNot(boundsCols.contains)
+    val meta =
+      try CommitLog.metaAggregate(table, boundsCols, version,
+        countOnlyColumns = countCols)
+      catch { case scala.util.control.NonFatal(_) => None }
+    meta.map { ma =>
+      val out = aggExprs.map(_.toAttribute)
+      val values = wanted.zip(out).map { case (shape, attr) =>
+        val raw: Any = shape match {
+          case RowCount => ma.rowCount
+          case ColCount(c) => ma.cols(c).nonNull
+          case ColMin(c) => ma.cols(c).min.orNull
+          case ColMax(c) => ma.cols(c).max.orNull
+        }
+        CatalystTypeConverters.createToCatalystConverter(attr.dataType)(raw)
+      }
+      LocalRelation(out, Seq(InternalRow.fromSeq(values)))
+    }
+  }
+}

@@ -227,6 +227,20 @@ object TxQueries {
       CommitLog.commit(ev.repartition(16), table, "append"): Unit
     }
 
+  /** Table maintained ENTIRELY through SQL (round-8 GraftSqlParser):
+    * commit all events → DV-delete the 'error' rows → `OPTIMIZE` (folds
+    * the DVs) → `VACUUM … KEEP 1 VERSIONS FORCE` (drops the pre-compact
+    * history) — Delta's utility statements end-to-end. */
+  private val builtSqlMaint = new ConcurrentHashMap[String, String]()
+
+  private def ensureSqlMaintTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtSqlMaint, d, "txsqlmnt") { (table, ev) =>
+      CommitLog.commit(ev.repartition(8), table, "append")
+      CommitLog.deleteDv(s, table, col("event_type") === "error")
+      s.sql(s"OPTIMIZE '$table'")
+      s.sql(s"VACUUM '$table' RETAIN 0 HOURS KEEP 1 VERSIONS FORCE"): Unit
+    }
+
   /** Table mutated by [[CommitLog.deleteKeys]] — the CDC-apply delete shape
     * (`DELETE WHERE key IN (subquery)`): commit all events, then retire
     * every event_id divisible by 7 via a key-set frame. */
@@ -702,6 +716,47 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // Maintenance SQL end-to-end: after the SQL OPTIMIZE + VACUUM, the
+    // snapshot must hold exactly the non-error rows (a fold that resurrected
+    // DV-dead rows or a vacuum that dropped live files flips the hash),
+    // `dv_folded` pins that OPTIMIZE actually cleared the deletion vectors,
+    // and `history_len` pins that VACUUM kept exactly one version.
+    "tx_sql_maintenance" -> ((s, d) => {
+      val table = ensureSqlMaintTable(s, d)
+      val hist = s.sql(s"DESCRIBE HISTORY '$table'").count()
+      val m = CommitLog.manifest(table, CommitLog.latestVersion(table).get)
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .withColumn("dv_folded", lit(m.dvDirs.isEmpty))
+        .withColumn("history_len", lit(hist))
+        .orderBy("event_type")
+    }),
+
+    // SQL aggregate pushdown to metadata (round-8 MetaAggregateRewrite):
+    // a whole-table COUNT/MIN/MAX over the graft view collapses to a
+    // LocalRelation answered from the footer-stats sidecars — no scan,
+    // no job. `meta_only` pins FROM THE PLAN that the rewrite actually
+    // fired (a LocalRelation and no surviving relation); count(batch_tag)
+    // exercises the count-only path on a string column whose BOUNDS are
+    // untrusted, across additive evolution (v1 files predate the column).
+    "tx_sql_agg_meta" -> ((s, d) => {
+      val (table, _, _) = ensureTable(s, d)
+      val view = s"graft_aggmeta_${java.lang.Integer.toHexString(table.hashCode)}"
+      s.read.format("graft").load(table).createOrReplaceTempView(view)
+      val df = s.sql(
+        s"""SELECT count(*) AS n_rows, min(event_id) AS id_min,
+              max(event_id) AS id_max, count(batch_tag) AS n_late,
+              min(value) AS v_min, max(value) AS v_max
+            FROM $view""")
+      val metaOnly = df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined && df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.isEmpty
+      df.withColumn("meta_only", lit(metaOnly))
+    }),
+
     // Point lookup through the per-file Bloom sidecars (Delta's bloom
     // filter index): the table is committed round-robin, so every file's
     // [min,max] covers the whole id domain and stats pruning keeps ALL 16
@@ -1050,6 +1105,19 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max,
            CAST(count(value) AS BIGINT) AS n_vals
          FROM updated""",
+    "tx_sql_maintenance" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           TRUE AS dv_folded, CAST(1 AS BIGINT) AS history_len
+         FROM events WHERE event_type <> 'error'
+         GROUP BY event_type ORDER BY event_type""",
+    "tx_sql_agg_meta" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(event_id) AS id_min, max(event_id) AS id_max,
+           CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_late,
+           min(value) AS v_min, max(value) AS v_max,
+           TRUE AS meta_only
+         FROM events""",
     "tx_point_lookup_bloom" ->
       """SELECT event_id, event_type, value, TRUE AS bloom_pruned
          FROM events WHERE event_id IN (11, 222, 777)

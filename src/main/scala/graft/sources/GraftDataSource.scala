@@ -267,6 +267,11 @@ private[graft] final class GraftDvRelation(spark: SparkSession,
   /** Table root, for the DML rule ([[graft.sql.GraftDmlRule]]) to target
     * mutations at. */
   def tableRoot: String = table
+
+  /** The pinned snapshot version (None = latest at each action), for the
+    * metadata-aggregate rewrite. */
+  def pinnedVersion: Option[Long] = version
+
   import org.apache.spark.sql.{functions => F, Column, Row}
   import org.apache.spark.sql.sources._
 
@@ -321,6 +326,10 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   /** Table root, for the DML rule ([[graft.sql.GraftDmlRule]]) to target
     * mutations at. */
   def tableRoot: String = table
+
+  /** The snapshot version this index serves, for the metadata-aggregate
+    * rewrite (a `versionAsOf` view must answer for ITS version). */
+  def snapshotVersion: Long = m.version
 
   /** Hive partition column names, from the first data file's path segments
     * (`name=value`); every file of a table written with `partitionBy`

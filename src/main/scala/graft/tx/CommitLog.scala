@@ -1795,7 +1795,8 @@ object CommitLog {
     * answers carry the same trade. */
   def metaAggregate(table: String, columns: Seq[String],
       version: Option[Long] = None,
-      maxDvRows: Long = DvBroadcastMaxRows): Option[MetaAgg] = {
+      maxDvRows: Long = DvBroadcastMaxRows,
+      countOnlyColumns: Seq[String] = Nil): Option[MetaAgg] = {
     import org.apache.spark.sql.types._
     val m = version.map(manifest(table, _)).orElse(latestManifest(table)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
@@ -1805,6 +1806,15 @@ object CommitLog {
     // are never collected (decimal, binary, nested) refuses instead of
     // masquerading as an all-null column
     val fields = columns.map { c =>
+      m.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"$table has no column '$c' at version ${m.version}"))
+    }
+    // COUNT(col)-only requests skip the exact-bounds gate entirely:
+    // values/null counts are exact for EVERY collected type (strings and
+    // timestamps included — it's their BOUNDS that truncate/widen), so
+    // refusing a string count because its min/max can't be trusted would
+    // be over-conservative. Returned with min = max = None.
+    val countFields = countOnlyColumns.map { c =>
       m.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
         s"$table has no column '$c' at version ${m.version}"))
     }
@@ -1818,7 +1828,7 @@ object CommitLog {
     // COLUMN stats stay refused under DVs: a dead row may BE the recorded
     // extreme, and per-file null counts can't say which deaths were null.
     // A compact() folds the DVs and re-enables full metadata answers.
-    if (m.dvDirs.nonEmpty && fields.nonEmpty) return None
+    if (m.dvDirs.nonEmpty && (fields.nonEmpty || countFields.nonEmpty)) return None
     val perFile = perFileStats(table, m)
     if (perFile.exists(_._3.isEmpty)) return None // file absent from sidecar
     val stored = perFile.map(_._3.valuesIterator.map(_.values).max).sum
@@ -1843,8 +1853,17 @@ object CommitLog {
         None
       else metaColAgg(perFile.map(_._3), f.name, exactKind.get, f.dataType)
     }
-    if (colAggs.exists(_.isEmpty)) None
-    else Some(MetaAgg(rows, columns.zip(colAggs.map(_.get)).toMap))
+    val countAggs = countFields.map { f =>
+      // a column absent from a file predates it (rows read NULL); a file
+      // with unset parquet null counts is uncountable
+      val present = perFile.flatMap(_._3.get(f.name))
+      if (present.exists(_.nulls < 0)) None
+      else Some(MetaColAgg(None, None, present.map(cs => cs.values - cs.nulls).sum))
+    }
+    if (colAggs.exists(_.isEmpty) || countAggs.exists(_.isEmpty)) None
+    else Some(MetaAgg(rows,
+      (columns.zip(colAggs.map(_.get)) ++
+        countOnlyColumns.zip(countAggs.map(_.get))).toMap))
   }
 
   /** COUNT(*)-only fast path of [[metaAggregate]] — exact even on a

@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.tx.CommitLog
+
+/** [[MetaAggregateRewrite]]: whole-table COUNT/MIN/MAX over a graft view
+  * collapse to a metadata-derived LocalRelation (no scan, no job); any
+  * shape outside the airtight subset leaves the plan untouched and the
+  * scan answers. */
+class MetaAggregateRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String = {
+    val table = tmpDir(prefix)
+    new java.io.File(table).delete()
+    CommitLog.commit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null.asInstanceOf[String], 30.0))
+        .toDF("id", "typ", "value").repartition(2),
+      table, "append")
+    table
+  }
+
+  private def metaOnly(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst { case l: LocalRelation => l }
+      .isDefined &&
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.isEmpty
+
+  test("whole-table COUNT/MIN/MAX collapse to metadata") {
+    val t = freshTable("metaagg_basic")
+    spark.read.format("graft").load(t).createOrReplaceTempView("metaagg_v")
+    val df = spark.sql(
+      """SELECT count(*) AS n, min(id) AS lo, max(id) AS hi, count(typ) AS nt
+         FROM metaagg_v""")
+    assert(metaOnly(df), df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq === Seq((3L, 1L, 3L, 2L)))
+  }
+
+  test("filters, grouping, and non-meta aggregates keep the scan") {
+    val t = freshTable("metaagg_scan")
+    spark.read.format("graft").load(t).createOrReplaceTempView("metaagg_scan_v")
+    val filtered = spark.sql("SELECT count(*) AS n FROM metaagg_scan_v WHERE id > 1")
+    assert(!metaOnly(filtered))
+    assert(filtered.collect().head.getLong(0) === 2L)
+    val grouped = spark.sql(
+      "SELECT typ, count(*) AS n FROM metaagg_scan_v GROUP BY typ")
+    assert(!metaOnly(grouped))
+    assert(grouped.count() === 3L)
+    val avg = spark.sql("SELECT avg(value) AS a, count(*) AS n FROM metaagg_scan_v")
+    assert(!metaOnly(avg))
+    assert(avg.collect().head.getDouble(0) === 20.0)
+  }
+
+  test("the conf kill-switch disables the rewrite") {
+    val t = freshTable("metaagg_off")
+    spark.read.format("graft").load(t).createOrReplaceTempView("metaagg_off_v")
+    spark.conf.set("spark.graft.sql.metaAggregates", "false")
+    try {
+      val df = spark.sql("SELECT count(*) AS n FROM metaagg_off_v")
+      assert(!metaOnly(df))
+      assert(df.collect().head.getLong(0) === 3L)
+    } finally spark.conf.unset("spark.graft.sql.metaAggregates")
+  }
+
+  test("a versionAsOf view answers for ITS version") {
+    val t = freshTable("metaagg_tt")
+    CommitLog.commit(Seq((9L, "z", 90.0)).toDF("id", "typ", "value"), t, "append")
+    spark.read.format("graft").option("versionAsOf", 1).load(t)
+      .createOrReplaceTempView("metaagg_tt_v1")
+    val df = spark.sql("SELECT count(*) AS n, max(id) AS hi FROM metaagg_tt_v1")
+    assert(metaOnly(df))
+    assert(df.collect().head.getLong(0) === 3L)
+    assert(df.collect().head.getLong(1) === 3L)
+  }
+
+  test("COUNT(*) stays metadata-exact under deletion vectors; bounds fall back") {
+    val t = freshTable("metaagg_dv")
+    CommitLog.deleteDv(spark, t, col("id") === 2L)
+    spark.read.format("graft").load(t).createOrReplaceTempView("metaagg_dv_v")
+    val cnt = spark.sql("SELECT count(*) AS n FROM metaagg_dv_v")
+    assert(cnt.collect().head.getLong(0) === 2L)
+    // min/max under DVs could over-range — whatever metaAggregate decides,
+    // the ANSWER must stay correct (rewrite fires only when airtight)
+    val mm = spark.sql("SELECT min(id) AS lo, max(id) AS hi FROM metaagg_dv_v")
+    assert(mm.collect().head.getLong(0) === 1L)
+    assert(mm.collect().head.getLong(1) === 3L)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.tx.CommitLog
+
+/** Maintenance SQL ([[GraftSqlParser]]): VACUUM / OPTIMIZE / DESCRIBE
+  * HISTORY parse ahead of Spark's grammar, execute as CommitLog calls,
+  * and everything else still reaches Spark's parser verbatim. */
+class GraftSqlMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String = {
+    val table = tmpDir(prefix)
+    new java.io.File(table).delete()
+    CommitLog.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "typ"), table, "append")
+    CommitLog.commit(Seq((3L, "c")).toDF("id", "typ"), table, "append")
+    table
+  }
+
+  test("VACUUM with retention/keep/force reclaims old versions") {
+    val t = freshTable("sqlmaint_vac")
+    CommitLog.commit(Seq((4L, "d")).toDF("id", "typ"), t, "overwrite")
+    val out = spark.sql(s"VACUUM '$t' RETAIN 0 HOURS KEEP 1 VERSIONS FORCE")
+      .collect()
+    assert(out.head.getLong(0) > 0L) // the overwritten files fell
+    assert(CommitLog.read(spark, t).count() === 1L)
+    assert(CommitLog.versions(t) === Seq(3L))
+  }
+
+  test("OPTIMIZE folds deletion vectors and compacts") {
+    val t = freshTable("sqlmaint_opt")
+    CommitLog.deleteDv(spark, t, col("id") === 2L)
+    assert(CommitLog.manifest(t, CommitLog.latestVersion(t).get).dvDirs.nonEmpty)
+    val v = spark.sql(s"OPTIMIZE '$t'").collect().head.getLong(0)
+    assert(CommitLog.manifest(t, v).dvDirs.isEmpty)
+    assert(CommitLog.read(spark, t).select("id").as[Long].collect().sorted
+      .toSeq === Seq(1L, 3L))
+  }
+
+  test("OPTIMIZE ZORDER BY reclusters without losing rows") {
+    val t = freshTable("sqlmaint_z")
+    spark.sql(s"""OPTIMIZE "$t" ZORDER BY (id, typ)""")
+    assert(CommitLog.read(spark, t).count() === 3L)
+  }
+
+  test("DESCRIBE HISTORY lists versions newest first") {
+    val t = freshTable("sqlmaint_hist")
+    CommitLog.deleteDv(spark, t, col("id") === 1L)
+    val rows = spark.sql(s"DESCRIBE HISTORY '$t'")
+      .select("version", "mode").as[(Long, String)].collect()
+    assert(rows.map(_._1).toSeq === Seq(3L, 2L, 1L))
+    assert(rows.head._2 === "delete")
+    assert(rows.last._2 === "append")
+  }
+
+  test("everything else still parses through Spark") {
+    assert(spark.sql("SELECT 'VACUUM' AS s").collect().head.getString(0) === "VACUUM")
+    assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)
+    intercept[Exception](spark.sql("VACUUM"))
+  }
+}
