@@ -105,8 +105,12 @@ object ClusterWrite {
     // impossible
     val keys0 = keys.map { k =>
       df.select(k).schema.head.dataType match {
-        case _: NumericType | DateType | TimestampType | TimestampNTZType |
-             BooleanType => k.cast("double")
+        case _: NumericType | BooleanType | TimestampType => k.cast("double")
+        // DATE and TIMESTAMP_NTZ refuse a direct double cast (verified on
+        // this Spark) — go through their epoch numerics, keeping true
+        // range locality
+        case DateType => unix_date(k).cast("double")
+        case TimestampNTZType => unix_micros(k.cast("timestamp")).cast("double")
         case _ => xxhash64(k).cast("double")
       }
     }

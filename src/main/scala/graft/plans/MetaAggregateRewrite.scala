@@ -83,6 +83,30 @@ object MetaAggregateRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** metaAggregate does driver-side sidecar (and under DVs, DV-parquet)
+    * I/O, and the optimizer's fixed-point batches would re-run it on
+    * every iteration whenever the rewrite DECLINES (a success replaces
+    * the subtree and never re-fires) — memoize per (table, pinned
+    * version, requested columns), which is immutable state (round-8
+    * review finding). Unpinned relations (version = None: the latest
+    * could move between iterations) skip the cache. Size-bounded. */
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Seq[String], Seq[String]), Option[CommitLog.MetaAgg]]()
+
+  private def cachedMetaAggregate(table: String, version: Option[Long],
+      boundsCols: Seq[String], countCols: Seq[String]): Option[CommitLog.MetaAgg] = {
+    def call(): Option[CommitLog.MetaAgg] =
+      try CommitLog.metaAggregate(table, boundsCols, version,
+        countOnlyColumns = countCols)
+      catch { case scala.util.control.NonFatal(_) => None }
+    version match {
+      case Some(v) =>
+        if (metaCache.size > 512) metaCache.clear()
+        metaCache.computeIfAbsent((table, v, boundsCols, countCols), _ => call())
+      case None => call()
+    }
+  }
+
   private def rewrite(table: String, version: Option[Long],
       aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
     val shapes = aggExprs.map(shapeOf)
@@ -98,10 +122,7 @@ object MetaAggregateRewrite extends Rule[LogicalPlan] {
     }.distinct
     val countCols = wanted.collect { case ColCount(c) => c }
       .distinct.filterNot(boundsCols.contains)
-    val meta =
-      try CommitLog.metaAggregate(table, boundsCols, version,
-        countOnlyColumns = countCols)
-      catch { case scala.util.control.NonFatal(_) => None }
+    val meta = cachedMetaAggregate(table, version, boundsCols, countCols)
     meta.map { ma =>
       val out = aggExprs.map(_.toAttribute)
       val values = wanted.zip(out).map { case (shape, attr) =>

@@ -1854,10 +1854,28 @@ object CommitLog {
       else metaColAgg(perFile.map(_._3), f.name, exactKind.get, f.dataType)
     }
     val countAggs = countFields.map { f =>
-      // a column absent from a file predates it (rows read NULL); a file
-      // with unset parquet null counts is uncountable
+      // "absent from the sidecar" means "predates the file" ONLY for
+      // types whose stats are always collected when present — for a
+      // partition-path column (values live in dir names, not footers) or
+      // an uncollected type (decimal, binary, nested; INT96 timestamps
+      // from a foreign writer) absence is NOT evidence of null, and
+      // answering 0 would be the masquerade the contract forbids
+      // (round-8 review finding). The countable set mirrors
+      // FileStats.collect minus timestamps (INT96 ambiguity).
+      val countableKind = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some("long")
+        case FloatType | DoubleType => Some("double")
+        case BooleanType => Some("boolean")
+        case DateType => Some("date")
+        case StringType => Some("string")
+        case _ => None
+      }
+      val isPartitionCol =
+        perFile.exists(pf => FileStats.partitionStats(pf._2).contains(f.name))
       val present = perFile.flatMap(_._3.get(f.name))
-      if (present.exists(_.nulls < 0)) None
+      if (countableKind.isEmpty || isPartitionCol ||
+          present.exists(cs => cs.nulls < 0 || cs.kind != countableKind.get))
+        None
       else Some(MetaColAgg(None, None, present.map(cs => cs.values - cs.nulls).sum))
     }
     if (colAggs.exists(_.isEmpty) || countAggs.exists(_.isEmpty)) None

@@ -56,6 +56,31 @@ class MetaAggregateRewriteSpec extends SparkSpec {
     assert(avg.collect().head.getDouble(0) === 20.0)
   }
 
+  test("COUNT of partition-path and uncollected-type columns never answers 0") {
+    val table = tmpDir("metaagg_guard")
+    new java.io.File(table).delete()
+    CommitLog.commit(
+      Seq((1L, "a", BigDecimal("1.50")), (2L, "b", BigDecimal("2.25")))
+        .toDF("id", "par", "dec"),
+      table, "append", partitionBy = Seq("par"))
+    spark.read.format("graft").load(table).createOrReplaceTempView("metaagg_guard_v")
+    // partition-path column: footers never record it — must scan, not 0
+    val p = spark.sql("SELECT count(par) AS n FROM metaagg_guard_v")
+    assert(!metaOnly(p))
+    assert(p.collect().head.getLong(0) === 2L)
+    // decimal column: stats uncollected — must scan, not 0
+    val d = spark.sql("SELECT count(dec) AS n FROM metaagg_guard_v")
+    assert(!metaOnly(d))
+    assert(d.collect().head.getLong(0) === 2L)
+    // while a genuinely-evolved-in column still answers from metadata
+    CommitLog.commit(Seq((3L, "c", BigDecimal("3.00"), "late"))
+      .toDF("id", "par", "dec", "tag"), table, "append", partitionBy = Seq("par"))
+    spark.read.format("graft").load(table).createOrReplaceTempView("metaagg_guard_v2")
+    val t = spark.sql("SELECT count(*) AS n, count(tag) AS nt FROM metaagg_guard_v2")
+    assert(metaOnly(t), t.queryExecution.optimizedPlan.toString)
+    assert(t.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 1L)))
+  }
+
   test("the conf kill-switch disables the rewrite") {
     val t = freshTable("metaagg_off")
     spark.read.format("graft").load(t).createOrReplaceTempView("metaagg_off_v")

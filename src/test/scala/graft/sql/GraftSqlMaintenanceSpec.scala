@@ -44,6 +44,19 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() === 3L)
   }
 
+  test("ZORDER BY date and timestamp_ntz dimensions analyzes and runs") {
+    val table = tmpDir("sqlmaint_zdate")
+    new java.io.File(table).delete()
+    CommitLog.commit(
+      spark.sql(
+        """SELECT id, DATE'2024-01-01' + CAST(id AS INT) AS d,
+             TIMESTAMP_NTZ'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id) AS tn
+           FROM range(100)"""),
+      table, "append")
+    spark.sql(s"OPTIMIZE '$table' ZORDER BY (d, tn)")
+    assert(CommitLog.read(spark, table).count() === 100L)
+  }
+
   test("DESCRIBE HISTORY lists versions newest first") {
     val t = freshTable("sqlmaint_hist")
     CommitLog.deleteDv(spark, t, col("id") === 1L)
