@@ -211,7 +211,63 @@ object StreamQueries {
       outPath
     })
 
+  /** Full graft→graft streaming round-trip (round 8): the version-tailing
+    * SOURCE feeds a stateful latest-per-key aggregation whose Update-mode
+    * output lands through the merge-keyed graft SINK — CDC in, upserts
+    * out, both ends commit-log native. The source history carries appends
+    * AND a DV merge, so insert and update_postimage rows must both fold
+    * into the per-key latest before the sink applies them. */
+  private val builtRoundtrip = new ConcurrentHashMap[String, String]()
+
+  private def runRoundtrip(s: SparkSession, d: String): String =
+    builtRoundtrip.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_srt_${tag}_$pid"
+      deleteRecursively(new java.io.File(root))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      val src = s"$root/src"
+      val dst = s"$root/dst"
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        src, "append")                                                   // v1
+      CommitLog.commit(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        src, "append")                                                   // v2
+      CommitLog.mergeDv(s, src,                                          // v3
+        ev.filter(pmod(col("event_id"), lit(101)) === 7)
+          .withColumn("value", col("value") + lit(2000.0))
+        .unionByName(ev.filter(pmod(col("event_id"), lit(101)) === 8)
+          .withColumn("event_id", col("event_id") + lit(400000000L))),
+        Seq("event_id"))
+      val q = s.readStream.format("graft")
+        .option("startingVersion", "earliest").load(src)
+        .filter(col(CommitLog.ChangeTypeCol).isin("insert", "update_postimage"))
+        .groupBy(col("event_id"))
+        .agg(max_by(struct(col("event_type"), col("value")),
+          col(CommitLog.CommitVersionCol)).as("latest"))
+        .select(col("event_id"), col("latest.event_type"), col("latest.value"))
+        .writeStream.format("graft").outputMode("update")
+        .option("mergeKeys", "event_id")
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start(dst)
+      drain(q)
+      dst
+    })
+
   val queries: Map[String, Q] = Map(
+    // Graft→graft streaming round-trip: the replicated table's final state
+    // must equal the source's merged state exactly — a dropped change row,
+    // a stale-version win in the latest-per-key fold, or a double-applied
+    // upsert flips the hash.
+    "stream_graft_roundtrip" -> ((s, d) => {
+      val dst = runRoundtrip(s, d)
+      CommitLog.read(s, dst).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .orderBy("event_type")
+    }),
+
     // The version-tailing CDF stream over a full lifecycle: append inserts
     // carry their real commit version (manifest-delta derived), the DV
     // delete its typed rows, the DV merge its pre/post-images plus the
@@ -275,6 +331,20 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_graft_roundtrip" ->
+      """WITH merged AS (
+           SELECT event_id, event_type, value + 2000 AS value
+             FROM events WHERE event_id % 101 = 7
+           UNION ALL
+           SELECT event_id, event_type, value
+             FROM events WHERE event_id % 101 <> 7
+           UNION ALL
+           SELECT event_id + 400000000 AS event_id, event_type, value
+             FROM events WHERE event_id % 101 = 8)
+         SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max
+         FROM merged GROUP BY event_type ORDER BY event_type""",
     "stream_graft_tail" ->
       """SELECT CAST(v AS BIGINT) AS v, ct, n FROM (
            SELECT 1 AS v, 'insert' AS ct, count(*) AS n

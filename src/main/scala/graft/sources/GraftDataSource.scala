@@ -47,8 +47,42 @@ import graft.tx.CommitLog
   * Scala-surface, as in Delta's pre-SQL days. */
 final class GraftSourceProvider extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  // ---- streaming sink: df.writeStream.format("graft").start(root) ------
+  //
+  // Every micro-batch is ONE commit-log transaction, made exactly-once by
+  // the per-writer txn watermark (appId = the query's CHECKPOINT — a new
+  // checkpoint restarts batchIds at 0, so identity must be
+  // checkpoint-scoped or a replayed id would be swallowed): a replayed
+  // batch after a crash re-applies nothing, Delta's idempotent-sink
+  // contract. Append mode appends; Complete mode overwrites the snapshot
+  // per batch (the aggregation-sink shape); `.option("mergeKeys",
+  // "k1,k2")` switches every batch to a merge-on-read upsert-by-key
+  // ([[CommitLog.mergeDv]]) — the CDC-apply sink, REQUIRED for Update
+  // mode. `partitionBy` lays out hive dirs; mirror/cdc options forward to
+  // commit.
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink needs a table root: .start(<path>)"))
+    val mergeKeys = parameters.get("mergekeys").orElse(parameters.get("mergeKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val appId = "graft-sink:" +
+      parameters.get("checkpointlocation").orElse(parameters.get("checkpointLocation"))
+        .getOrElse(java.util.UUID.randomUUID().toString)
+    import org.apache.spark.sql.streaming.OutputMode
+    require(outputMode != OutputMode.Update() || mergeKeys.nonEmpty,
+      "Update mode on a graft sink needs .option(\"mergeKeys\", ...) — " +
+        "updated rows can only be applied as an upsert-by-key")
+    val mirror = parameters.get("mirror").exists(_.toBoolean)
+    val cdc = parameters.get("cdc").exists(_.toBoolean)
+    new GraftStreamSink(table, mergeKeys, partitionColumns,
+      outputMode == OutputMode.Complete(), appId, mirror, cdc)
+  }
 
   // ---- streaming: spark.readStream.format("graft").load(root) ----------
   //
@@ -251,6 +285,39 @@ private[sources] object GraftStreamSource {
       .add(CommitLog.ChangeTypeCol, org.apache.spark.sql.types.StringType)
       .add(CommitLog.CommitVersionCol, org.apache.spark.sql.types.LongType)
   }
+}
+
+/** Exactly-once streaming sink: each micro-batch is one commit-log
+  * transaction carrying `(appId, batchId)` — [[CommitLog]]'s txn
+  * watermark re-applies nothing on a replayed batch. See
+  * [[GraftSourceProvider.createSink]] for the mode/merge contract. */
+private[sources] final class GraftStreamSink(table: String,
+    mergeKeys: Seq[String], partitionBy: Seq[String], complete: Boolean,
+    appId: String, mirror: Boolean, cdc: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    // the incoming frame is flagged streaming (df.write refuses it);
+    // re-wrap the executed micro-batch as a batch frame, as
+    // ForeachBatchSink does
+    val batch = org.apache.spark.sql.graftbridge.ColumnBridge.batchOfRows(spark, data)
+    if (mergeKeys.nonEmpty) {
+      // first batch may create the table: merge needs an existing snapshot
+      if (CommitLog.latestVersion(table).isEmpty)
+        CommitLog.commit(batch, table, "append", partitionBy,
+          txn = Some((appId, batchId)), mirror = mirror, cdc = cdc)
+      else
+        CommitLog.mergeDv(spark, table, batch, mergeKeys, partitionBy,
+          txn = Some((appId, batchId)))
+    } else {
+      CommitLog.commit(batch, table, if (complete) "overwrite" else "append",
+        partitionBy, txn = Some((appId, batchId)), mirror = mirror, cdc = cdc)
+    }
+    (): Unit
+  }
+
+  override def toString: String = s"GraftStreamSink[$table]"
 }
 
 /** Merge-on-read fallback for DV-carrying snapshots: a

@@ -29,11 +29,24 @@ object ColumnBridge {
     * return (`isStreaming = true`), built exactly the way Spark's own file
     * stream source does it (`internalCreateDataFrame` is `private[sql]`). */
   def streamingOfRows(spark: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    reflag(spark, df, isStreaming = true)
+
+  /** The inverse, for a v1 streaming SINK: the micro-batch DataFrame
+    * arrives flagged streaming (so `df.write` refuses); re-wrap its
+    * executed plan as a BATCH frame — the same move ForeachBatchSink
+    * makes before handing user code the batch. */
+  def batchOfRows(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    reflag(spark, df, isStreaming = false)
+
+  private def reflag(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      isStreaming: Boolean): org.apache.spark.sql.DataFrame = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(classic.queryExecution.toRdd, classic.schema,
-        isStreaming = true)
+        isStreaming)
   }
 
   /** Catalyst predicate → data-source [[org.apache.spark.sql.sources.Filter]],
