@@ -64,12 +64,18 @@ object MetaAggregateRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The metadata-answerable aggregate shapes. */
+  /** The metadata-answerable aggregate shapes — plus constant columns,
+    * which CollapseProject folds INTO the ungrouped Aggregate's output
+    * (`SELECT count(*), 'tag' AS t FROM v` optimizes to one Aggregate
+    * with a literal alias); refusing them would silently un-rewrite any
+    * query that attaches a label column (found live: the oracle query's
+    * own `meta_only` literal did exactly that). */
   private sealed trait Shape
   private case object RowCount extends Shape
   private final case class ColCount(col: String) extends Shape
   private final case class ColMin(col: String) extends Shape
   private final case class ColMax(col: String) extends Shape
+  private final case class ConstVal(value: Any) extends Shape
 
   private def shapeOf(e: NamedExpression): Option[(Shape, Alias)] = e match {
     case a @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
@@ -80,6 +86,7 @@ object MetaAggregateRewrite extends Rule[LogicalPlan] {
         case Max(attr: AttributeReference) => Some((ColMax(attr.name), a))
         case _ => None
       }
+    case a @ Alias(l: Literal, _) => Some((ConstVal(l.value), a))
     case _ => None
   }
 
@@ -126,13 +133,19 @@ object MetaAggregateRewrite extends Rule[LogicalPlan] {
     meta.map { ma =>
       val out = aggExprs.map(_.toAttribute)
       val values = wanted.zip(out).map { case (shape, attr) =>
-        val raw: Any = shape match {
-          case RowCount => ma.rowCount
-          case ColCount(c) => ma.cols(c).nonNull
-          case ColMin(c) => ma.cols(c).min.orNull
-          case ColMax(c) => ma.cols(c).max.orNull
+        shape match {
+          // literal values are ALREADY in catalyst form
+          case ConstVal(v) => v
+          case other =>
+            val raw: Any = other match {
+              case RowCount => ma.rowCount
+              case ColCount(c) => ma.cols(c).nonNull
+              case ColMin(c) => ma.cols(c).min.orNull
+              case ColMax(c) => ma.cols(c).max.orNull
+              case ConstVal(_) => throw new IllegalStateException("unreachable")
+            }
+            CatalystTypeConverters.createToCatalystConverter(attr.dataType)(raw)
         }
-        CatalystTypeConverters.createToCatalystConverter(attr.dataType)(raw)
       }
       LocalRelation(out, Seq(InternalRow.fromSeq(values)))
     }

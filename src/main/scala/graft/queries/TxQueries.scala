@@ -744,17 +744,24 @@ object TxQueries {
       val (table, _, _) = ensureTable(s, d)
       val view = s"graft_aggmeta_${java.lang.Integer.toHexString(table.hashCode)}"
       s.read.format("graft").load(table).createOrReplaceTempView(view)
-      val df = s.sql(
+      // meta_only is judged on the RETURNED frame itself (the literal
+      // column folds into the Aggregate, which the rewrite must tolerate
+      // — found live: probing a pre-withColumn frame hid that the final
+      // plan still scanned); its value doesn't affect rewritability, so
+      // probe with `true` and swap on the (never-expected) decline
+      val probe = s.sql(
         s"""SELECT count(*) AS n_rows, min(event_id) AS id_min,
               max(event_id) AS id_max, count(batch_tag) AS n_late,
-              min(value) AS v_min, max(value) AS v_max
+              min(value) AS v_min, max(value) AS v_max,
+              TRUE AS meta_only
             FROM $view""")
-      val metaOnly = df.queryExecution.optimizedPlan.collectFirst {
+      val metaOnly = probe.queryExecution.optimizedPlan.collectFirst {
         case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
-      }.isDefined && df.queryExecution.optimizedPlan.collectFirst {
+      }.isDefined && probe.queryExecution.optimizedPlan.collectFirst {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
       }.isEmpty
-      df.withColumn("meta_only", lit(metaOnly))
+      if (metaOnly) probe
+      else probe.drop("meta_only").withColumn("meta_only", lit(false))
     }),
 
     // Point lookup through the per-file Bloom sidecars (Delta's bloom

@@ -143,8 +143,11 @@ final class GraftSourceProvider extends RelationProvider
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val table = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft stream needs a table root: spark.readStream.format(\"graft\").load(<path>)"))
+    val maxVersions = parameters.get("maxversionspertrigger")
+      .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
+    require(maxVersions.forall(_ >= 1L), "maxVersionsPerTrigger must be >= 1")
     new GraftStreamSource(sqlContext.sparkSession, table,
-      streamStart(parameters, table, metadataPath))
+      streamStart(parameters, table, metadataPath), maxVersions)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -235,13 +238,19 @@ final class GraftSourceProvider extends RelationProvider
   * the batch feed's: typed by `_change_type`, stamped `_commit_version`,
   * version-ordered within the micro-batch. */
 private[sources] final class GraftStreamSource(spark: SparkSession,
-    table: String, startVersion: Long)
+    table: String, startVersion: Long, maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 
-
   override val schema: StructType = GraftStreamSource.feedSchema(table)
+
+  /** Highest version this source instance has SURFACED — advanced by
+    * every getBatch (including the post-restart recovery replay, so a
+    * fresh instance re-learns the checkpointed position before its first
+    * own getOffset) and used to cap batch width under
+    * `maxVersionsPerTrigger`. */
+  @volatile private var highWater: Long = startVersion
 
   // NO startVersion filter here: startVersion gates only the FIRST batch
   // (getBatch with start = None). Filtering offsets by it would make a
@@ -250,8 +259,18 @@ private[sources] final class GraftStreamSource(spark: SparkSession,
   // version committed while it was down, even though the checkpoint holds
   // an older offset (round-8 review finding). An offset equal to the
   // last-committed one simply yields no new batch.
+  //
+  // `maxVersionsPerTrigger` bounds how far past the high water one
+  // micro-batch may reach — without it, a from-earliest start (or a
+  // long-down restart) over a 100 TB table would serve the ENTIRE
+  // history as one batch. Catch-up just takes several triggers
+  // (Trigger.AvailableNow included: its wrapper drains in capped steps).
   override def getOffset: Option[V1Offset] =
-    CommitLog.latestVersion(table).map(LongOffset(_))
+    CommitLog.latestVersion(table).map { latest =>
+      val capped = maxVersionsPerTrigger
+        .map(n => math.min(latest, highWater + n)).getOrElse(latest)
+      LongOffset(math.max(capped, highWater))
+    }
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -262,6 +281,7 @@ private[sources] final class GraftStreamSource(spark: SparkSession,
   override def getBatch(start: Option[V1Offset], end: V1Offset): org.apache.spark.sql.DataFrame = {
     val from = start.map(versionOf).getOrElse(startVersion)
     val to = versionOf(end)
+    if (to > highWater) highWater = to
     val feed = CommitLog.changeFeed(spark, table, from, Some(to))
     // pin the stream's declared schema across mid-stream evolution
     org.apache.spark.sql.graftbridge.ColumnBridge.streamingOfRows(spark,

@@ -41,6 +41,18 @@ class MetaAggregateRewriteSpec extends SparkSpec {
       .toSeq === Seq((3L, 1L, 3L, 2L)))
   }
 
+  test("constant label columns folded into the Aggregate still rewrite") {
+    val t = freshTable("metaagg_lit")
+    spark.read.format("graft").load(t).createOrReplaceTempView("metaagg_lit_v")
+    // CollapseProject folds the literal into the Aggregate's output — the
+    // exact shape a withColumn(lit(...)) produces (found live)
+    val df = spark.sql(
+      "SELECT count(*) AS n, 'tagged' AS tag, TRUE AS ok FROM metaagg_lit_v")
+    assert(metaOnly(df), df.queryExecution.optimizedPlan.toString)
+    val r = df.collect().head
+    assert((r.getLong(0), r.getString(1), r.getBoolean(2)) === ((3L, "tagged", true)))
+  }
+
   test("filters, grouping, and non-meta aggregates keep the scan") {
     val t = freshTable("metaagg_scan")
     spark.read.format("graft").load(t).createOrReplaceTempView("metaagg_scan_v")

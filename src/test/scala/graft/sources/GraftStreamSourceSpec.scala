@@ -130,6 +130,28 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batch width") {
+    val t = freshTable("gss_maxv")
+    CommitLog.commit(Seq((4L, "d", 40.0)).toDF("id", "typ", "value"), t, "append")
+    CommitLog.commit(Seq((5L, "e", 50.0)).toDF("id", "typ", "value"), t, "append")
+    val dst = tmpDir("gss_maxv_dst"); new java.io.File(dst).delete()
+    // sink commits once per micro-batch, so the dst version count IS the
+    // batch count: 3 source versions at cap 1 → 3 sink commits
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .filter(col(CommitLog.ChangeTypeCol) === "insert")
+      .select("id", "typ", "value")
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("gss_maxv_ck"))
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      assert(CommitLog.read(spark, dst).count() === 5L)
+      assert(CommitLog.versions(dst).size === 3)
+    } finally q.stop()
+  }
+
   test("a numeric startingVersion tails from that version (exclusive)") {
     val t = freshTable("gss_numstart")
     CommitLog.commit(Seq((4L, "d", 40.0)).toDF("id", "typ", "value"), t, "append")
