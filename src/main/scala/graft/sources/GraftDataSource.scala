@@ -71,17 +71,44 @@ final class GraftSourceProvider extends RelationProvider
       "graft sink needs a table root: .start(<path>)"))
     val mergeKeys = parameters.get("mergekeys").orElse(parameters.get("mergeKeys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val appId = "graft-sink:" +
-      parameters.get("checkpointlocation").orElse(parameters.get("checkpointLocation"))
-        .getOrElse(java.util.UUID.randomUUID().toString)
+    // exactly-once identity must follow the CHECKPOINT (a new checkpoint
+    // restarts batchIds at 0); hash the path so txn-appId character rules
+    // ('=', ';') can never reject a legal checkpoint path. Without the
+    // checkpointLocation OPTION there is no stable identity visible here
+    // — fall back to at-least-once (a fresh id per incarnation; the
+    // alternative, keying on the table path, silently SWALLOWS batches
+    // when a new checkpoint reuses old batchIds — data loss, worse).
+    val appId = parameters.get("checkpointlocation")
+      .orElse(parameters.get("checkpointLocation")) match {
+      case Some(ckpt) =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(ckpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        "graft-sink:" + digest.take(16).map("%02x".format(_)).mkString
+      case None =>
+        org.slf4j.LoggerFactory.getLogger(classOf[GraftSourceProvider]).warn(
+          "graft sink: no checkpointLocation OPTION — exactly-once " +
+            "degrades to at-least-once across restarts (set the option, " +
+            "not just the session conf, for a stable writer identity)")
+        "graft-sink:" + java.util.UUID.randomUUID().toString
+    }
     import org.apache.spark.sql.streaming.OutputMode
     require(outputMode != OutputMode.Update() || mergeKeys.nonEmpty,
       "Update mode on a graft sink needs .option(\"mergeKeys\", ...) — " +
         "updated rows can only be applied as an upsert-by-key")
+    val complete = outputMode == OutputMode.Complete()
+    require(!(complete && mergeKeys.nonEmpty),
+      "Complete mode replaces the snapshot per batch; mergeKeys would " +
+        "leave keys absent from the latest result behind — drop one of the two")
     val mirror = parameters.get("mirror").exists(_.toBoolean)
     val cdc = parameters.get("cdc").exists(_.toBoolean)
+    require(!(mergeKeys.nonEmpty && (mirror || cdc)),
+      "mirror/cdc options don't compose with mergeKeys: a merge journals " +
+        "its typed change rows itself (changeFeed serves them)")
+    require(!cdc || complete,
+      "cdc journaling applies to overwrites: use Complete mode (the " +
+        "append path's inserts stream from the manifest delta already)")
     new GraftStreamSink(table, mergeKeys, partitionColumns,
-      outputMode == OutputMode.Complete(), appId, mirror, cdc)
+      complete, appId, mirror, cdc)
   }
 
   // ---- streaming: spark.readStream.format("graft").load(root) ----------
@@ -239,7 +266,9 @@ final class GraftSourceProvider extends RelationProvider
   * version-ordered within the micro-batch. */
 private[sources] final class GraftStreamSource(spark: SparkSession,
     table: String, startVersion: Long, maxVersionsPerTrigger: Option[Long] = None)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 
@@ -252,6 +281,26 @@ private[sources] final class GraftStreamSource(spark: SparkSession,
     * `maxVersionsPerTrigger`. */
   @volatile private var highWater: Long = startVersion
 
+  /** Target frozen by [[prepareForTriggerAvailableNow]]: under
+    * `Trigger.AvailableNow` the engine drains exactly to the version the
+    * table had at query start, in `maxVersionsPerTrigger`-capped steps.
+    * Implementing [[SupportsTriggerAvailableNow]] DIRECTLY matters: a
+    * bare v1 Source falls back to SINGLE-batch semantics under
+    * AvailableNow (the wrapper conf is off by default), which with a cap
+    * would terminate "successfully" after n versions — silent partial
+    * processing (round-8 review finding). */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(CommitLog.latestVersion(table).getOrElse(startVersion))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset =
+    getOffset.orNull
+
+  override def reportLatestOffset(): V2Offset = getOffset.orNull
+
   // NO startVersion filter here: startVersion gates only the FIRST batch
   // (getBatch with start = None). Filtering offsets by it would make a
   // restarted stream — whose createSource recomputed startVersion to the
@@ -263,10 +312,10 @@ private[sources] final class GraftStreamSource(spark: SparkSession,
   // `maxVersionsPerTrigger` bounds how far past the high water one
   // micro-batch may reach — without it, a from-earliest start (or a
   // long-down restart) over a 100 TB table would serve the ENTIRE
-  // history as one batch. Catch-up just takes several triggers
-  // (Trigger.AvailableNow included: its wrapper drains in capped steps).
+  // history as one batch; catch-up takes several triggers instead.
   override def getOffset: Option[V1Offset] =
-    CommitLog.latestVersion(table).map { latest =>
+    CommitLog.latestVersion(table).map { latest0 =>
+      val latest = availableNowTarget.fold(latest0)(math.min(latest0, _))
       val capped = maxVersionsPerTrigger
         .map(n => math.min(latest, highWater + n)).getOrElse(latest)
       LongOffset(math.max(capped, highWater))

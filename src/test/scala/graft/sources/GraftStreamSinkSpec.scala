@@ -68,6 +68,30 @@ class GraftStreamSinkSpec extends SparkSpec {
     } finally q1.stop()
   }
 
+  test("invalid option combinations refuse at start, not mid-stream") {
+    val src = freshTable("gsk_bad_src", Seq((1L, "a", 1.0)))
+    def start(opts: Map[String, String], mode: String) = {
+      var w = spark.readStream.format("graft")
+        .option("startingVersion", "earliest").load(src)
+        .filter(col(CommitLog.ChangeTypeCol) === "insert")
+        .select("id", "typ", "value")
+        .writeStream.format("graft").outputMode(mode)
+        .option("checkpointLocation", tmpDir("gsk_bad_ck"))
+      opts.foreach { case (k, v) => w = w.option(k, v) }
+      w.start(tmpDir("gsk_bad_dst") + "_t")
+    }
+    // cdc journaling needs the overwrite (Complete) shape
+    val e1 = intercept[Exception](start(Map("cdc" -> "true"), "append"))
+    assert(e1.getMessage.contains("cdc"))
+    // mirror/cdc don't compose with mergeKeys
+    val e2 = intercept[Exception](
+      start(Map("mergeKeys" -> "id", "mirror" -> "true"), "append"))
+    assert(e2.getMessage.contains("mergeKeys"))
+    // Complete + mergeKeys would strand vanished keys
+    val e3 = intercept[Exception](start(Map("mergeKeys" -> "id"), "complete"))
+    assert(e3.getMessage.contains("Complete"))
+  }
+
   test("Update mode refuses without mergeKeys; Complete mode overwrites per batch") {
     val src = freshTable("gsk_cmp_src", Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
     val dst = tmpDir("gsk_cmp_dst"); new java.io.File(dst).delete()

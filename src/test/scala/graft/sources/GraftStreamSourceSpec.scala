@@ -152,6 +152,31 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a capped stream COMPLETELY, in steps") {
+    val t = freshTable("gss_avnow")
+    CommitLog.commit(Seq((4L, "d", 40.0)).toDF("id", "typ", "value"), t, "append")
+    CommitLog.commit(Seq((5L, "e", 50.0)).toDF("id", "typ", "value"), t, "append")
+    val dst = tmpDir("gss_avnow_dst"); new java.io.File(dst).delete()
+    // a bare v1 source under AvailableNow gets SINGLE-batch semantics and
+    // a capped stream would stop after one step, silently incomplete —
+    // SupportsTriggerAvailableNow makes the engine drain to the prepared
+    // target in capped steps (3 versions at cap 1 → 3 sink commits)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .filter(col(CommitLog.ChangeTypeCol) === "insert")
+      .select("id", "typ", "value")
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("gss_avnow_ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    try {
+      assert(q.awaitTermination(120000L), "AvailableNow query did not finish")
+      assert(CommitLog.read(spark, dst).count() === 5L)
+      assert(CommitLog.versions(dst).size === 3)
+    } finally q.stop()
+  }
+
   test("a numeric startingVersion tails from that version (exclusive)") {
     val t = freshTable("gss_numstart")
     CommitLog.commit(Seq((4L, "d", 40.0)).toDF("id", "typ", "value"), t, "append")
