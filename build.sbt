@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses a bench run's LAST stdout line as the headline JSON
+// (round-8 VERDICT item "wrong" 1: BENCH_r08 parsed null because sbt's
+// decoration followed it). Forked run output must pass through verbatim
+// (no "[info]" prefix) and the "[success] Total time: …" trailer must not
+// print after the JSON.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showTiming, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

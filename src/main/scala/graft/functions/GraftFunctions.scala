@@ -36,10 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-hoc DataSourceAnalysis would convert an INSERT over the graft
     // HadoopFsRelation into a raw file write behind the commit log
     e.injectResolutionRule(_ => graft.sql.GraftDmlRule)
-    // maintenance SQL (VACUUM / OPTIMIZE … ZORDER BY / DESCRIBE HISTORY)
-    // via the standard delegating-parser pattern — graft statements are
-    // tried first, everything else reaches Spark's parser verbatim
-    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // maintenance SQL (VACUUM / OPTIMIZE [WHERE] … ZORDER BY / DESCRIBE
+    // HISTORY, by path or catalog name) via the standard delegating-parser
+    // pattern — graft statements are tried first, everything else reaches
+    // Spark's parser verbatim (then `FROM t VERSION/TIMESTAMP AS OF` on
+    // graft names is claimed at parse time: Spark's ResolveRelations
+    // throws on v1 time travel before injected resolution rules run)
+    e.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
   }
 }
 

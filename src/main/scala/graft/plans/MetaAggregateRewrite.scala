@@ -80,7 +80,10 @@ object MetaAggregateRewrite extends Rule[LogicalPlan] {
   private def shapeOf(e: NamedExpression): Option[(Shape, Alias)] = e match {
     case a @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
       fn match {
-        case Count(Seq(Literal(_, _))) => Some((RowCount, a))
+        // count(NULL) is 0, not the row count — Spark's NullPropagation
+        // folds it before this rule normally runs, but the guard is free
+        // (round-8 ADVICE, low)
+        case Count(Seq(Literal(v, _))) if v != null => Some((RowCount, a))
         case Count(Seq(attr: AttributeReference)) => Some((ColCount(attr.name), a))
         case Min(attr: AttributeReference) => Some((ColMin(attr.name), a))
         case Max(attr: AttributeReference) => Some((ColMax(attr.name), a))
@@ -96,9 +99,18 @@ object MetaAggregateRewrite extends Rule[LogicalPlan] {
     * the subtree and never re-fires) — memoize per (table, pinned
     * version, requested columns), which is immutable state (round-8
     * review finding). Unpinned relations (version = None: the latest
-    * could move between iterations) skip the cache. Size-bounded. */
+    * could move between iterations) skip the cache. Size-bounded.
+    *
+    * The key carries the version's COMMIT-FILE IDENTITY (mtime, size) on
+    * top of (path, version): a table directory deleted and re-created at
+    * the same path restarts version numbering, and a bare (path, version)
+    * key would silently serve the OLD table's cached aggregate to a query
+    * over the new one (round-8 ADVICE, medium). A re-created commit file
+    * never stats identical, so the stale entry simply stops matching and
+    * ages out. Identity unreadable (file vacuumed/racing) → skip the
+    * cache. */
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Seq[String], Seq[String]), Option[CommitLog.MetaAgg]]()
+    (String, Long, Seq[String], Seq[String], (Long, Long)), Option[CommitLog.MetaAgg]]()
 
   private def cachedMetaAggregate(table: String, version: Option[Long],
       boundsCols: Seq[String], countCols: Seq[String]): Option[CommitLog.MetaAgg] = {
@@ -106,10 +118,10 @@ object MetaAggregateRewrite extends Rule[LogicalPlan] {
       try CommitLog.metaAggregate(table, boundsCols, version,
         countOnlyColumns = countCols)
       catch { case scala.util.control.NonFatal(_) => None }
-    version match {
-      case Some(v) =>
+    version.zip(version.flatMap(CommitLog.manifestIdentity(table, _))).headOption match {
+      case Some((v, id)) =>
         if (metaCache.size > 512) metaCache.clear()
-        metaCache.computeIfAbsent((table, v, boundsCols, countCols), _ => call())
+        metaCache.computeIfAbsent((table, v, boundsCols, countCols, id), _ => call())
       case None => call()
     }
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.tx.CommitLog
@@ -46,10 +46,36 @@ import graft.tx.CommitLog
   * without touching the Scala API. Mutations (delete/update/merge) stay
   * Scala-surface, as in Delta's pre-SQL days. */
 final class GraftSourceProvider extends RelationProvider
+    with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  /** CATALOG-NAMED tables (`CREATE TABLE t USING graft LOCATION '…'`,
+    * `spark.table("t")`, `df.write.format("graft").saveAsTable("t")`):
+    * Spark re-resolves a catalog datasource table with the schema it
+    * RECORDED at CREATE time. That copy goes stale the moment an additive
+    * evolution commits (the plain-RelationProvider branch would then
+    * refuse the table outright on schema mismatch), so the stored schema
+    * is deliberately IGNORED — the commit log's manifest is the table's
+    * single source of truth, exactly as Delta ignores the metastore
+    * schema in favor of its transaction log.
+    *
+    * A schema over a location with NO committed versions is `CREATE TABLE
+    * t (…) USING graft LOCATION '…'` on a fresh path: commit an EMPTY
+    * snapshot carrying the declared schema (Delta's create-table metadata
+    * action), so the table exists and is immediately INSERTable. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation = {
+    val table = GraftSourceProvider.rootOf(parameters,
+      "graft source needs a table root: LOCATION '<path>'")
+    if (CommitLog.latestVersion(table).isEmpty)
+      CommitLog.commit(sqlContext.sparkSession.createDataFrame(
+        sqlContext.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema), table, "append")
+    createRelation(sqlContext, parameters)
+  }
 
   // ---- streaming sink: df.writeStream.format("graft").start(root) ------
   //
@@ -67,29 +93,39 @@ final class GraftSourceProvider extends RelationProvider
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
-    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft sink needs a table root: .start(<path>)"))
+    val table = GraftSourceProvider.rootOf(parameters,
+      "graft sink needs a table root: .start(<path>)")
     val mergeKeys = parameters.get("mergekeys").orElse(parameters.get("mergeKeys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     // exactly-once identity must follow the CHECKPOINT (a new checkpoint
     // restarts batchIds at 0); hash the path so txn-appId character rules
     // ('=', ';') can never reject a legal checkpoint path. Without the
     // checkpointLocation OPTION there is no stable identity visible here
-    // — fall back to at-least-once (a fresh id per incarnation; the
-    // alternative, keying on the table path, silently SWALLOWS batches
-    // when a new checkpoint reuses old batchIds — data loss, worse).
+    // (a session-conf checkpoint is invisible to the sink), so the sink
+    // FAILS FAST instead of silently downgrading the delivery contract
+    // (round-8 ADVICE, low: a warn-level degrade let restarts double-apply
+    // batches to append tables). `.option("allowAtLeastOnce", "true")` is
+    // the explicit opt-in for fire-and-forget writers; keying the identity
+    // on the table path instead would be worse — a NEW checkpoint reusing
+    // old batchIds would silently SWALLOW batches (data loss).
     val appId = parameters.get("checkpointlocation")
       .orElse(parameters.get("checkpointLocation")) match {
       case Some(ckpt) =>
         val digest = java.security.MessageDigest.getInstance("SHA-256")
           .digest(ckpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         "graft-sink:" + digest.take(16).map("%02x".format(_)).mkString
-      case None =>
+      case None if parameters.get("allowatleastonce")
+          .orElse(parameters.get("allowAtLeastOnce")).exists(_.toBoolean) =>
         org.slf4j.LoggerFactory.getLogger(classOf[GraftSourceProvider]).warn(
-          "graft sink: no checkpointLocation OPTION — exactly-once " +
-            "degrades to at-least-once across restarts (set the option, " +
-            "not just the session conf, for a stable writer identity)")
+          "graft sink: no checkpointLocation OPTION — running AT-LEAST-ONCE " +
+            "(allowAtLeastOnce=true): a restart may re-apply batches")
         "graft-sink:" + java.util.UUID.randomUUID().toString
+      case None => throw new IllegalArgumentException(
+        "graft sink needs .option(\"checkpointLocation\", ...) for its " +
+          "exactly-once writer identity (the session-conf checkpoint is " +
+          "not visible to the sink); set " +
+          ".option(\"allowAtLeastOnce\", \"true\") to opt into " +
+          "at-least-once delivery without one")
     }
     import org.apache.spark.sql.streaming.OutputMode
     require(outputMode != OutputMode.Update() || mergeKeys.nonEmpty,
@@ -160,16 +196,16 @@ final class GraftSourceProvider extends RelationProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft stream needs a table root: spark.readStream.format(\"graft\").load(<path>)"))
+    val table = GraftSourceProvider.rootOf(parameters,
+      "graft stream needs a table root: spark.readStream.format(\"graft\").load(<path>)")
     (shortName(), GraftStreamSource.feedSchema(table))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft stream needs a table root: spark.readStream.format(\"graft\").load(<path>)"))
+    val table = GraftSourceProvider.rootOf(parameters,
+      "graft stream needs a table root: spark.readStream.format(\"graft\").load(<path>)")
     val maxVersions = parameters.get("maxversionspertrigger")
       .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
     require(maxVersions.forall(_ >= 1L), "maxVersionsPerTrigger must be >= 1")
@@ -179,8 +215,8 @@ final class GraftSourceProvider extends RelationProvider
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft source needs a table root: .save(<path>)"))
+    val table = GraftSourceProvider.rootOf(parameters,
+      "graft source needs a table root: .save(<path>)")
     val partitionBy = parameters.get("partitionby").orElse(parameters.get("partitionBy"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val appOpt = parameters.get("txnappid").orElse(parameters.get("txnAppId"))
@@ -226,8 +262,8 @@ final class GraftSourceProvider extends RelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft source needs a table root: spark.read.format(\"graft\").load(<path>)"))
+    val table = GraftSourceProvider.rootOf(parameters,
+      "graft source needs a table root: spark.read.format(\"graft\").load(<path>)")
     val version = parameters.get("versionasof").orElse(parameters.get("versionAsOf"))
       .map(_.toLong)
     val m = version match {
@@ -255,6 +291,16 @@ final class GraftSourceProvider extends RelationProvider
       bucketSpec = None, new ParquetFileFormat, parameters)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
   }
+}
+
+private[sources] object GraftSourceProvider {
+  /** The `path` parameter as a plain filesystem table root: a
+    * catalog-registered table's LOCATION arrives as a `file:` URI
+    * ([[graft.sql.GraftCatalog]] named tables), a direct `.load(path)`
+    * as a bare path — [[CommitLog.normalizeRoot]] folds both. */
+  def rootOf(parameters: Map[String, String], err: String): String =
+    CommitLog.normalizeRoot(
+      parameters.getOrElse("path", throw new IllegalArgumentException(err)))
 }
 
 /** Version-tailing Structured Streaming source over a commit-log table:

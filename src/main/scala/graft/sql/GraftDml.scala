@@ -51,7 +51,8 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case d: DeleteFromTable =>
       GraftDml.rootOf(d.table).map { root =>
-        GraftDeleteCommand(root, GraftDml.toColumn(d.condition))
+        GraftDeleteCommand(root,
+          GraftDml.toColumn(d.condition, GraftDml.aliasesOf(d.table)))
       }.getOrElse(d)
 
     case u: UpdateTable =>
@@ -63,9 +64,10 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           s"duplicate UPDATE SET targets: ${names.mkString(", ")}")
         val set = u.assignments.map { a =>
           GraftDml.nameOf(a.key, "UPDATE SET target", aliases) ->
-            GraftDml.toColumn(a.value)
+            GraftDml.toColumn(a.value, aliases)
         }.toMap
-        val cond = u.condition.map(GraftDml.toColumn).getOrElse(F.lit(true))
+        val cond = u.condition.map(GraftDml.toColumn(_, aliases))
+          .getOrElse(F.lit(true))
         GraftUpdateCommand(root, cond, set)
       }.getOrElse(u)
 
@@ -113,12 +115,19 @@ private[graft] object GraftDml {
 
   /** Re-target a DML expression at a fresh snapshot read: resolved
     * attribute references (bound to the statement's view) become plain
-    * name lookups, everything else (literals, functions, still-unresolved
-    * names) passes through — the mutation's own `df.filter`/`withColumn`
-    * resolution does the rest. */
-  def toColumn(e: Expression): Column =
+    * name lookups, and STILL-UNRESOLVED names qualified by a known target
+    * alias strip to the bare column (round-8 ADVICE, low: if the rule
+    * fires mid-resolution, `t.typ` in `DELETE FROM v t WHERE t.typ = …`
+    * would otherwise survive into the runtime `df.filter` against the
+    * fresh snapshot read, where the alias does not exist). Everything
+    * else (literals, functions, unqualified names) passes through — the
+    * mutation's own resolution does the rest. */
+  def toColumn(e: Expression, aliases: Set[String] = Set.empty): Column =
     ColumnBridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      case u: UnresolvedAttribute if u.nameParts.size == 2 &&
+          aliases.contains(u.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute.quoted(u.nameParts.last)
     })
 
   /** Column name of an assignment target / key reference. Multi-part
@@ -279,6 +288,7 @@ case class GraftDeleteCommand(table: String, condition: Column)
     val v =
       if (GraftDml.useDv(spark)) CommitLog.deleteDv(spark, table, condition)
       else CommitLog.delete(spark, table, condition, GraftDml.layoutCols(table))
+    GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
   }
 }
@@ -292,6 +302,7 @@ case class GraftUpdateCommand(table: String, condition: Column,
     val v =
       if (GraftDml.useDv(spark)) CommitLog.updateDv(spark, table, condition, set)
       else CommitLog.update(spark, table, condition, set, GraftDml.layoutCols(table))
+    GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
   }
 }
@@ -314,6 +325,7 @@ case class GraftMergeCommand(table: String, source: LogicalPlan,
         CommitLog.mergeDv(spark, table, src, keys, GraftDml.layoutCols(table))
       else
         CommitLog.merge(spark, table, src, keys, GraftDml.layoutCols(table))
+    GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
   }
 }
@@ -373,6 +385,9 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
       }
     val v = CommitLog.commit(df, table,
       if (overwrite) "overwrite" else "append", GraftDml.layoutCols(table))
+    // the catalog's memoized relation (spark.table) pins the pre-DML
+    // manifest — drop it so by-name readers see this commit
+    GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
   }
 }

@@ -213,6 +213,19 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(rows(t).map(_._1) === Seq(3L, 4L, 5L))
   }
 
+  test("alias-qualified DELETE/UPDATE predicates resolve to bare columns") {
+    // round-8 ADVICE (low): whether the condition reaches the rule resolved
+    // (AttributeReference) or still alias-qualified (t.typ mid-resolution),
+    // the runtime filter against the fresh snapshot read must see the bare
+    // column — the alias does not exist there
+    val t = freshTable("sqldml_alias")
+    val v = view(t, "sqldml_alias_v")
+    spark.sql(s"DELETE FROM $v t WHERE t.typ = 'b'")
+    assert(rows(t).map(_._1) === Seq(1L, 2L, 5L, 6L))
+    spark.sql(s"UPDATE $v u SET value = u.value + 1 WHERE u.typ = 'a'")
+    assert(rows(t).filter(_._2 == "a").map(_._3) === Seq(11.0, 21.0))
+  }
+
   test("DML on a non-graft view is left to Spark's own error") {
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("sqldml_plain")
     val e = intercept[Exception] {
