@@ -274,6 +274,34 @@ object TxQueries {
             WHEN NOT MATCHED THEN INSERT *"""): Unit
     }
 
+  /** Table mutated by a CONDITIONAL SQL MERGE (round-8 VERDICT item 4):
+    * first-match-wins matched routing (DELETE when the source value is
+    * high, partial UPDATE otherwise), a conditional INSERT, and a
+    * NOT MATCHED BY SOURCE delete — all in one statement, all
+    * merge-on-read. */
+  private val builtSqlMergeCond = new ConcurrentHashMap[String, String]()
+
+  private def ensureSqlMergeCondTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtSqlMergeCond, d, "txsqlmcond") { (table, ev) =>
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val tag = java.lang.Integer.toHexString(table.hashCode)
+      val (v, src) = (s"txsqlmcond_v_$tag", s"txsqlmcond_src_$tag")
+      ev.createOrReplaceTempView(src)
+      s.read.format("graft").load(table).createOrReplaceTempView(v)
+      s.sql(
+        s"""MERGE INTO $v t
+            USING (SELECT event_id, event_type, value
+                     FROM $src WHERE event_id % 127 = 11
+                   UNION ALL
+                   SELECT event_id + 700000000, event_type, value
+                     FROM $src WHERE event_id % 127 = 12) s
+            ON t.event_id = s.event_id
+            WHEN MATCHED AND s.value > 250 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET value = s.value + 4000
+            WHEN NOT MATCHED AND s.event_type <> 'error' THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.event_type = 'error' THEN DELETE"""): Unit
+    }
+
   /** Table read back through SQL time travel (round-8 VERDICT item 2):
     * commit all events (v1), DV-delete the 'error' rows (v2) — the query
     * joins `VERSION AS OF 1`, the latest snapshot, and a far-future
@@ -781,6 +809,26 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // Conditional SQL MERGE (round-8 VERDICT item 4): one statement routes
+    // matched pairs first-match-wins (high-value → DELETE, rest → partial
+    // UPDATE keeping event_type), gates inserts on a source condition, and
+    // retires unmatched 'error' targets via NOT MATCHED BY SOURCE — the
+    // DuckDB twin recomputes the full routing from the source parquet, so
+    // a clause claimed in the wrong order, a post-image computed on the
+    // wrong side, or an over-wide by-source delete flips the hash;
+    // `files_kept` pins the merge-on-read contract.
+    "tx_sql_merge_conditional" -> ((s, d) => {
+      val table = ensureSqlMergeCondTable(s, d)
+      val m1 = CommitLog.manifest(table, 1L).files
+      val mN = CommitLog.manifest(table, CommitLog.latestVersion(table).get).files
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .withColumn("files_kept", lit(m1.forall(mN.contains)))
+        .orderBy("event_type")
+    }),
+
     // SQL time travel (round-8 VERDICT item 2): one statement joins
     // `VERSION AS OF 1` (pre-delete), the latest snapshot (post-DV-delete
     // — served through the merge-on-read fallback relation), and a
@@ -953,14 +1001,17 @@ object TxQueries {
         .toDF("n_rows", "id_min", "id_max", "n_ids", "v_min", "v_max", "n_vals")
     }),
 
-    // DV-EXACT metadata COUNT(*) (round-8, NOTES_r8 watch 2 cleared):
+    // DV-EXACT metadata COUNT(*) + BOUNDS (round-8 VERDICT item 6):
     // a deletion-vector snapshot answers COUNT(*) from metadata alone —
     // stored-row footer sums corrected by a driver-side read of the DV
     // rows (capped; still no Spark job, no data scan) — across the whole
     // DV history: v1 full, v2 after the %97 trickle delete, v3 after the
     // signup updateDv (count-neutral: deaths + appended post-images).
-    // The final column pins metadata == scan agreement in-run; the
-    // DuckDB oracle recomputes each count from the source parquet.
+    // MIN/MAX(value) at latest answer too: the few death-carrying files
+    // re-aggregate their LIVE rows in a projected driver pass, every
+    // clean file keeps its sidecar answer. `meta_equals_scan` pins
+    // metadata == scan agreement in-run (count AND bounds); the DuckDB
+    // oracle recomputes everything from the source parquet.
     "tx_meta_count_dv" -> ((s, d) => {
       import s.implicits._
       val table = ensureUpdateDvTable(s, d)
@@ -968,9 +1019,45 @@ object TxQueries {
         CommitLog.metaRowCount(table, v).getOrElse(throw new IllegalStateException(
           s"$table: DV metadata count must not fall back here"))
       val latest = CommitLog.latestVersion(table).get
-      val scan = CommitLog.read(s, table).count()
-      Seq((mc(Some(1L)), mc(Some(2L)), mc(Some(latest)), mc(None) == scan))
-        .toDF("n_all", "n_after_delete", "n_after_update", "meta_equals_scan")
+      val agg = CommitLog.metaAggregate(table, Seq("value"))
+        .getOrElse(throw new IllegalStateException(
+          s"$table: DV metadata bounds must not fall back here"))
+      val vMin = agg.cols("value").min.get.asInstanceOf[Double]
+      val vMax = agg.cols("value").max.get.asInstanceOf[Double]
+      val scan = CommitLog.read(s, table)
+        .agg(count(lit(1)), min(col("value")), max(col("value")))
+        .as[(Long, Double, Double)].head()
+      Seq((mc(Some(1L)), mc(Some(2L)), mc(Some(latest)), vMin, vMax,
+          mc(None) == scan._1 && vMin == scan._2 && vMax == scan._3))
+        .toDF("n_all", "n_after_delete", "n_after_update",
+          "v_min", "v_max", "meta_equals_scan")
+    }),
+
+    // Metadata-answered TIMESTAMP bounds (round-8 VERDICT item 5): this
+    // engine writes every file itself (INT64 micros), so MIN/MAX(ets) —
+    // the reference's dominant column — answers from the sidecars with no
+    // scan; files that predate the column are footer-PROVEN absent, and
+    // foreign INT96 writes refuse (MetaAggregateSpec). Bounds surface as
+    // epoch micros so the DuckDB twin compares exactly.
+    "tx_stats_meta_ts" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      val (table, _, _) = ensureTable(s, d)
+      val agg = CommitLog.metaAggregate(table, Seq("ets", "event_id"))
+        .getOrElse(throw new IllegalStateException(
+          s"$table: timestamp metadata bounds must not fall back here"))
+      def us(v: Any): Long =
+        DateTimeUtils.fromJavaTimestamp(v.asInstanceOf[java.sql.Timestamp])
+      val e = agg.cols("ets")
+      val scan = CommitLog.read(s, table)
+        .agg(min(col("ets")), max(col("ets")), count(col("ets")))
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].head()
+      Seq((us(e.min.get), us(e.max.get), e.nonNull,
+          agg.cols("event_id").min.get.asInstanceOf[Long],
+          us(e.min.get) == DateTimeUtils.fromJavaTimestamp(scan._1) &&
+            us(e.max.get) == DateTimeUtils.fromJavaTimestamp(scan._2) &&
+            e.nonNull == scan._3))
+        .toDF("ts_min_us", "ts_max_us", "n_ts", "id_min", "meta_equals_scan")
     }),
   )
 
@@ -1282,15 +1369,52 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max,
            CAST(5 AS BIGINT) AS history_len
          FROM merged GROUP BY event_type ORDER BY event_type""",
+    // conditional-merge routing recompute: matched (%127==11) high-value
+    // rows deleted / rest value+4000 (type kept), unmatched 'error'
+    // targets dropped (BY SOURCE), rekeyed non-error source rows inserted
+    "tx_sql_merge_conditional" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events),
+           srcm AS (SELECT event_id, event_type, value
+                      FROM base WHERE event_id % 127 = 11),
+           srci AS (SELECT event_id + 700000000 AS event_id, event_type, value
+                      FROM base WHERE event_id % 127 = 12),
+           kept AS (
+             SELECT b.event_id, b.event_type, b.value + 4000 AS value
+               FROM base b JOIN srcm m ON b.event_id = m.event_id
+              WHERE m.value <= 250
+             UNION ALL
+             SELECT b.event_id, b.event_type, b.value
+               FROM base b
+              WHERE b.event_id NOT IN (SELECT event_id FROM srcm)
+                AND b.event_type <> 'error'
+             UNION ALL
+             SELECT event_id, event_type, value FROM srci
+              WHERE event_type <> 'error')
+         SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(value) AS v_min, max(value) AS v_max,
+           TRUE AS files_kept
+         FROM kept GROUP BY event_type ORDER BY event_type""",
     "tx_sql_time_travel" ->
       """SELECT event_type, count(*) AS n_v1,
            CAST(CASE WHEN event_type = 'error' THEN 0 ELSE count(*) END AS BIGINT) AS n_latest,
            CAST(CASE WHEN event_type = 'error' THEN 0 ELSE count(*) END AS BIGINT) AS n_ts
          FROM events GROUP BY event_type ORDER BY event_type""",
     "tx_meta_count_dv" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_all,
-           CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_after_delete,
-           CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_after_update,
+      """WITH alive AS (
+           SELECT CASE WHEN event_type = 'signup' THEN value + 0.5 ELSE value END AS value
+           FROM events WHERE event_id % 97 <> 0)
+         SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_all,
+           CAST(count(*) AS BIGINT) AS n_after_delete,
+           CAST(count(*) AS BIGINT) AS n_after_update,
+           min(value) AS v_min, max(value) AS v_max,
+           TRUE AS meta_equals_scan
+         FROM alive""",
+    "tx_stats_meta_ts" ->
+      """SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS ts_min_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS ts_max_us,
+           CAST(count(ts) AS BIGINT) AS n_ts,
+           min(event_id) AS id_min,
            TRUE AS meta_equals_scan
          FROM events""",
   )

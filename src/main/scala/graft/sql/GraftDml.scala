@@ -162,18 +162,23 @@ private[graft] object GraftDml {
     case other => Seq(other)
   }
 
-  /** MERGE translation. The commit log's merge is upsert-by-key (the
-    * reference's serving semantics, `db-script.cql:37`) plus the key-set
-    * delete; the supported SQL shapes are exactly those:
+  /** MERGE translation. Two tiers:
     *
-    *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-    *    (or assignment lists that are verbatim `col = source.col` for the
-    *    full source schema) → [[CommitLog.mergeDv]] / [[CommitLog.merge]];
-    *  - `WHEN MATCHED THEN DELETE` (alone) → [[CommitLog.deleteKeys]].
+    *  - the STAR shapes keep their dedicated fast paths: `WHEN MATCHED
+    *    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` (or verbatim
+    *    `col = source.col` assignment lists) → [[CommitLog.mergeDv]] /
+    *    [[CommitLog.merge]] (additive schema evolution lives here), and
+    *    `WHEN MATCHED THEN DELETE` alone → [[CommitLog.deleteKeys]];
+    *  - EVERYTHING ELSE — conditional `WHEN MATCHED AND cond THEN
+    *    UPDATE/DELETE` (multiple clauses, first-match-wins), partial-
+    *    column SETs, conditional `WHEN NOT MATCHED [AND cond] THEN
+    *    INSERT *`, insert-only merges, and `WHEN NOT MATCHED BY SOURCE
+    *    [AND cond] THEN DELETE` — routes to
+    *    [[CommitLog.mergeConditionalDv]] (round-8 VERDICT item 4).
     *
-    * Conditional clauses, partial-column updates, and NOT MATCHED BY
-    * SOURCE refuse loudly — silently approximating MERGE semantics would
-    * be worse than not having them. */
+    * Still refused loudly (approximating would be worse): non-equi ON
+    * conditions, partial-column INSERT lists, NOT MATCHED BY SOURCE
+    * UPDATE, multiple INSERT clauses. */
   def translateMerge(m: MergeIntoTable, root: String): LogicalPlan = {
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
@@ -203,12 +208,11 @@ private[graft] object GraftDml {
           s"(upsert-by-key), got: ${other.sql}")
     }
 
-    def unconditional(c: Option[Expression], what: String): Unit =
-      require(c.isEmpty, s"conditional $what clauses are not supported on graft tables")
     // `UPDATE SET a = s.a, …` written out longhand is still SET * iff every
     // assignment is the same-named SOURCE column — a target-qualified value
     // (`SET value = t.value`, intent: keep the target's) is NOT the star
-    // shape and must refuse, resolved or not (round-8 review finding)
+    // shape (round-8 review finding; it now routes to the conditional
+    // path's partial update instead of refusing)
     def isIdentity(as: Seq[Assignment]): Boolean = as.forall { a =>
       a.value match {
         case v: AttributeReference =>
@@ -225,40 +229,146 @@ private[graft] object GraftDml {
       }
     }
 
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
+    val starShape = m.notMatchedBySourceActions.isEmpty &&
+      ((m.matchedActions, m.notMatchedActions) match {
+        case (Seq(DeleteAction(None)), Seq()) => true
+        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => true
+        case (Seq(UpdateStarAction(None)), Seq(InsertAction(None, as2))) =>
+          isIdentity(as2)
+        case (Seq(UpdateAction(None, as, fromStar)), Seq(InsertStarAction(None))) =>
+          fromStar || isIdentity(as)
+        case (Seq(UpdateAction(None, as, fromStar)), Seq(InsertAction(None, as2))) =>
+          (fromStar || isIdentity(as)) && isIdentity(as2)
+        case _ => false
+      })
 
-    (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(DeleteAction(cond)), Seq()) =>
-        unconditional(cond, "DELETE")
-        GraftMergeCommand(root, m.sourceTable, keys, delete = true)
-      case (matched, notMatched) =>
-        matched match {
-          case Seq(UpdateStarAction(c)) => unconditional(c, "UPDATE")
-          // the analyzer may have expanded SET * into an assignment list
-          // already (fromStar = true) — still the star shape
-          case Seq(UpdateAction(c, as, fromStar)) =>
-            unconditional(c, "UPDATE")
-            require(fromStar || isIdentity(as),
-              "MERGE UPDATE must be SET * (or verbatim col = source.col) — " +
-                "partial-column updates are not supported on graft tables")
-          case Seq() => throw new IllegalArgumentException(
-            "MERGE without WHEN MATCHED is not supported on graft tables " +
-              "(insert-only merge: filter the source with an anti-join and INSERT)")
-          case other => throw new IllegalArgumentException(
-            s"unsupported MERGE matched clauses on graft table: $other")
-        }
-        notMatched match {
-          case Seq(InsertStarAction(c)) => unconditional(c, "INSERT")
-          case Seq(InsertAction(c, as)) =>
-            unconditional(c, "INSERT")
-            require(isIdentity(as),
-              "MERGE INSERT must be * (or verbatim col = source.col)")
-          case other => throw new IllegalArgumentException(
-            s"unsupported MERGE not-matched clauses on graft table: $other")
-        }
-        GraftMergeCommand(root, m.sourceTable, keys, delete = false)
+    if (starShape)
+      GraftMergeCommand(root, m.sourceTable, keys,
+        delete = m.matchedActions.headOption.exists(_.isInstanceOf[DeleteAction]))
+    else translateConditionalMerge(m, root, keys)
+  }
+
+  /** The general routing tier: translate each clause's condition/SET to
+    * Columns over [[CommitLog.mergeConditionalDv]]'s binding contract —
+    * matched clauses see the COMBINED row (target columns plain, source
+    * columns `__src_`-prefixed), insert conditions see the SOURCE row
+    * (plain names), by-source conditions the TARGET row (plain names). */
+  private def translateConditionalMerge(m: MergeIntoTable, root: String,
+      keys: Seq[String]): LogicalPlan = {
+    val combined = mergeExpr(m, _: Expression,
+      tgt = n => n, src = n => s"__src_$n")
+    val sourceOnly = mergeExpr(m, _: Expression,
+      tgt = n => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED conditions may only reference the source (got target '$n')"),
+      src = n => n)
+    val targetOnly = mergeExpr(m, _: Expression,
+      tgt = n => n,
+      src = n => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED BY SOURCE conditions may only reference the target (got source '$n')"))
+    val targetAliases = aliasesOf(m.targetTable)
+    // SET * in a conditional clause: every source column sets its
+    // same-named target column (no evolution in this path — the command
+    // validates names against the live schema)
+    def starSet: Map[String, Column] =
+      m.sourceTable.output.map(a => a.name -> combined(a)).toMap
+    val matched = m.matchedActions.map {
+      case UpdateStarAction(c) =>
+        CommitLog.MatchedClause(c.map(combined), Some(starSet))
+      case UpdateAction(c, as, fromStar) =>
+        val set =
+          if (fromStar) starSet
+          else as.map(a => nameOf(a.key, "MERGE SET target", targetAliases) ->
+            combined(a.value)).toMap
+        CommitLog.MatchedClause(c.map(combined), Some(set))
+      case DeleteAction(c) => CommitLog.MatchedClause(c.map(combined), None)
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE matched clause on graft table: $other")
     }
+    val insert = m.notMatchedActions match {
+      case Seq() => None
+      case Seq(InsertStarAction(c)) => Some(c.map(sourceOnly))
+      case Seq(InsertAction(c, as)) =>
+        // identity lists only: a partial INSERT would silently null-fill
+        require(isIdentityInsert(m, as),
+          "MERGE INSERT must be * (or verbatim col = source.col) — " +
+            "partial-column inserts are not supported on graft tables")
+        Some(c.map(sourceOnly))
+      case other => throw new IllegalArgumentException(
+        "at most one WHEN NOT MATCHED THEN INSERT * clause is supported " +
+          s"on graft tables, got: $other")
+    }
+    val bySource = m.notMatchedBySourceActions match {
+      case Seq() => None
+      case Seq(DeleteAction(c)) => Some(c.map(targetOnly))
+      case other => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE supports DELETE only on graft tables " +
+          s"(UPDATE would need full-table post-images), got: $other")
+    }
+    GraftMergeConditionalCommand(root, m.sourceTable, keys, matched,
+      insert, bySource)
+  }
+
+  /** An INSERT assignment list that is verbatim `col = source.col` for
+    * every entry (the analyzer-free identity check, tolerant of resolved
+    * and unresolved shapes). */
+  private def isIdentityInsert(m: MergeIntoTable, as: Seq[Assignment]): Boolean = {
+    val sourceOut = m.sourceTable.outputSet
+    val targetAliases = aliasesOf(m.targetTable)
+    val sourceAliases = aliasesOf(m.sourceTable)
+    as.forall { a =>
+      a.value match {
+        case v: AttributeReference =>
+          sourceOut.contains(v) &&
+            nameOf(a.key, "INSERT", targetAliases).equalsIgnoreCase(v.name)
+        case v: UnresolvedAttribute =>
+          val fromSource = v.nameParts.size == 1 ||
+            (v.nameParts.size == 2 &&
+              sourceAliases.contains(v.nameParts.head.toLowerCase) &&
+              !targetAliases.contains(v.nameParts.head.toLowerCase))
+          fromSource &&
+            nameOf(a.key, "INSERT", targetAliases).equalsIgnoreCase(v.nameParts.last)
+        case _ => false
+      }
+    }
+  }
+
+  /** Rewrite a merge-clause expression to a runtime Column, mapping every
+    * column reference through `tgt`/`src` by which table it binds to:
+    * resolved attributes by output membership, alias-qualified names by
+    * the qualifier, bare unresolved names by which side declares them
+    * (ambiguous bare names refuse — qualify with the alias). */
+  private def mergeExpr(m: MergeIntoTable, e: Expression,
+      tgt: String => String, src: String => String): Column = {
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    val tAl = aliasesOf(m.targetTable)
+    val sAl = aliasesOf(m.sourceTable)
+    val tNames = m.targetTable.output.map(_.name.toLowerCase).toSet
+    val sNames = m.sourceTable.output.map(_.name.toLowerCase).toSet
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference if sourceOut.contains(a) =>
+        UnresolvedAttribute.quoted(src(a.name))
+      case a: AttributeReference if targetOut.contains(a) =>
+        UnresolvedAttribute.quoted(tgt(a.name))
+      case u: UnresolvedAttribute if u.nameParts.size == 2 &&
+          sAl.contains(u.nameParts.head.toLowerCase) &&
+          !tAl.contains(u.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute.quoted(src(u.nameParts.last))
+      case u: UnresolvedAttribute if u.nameParts.size == 2 &&
+          tAl.contains(u.nameParts.head.toLowerCase) &&
+          !sAl.contains(u.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute.quoted(tgt(u.nameParts.last))
+      case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+        val n = u.nameParts.head.toLowerCase
+        (tNames(n), sNames(n)) match {
+          case (true, false) => UnresolvedAttribute.quoted(tgt(u.nameParts.head))
+          case (false, true) => UnresolvedAttribute.quoted(src(u.nameParts.head))
+          case (true, true) => throw new IllegalArgumentException(
+            s"ambiguous column '${u.nameParts.head}' in MERGE clause — " +
+              "qualify it with the table alias")
+          case _ => u
+        }
+    })
   }
 
   /** The table's hive layout (partition columns parsed from the current
@@ -325,6 +435,30 @@ case class GraftMergeCommand(table: String, source: LogicalPlan,
         CommitLog.mergeDv(spark, table, src, keys, GraftDml.layoutCols(table))
       else
         CommitLog.merge(spark, table, src, keys, GraftDml.layoutCols(table))
+    GraftCatalog.invalidateRelationCache(spark)
+    Seq(Row(v))
+  }
+}
+
+/** Conditional `MERGE INTO` — the general routing tier
+  * ([[CommitLog.mergeConditionalDv]]): first-match-wins matched clauses
+  * (conditional UPDATE with partial SETs / DELETE), conditional
+  * `NOT MATCHED … INSERT *`, `NOT MATCHED BY SOURCE … DELETE`. Always
+  * merge-on-read: the routing machinery IS the DV probe, so
+  * `spark.graft.dml.deletionVectors=false` refuses instead of silently
+  * switching semantics (run OPTIMIZE afterwards to fold). */
+case class GraftMergeConditionalCommand(table: String, source: LogicalPlan,
+    keys: Seq[String], matched: Seq[CommitLog.MatchedClause],
+    insert: Option[Option[Column]], bySourceDelete: Option[Option[Column]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(GraftDml.useDv(spark),
+      "conditional MERGE on graft tables is merge-on-read only — unset " +
+        "spark.graft.dml.deletionVectors=false (OPTIMIZE folds the DVs after)")
+    val src = ColumnBridge.ofRows(spark, source)
+    val v = CommitLog.mergeConditionalDv(spark, table, src, keys, matched,
+      insert, bySourceDelete, GraftDml.layoutCols(table))
     GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
   }

@@ -2020,61 +2020,101 @@ object CommitLog {
         s"$table has no column '$c' at version ${m.version}"))
     }
     // Deletion vectors make footer stats over-counting (dead rows still
-    // live in the pages). COUNT(*) stays metadata-exact anyway: the dead
+    // live in the pages). COUNT(*) stays metadata-exact: the dead
     // positions are themselves tiny parquet files, so a driver-side read
     // of the DV rows — capped at [[DvBroadcastMaxRows]]; above it the
     // honest answer is "scan" — filtered to files STILL IN the manifest
     // (a copy-on-write rewrite of a death-carrying file strands its DV
     // entries as harmless dangling names) gives the exact correction.
-    // COLUMN stats stay refused under DVs: a dead row may BE the recorded
-    // extreme, and per-file null counts can't say which deaths were null.
-    // A compact() folds the DVs and re-enables full metadata answers.
-    if (m.dvDirs.nonEmpty && (fields.nonEmpty || countFields.nonEmpty)) return None
+    // COLUMN stats (round-8 VERDICT item 6) are DV-exact too: only the
+    // files that actually CARRY deaths have untrustworthy footer stats (a
+    // dead row may be the recorded extreme, and per-file null counts
+    // can't say which deaths were null); those few files — the trickle's,
+    // by construction — are re-aggregated by a projected driver-side pass
+    // over their LIVE rows ([[FileStats.liveColumnStats]]: one pass per
+    // file covering every requested column, dead positions skipped),
+    // capped by count and bytes; every clean file keeps its sidecar
+    // answer. A compact() folds the DVs and restores zero-read answers.
     val perFile = perFileStats(table, m)
     if (perFile.exists(_._3.isEmpty)) return None // file absent from sidecar
     val stored = perFile.map(_._3.valuesIterator.map(_.values).max).sum
-    val rows =
-      if (m.dvDirs.isEmpty) stored
-      else liveDvDeaths(table, m, maxDvRows) match {
-        case Some(deaths) => stored - deaths
+    val deathMap: Map[String, Set[Long]] =
+      if (m.dvDirs.isEmpty) Map.empty
+      else liveDvDeathMap(table, m, maxDvRows) match {
+        case Some(deaths) => deaths
         case None => return None // DV side past the driver-read cap
       }
-    val colAggs = fields.map { f =>
-      val exactKind = f.dataType match {
+    val rows = stored - deathMap.valuesIterator.map(_.size.toLong).sum
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val tableDir = Paths.get(table)
+    val (dirty, clean) = perFile.partition(pf => deathMap.contains(fileNameOf(pf._1)))
+    // the per-column kind gates below (and [[FileStats.liveColumnStats]]'
+    // projection) cover every column we aggregate; cap the dirty-file
+    // read so a DV-heavy snapshot refuses instead of turning "metadata
+    // answer" into a driver-side table scan
+    if (dirty.nonEmpty && (fields.nonEmpty || countFields.nonEmpty)) {
+      if (dirty.size > MetaDvReadMaxFiles) return None
+      if (dirty.map(pf => Files.size(tableDir.resolve(pf._1))).sum >
+          MetaDvReadMaxBytes) return None
+    }
+    val liveCols = (fields ++ countFields).map(_.name).distinct
+    lazy val dirtyLive: Seq[Map[String, FileStats.ColStats]] =
+      dirty.map { pf =>
+        FileStats.liveColumnStats(tableDir.resolve(pf._1), conf, liveCols,
+          deathMap(fileNameOf(pf._1)))
+      }
+    // TIMESTAMP columns (round-8 VERDICT item 5): this engine writes all
+    // its own files (Spark's writer: INT64 MICROS by GraftSession default,
+    // MILLIS at worst — both normalize to micros exactly; the widening
+    // NANOS branch is unreachable), so ts bounds/counts ARE exact — with
+    // one honest gate: a file whose sidecar lacks the column must be
+    // PROVEN to physically lack it (pre-evolution NULLs) by a footer-
+    // schema read, else it could be a foreign-configured INT96 write
+    // whose stats were skipped, and answering would masquerade real
+    // values as NULL.
+    def tsAbsenceProven(name: String): Boolean =
+      // ALL files missing the sidecar entry (clean and death-carrying
+      // alike — the live-stats projection also skips INT96) must prove
+      // physical absence
+      perFile.filter(pf => !pf._3.contains(name)).forall { pf =>
+        !FileStats.fileHasColumn(tableDir.resolve(pf._1), conf, name)
+      }
+    def exactKindOf(dt: org.apache.spark.sql.types.DataType): Option[String] =
+      dt match {
         case ByteType | ShortType | IntegerType | LongType => Some("long")
         case FloatType | DoubleType => Some("double")
         case BooleanType => Some("boolean")
         case DateType => Some("date")
-        case _ => None // string bounds truncate, ts bounds widen, rest uncollected
+        case TimestampType => Some("ts")
+        case _ => None // string bounds truncate; decimal/binary/nested uncollected
       }
+    val colAggs = fields.map { f =>
+      val exactKind = exactKindOf(f.dataType)
       // partition-path columns live in dir names, not footers: exact
       // bounds would be derivable but null counts are not — refuse
       if (exactKind.isEmpty ||
           perFile.exists(pf => FileStats.partitionStats(pf._2).contains(f.name)))
         None
-      else metaColAgg(perFile.map(_._3), f.name, exactKind.get, f.dataType)
+      else if (f.dataType == TimestampType && !tsAbsenceProven(f.name)) None
+      else metaColAgg(clean.map(_._3) ++ dirtyLive, f.name, exactKind.get, f.dataType)
     }
     val countAggs = countFields.map { f =>
       // "absent from the sidecar" means "predates the file" ONLY for
       // types whose stats are always collected when present — for a
       // partition-path column (values live in dir names, not footers) or
-      // an uncollected type (decimal, binary, nested; INT96 timestamps
-      // from a foreign writer) absence is NOT evidence of null, and
-      // answering 0 would be the masquerade the contract forbids
-      // (round-8 review finding). The countable set mirrors
-      // FileStats.collect minus timestamps (INT96 ambiguity).
+      // an uncollected type (decimal, binary, nested) absence is NOT
+      // evidence of null, and answering 0 would be the masquerade the
+      // contract forbids (round-8 review finding); timestamps carry the
+      // INT96 footer-proof gate above.
       val countableKind = f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => Some("long")
-        case FloatType | DoubleType => Some("double")
-        case BooleanType => Some("boolean")
-        case DateType => Some("date")
         case StringType => Some("string")
-        case _ => None
+        case other => exactKindOf(other)
       }
       val isPartitionCol =
         perFile.exists(pf => FileStats.partitionStats(pf._2).contains(f.name))
-      val present = perFile.flatMap(_._3.get(f.name))
+      val present = (clean.map(_._3) ++ dirtyLive).flatMap(_.get(f.name))
       if (countableKind.isEmpty || isPartitionCol ||
+          (f.dataType == TimestampType && !tsAbsenceProven(f.name)) ||
           present.exists(cs => cs.nulls < 0 || cs.kind != countableKind.get))
         None
       else Some(MetaColAgg(None, None, present.map(cs => cs.values - cs.nulls).sum))
@@ -2085,32 +2125,42 @@ object CommitLog {
         countOnlyColumns.zip(countAggs.map(_.get))).toMap))
   }
 
+  /** Caps on the DV-exact column path's driver-side reads: at most this
+    * many death-carrying files / bytes are re-aggregated live; beyond
+    * them the honest answer is "scan". The steady-state trickle touches a
+    * handful of files — a snapshot whose deaths spread over more than
+    * this is overdue for [[compact]] anyway. */
+  val MetaDvReadMaxFiles: Int = 16
+  val MetaDvReadMaxBytes: Long = 256L * 1024 * 1024
+
   /** COUNT(*)-only fast path of [[metaAggregate]] — exact even on a
     * DV-carrying snapshot (the death correction reads the DV parquet
     * driver-side, capped). */
   def metaRowCount(table: String, version: Option[Long] = None): Option[Long] =
     metaAggregate(table, Nil, version).map(_.rowCount)
 
-  /** Number of DV death rows naming files still in `m` — the exact
-    * COUNT(*) correction. Driver-side parquet reads over the DV dirs,
-    * refused (None) past [[DvBroadcastMaxRows]] rows by a footer-count
-    * probe. Exact WITHOUT dedup because live death rows are globally
-    * unique: every DV mutation probes THROUGH the existing DV filter (a
-    * dead row can never re-match), a fold is a union of those disjoint
-    * generations, and a file name that left the manifest never returns
-    * (every data dir carries a fresh job UUID) — so two entries for one
-    * live (file, row) position cannot exist. Pinned by TxDvSpec's
-    * death-disjointness property. */
-  private def liveDvDeaths(table: String, m: Manifest,
-      maxDvRows: Long): Option[Long] = {
+  /** The LIVE death positions per file name (entries naming files still
+    * in `m` — a copy-on-write rewrite strands its DV rows as harmless
+    * dangling names). Driver-side parquet reads over the DV dirs,
+    * refused (None) past `maxDvRows` by a footer-count probe. Exact
+    * WITHOUT dedup because live death rows are globally unique: every DV
+    * mutation probes THROUGH the existing DV filter (a dead row can never
+    * re-match), a fold is a union of those disjoint generations, and a
+    * file name that left the manifest never returns (every data dir
+    * carries a fresh job UUID) — so two entries for one live (file, row)
+    * position cannot exist. Pinned by TxDvSpec's death-disjointness
+    * property. Powers both the exact COUNT(*) correction (sum of set
+    * sizes) and the per-file live re-aggregation of column stats. */
+  private def liveDvDeathMap(table: String, m: Manifest,
+      maxDvRows: Long): Option[Map[String, Set[Long]]] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val files = dvParquetFiles(table, m)
     if (files.map(FileStats.footerRowCount(_, conf)).sum > maxDvRows)
       return None
     val live = m.files.map(fileNameOf).toSet
-    Some(files.iterator.map { p =>
-      FileStats.readDvPairs(p, conf).count(t => live(t._1)).toLong
-    }.sum)
+    Some(files.iterator.flatMap(p => FileStats.readDvPairs(p, conf))
+      .filter(t => live(t._1)).toSeq
+      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet })
   }
 
   private def metaColAgg(files: Seq[Map[String, FileStats.ColStats]], c: String,
@@ -2977,10 +3027,18 @@ object CommitLog {
     // one driver-side distinct over the (bounded) DV rows.
     val dv = loadDvs(spark, table, m)
     val (deadFiles, cleanFiles) = m.files.partition(f => dv.deadNames(fileNameOf(f)))
+    // explicit schema order on BOTH branches before the positional union:
+    // a hive-partitioned scan surfaces its partition columns LAST
+    // (dataSchema ++ partitionSchema) regardless of the declared schema's
+    // order, so the clean side must be re-selected exactly like the
+    // DV-filtered side or a partitioned DV read writes columns into each
+    // other's slots (found live in round 9 by OPTIMIZE WHERE on a
+    // partitioned DV table; readManifestWithPos already did this)
+    val ordered = m.schema.fieldNames.toSeq.map(col)
     val clean = scanFiles(spark, table, m, cleanFiles, withIdentity = false)
+      .map(_.select(ordered: _*))
     val dead = scanFiles(spark, table, m, deadFiles, withIdentity = true)
-      .map(df => applyDvs(dv, df)
-        .select(m.schema.fieldNames.toSeq.map(col): _*))
+      .map(df => applyDvs(dv, df).select(ordered: _*))
     (clean.toSeq ++ dead.toSeq).reduce(_ union _)
   }
 

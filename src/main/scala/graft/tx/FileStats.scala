@@ -195,7 +195,149 @@ object FileStats {
       if (d == 0.0) 0.0 else d
     case "boolean" => s.toBoolean
     case "date" => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong))
+    // micros-since-epoch (the sidecar normal form) → java.sql.Timestamp —
+    // exact: Spark's writer only emits MILLIS/MICROS units (both normalize
+    // losslessly; the widening NANOS branch of tsNorm is unreachable for
+    // engine-written files), and TimestampType is micros precision
+    case "ts" => org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .toJavaTimestamp(s.toLong)
     case other => throw new IllegalArgumentException(s"not an exact kind: $other")
+  }
+
+  /** Does this parquet file's PHYSICAL schema contain a column at
+    * `dotted`? Distinguishes "file predates the column" (additive
+    * evolution — its rows legitimately read NULL) from "the column is
+    * there but its stats were skipped" (deprecated INT96 timestamps from
+    * a foreign-configured writer) — the masquerade
+    * [[CommitLog.metaAggregate]]'s timestamp gate must refuse. One footer
+    * read, no data pages. */
+  private[tx] def fileHasColumn(p: Path, conf: Configuration, dotted: String): Boolean = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try reader.getFooter.getFileMetaData.getSchema.getColumns.asScala
+      .exists(_.getPath.toSeq.mkString(".") == dotted)
+    finally reader.close()
+  }
+
+  /** Driver-side LIVE stats of selected top-level columns in one parquet
+    * file, skipping the rows whose file-relative indexes are in `dead` —
+    * the exact per-file aggregate a deletion-vector snapshot needs where
+    * the footer's stored stats over-count ([[CommitLog.metaAggregate]]'s
+    * DV path). One projected pass (only the requested columns' pages are
+    * read); row identity is the sequential record index, the same
+    * `_metadata.row_index` the DV rows were written from. Columns absent
+    * from the file's schema get no entry (additive evolution: those rows
+    * read NULL). Values render in the sidecar normal form (ts unit-
+    * normalized to micros), so the results merge with sidecar
+    * [[ColStats]] through the same compare/parse path. */
+  private[tx] def liveColumnStats(p: Path, conf: Configuration,
+      columns: Seq[String], dead: Long => Boolean): Map[String, ColStats] = {
+    import org.apache.parquet.schema.{MessageType, Type}
+    val hp = new org.apache.hadoop.fs.Path(p.toUri)
+    val schema: MessageType = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val wanted: Seq[(String, Type, String)] = columns.flatMap { c =>
+      if (!schema.containsField(c)) None
+      else {
+        val t = schema.getFields.get(schema.getFieldIndex(c))
+        if (!t.isPrimitive) None
+        else kindOf(t.asPrimitiveType()).map(k => (c, t, k))
+      }
+    }
+    if (wanted.isEmpty) return Map.empty
+    val projection = new MessageType(schema.getName, wanted.map(_._2): _*)
+    val readConf = new Configuration(conf)
+    readConf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), hp)
+      .withConf(readConf).build()
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
+    try {
+      var idx = 0L
+      var g = reader.read()
+      while (g != null) {
+        if (!dead(idx)) {
+          wanted.foreach { case (name, t, kind) =>
+            val fi = projection.getFieldIndex(name)
+            val isNull = g.getFieldRepetitionCount(fi) == 0
+            val rendered: Option[String] =
+              if (isNull) None
+              else Some(renderGroupValue(g, fi, t.asPrimitiveType(), kind))
+            val prev = acc.getOrElse(name, ColStats(kind, None, None, 0L, 0L))
+            acc(name) = rendered match {
+              case None => prev.copy(nulls = prev.nulls + 1, values = prev.values + 1)
+              case Some(v) =>
+                val mn = prev.min.fold(v)(o => if (compareRendered(kind, v, o) < 0) v else o)
+                val mx = prev.max.fold(v)(o => if (compareRendered(kind, v, o) > 0) v else o)
+                ColStats(kind, Some(mn), Some(mx), prev.nulls, prev.values + 1)
+            }
+          }
+        }
+        idx += 1
+        g = reader.read()
+      }
+    } finally reader.close()
+    // columns present in the file but with zero LIVE rows still need an
+    // entry (all rows dead ⇒ values = 0, no bounds)
+    wanted.foreach { case (name, _, kind) =>
+      if (!acc.contains(name)) acc(name) = ColStats(kind, None, None, 0L, 0L)
+    }
+    acc.toMap
+  }
+
+  /** Sidecar kind of a primitive parquet type — the same mapping
+    * [[collect]] uses (INT96 and other uncollected types → None). */
+  private def kindOf(prim: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    val logical = prim.getLogicalTypeAnnotation
+    prim.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32
+          if logical == null ||
+            logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        Some("long")
+      case PrimitiveTypeName.INT64
+          if logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+        Some("ts")
+      case PrimitiveTypeName.INT32
+          if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        Some("date")
+      case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT => Some("double")
+      case PrimitiveTypeName.BOOLEAN => Some("boolean")
+      case PrimitiveTypeName.BINARY
+          if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some("string")
+      case _ => None
+    }
+  }
+
+  /** Render one non-null group field in the sidecar normal form. */
+  private def renderGroupValue(g: org.apache.parquet.example.data.Group,
+      fieldIndex: Int, prim: org.apache.parquet.schema.PrimitiveType,
+      kind: String): String = kind match {
+    case "long" => prim.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 => g.getLong(fieldIndex, 0).toString
+      case _ => g.getInteger(fieldIndex, 0).toString
+    }
+    case "ts" =>
+      val raw = g.getLong(fieldIndex, 0)
+      prim.getLogicalTypeAnnotation
+        .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+        .getUnit match {
+        case LogicalTypeAnnotation.TimeUnit.MILLIS => (raw * 1000L).toString
+        case LogicalTypeAnnotation.TimeUnit.MICROS => raw.toString
+        case LogicalTypeAnnotation.TimeUnit.NANOS =>
+          Math.floorDiv(raw, 1000L).toString // TimestampType is micros
+      }
+    case "date" => g.getInteger(fieldIndex, 0).toString
+    case "double" => prim.getPrimitiveTypeName match {
+      case PrimitiveTypeName.DOUBLE => g.getDouble(fieldIndex, 0).toString
+      case _ => g.getFloat(fieldIndex, 0).toDouble.toString
+    }
+    case "boolean" => g.getBoolean(fieldIndex, 0).toString
+    case "string" => g.getBinary(fieldIndex, 0).toStringUsingUTF8
+    case other => throw new IllegalArgumentException(s"unrenderable kind: $other")
   }
 
   private def mergeStats(a: ColStats, b: ColStats): ColStats = {

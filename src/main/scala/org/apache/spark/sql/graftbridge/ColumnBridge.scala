@@ -15,7 +15,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column → Catalyst expression. The session-less converter leaves
+    * `functions.expr("…")` text UNPARSED — a lazy [[ColumnNodeExpression]]
+    * wrapping a [[org.apache.spark.sql.internal.SqlExpression]] leaf that
+    * only the analyzer would expand. Callers here inspect the tree
+    * structurally (conjunct splitting, attribute binding, filter
+    * translation), so parse those leaves eagerly; without this an
+    * `OPTIMIZE … WHERE` / pruned-read predicate built via `expr()` would
+    * silently translate to NO filter and keep every file. */
+  def expression(c: Column): Expression =
+    ExpressionUtils.expression(c).transform {
+      case org.apache.spark.sql.classic.ColumnNodeExpression(
+          org.apache.spark.sql.internal.SqlExpression(sql, _)) =>
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    }
 
   /** DataFrame from a (possibly custom) logical plan — `Dataset.ofRows` is
     * likewise `private[sql]`. */

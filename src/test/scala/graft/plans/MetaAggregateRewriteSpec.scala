@@ -115,16 +115,22 @@ class MetaAggregateRewriteSpec extends SparkSpec {
     assert(df.collect().head.getLong(1) === 3L)
   }
 
-  test("COUNT(*) stays metadata-exact under deletion vectors; bounds fall back") {
+  test("COUNT(*) and bounds stay metadata-exact under deletion vectors") {
     val t = freshTable("metaagg_dv")
     CommitLog.deleteDv(spark, t, col("id") === 2L)
     spark.read.format("graft").load(t).createOrReplaceTempView("metaagg_dv_v")
     val cnt = spark.sql("SELECT count(*) AS n FROM metaagg_dv_v")
     assert(cnt.collect().head.getLong(0) === 2L)
-    // min/max under DVs could over-range — whatever metaAggregate decides,
-    // the ANSWER must stay correct (rewrite fires only when airtight)
+    // bounds under DVs re-aggregate the death-carrying files live (round-8
+    // item 6) — whatever metaAggregate decides, the ANSWER must stay
+    // correct (rewrite fires only when airtight)
     val mm = spark.sql("SELECT min(id) AS lo, max(id) AS hi FROM metaagg_dv_v")
     assert(mm.collect().head.getLong(0) === 1L)
     assert(mm.collect().head.getLong(1) === 3L)
+    // and the dead extremum itself must not surface
+    CommitLog.deleteDv(spark, t, col("id") === 3L)
+    spark.read.format("graft").load(t).createOrReplaceTempView("metaagg_dv_v")
+    val mm2 = spark.sql("SELECT min(id) AS lo, max(id) AS hi FROM metaagg_dv_v")
+    assert(mm2.collect().head.getLong(1) === 1L)
   }
 }

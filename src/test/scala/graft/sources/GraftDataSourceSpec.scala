@@ -81,6 +81,28 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(scanStr.contains("EqualTo(id,3)") && scanStr.contains("PushedFilters: ["), scanStr)
   }
 
+  test("Bloom sidecars prune point lookups through the SQL scan too (round-8 item 8)") {
+    val t = freshTable()
+    graft.tx.BloomIndex.setColumns(t, Seq("id"))
+    // ROUND-ROBIN layout: every file's [min,max] spans the whole key
+    // domain, so stats pruning keeps all files — only the per-file Bloom
+    // sidecars can shrink a point lookup. The serving shape must hold at
+    // the SQL front door, not just the Scala readPruned path.
+    CommitLog.commit((0 until 1024).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+      .repartition(8), t, "append")
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(m.files.size === 8)
+    val expected = CommitLog.pruneFiles(t, m,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 77L))).size
+    assert(expected === 1, "bloom must plan exactly the key's file")
+    spark.read.format("graft").load(t).createOrReplaceTempView("bloom_sql_v")
+    val q = spark.sql("SELECT id, s FROM bloom_sql_v WHERE id = 77")
+    // scanFileCount collects internally — a SECOND collect on the same
+    // Dataset resets the scan's driver-side metrics (numFiles reads 0)
+    assert(scanFileCount(q) === 1L)
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(77L))
+  }
+
   test("additive evolution reads NULL for pre-column files — even when the " +
       "snapshot schema recorded the column non-nullable") {
     val t = freshTable()

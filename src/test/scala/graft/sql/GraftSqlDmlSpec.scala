@@ -97,13 +97,6 @@ class GraftSqlDmlSpec extends SparkSpec {
     val v = view(t, "sqldml_mrgbad_v")
     Seq((1L, "a", 1.0)).toDF("id", "typ", "value")
       .createOrReplaceTempView("sqldml_mrgbad_src")
-    val e = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO $v t USING sqldml_mrgbad_src s ON t.id = s.id
-            WHEN MATCHED THEN UPDATE SET value = s.value + 1
-            WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(e.getMessage.contains("partial-column updates"))
     val e2 = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO $v t USING sqldml_mrgbad_src s ON t.id < s.id
@@ -111,20 +104,35 @@ class GraftSqlDmlSpec extends SparkSpec {
             WHEN NOT MATCHED THEN INSERT *""")
     }
     assert(e2.getMessage.contains("key equalities"))
+    val e3 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $v t USING sqldml_mrgbad_src s ON t.id = s.id
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = 0""")
+    }
+    assert(e3.getMessage.contains("DELETE only"))
   }
 
-  test("MERGE SET value = t.value (keep target's) is NOT the star shape") {
-    val t = freshTable("sqldml_mrgtgt")
-    val v = view(t, "sqldml_mrgtgt_v")
-    Seq((1L, "a", 1.0)).toDF("id", "typ", "value")
-      .createOrReplaceTempView("sqldml_mrgtgt_src")
-    val e = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO $v t USING sqldml_mrgtgt_src s ON t.id = s.id
-            WHEN MATCHED THEN UPDATE SET value = t.value, typ = s.typ
-            WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(e.getMessage.contains("partial-column updates"))
+  test("MERGE partial SET routes to the conditional tier (unset columns keep target values)") {
+    val t = freshTable("sqldml_mrgpart")
+    val v = view(t, "sqldml_mrgpart_v")
+    Seq((1L, "zzz", 100.0), (7L, "d", 70.0)).toDF("id", "typ", "value")
+      .createOrReplaceTempView("sqldml_mrgpart_src")
+    spark.sql(
+      s"""MERGE INTO $v t USING sqldml_mrgpart_src s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET value = s.value + 1
+          WHEN NOT MATCHED THEN INSERT *""")
+    val got = rows(t)
+    // id 1 keeps its typ ('a', NOT the source's 'zzz') — partial update
+    assert(got.find(_._1 == 1L).get === ((1L, "a", 101.0)))
+    assert(got.find(_._1 == 7L).get === ((7L, "d", 70.0)))
+    // SET value = t.value keeps the target's value (legal partial update)
+    Seq((2L, "w", 999.0)).toDF("id", "typ", "value")
+      .createOrReplaceTempView("sqldml_mrgpart_src2")
+    spark.sql(
+      s"""MERGE INTO $v t USING sqldml_mrgpart_src2 s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET value = t.value, typ = s.typ
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows(t).find(_._1 == 2L).get === ((2L, "w", 20.0)))
   }
 
   test("INSERT BY NAME refuses unknown columns instead of evolving the schema") {

@@ -38,6 +38,37 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
       .toSeq === Seq(1L, 3L))
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partition's files (round-8 item 7)") {
+    val t = tmpDir("sqlmaint_optw"); new java.io.File(t).delete()
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+      .toDF("id", "typ", "value")
+    // two hive partitions, several small files each
+    CommitLog.commit(df.filter(col("id") <= 2).repartition(2), t, "append",
+      partitionBy = Seq("typ"))
+    CommitLog.commit(df.filter(col("id") > 2).repartition(2), t, "append",
+      partitionBy = Seq("typ"))
+    CommitLog.deleteDv(spark, t, col("id") === 2L) // a death inside typ=a
+    val before = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    val aBefore = before.files.filter(_.contains("typ=a"))
+    val bBefore = before.files.filter(_.contains("typ=b"))
+    val v = spark.sql(s"OPTIMIZE '$t' WHERE typ = 'a'").collect().head.getLong(0)
+    val after = CommitLog.manifest(t, v)
+    // typ=b files carried BY REFERENCE, typ=a files all rewritten
+    assert(bBefore.forall(after.files.contains))
+    assert(aBefore.forall(f => !after.files.contains(f)))
+    // the rewrite folded typ=a's DV death; rows exact
+    assert(CommitLog.read(spark, t).select("id").as[Long].collect().sorted
+      .toSeq === Seq(1L, 3L, 4L))
+    // a predicate matching nothing is a no-op version-wise
+    assert(spark.sql(s"OPTIMIZE '$t' WHERE typ = 'zzz'")
+      .collect().head.getLong(0) === v)
+    // WHERE composes with ZORDER BY
+    val v2 = spark.sql(s"OPTIMIZE '$t' WHERE typ = 'b' ZORDER BY (id)")
+      .collect().head.getLong(0)
+    assert(v2 === v + 1)
+    assert(CommitLog.read(spark, t).count() === 3L)
+  }
+
   test("OPTIMIZE ZORDER BY reclusters without losing rows") {
     val t = freshTable("sqlmaint_z")
     spark.sql(s"""OPTIMIZE "$t" ZORDER BY (id, typ)""")

@@ -117,10 +117,8 @@ class MetaAggregateSpec extends SparkSpec {
     val t = freshTable()
     CommitLog.commit(events.select("event_id", "event_type", "ets", "value"),
       t, "append")
-    // string bounds may be writer-truncated; timestamp bounds are
-    // unit-widened (events.ets is NANOS) — both refuse
+    // string bounds may be writer-truncated — refuse
     assert(CommitLog.metaAggregate(t, Seq("event_type")) === None)
-    assert(CommitLog.metaAggregate(t, Seq("ets")) === None)
     // count alone is still fine on the same table
     assert(CommitLog.metaRowCount(t).isDefined)
     // a vanished sidecar (pre-feature table / foreign writer) refuses
@@ -130,5 +128,89 @@ class MetaAggregateSpec extends SparkSpec {
     Files.delete(Paths.get(t).resolve(dir).resolve(FileStats.SidecarName))
     assert(CommitLog.metaAggregate(t, Nil) === None)
     assert(CommitLog.metaRowCount(t) === None)
+  }
+
+  test("timestamp bounds answer exactly for engine-written files (round-8 item 5)") {
+    val t = freshTable()
+    CommitLog.commit(events.select("event_id", "event_type", "ets", "value"), t, "append")
+    CommitLog.delete(spark, t, col("event_type") === "error")
+    val agg = CommitLog.metaAggregate(t, Seq("ets")).get
+    val scan = CommitLog.read(spark, t)
+      .agg(min("ets"), max("ets"), count("ets"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].head()
+    assert(agg.cols("ets") ===
+      CommitLog.MetaColAgg(Some(scan._1), Some(scan._2), scan._3))
+    // COUNT(ts_col) rides the same proof
+    assert(CommitLog.metaAggregate(t, Nil, countOnlyColumns = Seq("ets"))
+      .get.cols("ets").nonNull === scan._3)
+  }
+
+  test("timestamp additive evolution: pre-ts files PROVEN absent still answer") {
+    val t = freshTable()
+    CommitLog.commit(events.select("event_id", "value"), t, "append")
+    CommitLog.commit(events.limit(100).select("event_id", "value", "ets"), t, "append")
+    val agg = CommitLog.metaAggregate(t, Seq("ets")).get
+    val scan = CommitLog.read(spark, t)
+      .agg(min("ets"), max("ets"), count("ets"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].head()
+    assert(agg.cols("ets") ===
+      CommitLog.MetaColAgg(Some(scan._1), Some(scan._2), scan._3))
+  }
+
+  test("a foreign INT96 timestamp write refuses instead of masquerading as NULL") {
+    val t = freshTable()
+    // INT96 carries no usable stats: the sidecar lacks the column, and
+    // WITHOUT the footer-schema proof those rows would read as
+    // pre-evolution NULLs — bounds and counts must both refuse
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try CommitLog.commit(events.limit(50).select("event_id", "ets"), t, "append")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    assert(CommitLog.metaAggregate(t, Seq("ets")) === None)
+    assert(CommitLog.metaAggregate(t, Nil, countOnlyColumns = Seq("ets")) === None)
+    // the long column beside it still answers
+    assert(CommitLog.metaAggregate(t, Seq("event_id")).isDefined)
+  }
+
+  test("DV-exact bounds: death-carrying files re-aggregate live (round-8 item 6)") {
+    val t = freshTable()
+    CommitLog.commit(events.select("event_id", "event_type", "ets", "value")
+      .repartition(4), t, "append")
+    // retire the global MAX id and every 'error' row — the stored footer
+    // extremes are now dead in several files
+    val maxId = CommitLog.read(spark, t).agg(max("event_id")).as[Long].head()
+    CommitLog.deleteDv(spark, t,
+      col("event_id") === maxId || col("event_type") === "error")
+    // layer an updateDv on top (two DV generations + appended post-images)
+    CommitLog.updateDv(spark, t, col("event_type") === "signup",
+      Map("value" -> (col("value") + 0.5)))
+    val agg = CommitLog.metaAggregate(t, Seq("event_id", "value", "ets")).get
+    val scan = CommitLog.read(spark, t)
+      .agg(count(lit(1)), min("event_id"), max("event_id"),
+        min("value"), max("value"), count("value"),
+        min("ets"), max("ets"))
+      .as[(Long, Long, Long, Double, Double, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .head()
+    assert(agg.rowCount === scan._1)
+    assert(agg.cols("event_id").min === Some(scan._2))
+    assert(agg.cols("event_id").max === Some(scan._3))
+    assert(agg.cols("value") ===
+      CommitLog.MetaColAgg(Some(scan._4), Some(scan._5), scan._6))
+    assert(agg.cols("ets") === CommitLog.MetaColAgg(Some(scan._7), Some(scan._8),
+      scan._1))
+    // COUNT(col) under DVs is exact too (dead nulls vs dead values split)
+    assert(CommitLog.metaAggregate(t, Nil, countOnlyColumns = Seq("value"))
+      .get.cols("value").nonNull === scan._6)
+  }
+
+  test("DV bounds on a file whose every row died fall to the clean files' answer") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v"), t, "append")
+    CommitLog.commit(Seq((3L, 0.5), (4L, 99.0)).toDF("id", "v"), t, "append")
+    // kill the entire second commit's rows — the global min AND max both
+    // lived there; the metadata answer must come from the surviving file
+    CommitLog.deleteDv(spark, t, col("id") >= 3L)
+    val agg = CommitLog.metaAggregate(t, Seq("v")).get
+    assert(agg.rowCount === 2L)
+    assert(agg.cols("v") === CommitLog.MetaColAgg(Some(5.0), Some(50.0), 2L))
   }
 }

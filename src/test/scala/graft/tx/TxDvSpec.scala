@@ -112,8 +112,11 @@ class TxDvSpec extends SparkSpec {
     val t = freshTable()
     seed(t)
     CommitLog.deleteDv(spark, t, col("id") < 50L)
-    // metadata-only aggregates refuse while DVs ride (stats over-count)
-    assert(CommitLog.metaAggregate(t, Seq("id")).isEmpty)
+    // metadata aggregates stay EXACT while DVs ride (round-8 item 6):
+    // the death-carrying files re-aggregate their live rows driver-side
+    assert(CommitLog.metaAggregate(t, Seq("id")) ===
+      Some(CommitLog.MetaAgg(350L, Map("id" ->
+        CommitLog.MetaColAgg(Some(50L), Some(399L), 350L)))))
     // the SQL source serves the DV snapshot through the merge-on-read
     // fallback relation — correct rows, pushed filter included
     assert(spark.read.format("graft").load(t).count() === 350L)
@@ -266,8 +269,11 @@ class TxDvSpec extends SparkSpec {
     CommitLog.deleteDv(spark, t, col("id") < 50L)
     // COUNT(*) from metadata alone — no scan, no Spark job
     assert(CommitLog.metaRowCount(t) === Some(350L))
-    // column stats still refuse honestly (a dead row may be the extreme)
-    assert(CommitLog.metaAggregate(t, Seq("id")).isEmpty)
+    // column stats answer DV-exact too: the dead extremum (ids 0–49) must
+    // not surface — min comes from the LIVE re-aggregation, not the footer
+    assert(CommitLog.metaAggregate(t, Seq("id")) ===
+      Some(CommitLog.MetaAgg(350L, Map("id" ->
+        CommitLog.MetaColAgg(Some(50L), Some(399L), 350L)))))
     // a copy-on-write delete rewrites the death-carrying file: its DV
     // entries now DANGLE (name a file no longer in the manifest) and must
     // not be subtracted
