@@ -276,9 +276,10 @@ object TxQueries {
 
   /** Table mutated by a CONDITIONAL SQL MERGE (round-8 VERDICT item 4):
     * first-match-wins matched routing (DELETE when the source value is
-    * high, partial UPDATE otherwise), a conditional INSERT, and a
-    * NOT MATCHED BY SOURCE delete — all in one statement, all
-    * merge-on-read. */
+    * high, partial UPDATE otherwise), a conditional INSERT, and two
+    * first-match-wins NOT MATCHED BY SOURCE clauses (DELETE 'error'
+    * targets, in-place UPDATE low-value ones) — all in one statement,
+    * all merge-on-read. */
   private val builtSqlMergeCond = new ConcurrentHashMap[String, String]()
 
   private def ensureSqlMergeCondTable(s: SparkSession, d: String): String =
@@ -299,7 +300,32 @@ object TxQueries {
             WHEN MATCHED AND s.value > 250 THEN DELETE
             WHEN MATCHED THEN UPDATE SET value = s.value + 4000
             WHEN NOT MATCHED AND s.event_type <> 'error' THEN INSERT *
-            WHEN NOT MATCHED BY SOURCE AND t.event_type = 'error' THEN DELETE"""): Unit
+            WHEN NOT MATCHED BY SOURCE AND t.event_type = 'error' THEN DELETE
+            WHEN NOT MATCHED BY SOURCE AND t.value < 10 THEN UPDATE SET value = t.value + 100000"""): Unit
+    }
+
+  /** Table driven through the round-9 SQL LIFECYCLE statements: ALTER
+    * TABLE ADD COLUMNS (schema-only commit), INSERT INTO the new column,
+    * RESTORE TO VERSION AS OF 1 (back to the pristine events), then a
+    * SHALLOW CLONE that is TRUNCATEd — proving the clone is independent
+    * and the truncate transactional. The final snapshot must equal the
+    * raw events table, which is exactly what the DuckDB twin states. */
+  private val builtSqlLifecycle = new ConcurrentHashMap[String, String]()
+
+  private def ensureSqlLifecycleTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtSqlLifecycle, d, "txsqllife") { (table, ev) =>
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val tag = java.lang.Integer.toHexString(table.hashCode)
+      val v = s"txsqllife_v_$tag"
+      s.read.format("graft").load(table).createOrReplaceTempView(v)
+      s.sql(s"ALTER TABLE $v ADD COLUMNS (flag DOUBLE)")
+      s.sql(s"INSERT INTO $v SELECT event_id + 800000000, event_type, " +
+        s"value, 1.0 FROM $v WHERE event_id % 127 = 13")
+      s.sql(s"RESTORE TABLE '$table' TO VERSION AS OF 1")
+      val clone = s"${table}_clone"
+      deleteRecursively(new java.io.File(clone))
+      s.sql(s"CREATE TABLE '$clone' SHALLOW CLONE '$table'")
+      s.sql(s"TRUNCATE TABLE '$clone'"): Unit
     }
 
   /** Table read back through SQL time travel (round-8 VERDICT item 2):
@@ -812,7 +838,9 @@ object TxQueries {
     // Conditional SQL MERGE (round-8 VERDICT item 4): one statement routes
     // matched pairs first-match-wins (high-value → DELETE, rest → partial
     // UPDATE keeping event_type), gates inserts on a source condition, and
-    // retires unmatched 'error' targets via NOT MATCHED BY SOURCE — the
+    // routes unmatched targets through TWO first-match-wins by-source
+    // clauses ('error' rows die, low-value rows take an in-place
+    // UPDATE) — the
     // DuckDB twin recomputes the full routing from the source parquet, so
     // a clause claimed in the wrong order, a post-image computed on the
     // wrong side, or an over-wide by-source delete flips the hash;
@@ -851,6 +879,31 @@ object TxQueries {
                     FROM $view TIMESTAMP AS OF '2999-01-01' GROUP BY event_type) v3
               ON v1.event_type = v3.event_type
             ORDER BY v1.event_type""")
+    }),
+
+    // SQL lifecycle (round 9): ALTER ADD COLUMNS → INSERT into the new
+    // column → RESTORE TO VERSION AS OF 1 → SHALLOW CLONE → TRUNCATE the
+    // clone. The final snapshot must equal the raw events table exactly
+    // (an ALTER that rewrote data, a RESTORE that kept the widened
+    // schema, or an INSERT that survived the restore all flip the hash);
+    // the clone pins — empty after truncate, v1 time travel intact,
+    // source untouched — ride as boolean columns under the same gate.
+    "tx_sql_lifecycle" -> ((s, d) => {
+      val table = ensureSqlLifecycleTable(s, d)
+      val clone = s"${table}_clone"
+      val latest = CommitLog.read(s, table)
+      val schemaRestored =
+        latest.schema.fieldNames.toSeq == Seq("event_id", "event_type", "value")
+      val cloneEmpty = CommitLog.read(s, clone).count() == 0L
+      val cloneV1Intact = s.read.format("graft").option("versionAsOf", 1)
+        .load(clone).count() == latest.count()
+      latest.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .withColumn("schema_restored", lit(schemaRestored))
+        .withColumn("clone_empty", lit(cloneEmpty))
+        .withColumn("clone_v1_intact", lit(cloneV1Intact))
+        .orderBy("event_type")
     }),
 
     // Maintenance SQL end-to-end: after the SQL OPTIMIZE + VACUUM, the
@@ -1383,7 +1436,9 @@ object TxQueries {
                FROM base b JOIN srcm m ON b.event_id = m.event_id
               WHERE m.value <= 250
              UNION ALL
-             SELECT b.event_id, b.event_type, b.value
+             SELECT b.event_id, b.event_type,
+                    CASE WHEN b.value < 10 THEN b.value + 100000
+                         ELSE b.value END AS value
                FROM base b
               WHERE b.event_id NOT IN (SELECT event_id FROM srcm)
                 AND b.event_type <> 'error'
@@ -1395,6 +1450,14 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max,
            TRUE AS files_kept
          FROM kept GROUP BY event_type ORDER BY event_type""",
+    // lifecycle recompute: ALTER/INSERT fully undone by the restore, so
+    // the snapshot is exactly the raw events; clone pins are invariants
+    "tx_sql_lifecycle" ->
+      """SELECT event_type, count(*) AS n_events,
+           min(value) AS v_min, max(value) AS v_max,
+           TRUE AS schema_restored, TRUE AS clone_empty,
+           TRUE AS clone_v1_intact
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "tx_sql_time_travel" ->
       """SELECT event_type, count(*) AS n_v1,
            CAST(CASE WHEN event_type = 'error' THEN 0 ELSE count(*) END AS BIGINT) AS n_latest,

@@ -72,6 +72,13 @@ private[graft] object GraftCatalog {
   def invalidateRelationCache(spark: SparkSession): Unit =
     spark.sessionState.catalog.invalidateAllCachedTables()
 
+  /** [[resolveRoot]] that ALSO accepts a temp-view name over a graft
+    * relation (the addressing most specs and ad-hoc sessions use). */
+  def resolveRootOrView(spark: SparkSession, target: String, quoted: Boolean): String =
+    if (quoted) target
+    else graftRootOf(spark, target.split("\\.").toSeq)
+      .getOrElse(resolveRoot(spark, target, quoted))
+
   /** Resolve a (possibly qualified) relation name to a graft table root,
     * looking through temp views (local or global) over graft relations
     * and catalog tables with the graft provider. None when the name is

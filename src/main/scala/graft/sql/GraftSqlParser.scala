@@ -42,8 +42,9 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseMaintenance(sqlText).getOrElse(
-      GraftTimeTravel.rewrite(session, delegate.parsePlan(sqlText)))
+    GraftSqlParser.parseMaintenance(sqlText)
+      .orElse(GraftSqlParser.parseGraftDdl(session, sqlText))
+      .getOrElse(GraftTimeTravel.rewrite(session, delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -74,6 +75,22 @@ object GraftSqlParser {
       """(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*""").r
+  private val Detail =
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*""").r
+  private val Restore =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')""" +
+      """(\s+WITH\s+CDC)?\s*;?\s*""").r
+  private val Clone =
+    ("""(?is)\s*CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  // session-gated (bare names fall through to Spark unless they resolve
+  // to a graft table):
+  private val Truncate =
+    ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + T + """\s*;?\s*""").r
+  private val AddCols =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
 
   /** (target text, wasQuoted) from the three alternation groups. */
   private def target(p1: String, p2: String, id: String): (String, Boolean) =
@@ -95,7 +112,51 @@ object GraftSqlParser {
     case History(p1, p2, id) =>
       val (t, q) = target(p1, p2, id)
       Some(GraftHistoryCommand(t, q))
+    case Detail(p1, p2, id) =>
+      val (t, q) = target(p1, p2, id)
+      Some(GraftDetailCommand(t, q))
+    case Restore(p1, p2, id, ver, ts, cdc) =>
+      val (t, q) = target(p1, p2, id)
+      Some(GraftRestoreCommand(t, q, Option(ver).map(_.toLong), Option(ts),
+        cdc != null))
+    case Clone(d1, d2, did, s1, s2, sid, ver, loc) =>
+      val (dst, dstQ) = target(d1, d2, did)
+      val (src, srcQ) = target(s1, s2, sid)
+      Some(GraftCloneCommand(dst, dstQ, src, srcQ,
+        Option(ver).map(_.toLong), Option(loc)))
     case _ => None
+  }
+
+  /** Graft claims over statements Spark's own grammar ALSO accepts
+    * (TRUNCATE TABLE, ALTER TABLE ADD COLUMNS): claimed only when the
+    * target names a graft table — a temp view over the source, a catalog
+    * table with the graft provider, or a quoted path (not valid in
+    * Spark's grammar anyway). Anything else falls through to the
+    * delegate, so non-graft tables keep Spark's own semantics. The graft
+    * forms are transactional versions of what Spark would do in place:
+    * TRUNCATE publishes an EMPTY overwrite (time travel and vacuum
+    * retention intact — never a behind-the-manifest file delete), ADD
+    * COLUMNS publishes a schema-only commit (additive evolution's read
+    * contract serves NULL for pre-column files). */
+  def parseGraftDdl(spark: SparkSession, sqlText: String): Option[LogicalPlan] = {
+    def graftTarget(t: String, quoted: Boolean): Option[(String, Boolean)] =
+      if (quoted) Some((t, true))
+      else {
+        val parts = t.split("\\.").toSeq
+        if (GraftCatalog.graftRootOf(spark, parts).isDefined) Some((t, false))
+        else None
+      }
+    sqlText match {
+      case Truncate(p1, p2, id) =>
+        val (t, q) = target(p1, p2, id)
+        graftTarget(t, q).map { case (tt, qq) => GraftTruncateCommand(tt, qq) }
+      case AddCols(p1, p2, id, cols) =>
+        val (t, q) = target(p1, p2, id)
+        graftTarget(t, q).map { case (tt, qq) =>
+          GraftAddColumnsCommand(tt, qq, cols)
+        }
+      case _ => None
+    }
   }
 }
 
@@ -134,6 +195,114 @@ case class GraftOptimizeCommand(table: String, quoted: Boolean,
         CommitLog.compact(spark, root,
           partitionBy = GraftDml.layoutCols(root), zorderBy = zorderBy)
     }
+    GraftCatalog.invalidateRelationCache(spark)
+    Seq(Row(v))
+  }
+}
+
+/** `DESCRIBE DETAIL <table>` — Delta's one-row table summary: format,
+  * current version, file/byte/DV counts, retained history depth,
+  * partition layout, column count. O(files) driver stats, no scan. */
+case class GraftDetailCommand(table: String, quoted: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_dv_dirs", IntegerType, nullable = false)(),
+    AttributeReference("num_versions", IntegerType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("num_columns", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
+    val m = CommitLog.manifest(root, CommitLog.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions")))
+    val dir = java.nio.file.Paths.get(root)
+    val bytes = m.files.map(f => java.nio.file.Files.size(dir.resolve(f))).sum
+    Seq(Row("graft", root, m.version, m.files.size, bytes, m.dvDirs.size,
+      CommitLog.versions(root).size, GraftDml.layoutCols(root).mkString(","),
+      m.schema.fields.length))
+  }
+}
+
+/** `RESTORE [TABLE] <t> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
+  * [WITH CDC]` — [[CommitLog.restore]]: publish a PRIOR snapshot as the
+  * next version (an overwrite — history is never rewritten). WITH CDC
+  * journals the row-level diff for change-feed subscribers. */
+case class GraftRestoreCommand(table: String, quoted: Boolean,
+    version: Option[Long], timestamp: Option[String], cdc: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
+    val to = version.getOrElse(
+      GraftTimeTravel.versionAtLiteral(spark, root, timestamp.get))
+    val v = CommitLog.restore(spark, root, to, cdc)
+    GraftCatalog.invalidateRelationCache(spark)
+    Seq(Row(to, v))
+  }
+}
+
+/** `CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF n]
+  * [LOCATION '<path>']` — [[CommitLog.cloneTable]]: zero-copy snapshot
+  * materialization (hard links; no data bytes move). A quoted-path dst
+  * clones straight to that path; a bare-name dst needs LOCATION and is
+  * then registered in the session catalog under that name. */
+case class GraftCloneCommand(dst: String, dstQuoted: Boolean,
+    src: String, srcQuoted: Boolean, version: Option[Long],
+    location: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcRoot = GraftCatalog.resolveRootOrView(spark, src, srcQuoted)
+    val dstPath =
+      if (dstQuoted) {
+        require(location.forall(_ == dst),
+          "quoted-path CLONE target and LOCATION disagree — drop one")
+        dst
+      } else location.getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $dst SHALLOW CLONE … needs LOCATION '<path>' to " +
+          "place the clone (bare names carry no storage location)"))
+    val v = CommitLog.cloneTable(srcRoot, dstPath, version)
+    if (!dstQuoted)
+      spark.sql(s"CREATE TABLE $dst USING graft LOCATION " +
+        s"'${dstPath.replace("'", "''")}'")
+    Seq(Row(v))
+  }
+}
+
+/** `TRUNCATE TABLE <graft table>` — [[CommitLog.truncate]]: an EMPTY
+  * transactional overwrite (schema kept, history intact, files reclaimed
+  * by vacuum — never deleted in place). Claimed only for graft targets;
+  * other tables keep Spark's own TRUNCATE. */
+case class GraftTruncateCommand(table: String, quoted: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
+    val v = CommitLog.truncate(spark, root)
+    GraftCatalog.invalidateRelationCache(spark)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE <graft table> ADD COLUMNS (c1 TYPE, …)` —
+  * [[CommitLog.addColumns]]: a schema-only commit; existing files read
+  * NULL for the new columns (additive evolution), no data rewrite.
+  * Claimed only for graft targets. */
+case class GraftAddColumnsCommand(table: String, quoted: Boolean,
+    colsDdl: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
+    val cols = spark.sessionState.sqlParser.parseTableSchema(colsDdl)
+    val v = CommitLog.addColumns(root, cols)
     GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
   }

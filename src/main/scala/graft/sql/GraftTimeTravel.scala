@@ -54,6 +54,16 @@ object GraftTimeTravel {
         }
     }
 
+  /** [[versionAt]] from a timestamp STRING literal (the `RESTORE … TO
+    * TIMESTAMP AS OF '<ts>'` form) — cast with the session time zone,
+    * exactly like the query-side `TIMESTAMP AS OF`. */
+  private[sql] def versionAtLiteral(spark: SparkSession, root: String,
+      ts: String): Long =
+    versionAt(spark, root, microsOf(spark,
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+        org.apache.spark.sql.types.StringType)))
+
   /** Evaluate the `TIMESTAMP AS OF` expression to epoch micros (UTC). */
   private def microsOf(spark: SparkSession, e: Expression): Long = {
     require(e.foldable, s"TIMESTAMP AS OF must be a constant, got: ${e.sql}")

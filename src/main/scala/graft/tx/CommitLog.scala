@@ -699,7 +699,7 @@ object CommitLog {
       targetBytes: Long = 128L * 1024 * 1024, zorderBy: Seq[String] = Nil): Long = {
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    val selected = pruneFiles(table, m, toFilters(condition, m.schema))
+    val selected = pruneFiles(table, m, toFilters(spark, condition, m.schema))
     if (selected.isEmpty) return m.version
     val selSet = selected.toSet
     val tableDir = Paths.get(table)
@@ -780,7 +780,7 @@ object CommitLog {
     val tableDir = Paths.get(table)
     // stats sidecars pre-shrink the probe: files whose [min,max] exclude
     // the predicate can't contain a match, so they're never even scanned
-    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(spark, condition, m.schema)))
     val touched = touchedFiles(
       readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
       "__graft_file", tableDir)
@@ -826,7 +826,7 @@ object CommitLog {
     val tableDir = Paths.get(table)
     import org.apache.spark.sql.functions.{coalesce => cz, col, lit}
     val hit = cz(condition, lit(false))
-    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(spark, condition, m.schema)))
     // dead rows with their (file, row_index) identity, read through the
     // existing DV filter so a second deleteDv never re-journals old deaths
     val dead = readManifestWithPos(spark, table, candidates).filter(hit)
@@ -921,7 +921,7 @@ object CommitLog {
         s"UPDATE cannot add column '$k'; use merge for schema evolution")
     }
     val tableDir = Paths.get(table)
-    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(spark, condition, m.schema)))
     val touched = touchedFiles(
       readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
       "__graft_file", tableDir)
@@ -1039,7 +1039,7 @@ object CommitLog {
     }
     val tableDir = Paths.get(table)
     val hit = cz(condition, lit(false))
-    val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
+    val candidates = m.copy(files = pruneFiles(table, m, toFilters(spark, condition, m.schema)))
     val matched = readManifestWithPos(spark, table, candidates).filter(hit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1194,9 +1194,11 @@ object CommitLog {
     *  - `insert = Some(cond)` inserts source rows matching NO target key
     *    whose condition (on the SOURCE row, plain names) holds —
     *    `WHEN NOT MATCHED [AND cond] THEN INSERT *`.
-    *  - `bySourceDelete = Some(cond)` retires target rows matching NO
-    *    source key whose condition (on the TARGET row) holds —
-    *    `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`.
+    *  - `bySource` clauses apply FIRST-MATCH-WINS to target rows matching
+    *    NO source key, conditions and SETs binding on the TARGET row
+    *    alone — `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    *    UPDATE/DELETE` (an update retires the position and appends the
+    *    post-image, exactly like a matched partial update).
     *
     * The source keeps ITS OWN schema through the probe (a routing flag
     * column like `op` never lands in the table; only post-images and
@@ -1211,16 +1213,16 @@ object CommitLog {
     * data derives from those STORED rows), duplicate source keys
     * rejected, deaths published as DV positions (O(matched) write cost,
     * zero file rewrites), `txn` idempotence. The matched probe pre-shrinks
-    * through the per-file key bounds; only a `bySourceDelete` pays a full
+    * through the per-file key bounds; only a `bySource` clause pays a full
     * snapshot pass (it must see every target row by definition). */
   def mergeConditionalDv(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], matched: Seq[MatchedClause],
       insert: Option[Option[org.apache.spark.sql.Column]] = None,
-      bySourceDelete: Option[Option[org.apache.spark.sql.Column]] = None,
+      bySource: Seq[MatchedClause] = Nil,
       partitionBy: Seq[String] = Nil, txn: Option[(String, Long)] = None,
       foldAt: Int = DvFoldAt): Long = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    require(matched.nonEmpty || insert.nonEmpty || bySourceDelete.nonEmpty,
+    require(matched.nonEmpty || insert.nonEmpty || bySource.nonEmpty,
       "conditional merge needs at least one clause")
     import org.apache.spark.sql.functions.{coalesce => cz, col, lit, when}
     val m = latestManifest(table).getOrElse(
@@ -1229,7 +1231,7 @@ object CommitLog {
       if (m.txns.get(app).exists(_ >= batch)) return m.version
     }
     val schema = m.schema
-    matched.flatMap(_.set).flatMap(_.keys).foreach { k =>
+    (matched ++ bySource).flatMap(_.set).flatMap(_.keys).foreach { k =>
       require(schema.fieldNames.contains(k),
         s"MERGE SET cannot add column '$k' in a conditional clause " +
           "(schema evolution stays on the star-shaped merge)")
@@ -1290,21 +1292,47 @@ object CommitLog {
           val matchedKeys = pairs.select(keys.map(col): _*).distinct()
           alignTo(src.join(matchedKeys, keys, "left_anti").filter(hit(cond)), schema)
         }
-        // NOT MATCHED BY SOURCE deletes: full-snapshot anti-join (every
-        // target row must be seen — no pruning can apply by definition)
-        val bySourceDead = bySourceDelete.map { cond =>
+        // NOT MATCHED BY SOURCE clauses: full-snapshot anti-join (every
+        // target row must be seen — no pruning can apply by definition),
+        // routed first-match-wins exactly like the matched side but over
+        // the TARGET row alone
+        val bySourceActed = if (bySource.isEmpty) None else Some {
+          val route = bySource.zipWithIndex.foldRight(
+            lit(-1): org.apache.spark.sql.Column) { case ((cl, i), els) =>
+            when(hit(cl.condition), lit(i)).otherwise(els)
+          }
           readManifestWithPos(spark, table, m)
-            .join(srcKeys, keys, "left_anti").filter(hit(cond))
+            .join(srcKeys, keys, "left_anti")
+            .withColumn("__action", route).filter(col("__action") >= 0)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
         try {
+          val bySourcePost = bySource.zipWithIndex.collect {
+            case (MatchedClause(_, Some(set)), i) =>
+              val rows = bySourceActed.get.filter(col("__action") === i)
+              schema.fieldNames.foldLeft(rows: DataFrame) { (acc, name) =>
+                set.get(name) match {
+                  case Some(e) => acc.withColumn(name, e.cast(schema(name).dataType))
+                  case None => acc
+                }
+              }.select(ordered: _*)
+          }
+          val bySourcePre = bySource.zipWithIndex.collect {
+            case (MatchedClause(_, Some(_)), i) =>
+              bySourceActed.get.filter(col("__action") === i).select(ordered: _*)
+          }
+          val bySourceDeleted = bySource.zipWithIndex.collect {
+            case (MatchedClause(_, None), i) =>
+              bySourceActed.get.filter(col("__action") === i).select(ordered: _*)
+          }
           val lit_ = (t: String) => org.apache.spark.sql.functions.lit(t)
           val cdcRows = (
             preImages.map(_.withColumn(ChangeTypeCol, lit_("update_preimage"))) ++
             postImages.map(_.withColumn(ChangeTypeCol, lit_("update_postimage"))) ++
             deletedMatched.map(_.withColumn(ChangeTypeCol, lit_("delete"))) ++
-            bySourceDead.map(_.select(ordered: _*)
-              .withColumn(ChangeTypeCol, lit_("delete"))).toSeq ++
+            bySourcePre.map(_.withColumn(ChangeTypeCol, lit_("update_preimage"))) ++
+            bySourcePost.map(_.withColumn(ChangeTypeCol, lit_("update_postimage"))) ++
+            bySourceDeleted.map(_.withColumn(ChangeTypeCol, lit_("delete"))) ++
             inserts.map(_.withColumn(ChangeTypeCol, lit_("insert"))).toSeq
           ).reduceOption(_ union _)
           val changed = cdcRows.exists(!_.isEmpty)
@@ -1320,7 +1348,7 @@ object CommitLog {
           val newFiles =
             if (newData.isEmpty) Nil
             else writeDataDir(newData, tableDir, partitionBy)
-          val deadPos = (Seq(acted) ++ bySourceDead.toSeq)
+          val deadPos = (Seq(acted) ++ bySourceActed.toSeq)
             .map(_.select(col("__dv_file"), col("__dv_row")))
             .reduce(_ union _)
           val (dvRefs, dvFresh) =
@@ -1329,7 +1357,7 @@ object CommitLog {
           publishRewrite(table, m, m.files ++ newFiles, mode = "merge",
             addTxn = txn, cdcTmp = cdc, dvDirs = dvRefs,
             freshFiles = newFiles ++ dvFresh)
-        } finally bySourceDead.foreach(_.unpersist(blocking = false))
+        } finally bySourceActed.foreach(_.unpersist(blocking = false))
       } finally pairs.unpersist(blocking = false): Unit
     } finally src.unpersist(blocking = false): Unit
   }
@@ -1483,7 +1511,7 @@ object CommitLog {
           "replaceWhere constraint)")
     }
     try {
-      val candidates = m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema)))
+      val candidates = m.copy(files = pruneFiles(table, m, toFilters(spark, condition, m.schema)))
       val touched = touchedFiles(
         readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
         "__graft_file", tableDir)
@@ -1662,6 +1690,42 @@ object CommitLog {
     }
     publishRewrite(dst, Manifest(0L, "overwrite", m.schema, Nil, Map.empty),
       m.files, mode = "overwrite", schema = Some(m.schema), dvDirs = m.dvDirs)
+  }
+
+  /** `TRUNCATE TABLE` — replace the snapshot with an EMPTY one, keeping
+    * the schema: a transactional overwrite with zero files, so time
+    * travel to pre-truncate versions keeps working and vacuum reclaims
+    * the data on its own schedule (never an in-place file delete, which
+    * is what Spark's TruncateTableCommand would do behind the manifest).
+    * Feed-invisible like any plain overwrite (reconstructable via
+    * `changeFeed(…, overwriteDiff = true)` while the old manifest
+    * lives). */
+  def truncate(spark: SparkSession, table: String): Long = {
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    commit(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema),
+      table, "overwrite")
+  }
+
+  /** `ALTER TABLE … ADD COLUMNS` — a SCHEMA-ONLY commit: publish the next
+    * version with the SAME files and the widened schema. Additive
+    * evolution's read contract does the rest (files predating a column
+    * read NULL for it), identically to a widening append — but without
+    * writing a row. Added columns are forced nullable (their values are
+    * NULL by construction until written); name collisions refuse
+    * case-insensitively, matching the resolver. O(1) driver work. */
+  def addColumns(table: String, cols: StructType): Long = {
+    require(cols.fields.nonEmpty, "ADD COLUMNS needs at least one column")
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    cols.fieldNames.foreach { c =>
+      require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"$table already has a column '$c'")
+    }
+    val widened = StructType(m.schema.fields ++ cols.fields.map(_.copy(nullable = true)))
+    publishRewrite(table, m, m.files, mode = "append",
+      schema = Some(widened), dvDirs = m.dvDirs)
   }
 
   /** Snapshot read with each row's originating data file attached as
@@ -2221,45 +2285,47 @@ object CommitLog {
       condition: org.apache.spark.sql.Column, version: Option[Long] = None): DataFrame = {
     val m = version.map(manifest(table, _)).orElse(latestManifest(table)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    readManifest(spark, table, m.copy(files = pruneFiles(table, m, toFilters(condition, m.schema))))
+    readManifest(spark, table, m.copy(files = pruneFiles(table, m, toFilters(spark, condition, m.schema))))
       .filter(condition)
   }
 
   /** Split a predicate into its translatable data-source filters (for
     * stats pruning); conjuncts that don't translate are dropped — pruning
     * on the rest stays conservative because ALL conjuncts must hold. */
-  private def toFilters(condition: org.apache.spark.sql.Column,
+  private def toFilters(spark: SparkSession, condition: org.apache.spark.sql.Column,
       schema: StructType): Seq[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
     def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
       e match {
         case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
-    // bind bare names to TYPED attribute references against the snapshot
-    // schema first: Spark's filter translator needs dataType on the
-    // attribute for literal conversion, and the conditions arriving here
-    // (functions.col chains, SQL DML via GraftDmlRule) carry unresolved
-    // names; a name the schema doesn't know stays unresolved and its
-    // conjunct simply doesn't prune (the mutation's own df.filter will
-    // surface the error)
-    // single-part names only: a multi-part reference (nested struct
-    // field, qualified name) whose LAST segment collides with an
-    // unrelated top-level column must not bind to it — that would prune
-    // on the wrong column's stats (round-8 review finding)
-    val bound = org.apache.spark.sql.graftbridge.ColumnBridge.expression(condition)
-      .transform {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if u.nameParts.size == 1 =>
-          schema.fields.find(_.name.equalsIgnoreCase(u.nameParts.head))
-            .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
-            .getOrElse(u)
-      }
-    conjuncts(bound).flatMap { c =>
+    // Resolve the condition the way Spark itself would — ANALYZE it
+    // against a LocalRelation of the snapshot schema: `functions.col`
+    // chains and `expr("…")` text arrive as unresolved attribute /
+    // function trees ('and, '>=, …) that the data-source filter
+    // translator refuses wholesale, so structural binding alone would
+    // silently prune NOTHING (found live in round 9: OPTIMIZE WHERE
+    // rewrote the whole table). The analyzer resolves functions,
+    // qualifies names case-insensitively per session config, and inserts
+    // the literal-side casts that ConstantFolding then collapses so
+    // `event_id = 3` (int literal, long column) still translates. A
+    // condition the schema can't resolve prunes nothing — the mutation's
+    // own df.filter surfaces the real error.
+    val expr = org.apache.spark.sql.graftbridge.ColumnBridge.expression(condition)
+    val analyzed =
+      try spark.sessionState.analyzer.execute(
+        LFilter(expr, LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema))))
+      catch { case scala.util.control.NonFatal(_) => return Nil }
+    val folded = org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed)
+    val cond = folded.collectFirst { case LFilter(c, _) => c }.getOrElse(return Nil)
+    conjuncts(cond).flatMap { c =>
       // best-effort translation: a conjunct that still carries unresolved
       // pieces (or any shape the translator refuses) prunes nothing
       try org.apache.spark.sql.graftbridge.ColumnBridge.translateFilter(c)
-      catch { case _: org.apache.spark.sql.catalyst.analysis.UnresolvedException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 

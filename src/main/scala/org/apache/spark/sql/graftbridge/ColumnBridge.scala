@@ -16,19 +16,26 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
-  /** Column → Catalyst expression. The session-less converter leaves
-    * `functions.expr("…")` text UNPARSED — a lazy [[ColumnNodeExpression]]
-    * wrapping a [[org.apache.spark.sql.internal.SqlExpression]] leaf that
-    * only the analyzer would expand. Callers here inspect the tree
-    * structurally (conjunct splitting, attribute binding, filter
-    * translation), so parse those leaves eagerly; without this an
-    * `OPTIMIZE … WHERE` / pruned-read predicate built via `expr()` would
-    * silently translate to NO filter and keep every file. */
+  /** Column → Catalyst expression, converted EAGERLY.
+    *
+    * `ExpressionUtils.expression` only wraps the column's node in a lazy
+    * [[org.apache.spark.sql.classic.ColumnNodeExpression]] that the
+    * analyzer would expand later — but callers here inspect the tree
+    * STRUCTURALLY (conjunct splitting, attribute binding, data-source
+    * filter translation), and against the lazy wrapper every one of those
+    * silently sees an opaque leaf: a `functions.col`-built mutation
+    * predicate would translate to NO pushable filters, so stats-sidecar
+    * file pre-shrink (delete/update probes, readPruned, OPTIMIZE WHERE)
+    * would quietly degrade to scanning every candidate file (found live
+    * in round 9 — OPTIMIZE WHERE rewrote the whole table). Spark's own
+    * [[org.apache.spark.sql.classic.ColumnNodeToExpressionConverter]]
+    * object is the eager path the analyzer itself uses (its parser also
+    * expands `expr("…")` text), so convert through it up front. */
   def expression(c: Column): Expression =
-    ExpressionUtils.expression(c).transform {
-      case org.apache.spark.sql.classic.ColumnNodeExpression(
-          org.apache.spark.sql.internal.SqlExpression(sql, _)) =>
-        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    ExpressionUtils.expression(c) match {
+      case org.apache.spark.sql.classic.ColumnNodeExpression(node) =>
+        org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(node)
+      case e => e
     }
 
   /** DataFrame from a (possibly custom) logical plan — `Dataset.ofRows` is

@@ -115,6 +115,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got === Array(Row(1L, "x", null), Row(2L, "y", 3.5)))
   }
 
+  test("CTAS: CREATE TABLE … USING graft LOCATION … AS SELECT is a transactional commit") {
+    val dir = tmpDir("cat_ctas"); new java.io.File(dir).delete()
+    val name = freshName("cat_ctas_t")
+    spark.sql(s"""CREATE TABLE $name USING graft LOCATION '$dir'
+                  AS SELECT id, id * 2 AS dbl FROM range(5)""")
+    // the data landed THROUGH the commit log: a manifest exists and the
+    // by-name read serves it
+    assert(CommitLog.latestVersion(dir).contains(1L))
+    assert(spark.table(name).count() === 5L)
+    assert(spark.table(name).agg(sum(col("dbl"))).head().getLong(0) === 20L)
+    // and the table stays DML-able by name
+    spark.sql(s"INSERT INTO $name VALUES (9, 18)")
+    assert(spark.table(name).count() === 6L)
+    assert(CommitLog.latestVersion(dir).contains(2L))
+  }
+
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on a named table") {
     val t = freshTable("cat_tt")
     val name = freshName("cat_tt_t")

@@ -1,0 +1,138 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.tx.CommitLog
+
+/** Round-9 SQL DDL/utility surface: DESCRIBE DETAIL, RESTORE, SHALLOW
+  * CLONE, TRUNCATE TABLE, ALTER TABLE ADD COLUMNS — each a transactional
+  * [[CommitLog]] operation behind Delta's statement shapes. TRUNCATE and
+  * ALTER are claimed ONLY for graft targets; other tables keep Spark's
+  * own semantics. */
+class GraftSqlDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String = {
+    val table = tmpDir(prefix)
+    new java.io.File(table).delete()
+    CommitLog.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "typ"),
+      table, "append")
+    table
+  }
+
+  test("DESCRIBE DETAIL summarizes the current snapshot") {
+    val t = freshTable("sqlddl_detail")
+    CommitLog.deleteDv(spark, t, col("id") === 2L)
+    val r = spark.sql(s"DESCRIBE DETAIL '$t'").collect().head
+    assert(r.getString(0) === "graft")
+    assert(r.getString(1) === t)
+    assert(r.getLong(2) === 2L)         // version after the DV delete
+    assert(r.getInt(3) >= 1)            // num_files
+    assert(r.getLong(4) > 0L)           // size_bytes
+    assert(r.getInt(5) === 1)           // num_dv_dirs
+    assert(r.getInt(6) === 2)           // num_versions
+    assert(r.getInt(8) === 2)           // num_columns
+    // by view name too
+    spark.read.format("graft").load(t).createOrReplaceTempView("sqlddl_detail_v")
+    assert(spark.sql("DESCRIBE DETAIL sqlddl_detail_v").collect()
+      .head.getLong(2) === 2L)
+  }
+
+  test("RESTORE TO VERSION AS OF republishes a prior snapshot as a new version") {
+    val t = freshTable("sqlddl_restore")
+    CommitLog.commit(Seq((9L, "z")).toDF("id", "typ"), t, "append")
+    assert(CommitLog.read(spark, t).count() === 4L)
+    val r = spark.sql(s"RESTORE TABLE '$t' TO VERSION AS OF 1").collect().head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L)
+    assert(CommitLog.read(spark, t).count() === 3L)
+    // history intact: time travel still reads the pre-restore snapshot
+    assert(spark.read.format("graft").option("versionAsOf", 2)
+      .load(t).count() === 4L)
+    // WITH CDC journals the restore diff for feed subscribers
+    spark.sql(s"RESTORE '$t' TO VERSION AS OF 2 WITH CDC")
+    val feed = CommitLog.changeFeed(spark, t, 3L)
+      .select(col(CommitLog.ChangeTypeCol)).as[String].collect().toSeq
+    assert(feed === Seq("insert"))
+    // TIMESTAMP AS OF: a far-future instant resolves to the latest version
+    val out = spark.sql(
+      s"RESTORE '$t' TO TIMESTAMP AS OF '2100-01-01 00:00:00'").collect().head
+    assert(out.getLong(0) === CommitLog.latestVersion(t).get)
+  }
+
+  test("CREATE TABLE SHALLOW CLONE materializes a zero-copy snapshot") {
+    val t = freshTable("sqlddl_clonesrc")
+    CommitLog.commit(Seq((9L, "z")).toDF("id", "typ"), t, "append")
+    val dst = tmpDir("sqlddl_clonedst"); new java.io.File(dst).delete()
+    assert(spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$t' VERSION AS OF 1")
+      .collect().head.getLong(0) === 1L)
+    assert(CommitLog.read(spark, dst).count() === 3L) // v1 snapshot
+    // bare-name dst registers in the catalog (needs LOCATION)
+    val dst2 = tmpDir("sqlddl_clonedst2"); new java.io.File(dst2).delete()
+    spark.sql("DROP TABLE IF EXISTS sqlddl_clone_t")
+    spark.sql(s"CREATE TABLE sqlddl_clone_t SHALLOW CLONE '$t' LOCATION '$dst2'")
+    assert(spark.table("sqlddl_clone_t").count() === 4L) // latest snapshot
+    spark.sql("DROP TABLE sqlddl_clone_t")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE no_loc_clone SHALLOW CLONE '$t'")
+    }
+    assert(e.getMessage.contains("LOCATION"))
+  }
+
+  test("TRUNCATE TABLE on a graft target is a transactional empty overwrite") {
+    val t = freshTable("sqlddl_trunc")
+    spark.read.format("graft").load(t).createOrReplaceTempView("sqlddl_trunc_v")
+    val v = spark.sql("TRUNCATE TABLE sqlddl_trunc_v").collect().head.getLong(0)
+    assert(v === 2L)
+    assert(CommitLog.read(spark, t).count() === 0L)
+    assert(CommitLog.read(spark, t).schema.fieldNames.toSeq === Seq("id", "typ"))
+    // history intact — the data is one time travel away, not deleted
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(t).count() === 3L)
+    // a quoted path claims too
+    spark.sql(s"TRUNCATE TABLE '$t'")
+    assert(CommitLog.latestVersion(t).get === 3L)
+  }
+
+  test("TRUNCATE TABLE on a non-graft table keeps Spark's own semantics") {
+    spark.sql("DROP TABLE IF EXISTS sqlddl_plain")
+    spark.sql(s"CREATE TABLE sqlddl_plain (id INT) USING parquet")
+    spark.sql("INSERT INTO sqlddl_plain VALUES (1), (2)")
+    spark.sql("TRUNCATE TABLE sqlddl_plain") // Spark's command, not ours
+    assert(spark.table("sqlddl_plain").count() === 0L)
+    spark.sql("DROP TABLE sqlddl_plain")
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a schema-only commit; old files read NULL") {
+    val t = freshTable("sqlddl_addcol")
+    spark.read.format("graft").load(t).createOrReplaceTempView("sqlddl_addcol_v")
+    val filesBefore = CommitLog.manifest(t, 1L).files
+    val v = spark.sql(
+      "ALTER TABLE sqlddl_addcol_v ADD COLUMNS (score DOUBLE, tag STRING)")
+      .collect().head.getLong(0)
+    assert(v === 2L)
+    val m = CommitLog.manifest(t, v)
+    assert(m.files === filesBefore) // not one byte rewritten
+    assert(m.schema.fieldNames.toSeq === Seq("id", "typ", "score", "tag"))
+    val g = spark.read.format("graft").load(t)
+    assert(g.filter(col("score").isNull && col("tag").isNull).count() === 3L)
+    // and the new column is writable
+    CommitLog.commit(Seq((4L, "d", 1.5, "x")).toDF("id", "typ", "score", "tag"),
+      t, "append")
+    assert(spark.read.format("graft").load(t)
+      .agg(sum(col("score"))).head().getDouble(0) === 1.5)
+    // duplicate names refuse, case-insensitively
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE sqlddl_addcol_v ADD COLUMNS (TYP STRING)")
+    }
+    assert(e.getMessage.contains("already has a column"))
+  }
+
+  test("ALTER TABLE on a non-graft table still reaches Spark's grammar") {
+    spark.sql("DROP TABLE IF EXISTS sqlddl_plain2")
+    spark.sql("CREATE TABLE sqlddl_plain2 (id INT) USING parquet")
+    spark.sql("ALTER TABLE sqlddl_plain2 ADD COLUMNS (tag STRING)")
+    assert(spark.table("sqlddl_plain2").schema.fieldNames.toSeq ===
+      Seq("id", "tag"))
+    spark.sql("DROP TABLE sqlddl_plain2")
+  }
+}

@@ -99,6 +99,53 @@ class GraftSqlMergeConditionalSpec extends SparkSpec {
       (5L, "c", 50.0), (6L, "c", 60.0)))
   }
 
+  test("WHEN NOT MATCHED BY SOURCE THEN UPDATE rewrites unmatched target rows in place") {
+    val t = freshTable("mrgc_bysrcupd")
+    val v = view(t, "mrgc_bysrcupd_v")
+    Seq((1L, "a", 11.0)).toDF("id", "typ", "value")
+      .createOrReplaceTempView("mrgc_bysrcupd_src")
+    spark.sql(
+      s"""MERGE INTO $v t USING mrgc_bysrcupd_src s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE AND t.typ = 'b' THEN DELETE
+          WHEN NOT MATCHED BY SOURCE AND t.value < 55 THEN UPDATE SET value = t.value + 1000""")
+    // id 1 matched-updated; ids 3,4 (typ b) die on the FIRST by-source
+    // clause; ids 2 and 5 (values 20, 50 < 55) take the second clause's
+    // update; id 6 (typ c, value 60) matches no clause and survives
+    assert(rows(t) === Seq((1L, "a", 11.0), (2L, "a", 1020.0),
+      (5L, "c", 1050.0), (6L, "c", 60.0)))
+    // still merge-on-read: the by-source update retires by position
+    val m1 = CommitLog.manifest(t, 1L).files
+    val m2 = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(m1.forall(m2.files.contains))
+    assert(m2.dvDirs.nonEmpty)
+    // and the change feed journals it as a real update
+    val feed = CommitLog.changeFeed(spark, t, 1L)
+      .filter(col("id") === 5L)
+      .select(col(CommitLog.ChangeTypeCol), col("value"))
+      .as[(String, Double)].collect().toSeq.sorted
+    assert(feed === Seq(("update_postimage", 1050.0), ("update_preimage", 50.0)))
+  }
+
+  test("NOT MATCHED BY SOURCE UPDATE SET * refuses (no source row to copy)") {
+    val t = freshTable("mrgc_bysrcstar")
+    val v = view(t, "mrgc_bysrcstar_v")
+    Seq((1L, "a", 11.0)).toDF("id", "typ", "value")
+      .createOrReplaceTempView("mrgc_bysrcstar_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $v t USING mrgc_bysrcstar_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = s.value""")
+    }
+    // Spark's own resolver may reject the source reference first (the
+    // by-source assignment scope is target-only) — either refusal is the
+    // contract
+    assert(e.getMessage.contains("may only reference the target") ||
+      e.getMessage.contains("meaningless") ||
+      e.getMessage.contains("cannot be resolved"), e.getMessage)
+  }
+
   test("conditional INSERT gates unmatched source rows") {
     val t = freshTable("mrgc_condins")
     val v = view(t, "mrgc_condins_v")
