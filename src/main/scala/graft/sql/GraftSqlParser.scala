@@ -91,6 +91,9 @@ object GraftSqlParser {
   private val AddCols =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
+  private val DropCols =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+COLUMNS?\s*\(?\s*([\w`",.\s]+?)\s*\)?\s*;?\s*""").r
 
   /** (target text, wasQuoted) from the three alternation groups. */
   private def target(p1: String, p2: String, id: String): (String, Boolean) =
@@ -154,6 +157,13 @@ object GraftSqlParser {
         val (t, q) = target(p1, p2, id)
         graftTarget(t, q).map { case (tt, qq) =>
           GraftAddColumnsCommand(tt, qq, cols)
+        }
+      case DropCols(p1, p2, id, cols) =>
+        val (t, q) = target(p1, p2, id)
+        graftTarget(t, q).map { case (tt, qq) =>
+          GraftDropColumnsCommand(tt, qq,
+            cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).toSeq)
         }
       case _ => None
     }
@@ -303,6 +313,22 @@ case class GraftAddColumnsCommand(table: String, quoted: Boolean,
     val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
     val cols = spark.sessionState.sqlParser.parseTableSchema(colsDdl)
     val v = CommitLog.addColumns(root, cols)
+    GraftCatalog.invalidateRelationCache(spark)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE <graft table> DROP COLUMN[S] [(…)]` —
+  * [[CommitLog.dropColumns]]: a schema-only commit; readers stop
+  * projecting the column, OPTIMIZE physically rewrites it away later.
+  * Claimed only for graft targets. */
+case class GraftDropColumnsCommand(table: String, quoted: Boolean,
+    names: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
+    val v = CommitLog.dropColumns(root, names)
     GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
   }

@@ -1723,9 +1723,56 @@ object CommitLog {
       require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"$table already has a column '$c'")
     }
+    // Re-adding a name that was DROPPED but still lives PHYSICALLY in a
+    // referenced file would resurrect the old values as if freshly NULL —
+    // the masquerade the evolution contract forbids (Delta prevents this
+    // with column-mapping ids; schema-only logs must refuse instead).
+    // One footer read per live file, driver-side; OPTIMIZE rewrites the
+    // files without the dropped column and clears the refusal.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val tableDir = Paths.get(table)
+    cols.fieldNames.foreach { c =>
+      val ghost = m.files.find(f =>
+        FileStats.fileHasColumn(tableDir.resolve(f), conf, c))
+      require(ghost.isEmpty,
+        s"cannot re-add column '$c' to $table: a live data file still " +
+          s"carries a dropped column of that name (${ghost.get}) and its " +
+          "old values would resurface; run OPTIMIZE first to rewrite the " +
+          "files, then re-add")
+    }
     val widened = StructType(m.schema.fields ++ cols.fields.map(_.copy(nullable = true)))
     publishRewrite(table, m, m.files, mode = "append",
       schema = Some(widened), dvDirs = m.dvDirs)
+  }
+
+  /** `ALTER TABLE … DROP COLUMNS` — the inverse schema-only commit:
+    * publish the next version with the SAME files and the NARROWED
+    * schema. Readers project by the manifest schema, so the dropped
+    * column's bytes simply stop being read; OPTIMIZE physically rewrites
+    * them away on its own schedule (100 TB contract: a metadata-priced
+    * drop now, the data-priced rewrite deferred to maintenance).
+    * Key-ish safety: refuses to drop a hive-partition layout column (the
+    * dir structure IS that column) — and naturally refuses unknown
+    * names. Time travel to pre-drop versions still reads the column. */
+  def dropColumns(table: String, names: Seq[String]): Long = {
+    require(names.nonEmpty, "DROP COLUMNS needs at least one column")
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed versions"))
+    val layout = m.files.flatMap(FileStats.partitionStats(_).keys).distinct
+    names.foreach { c =>
+      require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"$table has no column '$c'")
+      require(!layout.exists(_.equalsIgnoreCase(c)),
+        s"cannot drop '$c': it is a hive-partition layout column (the " +
+          "directory structure is the column); rewrite the table layout first")
+    }
+    val lowered = names.map(_.toLowerCase).toSet
+    val narrowed = StructType(
+      m.schema.fields.filterNot(f => lowered(f.name.toLowerCase)))
+    require(narrowed.fields.nonEmpty,
+      s"cannot drop every column of $table")
+    publishRewrite(table, m, m.files, mode = "append",
+      schema = Some(narrowed), dvDirs = m.dvDirs)
   }
 
   /** Snapshot read with each row's originating data file attached as

@@ -103,6 +103,34 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSeq === Seq(77L))
   }
 
+  test("readChangeFeed batch reader serves the typed change rows for a version range") {
+    val t = freshTable()
+    CommitLog.commit((0 until 4).map(i => (i.toLong, s"s$i")).toDF("id", "s"), t, "append")
+    CommitLog.delete(spark, t, col("id") === 1L)                       // v2
+    CommitLog.update(spark, t, col("id") === 2L, Map("s" -> lit("u"))) // v3
+    CommitLog.commit(Seq((9L, "s9")).toDF("id", "s"), t, "append")     // v4
+    val cdf = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .load(t)
+    val got = cdf.select(col(CommitLog.CommitVersionCol),
+        col(CommitLog.ChangeTypeCol), col("id"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(got === Seq((2L, "delete", 1L), (3L, "update_postimage", 2L),
+      (3L, "update_preimage", 2L), (4L, "insert", 9L)))
+    // endingVersion bounds the slice inclusively
+    assert(spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 2).option("endingVersion", 3).load(t)
+      .count() === 3L)
+    // and SQL works over a CDF temp view
+    cdf.createOrReplaceTempView("cdf_v")
+    assert(spark.sql(s"SELECT count(*) FROM cdf_v WHERE ${CommitLog.ChangeTypeCol} = 'insert'")
+      .head().getLong(0) === 1L)
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(t).collect()
+    }
+    assert(e.getMessage.contains("startingVersion"))
+  }
+
   test("additive evolution reads NULL for pre-column files — even when the " +
       "snapshot schema recorded the column non-nullable") {
     val t = freshTable()

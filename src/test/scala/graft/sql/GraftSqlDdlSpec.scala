@@ -127,6 +127,46 @@ class GraftSqlDdlSpec extends SparkSpec {
     assert(e.getMessage.contains("already has a column"))
   }
 
+  test("ALTER TABLE DROP COLUMNS narrows the schema without touching a byte") {
+    val t = freshTable("sqlddl_dropcol")
+    spark.read.format("graft").load(t).createOrReplaceTempView("sqlddl_dropcol_v")
+    val filesBefore = CommitLog.manifest(t, 1L).files
+    val v = spark.sql("ALTER TABLE sqlddl_dropcol_v DROP COLUMN typ")
+      .collect().head.getLong(0)
+    assert(v === 2L)
+    val m = CommitLog.manifest(t, v)
+    assert(m.files === filesBefore)
+    assert(m.schema.fieldNames.toSeq === Seq("id"))
+    assert(spark.read.format("graft").load(t).columns.toSeq === Seq("id"))
+    // time travel still reads the dropped column
+    assert(spark.read.format("graft").option("versionAsOf", 1).load(t)
+      .select("typ").count() === 3L)
+    // re-adding the name REFUSES while live files physically carry it
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE sqlddl_dropcol_v ADD COLUMNS (typ STRING)")
+    }
+    assert(e.getMessage.contains("would resurface"), e.getMessage)
+    // OPTIMIZE rewrites the files without the column; re-add then works
+    // and reads NULL everywhere (no resurrected values)
+    spark.sql(s"OPTIMIZE '$t'")
+    spark.sql("ALTER TABLE sqlddl_dropcol_v ADD COLUMNS (typ STRING)")
+    val g = spark.read.format("graft").load(t)
+    assert(g.filter(col("typ").isNull).count() === 3L)
+  }
+
+  test("DROP COLUMNS refuses hive-partition layout columns and full drops") {
+    val t = tmpDir("sqlddl_droppart"); new java.io.File(t).delete()
+    CommitLog.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "typ"), t, "append",
+      partitionBy = Seq("typ"))
+    val e = intercept[Exception] { spark.sql(s"ALTER TABLE '$t' DROP COLUMN typ") }
+    assert(e.getMessage.contains("layout column"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t' DROP COLUMNS (id, typ)")
+    }
+    assert(e2.getMessage.contains("layout column") ||
+      e2.getMessage.contains("every column"), e2.getMessage)
+  }
+
   test("ALTER TABLE on a non-graft table still reaches Spark's grammar") {
     spark.sql("DROP TABLE IF EXISTS sqlddl_plain2")
     spark.sql("CREATE TABLE sqlddl_plain2 (id INT) USING parquet")
