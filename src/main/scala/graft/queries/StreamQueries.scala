@@ -127,6 +127,48 @@ object StreamQueries {
       outPath
     })
 
+  /** sfDir → path of the streamed interval-join pairs. TWO live file
+    * streams — purchases and the clicks that preceded them within one
+    * day — joined stream-stream on user with an event-time range
+    * condition ([[StreamingJobs.intervalJoin]]): both sides watermarked,
+    * so the buffered join state stays O(arrival rate × lag window)
+    * instead of growing with the stream. Inner-join results emit as
+    * matches arrive (the watermark only GCs state), so an AvailableNow
+    * drain yields exactly the batch join's pairs — which is what the
+    * oracle pins. */
+  private val builtIJoin = new ConcurrentHashMap[String, String]()
+
+  private def runIntervalJoin(s: SparkSession, d: String): String =
+    builtIJoin.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sijoin_${tag}_$pid"
+      deleteRecursively(new java.io.File(root))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ets").as("p_ts"),
+          col("event_id").as("p_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ets").as("c_ts"),
+          col("event_id").as("c_id"))
+      purchases.repartition(4).write.parquet(s"$root/p")
+      clicks.repartition(4).write.parquet(s"$root/c")
+      val joined = StreamingJobs.intervalJoin(
+        s.readStream.schema(purchases.schema).option("maxFilesPerTrigger", "2")
+          .parquet(s"$root/p"),
+        s.readStream.schema(clicks.schema).option("maxFilesPerTrigger", "2")
+          .parquet(s"$root/c"),
+        "p_user", "c_user", "p_ts", "c_ts", maxLagSeconds = 86400L)
+      val outPath = s"$root/out"
+      val q = joined.select("p_user", "p_id", "c_id")
+        .writeStream.format("parquet").option("path", outPath)
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      outPath
+    })
+
   /** sfDir → parquet path of the unified-CDC rollup. The table lives one
     * full lifecycle — two mirrored appends, a mutation delete, a JOURNALED
     * overwrite (`cdc = true`, the round-7 write-time CDC) — and ONE
@@ -302,6 +344,37 @@ object StreamQueries {
         .orderBy("event_type")
     }),
 
+    // Stream-stream interval join (round 9): purchases joined live to the
+    // clicks that preceded them within a day, both sides watermarked so
+    // join state stays bounded. The streamed pair set must equal the
+    // batch recompute exactly — the per-user rollup and the
+    // stream_matches_batch verdict both sit under the hash gate.
+    "stream_interval_join" -> ((s, d) => {
+      val pairs = s.read.parquet(runIntervalJoin(s, d))
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ets").as("p_ts"),
+          col("event_id").as("p_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ets").as("c_ts"),
+          col("event_id").as("c_id"))
+      val batch = p.join(c, col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 1 DAY") &&
+          col("c_ts") <= col("p_ts"))
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_id")).as("n_clicks"))
+      val streamed = pairs.groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_stream"),
+          countDistinct(col("c_id")).as("nc_stream"))
+      batch.join(streamed, Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("n_pairs"), col("n_clicks"),
+          coalesce(col("n_pairs") === col("n_stream") &&
+            col("n_clicks") === col("nc_stream"), lit(false))
+            .as("stream_matches_batch"))
+        .orderBy("user_id")
+    }),
+
     // Streaming exact dedup: every event arrives twice across several
     // micro-batches; the stateful dropDuplicates must emit each event_id
     // exactly once. Verdict joins the streamed per-type unique counts
@@ -328,6 +401,8 @@ object StreamQueries {
       s.read.parquet(runChain(s, d)).orderBy("event_type")),
     "stream_dedup" -> ((s, d) =>
       s.read.parquet(runDedup(s, d)).orderBy("event_type")),
+    "stream_interval_join" -> ((s, d) =>
+      s.read.parquet(runIntervalJoin(s, d)).orderBy("p_user", "p_id", "c_id")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -385,5 +460,14 @@ object StreamQueries {
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
            true AS stream_matches_batch
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "stream_interval_join" ->
+      """WITH p AS (SELECT user_id u, ts pt FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id u, ts ct, event_id cid FROM events WHERE event_type = 'click'),
+           j AS (SELECT p.u, cid FROM p JOIN c
+                   ON p.u = c.u AND c.ct >= p.pt - INTERVAL 1 DAY AND c.ct <= p.pt)
+         SELECT u AS user_id, count(*) AS n_pairs,
+           CAST(count(DISTINCT cid) AS BIGINT) AS n_clicks,
+           true AS stream_matches_batch
+         FROM j GROUP BY u ORDER BY user_id""",
   )
 }

@@ -94,6 +94,12 @@ object GraftSqlParser {
   private val DropCols =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+COLUMNS?\s*\(?\s*([\w`",.\s]+?)\s*\)?\s*;?\s*""").r
+  private val AddConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""").r
 
   /** (target text, wasQuoted) from the three alternation groups. */
   private def target(p1: String, p2: String, id: String): (String, Boolean) =
@@ -157,6 +163,16 @@ object GraftSqlParser {
         val (t, q) = target(p1, p2, id)
         graftTarget(t, q).map { case (tt, qq) =>
           GraftAddColumnsCommand(tt, qq, cols)
+        }
+      case AddConstraint(p1, p2, id, name, check) =>
+        val (t, q) = target(p1, p2, id)
+        graftTarget(t, q).map { case (tt, qq) =>
+          GraftConstraintCommand(tt, qq, name, Some(check.trim))
+        }
+      case DropConstraint(p1, p2, id, name) =>
+        val (t, q) = target(p1, p2, id)
+        graftTarget(t, q).map { case (tt, qq) =>
+          GraftConstraintCommand(tt, qq, name, None)
         }
       case DropCols(p1, p2, id, cols) =>
         val (t, q) = target(p1, p2, id)
@@ -224,7 +240,8 @@ case class GraftDetailCommand(table: String, quoted: Boolean)
     AttributeReference("num_dv_dirs", IntegerType, nullable = false)(),
     AttributeReference("num_versions", IntegerType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
-    AttributeReference("num_columns", IntegerType, nullable = false)())
+    AttributeReference("num_columns", IntegerType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
     val m = CommitLog.manifest(root, CommitLog.latestVersion(root).getOrElse(
@@ -233,7 +250,9 @@ case class GraftDetailCommand(table: String, quoted: Boolean)
     val bytes = m.files.map(f => java.nio.file.Files.size(dir.resolve(f))).sum
     Seq(Row("graft", root, m.version, m.files.size, bytes, m.dvDirs.size,
       CommitLog.versions(root).size, GraftDml.layoutCols(root).mkString(","),
-      m.schema.fields.length))
+      m.schema.fields.length,
+      graft.tx.Constraints.list(root)
+        .map { case (n, e) => s"$n: CHECK ($e)" }.mkString("; ")))
   }
 }
 
@@ -331,6 +350,23 @@ case class GraftDropColumnsCommand(table: String, quoted: Boolean,
     val v = CommitLog.dropColumns(root, names)
     GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE <graft table> ADD CONSTRAINT name CHECK (expr)` /
+  * `DROP CONSTRAINT name` — [[graft.tx.Constraints]]: ADD validates the
+  * existing snapshot (one scan) then registers; every later write
+  * enforces the predicate scan-fused. Claimed only for graft targets. */
+case class GraftConstraintCommand(table: String, quoted: Boolean,
+    name: String, check: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
+    check match {
+      case Some(c) => graft.tx.Constraints.add(spark, root, name, c)
+      case None => graft.tx.Constraints.drop(root, name)
+    }
+    Nil
   }
 }
 

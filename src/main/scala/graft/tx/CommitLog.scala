@@ -1676,12 +1676,14 @@ object CommitLog {
           linkOrCopy(sc, dstDir.resolve(dir).resolve(name))
       }
     }
-    // the bloom-column registration travels too: same data, same
-    // point-lookup shape — future writes to the clone keep indexing
-    val bloomCfg = srcDir.resolve(BloomIndex.ConfigName)
-    if (Files.isRegularFile(bloomCfg))
-      try Files.copy(bloomCfg, dstDir.resolve(BloomIndex.ConfigName))
-      catch { case _: FileAlreadyExistsException => () }
+    // bloom registration and CHECK constraints travel too: same data,
+    // same point-lookup shape, same validated invariants
+    Seq(BloomIndex.ConfigName, Constraints.ConfigName).foreach { cfg =>
+      val p = srcDir.resolve(cfg)
+      if (Files.isRegularFile(p))
+        try Files.copy(p, dstDir.resolve(cfg))
+        catch { case _: FileAlreadyExistsException => () }
+    }
     // deletion vectors travel with the snapshot: link each DV dir's files
     // and keep the refs, or the clone would resurrect dead rows
     m.dvDirs.foreach { dir =>
@@ -1759,12 +1761,18 @@ object CommitLog {
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
     val layout = m.files.flatMap(FileStats.partitionStats(_).keys).distinct
+    val constrained = Constraints.referencedColumns(table)
     names.foreach { c =>
       require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"$table has no column '$c'")
       require(!layout.exists(_.equalsIgnoreCase(c)),
         s"cannot drop '$c': it is a hive-partition layout column (the " +
           "directory structure is the column); rewrite the table layout first")
+      constrained.find(_._2.contains(c.toLowerCase)).foreach { case (n, _) =>
+        throw new IllegalArgumentException(
+          s"cannot drop '$c': CHECK constraint '$n' references it — " +
+            "drop the constraint first")
+      }
     }
     val lowered = names.map(_.toLowerCase).toSet
     val narrowed = StructType(
@@ -1825,7 +1833,10 @@ object CommitLog {
       partitionBy: Seq[String]): Seq[String] = {
     val dataDirName = s"data/${UUID.randomUUID().toString}"
     val dataDir = tableDir.resolve(dataDirName)
-    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    // CHECK constraints ride as a codegen predicate INSIDE the write plan
+    // (no extra pass); a violating row fails the write before publish
+    val guarded = Constraints.enforce(df, tableDir)
+    val writer = if (partitionBy.nonEmpty) guarded.write.partitionBy(partitionBy: _*) else guarded.write
     writer.parquet(dataDir.toString)
     // drop ZERO-ROW part files before committing (an empty upstream
     // partition writes one): they carry no data, their footers hold no

@@ -167,6 +167,51 @@ class GraftSqlDdlSpec extends SparkSpec {
       e2.getMessage.contains("every column"), e2.getMessage)
   }
 
+  test("CHECK constraints: validated on add, enforced scan-fused on every write") {
+    val t = freshTable("sqlddl_check")
+    spark.read.format("graft").load(t).createOrReplaceTempView("sqlddl_check_v")
+    // existing rows violate → ADD refuses before registering anything
+    val e0 = intercept[Exception] {
+      spark.sql("ALTER TABLE sqlddl_check_v ADD CONSTRAINT pos CHECK (id > 1)")
+    }
+    assert(e0.getMessage.contains("existing rows"), e0.getMessage)
+    assert(graft.tx.Constraints.list(t).isEmpty)
+    spark.sql("ALTER TABLE sqlddl_check_v ADD CONSTRAINT pos CHECK (id > 0)")
+    assert(spark.sql(s"DESCRIBE DETAIL '$t'").collect().head.getString(9)
+      === "pos: CHECK (id > 0)")
+    // a violating INSERT fails the WRITE and publishes nothing
+    val vBefore = CommitLog.latestVersion(t).get
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO sqlddl_check_v VALUES (-5, 'bad')")
+    }
+    assert(e1.getMessage.contains("CHECK constraint pos") ||
+      Option(e1.getCause).exists(_.getMessage.contains("CHECK constraint pos")),
+      e1.getMessage)
+    assert(CommitLog.latestVersion(t).get === vBefore)
+    assert(CommitLog.read(spark, t).count() === 3L)
+    // a satisfying write goes through; NULL satisfies (SQL CHECK)
+    spark.sql("ALTER TABLE sqlddl_check_v ADD COLUMNS (score DOUBLE)")
+    spark.sql("ALTER TABLE sqlddl_check_v ADD CONSTRAINT s_ok CHECK (score >= 0)")
+    CommitLog.commit(Seq((7L, "g", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "typ", "score"), t, "append")
+    assert(CommitLog.read(spark, t).count() === 4L)
+    // UPDATE post-images are constrained too (merge-on-read path)
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE sqlddl_check_v SET score = -1 WHERE id = 7")
+    }
+    assert(e2.getMessage.contains("CHECK constraint s_ok") ||
+      Option(e2.getCause).exists(_.getMessage.contains("CHECK constraint s_ok")),
+      e2.getMessage)
+    // a constrained column cannot be dropped; drop the constraint first
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE sqlddl_check_v DROP COLUMN score")
+    }
+    assert(e3.getMessage.contains("constraint"), e3.getMessage)
+    spark.sql("ALTER TABLE sqlddl_check_v DROP CONSTRAINT s_ok")
+    spark.sql("ALTER TABLE sqlddl_check_v DROP COLUMN score")
+    assert(graft.tx.Constraints.list(t).map(_._1) === Seq("pos"))
+  }
+
   test("ALTER TABLE on a non-graft table still reaches Spark's grammar") {
     spark.sql("DROP TABLE IF EXISTS sqlddl_plain2")
     spark.sql("CREATE TABLE sqlddl_plain2 (id INT) USING parquet")
