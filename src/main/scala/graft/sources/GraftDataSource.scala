@@ -70,10 +70,37 @@ final class GraftSourceProvider extends RelationProvider
       parameters: Map[String, String], schema: StructType): BaseRelation = {
     val table = GraftSourceProvider.rootOf(parameters,
       "graft source needs a table root: LOCATION '<path>'")
-    if (CommitLog.latestVersion(table).isEmpty)
+    if (CommitLog.latestVersion(table).isEmpty) {
+      // Refuse to create over a NON-EMPTY directory that is not a graft
+      // table: committing an empty v1 would make SELECT return 0 rows
+      // while the directory holds real data — a silent masquerade (Delta
+      // refuses a non-empty non-Delta location the same way). Pre-commit
+      // table config (bloom registration, constraints) is legitimately
+      // present before v1 and doesn't count as data.
+      val dir = java.nio.file.Paths.get(table)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val ownConfig = Set(graft.tx.BloomIndex.ConfigName,
+          graft.tx.Constraints.ConfigName)
+        val st = java.nio.file.Files.list(dir)
+        val foreign =
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.map(_.getFileName.toString)
+              .find(n => !ownConfig(n) && !n.startsWith("."))
+          } finally st.close()
+        foreign.foreach { n =>
+          throw new IllegalStateException(
+            s"cannot create a graft table at $table: the directory is " +
+              s"not empty (found '$n') and carries no commit log — " +
+              "creating would hide the existing files behind an empty " +
+              "snapshot; point LOCATION at an empty/new directory or " +
+              "convert the data with an explicit write")
+        }
+      }
       CommitLog.commit(sqlContext.sparkSession.createDataFrame(
         sqlContext.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema), table, "append")
+    }
     createRelation(sqlContext, parameters)
   }
 
@@ -528,8 +555,17 @@ private[graft] final class GraftCdfRelation(spark: SparkSession,
 
   override def sqlContext: SQLContext = sql
 
+  // the range is PINNED at relation construction: an unpinned end would
+  // re-resolve to the moving latest on every action — the same DataFrame
+  // returning different rows across actions, and a schema-widening
+  // commit landing mid-query would misalign rows against the captured
+  // schema (round-9 review finding)
+  private val endVersion: Long = endingVersion.orElse(
+    CommitLog.latestVersion(table)).getOrElse(
+    throw new IllegalArgumentException(s"$table has no committed versions"))
+
   private def feed: org.apache.spark.sql.DataFrame =
-    CommitLog.changeFeed(spark, table, startingVersion - 1, endingVersion)
+    CommitLog.changeFeed(spark, table, startingVersion - 1, Some(endVersion))
 
   override val schema: StructType =
     StructType(feed.schema.fields.map(_.copy(nullable = true)))

@@ -383,12 +383,22 @@ private[graft] object GraftDml {
   /** The table's hive layout (partition columns parsed from the current
     * manifest's directory segments) — mutations re-write surviving rows in
     * the SAME layout, and inserts route new rows into it. */
-  def layoutCols(table: String): Seq[String] =
-    CommitLog.latestVersion(table).toSeq.flatMap { v =>
-      CommitLog.manifest(table, v).files.headOption.toSeq.flatMap(
-        _.split("/").dropRight(1).toSeq.filter(_.contains("="))
-          .map(_.takeWhile(_ != '=')))
-    }.distinct
+  def layoutCols(table: String): Seq[String] = {
+    // the newest version that still HAS files: a TRUNCATE (empty
+    // overwrite) or an everything-matched delete leaves a zero-file
+    // snapshot, and deriving the layout only from it would silently turn
+    // every later INSERT/compact unpartitioned (round-9 review finding) —
+    // walk back to the last file-carrying manifest instead
+    // only zero-FILE versions are skipped — a file-carrying version with
+    // no `k=v` segments is a legitimate unpartitioned layout and must win
+    // over an older partitioned one
+    CommitLog.versions(table).sorted.reverse.iterator
+      .map(v => CommitLog.manifest(table, v).files.headOption)
+      .collectFirst { case Some(f) =>
+        f.split("/").dropRight(1).toSeq.filter(_.contains("="))
+          .map(_.takeWhile(_ != '=')).distinct
+      }.getOrElse(Nil)
+  }
 
   /** Merge-on-read (deletion vectors) unless the session opts into
     * copy-on-write. */

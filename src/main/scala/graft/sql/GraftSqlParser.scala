@@ -194,7 +194,7 @@ case class GraftVacuumCommand(table: String, quoted: Boolean,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val root = GraftCatalog.resolveRoot(spark, table, quoted)
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
     Seq(Row(CommitLog.vacuum(root, keepVersions,
       retainMillis.getOrElse(CommitLog.DefaultVacuumRetentionMillis), force)))
   }
@@ -211,7 +211,7 @@ case class GraftOptimizeCommand(table: String, quoted: Boolean,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val root = GraftCatalog.resolveRoot(spark, table, quoted)
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
     val v = where match {
       case Some(pred) =>
         CommitLog.compactWhere(spark, root,
@@ -380,7 +380,7 @@ case class GraftHistoryCommand(table: String, quoted: Boolean)
     AttributeReference("n_dv_dirs", IntegerType, nullable = false)(),
     AttributeReference("n_columns", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val root = GraftCatalog.resolveRoot(spark, table, quoted)
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
     CommitLog.versions(root).sorted.reverse.map { v =>
       val m = CommitLog.manifest(root, v)
       Row(v, m.mode, m.files.size, m.dvDirs.size, m.schema.fields.length)

@@ -699,7 +699,17 @@ object CommitLog {
       targetBytes: Long = 128L * 1024 * 1024, zorderBy: Seq[String] = Nil): Long = {
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    val selected = pruneFiles(table, m, toFilters(spark, condition, m.schema))
+    val filters = toFilters(spark, condition, m.schema)
+    // an untranslatable predicate (function call, arithmetic, unknown
+    // column) prunes NOTHING — proceeding would silently do the
+    // whole-table rewrite this scoped form exists to avoid (round-9
+    // review finding); refuse and point at the unscoped OPTIMIZE
+    require(filters.nonEmpty,
+      s"OPTIMIZE WHERE predicate does not translate to file-level " +
+        s"pruning on $table — the scope would be the WHOLE table; " +
+        "use a partition/stats-prunable predicate (plain column " +
+        "comparisons) or run OPTIMIZE without WHERE deliberately")
+    val selected = pruneFiles(table, m, filters)
     if (selected.isEmpty) return m.version
     val selSet = selected.toSet
     val tableDir = Paths.get(table)
@@ -2194,13 +2204,18 @@ object CommitLog {
     // schema read, else it could be a foreign-configured INT96 write
     // whose stats were skipped, and answering would masquerade real
     // values as NULL.
+    // memoized per column: MIN/MAX+COUNT over the same ts column would
+    // otherwise open every sidecar-missing file's footer twice in one
+    // call (round-9 review finding)
+    val tsProofCache = scala.collection.mutable.Map.empty[String, Boolean]
     def tsAbsenceProven(name: String): Boolean =
-      // ALL files missing the sidecar entry (clean and death-carrying
-      // alike — the live-stats projection also skips INT96) must prove
-      // physical absence
-      perFile.filter(pf => !pf._3.contains(name)).forall { pf =>
-        !FileStats.fileHasColumn(tableDir.resolve(pf._1), conf, name)
-      }
+      tsProofCache.getOrElseUpdate(name,
+        // ALL files missing the sidecar entry (clean and death-carrying
+        // alike — the live-stats projection also skips INT96) must prove
+        // physical absence
+        perFile.filter(pf => !pf._3.contains(name)).forall { pf =>
+          !FileStats.fileHasColumn(tableDir.resolve(pf._1), conf, name)
+        })
     def exactKindOf(dt: org.apache.spark.sql.types.DataType): Option[String] =
       dt match {
         case ByteType | ShortType | IntegerType | LongType => Some("long")

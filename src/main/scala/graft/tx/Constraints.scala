@@ -41,6 +41,10 @@ object Constraints {
     else new String(Files.readAllBytes(p), UTF_8).linesIterator
       .filter(_.nonEmpty).map { l =>
         val i = l.indexOf('\t')
+        // a diagnosable refusal beats a StringIndexOutOfBounds from deep
+        // inside a write plan (this is consulted on EVERY write)
+        require(i > 0, s"malformed $ConfigName line in $table " +
+          s"(expected name<TAB>expression): '$l'")
         (l.substring(0, i), l.substring(i + 1))
       }.toSeq
   }

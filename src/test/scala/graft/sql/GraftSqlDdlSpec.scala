@@ -93,6 +93,34 @@ class GraftSqlDdlSpec extends SparkSpec {
     assert(CommitLog.latestVersion(t).get === 3L)
   }
 
+  test("TRUNCATE on a partitioned table keeps the hive layout for later writes") {
+    val t = tmpDir("sqlddl_truncpart"); new java.io.File(t).delete()
+    CommitLog.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "typ"), t, "append",
+      partitionBy = Seq("typ"))
+    spark.sql(s"TRUNCATE TABLE '$t'")
+    assert(CommitLog.read(spark, t).count() === 0L)
+    // the next by-name/SQL write must re-derive typ as the layout from
+    // the last FILE-CARRYING version, not the empty snapshot
+    spark.read.format("graft").load(t).createOrReplaceTempView("sqlddl_tp_v")
+    spark.sql("INSERT INTO sqlddl_tp_v VALUES (3, 'c')")
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(m.files.nonEmpty && m.files.forall(_.contains("typ=c")), m.files)
+  }
+
+  test("CREATE TABLE refuses a non-empty directory without a commit log") {
+    val dir = tmpDir("sqlddl_foreign")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.parquet"),
+      Array[Byte](1, 2, 3))
+    spark.sql("DROP TABLE IF EXISTS sqlddl_foreign_t")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE sqlddl_foreign_t (id BIGINT) USING graft LOCATION '$dir'")
+      spark.table("sqlddl_foreign_t").collect()
+    }
+    assert(e.getMessage.contains("not empty") ||
+      Option(e.getCause).exists(_.getMessage.contains("not empty")), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS sqlddl_foreign_t")
+  }
+
   test("TRUNCATE TABLE on a non-graft table keeps Spark's own semantics") {
     spark.sql("DROP TABLE IF EXISTS sqlddl_plain")
     spark.sql(s"CREATE TABLE sqlddl_plain (id INT) USING parquet")

@@ -62,6 +62,12 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     // a predicate matching nothing is a no-op version-wise
     assert(spark.sql(s"OPTIMIZE '$t' WHERE typ = 'zzz'")
       .collect().head.getLong(0) === v)
+    // an UNTRANSLATABLE predicate must refuse, not silently rewrite the
+    // whole table (round-9 review finding)
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE '$t' WHERE id % 2 = 0")
+    }
+    assert(e.getMessage.contains("does not translate"), e.getMessage)
     // WHERE composes with ZORDER BY
     val v2 = spark.sql(s"OPTIMIZE '$t' WHERE typ = 'b' ZORDER BY (id)")
       .collect().head.getLong(0)
