@@ -84,6 +84,9 @@ object GraftSqlParser {
   private val Clone =
     ("""(?is)\s*CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private val Convert =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
   // session-gated (bare names fall through to Spark unless they resolve
   // to a graft table):
   private val Truncate =
@@ -133,6 +136,9 @@ object GraftSqlParser {
       val (src, srcQ) = target(s1, s2, sid)
       Some(GraftCloneCommand(dst, dstQ, src, srcQ,
         Option(ver).map(_.toLong), Option(loc)))
+    case Convert(path, parts) =>
+      Some(GraftConvertCommand(path,
+        Option(parts).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
     case _ => None
   }
 
@@ -367,6 +373,21 @@ case class GraftConstraintCommand(table: String, quoted: Boolean,
       case None => graft.tx.Constraints.drop(root, name)
     }
     Nil
+  }
+}
+
+/** `CONVERT TO GRAFT '<path>' [PARTITIONED BY (…)]` —
+  * [[CommitLog.convert]]: wrap an existing plain-parquet directory in a
+  * commit log in place (file renames + one footer pass; no data read or
+  * rewritten). Returns the published version (always 1). */
+case class GraftConvertCommand(path: String, partitionBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = CommitLog.convert(spark, path, partitionBy)
+    GraftCatalog.invalidateRelationCache(spark)
+    Seq(Row(v))
   }
 }
 

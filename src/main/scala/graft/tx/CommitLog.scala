@@ -1704,6 +1704,82 @@ object CommitLog {
       m.files, mode = "overwrite", schema = Some(m.schema), dvDirs = m.dvDirs)
   }
 
+  /** `CONVERT TO GRAFT` (Delta's `CONVERT TO DELTA`): wrap an EXISTING
+    * plain-parquet directory in a commit log IN PLACE — no data is read
+    * or rewritten. Every `*.parquet` under `table` (hive `k=v` subdirs
+    * preserved) MOVES into a fresh `data/<uuid>/` commit dir (a same-fs
+    * rename per file, no bytes copied), the footer-stats sidecar is
+    * built from one footer pass, and a v1 manifest is published — after
+    * which the directory IS a graft table: DML, time travel, stats
+    * pruning, SQL, everything. O(files) driver work + one footer read
+    * per file; a 100 TB conversion moves no data. Bloom sidecars are NOT
+    * backfilled (that needs a data pass) — register columns and run
+    * OPTIMIZE, exactly like a late registration.
+    *
+    * Crash contract: a failure mid-move leaves some files relocated and
+    * no manifest; re-running the convert moves the remainder and
+    * publishes (file moves are idempotent under the same target dir
+    * passed via `resumeDir`, or simply convert again — files already
+    * under `data/` are picked up where they sit). Non-parquet data files
+    * refuse; an existing commit log refuses (already converted). */
+  def convert(spark: SparkSession, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(latestVersion(table).isEmpty,
+      s"$table already has a commit log (v${latestVersion(table).get}) — nothing to convert")
+    val tableDir = Paths.get(table)
+    require(Files.isDirectory(tableDir), s"$table is not a directory")
+    val ownConfig = Set(BloomIndex.ConfigName, Constraints.ConfigName)
+    import scala.jdk.CollectionConverters._
+    val all = {
+      val st = Files.walk(tableDir)
+      try st.iterator().asScala.filter(Files.isRegularFile(_)).toList
+      finally st.close()
+    }
+    val (inData, outside) = all.partition(_.startsWith(tableDir.resolve("data")))
+    val candidates = outside.filterNot { p =>
+      val n = p.getFileName.toString
+      n.startsWith(".") || n.startsWith("_") || ownConfig(n)
+    }
+    val (parquet, foreign) = candidates.partition(
+      _.getFileName.toString.endsWith(".parquet"))
+    require(foreign.isEmpty,
+      s"cannot convert $table: non-parquet data files present " +
+        s"(first: ${tableDir.relativize(foreign.head)})")
+    // a previously interrupted convert left files under data/ — resume
+    // into a fresh dir alongside them (both end up in the one manifest)
+    val dataDirName = s"data/${UUID.randomUUID().toString}"
+    val dataDir = tableDir.resolve(dataDirName)
+    val moved = parquet.map { p =>
+      val rel = tableDir.relativize(p)
+      val dst = dataDir.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(p, dst)
+      dst
+    }
+    val resumed = inData // files a crashed convert already relocated
+    val files = moved ++ resumed
+    require(files.nonEmpty, s"cannot convert $table: no parquet files found")
+    FileStats.writeSidecar(dataDir, moved)
+    // partition columns come from the preserved hive dir segments; the
+    // declared list (CONVERT … PARTITIONED BY) must agree when given
+    val discovered = files.map(f => tableDir.relativize(f).toString)
+      .flatMap(_.split("/").dropRight(1).toSeq.filter(_.contains("="))
+        .map(_.takeWhile(_ != '='))).distinct
+    require(partitionBy.isEmpty || partitionBy.sorted == discovered.sorted,
+      s"PARTITIONED BY ${partitionBy.mkString(",")} does not match the " +
+        s"discovered hive layout ${discovered.mkString(",")}")
+    // schema from the files themselves (one driver-side inference pass
+    // over footers; partition columns typed by directory inference —
+    // basePath is the TABLE root so a resumed convert's files under an
+    // older data dir infer identically)
+    val schema = spark.read.option("basePath", tableDir.toString)
+      .parquet(files.map(_.toString): _*).schema
+    Files.createDirectories(tableDir.resolve(LogDir))
+    publishRewrite(table, Manifest(0L, "overwrite", schema, Nil, Map.empty),
+      files.map(f => tableDir.relativize(f).toString.replace('\\', '/')),
+      mode = "overwrite", schema = Some(schema))
+  }
+
   /** `TRUNCATE TABLE` — replace the snapshot with an EMPTY one, keeping
     * the schema: a transactional overwrite with zero files, so time
     * travel to pre-truncate versions keeps working and vacuum reclaims

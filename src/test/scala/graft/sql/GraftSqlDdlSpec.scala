@@ -240,6 +240,40 @@ class GraftSqlDdlSpec extends SparkSpec {
     assert(graft.tx.Constraints.list(t).map(_._1) === Seq("pos"))
   }
 
+  test("CONVERT TO GRAFT wraps an existing parquet directory in place — no data rewrite") {
+    val dir = tmpDir("sqlddl_convert"); new java.io.File(dir).delete()
+    import spark.implicits._
+    Seq((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 3.5), (4L, "b", 4.5))
+      .toDF("id", "typ", "value")
+      .write.partitionBy("typ").parquet(dir)
+    val v = spark.sql(s"CONVERT TO GRAFT '$dir' PARTITIONED BY (typ)")
+      .collect().head.getLong(0)
+    assert(v === 1L)
+    // the directory IS a graft table now: snapshot read, hive layout,
+    // stats-sidecar pruning, DML all work
+    val g = spark.read.format("graft").load(dir)
+    assert(g.count() === 4L)
+    assert(g.filter(col("typ") === "a").select("id").as[Long].collect().sorted
+      .toSeq === Seq(1L, 2L))
+    val m = CommitLog.manifest(dir, 1L)
+    assert(m.files.forall(_.startsWith("data/")))
+    val pruned = CommitLog.pruneFiles(dir, m,
+      Seq(org.apache.spark.sql.sources.EqualTo("typ", "a")))
+    assert(pruned.size < m.files.size, "partition pruning must work post-convert")
+    g.createOrReplaceTempView("sqlddl_conv_v")
+    spark.sql("DELETE FROM sqlddl_conv_v WHERE id = 4")
+    assert(CommitLog.read(spark, dir).count() === 3L)
+    // re-converting refuses; a wrong PARTITIONED BY refuses up front
+    val e = intercept[Exception] { spark.sql(s"CONVERT TO GRAFT '$dir'") }
+    assert(e.getMessage.contains("already has a commit log"), e.getMessage)
+    val dir2 = tmpDir("sqlddl_convert2"); new java.io.File(dir2).delete()
+    Seq((1L, "x")).toDF("id", "s").write.parquet(dir2)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT '$dir2' PARTITIONED BY (nope)")
+    }
+    assert(e2.getMessage.contains("does not match"), e2.getMessage)
+  }
+
   test("ALTER TABLE on a non-graft table still reaches Spark's grammar") {
     spark.sql("DROP TABLE IF EXISTS sqlddl_plain2")
     spark.sql("CREATE TABLE sqlddl_plain2 (id INT) USING parquet")
