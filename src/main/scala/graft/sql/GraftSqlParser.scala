@@ -69,7 +69,7 @@ object GraftSqlParser {
   private val T = """(?:'([^']+)'|"([^"]+)"|([A-Za-z_][\w.]*))"""
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+""" + T +
-      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+KEEP\s+(\d+)\s+VERSIONS?)?(\s+FORCE)?\s*;?\s*""").r
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+KEEP\s+(\d+)\s+VERSIONS?)?(\s+FORCE)?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + T +
       """(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
@@ -110,12 +110,12 @@ object GraftSqlParser {
       .getOrElse((id, false))
 
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case Vacuum(p1, p2, id, retain, keep, force) =>
+    case Vacuum(p1, p2, id, retain, keep, force, dry) =>
       val (t, q) = target(p1, p2, id)
       Some(GraftVacuumCommand(t, q,
         Option(keep).map(_.toInt).getOrElse(2),
         Option(retain).map(_.toLong * 3600L * 1000L),
-        force != null))
+        force != null, dry != null))
     case Optimize(p1, p2, id, where, zorder) =>
       val (t, q) = target(p1, p2, id)
       Some(GraftOptimizeCommand(t, q, Option(where).map(_.trim),
@@ -195,14 +195,16 @@ object GraftSqlParser {
 /** `VACUUM <table> …` — retention GC; returns the number of files
   * deleted. */
 case class GraftVacuumCommand(table: String, quoted: Boolean,
-    keepVersions: Int, retainMillis: Option[Long], force: Boolean)
+    keepVersions: Int, retainMillis: Option[Long], force: Boolean,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
     Seq(Row(CommitLog.vacuum(root, keepVersions,
-      retainMillis.getOrElse(CommitLog.DefaultVacuumRetentionMillis), force)))
+      retainMillis.getOrElse(CommitLog.DefaultVacuumRetentionMillis), force,
+      dryRun = dryRun)))
   }
 }
 

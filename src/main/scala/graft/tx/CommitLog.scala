@@ -2514,7 +2514,8 @@ object CommitLog {
     * where leaving the override on would silently unguard them all. */
   def vacuum(table: String, keepVersions: Int = 2,
       minAgeMillis: Long = DefaultVacuumRetentionMillis,
-      force: Boolean = false, dropLaggingReaders: Boolean = false): Long = {
+      force: Boolean = false, dropLaggingReaders: Boolean = false,
+      dryRun: Boolean = false): Long = {
     require(keepVersions >= 1, "must keep at least the latest version")
     require(force || minAgeMillis >= DefaultVacuumRetentionMillis,
       s"minAgeMillis $minAgeMillis ms is below the default in-flight-writer retention " +
@@ -2552,7 +2553,7 @@ object CommitLog {
     val cutoff = System.currentTimeMillis() - minAgeMillis
     var deleted = 0L
     if (Files.isDirectory(dataRoot)) {
-      withStream(Files.walk(dataRoot)) {
+      val candidates = withStream(Files.walk(dataRoot)) {
         _.iterator().asScala
           .filter(Files.isRegularFile(_))
           .filter(p => !referenced.contains(tableDir.relativize(p).toString))
@@ -2565,7 +2566,12 @@ object CommitLog {
           }
           .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
           .toSeq
-      }.foreach { p => Files.delete(p); deleted += 1 }
+      }
+      // DRY RUN (Delta's `VACUUM … DRY RUN`): report what WOULD fall —
+      // same selection, same retention gates — and touch nothing (no
+      // file deletes, no manifest drops)
+      if (dryRun) return candidates.size.toLong
+      candidates.foreach { p => Files.delete(p); deleted += 1 }
       // prune now-empty commit dirs (deepest first); tolerate a concurrent
       // writer creating files between the emptiness check and the delete
       withStream(Files.walk(dataRoot))(_.iterator().asScala.toSeq).reverse
@@ -2579,6 +2585,7 @@ object CommitLog {
           }
         }
     }
+    if (dryRun) return 0L // no data root: nothing would fall; drop no manifests
     val logDir = tableDir.resolve(LogDir)
     drop.foreach { v =>
       // change-feed rows share the version's retention — both the slot and

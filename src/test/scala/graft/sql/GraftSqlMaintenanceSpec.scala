@@ -28,6 +28,22 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     assert(CommitLog.versions(t) === Seq(3L))
   }
 
+  test("VACUUM DRY RUN reports what would fall and touches nothing") {
+    val t = freshTable("sqlmaint_dry")
+    CommitLog.commit(Seq((4L, "d")).toDF("id", "typ"), t, "overwrite")
+    val would = spark.sql(s"VACUUM '$t' RETAIN 0 HOURS KEEP 1 VERSIONS FORCE DRY RUN")
+      .collect().head.getLong(0)
+    assert(would > 0L)
+    // nothing moved: all versions and rows still there
+    assert(CommitLog.versions(t) === Seq(1L, 2L, 3L))
+    assert(spark.read.format("graft").option("versionAsOf", 2).load(t).count() === 3L)
+    // the real vacuum then deletes exactly that many files
+    val real = spark.sql(s"VACUUM '$t' RETAIN 0 HOURS KEEP 1 VERSIONS FORCE")
+      .collect().head.getLong(0)
+    assert(real === would)
+    assert(CommitLog.versions(t) === Seq(3L))
+  }
+
   test("OPTIMIZE folds deletion vectors and compacts") {
     val t = freshTable("sqlmaint_opt")
     CommitLog.deleteDv(spark, t, col("id") === 2L)
