@@ -79,14 +79,20 @@ final class GraftSourceProvider extends RelationProvider
       // present before v1 and doesn't count as data.
       val dir = java.nio.file.Paths.get(table)
       if (java.nio.file.Files.isDirectory(dir)) {
+        // graft's OWN pre-manifest artifacts don't count as foreign data:
+        // config files, `_`-prefixed names (an empty `_graft_log`, Spark
+        // `_SUCCESS` markers), and a `data/` dir left by a crashed FIRST
+        // write that never linked its manifest (those files were never
+        // committed — hiding them is correct, and convert() filters the
+        // same way); anything else is a user dataset we must not mask
         val ownConfig = Set(graft.tx.BloomIndex.ConfigName,
-          graft.tx.Constraints.ConfigName)
+          graft.tx.Constraints.ConfigName, "data")
         val st = java.nio.file.Files.list(dir)
         val foreign =
           try {
             import scala.jdk.CollectionConverters._
             st.iterator().asScala.map(_.getFileName.toString)
-              .find(n => !ownConfig(n) && !n.startsWith("."))
+              .find(n => !ownConfig(n) && !n.startsWith(".") && !n.startsWith("_"))
           } finally st.close()
         foreign.foreach { n =>
           throw new IllegalStateException(

@@ -391,12 +391,19 @@ private[graft] object GraftDml {
     // walk back to the last file-carrying manifest instead
     // only zero-FILE versions are skipped — a file-carrying version with
     // no `k=v` segments is a legitimate unpartitioned layout and must win
-    // over an older partitioned one
+    // over an older partitioned one; and a resurrected column must still
+    // EXIST in the current schema (a zero-file schema-changing overwrite
+    // that dropped the partition column resets the layout too — round-9
+    // review finding)
+    val current = CommitLog.latestVersion(table)
+      .map(v => CommitLog.manifest(table, v).schema.fieldNames.toSet)
+      .getOrElse(Set.empty[String])
     CommitLog.versions(table).sorted.reverse.iterator
       .map(v => CommitLog.manifest(table, v).files.headOption)
       .collectFirst { case Some(f) =>
         f.split("/").dropRight(1).toSeq.filter(_.contains("="))
           .map(_.takeWhile(_ != '=')).distinct
+          .filter(c => current.exists(_.equalsIgnoreCase(c)))
       }.getOrElse(Nil)
   }
 

@@ -193,7 +193,10 @@ object GraftSqlParser {
 }
 
 /** `VACUUM <table> …` — retention GC; returns the number of files
-  * deleted. */
+  * deleted. A temp-view target resolves to the TABLE root (every graft
+  * relation is a snapshot — there is no "vacuum just this view's
+  * version"); readers pinned to vacuumed versions fail on their next
+  * action, exactly the documented retention-window contract. */
 case class GraftVacuumCommand(table: String, quoted: Boolean,
     keepVersions: Int, retainMillis: Option[Long], force: Boolean,
     dryRun: Boolean = false)

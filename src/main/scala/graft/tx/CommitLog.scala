@@ -1717,11 +1717,12 @@ object CommitLog {
     * OPTIMIZE, exactly like a late registration.
     *
     * Crash contract: a failure mid-move leaves some files relocated and
-    * no manifest; re-running the convert moves the remainder and
-    * publishes (file moves are idempotent under the same target dir
-    * passed via `resumeDir`, or simply convert again — files already
-    * under `data/` are picked up where they sit). Non-parquet data files
-    * refuse; an existing commit log refuses (already converted). */
+    * no manifest; simply convert again — parquet files a crashed attempt
+    * already relocated under `data/` are picked up where they sit (and
+    * their commit dirs' stats sidecars rebuilt), the remainder moves,
+    * and one manifest publishes the union. Non-parquet data files
+    * refuse; an existing commit log refuses (already converted). All
+    * validation happens BEFORE the first file moves. */
   def convert(spark: SparkSession, table: String,
       partitionBy: Seq[String] = Nil): Long = {
     require(latestVersion(table).isEmpty,
@@ -1735,7 +1736,11 @@ object CommitLog {
       try st.iterator().asScala.filter(Files.isRegularFile(_)).toList
       finally st.close()
     }
+    // PARQUET ONLY on the resume side too: a crashed attempt's sidecar
+    // (or any junk) under data/ must never publish as a data file
     val (inData, outside) = all.partition(_.startsWith(tableDir.resolve("data")))
+    val resumed = inData.filter(p =>
+      p.getFileName.toString.endsWith(".parquet"))
     val candidates = outside.filterNot { p =>
       val n = p.getFileName.toString
       n.startsWith(".") || n.startsWith("_") || ownConfig(n)
@@ -1745,6 +1750,20 @@ object CommitLog {
     require(foreign.isEmpty,
       s"cannot convert $table: non-parquet data files present " +
         s"(first: ${tableDir.relativize(foreign.head)})")
+    require(parquet.nonEmpty || resumed.nonEmpty,
+      s"cannot convert $table: no parquet files found")
+    // ALL validation precedes the first move (a refused convert must
+    // leave the directory exactly as it found it): partition columns
+    // come from the hive dir segments of the ORIGINAL paths (and of
+    // already-relocated ones, whose k=v segments moves preserved)
+    val discovered =
+      (parquet.map(p => tableDir.relativize(p).toString) ++
+        resumed.map(p => tableDir.relativize(p).toString))
+      .flatMap(_.split("/").dropRight(1).toSeq.filter(_.contains("="))
+        .map(_.takeWhile(_ != '='))).distinct
+    require(partitionBy.isEmpty || partitionBy.sorted == discovered.sorted,
+      s"PARTITIONED BY ${partitionBy.mkString(",")} does not match the " +
+        s"discovered hive layout ${discovered.mkString(",")}")
     // a previously interrupted convert left files under data/ — resume
     // into a fresh dir alongside them (both end up in the one manifest)
     val dataDirName = s"data/${UUID.randomUUID().toString}"
@@ -1756,18 +1775,15 @@ object CommitLog {
       Files.move(p, dst)
       dst
     }
-    val resumed = inData // files a crashed convert already relocated
     val files = moved ++ resumed
-    require(files.nonEmpty, s"cannot convert $table: no parquet files found")
-    FileStats.writeSidecar(dataDir, moved)
-    // partition columns come from the preserved hive dir segments; the
-    // declared list (CONVERT … PARTITIONED BY) must agree when given
-    val discovered = files.map(f => tableDir.relativize(f).toString)
-      .flatMap(_.split("/").dropRight(1).toSeq.filter(_.contains("="))
-        .map(_.takeWhile(_ != '='))).distinct
-    require(partitionBy.isEmpty || partitionBy.sorted == discovered.sorted,
-      s"PARTITIONED BY ${partitionBy.mkString(",")} does not match the " +
-        s"discovered hive layout ${discovered.mkString(",")}")
+    // stats sidecars for EVERY commit dir in the manifest — including
+    // resumed dirs whose crashed attempt died before its sidecar write
+    // (pruning must work over the whole converted table, not just the
+    // freshly moved half)
+    files.groupBy(f => commitDirOf(tableDir.relativize(f).toString))
+      .foreach { case (dir, fs) =>
+        FileStats.writeSidecar(tableDir.resolve(dir), fs)
+      }
     // schema from the files themselves (one driver-side inference pass
     // over footers; partition columns typed by directory inference —
     // basePath is the TABLE root so a resumed convert's files under an

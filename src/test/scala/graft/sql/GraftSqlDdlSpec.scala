@@ -272,6 +272,55 @@ class GraftSqlDdlSpec extends SparkSpec {
       spark.sql(s"CONVERT TO GRAFT '$dir2' PARTITIONED BY (nope)")
     }
     assert(e2.getMessage.contains("does not match"), e2.getMessage)
+    // the refusal happened BEFORE any file moved: the directory is
+    // untouched and a correct convert then succeeds over it
+    assert(!new java.io.File(dir2, "data").exists())
+    assert(spark.read.parquet(dir2).count() === 1L)
+    assert(spark.sql(s"CONVERT TO GRAFT '$dir2'").collect().head.getLong(0) === 1L)
+    assert(CommitLog.read(spark, dir2).count() === 1L)
+  }
+
+  test("CONVERT resumes an interrupted attempt: relocated files picked up, junk excluded") {
+    val dir = tmpDir("sqlddl_convres"); new java.io.File(dir).delete()
+    import spark.implicits._
+    (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    // simulate a crashed attempt: one file already relocated under a
+    // data dir (no sidecar written), plus stray non-parquet junk there
+    val crashed = java.nio.file.Paths.get(dir, "data", "crashed-attempt")
+    java.nio.file.Files.createDirectories(crashed)
+    val src = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(src.toPath, crashed.resolve(src.getName))
+    java.nio.file.Files.write(crashed.resolve("junk.txt"), Array[Byte](1))
+    val v = spark.sql(s"CONVERT TO GRAFT '$dir'").collect().head.getLong(0)
+    assert(v === 1L)
+    // nothing lost, junk not published, BOTH halves carry sidecar stats
+    assert(CommitLog.read(spark, dir).count() === 100L)
+    val m = CommitLog.manifest(dir, 1L)
+    assert(m.files.forall(_.endsWith(".parquet")))
+    assert(m.files.exists(_.contains("crashed-attempt")))
+    val pruned = CommitLog.pruneFiles(dir, m,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 3L)))
+    assert(pruned.size === 1, s"resumed files must prune too: $pruned")
+  }
+
+  test("a zero-file schema-changing overwrite resets the derived layout") {
+    val t = tmpDir("sqlddl_layoutreset"); new java.io.File(t).delete()
+    CommitLog.commit(Seq((1L, "a")).toDF("id", "typ"), t, "append",
+      partitionBy = Seq("typ"))
+    // empty overwrite whose NEW schema has no typ column
+    CommitLog.commit(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))), t, "overwrite")
+    // the walk-back must NOT resurrect typ (it left the schema): the
+    // next SQL INSERT plans unpartitioned instead of failing
+    spark.read.format("graft").load(t).createOrReplaceTempView("sqlddl_lr_v")
+    spark.sql("INSERT INTO sqlddl_lr_v VALUES (7)")
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    assert(m.files.nonEmpty && m.files.forall(!_.contains("typ=")), m.files)
   }
 
   test("ALTER TABLE on a non-graft table still reaches Spark's grammar") {
