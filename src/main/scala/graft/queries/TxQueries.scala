@@ -328,6 +328,47 @@ object TxQueries {
       s.sql(s"TRUNCATE TABLE '$clone'"): Unit
     }
 
+  /** Plain-parquet copy of events wrapped by CONVERT TO GRAFT, then
+    * trickle-mutated — proving the converted table is a full citizen:
+    * DML routes through the commit log, time travel reads the pristine
+    * v1, stats sidecars (built at convert from one footer pass) prune. */
+  private val builtConvert = new ConcurrentHashMap[String, String]()
+
+  private def ensureConvertTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtConvert, d, "txconv") { (table, ev) =>
+      // a PLAIN parquet dataset (no commit log), id-range-clustered so
+      // the convert-built footer stats genuinely prune …
+      ev.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(table)
+      // … wrapped in place, then mutated like any graft table
+      s.sql(s"CONVERT TO GRAFT '$table'")
+      s.read.format("graft").load(table).createOrReplaceTempView(
+        s"txconv_v_${java.lang.Integer.toHexString(table.hashCode)}")
+      s.sql(s"DELETE FROM txconv_v_${java.lang.Integer.toHexString(table.hashCode)} " +
+        "WHERE event_type = 'error'"): Unit
+    }
+
+  /** Table carrying a CHECK constraint from birth: the constraint admits
+    * every real event row, a violating INSERT is attempted and MUST
+    * refuse without publishing, and the final snapshot equals the
+    * original events plus one legal insert. */
+  private val builtConstraint = new ConcurrentHashMap[String, String]()
+
+  private def ensureConstraintTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtConstraint, d, "txcheck") { (table, ev) =>
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val v = s"txcheck_v_${java.lang.Integer.toHexString(table.hashCode)}"
+      s.read.format("graft").load(table).createOrReplaceTempView(v)
+      s.sql(s"ALTER TABLE $v ADD CONSTRAINT val_floor CHECK (value >= 0)")
+      val before = CommitLog.latestVersion(table).get
+      val refused =
+        try { s.sql(s"INSERT INTO $v VALUES (999999991, 'bad', -5.0)"); false }
+        catch { case _: Throwable => true }
+      require(refused && CommitLog.latestVersion(table).get == before,
+        s"violating INSERT must refuse without publishing on $table")
+      s.sql(s"INSERT INTO $v VALUES (999999992, 'ok', 1.25)"): Unit
+    }
+
   /** Table read back through SQL time travel (round-8 VERDICT item 2):
     * commit all events (v1), DV-delete the 'error' rows (v2) — the query
     * joins `VERSION AS OF 1`, the latest snapshot, and a far-future
@@ -854,6 +895,41 @@ object TxQueries {
           countDistinct(col("event_id")).as("n_ids"),
           min(col("value")).as("v_min"), max(col("value")).as("v_max"))
         .withColumn("files_kept", lit(m1.forall(mN.contains)))
+        .orderBy("event_type")
+    }),
+
+    // CONVERT TO GRAFT under the gate (round 9): a plain-parquet dataset
+    // wrapped in place must behave as a native table — the DELETE routed
+    // through the commit log (non-error rows survive), v1 time travel
+    // reads the pristine snapshot, and the convert-built sidecars prune
+    // a point predicate (files_pruned under the hash gate; a convert
+    // that skipped stats or rewrote data flips it).
+    "tx_sql_convert" -> ((s, d) => {
+      val table = ensureConvertTable(s, d)
+      val m = CommitLog.manifest(table, CommitLog.latestVersion(table).get)
+      val probe = events(s, d).select("event_id").limit(1)
+        .collect().head.getLong(0)
+      val kept = CommitLog.pruneFiles(table, m,
+        Seq(org.apache.spark.sql.sources.EqualTo("event_id", probe)))
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+        .withColumn("v1_total", lit(
+          s.read.format("graft").option("versionAsOf", 1).load(table).count()))
+        .withColumn("files_pruned", lit(kept.size < m.files.size))
+        .orderBy("event_type")
+    }),
+
+    // CHECK constraints under the gate (round 9): the violating INSERT
+    // refused inside the builder (version pinned unchanged there); the
+    // oracle recomputes the final snapshot = events + the one legal
+    // insert, so a constraint that blocked a legal write, or failed to
+    // block the illegal one, flips counts or bounds.
+    "tx_sql_constraints" -> ((s, d) => {
+      val table = ensureConstraintTable(s, d)
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
         .orderBy("event_type")
     }),
 
@@ -1450,6 +1526,24 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max,
            TRUE AS files_kept
          FROM kept GROUP BY event_type ORDER BY event_type""",
+    // converted-table recompute: DELETE dropped the error rows; v1 time
+    // travel sees everything; sidecar pruning pinned true
+    "tx_sql_convert" ->
+      """SELECT event_type, count(*) AS n_events,
+           min(value) AS v_min, max(value) AS v_max,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS v1_total,
+           TRUE AS files_pruned
+         FROM events WHERE event_type <> 'error'
+         GROUP BY event_type ORDER BY event_type""",
+    // constraint recompute: all events admit value >= 0; the violating
+    // insert refused in-builder; one legal insert landed
+    "tx_sql_constraints" ->
+      """WITH rows_ AS (
+           SELECT event_type, value FROM events
+           UNION ALL SELECT 'ok', 1.25)
+         SELECT event_type, count(*) AS n_events,
+           min(value) AS v_min, max(value) AS v_max
+         FROM rows_ GROUP BY event_type ORDER BY event_type""",
     // lifecycle recompute: ALTER/INSERT fully undone by the restore, so
     // the snapshot is exactly the raw events; clone pins are invariants
     "tx_sql_lifecycle" ->
