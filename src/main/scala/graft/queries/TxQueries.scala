@@ -342,10 +342,9 @@ object TxQueries {
         .write.mode("overwrite").parquet(table)
       // … wrapped in place, then mutated like any graft table
       s.sql(s"CONVERT TO GRAFT '$table'")
-      s.read.format("graft").load(table).createOrReplaceTempView(
-        s"txconv_v_${java.lang.Integer.toHexString(table.hashCode)}")
-      s.sql(s"DELETE FROM txconv_v_${java.lang.Integer.toHexString(table.hashCode)} " +
-        "WHERE event_type = 'error'"): Unit
+      val v = s"txconv_v_${java.lang.Integer.toHexString(table.hashCode)}"
+      s.read.format("graft").load(table).createOrReplaceTempView(v)
+      s.sql(s"DELETE FROM $v WHERE event_type = 'error'"): Unit
     }
 
   /** Table carrying a CHECK constraint from birth: the constraint admits
@@ -361,9 +360,19 @@ object TxQueries {
       s.read.format("graft").load(table).createOrReplaceTempView(v)
       s.sql(s"ALTER TABLE $v ADD CONSTRAINT val_floor CHECK (value >= 0)")
       val before = CommitLog.latestVersion(table).get
+      // the refusal must BE the constraint's (an unrelated crash in the
+      // insert path must not masquerade as enforcement): walk the cause
+      // chain for the raise_error message
+      def isConstraintRefusal(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+          .exists(c => Option(c.getMessage).exists(_.contains("CHECK constraint val_floor")))
       val refused =
         try { s.sql(s"INSERT INTO $v VALUES (999999991, 'bad', -5.0)"); false }
-        catch { case _: Throwable => true }
+        catch {
+          case e: Exception if isConstraintRefusal(e) => true
+          case e: Exception => throw new IllegalStateException(
+            s"violating INSERT failed for the WRONG reason on $table", e)
+        }
       require(refused && CommitLog.latestVersion(table).get == before,
         s"violating INSERT must refuse without publishing on $table")
       s.sql(s"INSERT INTO $v VALUES (999999992, 'ok', 1.25)"): Unit
@@ -907,10 +916,13 @@ object TxQueries {
     "tx_sql_convert" -> ((s, d) => {
       val table = ensureConvertTable(s, d)
       val m = CommitLog.manifest(table, CommitLog.latestVersion(table).get)
-      val probe = events(s, d).select("event_id").limit(1)
-        .collect().head.getLong(0)
+      // fixed probe key: deterministic across runs and free (an unordered
+      // limit(1).collect() was a nondeterministic row choice plus an
+      // extra Spark job inside the benched query — round-9 review
+      // finding); pruning truth needs only the range-clustered layout,
+      // not the key's existence
       val kept = CommitLog.pruneFiles(table, m,
-        Seq(org.apache.spark.sql.sources.EqualTo("event_id", probe)))
+        Seq(org.apache.spark.sql.sources.EqualTo("event_id", 777L)))
       CommitLog.read(s, table).groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           min(col("value")).as("v_min"), max(col("value")).as("v_max"))

@@ -29,13 +29,22 @@ class TxModelSpec extends SparkSpec {
       // model state BY VERSION, for restore targets
       var history = Map.empty[Long, Map[Long, Double]]
 
+      // values span [0, 999.75] so BOTH mutation bands genuinely fire:
+      // deletes cut below 250, updates hit above 750 (a narrower range
+      // left the update arm provably vacuous — round-9 review finding)
       def rows(n: Int): Seq[R] = (0 until n).map { _ =>
         nextId += 1
-        R(nextId, math.floor(rnd.nextDouble() * 1000) / 4.0)
+        R(nextId, math.floor(rnd.nextDouble() * 4000) / 4.0)
       }
       def df(rs: Seq[R]) = rs.toDF("id", "value")
-      def snap(): Map[Long, Double] =
-        CommitLog.read(spark, t).as[R].collect().map(r => r.id -> r.value).toMap
+      def snap(): Map[Long, Double] = {
+        val rows = CommitLog.read(spark, t).as[R].collect()
+        // the Map collapse would MASK a duplicate-key bug (two rows for
+        // one id) — pin the raw row count too (round-9 review finding)
+        assert(rows.length === rows.map(_.id).distinct.length,
+          s"duplicate ids in snapshot: ${rows.groupBy(_.id).filter(_._2.length > 1).keys.take(5)}")
+        rows.map(r => r.id -> r.value).toMap
+      }
       def record(): Unit = {
         history += CommitLog.latestVersion(t).get -> model
       }
