@@ -1241,11 +1241,23 @@ object CommitLog {
       if (m.txns.get(app).exists(_ >= batch)) return m.version
     }
     val schema = m.schema
-    (matched ++ bySource).flatMap(_.set).flatMap(_.keys).foreach { k =>
-      require(schema.fieldNames.contains(k),
-        s"MERGE SET cannot add column '$k' in a conditional clause " +
-          "(schema evolution stays on the star-shaped merge)")
-    }
+    // SET keys resolve to the schema's CANONICAL field names
+    // case-insensitively (round-9 ADVICE: the SQL path feeds user-typed
+    // identifiers through, and Spark resolves case-insensitively
+    // everywhere else — `SET Value = …` against column `value` must
+    // update, not refuse with a misleading "cannot add column"); the
+    // downstream set.get(name)/schema(name) lookups are case-sensitive,
+    // so canonicalization happens ONCE here and everything below sees
+    // schema-exact names
+    def canon(cl: MatchedClause): MatchedClause = cl.copy(set = cl.set.map(_.map {
+      case (k, v) =>
+        schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE SET cannot add column '$k' in a conditional clause " +
+              "(schema evolution stays on the star-shaped merge)")) -> v
+    }))
+    val matchedC = matched.map(canon)
+    val bySourceC = bySource.map(canon)
     keys.foreach { k =>
       require(schema.fieldNames.contains(k), s"$table has no key column '$k'")
       require(source.columns.contains(k), s"merge source has no key column '$k'")
@@ -1270,7 +1282,7 @@ object CommitLog {
       try {
         // first-match-wins routing: the clause INDEX each pair falls to
         // (-1 = no clause claims it, the pair survives untouched)
-        val route = matched.zipWithIndex.foldRight(
+        val route = matchedC.zipWithIndex.foldRight(
           lit(-1): org.apache.spark.sql.Column) { case ((cl, i), els) =>
           when(hit(cl.condition), lit(i)).otherwise(els)
         }
@@ -1278,7 +1290,7 @@ object CommitLog {
         val ordered = schema.fieldNames.toSeq.map(col)
         // per-UPDATE-clause post-images on the combined row; unset columns
         // keep the target's value (partial update)
-        val postImages = matched.zipWithIndex.collect {
+        val postImages = matchedC.zipWithIndex.collect {
           case (MatchedClause(_, Some(set)), i) =>
             val rows = acted.filter(col("__action") === i)
             schema.fieldNames.foldLeft(rows: DataFrame) { (acc, name) =>
@@ -1288,11 +1300,11 @@ object CommitLog {
               }
             }.select(ordered: _*)
         }
-        val preImages = matched.zipWithIndex.collect {
+        val preImages = matchedC.zipWithIndex.collect {
           case (MatchedClause(_, Some(_)), i) =>
             acted.filter(col("__action") === i).select(ordered: _*)
         }
-        val deletedMatched = matched.zipWithIndex.collect {
+        val deletedMatched = matchedC.zipWithIndex.collect {
           case (MatchedClause(_, None), i) =>
             acted.filter(col("__action") === i).select(ordered: _*)
         }
@@ -1306,8 +1318,8 @@ object CommitLog {
         // target row must be seen — no pruning can apply by definition),
         // routed first-match-wins exactly like the matched side but over
         // the TARGET row alone
-        val bySourceActed = if (bySource.isEmpty) None else Some {
-          val route = bySource.zipWithIndex.foldRight(
+        val bySourceActed = if (bySourceC.isEmpty) None else Some {
+          val route = bySourceC.zipWithIndex.foldRight(
             lit(-1): org.apache.spark.sql.Column) { case ((cl, i), els) =>
             when(hit(cl.condition), lit(i)).otherwise(els)
           }
@@ -1317,7 +1329,7 @@ object CommitLog {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
         try {
-          val bySourcePost = bySource.zipWithIndex.collect {
+          val bySourcePost = bySourceC.zipWithIndex.collect {
             case (MatchedClause(_, Some(set)), i) =>
               val rows = bySourceActed.get.filter(col("__action") === i)
               schema.fieldNames.foldLeft(rows: DataFrame) { (acc, name) =>
@@ -1327,11 +1339,11 @@ object CommitLog {
                 }
               }.select(ordered: _*)
           }
-          val bySourcePre = bySource.zipWithIndex.collect {
+          val bySourcePre = bySourceC.zipWithIndex.collect {
             case (MatchedClause(_, Some(_)), i) =>
               bySourceActed.get.filter(col("__action") === i).select(ordered: _*)
           }
-          val bySourceDeleted = bySource.zipWithIndex.collect {
+          val bySourceDeleted = bySourceC.zipWithIndex.collect {
             case (MatchedClause(_, None), i) =>
               bySourceActed.get.filter(col("__action") === i).select(ordered: _*)
           }
@@ -1787,8 +1799,16 @@ object CommitLog {
     // schema from the files themselves (one driver-side inference pass
     // over footers; partition columns typed by directory inference —
     // basePath is the TABLE root so a resumed convert's files under an
-    // older data dir infer identically)
+    // older data dir infer identically). mergeSchema: a schema-EVOLVED
+    // plain-parquet directory (files with additive columns written at
+    // different times) must union ALL footers — the default samples one
+    // footer, silently narrowing the manifest schema so the other files'
+    // extra columns become invisible and a later OPTIMIZE rewrites them
+    // away permanently (round-9 ADVICE, medium; Delta's CONVERT merges
+    // the same way). Genuinely conflicting types still refuse loudly
+    // inside the merge.
     val schema = spark.read.option("basePath", tableDir.toString)
+      .option("mergeSchema", "true")
       .parquet(files.map(_.toString): _*).schema
     Files.createDirectories(tableDir.resolve(LogDir))
     publishRewrite(table, Manifest(0L, "overwrite", schema, Nil, Map.empty),
