@@ -921,15 +921,18 @@ object CommitLog {
     * `condition` leaves the row unchanged. Returns the new version, or the
     * current one when nothing matched. */
   def update(spark: SparkSession, table: String, condition: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column],
+      set0: Map[String, org.apache.spark.sql.Column],
       partitionBy: Seq[String] = Nil): Long = {
-    require(set.nonEmpty, "update requires at least one SET column")
+    require(set0.nonEmpty, "update requires at least one SET column")
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    set.keys.foreach { k =>
-      require(m.schema.fieldNames.contains(k),
-        s"UPDATE cannot add column '$k'; use merge for schema evolution")
-    }
+    // SET keys resolve case-insensitively to the schema's canonical names
+    // (round-10 ADVICE: the conditional-MERGE path resolved this way but
+    // UPDATE still refused `SET Value = …` against column `value`);
+    // collapsing and ambiguous keys refuse via [[canonicalSet]]
+    val set = canonicalSet(m.schema, set0, "UPDATE SET target",
+      k => throw new IllegalArgumentException(
+        s"UPDATE cannot add column '$k'; use merge for schema evolution"))
     val tableDir = Paths.get(table)
     val candidates = m.copy(files = pruneFiles(table, m, toFilters(spark, condition, m.schema)))
     val touched = touchedFiles(
@@ -1037,16 +1040,16 @@ object CommitLog {
     * nothing matched. */
   def updateDv(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column],
+      set0: Map[String, org.apache.spark.sql.Column],
       foldAt: Int = DvFoldAt): Long = {
-    require(set.nonEmpty, "update requires at least one SET column")
+    require(set0.nonEmpty, "update requires at least one SET column")
     import org.apache.spark.sql.functions.{coalesce => cz, col, lit}
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
-    set.keys.foreach { k =>
-      require(m.schema.fieldNames.contains(k),
-        s"UPDATE cannot add column '$k'; use merge for schema evolution")
-    }
+    // same canonical SET resolution as [[update]] (round-10 ADVICE)
+    val set = canonicalSet(m.schema, set0, "UPDATE SET target",
+      k => throw new IllegalArgumentException(
+        s"UPDATE cannot add column '$k'; use merge for schema evolution"))
     val tableDir = Paths.get(table)
     val hit = cz(condition, lit(false))
     val candidates = m.copy(files = pruneFiles(table, m, toFilters(spark, condition, m.schema)))
@@ -1075,6 +1078,48 @@ object CommitLog {
       publishRewrite(table, m, m.files ++ newFiles, mode = "update",
         cdcTmp = cdc, dvDirs = dvRefs, freshFiles = newFiles ++ dvFresh)
     } finally matched.unpersist(blocking = false): Unit
+  }
+
+  /** Case-insensitive resolution of a user-typed column name to its
+    * canonical name in `fields` — Spark's default resolution applied
+    * consistently across the mutation surface (round-9/10 ADVICE: SQL
+    * feeds user-typed identifiers through, and `SET Value = …` against
+    * column `value` must update, not refuse). AMBIGUITY refuses loudly: a
+    * table written under `spark.sql.caseSensitive=true` can hold two
+    * fields differing only by case, and silently binding the first match
+    * would mutate the wrong column. None when nothing matches (the caller
+    * supplies its context-specific error). */
+  private def resolveField(fields: Seq[String], name: String,
+      what: String): Option[String] = {
+    val hits = fields.filter(_.equalsIgnoreCase(name))
+    if (hits.length > 1) {
+      // an EXACT spelling disambiguates (the only way to address such a
+      // table at all); anything else refuses
+      val exact = hits.filter(_ == name)
+      if (exact.length == 1) return Some(exact.head)
+      throw new IllegalArgumentException(
+        s"$what '$name' is ambiguous: columns ${hits.mkString("'", "', '", "'")} " +
+          "differ only by case — use the exact spelling")
+    }
+    hits.headOption
+  }
+
+  /** Canonicalize a SET map's keys via [[resolveField]]. Two user keys
+    * collapsing to the same canonical column ('Value' and 'value') refuse
+    * with a conflicting-assignment error — last-wins would be arbitrary
+    * map order (Delta raises the same duplicate-assignment conflict); a
+    * key matching nothing routes through `onMissing`. */
+  private def canonicalSet[A](schema: StructType, set: Map[String, A],
+      what: String, onMissing: String => Nothing): Map[String, A] = {
+    val resolved = set.toSeq.map { case (k, v) =>
+      (k, resolveField(schema.fieldNames.toSeq, k, what).getOrElse(onMissing(k)), v)
+    }
+    resolved.groupBy(_._2).find(_._2.size > 1).foreach { case (c, g) =>
+      throw new IllegalArgumentException(
+        s"conflicting SET assignments for column '$c': " +
+          s"${g.map(_._1).mkString("'", "', '", "'")} resolve to the same column")
+    }
+    resolved.map { case (_, c, v) => c -> v }.toMap
   }
 
   /** Reject duplicate non-NULL key tuples in a merge source (Delta's
@@ -1248,34 +1293,49 @@ object CommitLog {
     // update, not refuse with a misleading "cannot add column"); the
     // downstream set.get(name)/schema(name) lookups are case-sensitive,
     // so canonicalization happens ONCE here and everything below sees
-    // schema-exact names
-    def canon(cl: MatchedClause): MatchedClause = cl.copy(set = cl.set.map(_.map {
-      case (k, v) =>
-        schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
-          throw new IllegalArgumentException(
-            s"MERGE SET cannot add column '$k' in a conditional clause " +
-              "(schema evolution stays on the star-shaped merge)")) -> v
-    }))
+    // schema-exact names. [[canonicalSet]] additionally refuses keys
+    // that COLLAPSE under canonicalization and case-ambiguous schemas
+    // (round-10 ADVICE, medium/low).
+    def canon(cl: MatchedClause): MatchedClause = cl.copy(set = cl.set.map(s =>
+      canonicalSet(schema, s, "MERGE SET target",
+        k => throw new IllegalArgumentException(
+          s"MERGE SET cannot add column '$k' in a conditional clause " +
+            "(schema evolution stays on the star-shaped merge)"))))
     val matchedC = matched.map(canon)
     val bySourceC = bySource.map(canon)
-    keys.foreach { k =>
-      require(schema.fieldNames.contains(k), s"$table has no key column '$k'")
-      require(source.columns.contains(k), s"merge source has no key column '$k'")
+    // merge keys resolve the same way (round-10 ADVICE, low: SET resolved
+    // case-insensitively but `ON t.Id = s.id` still refused — inconsistent
+    // resolution within one API surface). Each key carries its canonical
+    // TARGET name and its canonical SOURCE name separately; everything
+    // target-side below uses `keysC`, source-side accesses the source's
+    // own spelling.
+    val keyPairs = keys.map { k =>
+      val t = resolveField(schema.fieldNames.toSeq, k, "merge key").getOrElse(
+        throw new IllegalArgumentException(s"$table has no key column '$k'"))
+      val s = resolveField(source.columns.toSeq, k, "merge source key").getOrElse(
+        throw new IllegalArgumentException(s"merge source has no key column '$k'"))
+      (t, s)
     }
+    val keysC = keyPairs.map(_._1)
     val tableDir = Paths.get(table)
     def hit(c: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
       cz(c.getOrElse(lit(true)), lit(false))
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      requireUniqueSourceKeys(src, keys)
-      val srcKeys = src.select(keys.map(col): _*).distinct()
+      requireUniqueSourceKeys(src, keyPairs.map(_._2))
+      // key set under canonical TARGET names — the spelling every
+      // table-side consumer (stats pruning, probe join, by-source
+      // anti-join) binds against
+      val srcKeys = src.select(keyPairs.map { case (t, s) => col(s).as(t) }: _*)
+        .distinct()
       // combined probe: target rows (through the DV filter, with their
       // (file, row_index) identity) × their matching source row; source
       // columns ride under __src_ so same-named columns never collide
-      val candidates = m.copy(files = pruneFilesByKeys(spark, table, m, keys, srcKeys))
+      val candidates = m.copy(files = pruneFilesByKeys(spark, table, m, keysC, srcKeys))
       val srcPrefixed = src.select(src.columns.toIndexedSeq.map(c =>
         col(c).as(s"__src_$c")): _*)
-      val joinCond = keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
+      val joinCond = keyPairs.map { case (t, s) =>
+        col(t) === col(s"__src_$s") }.reduce(_ && _)
       val pairs = readManifestWithPos(spark, table, candidates)
         .join(srcPrefixed, joinCond, "inner")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1311,8 +1371,13 @@ object CommitLog {
         // NOT MATCHED inserts: source rows whose key joins nothing, gated
         // by the insert condition, star-aligned to the table schema
         val inserts = insert.map { cond =>
-          val matchedKeys = pairs.select(keys.map(col): _*).distinct()
-          alignTo(src.join(matchedKeys, keys, "left_anti").filter(hit(cond)), schema)
+          val matchedKeys = pairs.select(keysC.map(col): _*).distinct()
+          // explicit equi-condition (not USING): the source may spell the
+          // key differently than the table; NULL source keys match
+          // nothing and insert, as with the USING anti-join
+          val anti = keyPairs.map { case (t, s) =>
+            src.col(s) === matchedKeys.col(t) }.reduce(_ && _)
+          alignTo(src.join(matchedKeys, anti, "left_anti").filter(hit(cond)), schema)
         }
         // NOT MATCHED BY SOURCE clauses: full-snapshot anti-join (every
         // target row must be seen — no pruning can apply by definition),
@@ -1324,7 +1389,7 @@ object CommitLog {
             when(hit(cl.condition), lit(i)).otherwise(els)
           }
           readManifestWithPos(spark, table, m)
-            .join(srcKeys, keys, "left_anti")
+            .join(srcKeys, keysC, "left_anti")
             .withColumn("__action", route).filter(col("__action") >= 0)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }

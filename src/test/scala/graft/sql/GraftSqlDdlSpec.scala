@@ -280,6 +280,28 @@ class GraftSqlDdlSpec extends SparkSpec {
     assert(CommitLog.read(spark, dir2).count() === 1L)
   }
 
+  test("round-10 regression: CONVERT unions divergent additive footers") {
+    val dir = tmpDir("sqlddl_convevo"); new java.io.File(dir).delete()
+    import spark.implicits._
+    // a schema-evolved PLAIN parquet directory: the second writer added a
+    // column, so the files carry DIVERGENT footers — CONVERT's inferred
+    // schema must be the union (mergeSchema), not whichever footer the
+    // inference happened to sample (round-10 fix, CommitLog.convert)
+    Seq((1L, "a")).toDF("id", "s").write.parquet(dir)
+    Seq((2L, "b", 9.0)).toDF("id", "s", "score").write.mode("append").parquet(dir)
+    assert(spark.sql(s"CONVERT TO GRAFT '$dir'").collect().head.getLong(0) === 1L)
+    val m = CommitLog.manifest(dir, 1L)
+    assert(m.schema.fieldNames.toSet === Set("id", "s", "score"))
+    def snapshot: Seq[(Long, String, Option[Double])] =
+      CommitLog.read(spark, dir).select("id", "s", "score")
+        .as[(Long, String, Option[Double])].collect().toSeq.sortBy(_._1)
+    // pre-column files read NULL for the evolved column
+    assert(snapshot === Seq((1L, "a", None), (2L, "b", Some(9.0))))
+    // a post-convert OPTIMIZE keeps the evolved column and its values
+    spark.sql(s"OPTIMIZE '$dir'")
+    assert(snapshot === Seq((1L, "a", None), (2L, "b", Some(9.0))))
+  }
+
   test("CONVERT resumes an interrupted attempt: relocated files picked up, junk excluded") {
     val dir = tmpDir("sqlddl_convres"); new java.io.File(dir).delete()
     import spark.implicits._

@@ -237,6 +237,23 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(rows(t).filter(_._2 == "a").map(_._3) === Seq(11.0, 21.0))
   }
 
+  test("round-10 regression: UPDATE SET with mixed-case target resolves case-insensitively") {
+    val t = freshTable("sqldml_case")
+    val v = view(t, "sqldml_case_v")
+    spark.sql(s"UPDATE $v SET Value = 99.0 WHERE id = 1")
+    assert(rows(t).find(_._1 == 1L).get === ((1L, "a", 99.0)))
+    // two SET keys collapsing to one column refuse (no arbitrary last-wins)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $v SET Value = 1.0, value = 2.0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("conflicting SET assignments"), e.getMessage)
+    // copy-on-write path resolves the same way
+    spark.conf.set("spark.graft.dml.deletionVectors", "false")
+    try spark.sql(s"UPDATE $v SET VALUE = 7.5 WHERE id = 2")
+    finally spark.conf.unset("spark.graft.dml.deletionVectors")
+    assert(rows(t).find(_._1 == 2L).get === ((2L, "a", 7.5)))
+  }
+
   test("DML on a non-graft view is left to Spark's own error") {
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("sqldml_plain")
     val e = intercept[Exception] {

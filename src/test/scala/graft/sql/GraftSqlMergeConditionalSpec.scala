@@ -237,4 +237,53 @@ class GraftSqlMergeConditionalSpec extends SparkSpec {
     assert(CommitLog.latestVersion(t).get === 2L)
     assert(rows(t).find(_._1 == 1L).get === ((1L, "a", 111.0)))
   }
+
+  test("round-10 regression: mixed-case SET key and ON key resolve to the schema column") {
+    val t = freshTable("mrgc_case")
+    val v = view(t, "mrgc_case_v")
+    Seq((2L, "z", 21.0)).toDF("id", "typ", "value")
+      .createOrReplaceTempView("mrgc_case_src")
+    // `SET Value` against column `value`, `ON t.Id` against column `id`:
+    // both must resolve case-insensitively (Spark's default resolution),
+    // not refuse with "cannot add column" / "no key column"
+    spark.sql(
+      s"""MERGE INTO $v t USING mrgc_case_src s ON t.Id = s.id
+          WHEN MATCHED AND s.value > 0 THEN UPDATE SET Value = s.value + 1""")
+    assert(rows(t).find(_._1 == 2L).get === ((2L, "a", 22.0)))
+  }
+
+  test("conflicting SET assignments differing only by case refuse (no last-wins)") {
+    val t = freshTable("mrgc_dupset")
+    val v = view(t, "mrgc_dupset_v")
+    Seq((2L, "z", 21.0)).toDF("id", "typ", "value")
+      .createOrReplaceTempView("mrgc_dupset_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $v t USING mrgc_dupset_src s ON t.id = s.id
+            WHEN MATCHED AND s.value > 0 THEN UPDATE SET Value = 1.0, value = 2.0""")
+    }
+    assert(e.getMessage.contains("conflicting SET assignments"), e.getMessage)
+    // nothing committed
+    assert(CommitLog.latestVersion(t).get === 1L)
+  }
+
+  test("a case-ambiguous schema refuses a case-insensitive SET instead of binding arbitrarily") {
+    val t = tmpDir("mrgc_ambig"); new java.io.File(t).delete()
+    // a table written under caseSensitive semantics CAN hold two fields
+    // differing only by case — parquet and the manifest both allow it
+    // (the default-conf write path refuses the duplicate up front)
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try CommitLog.commit(Seq((1L, 1.0, 2.0)).toDF("id", "value", "Value"),
+      t, "append")
+    finally spark.conf.unset("spark.sql.caseSensitive")
+    val src = Seq((1L, 9.0)).toDF("id", "x")
+    val clause = Seq(CommitLog.MatchedClause(None,
+      Some(Map("VALUE" -> col("__src_x")))))
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.mergeConditionalDv(spark, t, src, Seq("id"), clause)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // the refusal happened before anything was written
+    assert(CommitLog.latestVersion(t).get === 1L)
+  }
 }
