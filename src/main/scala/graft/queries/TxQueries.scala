@@ -274,6 +274,46 @@ object TxQueries {
             WHEN NOT MATCHED THEN INSERT *"""): Unit
     }
 
+  /** Table created by `CREATE TABLE … USING graft PARTITIONED BY
+    * (event_type)` and filled by a plain INSERT — the declared layout
+    * must be RECORDED in the manifest and honored by the insert (hive
+    * dirs + partition pruning), the silent-drop bug class of round-10
+    * VERDICT item 1. */
+  private val builtSqlCreatePart = new ConcurrentHashMap[String, String]()
+
+  private def ensureSqlCreatePartTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtSqlCreatePart, d, "txsqlcpart") { (table, ev) =>
+      val name = cpartName(table)
+      val src = s"${name}_src"
+      ev.createOrReplaceTempView(src)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.sql(s"""CREATE TABLE $name (event_id BIGINT, event_type STRING,
+                value DOUBLE) USING graft PARTITIONED BY (event_type)
+                LOCATION '$table'""")
+      s.sql(s"INSERT INTO $name SELECT event_id, event_type, value FROM $src"): Unit
+    }
+
+  private def cpartName(table: String): String =
+    s"graft_cpart_${java.lang.Integer.toHexString(table.hashCode)}"
+
+  /** Table driven through `ALTER TABLE … RENAME COLUMN value TO amount`
+    * (column mapping — zero data rewrite) and then an INSERT under the
+    * NEW name: reads alias the old bytes, new files store the physical
+    * old name, and v1 time travel still serves the pre-rename schema. */
+  private val builtSqlRename = new ConcurrentHashMap[String, String]()
+
+  private def ensureSqlRenameTable(s: SparkSession, d: String): String =
+    scratchTable(s, builtSqlRename, d, "txsqlren") { (table, ev) =>
+      CommitLog.commit(ev.repartition(8), table, "append")
+      val tag = java.lang.Integer.toHexString(table.hashCode)
+      val (v, src) = (s"txsqlren_v_$tag", s"txsqlren_src_$tag")
+      ev.createOrReplaceTempView(src)
+      s.read.format("graft").load(table).createOrReplaceTempView(v)
+      s.sql(s"ALTER TABLE $v RENAME COLUMN value TO amount")
+      s.sql(s"INSERT INTO $v SELECT event_id + 900000000, event_type, " +
+        s"value + 7 FROM $src WHERE event_id % 131 = 5"): Unit
+    }
+
   /** Table mutated by a CONDITIONAL SQL MERGE (round-8 VERDICT item 4):
     * first-match-wins matched routing (DELETE when the source value is
     * high, partial UPDATE otherwise), a conditional INSERT, and two
@@ -885,6 +925,50 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // CREATE TABLE … PARTITIONED BY honored end-to-end (round-10 VERDICT
+    // item 1): the declared layout is recorded in the manifest at create,
+    // the name-addressed INSERT routes rows into hive dirs WITHOUT
+    // re-specifying it, and the layout prunes a partition predicate —
+    // `hive_layout`/`files_pruned` pin all three under the hash gate (the
+    // old silent-drop behavior flips both to false).
+    "tx_sql_create_partitioned" -> ((s, d) => {
+      val table = ensureSqlCreatePartTable(s, d)
+      val m = CommitLog.manifest(table, CommitLog.latestVersion(table).get)
+      val layoutOk = m.partitionBy == Seq("event_type") &&
+        m.files.nonEmpty && m.files.forall(_.contains("event_type="))
+      val pruned = CommitLog.pruneFiles(table, m,
+        Seq(org.apache.spark.sql.sources.EqualTo("event_type", "purchase")))
+      s.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+              min(value) AS v_min, max(value) AS v_max
+            FROM ${cpartName(table)}
+            WHERE event_type IN ('purchase', 'signup')
+            GROUP BY event_type""")
+        .withColumn("hive_layout", lit(layoutOk))
+        .withColumn("files_pruned", lit(pruned.size < m.files.size))
+        .orderBy("event_type")
+    }),
+
+    // ALTER TABLE RENAME COLUMN via column mapping (round-10 VERDICT
+    // item 4): the rename is a schema-only commit (`files_kept` pins the
+    // zero-rewrite contract), the post-rename INSERT binds the NEW name,
+    // reads alias the old bytes under it, and v1 time travel still
+    // serves the OLD name (`v1_old_name` under the hash gate).
+    "tx_sql_rename" -> ((s, d) => {
+      val table = ensureSqlRenameTable(s, d)
+      val m1 = CommitLog.manifest(table, 1L)
+      val mN = CommitLog.manifest(table, CommitLog.latestVersion(table).get)
+      val v1 = CommitLog.readAt(s, table, 1L)
+      val v1OldName = v1.columns.contains("value") &&
+        !v1.columns.contains("amount")
+      CommitLog.read(s, table).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("amount")).as("a_min"), max(col("amount")).as("a_max"))
+        .withColumn("files_kept", lit(m1.files.forall(mN.files.contains)))
+        .withColumn("v1_old_name", lit(v1OldName))
+        .orderBy("event_type")
+    }),
+
     // Conditional SQL MERGE (round-8 VERDICT item 4): one statement routes
     // matched pairs first-match-wins (high-value → DELETE, rest → partial
     // UPDATE keeping event_type), gates inserts on a source condition, and
@@ -1485,6 +1569,22 @@ object TxQueries {
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
            min(value) AS v_min, max(value) AS v_max
          FROM events WHERE event_id % 11 <> 0
+         GROUP BY event_type ORDER BY event_type""",
+    "tx_sql_rename" ->
+      """WITH renamed AS (
+           SELECT event_id, event_type, value AS amount FROM events
+           UNION ALL
+           SELECT event_id + 900000000, event_type, value + 7 AS amount
+             FROM events WHERE event_id % 131 = 5)
+         SELECT event_type, count(*) AS n_events,
+           min(amount) AS a_min, max(amount) AS a_max,
+           TRUE AS files_kept, TRUE AS v1_old_name
+         FROM renamed GROUP BY event_type ORDER BY event_type""",
+    "tx_sql_create_partitioned" ->
+      """SELECT event_type, count(*) AS n_events,
+           min(value) AS v_min, max(value) AS v_max,
+           TRUE AS hive_layout, TRUE AS files_pruned
+         FROM events WHERE event_type IN ('purchase', 'signup')
          GROUP BY event_type ORDER BY event_type""",
     // catalog lifecycle recompute: insert all → signup +0.5 → error rows
     // gone → upsert (%113==9 re-valued from SOURCE values +3000 — error

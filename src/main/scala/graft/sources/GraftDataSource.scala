@@ -71,38 +71,7 @@ final class GraftSourceProvider extends RelationProvider
     val table = GraftSourceProvider.rootOf(parameters,
       "graft source needs a table root: LOCATION '<path>'")
     if (CommitLog.latestVersion(table).isEmpty) {
-      // Refuse to create over a NON-EMPTY directory that is not a graft
-      // table: committing an empty v1 would make SELECT return 0 rows
-      // while the directory holds real data — a silent masquerade (Delta
-      // refuses a non-empty non-Delta location the same way). Pre-commit
-      // table config (bloom registration, constraints) is legitimately
-      // present before v1 and doesn't count as data.
-      val dir = java.nio.file.Paths.get(table)
-      if (java.nio.file.Files.isDirectory(dir)) {
-        // graft's OWN pre-manifest artifacts don't count as foreign data:
-        // config files, `_`-prefixed names (an empty `_graft_log`, Spark
-        // `_SUCCESS` markers), and a `data/` dir left by a crashed FIRST
-        // write that never linked its manifest (those files were never
-        // committed — hiding them is correct, and convert() filters the
-        // same way); anything else is a user dataset we must not mask
-        val ownConfig = Set(graft.tx.BloomIndex.ConfigName,
-          graft.tx.Constraints.ConfigName, "data")
-        val st = java.nio.file.Files.list(dir)
-        val foreign =
-          try {
-            import scala.jdk.CollectionConverters._
-            st.iterator().asScala.map(_.getFileName.toString)
-              .find(n => !ownConfig(n) && !n.startsWith(".") && !n.startsWith("_"))
-          } finally st.close()
-        foreign.foreach { n =>
-          throw new IllegalStateException(
-            s"cannot create a graft table at $table: the directory is " +
-              s"not empty (found '$n') and carries no commit log — " +
-              "creating would hide the existing files behind an empty " +
-              "snapshot; point LOCATION at an empty/new directory or " +
-              "convert the data with an explicit write")
-        }
-      }
+      GraftSourceProvider.requireCreatable(table)
       CommitLog.commit(sqlContext.sparkSession.createDataFrame(
         sqlContext.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema), table, "append")
@@ -334,10 +303,13 @@ final class GraftSourceProvider extends RelationProvider
     // anti-join, and file pruning; only the row handoff at the relation
     // boundary is generic. compact() folds the DVs and restores the
     // direct HadoopFsRelation fast path.
-    if (m.dvDirs.nonEmpty)
+    if (m.dvDirs.nonEmpty || m.colMap.nonEmpty)
       // pin the resolved version (review finding): an unpinned relation
       // would re-resolve 'latest' per action — schema and data could
-      // straddle a concurrent commit, unlike the file-pinned fast path
+      // straddle a concurrent commit, unlike the file-pinned fast path.
+      // COLUMN-MAPPED tables (post-RENAME, pre-OPTIMIZE) also serve here:
+      // the physical→logical aliasing lives in CommitLog's scan, which a
+      // raw HadoopFsRelation cannot express
       return new GraftDvRelation(spark, sqlContext, table, Some(m.version))
     val index = new GraftFileIndex(spark, table, m)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
@@ -346,7 +318,7 @@ final class GraftSourceProvider extends RelationProvider
   }
 }
 
-private[sources] object GraftSourceProvider {
+private[graft] object GraftSourceProvider {
   /** The `path` parameter as a plain filesystem table root: a
     * catalog-registered table's LOCATION arrives as a `file:` URI
     * ([[graft.sql.GraftCatalog]] named tables), a direct `.load(path)`
@@ -354,6 +326,40 @@ private[sources] object GraftSourceProvider {
   def rootOf(parameters: Map[String, String], err: String): String =
     CommitLog.normalizeRoot(
       parameters.getOrElse("path", throw new IllegalArgumentException(err)))
+
+  /** Refuse to create a graft table over a NON-EMPTY directory that is
+    * not a graft table: committing an empty v1 would make SELECT return 0
+    * rows while the directory holds real data — a silent masquerade
+    * (Delta refuses a non-empty non-Delta location the same way).
+    * Graft's OWN pre-manifest artifacts don't count as foreign data:
+    * config files, `_`-prefixed names (an empty `_graft_log`, Spark
+    * `_SUCCESS` markers), and a `data/` dir left by a crashed FIRST
+    * write that never linked its manifest (those files were never
+    * committed — hiding them is correct, and convert() filters the same
+    * way); anything else is a user dataset we must not mask. Shared by
+    * the schema-create path and the partitioned CREATE TABLE / CTAS
+    * commands ([[graft.sql.GraftCreateTable]]). */
+  def requireCreatable(table: String): Unit = {
+    val dir = java.nio.file.Paths.get(table)
+    if (!java.nio.file.Files.isDirectory(dir)) return
+    val ownConfig = Set(graft.tx.BloomIndex.ConfigName,
+      graft.tx.Constraints.ConfigName, "data")
+    val st = java.nio.file.Files.list(dir)
+    val foreign =
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .find(n => !ownConfig(n) && !n.startsWith(".") && !n.startsWith("_"))
+      } finally st.close()
+    foreign.foreach { n =>
+      throw new IllegalStateException(
+        s"cannot create a graft table at $table: the directory is " +
+          s"not empty (found '$n') and carries no commit log — " +
+          "creating would hide the existing files behind an empty " +
+          "snapshot; point LOCATION at an empty/new directory or " +
+          "convert the data with an explicit write")
+    }
+  }
 }
 
 /** Version-tailing Structured Streaming source over a commit-log table:

@@ -384,6 +384,15 @@ private[graft] object GraftDml {
     * manifest's directory segments) — mutations re-write surviving rows in
     * the SAME layout, and inserts route new rows into it. */
   def layoutCols(table: String): Seq[String] = {
+    // the manifest's DECLARED partition spec is authoritative when
+    // present (recorded at CREATE TABLE … PARTITIONED BY / CONVERT /
+    // first partitioned write — round-11): it survives truncates and
+    // empty snapshots by construction, no walk-back needed
+    CommitLog.latestVersion(table)
+      .map(v => CommitLog.manifest(table, v).partitionBy)
+      .filter(_.nonEmpty)
+      .foreach(declared => return declared)
+    // legacy tables (no recorded spec): derive from file paths.
     // the newest version that still HAS files: a TRUNCATE (empty
     // overwrite) or an everything-matched delete leaves a zero-file
     // snapshot, and deriving the layout only from it would silently turn

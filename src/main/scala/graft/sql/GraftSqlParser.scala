@@ -44,7 +44,8 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.parseMaintenance(sqlText)
       .orElse(GraftSqlParser.parseGraftDdl(session, sqlText))
-      .getOrElse(GraftTimeTravel.rewrite(session, delegate.parsePlan(sqlText)))
+      .getOrElse(GraftCreateTable.claim(session,
+        GraftTimeTravel.rewrite(session, delegate.parsePlan(sqlText))))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -97,6 +98,9 @@ object GraftSqlParser {
   private val DropCols =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+COLUMNS?\s*\(?\s*([\w`",.\s]+?)\s*\)?\s*;?\s*""").r
+  private val RenameCol =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*""").r
   private val AddConstraint =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
@@ -169,6 +173,11 @@ object GraftSqlParser {
         val (t, q) = target(p1, p2, id)
         graftTarget(t, q).map { case (tt, qq) =>
           GraftAddColumnsCommand(tt, qq, cols)
+        }
+      case RenameCol(p1, p2, id, oldName, newName) =>
+        val (t, q) = target(p1, p2, id)
+        graftTarget(t, q).map { case (tt, qq) =>
+          GraftRenameColumnCommand(tt, qq, oldName, newName)
         }
       case AddConstraint(p1, p2, id, name, check) =>
         val (t, q) = target(p1, p2, id)
@@ -359,6 +368,24 @@ case class GraftDropColumnsCommand(table: String, quoted: Boolean,
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
     val v = CommitLog.dropColumns(root, names)
+    GraftCatalog.invalidateRelationCache(spark)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE <graft table> RENAME COLUMN old TO new` —
+  * [[CommitLog.renameColumn]]: a schema-only commit via column mapping
+  * (Delta's mechanism) — ZERO data files rewrite, time travel across the
+  * rename stays correct, OPTIMIZE later rewrites the files under the new
+  * name and clears the map. Claimed only for graft targets; other tables
+  * keep Spark's own (refusing v1) semantics. */
+case class GraftRenameColumnCommand(table: String, quoted: Boolean,
+    oldName: String, newName: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
+    val v = CommitLog.renameColumn(root, oldName, newName)
     GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
   }

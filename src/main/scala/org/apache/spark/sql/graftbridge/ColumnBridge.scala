@@ -70,6 +70,18 @@ object ColumnBridge {
         isStreaming)
   }
 
+  /** The single partition-column name of an identity
+    * [[org.apache.spark.sql.connector.expressions.Transform]] — the
+    * connector-expression case classes are `private[sql]`, so the
+    * pattern match lives here. None for bucket/days/… transforms. */
+  def identityTransformName(
+      t: org.apache.spark.sql.connector.expressions.Transform): Option[String] =
+    t match {
+      case org.apache.spark.sql.connector.expressions.IdentityTransform(ref)
+          if ref.fieldNames.length == 1 => Some(ref.fieldNames.head)
+      case _ => None
+    }
+
   /** Catalyst predicate → data-source [[org.apache.spark.sql.sources.Filter]],
     * when expressible — the same translation Spark runs before handing
     * pushed filters to a DSv2 source (`DataSourceStrategy.translateFilter`
