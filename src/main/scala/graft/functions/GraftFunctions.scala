@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-hoc DataSourceAnalysis would convert an INSERT over the graft
     // HadoopFsRelation into a raw file write behind the commit log
     e.injectResolutionRule(_ => graft.sql.GraftDmlRule)
+    // v2-catalog reads ([[graft.sql.GraftSpaceCatalog]] names) fall back
+    // to the SAME v1 HadoopFsRelation/GraftFileIndex scan — Delta's
+    // DeltaTableV2 → v1-relation conversion; write commands keep their v2
+    // shape and execute through the table's V1Write
+    e.injectResolutionRule(_ => graft.sql.GraftV2ScanConversion)
     // maintenance SQL (VACUUM / OPTIMIZE [WHERE] … ZORDER BY / DESCRIBE
     // HISTORY, by path or catalog name) via the standard delegating-parser
     // pattern — graft statements are tried first, everything else reaches

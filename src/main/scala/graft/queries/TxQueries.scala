@@ -296,6 +296,42 @@ object TxQueries {
   private def cpartName(table: String): String =
     s"graft_cpart_${java.lang.Integer.toHexString(table.hashCode)}"
 
+  /** Table driven ENTIRELY through the v2 `TableCatalog`
+    * ([[graft.sql.GraftSpaceCatalog]], round-10 VERDICT item 5) by
+    * multi-part name: staged CTAS creates it, a staged `CREATE OR
+    * REPLACE … AS SELECT` swaps in a WIDER schema as ONE overwrite
+    * commit (history preserved — v2 catalogs are the only Spark path
+    * where REPLACE TABLE is even expressible), and a name-addressed
+    * INSERT appends through the V1Write commit path. Returns
+    * (catalogTableName, tableRootDir). */
+  private val builtV2Cat = new ConcurrentHashMap[String, (String, String)]()
+
+  private def ensureV2CatalogTable(s: SparkSession, d: String): (String, String) =
+    builtV2Cat.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val rootDir = s"${System.getProperty("java.io.tmpdir")}/graft_catroot_$pid"
+      deleteRecursively(new java.io.File(rootDir))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(rootDir)))
+      s.conf.set("spark.sql.catalog.graftcat",
+        classOf[graft.sql.GraftSpaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcat.root", rootDir)
+      val name = s"graftcat.lake.ev_$tag"
+      val src = s"txv2cat_src_$tag"
+      events(s, d).select("event_id", "event_type", "value")
+        .createOrReplaceTempView(src)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+      s.sql(s"""CREATE TABLE $name USING graft AS
+                SELECT * FROM $src WHERE event_id % 5 <> 2""")
+      s.sql(s"""CREATE OR REPLACE TABLE $name USING graft AS
+                SELECT event_id, event_type, value,
+                  event_id % 5 = 2 AS sampled FROM $src""")
+      s.sql(s"""INSERT INTO $name
+                SELECT event_id + 900000000, event_type, value + 5, true
+                FROM $src WHERE event_id % 131 = 7""")
+      (name, s"$rootDir/lake/ev_$tag")
+    })
+
   /** Table driven through `ALTER TABLE … RENAME COLUMN value TO amount`
     * (column mapping — zero data rewrite) and then an INSERT under the
     * NEW name: reads alias the old bytes, new files store the physical
@@ -949,6 +985,40 @@ object TxQueries {
         .orderBy("event_type")
     }),
 
+    // v2 TableCatalog end-to-end (round-10 VERDICT item 5): multi-part
+    // name CTAS → staged CREATE OR REPLACE widening the schema as ONE
+    // overwrite commit → name-addressed INSERT. `replace_kept_history`
+    // pins that the replace preserved the log (the staged protocol's
+    // whole point vs drop+create: v1 time travel still serves the CTAS
+    // snapshot); `v1_scan` pins that the by-name read planned the same
+    // GraftFileIndex scan every path-addressed read uses.
+    "tx_sql_catalog_v2" -> ((s, d) => {
+      val (name, root) = ensureV2CatalogTable(s, d)
+      // v1 = the CTAS snapshot; the staged replace must have preserved it
+      val v1Rows = CommitLog.readAt(s, root, 1L).count()
+      val ctasRows = events(s, d)
+        .filter(pmod(col("event_id"), lit(5)) =!= 2).count()
+      s.sql(s"""SELECT event_type, count(*) AS n_events,
+                  count(CASE WHEN sampled THEN 1 END) AS n_sampled,
+                  min(value) AS v_min, max(value) AS v_max
+                FROM $name GROUP BY event_type""")
+        .withColumn("replace_kept_history",
+          lit(CommitLog.latestVersion(root).exists(_ >= 3L) &&
+            v1Rows == ctasRows))
+        .withColumn("v1_scan", lit {
+          val scans = s.table(name).queryExecution.optimizedPlan.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.isInstanceOf[graft.sources.GraftFileIndex]
+                case _ => false
+              }
+          }
+          scans.nonEmpty && scans.forall(identity)
+        })
+        .orderBy("event_type")
+    }),
+
     // ALTER TABLE RENAME COLUMN via column mapping (round-10 VERDICT
     // item 4): the rename is a schema-only commit (`files_kept` pins the
     // zero-rewrite contract), the post-rename INSERT binds the NEW name,
@@ -1264,6 +1334,32 @@ object TxQueries {
     // scan; files that predate the column are footer-PROVEN absent, and
     // foreign INT96 writes refuse (MetaAggregateSpec). Bounds surface as
     // epoch micros so the DuckDB twin compares exactly.
+    // Metadata-answered STRING bounds (round-10 VERDICT item 6): string
+    // footer stats can be writer-TRUNCATED (a valid bound, not the value),
+    // so exactness is recorded at write time — the engine's own commit
+    // path writes through Spark's untruncating writer and marks its
+    // sidecar entries exact; CONVERT-imported foreign files refuse
+    // (MetaAggregateSpec pins the refusal). Runs on the MUTATION table so
+    // the marks must survive merge/delete/update rewrites; the 'error'
+    // delete moves MIN off 'click'…'error' territory, and the DuckDB
+    // oracle recomputes the final state with a full scan.
+    "tx_stats_meta_string" -> ((s, d) => {
+      import s.implicits._
+      val (table, _, _, _) = ensureMutTable(s, d)
+      val agg = CommitLog.metaAggregate(table, Seq("event_type"))
+        .getOrElse(throw new IllegalStateException(
+          s"$table: engine-written string bounds must not fall back here"))
+      val e = agg.cols("event_type")
+      val scan = CommitLog.read(s, table)
+        .agg(min(col("event_type")), max(col("event_type")),
+          count(col("event_type")))
+        .as[(String, String, Long)].head()
+      Seq((e.min.get.asInstanceOf[String], e.max.get.asInstanceOf[String],
+          e.nonNull,
+          e.min.get == scan._1 && e.max.get == scan._2 && e.nonNull == scan._3))
+        .toDF("t_min", "t_max", "n_types", "meta_equals_scan")
+    }),
+
     "tx_stats_meta_ts" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -1513,6 +1609,15 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max,
            CAST(count(value) AS BIGINT) AS n_vals
          FROM updated""",
+    "tx_stats_meta_string" ->
+      """WITH merged AS (
+           SELECT event_type FROM events
+           UNION ALL
+           SELECT event_type FROM events WHERE event_id % 10 = 4)
+         SELECT min(event_type) AS t_min, max(event_type) AS t_max,
+           CAST(count(event_type) AS BIGINT) AS n_types,
+           TRUE AS meta_equals_scan
+         FROM merged WHERE event_type <> 'error'""",
     "tx_sql_maintenance" ->
       """SELECT event_type, count(*) AS n_events,
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
@@ -1570,6 +1675,18 @@ object TxQueries {
            min(value) AS v_min, max(value) AS v_max
          FROM events WHERE event_id % 11 <> 0
          GROUP BY event_type ORDER BY event_type""",
+    "tx_sql_catalog_v2" ->
+      """WITH final AS (
+           SELECT event_id, event_type, value,
+             event_id % 5 = 2 AS sampled FROM events
+           UNION ALL
+           SELECT event_id + 900000000, event_type, value + 5, TRUE
+             FROM events WHERE event_id % 131 = 7)
+         SELECT event_type, count(*) AS n_events,
+           CAST(count(CASE WHEN sampled THEN 1 END) AS BIGINT) AS n_sampled,
+           min(value) AS v_min, max(value) AS v_max,
+           TRUE AS replace_kept_history, TRUE AS v1_scan
+         FROM final GROUP BY event_type ORDER BY event_type""",
     "tx_sql_rename" ->
       """WITH renamed AS (
            SELECT event_id, event_type, value AS amount FROM events

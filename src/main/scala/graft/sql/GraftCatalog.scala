@@ -80,9 +80,11 @@ private[graft] object GraftCatalog {
       .getOrElse(resolveRoot(spark, target, quoted))
 
   /** Resolve a (possibly qualified) relation name to a graft table root,
-    * looking through temp views (local or global) over graft relations
-    * and catalog tables with the graft provider. None when the name is
-    * neither — the caller leaves the plan for Spark to resolve/refuse. */
+    * looking through temp views (local or global) over graft relations,
+    * catalog tables with the graft provider, and v2 [[GraftSpaceCatalog]]
+    * names (`graftcat.ns….tbl` — the leading part names the registered
+    * catalog). None when the name is none of these — the caller leaves
+    * the plan for Spark to resolve/refuse. */
   def graftRootOf(spark: SparkSession, nameParts: Seq[String]): Option[String] = {
     val catalog = spark.sessionState.catalog
     val viaView = catalog.getLocalOrGlobalTempView(nameParts)
@@ -100,6 +102,14 @@ private[graft] object GraftCatalog {
         else None
       }
     }
-    viaView.orElse(viaTable)
+    def viaV2Catalog: Option[String] =
+      if (nameParts.size < 2) None
+      else try {
+        spark.sessionState.catalogManager.catalog(nameParts.head) match {
+          case g: GraftSpaceCatalog => g.tableRootOfParts(nameParts.tail)
+          case _ => None
+        }
+      } catch { case _: Exception => None } // not a registered catalog
+    viaView.orElse(viaTable).orElse(viaV2Catalog)
   }
 }

@@ -36,18 +36,40 @@ object GraftCreateTable {
   def claim(spark: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
     case ct @ CreateTable(UnresolvedIdentifier(nameParts, _), columns,
         partitioning, spec: UnresolvedTableSpec, _)
-        if isGraft(spec) && partitioning.nonEmpty =>
-      GraftCreatePartitionedCommand(ct, nameParts, columns, partitioning, spec)
+        if isGraft(spec) && partitioning.nonEmpty &&
+          sessionCatalogName(spark, nameParts) =>
+      GraftCreatePartitionedCommand(ct, stripSession(nameParts), columns,
+        partitioning, spec)
     case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _), partitioning,
         query, spec: UnresolvedTableSpec, _, ignoreIfExists, _)
-        if isGraft(spec) && partitioning.nonEmpty =>
-      GraftCtasPartitionedCommand(nameParts, query, partitioning, spec,
-        ignoreIfExists)
+        if isGraft(spec) && partitioning.nonEmpty &&
+          sessionCatalogName(spark, nameParts) =>
+      GraftCtasPartitionedCommand(stripSession(nameParts), query, partitioning,
+        spec, ignoreIfExists)
     case other => other
   }
 
   private def isGraft(spec: UnresolvedTableSpec): Boolean =
     spec.provider.exists(_.equalsIgnoreCase("graft"))
+
+  /** Only SESSION-catalog names need the parser-level partitioned-create
+    * interception (the v1 datasource path drops the spec — this object's
+    * raison d'être); a name whose head addresses a registered v2 catalog
+    * (e.g. [[GraftSpaceCatalog]]) resolves through that catalog's own
+    * `createTable`, which honors partitioning natively. An explicit
+    * `spark_catalog.db.t` is still the session catalog. */
+  private def sessionCatalogName(spark: SparkSession, nameParts: Seq[String]): Boolean =
+    nameParts.size match {
+      case n if n <= 1 => true
+      case 2 => !spark.sessionState.catalogManager.isCatalogRegistered(nameParts.head)
+      // CatalogManager.SESSION_CATALOG_NAME (private[sql])
+      case 3 => nameParts.head.equalsIgnoreCase("spark_catalog")
+      case _ => false
+    }
+
+  /** Drop an explicit `spark_catalog.` head so [[tableIdOf]] sees `db.t`. */
+  private def stripSession(nameParts: Seq[String]): Seq[String] =
+    if (nameParts.size == 3) nameParts.tail else nameParts
 
   /** Identity partition columns only — bucket/days/hours transforms have
     * no hive-dir layout equivalent here, so they refuse loudly. */

@@ -325,7 +325,15 @@ private[graft] object GraftDml {
     val targetAliases = aliasesOf(m.targetTable)
     val sourceAliases = aliasesOf(m.sourceTable)
     as.forall { a =>
-      a.value match {
+      // v2-catalog merges resolve an analyzer iteration later than the
+      // temp-view path, so Spark's assignment ALIGNMENT may already have
+      // wrapped source values in store-assignment casts — still identity
+      // (the insert routes the source column; commit coerces by name)
+      val value = a.value match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => c.child
+        case v => v
+      }
+      value match {
         case v: AttributeReference =>
           sourceOut.contains(v) &&
             nameOf(a.key, "INSERT", targetAliases).equalsIgnoreCase(v.name)

@@ -40,7 +40,7 @@ object GraftTimeTravel {
           case Some(root) =>
             val version = verOpt match {
               case Some(v) => v.toLong
-              case None => versionAt(spark, root, microsOf(spark, tsOpt.get))
+              case None => versionAt(root, microsOf(spark, tsOpt.get))
             }
             // the source's own resolution path builds the pinned relation
             // (manifest snapshot, DV fallback, sidecar skipping —
@@ -59,10 +59,15 @@ object GraftTimeTravel {
     * exactly like the query-side `TIMESTAMP AS OF`. */
   private[sql] def versionAtLiteral(spark: SparkSession, root: String,
       ts: String): Long =
-    versionAt(spark, root, microsOf(spark,
+    versionAt(root, microsOf(spark,
       org.apache.spark.sql.catalyst.expressions.Literal(
         org.apache.spark.unsafe.types.UTF8String.fromString(ts),
         org.apache.spark.sql.types.StringType)))
+
+  /** [[versionAt]] for the v2 catalog's `loadTable(ident, timestampMicros)`
+    * hook ([[GraftSpaceCatalog]]) — same contract, no expression. */
+  private[sql] def versionAtMicros(root: String, micros: Long): Long =
+    versionAt(root, micros)
 
   /** Evaluate the `TIMESTAMP AS OF` expression to epoch micros (UTC). */
   private def microsOf(spark: SparkSession, e: Expression): Long = {
@@ -77,7 +82,7 @@ object GraftTimeTravel {
   /** Latest version whose commit time ≤ `micros` (commit-file mtimes are
     * monotone in version by construction — each version is published
     * after its predecessor). */
-  private def versionAt(spark: SparkSession, root: String, micros: Long): Long = {
+  private def versionAt(root: String, micros: Long): Long = {
     val wall = Math.floorDiv(micros, 1000L)
     val at = CommitLog.versions(root).reverse.find(v =>
       CommitLog.manifestIdentity(root, v).exists(_._1 <= wall))

