@@ -182,6 +182,24 @@ class GraftSpaceCatalogSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(root("nsx", "inner"))))
   }
 
+  test("DataFrameWriterV2: writeTo(...).create/append/overwritePartitions/createOrReplace") {
+    import cs.implicits._
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.w2")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .writeTo("graft.w2.t").using("graft").create()
+    assert(cs.table("graft.w2.t").count() === 2L)
+    Seq((3L, 3.0)).toDF("id", "v").writeTo("graft.w2.t").append()
+    assert(cs.table("graft.w2.t").count() === 3L)
+    // createOrReplace = staged replace: one commit, history preserved
+    val r = root("w2", "t")
+    val before = CommitLog.latestVersion(r).get
+    Seq((9L, 9.0)).toDF("id", "v")
+      .writeTo("graft.w2.t").using("graft").createOrReplace()
+    assert(cs.table("graft.w2.t").count() === 1L)
+    assert(CommitLog.latestVersion(r).get === before + 1)
+    assert(CommitLog.readAt(cs, r, before).count() === 3L)
+  }
+
   test("the graft catalog refuses foreign providers; CREATE refuses dup names") {
     cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.ref")
     intercept[Exception] {
