@@ -200,6 +200,29 @@ class GraftSpaceCatalogSpec extends SparkSpec {
     assert(CommitLog.readAt(cs, r, before).count() === 3L)
   }
 
+  test("self-referential INSERT: the write target stays v2, the read converts") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.self")
+    cs.sql("CREATE TABLE graft.self.t (id BIGINT, v DOUBLE) USING graft")
+    cs.sql("INSERT INTO graft.self.t VALUES (1, 1.0), (2, 2.0)")
+    // INSERT INTO t SELECT FROM t — the conversion rule must convert the
+    // QUERY's relation instance while leaving the AppendData target v2
+    cs.sql("INSERT INTO graft.self.t SELECT id + 10, v + 0.5 FROM graft.self.t")
+    val ids = cs.sql("SELECT id FROM graft.self.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 2L, 11L, 12L))
+  }
+
+  test("RESTORE and DESCRIBE DETAIL accept v2 catalog names") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.rs")
+    cs.sql("CREATE TABLE graft.rs.t (id BIGINT) USING graft")
+    cs.sql("INSERT INTO graft.rs.t VALUES (1)")
+    cs.sql("INSERT INTO graft.rs.t VALUES (2)")
+    cs.sql("RESTORE TABLE graft.rs.t TO VERSION AS OF 2")
+    assert(cs.table("graft.rs.t").count() === 1L)
+    val detail = cs.sql("DESCRIBE DETAIL graft.rs.t")
+    assert(detail.count() === 1L)
+  }
+
   test("the graft catalog refuses foreign providers; CREATE refuses dup names") {
     cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.ref")
     intercept[Exception] {
