@@ -239,14 +239,33 @@ final class GraftSourceProvider extends RelationProvider
     def commit(m: String): Unit =
       CommitLog.commit(data, table, m, partitionBy, txn = txn,
         mirror = mirror, cdc = cdc): Unit
-    mode match {
-      case SaveMode.Append => commit("append")
-      case SaveMode.Overwrite => commit("overwrite")
-      case SaveMode.ErrorIfExists =>
-        if (exists) throw new IllegalStateException(
-          s"$table already has committed versions (SaveMode.ErrorIfExists)")
-        commit("append")
-      case SaveMode.Ignore => if (!exists) commit("append")
+    // Delta's replaceWhere write option: `.option("replaceWhere", "pred")`
+    // with mode overwrite swaps EXACTLY the predicate's region in one
+    // atomic version (CommitLog.replaceWhere — untouched files carry by
+    // reference, source rows outside the predicate refuse). Any other
+    // save mode with the option set refuses: silently appending beside a
+    // replace predicate would be the wrong-region bug in disguise.
+    val replacePred = parameters.get("replacewhere")
+      .orElse(parameters.get("replaceWhere"))
+    replacePred match {
+      case Some(pred) =>
+        require(mode == SaveMode.Overwrite,
+          "replaceWhere requires SaveMode.Overwrite (Delta's contract)")
+        require(!cdc, "replaceWhere journals its own change rows; cdc=true " +
+          "applies to plain overwrites only")
+        val cond = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          sqlContext.sparkSession.sessionState.sqlParser.parseExpression(pred))
+        CommitLog.replaceWhere(sqlContext.sparkSession, table, data, cond,
+          partitionBy, txn = txn): Unit
+      case None => mode match {
+        case SaveMode.Append => commit("append")
+        case SaveMode.Overwrite => commit("overwrite")
+        case SaveMode.ErrorIfExists =>
+          if (exists) throw new IllegalStateException(
+            s"$table already has committed versions (SaveMode.ErrorIfExists)")
+          commit("append")
+        case SaveMode.Ignore => if (!exists) commit("append")
+      }
     }
     // a lightweight schema-only relation, NOT the read relation: building
     // the read path here would re-stat every file — and, worse, THROW on

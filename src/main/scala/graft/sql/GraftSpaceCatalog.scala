@@ -416,20 +416,80 @@ final case class GraftTableV2(root: String, ident: String,
 }
 
 /** v2 write surface → one transactional commit. TRUNCATE (INSERT
-  * OVERWRITE's whole-table form) maps to an overwrite commit; rows route
-  * into the table's recorded hive layout. */
+  * OVERWRITE's whole-table form) maps to an overwrite commit; a FILTERED
+  * overwrite (`INSERT OVERWRITE t PARTITION (k='a')`, or any
+  * OverwriteByExpression the planner pushes) maps to
+  * [[CommitLog.replaceWhere]] — ONE atomic version that swaps exactly the
+  * predicate's region and carries every untouched file by reference
+  * (Delta's replaceWhere; O(region), never O(table)). A filter shape the
+  * translator doesn't know refuses LOUDLY — silently widening an
+  * overwrite predicate would delete rows outside the requested region. */
 private[sql] class GraftV1WriteBuilder(root: String) extends WriteBuilder
-    with SupportsTruncate {
-  private var overwrite = false
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+  import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+  private var overwriteBy: Option[Array[Filter]] = None
+  override def truncate(): WriteBuilder = {
+    overwriteBy = Some(Array(AlwaysTrue)); this
+  }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteBy = Some(filters); this
+  }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, over: Boolean): Unit =
-          CommitLog.commit(data, root,
-            if (overwrite || over) "overwrite" else "append",
-            GraftDml.layoutCols(root)): Unit
+          overwriteBy match {
+            case Some(fs) if fs.forall(_.isInstanceOf[AlwaysTrue]) =>
+              CommitLog.commit(data, root, "overwrite",
+                GraftDml.layoutCols(root)): Unit
+            case Some(fs) =>
+              CommitLog.replaceWhere(data.sparkSession, root, data,
+                fs.map(GraftFilterColumns.toColumn).reduce(_ && _),
+                GraftDml.layoutCols(root)): Unit
+            case None =>
+              CommitLog.commit(data, root,
+                if (over) "overwrite" else "append",
+                GraftDml.layoutCols(root)): Unit
+          }
       }
+  }
+}
+
+/** Data-source `Filter` → runtime `Column`, EXACT or refuse: the result
+  * scopes a destructive overwrite, so an unknown filter shape must throw
+  * rather than approximate (the inverse of pruning, where conservative
+  * widening is safe). */
+private[graft] object GraftFilterColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.sources._
+
+  private def attr(name: String): Column =
+    ColumnBridge.column(UnresolvedAttribute.quoted(name))
+
+  def toColumn(f: Filter): Column = f match {
+    case _: AlwaysTrue => lit(true)
+    case _: AlwaysFalse => lit(false)
+    case EqualTo(a, v) => attr(a) === lit(v)
+    case EqualNullSafe(a, v) => attr(a) <=> lit(v)
+    case GreaterThan(a, v) => attr(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => attr(a) >= lit(v)
+    case LessThan(a, v) => attr(a) < lit(v)
+    case LessThanOrEqual(a, v) => attr(a) <= lit(v)
+    case In(a, vs) => attr(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a) => attr(a).isNull
+    case IsNotNull(a) => attr(a).isNotNull
+    case And(l, r) => toColumn(l) && toColumn(r)
+    case Or(l, r) => toColumn(l) || toColumn(r)
+    case Not(c) => !toColumn(c)
+    case StringStartsWith(a, p) => attr(a).startsWith(p)
+    case StringEndsWith(a, p) => attr(a).endsWith(p)
+    case StringContains(a, p) => attr(a).contains(p)
+    case other => throw new UnsupportedOperationException(
+      s"cannot translate overwrite filter exactly: $other — a filtered " +
+        "overwrite refuses rather than approximate its region")
   }
 }
 

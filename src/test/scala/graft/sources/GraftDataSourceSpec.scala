@@ -198,6 +198,35 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(feed.filter(col(CommitLog.ChangeTypeCol) === "delete").count() === 90L)
   }
 
+  test("option(\"replaceWhere\", pred) swaps one region atomically (Delta's write option)") {
+    val t = freshTable()
+    val df = (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "bucket")
+    df.write.format("graft").mode("append")
+      .option("partitionBy", "bucket").save(t)
+    val before = CommitLog.manifest(t, 1L)
+    // replace bucket 0 only — one version, mode "replace"
+    val repl = Seq((1000L, 0), (1001L, 0)).toDF("id", "bucket")
+    repl.write.format("graft").mode("overwrite")
+      .option("replaceWhere", "bucket = 0").save(t)
+    val m = CommitLog.manifest(t, 2L)
+    assert(m.mode === "replace")
+    assert(CommitLog.read(spark, t).count() === 77L) // 75 kept + 2 new
+    assert(CommitLog.read(spark, t).filter(col("bucket") === 0).count() === 2L)
+    // untouched partitions carried by reference, not rewritten
+    val kept = before.files.filterNot(_.contains("bucket=0"))
+    assert(kept.nonEmpty && kept.forall(m.files.contains))
+    // source rows outside the predicate refuse (the wrong-region guard)
+    intercept[Exception] {
+      Seq((5000L, 1)).toDF("id", "bucket").write.format("graft")
+        .mode("overwrite").option("replaceWhere", "bucket = 0").save(t)
+    }
+    // and a non-overwrite mode with the option set refuses loudly
+    intercept[Exception] {
+      repl.write.format("graft").mode("append")
+        .option("replaceWhere", "bucket = 0").save(t)
+    }
+  }
+
   test("a write to a DV-carrying table succeeds (only READS refuse DV snapshots)") {
     val t = freshTable()
     seedClustered(t)

@@ -182,7 +182,26 @@ class GraftSpaceCatalogSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(root("nsx", "inner"))))
   }
 
-  test("DataFrameWriterV2: writeTo(...).create/append/overwritePartitions/createOrReplace") {
+  test("filtered INSERT OVERWRITE maps to replaceWhere: one atomic region swap") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.rw")
+    cs.sql("""CREATE TABLE graft.rw.t (id BIGINT, k STRING) USING graft
+              PARTITIONED BY (k)""")
+    cs.sql("INSERT INTO graft.rw.t VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    val r = root("rw", "t")
+    val before = CommitLog.manifest(r, CommitLog.latestVersion(r).get)
+    // static-partition overwrite: only k='a' rows are replaced
+    cs.sql("INSERT OVERWRITE graft.rw.t PARTITION (k = 'a') VALUES (10L), (11L), (12L)")
+    val rows = cs.sql("SELECT id, k FROM graft.rw.t ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows === Seq((2L, "b"), (10L, "a"), (11L, "a"), (12L, "a")))
+    // ONE new version, and the untouched partition's files carried over
+    val after = CommitLog.manifest(r, CommitLog.latestVersion(r).get)
+    assert(after.version === before.version + 1 && after.mode === "replace")
+    val bFiles = before.files.filter(_.contains("k=b"))
+    assert(bFiles.nonEmpty && bFiles.forall(after.files.contains))
+  }
+
+  test("DataFrameWriterV2: writeTo(...).create/append/createOrReplace") {
     import cs.implicits._
     cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.w2")
     Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
