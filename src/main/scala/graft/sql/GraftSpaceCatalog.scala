@@ -569,6 +569,14 @@ object GraftV2ScanConversion extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // fast path: the rule runs every resolution iteration of EVERY query —
+    // plans without a graft v2 relation (the overwhelming majority) pay
+    // one tree scan and no allocation
+    val hasGraftV2 = plan.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTableV2]
+      case _ => false
+    }
+    if (!hasGraftV2) return plan
     // write targets stay v2 (AppendDataExecV1 executes them through the
     // table's own V1Write); identity-keyed so the same table read in the
     // write's QUERY still converts

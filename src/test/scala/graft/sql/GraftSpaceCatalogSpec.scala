@@ -242,6 +242,40 @@ class GraftSpaceCatalogSpec extends SparkSpec {
     assert(detail.count() === 1L)
   }
 
+  test("DV-carrying and column-mapped snapshots serve by catalog name too") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    cs.sql("CREATE TABLE graft.dv.t (id BIGINT, v DOUBLE) USING graft")
+    cs.sql("INSERT INTO graft.dv.t VALUES (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)")
+    val r = root("dv", "t")
+    // a merge-on-read DELETE leaves deletion vectors: the by-name read
+    // must route through the DV fallback relation, not resurrect the row
+    CommitLog.deleteDv(cs, r, org.apache.spark.sql.functions.col("id") === 2L)
+    assert(cs.sql("SELECT id FROM graft.dv.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+    // DML by name still works on the DV snapshot
+    cs.sql("DELETE FROM graft.dv.t WHERE id = 3")
+    assert(cs.table("graft.dv.t").count() === 2L)
+    // a RENAME (column mapping, zero rewrites) keeps by-name reads exact
+    cs.sql("ALTER TABLE graft.dv.t RENAME COLUMN v TO amount")
+    assert(cs.sql("SELECT sum(amount) FROM graft.dv.t").collect()
+      .head.getDouble(0) === 5.0)
+  }
+
+  test("concurrent INSERTs by catalog name serialize through the commit log") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.cc")
+    cs.sql("CREATE TABLE graft.cc.t (id BIGINT) USING graft")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 6).map { i =>
+      Future { cs.sql(s"INSERT INTO graft.cc.t VALUES (${i}0), (${i}1)") }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    assert(cs.table("graft.cc.t").count() === 12L)
+    // 6 inserts = 6 serialized versions on top of the create
+    assert(CommitLog.latestVersion(root("cc", "t")) === Some(7L))
+  }
+
   test("the graft catalog refuses foreign providers; CREATE refuses dup names") {
     cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.ref")
     intercept[Exception] {
