@@ -406,7 +406,8 @@ final case class GraftTableV2(root: String, ident: String,
       TableCatalog.PROP_PROVIDER -> "graft").asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -425,33 +426,88 @@ final case class GraftTableV2(root: String, ident: String,
   * translator doesn't know refuses LOUDLY — silently widening an
   * overwrite predicate would delete rows outside the requested region. */
 private[sql] class GraftV1WriteBuilder(root: String) extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
   private var overwriteBy: Option[Array[Filter]] = None
+  private var dynamic = false
   override def truncate(): WriteBuilder = {
     overwriteBy = Some(Array(AlwaysTrue)); this
   }
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     overwriteBy = Some(filters); this
   }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
+  }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, over: Boolean): Unit =
-          overwriteBy match {
+        override def insert(data: DataFrame, over: Boolean): Unit = {
+          val layout = GraftDml.layoutCols(root)
+          if (dynamic) {
+            GraftDynamicOverwrite.run(data.sparkSession, root, data): Unit
+          } else overwriteBy match {
             case Some(fs) if fs.forall(_.isInstanceOf[AlwaysTrue]) =>
-              CommitLog.commit(data, root, "overwrite",
-                GraftDml.layoutCols(root)): Unit
+              CommitLog.commit(data, root, "overwrite", layout): Unit
             case Some(fs) =>
               CommitLog.replaceWhere(data.sparkSession, root, data,
                 fs.map(GraftFilterColumns.toColumn).reduce(_ && _),
-                GraftDml.layoutCols(root)): Unit
+                layout): Unit
             case None =>
               CommitLog.commit(data, root,
-                if (over) "overwrite" else "append",
-                GraftDml.layoutCols(root)): Unit
+                if (over) "overwrite" else "append", layout): Unit
           }
+        }
       }
+  }
+}
+
+/** Dynamic partition overwrite (`partitionOverwriteMode=dynamic`,
+  * `writeTo(...).overwritePartitions()`): replace EXACTLY the partitions
+  * the incoming data touches, as ONE atomic [[CommitLog.replaceWhere]]
+  * version. The touched set is one distinct pass over the input; its
+  * size is the table's partition granularity, not its row count — capped
+  * so a mis-partitioned table (layout on a high-cardinality key) refuses
+  * instead of building a million-term predicate. */
+private[sql] object GraftDynamicOverwrite {
+  def run(spark: SparkSession, root: String, data: DataFrame): Long = {
+    val layout = GraftDml.layoutCols(root)
+    require(layout.nonEmpty, "dynamic partition overwrite needs a " +
+      s"partitioned table; $root is unpartitioned — use plain " +
+      "INSERT OVERWRITE (truncate) instead")
+    import org.apache.spark.sql.functions.{col, lit}
+    val touched = data.select(layout.map(col): _*).distinct()
+      .limit(4097).collect()
+    require(touched.length <= 4096,
+      "dynamic partition overwrite touches >4096 partitions — " +
+        "replace the whole table (plain INSERT OVERWRITE) instead")
+    if (touched.isEmpty)
+      return CommitLog.latestVersion(root).getOrElse(0L) // no rows: no-op
+    // null-safe per-tuple equality, OR'd — hive's default-partition
+    // rows replace correctly too
+    val cond = touched.map { row =>
+      layout.zipWithIndex.map { case (k, i) =>
+        col(k) <=> lit(row.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    CommitLog.replaceWhere(spark, root, data, cond, layout)
+  }
+}
+
+/** `OverwritePartitionsDynamic` has NO v1-fallback exec in Spark (unlike
+  * AppendData/OverwriteByExpression), so the plan is claimed at
+  * resolution like the DML family: rewritten into a runnable command
+  * backed by [[GraftDynamicOverwrite]] before the capability check would
+  * refuse it. */
+case class GraftDynamicOverwriteCommand(root: String, query: LogicalPlan)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, query)
+    Seq(Row(GraftDynamicOverwrite.run(spark, root, df)))
   }
 }
 
@@ -571,10 +627,15 @@ object GraftV2ScanConversion extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // fast path: the rule runs every resolution iteration of EVERY query —
     // plans without a graft v2 relation (the overwhelming majority) pay
-    // one tree scan and no allocation
-    val hasGraftV2 = plan.exists {
+    // one tree scan and no allocation. A V2WriteCommand's `table` is NOT
+    // one of its children (only `query` is), so it needs its own probe.
+    def graftRel(p: LogicalPlan): Boolean = p match {
       case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTableV2]
       case _ => false
+    }
+    val hasGraftV2 = plan.exists {
+      case w: V2WriteCommand => graftRel(w.table)
+      case p => graftRel(p)
     }
     if (!hasGraftV2) return plan
     // write targets stay v2 (AppendDataExecV1 executes them through the
@@ -587,6 +648,15 @@ object GraftV2ScanConversion extends Rule[LogicalPlan] {
       case _ =>
     }
     plan.transformUp {
+      // dynamic partition overwrite: no v1-fallback exec exists for it, so
+      // the aligned plan becomes a replaceWhere-backed command outright
+      case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
+          if o.table.isInstanceOf[DataSourceV2Relation] &&
+            o.table.asInstanceOf[DataSourceV2Relation].table.isInstanceOf[GraftTableV2] &&
+            o.query.resolved && o.outputResolved =>
+        GraftDynamicOverwriteCommand(
+          o.table.asInstanceOf[DataSourceV2Relation].table
+            .asInstanceOf[GraftTableV2].root, o.query)
       case r @ DataSourceV2Relation(gt: GraftTableV2, output, _, _, _, _)
           if !writeTargets.contains(r) =>
         val rel = gt.relation

@@ -201,7 +201,29 @@ class GraftSpaceCatalogSpec extends SparkSpec {
     assert(bFiles.nonEmpty && bFiles.forall(after.files.contains))
   }
 
-  test("DataFrameWriterV2: writeTo(...).create/append/createOrReplace") {
+  test("dynamic partition overwrite replaces exactly the written partitions") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.dyn")
+    cs.sql("""CREATE TABLE graft.dyn.t (id BIGINT, k STRING) USING graft
+              PARTITIONED BY (k)""")
+    cs.sql("INSERT INTO graft.dyn.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val prev = cs.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    cs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the incoming rows touch only k='a' and k='c' — k='b' must survive
+      cs.sql("INSERT OVERWRITE graft.dyn.t VALUES (10L, 'a'), (30L, 'c')")
+    } finally prev match {
+      case Some(v) => cs.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => cs.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val rows = cs.sql("SELECT id, k FROM graft.dyn.t ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows === Seq((2L, "b"), (10L, "a"), (30L, "c")))
+    // one atomic replace version
+    val r = root("dyn", "t")
+    assert(CommitLog.manifest(r, CommitLog.latestVersion(r).get).mode === "replace")
+  }
+
+  test("DataFrameWriterV2: writeTo(...).create/append/createOrReplace/overwritePartitions") {
     import cs.implicits._
     cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.w2")
     Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
@@ -217,6 +239,14 @@ class GraftSpaceCatalogSpec extends SparkSpec {
     assert(cs.table("graft.w2.t").count() === 1L)
     assert(CommitLog.latestVersion(r).get === before + 1)
     assert(CommitLog.readAt(cs, r, before).count() === 3L)
+    // overwritePartitions on a partitioned table = dynamic overwrite
+    cs.sql("""CREATE TABLE graft.w2.p (id BIGINT, k STRING) USING graft
+              PARTITIONED BY (k)""")
+    cs.sql("INSERT INTO graft.w2.p VALUES (1, 'a'), (2, 'b')")
+    Seq((9L, "a")).toDF("id", "k").writeTo("graft.w2.p").overwritePartitions()
+    val rows = cs.sql("SELECT id, k FROM graft.w2.p ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows === Seq((2L, "b"), (9L, "a")))
   }
 
   test("self-referential INSERT: the write target stays v2, the read converts") {
