@@ -12,7 +12,11 @@ import graft.tx.CommitLog
   * interaction here hand-rolled a temp view over
   * `spark.read.format("graft").load(path)`.
   *
-  * Architecture — the legacy v1 provider path, not a v2 TableCatalog: the
+  * Architecture — the SESSION-catalog v1 provider path. (The
+  * Spark-4-native v2 path is [[GraftSpaceCatalog]] — multi-part
+  * namespaces, staged REPLACE TABLE, native v2 time travel, no stored
+  * schema at all; this object remains the zero-config compatibility
+  * surface for plain `CREATE TABLE t USING graft` users.) The
   * session catalog already resolves `CREATE TABLE t USING graft
   * LOCATION '…'` / `spark.table("t")` through
   * [[graft.sources.GraftSourceProvider]] (a `RelationProvider`), planning

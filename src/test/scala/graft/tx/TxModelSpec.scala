@@ -5,7 +5,8 @@ import graft.SparkSpec
 
 /** Model-based random-interleaving check for the transactional surface:
   * seeded sequences of appends, merge-on-read deletes/updates, star
-  * merges, truncates, compactions, and restores run against BOTH the
+  * merges, truncates, compactions, restores, and predicate-scoped
+  * replaceWhere overwrites run against BOTH the
   * commit log and a plain-Scala `Map[Long, Double]` state machine; after
   * every op the snapshot must equal the model exactly, and restore
   * targets are checked against the recorded per-version model history.
@@ -56,7 +57,7 @@ class TxModelSpec extends SparkSpec {
       record()
 
       (1 to 30).foreach { step =>
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => // append
             val rs = rows(5 + rnd.nextInt(10))
             CommitLog.commit(df(rs), t, "append")
@@ -96,6 +97,18 @@ class TxModelSpec extends SparkSpec {
               CommitLog.delete(spark, t, col("id") === k)
               model -= k
             }
+          case 8 => // replaceWhere: swap a value band atomically — every
+            // replacement row lands INSIDE the band (the wrong-region
+            // guard would refuse anything else)
+            val lo = rnd.nextInt(875).toDouble
+            val repl = (0 until 3 + rnd.nextInt(5)).map { _ =>
+              nextId += 1
+              R(nextId, lo + math.floor(rnd.nextDouble() * 499) / 4.0)
+            }
+            CommitLog.replaceWhere(spark, t, df(repl),
+              col("value") >= lo && col("value") < lo + 125.0)
+            model = model.filter { case (_, v) => !(v >= lo && v < lo + 125.0) } ++
+              repl.map(r => r.id -> r.value)
         }
         record()
         val got = snap()
