@@ -382,7 +382,48 @@ class GraftSpaceCatalog extends TableCatalog with StagingTableCatalog
   * reads are converted to the v1 scan by [[GraftV2ScanConversion]]; writes
   * execute as one transactional commit through [[V1Write]]. */
 final case class GraftTableV2(root: String, ident: String,
-    pinnedVersion: Option[Long]) extends Table with SupportsWrite {
+    pinnedVersion: Option[Long]) extends Table with SupportsWrite
+    with org.apache.spark.sql.graftbridge.V1FallbackBridge {
+
+  /** STREAMING by catalog name: Spark resolves `readStream.table(name)` /
+    * `writeStream.toTable(name)` of a `V2TableWithV1Fallback` (reached
+    * through the [[org.apache.spark.sql.graftbridge.V1FallbackBridge]]
+    * shim — the trait is `private[sql]`) via this synthetic v1
+    * CatalogTable — provider `graft` + the table root,
+    * which lands on the SAME v1 StreamSourceProvider/StreamSinkProvider
+    * (version-tailing CDF source, exactly-once commit-per-batch sink)
+    * every path-addressed stream uses. Batch resolution never consults
+    * this (it only falls back for `V1Table`); batch reads keep the
+    * [[GraftV2ScanConversion]] path. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(pinnedVersion.isEmpty,
+      s"streaming over $ident pinned at VERSION AS OF ${pinnedVersion.get} " +
+        "is not supported — stream the live table")
+    catalogTableMeta
+  }
+
+  /** The synthetic CatalogTable without the streaming pinning guard —
+    * also attached to converted scan relations so `spark.catalog
+    * .refreshTable` (which streaming sinks call per batch) can walk them. */
+  private[sql] def catalogTableMeta: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog._
+    // UnresolvedCatalogRelation asserts a database-qualified identifier;
+    // the name parts are cosmetic here (provider + path drive the v1
+    // stream source/sink), so the namespace chain maps onto the db slot
+    val parts = ident.split("\\.").toSeq
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last,
+        Some(if (parts.size > 2) parts.slice(1, parts.size - 1).mkString(".")
+          else "default"),
+        parts.headOption),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(Paths.get(root).toUri),
+        properties = Map("path" -> root)),
+      schema = schema(),
+      provider = Some("graft"))
+  }
 
   /** The SAME v1 relation `spark.read.format("graft")` plans — built once
     * per loadTable, which also pins the manifest snapshot for the
@@ -662,10 +703,14 @@ object GraftV2ScanConversion extends Rule[LogicalPlan] {
         val rel = gt.relation
         // LogicalRelation output must align 1:1 with relation.schema; the
         // v2 output came from the same snapshot's schema, so re-order by
-        // name and keep the exprIds parents already reference
+        // name and keep the exprIds parents already reference. The
+        // synthetic CatalogTable rides along so catalog plumbing that
+        // walks scan relations (spark.catalog.refreshTable — streaming
+        // sinks call it per batch) finds the metadata it expects.
         val byName = output.map(a => a.name.toLowerCase -> a).toMap
         val aligned = rel.schema.map(f => byName(f.name.toLowerCase))
-        new LogicalRelation(rel, aligned.toIndexedSeq, None, false, None)
+        new LogicalRelation(rel, aligned.toIndexedSeq,
+          Some(gt.catalogTableMeta), false, None)
     }
   }
 }

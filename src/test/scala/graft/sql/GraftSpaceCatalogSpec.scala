@@ -306,6 +306,45 @@ class GraftSpaceCatalogSpec extends SparkSpec {
     assert(CommitLog.latestVersion(root("cc", "t")) === Some(7L))
   }
 
+  test("streaming by catalog name: readStream.table tails, writeStream.toTable commits") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
+    cs.sql("CREATE TABLE graft.st.src (id BIGINT, v DOUBLE) USING graft")
+    cs.sql("INSERT INTO graft.st.src VALUES (1, 1.0), (2, 2.0)")
+    // readStream.table: the V2TableWithV1Fallback routes to the same
+    // version-tailing CDF source as path-addressed streams
+    val q = cs.readStream.option("startingVersion", "earliest")
+      .table("graft.st.src")
+      .writeStream.format("memory").queryName("cat_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(cs.table("cat_tail").count() === 2L)
+      cs.sql("INSERT INTO graft.st.src VALUES (3, 3.0)")
+      q.processAllAvailable()
+      assert(cs.table("cat_tail").count() === 3L)
+    } finally q.stop()
+
+    // writeStream.toTable: micro-batches become commits on the catalog
+    // table (checkpoint-scoped exactly-once identity, as by path)
+    cs.sql("CREATE TABLE graft.st.dst (id BIGINT, v DOUBLE) USING graft")
+    import cs.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = cs.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    src.addData((10L, 1.5), (11L, 2.5))
+    val w = src.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("cat_sink_ckpt"))
+      .toTable("graft.st.dst")
+    try {
+      w.processAllAvailable()
+      assert(cs.table("graft.st.dst").count() === 2L)
+      src.addData((12L, 3.5))
+      w.processAllAvailable()
+      assert(cs.sql("SELECT id FROM graft.st.dst ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L))
+    } finally w.stop()
+  }
+
   test("the graft catalog refuses foreign providers; CREATE refuses dup names") {
     cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.ref")
     intercept[Exception] {
