@@ -41,6 +41,16 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
 
+  /** Register a v2 graft catalog ([[graft.sql.GraftSpaceCatalog]]) on the
+    * builder: tables address as `<name>.ns….tbl` with multi-part
+    * namespaces, staged REPLACE TABLE, native v2 time travel, and
+    * streaming by name — see GraftSpaceCatalog's scaladoc. */
+  def withCatalog(b: SparkSession.Builder, name: String,
+      root: String): SparkSession.Builder =
+    b.config(s"spark.sql.catalog.$name",
+        classOf[graft.sql.GraftSpaceCatalog].getName)
+      .config(s"spark.sql.catalog.$name.root", root)
+
   /** Local session for tools/exploration: `local[cores]` with the same
     * defaults. */
   def local(appName: String, cores: Int): SparkSession =
