@@ -310,17 +310,22 @@ object TxQueries {
     builtV2Cat.computeIfAbsent(d, _ => {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val pid = ProcessHandle.current().pid()
-      val rootDir = s"${System.getProperty("java.io.tmpdir")}/graft_catroot_$pid"
+      // catalog NAME and root are dataset-scoped: a shared root would be
+      // wiped by the next dataset's build (round-11 review finding), and
+      // a catalog instance caches its root at first use
+      val cat = s"graftcat_$tag"
+      val rootDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_catroot_${tag}_$pid"
       deleteRecursively(new java.io.File(rootDir))
       sys.addShutdownHook(deleteRecursively(new java.io.File(rootDir)))
-      s.conf.set("spark.sql.catalog.graftcat",
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sql.GraftSpaceCatalog].getName)
-      s.conf.set("spark.sql.catalog.graftcat.root", rootDir)
-      val name = s"graftcat.lake.ev_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+      val name = s"$cat.lake.ev_$tag"
       val src = s"txv2cat_src_$tag"
       events(s, d).select("event_id", "event_type", "value")
         .createOrReplaceTempView(src)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
       s.sql(s"""CREATE TABLE $name USING graft AS
                 SELECT * FROM $src WHERE event_id % 5 <> 2""")
       s.sql(s"""CREATE OR REPLACE TABLE $name USING graft AS

@@ -253,6 +253,9 @@ final class GraftSourceProvider extends RelationProvider
           "replaceWhere requires SaveMode.Overwrite (Delta's contract)")
         require(!cdc, "replaceWhere journals its own change rows; cdc=true " +
           "applies to plain overwrites only")
+        require(!mirror, "replaceWhere does not feed the _stream insertion " +
+          "mirror (mutations never do) — dropping the option silently " +
+          "would hide the backfill from readStream subscribers")
         val cond = org.apache.spark.sql.graftbridge.ColumnBridge.column(
           sqlContext.sparkSession.sessionState.sqlParser.parseExpression(pred))
         CommitLog.replaceWhere(sqlContext.sparkSession, table, data, cond,

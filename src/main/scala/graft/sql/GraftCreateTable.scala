@@ -60,7 +60,11 @@ object GraftCreateTable {
     * `spark_catalog.db.t` is still the session catalog. */
   private def sessionCatalogName(spark: SparkSession, nameParts: Seq[String]): Boolean =
     nameParts.size match {
-      case n if n <= 1 => true
+      // a bare name resolves into the CURRENT catalog — claim it only
+      // when that is the session catalog (a v2 default catalog handles
+      // partitioning natively through its own createTable)
+      case n if n <= 1 =>
+        spark.sessionState.catalogManager.currentCatalog.name == "spark_catalog"
       case 2 => !spark.sessionState.catalogManager.isCatalogRegistered(nameParts.head)
       // CatalogManager.SESSION_CATALOG_NAME (private[sql])
       case 3 => nameParts.head.equalsIgnoreCase("spark_catalog")
@@ -162,7 +166,8 @@ case class GraftCtasPartitionedCommand(nameParts: Seq[String],
     GraftSourceProvider.requireCreatable(root)
     CommitLog.commit(ColumnBridge.ofRows(spark, query), root, "append", parts)
     spark.sql(s"CREATE TABLE ${nameParts.map(p => s"`$p`").mkString(".")} " +
-      s"USING graft LOCATION '${root.replace("'", "''")}'")
+      "USING graft LOCATION '" +
+      root.replace("\\", "\\\\").replace("'", "\\'") + "'")
     Nil
   }
 }

@@ -259,7 +259,7 @@ class GraftSpaceCatalog extends TableCatalog with StagingTableCatalog
     requireGraftProvider(properties)
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       partsOf(ident))
-    staged(ident, schema, partitions, replacing = false)
+    staged(ident, schema, partitions, properties, replacing = false)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -267,26 +267,53 @@ class GraftSpaceCatalog extends TableCatalog with StagingTableCatalog
     requireGraftProvider(properties)
     if (!tableExists(ident)) throw new NoSuchTableException(
       partsOf(ident))
-    staged(ident, schema, partitions, replacing = true)
+    staged(ident, schema, partitions, properties, replacing = true)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
     requireGraftProvider(properties)
-    staged(ident, schema, partitions, replacing = tableExists(ident))
+    staged(ident, schema, partitions, properties, replacing = tableExists(ident))
   }
 
   private def staged(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], replacing: Boolean): StagedTable = {
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replacing: Boolean): StagedTable = {
     require(ident.namespace.isEmpty || Files.isDirectory(nsDir(ident.namespace)),
       s"namespace ${ident.namespace.mkString(".")} does not exist")
     val parts = GraftCreateTable.identityCols(partitions.toSeq)
     val dir = tableDir(ident)
-    if (!replacing) {
-      GraftSourceProvider.requireCreatable(dir.toString)
-      Files.createDirectories(dir.getParent)
+    // the staged commit must land at the table's DATA root: for an
+    // existing table that is the registered root (an EXTERNAL table's
+    // pointer target, NOT the registration dir — committing there would
+    // make the replace silently invisible behind the pointer); for a
+    // fresh create it is the declared LOCATION (external) or the
+    // catalog-mapped dir (managed)
+    val declaredLoc = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(CommitLog.normalizeRoot)
+    if (replacing) {
+      val existing = tableRoot(ident).get
+      declaredLoc.foreach(l => require(l == existing,
+        s"REPLACE TABLE cannot move ${fullName(ident)} to LOCATION '$l' — " +
+          s"the table lives at '$existing' (drop and re-create to relocate)"))
+      new GraftStagedTable(existing, fullName(ident), schema, parts,
+        replacing = true, registerPointer = None)
+    } else declaredLoc match {
+      case Some(ext) =>
+        // external staged create: data commits at the declared location;
+        // the pointer registers only at commitStagedChanges (abort leaves
+        // no dangling registration)
+        GraftSourceProvider.requireCreatable(ext)
+        Files.createDirectories(dir.getParent)
+        new GraftStagedTable(ext, fullName(ident), schema, parts,
+          replacing = false,
+          registerPointer = Some(dir.resolve(ExternalPointer)))
+      case None =>
+        GraftSourceProvider.requireCreatable(dir.toString)
+        Files.createDirectories(dir.getParent)
+        new GraftStagedTable(dir.toString, fullName(ident), schema, parts,
+          replacing = false, registerPointer = None)
     }
-    new GraftStagedTable(dir.toString, fullName(ident), schema, parts, replacing)
   }
 
   private def commitEmpty(root: String, schema: StructType,
@@ -485,7 +512,11 @@ private[sql] class GraftV1WriteBuilder(root: String) extends WriteBuilder
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, over: Boolean): Unit = {
-          val layout = GraftDml.layoutCols(root)
+          // schema-gated like commit()'s own layout inheritance: a
+          // schema-evolving write lacking a legacy layout column degrades
+          // to unpartitioned instead of failing on partitionBy(missing)
+          lazy val layout = GraftDml.layoutCols(root).filter(c =>
+            data.columns.exists(_.equalsIgnoreCase(c)))
           if (dynamic) {
             GraftDynamicOverwrite.run(data.sparkSession, root, data): Unit
           } else overwriteBy match {
@@ -596,7 +627,8 @@ private[graft] object GraftFilterColumns {
   * bare) publishes the declared schema as an empty overwrite at
   * [[commitStagedChanges]]. */
 private[sql] class GraftStagedTable(root: String, ident: String,
-    declaredSchema: StructType, parts: Seq[String], replacing: Boolean)
+    declaredSchema: StructType, parts: Seq[String], replacing: Boolean,
+    registerPointer: Option[Path])
     extends StagedTable with SupportsWrite {
 
   @volatile private var written = false
@@ -630,7 +662,7 @@ private[sql] class GraftStagedTable(root: String, ident: String,
       }
     }
 
-  override def commitStagedChanges(): Unit =
+  override def commitStagedChanges(): Unit = {
     if (!written) {
       // bare CREATE/REPLACE TABLE (no AS SELECT): publish the declared
       // schema — empty append creates, empty overwrite replaces in place
@@ -639,6 +671,13 @@ private[sql] class GraftStagedTable(root: String, ident: String,
         spark.sparkContext.emptyRDD[Row], declaredSchema), root,
         if (replacing) "overwrite" else "append", parts): Unit
     }
+    // an EXTERNAL staged create registers its pointer only now — an
+    // aborted stage leaves no dangling registration
+    registerPointer.foreach { ptr =>
+      Files.createDirectories(ptr.getParent)
+      Files.write(ptr, root.getBytes(UTF_8)): Unit
+    }
+  }
 
   override def abortStagedChanges(): Unit =
     if (!replacing) {
@@ -707,8 +746,16 @@ object GraftV2ScanConversion extends Rule[LogicalPlan] {
         // synthetic CatalogTable rides along so catalog plumbing that
         // walks scan relations (spark.catalog.refreshTable — streaming
         // sinks call it per batch) finds the metadata it expects.
-        val byName = output.map(a => a.name.toLowerCase -> a).toMap
-        val aligned = rel.schema.map(f => byName(f.name.toLowerCase))
+        val byName = output.groupBy(_.name.toLowerCase)
+        byName.collectFirst { case (n, as) if as.size > 1 => n }.foreach(n =>
+          throw new UnsupportedOperationException(
+            s"${gt.ident} has columns differing only by case ('$n') — " +
+              "case-insensitive catalog alignment cannot serve it"))
+        val aligned = rel.schema.map(f =>
+          byName.getOrElse(f.name.toLowerCase, throw new IllegalStateException(
+            s"${gt.ident}: relation column '${f.name}' missing from the " +
+              s"resolved v2 output (${output.map(_.name).mkString(", ")})"))
+            .head)
         new LogicalRelation(rel, aligned.toIndexedSeq,
           Some(gt.catalogTableMeta), false, None)
     }

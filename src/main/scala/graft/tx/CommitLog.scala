@@ -248,11 +248,20 @@ object CommitLog {
         enforcedCs.exists(_._1.equalsIgnoreCase(c._1)))
       if (missed.nonEmpty && newFiles.nonEmpty) {
         // one commit dir per writeDataDir call — its basePath resurfaces
-        // the hive partition columns a footer-only read would NULL out
-        val fresh = df.sparkSession.read.schema(df.schema)
+        // the hive partition columns a footer-only read would NULL out.
+        // COLUMN-MAPPED tables store PHYSICAL names (writeDataDir renamed
+        // both columns and layout dirs): read with the physical schema
+        // and alias back, or a renamed column would resolve all-NULL and
+        // NULL satisfies CHECK — the violating rows would publish, the
+        // exact hole this re-check closes (round-11 review finding)
+        val physSchema = StructType(df.schema.fields.map(f =>
+          f.copy(name = colMap0.getOrElse(f.name, f.name))))
+        val freshPhys = df.sparkSession.read.schema(physSchema)
           .option("basePath",
             tableDir.resolve(commitDirOf(newFiles.head)).toString)
           .parquet(newFiles.map(f => tableDir.resolve(f).toString): _*)
+        val fresh = freshPhys.select(df.schema.fieldNames.toIndexedSeq.map(n =>
+          org.apache.spark.sql.functions.col(colMap0.getOrElse(n, n)).as(n)): _*)
         Constraints.firstViolation(fresh, missed).foreach { case (n, e) =>
           newFiles.map(commitDirOf).distinct
             .foreach(d => deleteTree(tableDir.resolve(d)))
@@ -3587,8 +3596,40 @@ object CommitLog {
     catch { case _: java.io.IOException => None }
   }
 
+  /** Identity-validated manifest cache: commit files are immutable once
+    * linked, so a parsed [[Manifest]] can be reused as long as the file's
+    * (mtime, size) identity still matches — one `stat` per consult
+    * instead of a full read+parse. Constraints enforcement, layout
+    * resolution, and snapshot planning all consult manifests on the write
+    * hot path (round-11 review finding: a mutation re-parsed the same
+    * multi-MB manifest 3+ times); a vacuumed or re-created commit file
+    * fails the identity check and re-reads. Bounded LRU. */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long), ((Long, Long), Manifest)](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), ((Long, Long), Manifest)]): Boolean =
+        size() > 256
+    }
+
   /** The manifest at `version` (throws if absent). */
   def manifest(table: String, version: Long): Manifest = {
+    val key = (table, version)
+    val id = manifestIdentity(table, version)
+    if (id.isDefined) {
+      val hit = manifestCache.synchronized(Option(manifestCache.get(key)))
+      hit match {
+        case Some((cachedId, m)) if cachedId == id.get => return m
+        case _ =>
+      }
+    }
+    val m = parseManifest(table, version)
+    id.foreach(i => manifestCache.synchronized(
+      manifestCache.put(key, (i, m)): Unit))
+    m
+  }
+
+  private def parseManifest(table: String, version: Long): Manifest = {
     val p = Paths.get(table).resolve(LogDir).resolve(f"$version%020d$Suffix")
     if (!Files.exists(p))
       throw new IllegalArgumentException(s"$table has no version $version")

@@ -345,6 +345,39 @@ class GraftSpaceCatalogSpec extends SparkSpec {
     } finally w.stop()
   }
 
+  test("REPLACE and CTAS honor EXTERNAL locations (staged commits land at the pointer target)") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.ext")
+    // external CTAS: the data must commit at the declared LOCATION, not
+    // the catalog registration dir (round-11 review finding)
+    val extA = tmpDir("graft_ext_ctas") + "/t"
+    cs.sql(s"""CREATE TABLE graft.ext.a USING graft LOCATION '$extA' AS
+               SELECT CAST(1 AS BIGINT) AS id""")
+    assert(CommitLog.latestVersion(extA).isDefined)
+    assert(cs.table("graft.ext.a").count() === 1L)
+    // DROP removes only the registration; the external data survives
+    cs.sql("DROP TABLE graft.ext.a")
+    assert(spark.read.format("graft").load(extA).count() === 1L)
+
+    // REPLACE on an external table must commit THROUGH the pointer — the
+    // old bug committed into the registration dir, making the replace
+    // silently invisible behind the pointer
+    val extB = tmpDir("graft_ext_rep") + "/t"
+    cs.sql(s"CREATE TABLE graft.ext.b (id BIGINT) USING graft LOCATION '$extB'")
+    cs.sql("INSERT INTO graft.ext.b VALUES (1), (2)")
+    cs.sql("""CREATE OR REPLACE TABLE graft.ext.b USING graft AS
+              SELECT CAST(9 AS BIGINT) AS id""")
+    assert(cs.sql("SELECT id FROM graft.ext.b").collect().map(_.getLong(0)).toSeq
+      === Seq(9L))
+    // the replace is a version at the EXTERNAL root, history preserved
+    assert(CommitLog.latestVersion(extB).exists(_ >= 3L))
+    assert(CommitLog.readAt(cs, extB, 2L).count() === 2L)
+    // relocating via REPLACE ... LOCATION refuses loudly
+    intercept[Exception] {
+      cs.sql(s"""REPLACE TABLE graft.ext.b (id BIGINT) USING graft
+                 LOCATION '${tmpDir("graft_ext_other")}/t'""")
+    }
+  }
+
   test("the graft catalog refuses foreign providers; CREATE refuses dup names") {
     cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.ref")
     intercept[Exception] {

@@ -86,6 +86,26 @@ class ConstraintProtocolSpec extends SparkSpec {
     assert(new java.io.File(t, "data").list().toSet === cdirsBefore)
   }
 
+  test("the racing-write re-validation reads PHYSICAL names on a column-mapped table") {
+    val t = freshTable("csp_colmaprace")
+    // rename value -> amount: files store the physical name 'value'; the
+    // re-validation must alias it back or the renamed column reads
+    // all-NULL, NULL satisfies CHECK, and the violating rows publish
+    // (round-11 review finding)
+    CommitLog.renameColumn(t, "value", "amount")
+    val slow = udf((x: Long) => ConstraintProtocolSpec.block2(x))
+    val bad = spark.range(1).select(slow(lit(7L)).as("id"),
+      lit(-1.0).as("amount"))
+    val writer = Future(CommitLog.commit(bad, t, "append"))
+    assert(ConstraintProtocolSpec.entered2.await(60, TimeUnit.SECONDS),
+      "write never started")
+    Constraints.add(spark, t, "amt_pos", "amount > 0")
+    ConstraintProtocolSpec.gate2.countDown()
+    val e = intercept[IllegalStateException] { Await.result(writer, 120.seconds) }
+    assert(e.getMessage.contains("registered concurrently"), e.getMessage)
+    assert(CommitLog.read(spark, t).count() === 2L)
+  }
+
   test("restore brings back the target version's constraint set") {
     val t = freshTable("csp_restore")
     Constraints.add(spark, t, "pos", "id > 0") // v2
@@ -155,6 +175,14 @@ object ConstraintProtocolSpec {
   def block(x: Long): Long = {
     entered.countDown()
     gate.await(60, TimeUnit.SECONDS)
+    x
+  }
+  // second single-use pair for the column-mapped variant
+  val gate2 = new CountDownLatch(1)
+  val entered2 = new CountDownLatch(1)
+  def block2(x: Long): Long = {
+    entered2.countDown()
+    gate2.await(60, TimeUnit.SECONDS)
     x
   }
 }
