@@ -65,7 +65,13 @@ object GraftCreateTable {
       // partitioning natively through its own createTable)
       case n if n <= 1 =>
         spark.sessionState.catalogManager.currentCatalog.name == "spark_catalog"
-      case 2 => !spark.sessionState.catalogManager.isCatalogRegistered(nameParts.head)
+      // a 2-part name whose head is NOT a catalog is `db.t` — but it
+      // still resolves into the CURRENT catalog, so under `USE <v2
+      // catalog>` it is that catalog's namespace.table, not the session
+      // catalog's (round-11 ADVICE, low: claiming it here would create
+      // the table in the wrong catalog)
+      case 2 => !spark.sessionState.catalogManager.isCatalogRegistered(nameParts.head) &&
+        spark.sessionState.catalogManager.currentCatalog.name == "spark_catalog"
       // CatalogManager.SESSION_CATALOG_NAME (private[sql])
       case 3 => nameParts.head.equalsIgnoreCase("spark_catalog")
       case _ => false

@@ -328,9 +328,23 @@ private[graft] object GraftDml {
       // v2-catalog merges resolve an analyzer iteration later than the
       // temp-view path, so Spark's assignment ALIGNMENT may already have
       // wrapped source values in store-assignment casts — still identity
-      // (the insert routes the source column; commit coerces by name)
+      // (the insert routes the source column; commit coerces by name).
+      // But only casts that are (a) TO the target column's declared type
+      // and (b) MODE-AGNOSTIC — can never fail and produce the same
+      // value under ANSI and LEGACY eval (upcasts, decimal→floating) —
+      // qualify: for those, dropping the planned cast and letting
+      // commit's by-name alignTo re-cast is provably equivalent. A
+      // genuinely lossy value (long source into int target, an explicit
+      // user narrowing CAST) refuses as before, or the planned ANSI cast
+      // would be silently traded for alignTo's session-mode cast, whose
+      // overflow behavior differs (round-11 ADVICE, low)
+      val targetType = m.targetTable.output
+        .find(_.name.equalsIgnoreCase(nameOf(a.key, "INSERT", targetAliases)))
+        .map(_.dataType)
       val value = a.value match {
-        case c: org.apache.spark.sql.catalyst.expressions.Cast => c.child
+        case c: org.apache.spark.sql.catalyst.expressions.Cast
+            if c.child.resolved && targetType.contains(c.dataType) &&
+              modeAgnosticCast(c.child.dataType, c.dataType) => c.child
         case v => v
       }
       value match {
@@ -348,6 +362,23 @@ private[graft] object GraftDml {
       }
     }
   }
+
+  /** Casts that can never fail and yield the same value under ANSI and
+    * LEGACY evaluation: Spark's own up-cast set, plus decimal→floating
+    * (never overflows, identical rounding in both modes — how the
+    * analyzer aligns a decimal literal into a DOUBLE column). Only these
+    * may be stripped from an identity-insert check, because commit's
+    * by-name alignTo applies the same target-type cast with identical
+    * semantics. */
+  private def modeAgnosticCast(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to) ||
+      ((from, to) match {
+        case (_: org.apache.spark.sql.types.DecimalType,
+          org.apache.spark.sql.types.DoubleType |
+          org.apache.spark.sql.types.FloatType) => true
+        case _ => false
+      })
 
   /** Rewrite a merge-clause expression to a runtime Column, mapping every
     * column reference through `tgt`/`src` by which table it binds to:

@@ -2701,8 +2701,15 @@ object CommitLog {
       val isPartitionCol =
         perFile.exists(pf => FileStats.partitionStats(pf._2).contains(f.name))
       val present = (clean.map(_._3) ++ dirtyLive).flatMap(_.get(f.name))
+      // strings ride the same absence-proof gate as timestamps here too:
+      // a writer-disabled (or >64-byte-truncated) string stat leaves no
+      // sidecar entry, and on a CONVERT-imported file "absent" would
+      // otherwise read as "predates the column" — a metadata-answered
+      // count(stringCol) would silently undercount instead of refusing
+      // (round-11 ADVICE, medium; the MIN/MAX path above already gated)
       if (countableKind.isEmpty || isPartitionCol ||
-          (f.dataType == TimestampType && !tsAbsenceProven(f.name)) ||
+          ((f.dataType == TimestampType || f.dataType == StringType) &&
+            !tsAbsenceProven(f.name)) ||
           present.exists(cs => cs.nulls < 0 || cs.kind != countableKind.get))
         None
       else Some(MetaColAgg(None, None, present.map(cs => cs.values - cs.nulls).sum))
@@ -3598,24 +3605,42 @@ object CommitLog {
 
   /** Identity-validated manifest cache: commit files are immutable once
     * linked, so a parsed [[Manifest]] can be reused as long as the file's
-    * (mtime, size) identity still matches — one `stat` per consult
-    * instead of a full read+parse. Constraints enforcement, layout
-    * resolution, and snapshot planning all consult manifests on the write
-    * hot path (round-11 review finding: a mutation re-parsed the same
-    * multi-MB manifest 3+ times); a vacuumed or re-created commit file
-    * fails the identity check and re-reads. Bounded LRU. */
+    * identity still matches — one `stat` per consult instead of a full
+    * read+parse. Constraints enforcement, layout resolution, and snapshot
+    * planning all consult manifests on the write hot path (round-11
+    * review finding: a mutation re-parsed the same multi-MB manifest 3+
+    * times); a vacuumed or re-created commit file fails the identity
+    * check and re-reads. The identity is (mtime, size, fileKey): DROP
+    * TABLE + re-CREATE at the same root restarts version numbering, and
+    * a same-size manifest rewritten within the filesystem's timestamp
+    * granularity would pass a bare (mtime, size) check — the fileKey
+    * (device+inode on POSIX) changes with every re-created file, closing
+    * that hole without needing an invalidation hook on every delete path
+    * (round-11 ADVICE, low). Bounded LRU. */
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Long), ((Long, Long), Manifest)](
+    new java.util.LinkedHashMap[(String, Long), ((Long, Long, String), Manifest)](
       64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), ((Long, Long), Manifest)]): Boolean =
+          e: java.util.Map.Entry[(String, Long), ((Long, Long, String), Manifest)]): Boolean =
         size() > 256
     }
+
+  /** Full cache identity of a version's commit file — see
+    * [[manifestCache]]. None when absent/unreadable. */
+  private def cacheIdentity(table: String, version: Long): Option[(Long, Long, String)] = {
+    val p = Paths.get(table).resolve(LogDir).resolve(f"$version%020d$Suffix")
+    try {
+      val a = Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some((a.lastModifiedTime.toMillis, a.size,
+        Option(a.fileKey).map(_.toString).getOrElse("")))
+    } catch { case _: java.io.IOException => None }
+  }
 
   /** The manifest at `version` (throws if absent). */
   def manifest(table: String, version: Long): Manifest = {
     val key = (table, version)
-    val id = manifestIdentity(table, version)
+    val id = cacheIdentity(table, version)
     if (id.isDefined) {
       val hit = manifestCache.synchronized(Option(manifestCache.get(key)))
       hit match {

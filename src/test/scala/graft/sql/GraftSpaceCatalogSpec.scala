@@ -392,4 +392,51 @@ class GraftSpaceCatalogSpec extends SparkSpec {
     assert(cs.catalog.tableExists("graft.ref.t2"))
     assert(!cs.catalog.tableExists("graft.ref.t"))
   }
+
+  test("USE graft: a 2-part partitioned CREATE lands in the CURRENT v2 catalog " +
+      "(round-11 ADVICE, low)") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.usens")
+    cs.sql("USE graft")
+    try {
+      // the parser-level PARTITIONED BY interception must NOT claim this
+      // name for the session catalog: under `USE graft` the 2-part name
+      // is graft's namespace.table, and GraftSpaceCatalog.createTable
+      // honors the partitioning natively
+      cs.sql("""CREATE TABLE usens.t (id BIGINT, k STRING) USING graft
+                PARTITIONED BY (k)""")
+      cs.sql("INSERT INTO usens.t VALUES (1, 'a'), (2, 'b')")
+      assert(CommitLog.latestVersion(root("usens", "t")).isDefined)
+      assert(CommitLog.manifest(root("usens", "t"),
+        CommitLog.latestVersion(root("usens", "t")).get).partitionBy === Seq("k"))
+      // and nothing leaked into the session catalog under a db named 'usens'
+      assert(!spark.sessionState.catalog.databaseExists("usens"))
+    } finally cs.sql("USE spark_catalog")
+  }
+
+  test("MERGE identity-insert: mode-agnostic alignment casts pass, lossy casts " +
+      "refuse (round-11 ADVICE, low)") {
+    cs.sql("CREATE NAMESPACE IF NOT EXISTS graft.castck")
+    cs.sql("CREATE TABLE graft.castck.t (id BIGINT, v DOUBLE) USING graft")
+    cs.sql("INSERT INTO graft.castck.t VALUES (1, 1.0)")
+    // decimal literal into DOUBLE: the analyzer's store-assignment cast
+    // can never fail and is mode-agnostic — identity, accepted
+    cs.sql("""MERGE INTO graft.castck.t AS t
+              USING (SELECT CAST(9 AS BIGINT) AS id, 9.5 AS v) AS s
+              ON t.id = s.id
+              WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(cs.sql("SELECT v FROM graft.castck.t WHERE id = 9")
+      .collect().map(_.getDouble(0)).toSeq === Seq(9.5))
+    // BIGINT source into INT target: the planned ANSI cast can overflow —
+    // dropping it for commit's by-name coercion would change overflow
+    // semantics, so the insert refuses as non-identity
+    cs.sql("CREATE TABLE graft.castck.n (id BIGINT, v INT) USING graft")
+    cs.sql("INSERT INTO graft.castck.n VALUES (1, 1)")
+    val e = intercept[Exception] {
+      cs.sql("""MERGE INTO graft.castck.n AS t
+                USING (SELECT CAST(9 AS BIGINT) AS id, CAST(7 AS BIGINT) AS v) AS s
+                ON t.id = s.id
+                WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    }
+    assert(e.getMessage.contains("MERGE INSERT must be *"))
+  }
 }

@@ -276,6 +276,23 @@ class MetaAggregateSpec extends SparkSpec {
       CommitLog.MetaColAgg(Some(scan._1), Some(scan._2), scan._3))
   }
 
+  test("writer-disabled string stats refuse string COUNTs too (round-11 ADVICE, medium)") {
+    val t = freshTable()
+    // a foreign writer that emitted NO statistics for the string column:
+    // the file physically carries event_type but leaves no sidecar entry,
+    // and "absent" must not read as "predates the column" — a metadata
+    // count(event_type) would silently report 0 for these rows
+    events.limit(50).select("event_id", "event_type", "value")
+      .write.option("parquet.column.statistics.enabled#event_type", "false")
+      .parquet(t)
+    CommitLog.convert(spark, t)
+    assert(CommitLog.metaAggregate(t, Nil,
+      countOnlyColumns = Seq("event_type")) === None)
+    // numeric stats were still written — their counts answer fine
+    assert(CommitLog.metaAggregate(t, Nil, countOnlyColumns = Seq("event_id"))
+      .get.cols("event_id").nonNull === 50L)
+  }
+
   test("DV bounds on a file whose every row died fall to the clean files' answer") {
     val t = freshTable()
     CommitLog.commit(Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v"), t, "append")
