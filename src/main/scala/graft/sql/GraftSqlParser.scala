@@ -88,6 +88,9 @@ object GraftSqlParser {
   private val Convert =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
+  private val ExportDelta =
+    ("""(?is)\s*EXPORT\s+""" + T +
+      """\s+TO\s+DELTA(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   // session-gated (bare names fall through to Spark unless they resolve
   // to a graft table):
   private val Truncate =
@@ -143,6 +146,9 @@ object GraftSqlParser {
     case Convert(path, parts) =>
       Some(GraftConvertCommand(path,
         Option(parts).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+    case ExportDelta(p1, p2, id, ver) =>
+      val (t, q) = target(p1, p2, id)
+      Some(GraftExportDeltaCommand(t, q, Option(ver).map(_.toLong)))
     case _ => None
   }
 
@@ -420,6 +426,22 @@ case class GraftConvertCommand(path: String, partitionBy: Seq[String])
     val v = CommitLog.convert(spark, path, partitionBy)
     GraftCatalog.invalidateRelationCache(spark)
     Seq(Row(v))
+  }
+}
+
+/** `EXPORT <table> TO DELTA [VERSION AS OF <v>]` —
+  * [[graft.tx.DeltaExport.writeDeltaLog]]: emit a minimal `_delta_log`
+  * snapshot view next to the data so the reference's own consumers
+  * (DuckDB `delta_scan`, Polars `read_delta`) can open the graft table
+  * through the public Delta protocol. Returns the graft version the view
+  * reflects. Pure driver-side metadata I/O — no data read or copied. */
+case class GraftExportDeltaCommand(table: String, quoted: Boolean,
+    version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("exported_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
+    Seq(Row(graft.tx.DeltaExport.writeDeltaLog(root, version)))
   }
 }
 

@@ -1,0 +1,119 @@
+package graft.tx
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** `_delta_log` export (round-11 VERDICT item 2): the spec plays the role
+  * of a FOREIGN Delta reader — it re-reads the exported log with an
+  * independent parser (Spark's JSON reader, not graft's manifest code),
+  * proves file-set + schema equality with the graft snapshot, and
+  * reconstructs the table the way `delta_scan`/`read_delta` would: scan
+  * exactly the `add` paths, rebuild partition columns from
+  * `partitionValues`. */
+class DeltaExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_dexp").resolve("t").toString
+
+  private def logFile(t: String): String =
+    Paths.get(t).resolve("_delta_log").resolve(f"${0L}%020d.json").toString
+
+  test("exported log names exactly the snapshot's files, schema, and partition values") {
+    val t = freshTable()
+    CommitLog.commit(
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5), (4L, null, 4.5))
+        .toDF("id", "k", "v"),
+      t, "append", partitionBy = Seq("k"))
+    CommitLog.commit(Seq((5L, "c", 5.5)).toDF("id", "k", "v"), t, "append")
+    val exported = DeltaExport.writeDeltaLog(t)
+    assert(exported === CommitLog.latestVersion(t).get)
+
+    // independent parse: Spark's JSON reader over the action lines
+    val actions = spark.read.json(logFile(t))
+    assert(actions.filter(col("protocol").isNotNull).count() === 1L)
+    val meta = actions.filter(col("metaData").isNotNull).select("metaData.*")
+    assert(meta.count() === 1L)
+    val m = CommitLog.manifest(t, exported)
+    // schemaString round-trips to the exact snapshot schema
+    val schemaStr = meta.select("schemaString").as[String].head()
+    assert(DataType.fromJson(schemaStr).asInstanceOf[StructType] === m.schema)
+    assert(meta.select("partitionColumns").as[Seq[String]].head() === Seq("k"))
+
+    // add actions name EXACTLY the manifest's files (relative paths)
+    val adds = actions.filter(col("add").isNotNull).select("add.*")
+    assert(adds.select("path").as[String].collect().toSet === m.files.toSet)
+    assert(adds.filter(col("size") <= 0L).count() === 0L)
+
+    // foreign-reader reconstruction: scan each add path, rebuild the
+    // partition column from partitionValues (null for
+    // __HIVE_DEFAULT_PARTITION__), union — must equal the graft snapshot
+    val rebuilt = adds.select("path", "partitionValues.k").as[(String, String)]
+      .collect().toSeq.map { case (path, kVal) =>
+        spark.read.parquet(s"$t/$path")
+          .withColumn("k", lit(kVal).cast("string"))
+          .select("id", "k", "v")
+      }.reduce(_ unionByName _)
+    val expect = CommitLog.read(spark, t).select("id", "k", "v")
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(rebuilt.as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+      === expect)
+    assert(expect.find(_._1 == 4L).get._2 === null) // default-partition row
+  }
+
+  test("re-export refreshes the view; the marker records the graft version") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
+    DeltaExport.writeDeltaLog(t)
+    CommitLog.commit(Seq((2L, 2.0)).toDF("id", "v"), t, "append")
+    val v2 = DeltaExport.writeDeltaLog(t)
+    assert(v2 === 2L)
+    val adds = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path").as[String].collect()
+    assert(adds.toSet === CommitLog.manifest(t, 2L).files.toSet)
+    val marker = new String(Files.readAllBytes(
+      Paths.get(t).resolve("_delta_log").resolve("_graft_export")), "UTF-8")
+    assert(marker.trim === "graft_version=2")
+    // and graft's own reader is undisturbed by the foreign log dir
+    assert(CommitLog.read(spark, t).count() === 2L)
+  }
+
+  test("DV and column-mapped snapshots refuse; OPTIMIZE unblocks both") {
+    val t = freshTable()
+    CommitLog.commit((1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      t, "append")
+    CommitLog.deleteDv(spark, t, col("id") <= 5L)
+    val e1 = intercept[IllegalArgumentException](DeltaExport.writeDeltaLog(t))
+    assert(e1.getMessage.contains("deletion vectors"))
+    CommitLog.compact(spark, t) // folds the DVs
+    CommitLog.renameColumn(t, "v", "val")
+    val e2 = intercept[IllegalArgumentException](DeltaExport.writeDeltaLog(t))
+    assert(e2.getMessage.contains("column mapping"))
+    CommitLog.compact(spark, t) // rewrites under logical names, clears map
+    val v = DeltaExport.writeDeltaLog(t)
+    // the foreign view serves the post-delete rows exactly
+    val adds = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path").as[String].collect()
+    val rebuilt = adds.toSeq.map(p => spark.read.parquet(s"$t/$p"))
+      .reduce(_ unionByName _)
+    assert(rebuilt.select("id").as[Long].collect().sorted === (6L to 20L).toArray)
+    assert(v === CommitLog.latestVersion(t).get)
+  }
+
+  test("SQL surface: EXPORT <table> TO DELTA [VERSION AS OF]") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
+    CommitLog.commit(Seq((2L, 2.0)).toDF("id", "v"), t, "append")
+    val out = spark.sql(s"EXPORT '$t' TO DELTA").as[Long].head()
+    assert(out === 2L)
+    assert(Files.exists(Paths.get(logFile(t))))
+    // pinned-version export serves the OLD snapshot to foreign readers
+    assert(spark.sql(s"EXPORT '$t' TO DELTA VERSION AS OF 1").as[Long].head() === 1L)
+    val adds = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path").as[String].collect()
+    assert(adds.toSet === CommitLog.manifest(t, 1L).files.toSet)
+  }
+}

@@ -119,6 +119,15 @@ class TxModelSpec extends SparkSpec {
       }
       val f = CommitLog.fsck(t)
       assert(f.clean, s"seed $seed: $f")
+      // 31 versions cross the delta-manifest checkpoint boundary (v17);
+      // vacuum cuts the chain mid-delta, promoting the oldest survivor to
+      // a checkpoint in place — the snapshot must be byte-identical after,
+      // whatever random op mix produced the boundary version
+      CommitLog.vacuum(t, keepVersions = 3, minAgeMillis = 0, force = true,
+        dropLaggingReaders = true)
+      assert(CommitLog.versions(t).size === 3)
+      assert(snap() === model, s"seed $seed: snapshot diverged after vacuum")
+      assert(CommitLog.fsck(t).clean, s"seed $seed post-vacuum: ${CommitLog.fsck(t)}")
     }
   }
 }
