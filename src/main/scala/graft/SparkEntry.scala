@@ -40,5 +40,6 @@ object SparkEntry {
   def operatorQueries: Map[String, (SparkSession, String) => DataFrame] =
     StarQueries.operatorOnly ++ TextQueries.operatorOnly ++
       DedupQueries.operatorOnly ++ VectorQueries.operatorOnly ++
-      MediaQueries.operatorOnly ++ StreamQueries.operatorOnly
+      MediaQueries.operatorOnly ++ StreamQueries.operatorOnly ++
+      TxQueries.operatorOnly
 }

@@ -17,6 +17,31 @@ object EventQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** (csvPath, jsonPath) of the K1/K2 sink outputs for `d` — written once
+    * per JVM (pid-unique dir, reaped at exit; fixed timestamp so the
+    * stamped names are deterministic) through the REAL FileSinks surface,
+    * then read back by the roundtrip queries. The projection includes a
+    * string with an embedded comma + quote (no trailing space — the CSV writer's
+    * default ignoreTrailingWhiteSpace would trim it), so the quoting
+    * path is genuinely exercised. */
+  private val builtSinks =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def sinkPaths(s: SparkSession, d: String): (String, String) =
+    builtSinks.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sinks_${tag}_$pid"
+      Tables.deleteRecursively(new java.io.File(dir))
+      sys.addShutdownHook(Tables.deleteRecursively(new java.io.File(dir)))
+      val out = events(s, d).filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id"), col("event_type"),
+          concat(col("event_type"), lit(",\"q\"")).as("qtext"),
+          unix_micros(col("ets")).as("ets_us"), col("value"))
+      val now = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+      (graft.sinks.FileSinks.saveCsv(out, dir, "k1", now).get,
+        graft.sinks.FileSinks.saveJson(out, dir, "k2", now).get)
+    })
+
   val queries: Map[String, Q] = Map(
     // P1/P2 + F1-F3: flatten projection with renames + JSON field extraction
     // (geometry-JSON analogue) — parse_geojson_to_dataframe re-expressed.
@@ -91,6 +116,28 @@ object EventQueries {
       year(col("ets")).as("year"),
       col("event_id"),
     ).orderBy(col("month"), col("year"), col("event_id").desc)),
+
+    // K1: CSV sink ROUNDTRIP (round-11 VERDICT item 8) — write through
+    // FileSinks.saveCsv (header, timestamped dir, the reference's
+    // save_to_csv shape) and read the files back with an explicit schema;
+    // the DuckDB oracle recomputes the expected CONTENT from the source
+    // parquet, so any sink-side mangling (quoting of embedded
+    // commas/quotes, double formatting, header drift) flips the hash.
+    // qtext embeds ',"q"' to force the quoted-field path.
+    "k1_csv_roundtrip" -> ((s, d) =>
+      s.read
+        .schema("event_id BIGINT, event_type STRING, qtext STRING, " +
+          "ets_us BIGINT, value DOUBLE")
+        .option("header", "true").csv(sinkPaths(s, d)._1)
+        .orderBy("event_id")),
+
+    // K2: JSON sink roundtrip — same contract through FileSinks.saveJson.
+    "k2_json_roundtrip" -> ((s, d) =>
+      s.read
+        .schema("event_id BIGINT, event_type STRING, qtext STRING, " +
+          "ets_us BIGINT, value DOUBLE")
+        .json(sinkPaths(s, d)._2)
+        .orderBy("event_id")),
 
     // S6: column-pruned scan (reads 3 of 6 columns from parquet).
     "s6_pruned_read" -> ((s, d) => events(s, d)
@@ -238,6 +285,14 @@ object EventQueries {
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+    "k1_csv_roundtrip" ->
+      """SELECT event_id, event_type, event_type || ',"q"' AS qtext,
+           CAST(epoch_us(ts) AS BIGINT) AS ets_us, value
+         FROM events WHERE event_id % 7 = 0 ORDER BY event_id""",
+    "k2_json_roundtrip" ->
+      """SELECT event_id, event_type, event_type || ',"q"' AS qtext,
+           CAST(epoch_us(ts) AS BIGINT) AS ets_us, value
+         FROM events WHERE event_id % 7 = 0 ORDER BY event_id""",
     "sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts,

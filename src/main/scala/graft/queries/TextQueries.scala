@@ -213,11 +213,11 @@ object TextQueries {
     // already). A doc whose text is ALL boilerplate dedups to "" and falls
     // to the token-count gate.
     "curation_keep_ccnet" -> ((s, d) => {
+      // the segment pass is shared (persisted) with dedup_segments — the
+      // chain's two consumers fingerprint the corpus once (round-11
+      // VERDICT item 4)
       curationGatesAndDedup(
-        graft.ext.Dedup.dropDuplicateSegments(
-            documents(s, d).select("doc_id", "text"),
-            TextStats.chunkWindows(col("text"), window = 8, stride = 8),
-            col("doc_id"), minDocs = 2)
+        DedupQueries.cachedSegmentDedup(s, d)
           .select(col("doc_id"), col("text_deduped").as("text")))
     }),
 
