@@ -27,6 +27,10 @@ import graft.tx.CommitLog
   *     OPTIMIZE is not runnable).
   *   - `DESCRIBE HISTORY <table>` → one row per version (version, mode,
   *     file/DV-dir/column counts), newest first.
+  *   - `EXPORT <table> TO DELTA [VERSION AS OF <v>]` →
+  *     [[graft.tx.DeltaExport.writeDeltaLog]] (returns the exported graft
+  *     version) — a minimal `_delta_log` snapshot view for foreign
+  *     Delta-protocol readers.
   *
   * `<table>` is either a quoted path literal ('…' or "…") — the
   * path-first addressing the rest of the graft SQL surface uses — or a

@@ -1965,13 +1965,24 @@ object CommitLog {
     * their commit dirs' stats sidecars rebuilt), the remainder moves,
     * and one manifest publishes the union. Non-parquet data files
     * refuse; an existing commit log refuses (already converted). All
-    * validation happens BEFORE the first file moves. */
+    * validation happens BEFORE the first file moves.
+    *
+    * A directory carrying `_delta_log` is a DELTA table and routes to
+    * [[DeltaImport.convertDelta]] — the log, not the directory walk, is
+    * the source of truth there (deleted files linger on disk until
+    * Delta's vacuum and must not resurrect). */
   def convert(spark: SparkSession, table: String,
       partitionBy: Seq[String] = Nil): Long = {
     require(latestVersion(table).isEmpty,
       s"$table already has a commit log (v${latestVersion(table).get}) — nothing to convert")
     val tableDir = Paths.get(table)
     require(Files.isDirectory(tableDir), s"$table is not a directory")
+    // a `_delta_log`-bearing directory is a DELTA table, not a plain
+    // parquet dir: files removed by Delta DELETE/OPTIMIZE linger on disk
+    // until Delta's vacuum, so the blind walk below would resurrect every
+    // deleted row — route to the log-aware import ([[DeltaImport]])
+    if (Files.isDirectory(tableDir.resolve("_delta_log")))
+      return DeltaImport.convertDelta(spark, table, partitionBy)
     val ownConfig = Set(BloomIndex.ConfigName, Constraints.ConfigName)
     import scala.jdk.CollectionConverters._
     val all = {
@@ -2051,6 +2062,18 @@ object CommitLog {
       // table's recorded partition spec
       partitionSpec = Some(if (partitionBy.nonEmpty) partitionBy else discovered))
   }
+
+  /** Publish a Delta import's v1 ([[DeltaImport.convertDelta]]): one
+    * overwrite-mode manifest referencing the relocated live files,
+    * carrying the Delta log's schema, partition spec, and imported `txn`
+    * watermarks (SetTransaction continuity: an exactly-once streaming
+    * writer survives the migration without replaying committed batches). */
+  private[tx] def publishImport(table: String, files: Seq[String],
+      schema: StructType, partitionBy: Seq[String],
+      txns: Map[String, Long]): Long =
+    publishRewrite(table, Manifest(0L, "overwrite", schema, Nil, txns),
+      files, mode = "overwrite", schema = Some(schema),
+      partitionSpec = Some(partitionBy))
 
   /** `TRUNCATE TABLE` — replace the snapshot with an EMPTY one, keeping
     * the schema: a transactional overwrite with zero files, so time

@@ -1,0 +1,255 @@
+package graft.tx
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** `CONVERT TO GRAFT` over an existing DELTA table (the import half of the
+  * round-11 interop gap; [[DeltaExport]] is the export half): the
+  * reference's writers produce Delta via delta-rs
+  * (`save_to_raw_delta_dev.py:63-80`), so "a user of the reference could
+  * switch" requires adopting a `_delta_log`-bearing directory IN PLACE —
+  * and a blind plain-parquet convert over one would be silently WRONG, not
+  * just rude: files removed by Delta DELETE/OPTIMIZE linger on disk until
+  * Delta's vacuum, so ignoring the log RESURRECTS every deleted row and
+  * double-counts every compaction input. [[CommitLog.convert]] therefore
+  * routes here whenever `_delta_log` exists.
+  *
+  * Mechanics (all metadata; no data read or rewritten):
+  *  1. reconstruct the LATEST Delta snapshot — newest parquet checkpoint
+  *     (its rows re-serialized as action JSON) + ordered replay of the
+  *     JSON commits above it; `remove` tombstones inside a checkpoint are
+  *     already applied and are ignored, `remove` actions in commits drop;
+  *  2. refuse unreadable tables LOUDLY before touching anything:
+  *     `minReaderVersion` > 1 (deletion vectors, column mapping v2),
+  *     `delta.columnMapping.mode` set, any `add.deletionVector`, a gap in
+  *     the commit sequence, or an absolute/external `add.path`;
+  *  3. move each LIVE file into one fresh `data/<uuid>/` commit dir under
+  *     hive `k=v` segments rebuilt from the add's `partitionValues` (the
+  *     authoritative source — Delta paths are not required to carry hive
+  *     dirs), build the footer-stats sidecar, and publish graft v1 with
+  *     the log's OWN schema (`metaData.schemaString` is Spark schema
+  *     JSON) and partition spec; Delta `txn` watermarks import into the
+  *     manifest so exactly-once writers survive the migration;
+  *  4. DEAD files (on disk, not in the snapshot) move to
+  *     `_graft_import_dead/` — preserved for the operator, invisible to
+  *     readers — and `_delta_log` is renamed `_delta_log_imported`, so no
+  *     foreign reader can keep reading a log that no longer governs the
+  *     files (the import is one-way, as Delta's own CONVERT is).
+  */
+object DeltaImport {
+
+  private val mapper = new ObjectMapper()
+
+  /** One reconstructed Delta snapshot: live adds (decoded path →
+    * partitionValues), schema, partition columns, txn watermarks. */
+  private final case class DeltaSnapshot(
+      adds: Seq[(String, Map[String, Option[String]])],
+      schema: StructType, partitionColumns: Seq[String],
+      txns: Map[String, Long])
+
+  def convertDelta(spark: SparkSession, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(CommitLog.latestVersion(table).isEmpty,
+      s"$table already has a commit log — nothing to convert")
+    val tableDir = Paths.get(table)
+    val snap = readSnapshot(spark, tableDir)
+    require(partitionBy.isEmpty ||
+        partitionBy.map(_.toLowerCase).sorted ==
+          snap.partitionColumns.map(_.toLowerCase).sorted,
+      s"PARTITIONED BY (${partitionBy.mkString(",")}) does not match the " +
+        s"Delta log's partition columns (${snap.partitionColumns.mkString(",")})")
+    // every live file must exist before the first move (a refused convert
+    // leaves the directory exactly as found)
+    val missing = snap.adds.map(_._1).filterNot(p => Files.isRegularFile(tableDir.resolve(p)))
+    require(missing.isEmpty,
+      s"cannot convert $table: ${missing.size} file(s) named by the Delta log " +
+        s"are missing on disk (first: ${missing.head}) — was the table " +
+        "partially copied?")
+    val dataDirName = s"data/${UUID.randomUUID().toString}"
+    val dataDir = tableDir.resolve(dataDirName)
+    val escaper = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val moved = snap.adds.zipWithIndex.map { case ((rel, pvals), i) =>
+      // hive segments from partitionValues — the authoritative source —
+      // in the DECLARED column order; null → the hive default partition
+      val segs = snap.partitionColumns.map { c =>
+        val v = pvals.getOrElse(c, pvals.getOrElse(c.toLowerCase, None))
+        escaper.escapePathName(c) + "=" +
+          v.map(escaper.escapePathName).getOrElse("__HIVE_DEFAULT_PARTITION__")
+      }
+      // SANITIZED basename: graft's DV machinery identifies rows by
+      // `_metadata.file_name`, which Spark reports URI-ENCODED — a space
+      // or '%' in a basename would make the stored death name and the
+      // manifest name disagree and silently resurrect deleted rows. The
+      // engine's own writers never emit such names; imports must not
+      // either (basenames carry no semantics — the i$i prefix guards
+      // collisions).
+      val base = Paths.get(rel).getFileName.toString
+        .map(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c
+                  else '_')
+      val dst0 = segs.foldLeft(dataDir)(_.resolve(_))
+      val dst = {
+        val d = dst0.resolve(base)
+        if (!Files.exists(d)) d else dst0.resolve(s"i$i-$base")
+      }
+      Files.createDirectories(dst.getParent)
+      Files.move(tableDir.resolve(rel), dst)
+      dst
+    }
+    FileStats.writeSidecar(dataDir, moved, exactStrings = false)
+    // dead files: anything parquet outside data/ the snapshot did not
+    // claim — preserved under an invisible (_-prefixed) dir, never
+    // resurrected, reclaimable by the operator
+    val dead = {
+      val st = Files.walk(tableDir)
+      try st.iterator().asScala.filter(Files.isRegularFile(_)).toList
+      finally st.close()
+    }.filter { p =>
+      val rel = tableDir.relativize(p).toString
+      p.getFileName.toString.endsWith(".parquet") &&
+        !rel.startsWith("data/") && !rel.startsWith("_delta_log")
+    }
+    dead.foreach { p =>
+      val dst = tableDir.resolve("_graft_import_dead")
+        .resolve(tableDir.relativize(p).toString)
+      Files.createDirectories(dst.getParent)
+      Files.move(p, dst)
+    }
+    // the old log must stop serving: its adds now point at moved files
+    Files.move(tableDir.resolve("_delta_log"),
+      tableDir.resolve("_delta_log_imported"))
+    Files.createDirectories(tableDir.resolve("_graft_log"))
+    CommitLog.publishImport(table,
+      moved.map(f => tableDir.relativize(f).toString.replace('\\', '/')),
+      snap.schema, snap.partitionColumns, snap.txns)
+  }
+
+  /** Latest snapshot from `_delta_log`: newest checkpoint (if any) + JSON
+    * commit replay above it. */
+  private def readSnapshot(spark: SparkSession, tableDir: Path): DeltaSnapshot = {
+    val logDir = tableDir.resolve("_delta_log")
+    val entries = {
+      val st = Files.list(logDir)
+      try st.iterator().asScala.map(_.getFileName.toString).toList
+      finally st.close()
+    }
+    val jsonVersions = entries.collect {
+      case n if n.length == 25 && n.endsWith(".json") &&
+        n.dropRight(5).forall(_.isDigit) => n.dropRight(5).toLong
+    }.sorted
+    val ckptVersions = entries.collect {
+      case n if n.endsWith(".checkpoint.parquet") &&
+        n.dropRight(".checkpoint.parquet".length).forall(_.isDigit) =>
+        n.dropRight(".checkpoint.parquet".length).toLong
+    }.sorted
+    require(jsonVersions.nonEmpty || ckptVersions.nonEmpty,
+      s"$tableDir/_delta_log holds no commits")
+    val ckpt = ckptVersions.lastOption
+    val replay = jsonVersions.filter(v => ckpt.forall(_ < v))
+    // the log must be contiguous above the checkpoint (or from 0 without
+    // one) — a gap means an incomplete copy and a wrong snapshot
+    val expectedFrom = ckpt.map(_ + 1).getOrElse(0L)
+    replay.zipWithIndex.foreach { case (v, i) =>
+      require(v == expectedFrom + i,
+        s"Delta log gap: expected version ${expectedFrom + i}, found $v — " +
+          "incomplete log, refusing to reconstruct a wrong snapshot")
+    }
+
+    var adds = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
+    var schemaString: Option[String] = None
+    var partitionColumns: Seq[String] = Nil
+    var configuration: Map[String, String] = Map.empty
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+
+    def pvalsOf(node: JsonNode): Map[String, Option[String]] = {
+      val pv = node.path("partitionValues")
+      if (!pv.isObject) Map.empty
+      else pv.properties().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+      }.toMap
+    }
+    def apply(action: JsonNode, fromCheckpoint: Boolean): Unit = {
+      val add = action.path("add")
+      val remove = action.path("remove")
+      val meta = action.path("metaData")
+      val protocol = action.path("protocol")
+      val txn = action.path("txn")
+      if (add.isObject) {
+        require(add.path("deletionVector").isMissingNode ||
+            add.path("deletionVector").isNull,
+          "Delta table carries deletion vectors — unsupported for import; " +
+            "have a Delta writer OPTIMIZE/rewrite them away first")
+        val raw = add.path("path").asText()
+        require(!raw.contains("://") && !raw.startsWith("/"),
+          s"Delta add.path '$raw' is absolute/external — only " +
+            "table-relative files import")
+        adds(decodePath(raw)) = pvalsOf(add)
+      } else if (remove.isObject) {
+        // a checkpoint's removes are TOMBSTONES of already-applied deletes
+        if (!fromCheckpoint) adds.remove(decodePath(remove.path("path").asText())): Unit
+      } else if (meta.isObject) {
+        schemaString = Some(meta.path("schemaString").asText())
+        partitionColumns = meta.path("partitionColumns").elements().asScala
+          .map(_.asText()).toSeq
+        val conf = meta.path("configuration")
+        if (conf.isObject)
+          configuration = conf.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+      } else if (protocol.isObject) {
+        val r = protocol.path("minReaderVersion").asInt(1)
+        require(r <= 1,
+          s"Delta protocol minReaderVersion $r is unsupported for import " +
+            "(reader features like deletion vectors / column mapping v2); " +
+            "only basic (reader v1) tables convert")
+      } else if (txn.isObject && txn.path("appId").isTextual) {
+        txns(txn.path("appId").asText()) = txn.path("version").asLong()
+      }
+    }
+
+    ckpt.foreach { v =>
+      // checkpoint rows ARE actions — re-serialize via toJSON and run them
+      // through the same replay (null struct fields are omitted there)
+      spark.read.parquet(
+          logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
+        .toJSON.collect()
+        .foreach(line => apply(mapper.readTree(line), fromCheckpoint = true))
+    }
+    replay.foreach { v =>
+      new String(Files.readAllBytes(logDir.resolve(f"$v%020d.json")), "UTF-8")
+        .split("\n").filter(_.trim.nonEmpty)
+        .foreach(line => apply(mapper.readTree(line), fromCheckpoint = false))
+    }
+    require(schemaString.isDefined,
+      s"$tableDir/_delta_log carries no metaData action — not a Delta table")
+    val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none",
+      s"Delta column mapping mode '$cmMode' is unsupported for import; " +
+        "files store mapped names the schema wouldn't match")
+    DeltaSnapshot(adds.toSeq,
+      DataType.fromJson(schemaString.get).asInstanceOf[StructType],
+      partitionColumns, txns.toMap)
+  }
+
+  /** Delta `add.path` is percent-encoded (RFC 2396 fragment); decode %XX
+    * only — never '+' (URLDecoder's form-data rule would corrupt literal
+    * plus signs in file names). */
+  private def decodePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,240 @@
+package graft.tx
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `CONVERT TO GRAFT` over a Delta table (the import half of the interop
+  * story): the spec plays the FOREIGN WRITER — it handcrafts `_delta_log`
+  * commits (and a parquet checkpoint) the way delta-rs lays them down,
+  * with real parquet data files on disk, then proves the import
+  * reconstructs exactly the log's snapshot: removed files' rows absent
+  * (the resurrection bug a blind parquet convert would commit), partition
+  * values preserved, txn watermarks carried, refusals loud. */
+class DeltaImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): Path = Files.createTempDirectory("graft_dimp").resolve("t")
+
+  /** Write `rows` as ONE parquet file at tableDir/relPath; returns size. */
+  private def writeFile(tableDir: Path, relPath: String,
+      rows: Seq[(Long, Double)]): Long = {
+    val tmp = Files.createTempDirectory("dimp_part")
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator()
+    val src = {
+      var p: Path = null
+      while (part.hasNext) {
+        val c = part.next()
+        if (c.getFileName.toString.endsWith(".parquet")) p = c
+      }
+      p
+    }
+    val dst = tableDir.resolve(relPath)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+    Files.size(dst)
+  }
+
+  private def schemaJson: String =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType))).json
+
+  private def metaAction(partitionCols: Seq[String] = Nil,
+      config: String = "{}"): String =
+    s"""{"metaData":{"id":"11111111-1111-1111-1111-111111111111",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schemaJson)},""" +
+      s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}],""" +
+      s""""configuration":$config,"createdTime":1700000000000}}"""
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def addAction(path: String, size: Long,
+      pvals: Map[String, String] = Map.empty): String = {
+    val pv = pvals.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
+    s"""{"add":{"path":${jstr(path)},"partitionValues":{$pv},"size":$size,""" +
+      """"modificationTime":1700000000000,"dataChange":true}}"""
+  }
+
+  private def writeCommit(tableDir: Path, v: Long, actions: Seq[String]): Unit = {
+    val logDir = tableDir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$v%020d.json"),
+      (actions.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  private val protocolV1 = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  test("import replays adds and removes: deleted files' rows never resurrect") {
+    val t = freshDir()
+    val s1 = writeFile(t, "part-0001.parquet", Seq((1L, 1.0), (2L, 2.0)))
+    val s2 = writeFile(t, "part-0002.parquet", Seq((3L, 3.0)))
+    val s3 = writeFile(t, "part-0003%20x.parquet", Seq((4L, 4.0))) // URL-encoded space
+    writeCommit(t, 0L, Seq(protocolV1, metaAction(),
+      addAction("part-0001.parquet", s1), addAction("part-0002.parquet", s2)))
+    // commit 1: a Delta DELETE rewrote part-0002 away and added an
+    // encoded-name file; part-0002 LINGERS on disk (pre-vacuum), plus a
+    // txn watermark rides along
+    Files.move(t.resolve("part-0003%20x.parquet"), t.resolve("part-0003 x.parquet"))
+    writeCommit(t, 1L, Seq(
+      """{"txn":{"appId":"writer-1","version":7}}""",
+      addAction("part-0003%20x.parquet", s3),
+      """{"remove":{"path":"part-0002.parquet","deletionTimestamp":1700000001000,"dataChange":true}}"""))
+
+    val v = CommitLog.convert(spark, t.toString)
+    assert(v === 1L)
+    // rows: adds 1 and 3 only — part-0002's rows (id 3) must be ABSENT
+    assert(CommitLog.read(spark, t.toString).select("id").as[Long]
+      .collect().sorted === Seq(1L, 2L, 4L))
+    // the dead file is preserved but invisible; the old log is retired
+    assert(Files.isRegularFile(t.resolve("_graft_import_dead/part-0002.parquet")))
+    assert(Files.isDirectory(t.resolve("_delta_log_imported")))
+    assert(!Files.exists(t.resolve("_delta_log")))
+    // txn continuity: the exactly-once watermark imported
+    assert(CommitLog.txnVersion(t.toString, "writer-1") === Some(7L))
+    // and the converted table is a full graft citizen (DML works)
+    CommitLog.deleteDv(spark, t.toString, col("id") === 4L)
+    assert(CommitLog.read(spark, t.toString).count() === 2L)
+  }
+
+  test("partitioned import rebuilds hive layout from partitionValues") {
+    val t = freshDir()
+    // delta-rs lays partitioned files under k=v dirs, but partitionValues
+    // is the authoritative source — include one file NOT under a hive dir
+    val s1 = writeFile(t, "k=a/part-0001.parquet", Seq((1L, 1.0)))
+    val s2 = writeFile(t, "flat-0002.parquet", Seq((2L, 2.0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    val meta =
+      s"""{"metaData":{"id":"22222222-2222-2222-2222-222222222222",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(schema.json)},""" +
+        s""""partitionColumns":["k"],"configuration":{},""" +
+        s""""createdTime":1700000000000}}"""
+    writeCommit(t, 0L, Seq(protocolV1, meta,
+      addAction("k=a/part-0001.parquet", s1, Map("k" -> "a")),
+      addAction("flat-0002.parquet", s2, Map("k" -> "b"))))
+    CommitLog.convert(spark, t.toString)
+    val rows = CommitLog.read(spark, t.toString).select("id", "k")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "a"), (2L, "b")))
+    val m = CommitLog.manifest(t.toString, 1L)
+    assert(m.partitionBy === Seq("k"))
+    assert(m.files.forall(f => f.contains("/k=")),
+      s"hive layout not rebuilt: ${m.files}")
+    // partition pruning works through the rebuilt layout + sidecars
+    assert(CommitLog.readPruned(spark, t.toString, col("k") === "b")
+      .count() === 1L)
+  }
+
+  test("checkpoint + suffix replay: checkpoint removes are tombstones, not deletes") {
+    val t = freshDir()
+    val s1 = writeFile(t, "part-0001.parquet", Seq((1L, 1.0)))
+    val s2 = writeFile(t, "part-0002.parquet", Seq((2L, 2.0)))
+    val s3 = writeFile(t, "part-0003.parquet", Seq((3L, 3.0)))
+    val logDir = t.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    // checkpoint at v1: live adds {1,2}, plus a TOMBSTONE remove of a
+    // long-gone file (must not affect the snapshot); json commit v2 adds 3
+    val ckpt = Seq(
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(),
+      addAction("part-0001.parquet", s1),
+      addAction("part-0002.parquet", s2),
+      """{"remove":{"path":"part-0000-ancient.parquet","deletionTimestamp":1,"dataChange":true}}""")
+    val ds = spark.read.json(spark.createDataset(ckpt))
+    ds.coalesce(1).write.mode("overwrite")
+      .parquet(t.resolve("_ckpt_tmp").toString)
+    val part = Files.list(t.resolve("_ckpt_tmp")).iterator()
+    var src: Path = null
+    while (part.hasNext) {
+      val c = part.next()
+      if (c.getFileName.toString.endsWith(".parquet")) src = c
+    }
+    Files.move(src, logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
+    CommitLog.deleteTree(t.resolve("_ckpt_tmp"))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":1,"size":5}""".getBytes("UTF-8"))
+    writeCommit(t, 2L, Seq(addAction("part-0003.parquet", s3)))
+    CommitLog.convert(spark, t.toString)
+    assert(CommitLog.read(spark, t.toString).select("id").as[Long]
+      .collect().sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("refusals are loud and leave the directory untouched") {
+    // deletion vectors
+    val t1 = freshDir()
+    val s1 = writeFile(t1, "part-0001.parquet", Seq((1L, 1.0)))
+    writeCommit(t1, 0L, Seq(protocolV1, metaAction(),
+      s"""{"add":{"path":"part-0001.parquet","partitionValues":{},"size":$s1,""" +
+        """"modificationTime":1,"dataChange":true,""" +
+        """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":10,"cardinality":2}}}"""))
+    val e1 = intercept[IllegalArgumentException](CommitLog.convert(spark, t1.toString))
+    assert(e1.getMessage.contains("deletion vectors"))
+    assert(Files.isRegularFile(t1.resolve("part-0001.parquet"))) // untouched
+    assert(Files.isDirectory(t1.resolve("_delta_log")))
+
+    // reader protocol too new
+    val t2 = freshDir()
+    val s2 = writeFile(t2, "part-0001.parquet", Seq((1L, 1.0)))
+    writeCommit(t2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      metaAction(), addAction("part-0001.parquet", s2)))
+    assert(intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t2.toString)).getMessage.contains("minReaderVersion"))
+
+    // column mapping
+    val t3 = freshDir()
+    val s3 = writeFile(t3, "part-0001.parquet", Seq((1L, 1.0)))
+    writeCommit(t3, 0L, Seq(protocolV1,
+      metaAction(config = """{"delta.columnMapping.mode":"name"}"""),
+      addAction("part-0001.parquet", s3)))
+    assert(intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t3.toString)).getMessage.contains("column mapping"))
+
+    // a gap in the commit sequence
+    val t4 = freshDir()
+    val s4 = writeFile(t4, "part-0001.parquet", Seq((1L, 1.0)))
+    writeCommit(t4, 0L, Seq(protocolV1, metaAction(),
+      addAction("part-0001.parquet", s4)))
+    writeCommit(t4, 2L, Seq(addAction("part-0001.parquet", s4)))
+    assert(intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t4.toString)).getMessage.contains("gap"))
+  }
+
+  test("export → import roundtrip: a graft snapshot re-imported elsewhere is identical") {
+    // the two halves must agree on the protocol: export a graft table,
+    // copy data + _delta_log to a new root, import there
+    val src = freshDir().toString
+    CommitLog.commit(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "k", "v"), src, "append", partitionBy = Seq("k"))
+    DeltaExport.writeDeltaLog(src)
+    val dst = freshDir()
+    // copy the delta view: data files at their add paths + the log
+    val srcDir = Paths.get(src)
+    CommitLog.manifest(src, 1L).files.foreach { rel =>
+      val d = dst.resolve(rel)
+      Files.createDirectories(d.getParent)
+      Files.copy(srcDir.resolve(rel), d)
+    }
+    Files.createDirectories(dst.resolve("_delta_log"))
+    Files.copy(srcDir.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+      dst.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    CommitLog.convert(spark, dst.toString)
+    val got = CommitLog.read(spark, dst.toString).select("id", "k", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
+    assert(CommitLog.manifest(dst.toString, 1L).partitionBy === Seq("k"))
+  }
+}
