@@ -3,21 +3,27 @@ package graft.tx
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 /** `_delta_log` EXPORT for foreign readers (round-11 VERDICT item 2): the
   * reference's own consumers read the lake through the Delta protocol —
   * DuckDB `delta_scan` (`usgs_fact_tsunami_count_silver_dev.py:59-65`) and
   * Polars `pl.read_delta` (`usgs_read_polars.py:52-57`) — so a graft table
   * they can't open is a migration cliff. [[writeDeltaLog]] emits a minimal
-  * single-version Delta log (protocol + metaData + one `add` action per
-  * snapshot file) next to the data, after which the graft table root IS a
+  * Delta log (protocol + metaData + one `add` action per snapshot file;
+  * re-exports append O(diff) delta commits) next to the data, after which
+  * the graft table root IS a
   * Delta table for any reader of the public Delta protocol: graft's data
   * paths are already table-root-relative parquet, exactly what `add.path`
   * wants. Pure driver-side file I/O — no Delta jars needed to WRITE JSON,
   * which is what makes this offline-honest.
   *
-  * The export is a SNAPSHOT VIEW, not a live mirror: later graft commits
-  * do not update it (re-export to refresh; `_delta_log/_graft_export`
-  * records which graft version the view reflects). Refusals keep it
+  * The export reflects the graft version it was run at: later graft
+  * commits do not update it automatically — re-export to refresh, which
+  * appends ONE O(diff) Delta commit when the previous export's manifest
+  * is still readable and falls back to a fresh full log otherwise
+  * (`_delta_log/_graft_export` records the exported graft version and
+  * the last Delta version written). Refusals keep it
   * honest rather than approximately-right:
   *  - DV-carrying snapshots refuse (a foreign reader would resurrect every
   *    dead row — run OPTIMIZE first to fold deletions into the files);
@@ -30,10 +36,18 @@ import java.util.UUID
   */
 object DeltaExport {
 
-  /** Export `table`'s snapshot (latest or `version`) as
-    * `<table>/_delta_log/00000000000000000000.json`; returns the graft
-    * version exported. Idempotent: re-export atomically replaces the
-    * previous view. */
+  /** Export `table`'s snapshot (latest or `version`) into
+    * `<table>/_delta_log`; returns the graft version exported.
+    *
+    * INCREMENTAL when possible: if a previous export exists, the prior
+    * exported graft manifest is still readable, and the target version is
+    * newer, the re-export appends ONE Delta commit holding just the
+    * file-set diff (adds + removes, plus a fresh metaData action when the
+    * schema evolved) — O(changed files), the same cost story as the graft
+    * manifests themselves, and foreign readers see a real multi-version
+    * Delta log. Falls back to a FULL re-export (fresh version-0 log,
+    * prior versions removed) when the chain is not walkable (first
+    * export, vacuumed base, or an explicit older `version`). */
   def writeDeltaLog(table: String, version: Option[Long] = None): Long = {
     val root = Paths.get(CommitLog.normalizeRoot(table))
     val v = version.orElse(CommitLog.latestVersion(root.toString)).getOrElse(
@@ -46,11 +60,33 @@ object DeltaExport {
       s"$table v$v carries renamed columns (column mapping): its files " +
         "store physical names the exported schema wouldn't match — run " +
         "OPTIMIZE to rewrite under the logical names, then export")
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val marker = logDir.resolve("_graft_export")
+    // (last exported graft version, last written delta version)
+    val prior: Option[(Long, Long)] =
+      if (!Files.isRegularFile(marker)) None
+      else {
+        val kv = new String(Files.readAllBytes(marker), "UTF-8")
+          .split("\n").flatMap(_.split("=", 2) match {
+            case Array(k, x) => Some(k -> x.trim)
+            case _ => None
+          }).toMap
+        for {
+          gv <- kv.get("graft_version").flatMap(_.toLongOption)
+          dv <- kv.get("delta_version").flatMap(_.toLongOption).orElse(Some(0L))
+        } yield (gv, dv)
+      }
+
     val partCols = m.partitionBy
+    // commit time = the manifest file's mtime (the same clock TIMESTAMP AS
+    // OF resolves against), so repeated exports of one version are stable
+    val createdTime = CommitLog.manifestIdentity(root.toString, v)
+      .map(_._1).getOrElse(0L)
     // one add action per file; partition values parsed from the hive
     // `k=v` dirs graft wrote them into (Delta readers rebuild partition
     // columns from this map, typed by schemaString)
-    val adds = m.files.map { rel =>
+    def addAction(rel: String): String = {
       val p = root.resolve(rel)
       val vals = partitionValuesOf(rel)
       require(vals.keySet == partCols.map(_.toLowerCase).toSet ||
@@ -68,29 +104,73 @@ object DeltaExport {
         s""""modificationTime":${Files.getLastModifiedTime(p).toMillis},""" +
         """"dataChange":true}}"""
     }
-    // commit time = the manifest file's mtime (the same clock TIMESTAMP AS
-    // OF resolves against), so repeated exports of one version are stable
-    val createdTime = CommitLog.manifestIdentity(root.toString, v)
-      .map(_._1).getOrElse(0L)
-    val meta =
+    def metaAction: String =
       s"""{"metaData":{"id":${jstr(UUID.nameUUIDFromBytes(
-          s"graft:${root.toString}:v$v".getBytes("UTF-8")).toString)},""" +
+          s"graft:${root.toString}".getBytes("UTF-8")).toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":${jstr(m.schema.json)},""" +
         s""""partitionColumns":[${partCols.map(jstr).mkString(",")}],""" +
         s""""configuration":{},"createdTime":$createdTime}}"""
     val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    val logDir = root.resolve("_delta_log")
-    Files.createDirectories(logDir)
-    val body = (Seq(protocol, meta) ++ adds).mkString("\n") + "\n"
-    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
-    Files.write(tmp, body.getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    Files.move(tmp, logDir.resolve(f"${0L}%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    Files.write(logDir.resolve("_graft_export"),
-      s"graft_version=$v\n".getBytes("UTF-8"))
-    v
+    def writeVersion(deltaV: Long, lines: Seq[String]): Unit = {
+      val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
+      Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      Files.move(tmp, logDir.resolve(f"$deltaV%020d.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    def writeMarker(deltaV: Long): Unit =
+      Files.write(marker,
+        s"graft_version=$v\ndelta_version=$deltaV\n".getBytes("UTF-8"))
+
+    // re-export of the already-exported version: the log is current
+    if (prior.exists(_._1 == v) &&
+        Files.isRegularFile(logDir.resolve(f"${0L}%020d.json")))
+      return v
+
+    // INCREMENTAL: append one Delta commit holding the manifest diff
+    val incremental = prior.filter(_._1 < v).flatMap { case (gv, dv) =>
+      try {
+        val base = CommitLog.manifest(root.toString, gv)
+        if (base.partitionBy != m.partitionBy) None // re-layout → full
+        else {
+          val baseFiles = base.files.toSet
+          val nextFiles = m.files.toSet
+          val adds = m.files.filterNot(baseFiles)
+          val removes = base.files.filterNot(nextFiles)
+          val lines =
+            (if (base.schema.json != m.schema.json) Seq(metaAction) else Nil) ++
+              adds.map(addAction) ++
+              removes.map(r =>
+                s"""{"remove":{"path":${jstr(r)},""" +
+                  s""""deletionTimestamp":$createdTime,"dataChange":true}}""")
+          writeVersion(dv + 1,
+            if (lines.nonEmpty) lines
+            else Seq("""{"commitInfo":{"operation":"GRAFT EXPORT"}}"""))
+          writeMarker(dv + 1)
+          Some(v)
+        }
+      } catch {
+        // the previously exported manifest was vacuumed — full re-export
+        case _: IllegalArgumentException => None
+      }
+    }
+    incremental.getOrElse {
+      // FULL: fresh single-version log; stale higher versions must not
+      // linger (a Delta reader takes the max version as latest)
+      val stale = {
+        val st = Files.list(logDir)
+        try st.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.length == 25 && n.endsWith(".json") && n.dropRight(5).forall(_.isDigit)
+        }.toList
+        finally st.close()
+      }
+      stale.foreach(Files.deleteIfExists(_))
+      writeVersion(0L, Seq(protocol, metaAction) ++ m.files.map(addAction))
+      writeMarker(0L)
+      v
+    }
   }
 
   /** Hive `k=v` dir segments of a table-relative file path (the segments

@@ -64,21 +64,61 @@ class DeltaExportSpec extends SparkSpec {
     assert(expect.find(_._1 == 4L).get._2 === null) // default-partition row
   }
 
-  test("re-export refreshes the view; the marker records the graft version") {
+  test("re-export appends an O(diff) Delta commit; full replay equals the snapshot") {
     val t = freshTable()
     CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
     DeltaExport.writeDeltaLog(t)
     CommitLog.commit(Seq((2L, 2.0)).toDF("id", "v"), t, "append")
-    val v2 = DeltaExport.writeDeltaLog(t)
-    assert(v2 === 2L)
-    val adds = spark.read.json(logFile(t))
-      .filter(col("add").isNotNull).select("add.path").as[String].collect()
-    assert(adds.toSet === CommitLog.manifest(t, 2L).files.toSet)
+    // a compaction rewrites the file set — the re-export diff must carry
+    // removes too, not just adds
+    CommitLog.compact(spark, t)
+    val v = DeltaExport.writeDeltaLog(t)
+    assert(v === CommitLog.latestVersion(t).get)
+    val logDir = Paths.get(t).resolve("_delta_log")
+    // the incremental export wrote version 1, it did NOT rewrite version 0
+    assert(Files.isRegularFile(logDir.resolve(f"${1L}%020d.json")))
+    val v1 = spark.read.json(logDir.resolve(f"${1L}%020d.json").toString)
+    assert(v1.filter(col("remove").isNotNull).count() >= 1L)
+    // foreign replay across BOTH versions: adds minus removes == snapshot
+    val all = spark.read.json(logDir.resolve("*.json").toString)
+    val adds = all.filter(col("add").isNotNull).select("add.path").as[String]
+      .collect().toSet
+    val removes = all.filter(col("remove").isNotNull).select("remove.path")
+      .as[String].collect().toSet
+    assert((adds -- removes) === CommitLog.manifest(t, v).files.toSet)
     val marker = new String(Files.readAllBytes(
-      Paths.get(t).resolve("_delta_log").resolve("_graft_export")), "UTF-8")
-    assert(marker.trim === "graft_version=2")
+      logDir.resolve("_graft_export")), "UTF-8")
+    assert(marker.contains(s"graft_version=$v") && marker.contains("delta_version=1"))
+    // idempotent: re-exporting the same version writes nothing new
+    DeltaExport.writeDeltaLog(t)
+    assert(!Files.exists(logDir.resolve(f"${2L}%020d.json")))
     // and graft's own reader is undisturbed by the foreign log dir
     assert(CommitLog.read(spark, t).count() === 2L)
+  }
+
+  test("an incrementally exported multi-version log re-imports exactly") {
+    val src = freshTable()
+    CommitLog.commit(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), src, "append")
+    DeltaExport.writeDeltaLog(src)
+    CommitLog.commit(Seq((3L, 3.0)).toDF("id", "v"), src, "append")
+    CommitLog.delete(spark, src, col("id") === 2L) // copy-on-write rewrite
+    val v = DeltaExport.writeDeltaLog(src)
+    // foreign-style copy: live files + the whole multi-version log
+    val dst = Files.createTempDirectory("graft_dexp_inc").resolve("t")
+    val srcDir = Paths.get(src)
+    CommitLog.manifest(src, v).files.foreach { rel =>
+      val d = dst.resolve(rel)
+      Files.createDirectories(d.getParent)
+      Files.copy(srcDir.resolve(rel), d)
+    }
+    Files.createDirectories(dst.resolve("_delta_log"))
+    Seq(f"${0L}%020d.json", f"${1L}%020d.json").foreach { n =>
+      Files.copy(srcDir.resolve("_delta_log").resolve(n),
+        dst.resolve("_delta_log").resolve(n))
+    }
+    CommitLog.convert(spark, dst.toString)
+    assert(CommitLog.read(spark, dst.toString).select("id").as[Long]
+      .collect().sorted === Seq(1L, 3L))
   }
 
   test("DV and column-mapped snapshots refuse; OPTIMIZE unblocks both") {
