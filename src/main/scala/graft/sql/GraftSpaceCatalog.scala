@@ -341,6 +341,10 @@ class GraftSpaceCatalog extends TableCatalog with StagingTableCatalog
     try st.sorted(java.util.Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.delete)
     finally st.close()
+    // drop the deleted table's cached manifests eagerly — the fileKey
+    // identity already defends a re-CREATE at the same root, this just
+    // releases the memory (round-11 ADVICE, low)
+    graft.tx.CommitLog.invalidateCachedManifests(p.toString)
   }
 
   // ---- SupportsNamespaces ----------------------------------------------

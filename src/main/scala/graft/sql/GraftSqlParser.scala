@@ -271,7 +271,11 @@ case class GraftDetailCommand(table: String, quoted: Boolean)
     AttributeReference("num_versions", IntegerType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
     AttributeReference("num_columns", IntegerType, nullable = false)(),
-    AttributeReference("constraints", StringType, nullable = false)())
+    AttributeReference("constraints", StringType, nullable = false)(),
+    // delta-manifest observability: where the newest full checkpoint sits
+    // and how many delta commits a cold read replays above it
+    AttributeReference("checkpoint_version", LongType, nullable = false)(),
+    AttributeReference("deltas_above_checkpoint", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
     val m = CommitLog.manifest(root, CommitLog.latestVersion(root).getOrElse(
@@ -282,7 +286,8 @@ case class GraftDetailCommand(table: String, quoted: Boolean)
       CommitLog.versions(root).size, GraftDml.layoutCols(root).mkString(","),
       m.schema.fields.length,
       graft.tx.Constraints.list(root)
-        .map { case (n, e) => s"$n: CHECK ($e)" }.mkString("; ")))
+        .map { case (n, e) => s"$n: CHECK ($e)" }.mkString("; "),
+      m.checkpointVersion, (m.version - m.checkpointVersion).toInt))
   }
 }
 

@@ -3330,11 +3330,12 @@ object CommitLog {
       orphanDirs: Seq[String], orphanCdc: Seq[Long], tmpManifests: Seq[String],
       missingCdc: Seq[Long] = Nil, pendingCdc: Seq[Long] = Nil,
       unmirrored: Seq[Long] = Nil, orphanCdcTmp: Seq[String] = Nil,
-      unknowable: Long = 0L) {
+      unknowable: Long = 0L, unreadableManifests: Seq[Long] = Nil) {
     def clean: Boolean =
       missingFiles.isEmpty && orphanDirs.isEmpty && orphanCdc.isEmpty &&
         tmpManifests.isEmpty && missingCdc.isEmpty && pendingCdc.isEmpty &&
-        unmirrored.isEmpty && orphanCdcTmp.isEmpty
+        unmirrored.isEmpty && orphanCdcTmp.isEmpty &&
+        unreadableManifests.isEmpty
   }
 
   /** Audit manifests against the filesystem (Delta's FSCK). Read-only.
@@ -3358,7 +3359,21 @@ object CommitLog {
       try Files.getLastModifiedTime(p).toMillis <= leftoverCutoff
       catch { case _: java.nio.file.NoSuchFileException => false }
     val vs = versions(table)
-    val manifests = vs.map(v => manifest(table, v))
+    // a version whose manifest no longer parses — externally damaged, or
+    // a DELTA manifest whose chain lost a predecessor to external
+    // deletion (vacuum never leaves this state: it promotes the boundary
+    // to a checkpoint before dropping) — is REPORTED, not thrown: fsck's
+    // job is the damage inventory, and one broken chain must not hide
+    // every other finding
+    val (manifests, unreadable) = {
+      val ok = Vector.newBuilder[Manifest]
+      val bad = Vector.newBuilder[Long]
+      vs.foreach { v =>
+        try ok += manifest(table, v)
+        catch { case scala.util.control.NonFatal(_) => bad += v }
+      }
+      (ok.result(), bad.result())
+    }
     // deletion-vector dirs are manifest state like data files: a missing
     // one for a live version is row-resurrection corruption. The check is
     // CONTENT-level (the dir must still hold parquet) — a dir surviving
@@ -3456,7 +3471,8 @@ object CommitLog {
       (out.result(), unk)
     }
     FsckReport(missing, orphans, orphanCdc, tmps,
-      missingCdc, pendingCdc, unmirrored, orphanCdcTmp, unknowable)
+      missingCdc, pendingCdc, unmirrored, orphanCdcTmp, unknowable,
+      unreadable)
   }
 
   /** Complete any crashed cdc slot move ([[FsckReport.pendingCdc]]): for
@@ -3721,10 +3737,30 @@ object CommitLog {
     * (round-11 ADVICE, low). Bounded LRU. */
   private val manifestCache =
     new java.util.LinkedHashMap[(String, Long), ((Long, Long, String), Manifest)](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), ((Long, Long, String), Manifest)]): Boolean =
-        size() > 256
+      64, 0.75f, true)
+  /** Sum of `files.size` across cached manifests — the cache's real
+    * weight is file-path strings, not entry count: 256 manifests of a
+    * 10⁶-file table would pin tens of GB, so eviction is SIZE-aware (by
+    * total cached file entries) on top of the 256-entry bound. ~4M
+    * entries ≈ a few hundred MB — generous locally, bounded at scale. */
+  private var manifestCacheEntries: Long = 0L
+  private val MaxManifestCacheEntries: Long = 4_000_000L
+
+  private def manifestCachePut(key: (String, Long),
+      value: ((Long, Long, String), Manifest)): Unit =
+    manifestCache.synchronized {
+      Option(manifestCache.put(key, value))
+        .foreach(old => manifestCacheEntries -= math.max(1, old._2.files.size))
+      manifestCacheEntries += math.max(1, value._2.files.size)
+      val it = manifestCache.entrySet().iterator()
+      while ((manifestCache.size() > 256 ||
+          manifestCacheEntries > MaxManifestCacheEntries) && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != key) { // never evict what we just inserted
+          manifestCacheEntries -= math.max(1, eldest.getValue._2.files.size)
+          it.remove()
+        }
+      }
     }
 
   /** Full cache identity of a version's commit file — see
@@ -3739,6 +3775,23 @@ object CommitLog {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Drop every cached manifest of `table`: DROP TABLE / delete-tree
+    * hygiene (the fileKey identity already defends correctness against
+    * re-creation; this frees the memory immediately) and the hook cold-
+    * reader simulations use — a live cache legitimately serves a parsed
+    * chain even after external damage to its files. */
+  def invalidateCachedManifests(table: String): Unit =
+    manifestCache.synchronized {
+      val it = manifestCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == table) {
+          manifestCacheEntries -= math.max(1, e.getValue._2.files.size)
+          it.remove()
+        }
+      }
+    }
+
   /** The manifest at `version` (throws if absent). */
   def manifest(table: String, version: Long): Manifest = {
     val key = (table, version)
@@ -3751,8 +3804,7 @@ object CommitLog {
       }
     }
     val m = parseManifest(table, version)
-    id.foreach(i => manifestCache.synchronized(
-      manifestCache.put(key, (i, m)): Unit))
+    id.foreach(i => manifestCachePut(key, (i, m)))
     m
   }
 

@@ -310,4 +310,21 @@ class FsckSpec extends SparkSpec {
     CommitLog.repairMirror(t) // must still no-op, not throw
     assert(CommitLog.fsck(t).unknowable === 1L)
   }
+
+  test("an externally damaged delta chain is REPORTED, not thrown") {
+    val t = freshTable()
+    (1 to 5).foreach(i => CommitLog.commit(Seq((i.toLong, "x")).toDF("id", "s"),
+      t, "append", autoCompactEvery = 0))
+    // v3 is a delta on v2; deleting v2's commit file (external damage —
+    // vacuum never leaves this state) breaks reconstruction of v3..v5
+    // for a COLD reader (a live cache legitimately keeps serving)
+    Files.delete(Paths.get(t).resolve("_graft_log").resolve(f"${2L}%020d.commit"))
+    CommitLog.invalidateCachedManifests(t)
+    val report = CommitLog.fsck(t)
+    assert(report.unreadableManifests === Seq(3L, 4L, 5L))
+    assert(!report.clean)
+    // the intact prefix still reads; the broken suffix throws loudly
+    assert(CommitLog.readAt(spark, t, 1L).count() === 1L)
+    intercept[IllegalArgumentException] { CommitLog.readAt(spark, t, 4L).count() }
+  }
 }
