@@ -2801,16 +2801,48 @@ object CommitLog {
     * position cannot exist. Pinned by TxDvSpec's death-disjointness
     * property. Powers both the exact COUNT(*) correction (sum of set
     * sizes) and the per-file live re-aggregation of column stats. */
+  /** Identity-validated cache of [[liveDvDeathMap]]'s parse: DV parquet
+    * files are immutable once published, so the parsed death map for a
+    * (table, version) can be reused while every underlying DV file's
+    * (path, mtime, size) identity still matches — a repeated
+    * metadata-only COUNT/MIN/MAX over an unchanged DV snapshot was
+    * otherwise re-reading the same driver-side parquet on every call
+    * (the dominant cost of the metadata fast path under DVs). Entries
+    * are bounded by the caller's `maxDvRows` cap; small LRU. */
+  private val dvDeathCache =
+    new java.util.LinkedHashMap[(String, Long, Long),
+        (Seq[(String, Long, Long)], Option[Map[String, Set[Long]]])](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            (Seq[(String, Long, Long)], Option[Map[String, Set[Long]]])]): Boolean =
+        size() > 16
+    }
+
   private def liveDvDeathMap(table: String, m: Manifest,
       maxDvRows: Long): Option[Map[String, Set[Long]]] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val files = dvParquetFiles(table, m)
-    if (files.map(FileStats.footerRowCount(_, conf)).sum > maxDvRows)
-      return None
-    val live = m.files.map(fileNameOf).toSet
-    Some(files.iterator.flatMap(p => FileStats.readDvPairs(p, conf))
-      .filter(t => live(t._1)).toSeq
-      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet })
+    val identity = files.map { p =>
+      try (p.toString, Files.getLastModifiedTime(p).toMillis, Files.size(p))
+      catch { case _: java.io.IOException => (p.toString, -1L, -1L) }
+    }
+    val key = (table, m.version, maxDvRows)
+    dvDeathCache.synchronized(Option(dvDeathCache.get(key))) match {
+      case Some((cachedId, cached)) if cachedId == identity => return cached
+      case _ =>
+    }
+    val result: Option[Map[String, Set[Long]]] = {
+      if (files.map(FileStats.footerRowCount(_, conf)).sum > maxDvRows) None
+      else {
+        val live = m.files.map(fileNameOf).toSet
+        Some(files.iterator.flatMap(p => FileStats.readDvPairs(p, conf))
+          .filter(t => live(t._1)).toSeq
+          .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet })
+      }
+    }
+    dvDeathCache.synchronized(dvDeathCache.put(key, (identity, result)): Unit)
+    result
   }
 
   private def metaColAgg(files: Seq[Map[String, FileStats.ColStats]], c: String,
