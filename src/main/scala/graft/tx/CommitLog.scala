@@ -1973,16 +1973,22 @@ object CommitLog {
     * Delta's vacuum and must not resurrect). */
   def convert(spark: SparkSession, table: String,
       partitionBy: Seq[String] = Nil): Long = {
-    require(latestVersion(table).isEmpty,
-      s"$table already has a commit log (v${latestVersion(table).get}) — nothing to convert")
     val tableDir = Paths.get(table)
     require(Files.isDirectory(tableDir), s"$table is not a directory")
     // a `_delta_log`-bearing directory is a DELTA table, not a plain
     // parquet dir: files removed by Delta DELETE/OPTIMIZE linger on disk
     // until Delta's vacuum, so the blind walk below would resurrect every
-    // deleted row — route to the log-aware import ([[DeltaImport]])
-    if (Files.isDirectory(tableDir.resolve("_delta_log")))
+    // deleted row — route to the log-aware import ([[DeltaImport]]). A
+    // leftover import PLAN routes too: a crashed import may have already
+    // renamed the log away (the blind walk would resurrect the dead files
+    // the interrupted run had not yet parked) or already published (the
+    // route finishes the cleanup idempotently) — so this routing runs
+    // BEFORE the already-converted refusal.
+    if (Files.isDirectory(tableDir.resolve("_delta_log")) ||
+        Files.isRegularFile(tableDir.resolve("_graft_import_plan")))
       return DeltaImport.convertDelta(spark, table, partitionBy)
+    require(latestVersion(table).isEmpty,
+      s"$table already has a commit log (v${latestVersion(table).get}) — nothing to convert")
     val ownConfig = Set(BloomIndex.ConfigName, Constraints.ConfigName)
     import scala.jdk.CollectionConverters._
     val all = {

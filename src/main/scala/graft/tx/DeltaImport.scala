@@ -55,53 +55,108 @@ object DeltaImport {
 
   def convertDelta(spark: SparkSession, table: String,
       partitionBy: Seq[String] = Nil): Long = {
-    require(CommitLog.latestVersion(table).isEmpty,
-      s"$table already has a commit log — nothing to convert")
     val tableDir = Paths.get(table)
-    val snap = readSnapshot(spark, tableDir)
+    CommitLog.latestVersion(table) match {
+      case Some(v)
+          if Files.isRegularFile(tableDir.resolve("_graft_import_plan")) =>
+        // crash AFTER the publish, before the plan cleanup: the import
+        // completed — finish the cleanup and report it, idempotently
+        Files.deleteIfExists(tableDir.resolve("_graft_import_plan"))
+        return v
+      case Some(v) => throw new IllegalArgumentException(
+        s"$table already has a commit log (v$v) — nothing to convert")
+      case None => ()
+    }
+    // CRASH CONTRACT (same promise as plain convert's): every move is
+    // recorded in `_graft_import_plan` BEFORE the first file moves, so an
+    // interrupted import RESUMES — re-run convert and each planned move
+    // either already happened (dst exists) or happens now. The plan file
+    // is also what keeps a crashed import out of the blind parquet path:
+    // after the log renames to `_delta_log_imported`, only the plan says
+    // this directory is a half-imported Delta table, and routing through
+    // it prevents the resurrection bug a fresh blind walk would commit.
+    val planFile = tableDir.resolve("_graft_import_plan")
+    val logDir =
+      if (Files.isDirectory(tableDir.resolve("_delta_log")))
+        tableDir.resolve("_delta_log")
+      else if (Files.isRegularFile(planFile) &&
+          Files.isDirectory(tableDir.resolve("_delta_log_imported")))
+        tableDir.resolve("_delta_log_imported") // resuming past the rename
+      else throw new IllegalStateException(
+        s"$table carries an import plan but no Delta log — manual cleanup " +
+          "required (_graft_import_plan without _delta_log[_imported])")
+    val snap = readSnapshot(spark, logDir)
     require(partitionBy.isEmpty ||
         partitionBy.map(_.toLowerCase).sorted ==
           snap.partitionColumns.map(_.toLowerCase).sorted,
       s"PARTITIONED BY (${partitionBy.mkString(",")}) does not match the " +
         s"Delta log's partition columns (${snap.partitionColumns.mkString(",")})")
-    // every live file must exist before the first move (a refused convert
-    // leaves the directory exactly as found)
-    val missing = snap.adds.map(_._1).filterNot(p => Files.isRegularFile(tableDir.resolve(p)))
-    require(missing.isEmpty,
-      s"cannot convert $table: ${missing.size} file(s) named by the Delta log " +
-        s"are missing on disk (first: ${missing.head}) — was the table " +
-        "partially copied?")
-    val dataDirName = s"data/${UUID.randomUUID().toString}"
-    val dataDir = tableDir.resolve(dataDirName)
     val escaper = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val moved = snap.adds.zipWithIndex.map { case ((rel, pvals), i) =>
-      // hive segments from partitionValues — the authoritative source —
-      // in the DECLARED column order; null → the hive default partition
-      val segs = snap.partitionColumns.map { c =>
-        val v = pvals.getOrElse(c, pvals.getOrElse(c.toLowerCase, None))
-        escaper.escapePathName(c) + "=" +
-          v.map(escaper.escapePathName).getOrElse("__HIVE_DEFAULT_PARTITION__")
+    // the move plan: src rel path → dst rel path (under one data/<uuid>
+    // commit dir, hive segments rebuilt from partitionValues — the
+    // authoritative source; Delta paths need not carry hive dirs). A
+    // resumed run reuses the RECORDED plan verbatim (same uuid), so
+    // already-moved files are found at their destinations.
+    val plan: Seq[(String, String)] =
+      if (Files.isRegularFile(planFile))
+        new String(Files.readAllBytes(planFile), "UTF-8")
+          .split("\n").filter(_.nonEmpty).toSeq.map { l =>
+            val i = l.indexOf('\t')
+            (l.substring(0, i), l.substring(i + 1))
+          }
+      else {
+        val dataDirName = s"data/${UUID.randomUUID().toString}"
+        val fresh = snap.adds.zipWithIndex.map { case ((rel, pvals), i) =>
+          val segs = snap.partitionColumns.map { c =>
+            val v = pvals.getOrElse(c, pvals.getOrElse(c.toLowerCase, None))
+            escaper.escapePathName(c) + "=" +
+              v.map(escaper.escapePathName).getOrElse("__HIVE_DEFAULT_PARTITION__")
+          }
+          // SANITIZED basename: graft's DV machinery identifies rows by
+          // `_metadata.file_name`, which Spark reports URI-ENCODED — a
+          // space or '%' in a basename would make the stored death name
+          // and the manifest name disagree and silently resurrect deleted
+          // rows. Basenames carry no semantics; the i$i prefix guards
+          // collisions.
+          val base = Paths.get(rel).getFileName.toString
+            .map(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c
+                      else '_')
+          val dst = (segs :+ s"i$i-$base").mkString("/")
+          rel -> s"$dataDirName/$dst"
+        }
+        // every live file must exist before the plan commits (a refused
+        // convert leaves the directory exactly as found)
+        val missing = fresh.map(_._1)
+          .filterNot(p => Files.isRegularFile(tableDir.resolve(p)))
+        require(missing.isEmpty,
+          s"cannot convert $table: ${missing.size} file(s) named by the " +
+            s"Delta log are missing on disk (first: ${missing.head}) — was " +
+            "the table partially copied?")
+        val tmp = tableDir.resolve(s".tmp-plan-${UUID.randomUUID().toString}")
+        Files.write(tmp, fresh.map { case (s, d) => s"$s\t$d" }
+          .mkString("\n").getBytes("UTF-8"))
+        Files.move(tmp, planFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        fresh
       }
-      // SANITIZED basename: graft's DV machinery identifies rows by
-      // `_metadata.file_name`, which Spark reports URI-ENCODED — a space
-      // or '%' in a basename would make the stored death name and the
-      // manifest name disagree and silently resurrect deleted rows. The
-      // engine's own writers never emit such names; imports must not
-      // either (basenames carry no semantics — the i$i prefix guards
-      // collisions).
-      val base = Paths.get(rel).getFileName.toString
-        .map(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c
-                  else '_')
-      val dst0 = segs.foldLeft(dataDir)(_.resolve(_))
-      val dst = {
-        val d = dst0.resolve(base)
-        if (!Files.exists(d)) d else dst0.resolve(s"i$i-$base")
+    val moved = plan.map { case (srcRel, dstRel) =>
+      val src = tableDir.resolve(srcRel)
+      val dst = tableDir.resolve(dstRel)
+      if (!Files.isRegularFile(dst)) {
+        require(Files.isRegularFile(src),
+          s"cannot convert $table: planned file $srcRel is at neither its " +
+            "source nor its destination — the directory changed under a " +
+            "resumed import")
+        Files.createDirectories(dst.getParent)
+        Files.move(src, dst)
       }
-      Files.createDirectories(dst.getParent)
-      Files.move(tableDir.resolve(rel), dst)
       dst
     }
-    FileStats.writeSidecar(dataDir, moved, exactStrings = false)
+    if (plan.nonEmpty) {
+      val dataDir =
+        tableDir.resolve(plan.head._2.split("/").take(2).mkString("/"))
+      FileStats.writeSidecar(dataDir, moved, exactStrings = false)
+    }
     // dead files: anything parquet outside data/ the snapshot did not
     // claim — preserved under an invisible (_-prefixed) dir, never
     // resurrected, reclaimable by the operator
@@ -112,7 +167,8 @@ object DeltaImport {
     }.filter { p =>
       val rel = tableDir.relativize(p).toString
       p.getFileName.toString.endsWith(".parquet") &&
-        !rel.startsWith("data/") && !rel.startsWith("_delta_log")
+        !rel.startsWith("data/") && !rel.startsWith("_delta_log") &&
+        !rel.startsWith("_graft_import_dead")
     }
     dead.foreach { p =>
       val dst = tableDir.resolve("_graft_import_dead")
@@ -121,18 +177,20 @@ object DeltaImport {
       Files.move(p, dst)
     }
     // the old log must stop serving: its adds now point at moved files
-    Files.move(tableDir.resolve("_delta_log"),
-      tableDir.resolve("_delta_log_imported"))
+    if (Files.isDirectory(tableDir.resolve("_delta_log")))
+      Files.move(tableDir.resolve("_delta_log"),
+        tableDir.resolve("_delta_log_imported"))
     Files.createDirectories(tableDir.resolve("_graft_log"))
-    CommitLog.publishImport(table,
+    val v = CommitLog.publishImport(table,
       moved.map(f => tableDir.relativize(f).toString.replace('\\', '/')),
       snap.schema, snap.partitionColumns, snap.txns)
+    Files.deleteIfExists(planFile)
+    v
   }
 
   /** Latest snapshot from `_delta_log`: newest checkpoint (if any) + JSON
     * commit replay above it. */
-  private def readSnapshot(spark: SparkSession, tableDir: Path): DeltaSnapshot = {
-    val logDir = tableDir.resolve("_delta_log")
+  private def readSnapshot(spark: SparkSession, logDir: Path): DeltaSnapshot = {
     val entries = {
       val st = Files.list(logDir)
       try st.iterator().asScala.map(_.getFileName.toString).toList
@@ -148,7 +206,7 @@ object DeltaImport {
         n.dropRight(".checkpoint.parquet".length).toLong
     }.sorted
     require(jsonVersions.nonEmpty || ckptVersions.nonEmpty,
-      s"$tableDir/_delta_log holds no commits")
+      s"$logDir holds no commits")
     val ckpt = ckptVersions.lastOption
     val replay = jsonVersions.filter(v => ckpt.forall(_ < v))
     // the log must be contiguous above the checkpoint (or from 0 without
@@ -225,7 +283,7 @@ object DeltaImport {
         .foreach(line => apply(mapper.readTree(line), fromCheckpoint = false))
     }
     require(schemaString.isDefined,
-      s"$tableDir/_delta_log carries no metaData action — not a Delta table")
+      s"$logDir carries no metaData action — not a Delta table")
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmMode == "none",
       s"Delta column mapping mode '$cmMode' is unsupported for import; " +

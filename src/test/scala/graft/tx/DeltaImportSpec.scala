@@ -213,6 +213,54 @@ class DeltaImportSpec extends SparkSpec {
       CommitLog.convert(spark, t4.toString)).getMessage.contains("gap"))
   }
 
+  test("a crashed import RESUMES from its recorded plan at every interruption point") {
+    // state (a): plan written, one of two files already moved, log intact
+    val t = freshDir()
+    val s1 = writeFile(t, "part-0001.parquet", Seq((1L, 1.0)))
+    val s2 = writeFile(t, "part-0002.parquet", Seq((2L, 2.0)))
+    writeCommit(t, 0L, Seq(protocolV1, metaAction(),
+      addAction("part-0001.parquet", s1), addAction("part-0002.parquet", s2)))
+    val dataDir = "data/00000000-dead-beef-0000-000000000001"
+    val plan = Seq(
+      "part-0001.parquet" -> s"$dataDir/i0-part-0001.parquet",
+      "part-0002.parquet" -> s"$dataDir/i1-part-0002.parquet")
+    Files.write(t.resolve("_graft_import_plan"),
+      plan.map { case (a, b) => s"$a\t$b" }.mkString("\n").getBytes("UTF-8"))
+    Files.createDirectories(t.resolve(dataDir))
+    Files.move(t.resolve("part-0001.parquet"),
+      t.resolve(plan.head._2)) // the "crash" happened after this move
+    CommitLog.convert(spark, t.toString)
+    assert(CommitLog.read(spark, t.toString).select("id").as[Long]
+      .collect().sorted === Seq(1L, 2L))
+    assert(!Files.exists(t.resolve("_graft_import_plan")))
+    assert(Files.isDirectory(t.resolve("_delta_log_imported")))
+    // the recorded plan was REUSED (same commit dir, no second data dir)
+    assert(CommitLog.manifest(t.toString, 1L).files.forall(_.startsWith(dataDir)))
+
+    // state (b): all files moved and the log already renamed — only the
+    // plan says this is a half-imported Delta table; the blind path would
+    // have resurrected nothing here but must still be bypassed
+    val t2 = freshDir()
+    val s3 = writeFile(t2, "part-0001.parquet", Seq((7L, 7.0)))
+    writeCommit(t2, 0L, Seq(protocolV1, metaAction(),
+      addAction("part-0001.parquet", s3)))
+    val dd2 = "data/00000000-dead-beef-0000-000000000002"
+    Files.write(t2.resolve("_graft_import_plan"),
+      s"part-0001.parquet\t$dd2/i0-part-0001.parquet".getBytes("UTF-8"))
+    Files.createDirectories(t2.resolve(dd2))
+    Files.move(t2.resolve("part-0001.parquet"),
+      t2.resolve(s"$dd2/i0-part-0001.parquet"))
+    Files.move(t2.resolve("_delta_log"), t2.resolve("_delta_log_imported"))
+    CommitLog.convert(spark, t2.toString)
+    assert(CommitLog.read(spark, t2.toString).select("id").as[Long]
+      .collect().toSeq === Seq(7L))
+
+    // state (c): published but the plan's cleanup was lost — idempotent
+    Files.write(t2.resolve("_graft_import_plan"), "x\ty".getBytes("UTF-8"))
+    assert(CommitLog.convert(spark, t2.toString) === 1L)
+    assert(!Files.exists(t2.resolve("_graft_import_plan")))
+  }
+
   test("export → import roundtrip: a graft snapshot re-imported elsewhere is identical") {
     // the two halves must agree on the protocol: export a graft table,
     // copy data + _delta_log to a new root, import there
