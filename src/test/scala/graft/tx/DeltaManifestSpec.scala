@@ -116,6 +116,20 @@ class DeltaManifestSpec extends SparkSpec {
     assert(isDelta(t, 6))
   }
 
+  test("vacuum keepVersions=1 promotes the LATEST delta; appends chain on top") {
+    val t = freshTable()
+    (1 to 6).foreach(i => CommitLog.commit(Seq(i).toDF("id"), t, "append",
+      autoCompactEvery = 0))
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0, force = true)
+    assert(CommitLog.versions(t) === Seq(6L))
+    assert(!isDelta(t, 6))
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 6))
+    CommitLog.commit(Seq(7).toDF("id"), t, "append", autoCompactEvery = 0)
+    assert(isDelta(t, 7))
+    assert(CommitLog.manifest(t, 7L).checkpointVersion === 6L)
+    assert(CommitLog.read(spark, t).as[Int].collect().sorted === (1 to 7))
+  }
+
   test("crash between vacuum's promote and its manifest drops leaves a fully " +
       "readable log; a re-vacuum converges") {
     val t = freshTable()
