@@ -3117,8 +3117,14 @@ object CommitLog {
     val tmp = p.getParent.resolve(s".tmp-${UUID.randomUUID().toString}")
     Files.write(tmp, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    Files.setLastModifiedTime(tmp, mtime)
     Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // restore the original commit time AFTER the move: backdating the
+    // .tmp- first would make it instantly eligible for a concurrent
+    // fsckClean's age-gated tmp sweep, which would delete it out from
+    // under the move (round-12 self-review). The brief fresh-mtime window
+    // on the destination is harmless: TIMESTAMP AS OF resolution re-reads
+    // mtimes per query, and the manifest cache keys on fileKey.
+    Files.setLastModifiedTime(p, mtime)
   }
 
   /** Publish a rewrite as the next version, keeping txn watermarks (and,
@@ -3648,11 +3654,28 @@ object CommitLog {
       try Files.getLastModifiedTime(p).toMillis <= cutoff
       catch { case _: java.nio.file.NoSuchFileException => true } // gone = nothing to clean
     var removed = 0L
-    report.orphanDirs.map(tableDir.resolve).filter(oldEnough).foreach { d =>
-      deleteTree(d); removed += 1
+    // UNREADABLE manifests poison the orphan classification: fsck's
+    // referenced set is built from the manifests that still PARSE, so a
+    // damaged checkpoint (or a delta base lost to external damage) makes
+    // every commit dir its unreadable dependents reference look
+    // unreferenced — deleting those "orphans" would destroy live data
+    // that repairing the one damaged manifest could still recover. Refuse
+    // the dir/CDC sweeps and clean only the always-safe crash leftovers
+    // (tmp manifests, dot-prefixed attempt dirs). (Round-12 self-review:
+    // the pre-delta fsck THREW on an unreadable manifest, which protected
+    // these deletions by accident; the report must not unprotect them.)
+    val orphansSafe = report.unreadableManifests.isEmpty
+    if (!orphansSafe)
+      log.warn(s"fsckClean($table): ${report.unreadableManifests.size} " +
+        s"manifest(s) unreadable (${report.unreadableManifests.take(5).mkString(",")}…) " +
+        "— skipping orphan-dir and orphan-CDC deletion until the log is repaired")
+    if (orphansSafe) {
+      report.orphanDirs.map(tableDir.resolve).filter(oldEnough).foreach { d =>
+        deleteTree(d); removed += 1
+      }
+      report.orphanCdc.map(v => tableDir.resolve(CdcDir).resolve(f"$v%020d"))
+        .filter(oldEnough).foreach { d => deleteTree(d); removed += 1 }
     }
-    report.orphanCdc.map(v => tableDir.resolve(CdcDir).resolve(f"$v%020d"))
-      .filter(oldEnough).foreach { d => deleteTree(d); removed += 1 }
     report.orphanCdcTmp.map(tableDir.resolve(CdcDir).resolve(_))
       .filter(oldEnough).foreach { d => deleteTree(d); removed += 1 }
     report.tmpManifests.map(tableDir.resolve(LogDir).resolve(_))

@@ -99,7 +99,7 @@ object DeltaExport {
         val raw = vals.getOrElse(c, vals(c.toLowerCase))
         s"${jstr(c)}:${raw.map(jstr).getOrElse("null")}"
       }.mkString(",")
-      s"""{"add":{"path":${jstr(rel)},"partitionValues":{$pvJson},""" +
+      s"""{"add":{"path":${jstr(DeltaPaths.encode(rel))},"partitionValues":{$pvJson},""" +
         s""""size":${Files.size(p)},""" +
         s""""modificationTime":${Files.getLastModifiedTime(p).toMillis},""" +
         """"dataChange":true}}"""
@@ -142,7 +142,7 @@ object DeltaExport {
             (if (base.schema.json != m.schema.json) Seq(metaAction) else Nil) ++
               adds.map(addAction) ++
               removes.map(r =>
-                s"""{"remove":{"path":${jstr(r)},""" +
+                s"""{"remove":{"path":${jstr(DeltaPaths.encode(r))},""" +
                   s""""deletionTimestamp":$createdTime,"dataChange":true}}""")
           writeVersion(dv + 1,
             if (lines.nonEmpty) lines
@@ -151,8 +151,11 @@ object DeltaExport {
           Some(v)
         }
       } catch {
-        // the previously exported manifest was vacuumed — full re-export
-        case _: IllegalArgumentException => None
+        // the previously exported manifest was vacuumed or damaged —
+        // full re-export, as documented (round-12 self-review: catching
+        // only IllegalArgumentException left a truncated base manifest
+        // throwing permanently instead of falling back)
+        case scala.util.control.NonFatal(_) => None
       }
     }
     incremental.getOrElse {

@@ -246,10 +246,10 @@ object DeltaImport {
         require(!raw.contains("://") && !raw.startsWith("/"),
           s"Delta add.path '$raw' is absolute/external — only " +
             "table-relative files import")
-        adds(decodePath(raw)) = pvalsOf(add)
+        adds(DeltaPaths.decode(raw)) = pvalsOf(add)
       } else if (remove.isObject) {
         // a checkpoint's removes are TOMBSTONES of already-applied deletes
-        if (!fromCheckpoint) adds.remove(decodePath(remove.path("path").asText())): Unit
+        if (!fromCheckpoint) adds.remove(DeltaPaths.decode(remove.path("path").asText())): Unit
       } else if (meta.isObject) {
         schemaString = Some(meta.path("schemaString").asText())
         partitionColumns = meta.path("partitionColumns").elements().asScala
@@ -293,21 +293,4 @@ object DeltaImport {
       partitionColumns, txns.toMap)
   }
 
-  /** Delta `add.path` is percent-encoded (RFC 2396 fragment); decode %XX
-    * only — never '+' (URLDecoder's form-data rule would corrupt literal
-    * plus signs in file names). */
-  private def decodePath(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
 }

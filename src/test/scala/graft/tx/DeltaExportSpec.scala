@@ -45,7 +45,10 @@ class DeltaExportSpec extends SparkSpec {
 
     // add actions name EXACTLY the manifest's files (relative paths)
     val adds = actions.filter(col("add").isNotNull).select("add.*")
-    assert(adds.select("path").as[String].collect().toSet === m.files.toSet)
+    // add.path is protocol-encoded: a conforming reader DECODES it back
+    // onto the on-disk (hive-escaped) relative paths
+    assert(adds.select("path").as[String].collect()
+      .map(DeltaPaths.decode).toSet === m.files.toSet)
     assert(adds.filter(col("size") <= 0L).count() === 0L)
 
     // foreign-reader reconstruction: scan each add path, rebuild the
@@ -53,7 +56,7 @@ class DeltaExportSpec extends SparkSpec {
     // __HIVE_DEFAULT_PARTITION__), union — must equal the graft snapshot
     val rebuilt = adds.select("path", "partitionValues.k").as[(String, String)]
       .collect().toSeq.map { case (path, kVal) =>
-        spark.read.parquet(s"$t/$path")
+        spark.read.parquet(s"$t/${DeltaPaths.decode(path)}")
           .withColumn("k", lit(kVal).cast("string"))
           .select("id", "k", "v")
       }.reduce(_ unionByName _)
@@ -119,6 +122,53 @@ class DeltaExportSpec extends SparkSpec {
     CommitLog.convert(spark, dst.toString)
     assert(CommitLog.read(spark, dst.toString).select("id").as[Long]
       .collect().sorted === Seq(1L, 3L))
+  }
+
+  test("hive-escaped partition values survive export → foreign replay; " +
+      "the codec is UTF-8-correct") {
+    // unit level first: multi-byte runes decode byte-wise (delta-rs
+    // encodes 'city=Zürich' as 'city=Z%C3%BCrich'; a char-wise decoder
+    // yields mojibake 'ZÃ¼rich' and a spurious missing-file refusal) —
+    // unit-only because this container's non-UTF8 filesystem locale
+    // cannot CREATE non-ASCII file names to drive it end-to-end
+    assert(DeltaPaths.decode("city=Z%C3%BCrich/part-0.parquet")
+      === "city=Zürich/part-0.parquet")
+    assert(DeltaPaths.decode(DeltaPaths.encode("k=a%3Db/p 1.parquet"))
+      === "k=a%3Db/p 1.parquet")
+    val t = freshTable()
+    // 'a=b' hive-escapes to a%3Db on disk and 'a b' keeps a raw space —
+    // the shapes that break a raw-path export (a conforming reader
+    // percent-DECODES add.path, and a raw space breaks URI parsing)
+    CommitLog.commit(
+      Seq((1L, "a=b", 1.0), (2L, "a b", 2.0), (3L, "plain", 3.0))
+        .toDF("id", "k", "v"),
+      t, "append", partitionBy = Seq("k"))
+    DeltaExport.writeDeltaLog(t)
+    val adds = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path").as[String].collect().toSeq
+    // protocol-encoded: the on-disk '%' of the hive escape must arrive
+    // as %25, never verbatim
+    assert(adds.exists(_.contains("%253D")), s"hive '%' not re-encoded: $adds")
+    // a conforming reader's decode must land exactly on the on-disk files
+    adds.foreach { p =>
+      assert(Files.isRegularFile(Paths.get(t).resolve(DeltaPaths.decode(p))),
+        s"decoded add.path does not resolve on disk: $p")
+    }
+    // and the full import roundtrip preserves the values byte-for-byte
+    val dst = Files.createTempDirectory("graft_dexp_esc").resolve("t")
+    val srcDir = Paths.get(t)
+    CommitLog.manifest(t, 1L).files.foreach { rel =>
+      val d = dst.resolve(rel)
+      Files.createDirectories(d.getParent)
+      Files.copy(srcDir.resolve(rel), d)
+    }
+    Files.createDirectories(dst.resolve("_delta_log"))
+    Files.copy(srcDir.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+      dst.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    CommitLog.convert(spark, dst.toString)
+    assert(CommitLog.read(spark, dst.toString).select("id", "k")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+      === Seq((1L, "a=b"), (2L, "a b"), (3L, "plain")))
   }
 
   test("DV and column-mapped snapshots refuse; OPTIMIZE unblocks both") {

@@ -327,4 +327,33 @@ class FsckSpec extends SparkSpec {
     assert(CommitLog.readAt(spark, t, 1L).count() === 1L)
     intercept[IllegalArgumentException] { CommitLog.readAt(spark, t, 4L).count() }
   }
+
+  test("fsckClean refuses the orphan sweep while any manifest is unreadable") {
+    val t = freshTable()
+    (1 to 5).foreach(i => CommitLog.commit(Seq((i.toLong, "x")).toDF("id", "s"),
+      t, "append", autoCompactEvery = 0))
+    // a genuine crash leftover: a commit dir no manifest references
+    val orphan = Paths.get(t).resolve("data/00000000-0000-0000-0000-00000000dead")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    // damage the chain: v3..v5 become unreadable for a cold reader — the
+    // orphan classification is now POISONED (v3..v5's commit dirs look
+    // unreferenced), so the sweep must not delete ANY dir
+    val v2file = Paths.get(t).resolve("_graft_log").resolve(f"${2L}%020d.commit")
+    val saved = Files.readAllBytes(v2file)
+    Files.delete(v2file)
+    CommitLog.invalidateCachedManifests(t)
+    CommitLog.fsckClean(t, minAgeMillis = 0, force = true)
+    assert(Files.isDirectory(orphan),
+      "fsckClean deleted an 'orphan' while the referenced set was unknowable")
+    // v3's live commit dir also survives (the data the sweep would have lost)
+    assert(CommitLog.fsck(t).unreadableManifests.nonEmpty)
+    // repair the log: the sweep proceeds and removes ONLY the true orphan
+    Files.write(v2file, saved)
+    CommitLog.invalidateCachedManifests(t)
+    assert(CommitLog.fsck(t).unreadableManifests.isEmpty)
+    CommitLog.fsckClean(t, minAgeMillis = 0, force = true)
+    assert(!Files.exists(orphan))
+    assert(CommitLog.read(spark, t).count() === 5L)
+  }
 }
