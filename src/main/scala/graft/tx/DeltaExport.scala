@@ -148,6 +148,17 @@ object DeltaExport {
             if (lines.nonEmpty) lines
             else Seq("""{"commitInfo":{"operation":"GRAFT EXPORT"}}"""))
           writeMarker(dv + 1)
+          // every CheckpointInterval-th Delta version also writes a
+          // parquet checkpoint + `_last_checkpoint`, so a foreign reader
+          // of a long-exported log loads one parquet + a short JSON
+          // suffix instead of replaying every commit — the same cadence
+          // story as graft's own manifest checkpoints. Best-effort: the
+          // JSON log alone is complete, so a checkpoint failure (e.g. no
+          // active session) must not fail the export.
+          if ((dv + 1) % CheckpointInterval == 0)
+            try writeCheckpoint(logDir, dv + 1,
+              Seq(protocol, metaAction) ++ m.files.map(addAction))
+            catch { case scala.util.control.NonFatal(_) => () }
           Some(v)
         }
       } catch {
@@ -159,13 +170,16 @@ object DeltaExport {
       }
     }
     incremental.getOrElse {
-      // FULL: fresh single-version log; stale higher versions must not
-      // linger (a Delta reader takes the max version as latest)
+      // FULL: fresh single-version log; stale higher versions AND stale
+      // checkpoints must not linger (a Delta reader takes the max version
+      // as latest, and `_last_checkpoint` would point above the fresh v0)
       val stale = {
         val st = Files.list(logDir)
         try st.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
-          n.length == 25 && n.endsWith(".json") && n.dropRight(5).forall(_.isDigit)
+          (n.length == 25 && n.endsWith(".json") &&
+            n.dropRight(5).forall(_.isDigit)) ||
+            n.endsWith(".checkpoint.parquet") || n == "_last_checkpoint"
         }.toList
         finally st.close()
       }
@@ -174,6 +188,62 @@ object DeltaExport {
       writeMarker(0L)
       v
     }
+  }
+
+  /** Delta versions between parquet checkpoints of the exported log
+    * (Delta's own default interval). */
+  val CheckpointInterval: Int = 10
+
+  /** Write `NNN.checkpoint.parquet` holding the full snapshot's actions
+    * (typed to the protocol's checkpoint schema — `partitionValues` must
+    * be a MAP, which plain JSON inference would flatten into a struct)
+    * plus the `_last_checkpoint` pointer. Requires an active session. */
+  private def writeCheckpoint(logDir: Path, deltaV: Long,
+      actionLines: Seq[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException("no active SparkSession"))
+    import org.apache.spark.sql.types._
+    val ckSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    import spark.implicits._
+    val df = spark.read.schema(ckSchema)
+      .json(spark.createDataset(actionLines))
+    val tmpDir = logDir.resolve(s".tmp-ckpt-${UUID.randomUUID().toString}")
+    df.coalesce(1).write.parquet(tmpDir.toString)
+    val part = {
+      val st = Files.list(tmpDir)
+      try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+      finally st.close()
+    }
+    Files.move(part, logDir.resolve(f"$deltaV%020d.checkpoint.parquet"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    CommitLog.deleteTree(tmpDir)
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
+    Files.write(tmp,
+      s"""{"version":$deltaV,"size":${actionLines.size}}""".getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    Files.move(tmp, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Hive `k=v` dir segments of a table-relative file path (the segments

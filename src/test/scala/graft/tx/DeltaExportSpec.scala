@@ -124,6 +124,50 @@ class DeltaExportSpec extends SparkSpec {
       .collect().sorted === Seq(1L, 3L))
   }
 
+  test("the 10th incremental export writes a parquet checkpoint a foreign " +
+      "reader (and our import) can load without the early JSON commits") {
+    val src = freshTable()
+    CommitLog.commit(Seq((0L, 0.0)).toDF("id", "v"), src, "append")
+    DeltaExport.writeDeltaLog(src) // delta version 0
+    (1 to DeltaExport.CheckpointInterval).foreach { i =>
+      CommitLog.commit(Seq((i.toLong, i * 1.0)).toDF("id", "v"), src, "append")
+      DeltaExport.writeDeltaLog(src) // delta versions 1..10
+    }
+    val logDir = Paths.get(src).resolve("_delta_log")
+    val ckpt = logDir.resolve(
+      f"${DeltaExport.CheckpointInterval.toLong}%020d.checkpoint.parquet")
+    assert(Files.isRegularFile(ckpt), "10th export must checkpoint")
+    assert(new String(Files.readAllBytes(logDir.resolve("_last_checkpoint")),
+      "UTF-8").contains("\"version\":10"))
+    // the checkpoint parquet carries MAP-typed partitionValues and the
+    // full snapshot's adds
+    val ck = spark.read.parquet(ckpt.toString)
+    assert(ck.schema("add").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("partitionValues").dataType
+      .isInstanceOf[org.apache.spark.sql.types.MapType])
+    assert(ck.filter(col("add").isNotNull).count()
+      === CommitLog.manifest(src, CommitLog.latestVersion(src).get).files.size.toLong)
+    // foreign-style copy WITHOUT the pre-checkpoint JSON commits: the
+    // import must reconstruct from checkpoint alone (a Delta reader's
+    // cold load does exactly this after log cleanup)
+    val dst = Files.createTempDirectory("graft_dexp_ck").resolve("t")
+    val srcDir = Paths.get(src)
+    val latest = CommitLog.latestVersion(src).get
+    CommitLog.manifest(src, latest).files.foreach { rel =>
+      val d = dst.resolve(rel)
+      Files.createDirectories(d.getParent)
+      Files.copy(srcDir.resolve(rel), d)
+    }
+    Files.createDirectories(dst.resolve("_delta_log"))
+    Files.copy(ckpt, dst.resolve("_delta_log")
+      .resolve(f"${10L}%020d.checkpoint.parquet"))
+    Files.copy(logDir.resolve("_last_checkpoint"),
+      dst.resolve("_delta_log").resolve("_last_checkpoint"))
+    CommitLog.convert(spark, dst.toString)
+    assert(CommitLog.read(spark, dst.toString).select("id").as[Long]
+      .collect().sorted === (0L to 10L).toArray)
+  }
+
   test("hive-escaped partition values survive export → foreign replay; " +
       "the codec is UTF-8-correct") {
     // unit level first: multi-byte runes decode byte-wise (delta-rs
