@@ -94,7 +94,7 @@ object GraftSqlParser {
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
   private val ExportDelta =
     ("""(?is)\s*EXPORT\s+""" + T +
-      """\s+TO\s+DELTA(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+      """\s+TO\s+DELTA(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(\s+FORCE)?\s*;?\s*""").r
   // session-gated (bare names fall through to Spark unless they resolve
   // to a graft table):
   private val Truncate =
@@ -150,9 +150,10 @@ object GraftSqlParser {
     case Convert(path, parts) =>
       Some(GraftConvertCommand(path,
         Option(parts).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
-    case ExportDelta(p1, p2, id, ver) =>
+    case ExportDelta(p1, p2, id, ver, force) =>
       val (t, q) = target(p1, p2, id)
-      Some(GraftExportDeltaCommand(t, q, Option(ver).map(_.toLong)))
+      Some(GraftExportDeltaCommand(t, q, Option(ver).map(_.toLong),
+        force = force != null))
     case _ => None
   }
 
@@ -438,19 +439,23 @@ case class GraftConvertCommand(path: String, partitionBy: Seq[String])
   }
 }
 
-/** `EXPORT <table> TO DELTA [VERSION AS OF <v>]` —
+/** `EXPORT <table> TO DELTA [VERSION AS OF <v>] [FORCE]` —
   * [[graft.tx.DeltaExport.writeDeltaLog]]: emit a minimal `_delta_log`
   * snapshot view next to the data so the reference's own consumers
   * (DuckDB `delta_scan`, Polars `read_delta`) can open the graft table
   * through the public Delta protocol. Returns the graft version the view
-  * reflects. Pure driver-side metadata I/O — no data read or copied. */
+  * reflects. Driver-side metadata I/O, except a DV-carrying snapshot,
+  * whose death-carrying files are rewritten live-rows-only into a COW
+  * side dir. FORCE discards Delta commits this export did not write
+  * (foreign appends to the exported log) — refused otherwise. */
 case class GraftExportDeltaCommand(table: String, quoted: Boolean,
-    version: Option[Long]) extends LeafRunnableCommand {
+    version: Option[Long], force: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("exported_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftCatalog.resolveRootOrView(spark, table, quoted)
-    Seq(Row(graft.tx.DeltaExport.writeDeltaLog(root, version)))
+    Seq(Row(graft.tx.DeltaExport.writeDeltaLog(root, version, force)))
   }
 }
 

@@ -3029,6 +3029,17 @@ object CommitLog {
     val tableDir = Paths.get(table)
     val dataRoot = tableDir.resolve("data")
     val cutoff = System.currentTimeMillis() - minAgeMillis
+    // EXPORTED-FOREIGN-LOG PROTECTION (round-12 VERDICT item 1): an
+    // `EXPORT TO DELTA` log lists this table's parquet files by name, and
+    // a vacuum that drops the exported graft version can physically delete
+    // files the foreign log's LATEST version still lists — turning every
+    // foreign reader's next scan into a missing-file error, worse than the
+    // documented staleness. Before anything falls, refresh the foreign log
+    // to the post-vacuum snapshot (one O(diff) Delta commit when the chain
+    // walks; a full re-export otherwise). Refusal to refresh (column
+    // mapping, foreign commits in the log) refuses the VACUUM — silently
+    // breaking the exported view is not an option.
+    if (!dryRun) refreshExportedDeltaLog(table, tableDir, keep)
     var deleted = 0L
     if (Files.isDirectory(dataRoot)) {
       val candidates = withStream(Files.walk(dataRoot)) {
@@ -3089,6 +3100,36 @@ object CommitLog {
       cdcTmpName.foreach(n => deleteTree(tableDir.resolve(CdcDir).resolve(n)))
     }
     deleted
+  }
+
+  /** [[vacuum]]'s exported-log guard: when `_delta_log/_graft_export`
+    * marks a [[DeltaExport]] whose exported graft version is about to be
+    * DROPPED (not in `keep`), re-export to the latest version first — its
+    * files are all referenced by a kept manifest, so the refreshed foreign
+    * view survives the sweep whole. A marker version still in `keep` needs
+    * nothing: every file its log lists is vacuum-immune by definition.
+    * Foreign TIME TRAVEL below the refreshed version may break (exactly
+    * Delta's own VACUUM contract); the latest view never does. */
+  private def refreshExportedDeltaLog(table: String, tableDir: Path,
+      keep: Seq[Long]): Unit = {
+    val marker = tableDir.resolve("_delta_log").resolve("_graft_export")
+    if (!Files.isRegularFile(marker)) return
+    val markerGv = new String(Files.readAllBytes(marker), "UTF-8")
+      .split("\n").collectFirst {
+        case l if l.startsWith("graft_version=") =>
+          l.drop("graft_version=".length).trim
+      }.flatMap(_.toLongOption)
+    if (markerGv.exists(keep.contains)) return
+    try { DeltaExport.writeDeltaLog(table); () }
+    catch { case scala.util.control.NonFatal(e) =>
+      throw new IllegalStateException(
+        s"vacuum of $table would delete parquet files its exported " +
+          "_delta_log still lists, and refreshing the export failed " +
+          s"(${e.getMessage}). Resolve the export first — re-run EXPORT " +
+          "TO DELTA (after OPTIMIZE if column-mapped, or CONVERT TO " +
+          "GRAFT if the log holds foreign commits), or delete _delta_log " +
+          "if no foreign reader depends on it — then vacuum again", e)
+    }
   }
 
   /** Rewrite version `v`'s commit file as a full checkpoint when it is
@@ -3988,7 +4029,7 @@ object CommitLog {
   private def latestManifest(table: String): Option[Manifest] =
     latestVersion(table).map(manifest(table, _))
 
-  private def readManifest(spark: SparkSession, table: String, m: Manifest): DataFrame = {
+  private[tx] def readManifest(spark: SparkSession, table: String, m: Manifest): DataFrame = {
     if (m.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     import org.apache.spark.sql.functions.col

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, MapType, StringType, StructType}
 
 /** `CONVERT TO GRAFT` over an existing DELTA table (the import half of the
   * round-11 interop gap; [[DeltaExport]] is the export half): the
@@ -108,9 +109,19 @@ object DeltaImport {
         val dataDirName = s"data/${UUID.randomUUID().toString}"
         val fresh = snap.adds.zipWithIndex.map { case ((rel, pvals), i) =>
           val segs = snap.partitionColumns.map { c =>
-            val v = pvals.getOrElse(c, pvals.getOrElse(c.toLowerCase, None))
+            // the spec requires one partitionValues entry per partition
+            // column; a missing key is a NONCONFORMING add, and defaulting
+            // it to __HIVE_DEFAULT_PARTITION__ would silently null that
+            // file's partition column — refuse loudly instead, naming the
+            // file (round-12 ADVICE, low)
+            val key = pvals.keys.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"Delta add for file '$rel' lacks a partitionValues entry " +
+                  s"for partition column '$c' — nonconforming log, refusing " +
+                  "to import a silently-nulled partition column"))
             escaper.escapePathName(c) + "=" +
-              v.map(escaper.escapePathName).getOrElse("__HIVE_DEFAULT_PARTITION__")
+              pvals(key).map(escaper.escapePathName)
+                .getOrElse("__HIVE_DEFAULT_PARTITION__")
           }
           // SANITIZED basename: graft's DV machinery identifies rows by
           // `_metadata.file_name`, which Spark reports URI-ENCODED — a
@@ -205,14 +216,37 @@ object DeltaImport {
         n.dropRight(".checkpoint.parquet".length).forall(_.isDigit) =>
         n.dropRight(".checkpoint.parquet".length).toLong
     }.sorted
-    require(jsonVersions.nonEmpty || ckptVersions.nonEmpty,
-      s"$logDir holds no commits")
+    // checkpoint forms this import cannot READ: multi-part
+    // (`N.checkpoint.i.n.parquet`) and v2 UUID-named
+    // (`N.checkpoint.<uuid>.parquet` / `.json`). They must be DETECTED so
+    // a table whose pre-checkpoint JSON commits were cleaned up refuses
+    // with "unsupported checkpoint format", not a misleading "log gap"
+    // diagnosis (round-12 ADVICE, low).
+    val unsupportedCkpt = entries.flatMap { n =>
+      val m = """(\d{20})\.checkpoint\.(?:\d{10}\.\d{10}\.parquet|[0-9a-fA-F-]{36}\.(?:parquet|json))""".r
+      m.findFirstMatchIn(n).filter(_.matched == n).map(_.group(1).toLong -> n)
+    }.sortBy(_._1)
+    require(jsonVersions.nonEmpty || ckptVersions.nonEmpty ||
+        unsupportedCkpt.nonEmpty, s"$logDir holds no commits")
     val ckpt = ckptVersions.lastOption
     val replay = jsonVersions.filter(v => ckpt.forall(_ < v))
     // the log must be contiguous above the checkpoint (or from 0 without
-    // one) — a gap means an incomplete copy and a wrong snapshot
+    // one) — a gap means an incomplete copy and a wrong snapshot. When the
+    // missing prefix is covered by a checkpoint in a FORM we can't read,
+    // say that, not "gap".
     val expectedFrom = ckpt.map(_ + 1).getOrElse(0L)
+    def refuseIfUnsupportedCovers(missing: Long): Unit =
+      unsupportedCkpt.filter(_._1 >= missing).lastOption.foreach { case (_, n) =>
+        throw new IllegalArgumentException(
+          s"Delta checkpoint '$n' uses an unsupported format (multi-part " +
+            "or v2 UUID-named) — this import reads only single-part " +
+            "'N.checkpoint.parquet' checkpoints; have a Delta writer " +
+            "rewrite a classic checkpoint (or restore the cleaned-up JSON " +
+            "commits), then re-run CONVERT")
+      }
+    if (replay.isEmpty && ckpt.isEmpty) refuseIfUnsupportedCovers(0L)
     replay.zipWithIndex.foreach { case (v, i) =>
+      if (v != expectedFrom + i) refuseIfUnsupportedCovers(expectedFrom + i)
       require(v == expectedFrom + i,
         s"Delta log gap: expected version ${expectedFrom + i}, found $v — " +
           "incomplete log, refusing to reconstruct a wrong snapshot")
@@ -242,11 +276,7 @@ object DeltaImport {
             add.path("deletionVector").isNull,
           "Delta table carries deletion vectors — unsupported for import; " +
             "have a Delta writer OPTIMIZE/rewrite them away first")
-        val raw = add.path("path").asText()
-        require(!raw.contains("://") && !raw.startsWith("/"),
-          s"Delta add.path '$raw' is absolute/external — only " +
-            "table-relative files import")
-        adds(DeltaPaths.decode(raw)) = pvalsOf(add)
+        adds(safeRelPath(logDir, add.path("path").asText())) = pvalsOf(add)
       } else if (remove.isObject) {
         // a checkpoint's removes are TOMBSTONES of already-applied deletes
         if (!fromCheckpoint) adds.remove(DeltaPaths.decode(remove.path("path").asText())): Unit
@@ -269,13 +299,99 @@ object DeltaImport {
       }
     }
 
+    // Checkpoint rows ARE actions, but a checkpoint is O(table files): the
+    // parse must stay DISTRIBUTED, collecting only the narrow typed columns
+    // the snapshot needs — path + partitionValues per add (plus a
+    // DV-presence flag), the single metaData/protocol rows, and the txn
+    // watermarks. The previous `.toJSON.collect()` materialized O(files)
+    // full action strings on the driver — GBs of heap at a 10⁶-file foreign
+    // table (round-12 VERDICT item 2). Checkpoint `remove` rows are
+    // tombstones of already-applied deletes and are never even selected.
     ckpt.foreach { v =>
-      // checkpoint rows ARE actions — re-serialize via toJSON and run them
-      // through the same replay (null struct fields are omitted there)
-      spark.read.parquet(
-          logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
-        .toJSON.collect()
-        .foreach(line => apply(mapper.readTree(line), fromCheckpoint = true))
+      val df = spark.read.parquet(
+        logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
+      val top = df.schema.fieldNames.toSet
+      if (top.contains("protocol")) {
+        // casts throughout: a foreign checkpoint's physical types are
+        // whatever its writer (or a JSON round-trip) chose — int vs long
+        // must not crash the parse
+        df.filter(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion").cast("int"))
+          .collect().foreach { r =>
+            val rv = if (r.isNullAt(0)) 1 else r.getInt(0)
+            require(rv <= 1,
+              s"Delta protocol minReaderVersion $rv is unsupported for " +
+                "import (reader features like deletion vectors / column " +
+                "mapping v2); only basic (reader v1) tables convert")
+          }
+      }
+      if (top.contains("metaData")) {
+        val metaFields = df.schema("metaData").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val confCol =
+          if (metaFields.contains("configuration"))
+            col("metaData.configuration")
+          else lit(null).cast(MapType(StringType, StringType))
+        df.filter(col("metaData").isNotNull)
+          .select(col("metaData.schemaString").cast("string"),
+            col("metaData.partitionColumns"), confCol)
+          .collect().foreach { r =>
+            schemaString = Some(r.getString(0))
+            partitionColumns =
+              if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+            if (!r.isNullAt(2))
+              configuration = r.getMap[String, String](2).toMap
+          }
+      }
+      if (top.contains("txn")) {
+        df.filter(col("txn").isNotNull)
+          .select(col("txn.appId").cast("string"),
+            col("txn.version").cast("long"))
+          .collect().foreach { r =>
+            if (!r.isNullAt(0)) txns(r.getString(0)) = r.getLong(1)
+          }
+      }
+      if (top.contains("add")) {
+        val addType = df.schema("add").dataType.asInstanceOf[StructType]
+        val addFields = addType.fieldNames.toSet
+        val dvFlag =
+          if (addFields.contains("deletionVector"))
+            col("add.deletionVector").isNotNull
+          else lit(false)
+        // partitionValues is a MAP per the protocol's checkpoint schema,
+        // but a checkpoint that went through JSON inference carries a
+        // STRUCT (and an unpartitioned one may drop the field entirely) —
+        // accept all three shapes
+        val (pvCol, pvStructFields) = addType.fields
+          .find(_.name == "partitionValues").map(_.dataType) match {
+          case Some(_: MapType) => (col("add.partitionValues"), None)
+          case Some(st: StructType) =>
+            (col("add.partitionValues"), Some(st.fieldNames.toSeq))
+          case _ =>
+            (lit(null).cast(MapType(StringType, StringType)), None)
+        }
+        df.filter(col("add").isNotNull)
+          .select(col("add.path").cast("string"), pvCol, dvFlag.as("__dv"))
+          .collect().foreach { r =>
+            require(!r.getBoolean(2),
+              "Delta table carries deletion vectors — unsupported for " +
+                "import; have a Delta writer OPTIMIZE/rewrite them away first")
+            val pvals: Map[String, Option[String]] =
+              if (r.isNullAt(1)) Map.empty
+              else pvStructFields match {
+                case None =>
+                  r.getMap[String, String](1).toMap
+                    .map { case (k, vv) => k -> Option(vv) }
+                case Some(fields) =>
+                  val row = r.getStruct(1)
+                  fields.zipWithIndex.map { case (f, i) =>
+                    f -> (if (row.isNullAt(i)) None
+                          else Some(String.valueOf(row.get(i))))
+                  }.toMap
+              }
+            adds(safeRelPath(logDir, r.getString(0))) = pvals
+          }
+      }
     }
     replay.foreach { v =>
       new String(Files.readAllBytes(logDir.resolve(f"$v%020d.json")), "UTF-8")
@@ -284,6 +400,13 @@ object DeltaImport {
     }
     require(schemaString.isDefined,
       s"$logDir carries no metaData action — not a Delta table")
+    require(unsupportedCkpt.isEmpty ||
+        unsupportedCkpt.last._1 <= ckpt.getOrElse(-1L).max(
+          replay.lastOption.getOrElse(-1L)),
+      s"Delta checkpoint '${unsupportedCkpt.last._2}' uses an unsupported " +
+        "format (multi-part or v2 UUID-named) ABOVE the readable commits — " +
+        "the reconstructed snapshot would be stale; have a Delta writer " +
+        "rewrite a classic checkpoint, then re-run CONVERT")
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmMode == "none",
       s"Delta column mapping mode '$cmMode' is unsupported for import; " +
@@ -291,6 +414,33 @@ object DeltaImport {
     DeltaSnapshot(adds.toSeq,
       DataType.fromJson(schemaString.get).asInstanceOf[StructType],
       partitionColumns, txns.toMap)
+  }
+
+  /** Validate an `add.path` AFTER decoding and prove it stays inside the
+    * table root. The raw-string check alone is a hole (round-12 ADVICE,
+    * medium): `%2Fetc%2F…` decodes to an ABSOLUTE path (`Path.resolve`
+    * ignores the base for absolute arguments) and `../x` escapes the root
+    * outright — either would make the import plan MOVE files from outside
+    * the table directory into it (`Files.move` relocates the source).
+    * Returns the decoded, proven-relative path. */
+  private def safeRelPath(logDir: Path, raw: String): String = {
+    require(!raw.contains("://"),
+      s"Delta add.path '$raw' is absolute/external — only " +
+        "table-relative files import")
+    val decoded = DeltaPaths.decode(raw)
+    require(!decoded.contains("://"),
+      s"Delta add.path '$raw' decodes to an external URI — only " +
+        "table-relative files import")
+    val root = logDir.getParent.toAbsolutePath.normalize()
+    require(decoded.nonEmpty && !decoded.startsWith("/") &&
+        !decoded.startsWith("\\"),
+      s"Delta add.path '$raw' decodes to an absolute path — only " +
+        "table-relative files import")
+    val resolved = root.resolve(decoded).normalize()
+    require(resolved.startsWith(root) && resolved != root,
+      s"Delta add.path '$raw' escapes the table root after decoding " +
+        "('..' traversal) — refusing the import")
+    decoded
   }
 
 }

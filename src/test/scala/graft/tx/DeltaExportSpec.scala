@@ -215,26 +215,142 @@ class DeltaExportSpec extends SparkSpec {
       === Seq((1L, "a=b"), (2L, "a b"), (3L, "plain")))
   }
 
-  test("DV and column-mapped snapshots refuse; OPTIMIZE unblocks both") {
+  test("a DV-carrying snapshot exports by folding deletions into a COW " +
+      "side dir (round-12 VERDICT item 5); column mapping still refuses") {
     val t = freshTable()
+    // two files so the fold is provably SCOPED: only the death-carrying
+    // file is rewritten, the clean one is shared as-is
     CommitLog.commit((1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
       t, "append")
+    CommitLog.commit((21 to 30).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      t, "append")
     CommitLog.deleteDv(spark, t, col("id") <= 5L)
-    val e1 = intercept[IllegalArgumentException](DeltaExport.writeDeltaLog(t))
-    assert(e1.getMessage.contains("deletion vectors"))
-    CommitLog.compact(spark, t) // folds the DVs
+    val v = DeltaExport.writeDeltaLog(t)
+    assert(v === CommitLog.latestVersion(t).get)
+    // independent parse: death-carrying file replaced by a COW rewrite,
+    // clean file shared under its original data/ path
+    val adds = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path").as[String]
+      .collect().toSeq.map(DeltaPaths.decode)
+    assert(adds.exists(_.startsWith("_graft_export_cow/")),
+      s"no COW add action in $adds")
+    assert(adds.exists(_.startsWith("data/")),
+      s"clean file not shared as-is in $adds")
+    adds.foreach { p =>
+      assert(Files.isRegularFile(Paths.get(t).resolve(p)),
+        s"add.path does not resolve on disk: $p")
+    }
+    // foreign reconstruction hash-matches the graft snapshot — dead rows
+    // do NOT resurrect
+    val rebuilt = adds.map(p => spark.read.parquet(s"$t/$p"))
+      .reduce(_ unionByName _)
+    assert(rebuilt.select("id").as[Long].collect().sorted
+      === CommitLog.read(spark, t).select("id").as[Long].collect().sorted)
+    assert(rebuilt.select("id").as[Long].collect().sorted === (6L to 30L).toArray)
+    // column mapping still refuses with the OPTIMIZE remedy
     CommitLog.renameColumn(t, "v", "val")
     val e2 = intercept[IllegalArgumentException](DeltaExport.writeDeltaLog(t))
     assert(e2.getMessage.contains("column mapping"))
     CommitLog.compact(spark, t) // rewrites under logical names, clears map
-    val v = DeltaExport.writeDeltaLog(t)
-    // the foreign view serves the post-delete rows exactly
+    val v2 = DeltaExport.writeDeltaLog(t)
+    assert(v2 === CommitLog.latestVersion(t).get)
+    // the full re-export reclaimed the superseded COW snapshot (compact
+    // folded the DVs, so the fresh export needs none)
+    assert(!Files.exists(Paths.get(t).resolve("_graft_export_cow")),
+      "stale COW dir not reclaimed by the full re-export")
+    val adds2 = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path").as[String].collect()
+    val rebuilt2 = adds2.toSeq.map(p => spark.read.parquet(s"$t/$p"))
+      .reduce(_ unionByName _)
+    assert(rebuilt2.select("id").as[Long].collect().sorted === (6L to 30L).toArray)
+  }
+
+  test("vacuum refreshes the exported log first — a foreign reader of the " +
+      "latest Delta view never sees a missing file (round-12 VERDICT item 1)") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
+    DeltaExport.writeDeltaLog(t) // exports graft v1
+    CommitLog.commit(Seq((2L, 2.0)).toDF("id", "v"), t, "append")
+    CommitLog.compact(spark, t) // rewrites the file set: v1's files become unreferenced
+    val latest = CommitLog.latestVersion(t).get
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0L, force = true)
+    val logDir = Paths.get(t).resolve("_delta_log")
+    // the marker moved to the surviving version BEFORE anything fell
+    assert(new String(Files.readAllBytes(logDir.resolve("_graft_export")),
+      "UTF-8").contains(s"graft_version=$latest"))
+    // independent replay of the WHOLE foreign log: the latest view's
+    // files (adds minus removes) must all resolve on disk post-vacuum
+    val all = spark.read.json(logDir.resolve("*.json").toString)
+    val adds = all.filter(col("add").isNotNull).select("add.path").as[String]
+      .collect().toSet
+    val removes = all.filter(col("remove").isNotNull).select("remove.path")
+      .as[String].collect().toSet
+    val live = (adds -- removes).map(DeltaPaths.decode)
+    assert(live.nonEmpty)
+    live.foreach { p =>
+      assert(Files.isRegularFile(Paths.get(t).resolve(p)),
+        s"vacuum deleted a file the exported log still lists: $p")
+    }
+    val rebuilt = live.toSeq.map(p => spark.read.parquet(s"$t/$p"))
+      .reduce(_ unionByName _)
+    assert(rebuilt.select("id").as[Long].collect().sorted === Seq(1L, 2L))
+    // and tx roundtrip health: graft's own reader is untouched
+    assert(CommitLog.read(spark, t).count() === 2L)
+  }
+
+  test("vacuum REFUSES when the exported log cannot be refreshed (column " +
+      "mapping) — silent physical breakage is not an option") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
+    DeltaExport.writeDeltaLog(t)
+    CommitLog.commit(Seq((2L, 2.0)).toDF("id", "v"), t, "append")
+    CommitLog.renameColumn(t, "v", "val") // colMap: export now refuses
+    CommitLog.compact(spark, t)
+    // compact CLEARS the column mapping — rename again so the latest
+    // snapshot is genuinely un-exportable
+    CommitLog.renameColumn(t, "val", "w")
+    val e = intercept[IllegalStateException](
+      CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0L, force = true))
+    assert(e.getMessage.contains("exported _delta_log"))
+    // nothing fell: the exported version's files still resolve
     val adds = spark.read.json(logFile(t))
       .filter(col("add").isNotNull).select("add.path").as[String].collect()
-    val rebuilt = adds.toSeq.map(p => spark.read.parquet(s"$t/$p"))
-      .reduce(_ unionByName _)
-    assert(rebuilt.select("id").as[Long].collect().sorted === (6L to 20L).toArray)
+    adds.foreach { p =>
+      assert(Files.isRegularFile(Paths.get(t).resolve(DeltaPaths.decode(p))))
+    }
+  }
+
+  test("re-export refuses when the exported log gained foreign Delta " +
+      "commits; FORCE deliberately discards them (round-12 ADVICE, medium)") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
+    DeltaExport.writeDeltaLog(t) // delta version 0
+    val logDir = Paths.get(t).resolve("_delta_log")
+    // a foreign Delta writer appends version 1 (the exported log IS a
+    // valid writable Delta table)
+    Files.write(logDir.resolve(f"${1L}%020d.json"),
+      """{"commitInfo":{"operation":"FOREIGN WRITE"}}""".getBytes("UTF-8"))
+    CommitLog.commit(Seq((2L, 2.0)).toDF("id", "v"), t, "append")
+    val e = intercept[IllegalArgumentException](DeltaExport.writeDeltaLog(t))
+    assert(e.getMessage.contains("foreign"))
+    // the foreign commit survived the refusal
+    assert(Files.isRegularFile(logDir.resolve(f"${1L}%020d.json")))
+    // FORCE: full re-export, foreign commit deliberately discarded
+    val v = DeltaExport.writeDeltaLog(t, force = true)
     assert(v === CommitLog.latestVersion(t).get)
+    val adds = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path").as[String].collect()
+    assert(adds.map(DeltaPaths.decode).toSet === CommitLog.manifest(t, v).files.toSet)
+    assert(!Files.exists(logDir.resolve(f"${1L}%020d.json")))
+    // and a _delta_log we NEVER wrote (no marker) refuses outright
+    val t2 = freshTable()
+    CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t2, "append")
+    val logDir2 = Paths.get(t2).resolve("_delta_log")
+    Files.createDirectories(logDir2)
+    Files.write(logDir2.resolve(f"${0L}%020d.json"),
+      """{"commitInfo":{"operation":"SOMEONE ELSES TABLE"}}""".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](DeltaExport.writeDeltaLog(t2))
+    assert(e2.getMessage.contains("did not write"))
   }
 
   test("SQL surface: EXPORT <table> TO DELTA [VERSION AS OF]") {

@@ -2,6 +2,8 @@ package graft.tx
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -284,5 +286,141 @@ class DeltaImportSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().sortBy(_._1)
     assert(got.toSeq === Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
     assert(CommitLog.manifest(dst.toString, 1L).partitionBy === Seq("k"))
+  }
+
+  test("a malicious add.path can never move files from OUTSIDE the table " +
+      "root into it (round-12 ADVICE, medium: validate the DECODED path)") {
+    // victim file outside the table dir — a traversal bug would MOVE it
+    val t = freshDir()
+    Files.createDirectories(t)
+    val victim = t.getParent.resolve("victim.parquet")
+    val s = writeFile(t, "decoy.parquet", Seq((9L, 9.0)))
+    Files.copy(t.resolve("decoy.parquet"), victim)
+    def attempt(path: String): Unit = {
+      val tt = freshDir()
+      val ss = writeFile(tt, "ok.parquet", Seq((1L, 1.0)))
+      writeCommit(tt, 0L, Seq(protocolV1, metaAction(),
+        addAction("ok.parquet", ss), addAction(path, s)))
+      val e = intercept[IllegalArgumentException](
+        CommitLog.convert(spark, tt.toString))
+      assert(e.getMessage.contains("add.path"), s"wrong refusal for $path: ${e.getMessage}")
+      // refusal left the directory untouched — no graft log, no moves
+      assert(CommitLog.latestVersion(tt.toString).isEmpty)
+      assert(Files.isRegularFile(tt.resolve("ok.parquet")))
+    }
+    attempt("../victim.parquet")              // raw traversal
+    attempt("%2E%2E%2Fvictim.parquet")        // ENCODED traversal — the hole:
+                                              // raw-string checks see no '..'
+    attempt("a/b/../../../victim.parquet")    // nested traversal
+    attempt(DeltaPaths.encode(victim.toAbsolutePath.toString)) // encoded absolute
+    attempt("/etc/passwd")                    // raw absolute
+    // the victim was never touched by any refused attempt
+    assert(Files.isRegularFile(victim))
+  }
+
+  test("an add missing a partitionValues entry for a partition column " +
+      "refuses instead of silently nulling it (round-12 ADVICE, low)") {
+    val t = freshDir()
+    val s1 = writeFile(t, "k=a/part-0001.parquet", Seq((1L, 1.0)))
+    // nonconforming add: the spec requires one entry per partition column
+    writeCommit(t, 0L, Seq(protocolV1, metaAction(Seq("k")),
+      addAction("k%3Da/part-0001.parquet", s1))) // pvals EMPTY
+    val e = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t.toString))
+    assert(e.getMessage.contains("partitionValues") &&
+      e.getMessage.contains("'k'"))
+    // untouched: no plan, no moves, log still in place
+    assert(!Files.exists(t.resolve("_graft_import_plan")))
+    assert(Files.isRegularFile(t.resolve("k=a/part-0001.parquet")))
+    assert(Files.isDirectory(t.resolve("_delta_log")))
+    // a NULL value present under the key is fine (hive default partition)
+    val t2 = freshDir()
+    val s2 = writeFile(t2, "part-0001.parquet", Seq((1L, 1.0)))
+    writeCommit(t2, 0L, Seq(protocolV1, metaAction(Seq("k")),
+      s"""{"add":{"path":"part-0001.parquet","partitionValues":{"k":null},""" +
+        s""""size":$s2,"modificationTime":1700000000000,"dataChange":true}}"""))
+    // schema lacks k, so give the import the evolved schema via the log
+    val e2 = scala.util.Try(CommitLog.convert(spark, t2.toString))
+    // k isn't in the data schema — but the partition refusal must NOT be
+    // what fires; either it converts (k rebuilt as default partition) or
+    // fails on the schema, never on partitionValues conformance
+    e2.failed.foreach(ex =>
+      assert(!ex.getMessage.contains("lacks a partitionValues entry")))
+  }
+
+  test("multi-part and v2 UUID checkpoints refuse with an explicit " +
+      "unsupported-format message, not a misleading 'log gap' (round-12 " +
+      "ADVICE, low)") {
+    val t = freshDir()
+    val s1 = writeFile(t, "part-0005.parquet", Seq((1L, 1.0)))
+    val logDir = t.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    // multi-part checkpoint at v4 (form we can't read); JSON commits from
+    // v5 only — the pre-checkpoint commits were cleaned up, as Delta does
+    Files.write(logDir.resolve(
+      f"${4L}%020d.checkpoint.0000000001.0000000002.parquet"), Array[Byte]())
+    writeCommit(t, 5L, Seq(protocolV1, metaAction(),
+      addAction("part-0005.parquet", s1)))
+    val e = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t.toString))
+    assert(e.getMessage.contains("unsupported format"),
+      s"expected unsupported-checkpoint message, got: ${e.getMessage}")
+    assert(!e.getMessage.contains("log gap"))
+    // v2 UUID-named form refuses the same way
+    val t2 = freshDir()
+    val s2 = writeFile(t2, "part-0005.parquet", Seq((1L, 1.0)))
+    val logDir2 = t2.resolve("_delta_log")
+    Files.createDirectories(logDir2)
+    Files.write(logDir2.resolve(
+      f"${4L}%020d.checkpoint.3a0f5b0e-9c7d-4b6a-8f21-0123456789ab.parquet"),
+      Array[Byte]())
+    writeCommit(t2, 5L, Seq(protocolV1, metaAction(),
+      addAction("part-0005.parquet", s2)))
+    val e2 = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t2.toString))
+    assert(e2.getMessage.contains("unsupported format"))
+    // and a genuinely gapped log WITHOUT any checkpoint still says "gap"
+    val t3 = freshDir()
+    val s3 = writeFile(t3, "part-0005.parquet", Seq((1L, 1.0)))
+    writeCommit(t3, 0L, Seq(protocolV1, metaAction(),
+      addAction("part-0005.parquet", s3)))
+    writeCommit(t3, 2L, Seq(addAction("part-0005.parquet", s3)))
+    val e3 = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t3.toString))
+    assert(e3.getMessage.contains("log gap"))
+  }
+
+  test("a checkpoint with thousands of adds imports through the " +
+      "DISTRIBUTED typed parse (round-12 VERDICT item 2: no O(files) " +
+      "action-JSON materialization on the driver)") {
+    val t = freshDir()
+    val n = 2048
+    val s1 = writeFile(t, "part-00000.parquet", Seq((0L, 0.0)))
+    (1 until n).foreach { i =>
+      Files.copy(t.resolve("part-00000.parquet"),
+        t.resolve(f"part-$i%05d.parquet"))
+    }
+    val actions = Seq(protocolV1, metaAction(),
+      """{"txn":{"appId":"bulk-writer","version":42}}""") ++
+      (0 until n).map(i => addAction(f"part-$i%05d.parquet", s1))
+    val ds = spark.read.json(spark.createDataset(actions))
+    val tmp = t.resolve("_ckpt_tmp")
+    ds.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val logDir = t.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val part = {
+      val st = Files.list(tmp)
+      try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+    }
+    Files.move(part, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+    CommitLog.deleteTree(tmp)
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":0,"size":${actions.size}}""".getBytes("UTF-8"))
+    val v = CommitLog.convert(spark, t.toString)
+    assert(v === 1L)
+    assert(CommitLog.read(spark, t.toString).count() === n.toLong)
+    assert(CommitLog.txnVersion(t.toString, "bulk-writer") === Some(42L))
   }
 }
