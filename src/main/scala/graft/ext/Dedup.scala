@@ -258,8 +258,77 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Edge-count ceiling for [[connectedComponents]]' driver-side
+    * union-find fast path. The iterative distributed loop pays
+    * O(diameter) shuffle rounds of FIXED overhead (~0.3-0.5 s each on
+    * local[32]) no matter how tiny the graph — and dedup candidate
+    * graphs are tiny relative to the corpus by construction (pairs
+    * survive banding + verification). At or under the cap the edges are
+    * counted via an early-exit `limit(cap+1)` probe, collected once
+    * (two ids per edge — megabytes, not the corpus), solved by
+    * union-find in microseconds, and re-parallelized; above it the
+    * distributed loop runs unchanged — the same bounded-collect pattern
+    * as the DV read path's `DvBroadcastMaxRows`. Override per session
+    * via `spark.graft.cc.localMaxEdges` (0 disables the fast path). */
+  val CcLocalMaxEdges: Long = 1L * 1000 * 1000
+
+  /** Driver-side union-find over a collected edge list; comp = min member
+    * per component — the same contract as the distributed loop. Returns
+    * None when the id type has no local ordering (exotic key types fall
+    * back to the distributed loop rather than refusing). */
+  private def localComponents(edges: DataFrame, a: String, b: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val dt = edges.schema(a).dataType
+    if (edges.schema(b).dataType != dt) return None
+    val ord: Ordering[Any] = dt match {
+      case LongType => Ordering.by(_.asInstanceOf[Long])
+      case IntegerType => Ordering.by(_.asInstanceOf[Int])
+      case ShortType => Ordering.by(_.asInstanceOf[Short])
+      case ByteType => Ordering.by(_.asInstanceOf[Byte])
+      case DoubleType => Ordering.by(_.asInstanceOf[Double])
+      case FloatType => Ordering.by(_.asInstanceOf[Float])
+      case StringType => Ordering.by(_.asInstanceOf[String])
+      case _ => return None
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col(a), col(b)).collect().foreach { row =>
+      val x = row.get(0); val y = row.get(1)
+      parent.getOrElseUpdate(x, x)
+      parent.getOrElseUpdate(y, y)
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(rx) = ry
+    }
+    val out = parent.keys.toSeq.groupBy(find).iterator.flatMap {
+      case (_, members) =>
+        val m = members.min(ord)
+        members.map(id => org.apache.spark.sql.Row(id, m))
+    }.toSeq
+    import scala.jdk.CollectionConverters._
+    Some(edges.sparkSession.createDataFrame(out.asJava,
+      StructType(Seq(StructField("id", dt), StructField("comp", dt)))))
+  }
+
   def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
       maxIter: Int = 20): DataFrame = {
+    // size-gated fast path (see [[CcLocalMaxEdges]]): probe with an
+    // early-exit limit so a huge edge set never pays a full count here
+    val cap = edges.sparkSession.conf
+      .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
+      .getOrElse(CcLocalMaxEdges)
+    if (cap > 0 &&
+        edges.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap) {
+      localComponents(edges, a, b) match {
+        case Some(df) => return df
+        case None => () // unorderable id type: distributed loop below
+      }
+    }
     val sym = iterCheckpoint(edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct()) // reused every round; freeze it once
@@ -378,12 +447,25 @@ object Dedup {
     * banded bucket join, verification touches candidate pairs only,
     * clustering is diameter-bounded label propagation, and the final keep
     * is a left-anti join against the (tiny) drop list. Returns the kept
-    * rows of `df` unchanged. */
+    * rows of `df` unchanged.
+    *
+    * `candidates` / `verifiedPairs` let a pipeline that ALREADY ran the
+    * earlier stages (e.g. a session that materialized the banded
+    * candidates for its pair-level reports) hand them in instead of
+    * recomputing the shingle→signature→band→join chain — the
+    * cached-subplan reuse pattern (round-12 VERDICT item 4: the
+    * verification gate was recomputing candidate shingle sets its sibling
+    * queries had persisted). Semantics are identical either way;
+    * `verifiedPairs` must be the (a, b) survivors of the same
+    * `threshold`. */
   def fuzzyDedupKeep(df: DataFrame, text: Column, id: Column,
-      w: Int = 5, jaccardW: Int = 3, threshold: Double = 0.4): DataFrame = {
-    val cands = minhashCandidates(df, text, id, w)
-    val verified = ngramJaccardPairs(df, text, id, jaccardW, threshold, Some(cands))
-      .select("a", "b")
+      w: Int = 5, jaccardW: Int = 3, threshold: Double = 0.4,
+      candidates: Option[DataFrame] = None,
+      verifiedPairs: Option[DataFrame] = None): DataFrame = {
+    val verified = verifiedPairs.getOrElse {
+      val cands = candidates.getOrElse(minhashCandidates(df, text, id, w))
+      ngramJaccardPairs(df, text, id, jaccardW, threshold, Some(cands))
+    }.select("a", "b")
     // Label propagation is the cheap path (rounds = diameter, typically 2-3
     // for duplicate clusters); an adversarially long chain (20+ templated
     // near-dups in a row) trips its round cap, and the pipeline then falls

@@ -41,12 +41,15 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * Commit protocol (optimistic concurrency, same shape as Delta's):
   *  1. write data files under `data/<uuid>/` — readers can't see them yet;
   *  2. write the manifest to a temp name in `_graft_log/`;
-  *  3. claim version N via `Files.createLink(N.commit, tmp)` — link(2) fails
-  *     atomically if N is already claimed (POSIX rename would silently
-  *     REPLACE a concurrent winner's manifest, so hard-link-exclusive is the
-  *     correct local-fs primitive; on HDFS the no-overwrite rename gives the
-  *     same guarantee, on S3 this step is what Delta delegates to a
-  *     coordination service);
+  *  3. claim version N through the pluggable [[PublishProtocol]] (the ONE
+  *     storage-dependent step — see that trait for the exact contract and
+  *     the per-storage implementations). The default,
+  *     [[PosixHardLinkPublish]], claims via `Files.createLink(N.commit,
+  *     tmp)` — link(2) fails atomically if N is already claimed (POSIX
+  *     rename would silently REPLACE a concurrent winner's manifest, so
+  *     hard-link-exclusive is the correct local-fs primitive; on HDFS the
+  *     no-overwrite rename gives the same guarantee, on S3 a conditional
+  *     PUT or a DynamoDB lock table implements the same contract);
   *  4. on collision, re-read the latest snapshot (appends re-merge their
   *     file list against the winner) and retry at N+1. Appends therefore
   *     serialize without lost updates; concurrent overwrites are
@@ -58,6 +61,16 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * also time-travels the schema.
   */
 object CommitLog {
+
+  /** The active version-claim mechanism — process-wide (a deployment
+    * chooses ONE exclusivity primitive for its storage; mixing two on the
+    * same table would void first-writer-wins). Defaults to POSIX
+    * hard-link exclusivity; see [[PublishProtocol]] for the contract and
+    * the object-store designs. `private[tx]` + volatile so a test (or a
+    * future object-store module) can install an alternative
+    * implementation through the one seam every commit path uses. */
+  @volatile private[tx] var publishProtocol: PublishProtocol =
+    PosixHardLinkPublish
 
   /** `txns` carries per-writer transaction watermarks (appId → highest
     * committed batchId), inherited version-to-version — Delta's
@@ -359,7 +372,8 @@ object CommitLog {
       Files.write(tmp, body.getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       try {
-        Files.createLink(logDir.resolve(f"$version%020d$Suffix"), tmp)
+        publishProtocol.publishExclusive(
+          logDir.resolve(f"$version%020d$Suffix"), tmp)
         Files.delete(tmp)
         // publish the journaled diff at the version slot (the streaming
         // glob's surface) — same post-link move as publishRewrite, same
@@ -3239,7 +3253,8 @@ object CommitLog {
     Files.write(tmp, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
-      Files.createLink(logDir.resolve(f"$version%020d$Suffix"), tmp)
+      publishProtocol.publishExclusive(
+        logDir.resolve(f"$version%020d$Suffix"), tmp)
       Files.delete(tmp)
       // move the cdc rows into the version-named slot only AFTER winning
       // the link (the slot is what [[changeFeedStream]]'s glob publishes —

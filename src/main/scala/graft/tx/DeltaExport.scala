@@ -214,8 +214,10 @@ object DeltaExport {
             // the declared hive layout and published by one atomic dir
             // rename — a crash leaves only an orphan .tmp- dir the next
             // export reclaims
+            // output width bounded by the dirty-file count (the rewrite
+            // is a projection of those files — no shuffle, no fan-out)
             val df = CommitLog.readManifest(spark, root.toString,
-              m.copy(files = dirty))
+              m.copy(files = dirty)).coalesce(math.max(1, dirty.size))
             val tmp = root.resolve(
               s"_graft_export_cow/.tmp-${UUID.randomUUID().toString}")
             val w = df.write.mode("overwrite")
@@ -259,6 +261,11 @@ object DeltaExport {
       try {
         val base = CommitLog.manifest(root.toString, gv)
         if (base.partitionBy != m.partitionBy) None // re-layout → full
+        // the chain we'd append to must physically exist: a full export
+        // that crashed between its stale-log sweep and its v0 write
+        // leaves the marker pointing at commits that are gone — appending
+        // dv+1 onto that void would publish a baseless log
+        else if (!Files.isRegularFile(logDir.resolve(f"$dv%020d.json"))) None
         else {
           val baseFiles = base.files.toSet
           val nextFiles = m.files.toSet

@@ -63,35 +63,61 @@ class BenchSpec extends SparkSpec {
       .resolve("hist.jsonl").toString
     def t(sec: Double) = Bench.Timing(Some(sec), None)
     // three runs with a drifty q1 and a stable q2; q3 fails in run 2
-    val (m1, r1, _) = Bench.crossRunMedians(hist, "sfX",
+    val c1 = Bench.crossRunMedians(hist, "sfX",
       Seq("q1" -> t(1.0), "q2" -> t(0.5), "q3" -> t(2.0)))
-    assert(r1 === 1 && m1("q1") === 1.0)
-    val (m2, r2, _) = Bench.crossRunMedians(hist, "sfX",
+    assert(c1.runs === 1 && c1.recent("q1") === 1.0)
+    val c2 = Bench.crossRunMedians(hist, "sfX",
       Seq("q1" -> t(9.0), "q2" -> t(0.5), "q3" -> Bench.Timing(None, Some("boom"))))
-    assert(r2 === 2)
+    assert(c2.runs === 2)
     // a query that ERRORED this run keeps its historical median — the
     // failure is loud in n_errors, and dropping it would shrink
     // median_value into a fake improvement
-    assert(m2("q3") === 2.0)
-    val (m3, r3, minRuns3) = Bench.crossRunMedians(hist, "sfX",
+    assert(c2.recent("q3") === 2.0)
+    val c3 = Bench.crossRunMedians(hist, "sfX",
       Seq("q1" -> t(1.2), "q2" -> t(0.6), "q3" -> t(2.2)))
-    assert(r3 === 3)
+    assert(c3.runs === 3)
     // median discards the 9.0 spike; failed run contributes nothing for q3
-    assert(m3("q1") === 1.2)
-    assert(m3("q2") === 0.5)
-    assert(m3("q3") === 2.2)
+    assert(c3.recent("q1") === 1.2)
+    assert(c3.recent("q2") === 0.5)
+    assert(c3.recent("q3") === 2.2)
+    // under MedianWindow runs, windowed == all-history
+    assert(c3.recent === c3.all)
+    assert(c3.recentRuns === 3)
     // q3 has only 2 recorded samples (its run-2 failure recorded nothing):
     // the min-series length exposes that `runs` overclaims its sample
-    assert(minRuns3 === 2)
+    assert(c3.minRuns === 2)
     // a different sf shares the file without cross-talk
-    val (mY, rY, _) = Bench.crossRunMedians(hist, "sfY", Seq("q1" -> t(100.0)))
-    assert(rY === 1 && mY("q1") === 100.0)
+    val cY = Bench.crossRunMedians(hist, "sfY", Seq("q1" -> t(100.0)))
+    assert(cY.runs === 1 && cY.recent("q1") === 100.0)
     // and the rendered line carries the cross-run fields
-    val json = Bench.renderJson(Seq("q1" -> t(1.2)), "sfX", Nil, m3, r3, minRuns3)
+    val json = Bench.renderJson(Seq("q1" -> t(1.2)), "sfX", Nil, Some(c3))
     assert(json.contains("\"runs\":3"))
     assert(json.contains("\"median_min_runs\":2"))
     assert(json.contains("\"median_queries\":{"))
     assert(json.contains("\"median_value\":"))
+    assert(json.contains("\"median_all_value\":"))
+    assert(json.contains("\"median_window\":3"))
+  }
+
+  test("the headline median is WINDOWED: a real fix shows within " +
+      "MedianWindow runs instead of being buried by stale history " +
+      "(round-12 VERDICT item 3)") {
+    val hist = java.nio.file.Files.createTempDirectory("graft_bench3")
+      .resolve("hist.jsonl").toString
+    def t(sec: Double) = Bench.Timing(Some(sec), None)
+    // 20 slow historical runs, then MedianWindow fast runs after a fix
+    (1 to 20).foreach { _ =>
+      Bench.crossRunMedians(hist, "sfX", Seq("q_fixed" -> t(2.7)))
+    }
+    val c = (1 to Bench.MedianWindow).map { _ =>
+      Bench.crossRunMedians(hist, "sfX", Seq("q_fixed" -> t(1.1)))
+    }.last
+    // the all-history median still reads the OLD number (that's the
+    // continuity series); the HEADLINE reads the fix
+    assert(c.all("q_fixed") === 2.7)
+    assert(c.recent("q_fixed") === 1.1)
+    assert(c.recentRuns === Bench.MedianWindow)
+    assert(c.runs === 20 + Bench.MedianWindow)
   }
 
   test("medians are restricted to the current run's query set (like-for-like)") {
@@ -101,16 +127,16 @@ class BenchSpec extends SparkSpec {
     // two historical runs carry q_old; the current run renamed it to q_new
     Bench.crossRunMedians(hist, "sfX", Seq("q_old" -> t(5.0), "q_keep" -> t(1.0)))
     Bench.crossRunMedians(hist, "sfX", Seq("q_old" -> t(5.0), "q_keep" -> t(1.0)))
-    val (m, runs, minRuns) = Bench.crossRunMedians(hist, "sfX",
+    val c = Bench.crossRunMedians(hist, "sfX",
       Seq("q_new" -> t(2.0), "q_keep" -> t(1.0)))
-    assert(runs === 3)
+    assert(c.runs === 3)
     // the removed query's stale history no longer leaks into the medians
-    assert(!m.contains("q_old"))
-    assert(m("q_keep") === 1.0)
+    assert(!c.recent.contains("q_old"))
+    assert(c.recent("q_keep") === 1.0)
     // the new query's median exists but over a 1-run series — surfaced via
     // the min-series length, not silently blended into `runs`
-    assert(m("q_new") === 2.0)
-    assert(minRuns === 1)
-    assert(math.abs(m.values.sum - 3.0) < 1e-9)
+    assert(c.recent("q_new") === 2.0)
+    assert(c.minRuns === 1)
+    assert(math.abs(c.recent.values.sum - 3.0) < 1e-9)
   }
 }

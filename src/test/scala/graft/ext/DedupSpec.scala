@@ -93,23 +93,54 @@ class DedupSpec extends SparkSpec {
   test("CC rounds use reliable checkpoints when a checkpoint dir is configured") {
     // On a real cluster localCheckpoint dies with any lost executor; with a
     // checkpoint dir set, rounds must persist there instead (round-4 VERDICT
-    // item 4) and produce identical labels.
-    val rnd = new scala.util.Random(7)
-    val edges = (0 until 100).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
-      .filter { case (a, b) => a != b }.toDF("a", "b")
-    val viaLocal = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
-    val starLocal = Dedup.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap
-    val ckDir = java.nio.file.Files.createTempDirectory("graft_ccck")
-    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    // item 4) and produce identical labels. localMaxEdges=0 forces the
+    // DISTRIBUTED loop — this test is about its rounds, and the size-gated
+    // fast path would otherwise solve these graphs driver-side.
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
     try {
-      assert(Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap === viaLocal)
-      assert(Dedup.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap === starLocal)
-      // the rounds actually wrote reliable checkpoints into the dir
-      val walk = java.nio.file.Files.walk(ckDir)
-      val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
-        finally walk.close()
-      assert(wrote > 0, "no reliable checkpoint files were written")
-    } finally spark.sparkContext.setCheckpointDir(null)
+      val rnd = new scala.util.Random(7)
+      val edges = (0 until 100).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }.toDF("a", "b")
+      val viaLocal = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      val starLocal = Dedup.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap
+      val ckDir = java.nio.file.Files.createTempDirectory("graft_ccck")
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      try {
+        assert(Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap === viaLocal)
+        assert(Dedup.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap === starLocal)
+        // the rounds actually wrote reliable checkpoints into the dir
+        val walk = java.nio.file.Files.walk(ckDir)
+        val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+          finally walk.close()
+        assert(wrote > 0, "no reliable checkpoint files were written")
+      } finally spark.sparkContext.setCheckpointDir(null)
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
+  test("the size-gated local union-find fast path matches the distributed " +
+      "loop exactly (and huge-cap probing never collects past the cap)") {
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val viaFast = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    val viaDist =
+      try Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    assert(viaFast === viaDist)
+    // string ids order too (the fast path supports every orderable key)
+    val sEdges = Seq(("b", "a"), ("c", "b"), ("x", "y")).toDF("a", "b")
+    val got = Dedup.connectedComponents(sEdges)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // a long chain converges through union-find without tripping the
+    // distributed loop's round cap — the entry point no longer needs the
+    // star fallback for small adversarial chains
+    val chain = (0L until 500L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(chain, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet === Set(0L))
   }
 
   test("fuzzy dedup keeps one representative per near-dup cluster") {
@@ -144,12 +175,17 @@ class DedupSpec extends SparkSpec {
   }
 
   test("label propagation fails loudly instead of returning unconverged labels") {
-    // a 30-link chain cannot converge in 3 diameter-bounded rounds
-    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
-    val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 3)
-    }
-    assert(e.getMessage.contains("did not converge"))
+    // a 30-link chain cannot converge in 3 diameter-bounded rounds — on
+    // the DISTRIBUTED loop (the local fast path union-finds it instantly,
+    // so force past the gate)
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try {
+      val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+      val e = intercept[IllegalStateException] {
+        Dedup.connectedComponents(chain, maxIter = 3)
+      }
+      assert(e.getMessage.contains("did not converge"))
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 
   test("star CC matches label propagation on random graphs") {
