@@ -222,13 +222,31 @@ object DeltaImport {
     // a table whose pre-checkpoint JSON commits were cleaned up refuses
     // with "unsupported checkpoint format", not a misleading "log gap"
     // diagnosis (round-12 ADVICE, low).
+    // multi-part checkpoints (`N.checkpoint.<i>.<n>.parquet`, the form
+    // Spark's Delta writes past spark.databricks.delta.checkpoint.partSize)
+    // are READ when complete: the parts partition the action rows, so the
+    // snapshot is one parquet scan over all n files. An incomplete set
+    // (parts missing from a partial copy) stays unsupported-and-loud.
+    val multiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val multiParts: Map[Long, Seq[String]] = entries.flatMap { n =>
+      multiPartRe.findFirstMatchIn(n).filter(_.matched == n)
+        .map(m => (m.group(1).toLong, m.group(2).toInt, m.group(3).toInt, n))
+    }.groupBy(t => (t._1, t._3)).collect {
+      case ((v, total), parts) if parts.map(_._2).toSet == (1 to total).toSet =>
+        v -> parts.sortBy(_._2).map(_._4).toSeq
+    }.toMap
     val unsupportedCkpt = entries.flatMap { n =>
       val m = """(\d{20})\.checkpoint\.(?:\d{10}\.\d{10}\.parquet|[0-9a-fA-F-]{36}\.(?:parquet|json))""".r
       m.findFirstMatchIn(n).filter(_.matched == n).map(_.group(1).toLong -> n)
-    }.sortBy(_._1)
-    require(jsonVersions.nonEmpty || ckptVersions.nonEmpty ||
+    }.filterNot { case (v, _) => multiParts.contains(v) }.sortBy(_._1)
+    // newest readable checkpoint: classic single-part or complete
+    // multi-part; its paths feed one distributed scan either way
+    val ckptPaths: Map[Long, Seq[String]] =
+      ckptVersions.map(v => v -> Seq(f"$v%020d.checkpoint.parquet")).toMap ++
+        multiParts
+    require(jsonVersions.nonEmpty || ckptPaths.nonEmpty ||
         unsupportedCkpt.nonEmpty, s"$logDir holds no commits")
-    val ckpt = ckptVersions.lastOption
+    val ckpt = ckptPaths.keys.toSeq.sorted.lastOption
     val replay = jsonVersions.filter(v => ckpt.forall(_ < v))
     // the log must be contiguous above the checkpoint (or from 0 without
     // one) — a gap means an incomplete copy and a wrong snapshot. When the
@@ -238,11 +256,12 @@ object DeltaImport {
     def refuseIfUnsupportedCovers(missing: Long): Unit =
       unsupportedCkpt.filter(_._1 >= missing).lastOption.foreach { case (_, n) =>
         throw new IllegalArgumentException(
-          s"Delta checkpoint '$n' uses an unsupported format (multi-part " +
-            "or v2 UUID-named) — this import reads only single-part " +
-            "'N.checkpoint.parquet' checkpoints; have a Delta writer " +
-            "rewrite a classic checkpoint (or restore the cleaned-up JSON " +
-            "commits), then re-run CONVERT")
+          s"Delta checkpoint '$n' uses an unsupported format (an INCOMPLETE " +
+            "multi-part set, or v2 UUID-named) — this import reads classic " +
+            "'N.checkpoint.parquet' and complete multi-part checkpoints; " +
+            "restore the missing parts (or the cleaned-up JSON commits), " +
+            "or have a Delta writer rewrite a classic checkpoint, then " +
+            "re-run CONVERT")
       }
     if (replay.isEmpty && ckpt.isEmpty) refuseIfUnsupportedCovers(0L)
     replay.zipWithIndex.foreach { case (v, i) =>
@@ -309,7 +328,7 @@ object DeltaImport {
     // tombstones of already-applied deletes and are never even selected.
     ckpt.foreach { v =>
       val df = spark.read.parquet(
-        logDir.resolve(f"$v%020d.checkpoint.parquet").toString)
+        ckptPaths(v).map(n => logDir.resolve(n).toString): _*)
       val top = df.schema.fieldNames.toSet
       if (top.contains("protocol")) {
         // casts throughout: a foreign checkpoint's physical types are
