@@ -85,7 +85,10 @@ object Bench {
       else operators.map { case (k, t) =>
         jsonStr(k) + ":" + t.seconds.map(_.toString).getOrElse("-1")
       }.mkString(""","operator":{""", ",", "}")
-    val medField = crossRun.map(c => "," + medianFields(c)).getOrElse("")
+    // an empty median map (no parsable history yet) omits the fields, as
+    // before — "median_value":0 would read as a zero-second run
+    val medField = crossRun.filter(_.recent.nonEmpty)
+      .map(c => "," + medianFields(c)).getOrElse("")
     val total = totalSeconds(results)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$opField$errField$medField,"sf":"${sfDir}"}"""
   }

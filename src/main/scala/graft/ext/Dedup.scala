@@ -264,23 +264,28 @@ object Dedup {
     * local[32]) no matter how tiny the graph — and dedup candidate
     * graphs are tiny relative to the corpus by construction (pairs
     * survive banding + verification). At or under the cap the edges are
-    * counted via an early-exit `limit(cap+1)` probe, collected once
-    * (two ids per edge — megabytes, not the corpus), solved by
-    * union-find in microseconds, and re-parallelized; above it the
-    * distributed loop runs unchanged — the same bounded-collect pattern
-    * as the DV read path's `DvBroadcastMaxRows`. Override per session
-    * via `spark.graft.cc.localMaxEdges` (0 disables the fast path). */
+    * gated AND collected by one early-exit `take(cap+1)` (two ids per
+    * edge — megabytes, not the corpus; the subplan executes once),
+    * solved by union-find in microseconds, and re-parallelized; above it
+    * the distributed loop runs unchanged — the same bounded-collect
+    * pattern as the DV read path's `DvBroadcastMaxRows`. Override per
+    * session via `spark.graft.cc.localMaxEdges` (0 disables the fast
+    * path). */
   val CcLocalMaxEdges: Long = 1L * 1000 * 1000
 
-  /** Driver-side union-find over a collected edge list; comp = min member
-    * per component — the same contract as the distributed loop. Returns
-    * None when the id type has no local ordering (exotic key types fall
-    * back to the distributed loop rather than refusing). */
-  private def localComponents(edges: DataFrame, a: String, b: String): Option[DataFrame] = {
+  /** Driver-side union-find over an already-collected edge list; comp =
+    * min member per component — the same contract as the distributed
+    * loop. Returns None (fall back to the distributed loop) when the id
+    * type has no local ordering, the two endpoint types disagree, or a
+    * null endpoint appears (the distributed loop has its own defined
+    * null behavior — the fast path must not turn it into a driver NPE). */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      dtA: org.apache.spark.sql.types.DataType,
+      dtB: org.apache.spark.sql.types.DataType): Option[DataFrame] = {
     import org.apache.spark.sql.types._
-    val dt = edges.schema(a).dataType
-    if (edges.schema(b).dataType != dt) return None
-    val ord: Ordering[Any] = dt match {
+    if (dtB != dtA) return None
+    val ord: Ordering[Any] = dtA match {
       case LongType => Ordering.by(_.asInstanceOf[Long])
       case IntegerType => Ordering.by(_.asInstanceOf[Int])
       case ShortType => Ordering.by(_.asInstanceOf[Short])
@@ -290,6 +295,7 @@ object Dedup {
       case StringType => Ordering.by(_.asInstanceOf[String])
       case _ => return None
     }
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -298,7 +304,7 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.select(col(a), col(b)).collect().foreach { row =>
+    rows.foreach { row =>
       val x = row.get(0); val y = row.get(1)
       parent.getOrElseUpdate(x, x)
       parent.getOrElseUpdate(y, y)
@@ -311,22 +317,29 @@ object Dedup {
         members.map(id => org.apache.spark.sql.Row(id, m))
     }.toSeq
     import scala.jdk.CollectionConverters._
-    Some(edges.sparkSession.createDataFrame(out.asJava,
-      StructType(Seq(StructField("id", dt), StructField("comp", dt)))))
+    Some(spark.createDataFrame(out.asJava,
+      StructType(Seq(StructField("id", dtA), StructField("comp", dtA)))))
   }
 
   def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
       maxIter: Int = 20): DataFrame = {
-    // size-gated fast path (see [[CcLocalMaxEdges]]): probe with an
-    // early-exit limit so a huge edge set never pays a full count here
+    // size-gated fast path (see [[CcLocalMaxEdges]]): ONE early-exit
+    // take() both gates and supplies the edge list — a separate
+    // limit().count() probe would execute the (possibly expensive
+    // verification) subplan twice
     val cap = edges.sparkSession.conf
       .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
       .getOrElse(CcLocalMaxEdges)
-    if (cap > 0 &&
-        edges.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap) {
-      localComponents(edges, a, b) match {
-        case Some(df) => return df
-        case None => () // unorderable id type: distributed loop below
+    if (cap > 0) {
+      val capInt = math.min(cap, (Int.MaxValue - 1).toLong).toInt
+      val pair = edges.select(col(a), col(b))
+      val probe = pair.take(capInt + 1)
+      if (probe.length <= capInt) {
+        localComponents(edges.sparkSession, probe,
+          pair.schema(0).dataType, pair.schema(1).dataType) match {
+          case Some(df) => return df
+          case None => () // unorderable/null ids: distributed loop below
+        }
       }
     }
     val sym = iterCheckpoint(edges.select(col(a).as("src"), col(b).as("dst"))

@@ -41,13 +41,26 @@ object DedupQueries {
     (SparkSession, String, String), DataFrame]()
 
   private def memoized(name: String, s: SparkSession, d: String)(
-      build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((s, d, name), _ => {
+      build: => DataFrame): DataFrame = {
+    // get/put under a REENTRANT lock, not computeIfAbsent: builds nest
+    // (cachedVerified's build calls cachedCandidates on the same map),
+    // and a mapping function that mutates its own ConcurrentHashMap is
+    // forbidden — same-bin nesting throws "Recursive update"
+    val key = (s, d, name)
+    val hit = memo.get(key)
+    if (hit != null) return hit
+    memo.synchronized {
+      val again = memo.get(key)
+      if (again != null) return again
       val df = build.persist()
       persisted.add(df)
       df.count() // materialize before fan-out: concurrent broadcast +
-      df         // shuffle consumers of an unmaterialized cache would
-    })           // each recompute
+                 // shuffle consumers of an unmaterialized cache would
+                 // each recompute
+      memo.put(key, df)
+      df
+    }
+  }
 
   /** Unpersist every frame this object cached; already-returned frames
     * recompute from lineage if re-read. */

@@ -3072,7 +3072,11 @@ object CommitLog {
       }
       // DRY RUN (Delta's `VACUUM … DRY RUN`): report what WOULD fall —
       // same selection, same retention gates — and touch nothing (no
-      // file deletes, no manifest drops)
+      // file deletes, no manifest drops). Deliberately SKIPS the
+      // exported-log refresh above (a dry run must not write Delta
+      // commits), so on a table whose export cannot refresh (foreign
+      // commits, column mapping) the real run may refuse where the dry
+      // run reported a count — preview of the sweep, not of the guard.
       if (dryRun) return candidates.size.toLong
       candidates.foreach { p => Files.delete(p); deleted += 1 }
       // prune now-empty commit dirs (deepest first); tolerate a concurrent
@@ -3140,9 +3144,10 @@ object CommitLog {
         s"vacuum of $table would delete parquet files its exported " +
           "_delta_log still lists, and refreshing the export failed " +
           s"(${e.getMessage}). Resolve the export first — re-run EXPORT " +
-          "TO DELTA (after OPTIMIZE if column-mapped, or CONVERT TO " +
-          "GRAFT if the log holds foreign commits), or delete _delta_log " +
-          "if no foreign reader depends on it — then vacuum again", e)
+          "TO DELTA (after OPTIMIZE if column-mapped; with FORCE if the " +
+          "log holds foreign commits, copying the directory aside first " +
+          "to preserve them), or delete _delta_log if no foreign reader " +
+          "depends on it — then vacuum again", e)
     }
   }
 

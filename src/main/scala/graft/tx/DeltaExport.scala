@@ -100,38 +100,61 @@ object DeltaExport {
     // FOREIGN-COMMIT GUARD (round-12 ADVICE, medium): the marker alone is
     // not proof the log is ours to rewrite — the exported log is a valid
     // writable Delta table, so a foreign writer may have appended commits
-    // since the last export. List the log's actual max JSON version; any
-    // version beyond what the marker says we wrote is a foreign commit,
-    // and overwriting (incremental REPLACE_EXISTING) or deleting (full
-    // re-export) it would silently vanish its data from the Delta view.
-    val logMaxJson: Option[Long] = {
+    // since the last export. Anything beyond what the marker says we
+    // wrote — a JSON commit without our commitInfo stamp, or a CHECKPOINT
+    // of any form (a foreign log whose JSON commits were metadata-cleaned
+    // is readable via checkpoint alone, so JSON-only scanning would miss
+    // it) — is foreign, and overwriting (incremental REPLACE_EXISTING) or
+    // deleting (full re-export) it would silently vanish its data from
+    // the Delta view. Our OWN stamped commit sitting one beyond the
+    // marker is the export-crashed-before-marker window, not foreign:
+    // it routes to a full re-export instead of refusing (a crashed
+    // export must not lock the surface behind a false diagnosis).
+    val (logJsonVersions: Seq[Long], logCkptVersions: Seq[Long]) = {
       val st = Files.list(logDir)
       try {
-        val vs = st.iterator().asScala.map(_.getFileName.toString).collect {
+        val names = st.iterator().asScala.map(_.getFileName.toString).toList
+        val js = names.collect {
           case n if n.length == 25 && n.endsWith(".json") &&
             n.dropRight(5).forall(_.isDigit) => n.dropRight(5).toLong
-        }.toSeq
-        vs.maxOption
+        }
+        val cks = names.collect {
+          case n if n.length > 20 && n.take(20).forall(_.isDigit) &&
+            n.drop(20).startsWith(".checkpoint.") => n.take(20).toLong
+        }
+        (js.sorted, cks.sorted)
       } finally st.close()
     }
-    val foreignCommits = prior match {
-      case Some((_, dv, _)) => logMaxJson.exists(_ > dv)
-      case None => logMaxJson.isDefined
-    }
-    prior match {
+    def graftStamped(dv: Long): Boolean =
+      try new String(Files.readAllBytes(
+        logDir.resolve(f"$dv%020d.json")), "UTF-8")
+        .contains(""""operation":"GRAFT EXPORT"""")
+      catch { case scala.util.control.NonFatal(_) => false }
+    val (beyondJson, beyondCkpt) = prior match {
       case Some((_, dv, _)) =>
-        require(force || !foreignCommits,
-          s"$table/_delta_log holds Delta commits beyond the last graft " +
-            s"export (max version ${logMaxJson.getOrElse(-1L)} > exported " +
-            s"$dv): a foreign Delta writer has appended to the exported " +
-            "log — refusing to overwrite its commits. CONVERT TO GRAFT to " +
-            "import them, or EXPORT … FORCE to deliberately discard them")
-      case None =>
-        require(force || !foreignCommits,
-          s"$table/_delta_log already holds a Delta log this export did " +
-            "not write — a full export would destroy it. CONVERT TO GRAFT " +
-            "to import it, or EXPORT … FORCE to deliberately replace it")
+        (logJsonVersions.filter(_ > dv), logCkptVersions.filter(_ > dv))
+      case None => (logJsonVersions, logCkptVersions)
     }
+    val foreignCommits =
+      beyondCkpt.nonEmpty || beyondJson.exists(dv => !graftStamped(dv))
+    // ours-but-unmarkered (crash between writeVersion and writeMarker):
+    // the incremental chain state is unknowable, so route to FULL
+    val crashedOwnCommits = !foreignCommits && beyondJson.nonEmpty
+    require(force || !foreignCommits, prior match {
+      case Some((_, dv, _)) =>
+        s"$table/_delta_log holds Delta commits beyond the last graft " +
+          s"export (beyond exported version $dv: " +
+          s"${(beyondJson ++ beyondCkpt).distinct.sorted.mkString(",")}) — " +
+          "a foreign Delta writer has appended to the exported log; " +
+          "refusing to overwrite its commits. To keep them, copy the " +
+          "directory aside and CONVERT TO GRAFT the copy; EXPORT … FORCE " +
+          "deliberately discards them"
+      case None =>
+        s"$table/_delta_log already holds a Delta log this export did " +
+          "not write — a full export would destroy it. To keep it, copy " +
+          "the directory aside and CONVERT TO GRAFT the copy; EXPORT … " +
+          "FORCE deliberately replaces it"
+    })
 
     val partCols = m.partitionBy
     // commit time = the manifest file's mtime (the same clock TIMESTAMP AS
@@ -167,6 +190,10 @@ object DeltaExport {
         s""""partitionColumns":[${partCols.map(jstr).mkString(",")}],""" +
         s""""configuration":{},"createdTime":$createdTime}}"""
     val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // every commit this export writes leads with this stamp: it is how a
+    // later export tells our own crashed commit apart from a foreign
+    // writer's (commitInfo is a no-op to conforming readers)
+    val exportStamp = """{"commitInfo":{"operation":"GRAFT EXPORT"}}"""
     def writeVersion(deltaV: Long, lines: Seq[String]): Unit = {
       val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString}")
       Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"),
@@ -256,7 +283,8 @@ object DeltaExport {
     // versions as the reader's "latest"). Falls back to full otherwise.
     val incremental = prior
       .filter { case (gv, _, priorCow) =>
-        gv < v && !priorCow && !cowUsed && !foreignCommits }
+        gv < v && !priorCow && !cowUsed && !foreignCommits &&
+          !crashedOwnCommits }
       .flatMap { case (gv, dv, _) =>
       try {
         val base = CommitLog.manifest(root.toString, gv)
@@ -277,9 +305,7 @@ object DeltaExport {
               removes.map(r =>
                 s"""{"remove":{"path":${jstr(DeltaPaths.encode(r))},""" +
                   s""""deletionTimestamp":$createdTime,"dataChange":true}}""")
-          writeVersion(dv + 1,
-            if (lines.nonEmpty) lines
-            else Seq("""{"commitInfo":{"operation":"GRAFT EXPORT"}}"""))
+          writeVersion(dv + 1, exportStamp +: lines)
           writeMarker(dv + 1)
           // every CheckpointInterval-th Delta version also writes a
           // parquet checkpoint + `_last_checkpoint`, so a foreign reader
@@ -312,12 +338,19 @@ object DeltaExport {
           val n = p.getFileName.toString
           (n.length == 25 && n.endsWith(".json") &&
             n.dropRight(5).forall(_.isDigit)) ||
-            n.endsWith(".checkpoint.parquet") || n == "_last_checkpoint"
+            // EVERY checkpoint form must fall — classic, multi-part
+            // (.checkpoint.i.n.parquet), and v2 UUID-named: a survivor
+            // above the fresh v0 would make a Delta reader reconstruct
+            // the deliberately-discarded stale snapshot
+            (n.length > 20 && n.take(20).forall(_.isDigit) &&
+              n.drop(20).startsWith(".checkpoint.")) ||
+            n == "_last_checkpoint"
         }.toList
         finally st.close()
       }
       stale.foreach(Files.deleteIfExists(_))
-      writeVersion(0L, Seq(protocol, metaAction) ++ exportFiles.map(addAction))
+      writeVersion(0L,
+        exportStamp +: (Seq(protocol, metaAction) ++ exportFiles.map(addAction)))
       writeMarker(0L)
       // superseded COW snapshots (and crashed .tmp- writes) are now
       // unreferenced by the fresh log — reclaim them. This breaks foreign

@@ -353,6 +353,57 @@ class DeltaExportSpec extends SparkSpec {
     assert(e2.getMessage.contains("did not write"))
   }
 
+  test("the foreign guard sees CHECKPOINT-only logs, FORCE sweeps every " +
+      "checkpoint form, and our own crashed commit self-heals via full " +
+      "re-export instead of a false foreign diagnosis") {
+    // (a) a foreign log readable via checkpoint ALONE (JSON commits
+    // metadata-cleaned) must refuse — a *.json-only scan would miss it
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
+    val logDir = Paths.get(t).resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"${7L}%020d.checkpoint.parquet"), Array[Byte]())
+    Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":7,"size":3}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaExport.writeDeltaLog(t))
+    assert(e.getMessage.contains("did not write"))
+    // (b) FORCE replaces it — and the sweep must also remove MULTI-PART
+    // and v2 UUID checkpoint files, or a Delta reader would reconstruct
+    // the discarded snapshot from a checkpoint above the fresh v0
+    Files.write(logDir.resolve(
+      f"${9L}%020d.checkpoint.0000000001.0000000002.parquet"), Array[Byte]())
+    Files.write(logDir.resolve(
+      f"${9L}%020d.checkpoint.3a0f5b0e-9c7d-4b6a-8f21-0123456789ab.parquet"),
+      Array[Byte]())
+    DeltaExport.writeDeltaLog(t, force = true)
+    val leftovers = {
+      val st = Files.list(logDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.contains(".checkpoint.")).toList
+      } finally st.close()
+    }
+    assert(leftovers.isEmpty, s"stale checkpoints survived FORCE: $leftovers")
+    assert(!Files.exists(logDir.resolve("_last_checkpoint")))
+    // (c) crash window: an export that wrote its Delta commit but died
+    // before the marker update must NOT lock later exports behind a
+    // "foreign writer" refusal — the stamped commit is provably ours,
+    // and the next export self-heals with a full re-export
+    CommitLog.commit(Seq((2L, 2.0)).toDF("id", "v"), t, "append")
+    Files.write(logDir.resolve(f"${1L}%020d.json"),
+      ("""{"commitInfo":{"operation":"GRAFT EXPORT"}}""" + "\n")
+        .getBytes("UTF-8")) // simulated crashed own commit beyond marker
+    val v = DeltaExport.writeDeltaLog(t) // NO force needed
+    assert(v === CommitLog.latestVersion(t).get)
+    // full re-export: single fresh v0, the orphaned v1 swept
+    assert(!Files.exists(logDir.resolve(f"${1L}%020d.json")))
+    val adds = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path").as[String].collect()
+    assert(adds.map(DeltaPaths.decode).toSet
+      === CommitLog.manifest(t, v).files.toSet)
+  }
+
   test("SQL surface: EXPORT <table> TO DELTA [VERSION AS OF]") {
     val t = freshTable()
     CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
