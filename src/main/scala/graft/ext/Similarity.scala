@@ -173,4 +173,60 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** Near-duplicate pairs WITHIN k-means cells — the pair half of
+    * SemDeDup. `assigned` must carry (idCol, vecCol, `__cell`), e.g.
+    * [[IvfIndex.build]]'s assignment table. The self-join is
+    * cell-co-located (one shuffle on `__cell`, within-cell pairs only) —
+    * never all-pairs, the property that makes semantic dedup runnable on
+    * a 100 TB embedding table where [[nearDupPairs]]'s broadcast
+    * brute-force is the verification twin, not the path. Output ⊆ the
+    * brute-force pair set (the cosine filter is exact); cross-cell
+    * near-dups are missed by design — SemDeDup's documented
+    * approximation, measured as `cell_pair_recall` in the
+    * `dedup_semantic` query (0.9+ at every SF: cosine-near vectors land
+    * in the same cell almost surely). */
+  def withinCellPairs(assigned: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = assigned.select(col("__cell").as("__ca"),
+      col(idCol).as("a"), col(vecCol).as("__va"))
+    val b = assigned.select(col("__cell").as("__cb"),
+      col(idCol).as("b"), col(vecCol).as("__vb"))
+    a.join(b, col("__ca") === col("__cb") && col("a") < col("b"))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .filter(col("sim") > threshold)
+      .select("a", "b")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space
+    * deduplication = k-means cluster the corpus, find cosine near-dup
+    * pairs WITHIN each cluster only, keep one representative per
+    * duplicate group (minimum id, via the same connected-components +
+    * anti-join composition as the text-side [[Dedup.fuzzyDedupKeep]]).
+    * Returns the kept rows of `corpus` unchanged.
+    *
+    * Scale posture: the quantizer fit is sampled ([[IvfIndex.build]] —
+    * Lloyd's over a bounded reservoir, one full-corpus pass for
+    * assignment), the pair search is cell-co-located, clustering is the
+    * size-gated CC, and the final keep anti-joins a tiny drop list —
+    * every stage O(corpus) or O(within-cell pairs), nothing all-pairs.
+    * `nCells = 1` degenerates to exact global semantic dedup (spec-pinned
+    * against the brute-force pair set). */
+  def semanticDedupKeep(corpus: DataFrame, threshold: Double,
+      nCells: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      cacheKey: Option[String] = None): DataFrame = {
+    // nCells ≤ 1 is the exact degenerate: one global cell needs no
+    // quantizer (and Spark's KMeans refuses k = 1 anyway)
+    val pairs =
+      if (nCells <= 1) nearDupPairs(corpus, threshold, idCol, vecCol)
+      else withinCellPairs(
+        IvfIndex.build(corpus, nCells, idCol, vecCol, cacheKey).assigned,
+        threshold, idCol, vecCol)
+    val labels = Dedup.connectedComponents(pairs)
+    val drops = labels.filter(col("id") =!= col("comp"))
+      .select(col("id").as("__drop"))
+    corpus.join(broadcast(drops), col(idCol) === col("__drop"), "left_anti")
+  }
 }

@@ -83,6 +83,47 @@ object VectorQueries {
     // int8 quantization fidelity (see quantizedRecallQuery).
     "embed_quantize_int8" -> ((s, d) => quantizedRecallQuery(s, d)),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup = k-means the
+    // embedding space (the SAME memoized IVF assignment ann_topk_ivf
+    // uses), cosine near-dup pairs WITHIN cells only, keep min-id per
+    // duplicate component. PROPERTY oracle: the query verifies in-query
+    // that (a) kept+dropped partitions the corpus, (b) no two KEPT
+    // vectors form a within-cell near-dup pair (the CC + anti-join did
+    // its job), and (c) the cell-gated pair search recalls ≥ the floor of
+    // the brute-force pair set (cross-cell misses are SemDeDup's
+    // documented approximation; measured ~1.0 at every SF — near-dup
+    // vectors co-assign almost surely). DuckDB pins n_docs, the exact
+    // pair count, and the expected verdicts.
+    "dedup_semantic" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val assigned = graft.ext.IvfIndex
+        .build(emb, 16, cacheKey = Some(d)).assigned
+      val pairs = Similarity.withinCellPairs(assigned, 0.95)
+      val labels = graft.ext.Dedup.connectedComponents(pairs)
+      val drops = labels.filter(col("id") =!= col("comp"))
+        .select(col("id").as("__drop"))
+      val keptIds = emb.select("vec_id")
+        .join(broadcast(drops), col("vec_id") === col("__drop"), "left_anti")
+      val keptViol = pairs
+        .join(keptIds.select(col("vec_id").as("a")), Seq("a"), "left_semi")
+        .join(keptIds.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+        .agg(count(lit(1)).as("__viol"))
+      emb.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(Similarity.nearDupPairs(emb, 0.95)
+          .agg(count(lit(1)).as("n_exact_pairs")))
+        .crossJoin(keptIds.agg(count(lit(1)).as("__n_kept")))
+        .crossJoin(drops.agg(count(lit(1)).as("__n_dropped")))
+        .crossJoin(keptViol)
+        .crossJoin(pairs.agg(count(lit(1)).as("__n_cell_pairs")))
+        .select(col("n_docs"), col("n_exact_pairs"),
+          (col("__n_kept") + col("__n_dropped") === col("n_docs"))
+            .as("sizes_ok"),
+          (col("__viol") === 0L).as("no_kept_neardup_in_cell"),
+          (col("n_exact_pairs") === 0 ||
+            col("__n_cell_pairs").cast("double") / col("n_exact_pairs")
+              >= SemDedupPairRecall).as("cell_pair_recall_ok"))
+    }),
+
     // Product-quantization ANN (m = 8 sub-codebooks × 256 cells → 8 codes
     // per 64-dim vector, 8× under float in-memory as array<int>, near m
     // bytes at rest under parquet dictionary encoding; corpus-wide ADC
@@ -214,6 +255,9 @@ object VectorQueries {
   val operatorOnly: Map[String, Q] = Map(
     "embed_neardup_lsh" -> ((s, d) =>
       Similarity.nearDupPairsLsh(embeddings(s, d), threshold = 0.95)),
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedupKeep(embeddings(s, d), threshold = 0.95,
+        cacheKey = Some(d))),
     "ann_topk_lsh" -> ((s, d) => Similarity.topKLsh(
       embeddings(s, d), embeddings(s, d).filter(col("vec_id") < 20), k = 5)),
     "ann_topk_ivf" -> ((s, d) => graft.ext.IvfIndex.topK(
@@ -284,6 +328,13 @@ object VectorQueries {
     * room for small-sample noise while a bucketing bug still craters it. */
   val NearDupMinRecall = 0.8
 
+  /** Cell-gated pair recall floor for dedup_semantic. Cosine-near vectors
+    * (>0.95) sit closer to each other than to any other mass, so k-means
+    * co-assigns them almost surely — measured cell-pair recall is 1.0 at
+    * sf0.001/0.01/0.1 with 16 cells (seeded fit, deterministic sample).
+    * 0.8 is the floor a broken assignment or a cell-key bug craters. */
+  val SemDedupPairRecall = 0.8
+
   /** Pair-set recall of `approx` (a, b) pairs against the exact pairs: one
     * row, (n_exact_pairs, recall_ok). `approx ⊆ exact` by construction (the
     * cosine filter is exact), so hits = |approx ∩ exact| = |approx|. An
@@ -339,6 +390,15 @@ object VectorQueries {
          ORDER BY a, b""",
     "embed_neardup_lsh" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS recall_ok
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])) > 0.95""",
+    "dedup_semantic" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           true AS sizes_ok,
+           true AS no_kept_neardup_in_cell,
+           true AS cell_pair_recall_ok
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
            CAST(b.embedding AS DOUBLE[])) > 0.95""",

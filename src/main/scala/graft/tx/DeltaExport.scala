@@ -352,6 +352,20 @@ object DeltaExport {
       writeVersion(0L,
         exportStamp +: (Seq(protocol, metaAction) ++ exportFiles.map(addAction)))
       writeMarker(0L)
+      // a LARGE full export also checkpoints immediately: a foreign
+      // reader's cold load then reads one parquet instead of parsing an
+      // O(table-files) JSON commit — at 10^6 files that is the difference
+      // between a columnar scan and gigabytes of line-JSON. Best-effort,
+      // like the incremental cadence checkpoints: the JSON log alone is
+      // complete. Threshold via spark.graft.export.checkpointAt.
+      val ckptAt = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .flatMap(_.conf.getOption("spark.graft.export.checkpointAt"))
+        .map(_.toInt).getOrElse(FullExportCheckpointAt)
+      if (exportFiles.size >= ckptAt)
+        try writeCheckpoint(logDir, 0L,
+          Seq(protocol, metaAction) ++ exportFiles.map(addAction))
+        catch { case scala.util.control.NonFatal(_) => () }
       // superseded COW snapshots (and crashed .tmp- writes) are now
       // unreferenced by the fresh log — reclaim them. This breaks foreign
       // TIME TRAVEL into superseded export versions, exactly as Delta's
@@ -374,6 +388,11 @@ object DeltaExport {
   /** Delta versions between parquet checkpoints of the exported log
     * (Delta's own default interval). */
   val CheckpointInterval: Int = 10
+
+  /** File count at or above which a FULL export immediately writes a
+    * parquet checkpoint beside its v0 JSON (override per session via
+    * `spark.graft.export.checkpointAt`). */
+  val FullExportCheckpointAt: Int = 1000
 
   /** Write `NNN.checkpoint.parquet` holding the full snapshot's actions
     * (typed to the protocol's checkpoint schema — `partitionValues` must

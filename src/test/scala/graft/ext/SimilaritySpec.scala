@@ -154,4 +154,54 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect()
     pairs.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("semantic dedup with one cell equals exact global dedup; planted " +
+      "near-dup clusters keep exactly their min ids") {
+    // planted corpus: vectors 0/1/2 are tiny perturbations of one base
+    // (cosine ≈ 1), 10/11 of another, 20 unrelated — two duplicate
+    // components plus a singleton
+    val rnd = new scala.util.Random(5)
+    def perturb(base: Array[Float], eps: Float): Seq[Float] =
+      base.map(x => x + eps * rnd.nextFloat())
+    val baseA = Array.fill(16)(rnd.nextFloat() + 0.5f)
+    val baseB = Array.fill(16)(rnd.nextFloat() - 1.5f)
+    val baseC = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val docs = Seq(
+      0L -> perturb(baseA, 0.001f), 1L -> perturb(baseA, 0.001f),
+      2L -> perturb(baseA, 0.001f),
+      10L -> perturb(baseB, 0.001f), 11L -> perturb(baseB, 0.001f),
+      20L -> baseC.toSeq
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // nCells = 1: within-cell == all-pairs, so the result must equal the
+    // brute-force composition exactly
+    val kept1 = Similarity.semanticDedupKeep(docs, threshold = 0.95, nCells = 1)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept1 === Seq(0L, 10L, 20L),
+      s"one-cell semantic dedup must keep min ids per component: $kept1")
+    // multi-cell on the REAL corpus: kept+dropped partitions, no two kept
+    // vectors are within-cell near-dups, and cell-pair recall vs brute
+    // force clears the query's floor
+    val assigned = IvfIndex.build(emb, 16)
+      .assigned
+    val cellPairs = Similarity.withinCellPairs(assigned, 0.95)
+      .as[(Long, Long)].collect().toSet
+    val exactPairs = Similarity.nearDupPairs(emb, 0.95)
+      .as[(Long, Long)].collect().toSet
+    assert(cellPairs.subsetOf(exactPairs),
+      "cell-gated pairs must be a subset of the exact pairs")
+    if (exactPairs.nonEmpty)
+      assert(cellPairs.size.toDouble / exactPairs.size >=
+        graft.queries.VectorQueries.SemDedupPairRecall)
+    val kept = Similarity.semanticDedupKeep(emb, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val dropped = emb.select("vec_id").as[Long].collect().toSet -- kept
+    cellPairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"kept near-dup pair ($a, $b)")
+    }
+    dropped.foreach { id =>
+      assert(cellPairs.exists(p => p._1 == id || p._2 == id),
+        s"doc $id dropped without a witnessing near-dup pair")
+    }
+  }
 }

@@ -298,6 +298,33 @@ class DeltaExportSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() === 2L)
   }
 
+  test("vacuum × DV export compose: refreshing a COW-bearing export " +
+      "re-folds against the latest snapshot and the foreign view survives " +
+      "the sweep") {
+    val t = freshTable()
+    CommitLog.commit((1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      t, "append")
+    CommitLog.deleteDv(spark, t, col("id") <= 5L)
+    DeltaExport.writeDeltaLog(t) // COW export of the DV snapshot
+    CommitLog.commit((21 to 25).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      t, "append")
+    CommitLog.compact(spark, t) // folds DVs, rewrites the file set
+    CommitLog.vacuum(t, keepVersions = 1, minAgeMillis = 0L, force = true)
+    // the refresh was a FULL re-export (prior was COW), against the
+    // folded snapshot: no COW needed anymore, old COW dir reclaimed
+    assert(!Files.exists(Paths.get(t).resolve("_graft_export_cow")))
+    val adds = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path").as[String]
+      .collect().toSeq.map(DeltaPaths.decode)
+    adds.foreach { p =>
+      assert(Files.isRegularFile(Paths.get(t).resolve(p)),
+        s"vacuum deleted a file the refreshed export lists: $p")
+    }
+    val rebuilt = adds.map(p => spark.read.parquet(s"$t/$p"))
+      .reduce(_ unionByName _)
+    assert(rebuilt.select("id").as[Long].collect().sorted === (6L to 25L).toArray)
+  }
+
   test("vacuum REFUSES when the exported log cannot be refreshed (column " +
       "mapping) — silent physical breakage is not an option") {
     val t = freshTable()
@@ -402,6 +429,37 @@ class DeltaExportSpec extends SparkSpec {
       .filter(col("add").isNotNull).select("add.path").as[String].collect()
     assert(adds.map(DeltaPaths.decode).toSet
       === CommitLog.manifest(t, v).files.toSet)
+  }
+
+  test("a large FULL export checkpoints immediately: a foreign cold load " +
+      "(and our import) reads one parquet, not an O(table) JSON parse") {
+    val t = freshTable()
+    spark.conf.set("spark.graft.export.checkpointAt", "2")
+    try {
+      CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
+      CommitLog.commit(Seq((2L, 2.0)).toDF("id", "v"), t, "append")
+      CommitLog.commit(Seq((3L, 3.0)).toDF("id", "v"), t, "append")
+      DeltaExport.writeDeltaLog(t)
+      val logDir = Paths.get(t).resolve("_delta_log")
+      val ckpt = logDir.resolve(f"${0L}%020d.checkpoint.parquet")
+      assert(Files.isRegularFile(ckpt), "full export above threshold must checkpoint")
+      assert(new String(Files.readAllBytes(logDir.resolve("_last_checkpoint")),
+        "UTF-8").contains("\"version\":0"))
+      // a foreign-style copy with ONLY the checkpoint (no JSON) imports
+      val dst = Files.createTempDirectory("graft_dexp_fullck").resolve("t")
+      val srcDir = Paths.get(t)
+      CommitLog.manifest(t, 3L).files.foreach { rel =>
+        val d = dst.resolve(rel)
+        Files.createDirectories(d.getParent)
+        Files.copy(srcDir.resolve(rel), d)
+      }
+      Files.createDirectories(dst.resolve("_delta_log"))
+      Files.copy(ckpt, dst.resolve("_delta_log")
+        .resolve(f"${0L}%020d.checkpoint.parquet"))
+      CommitLog.convert(spark, dst.toString)
+      assert(CommitLog.read(spark, dst.toString).select("id").as[Long]
+        .collect().sorted === Seq(1L, 2L, 3L))
+    } finally spark.conf.unset("spark.graft.export.checkpointAt")
   }
 
   test("SQL surface: EXPORT <table> TO DELTA [VERSION AS OF]") {
