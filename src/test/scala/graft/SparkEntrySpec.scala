@@ -58,11 +58,15 @@ class SparkEntrySpec extends SparkSpec {
     // verification twin. ann_topk_pq's ADC scan is corpus codes × the
     // broadcast per-query LUT rows (constant-width: one m × nCodes = 2048
     // double row, ~16 KB per query) plus the same recall-vs-exact twin.
+    // dedup_semantic's operator path is the cell-co-located self-join; its
+    // all-pairs shapes are the brute-force pair twin it verifies against
+    // and the 1×1 crossJoins stitching single-row aggregates into the
+    // verdict row (decontaminate_bloom's documented shape).
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
       "ann_topk_ivf_persist", "ann_topk_pq", "ann_topk_pq_persist",
       "ann_topk_ivfpq", "embed_neardup", "embed_neardup_lsh",
-      "embed_quantize_int8", "dedup_simhash", "decontaminate_bloom",
-      "sql_scalar_subquery")
+      "embed_quantize_int8", "dedup_simhash", "dedup_semantic",
+      "decontaminate_bloom", "sql_scalar_subquery")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>
