@@ -93,6 +93,74 @@ object Dedup {
       .drop("__n_total")
   }
 
+  /** Exact duplicated-SPAN removal — the ExactSubstr dedup of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed for Spark. The paper finds all duplicated substrings of
+    * >= 50 tokens with a single-node suffix array; the distributed
+    * equivalent used here detects duplication at token w-gram granularity:
+    * every w-token span (stride 1 — spans OVERLAP, unlike
+    * [[dropDuplicateSegments]]'s fixed windows) whose canonicalized content
+    * appears in at least `minDocs` DISTINCT documents is duplicated, and
+    * every token covered by at least one duplicated span is removed;
+    * survivors re-join in original order. A duplicated run of length
+    * L >= w is covered end-to-end by its own w-grams, so whole duplicated
+    * passages vanish exactly as in the suffix-array formulation, while
+    * runs shorter than w never match — w is the paper's minimum-match
+    * length knob.
+    *
+    * Output: the input row plus `text_clean` (empty string when every
+    * token was covered — the row survives; downstream quality gates decide
+    * its fate), `n_kept`, `n_removed`.
+    *
+    * Scale posture: never all-pairs. Gram rows are O(corpus tokens) narrow
+    * (did, pos, 128-bit fingerprint — raw gram text never rides a
+    * shuffle); the duplicate test is a fingerprint groupBy with map-side
+    * partial aggregation; duplicated occurrences come back via a semi join
+    * on the same fingerprint (AQE broadcasts the duplicate set when
+    * small); coverage expansion is O(duplicated occurrences × w); the
+    * final anti join and per-document reassembly shuffle on (doc, pos) /
+    * doc. Every stage is linear in corpus size. */
+  def dropDuplicateSpans(df: DataFrame, text: Column, id: Column,
+      w: Int = 8, minDocs: Int = 2, sep: String = " "): DataFrame = {
+    require(w >= 1, "w must be positive")
+    require(minDocs >= 2, "minDocs < 2 would drop every token")
+    val toks = df.select(id.as("__did"), TextStats.tokens(text).as("__tok"))
+    // One fingerprint per gram START position; docs shorter than w have no
+    // gram (nothing can be duplicated below the minimum-match length).
+    val grams = toks.select(col("__did"),
+      posexplode(
+        when(size(col("__tok")) >= w,
+          transform(sequence(lit(0), size(col("__tok")) - w),
+            i => TextStats.fingerprint(
+              array_join(slice(col("__tok"), i + 1, lit(w)), " "))))
+        .otherwise(array().cast("array<string>"))).as(Seq("__p", "__fp")))
+    val dup = grams.groupBy("__fp")
+      .agg(countDistinct(col("__did")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__fp")
+    val covered = grams.join(dup, Seq("__fp"), "left_semi")
+      .select(col("__did"),
+        explode(sequence(col("__p"), col("__p") + (w - 1))).as("__cp"))
+      .distinct()
+    val positions = toks.select(col("__did"),
+      posexplode(col("__tok")).as(Seq("__cp", "__token")))
+    val kept = positions.join(covered, Seq("__did", "__cp"), "left_anti")
+    val rebuilt = kept.groupBy(col("__did"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__cp"), col("__token")))),
+            s => s("__token")),
+          sep).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    val total = toks.select(col("__did"), size(col("__tok")).cast("long").as("__n_total"))
+    df.join(total, id === total("__did"), "left_outer").drop("__did")
+      .join(rebuilt, id === rebuilt("__did"), "left_outer").drop("__did")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_removed", col("__n_total") - col("n_kept"))
+      .drop("__n_total")
+  }
+
   /** Latest-revision dedup — the reconciliation the reference lacks
     * (SURVEY.md §2.9): among rows sharing `key`, keep the one with the
     * greatest `revision` (reference: latest `updated` per event id). */

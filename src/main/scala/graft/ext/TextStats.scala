@@ -83,6 +83,51 @@ object TextStats {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Hashed-linear quality classifier — the fastText hashing-trick shape
+    * (Joulin et al. 2017) that CCNet/LLaMA-style curation uses as its
+    * learned quality gate: each token hashes into one of `dim` weight
+    * buckets and the document's score is the mean bucket weight; callers
+    * keep documents with score > 0.
+    *
+    * `weights` is the production path: a trained model's weight vector
+    * rides the plan as a literal array (broadcast with the closure — no
+    * join; looked up per token with `element_at`). The default derives
+    * fixture weights from md5 of the bucket index, which keeps the whole
+    * model engine-portable: the DuckDB oracle reproduces the exact same
+    * buckets, weights, and score.
+    *
+    * Scale posture: ONE pass, no shuffle and no join — removing the
+    * weight-table join is exactly what the hashing trick buys at 100 TB.
+    * The fixture path sums INTEGER weights (each in [-32768, 32767]) and
+    * divides once, so the score is exact on any engine and under any
+    * partitioning; the weights path folds the token array left-to-right
+    * (`aggregate`), so its double accumulation order is deterministic
+    * per document. */
+  def hashedLinearScore(text: Column, dim: Int = 1024,
+      weights: Option[Array[Double]] = None): Column = {
+    require(dim > 0, "dim must be positive")
+    val ts = tokens(text)
+    // First 4 md5 hex chars as a 16-bit hash, mod dim — portable: DuckDB
+    // re-derives it with strpos('0123456789abcdef', …) arithmetic.
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 4), 16, 10).cast("long") % dim
+    val n = greatest(size(ts), lit(1)).cast("double")
+    weights match {
+      case Some(ws) =>
+        require(ws.length == dim, s"weights.length (${ws.length}) must equal dim ($dim)")
+        val lut = lit(ws)
+        val sum = aggregate(ts, lit(0.0d),
+          (acc, t) => acc + element_at(lut, (bucket(t) + 1).cast("int")))
+        sum / n
+      case None =>
+        val sum = aggregate(ts, lit(0L),
+          (acc, t) => acc + (conv(substring(
+            md5(concat(lit("w:"), bucket(t).cast("string"))), 1, 4),
+            16, 10).cast("long") - 32768L))
+        sum.cast("double") / (n * lit(65536.0d))
+    }
+  }
+
   /** Per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Matches the languages present in the corpus (en/de/es/fr/zh). */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(

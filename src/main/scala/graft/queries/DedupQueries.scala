@@ -162,6 +162,19 @@ object DedupQueries {
         .select(col("doc_id"), col("text_deduped"), col("n_kept"), col("n_dropped"))
         .orderBy("doc_id")),
 
+    // Exact duplicated-SPAN removal (Lee et al. 2021 ExactSubstr, token
+    // 8-gram form): tokens covered by any 8-token span that appears in ≥2
+    // distinct documents are cut, survivors re-join in order. Overlapping
+    // stride-1 spans — the sub-document twin of dedup_segments' fixed
+    // windows. The cleaned TEXT is hash-compared, so a missed covering
+    // position, an off-by-one span end, or wrong reassembly order flips
+    // the hash.
+    "dedup_substring" -> ((s, d) =>
+      Dedup.dropDuplicateSpans(documents(s, d).select("doc_id", "text"),
+          col("text"), col("doc_id"), w = 8, minDocs = 2)
+        .select(col("doc_id"), col("text_clean"), col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")),
+
     // Duplicate CLUSTERS: connected components (min-label propagation) over
     // the MinHash-LSH candidate pairs — the transitive-closure step every
     // production dedup pipeline needs between "similar pairs" and "keep one
@@ -296,6 +309,45 @@ object DedupQueries {
            coalesce(a.text_deduped, '') AS text_deduped,
            coalesce(a.n_kept, 0) AS n_kept,
            tot.n_total - coalesce(a.n_kept, 0) AS n_dropped
+         FROM documents d
+         JOIN tot USING (doc_id)
+         LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+    "dedup_substring" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tok
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(range(0, greatest(len(tok) - 7, 0))) AS p, tok
+           FROM t),
+         grams AS (
+           SELECT doc_id, p, array_to_string(tok[p+1 : p+8], ' ') AS gram
+           FROM g),
+         dup AS (
+           -- lower(gram): the Spark side fingerprints spans with the same
+           -- case-insensitive canonicalization every dedup stage uses
+           SELECT lower(gram) AS lg FROM grams GROUP BY lower(gram)
+           HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (
+           SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS cp
+           FROM grams WHERE lower(gram) IN (SELECT lg FROM dup)),
+         pos AS (
+           SELECT doc_id, unnest(range(0, len(tok))) AS cp, tok FROM t),
+         kept AS (
+           SELECT pos.doc_id, pos.cp, pos.tok[pos.cp + 1] AS token
+           FROM pos LEFT JOIN cov
+             ON pos.doc_id = cov.doc_id AND pos.cp = cov.cp
+           WHERE cov.doc_id IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(token, ' ' ORDER BY cp) AS text_clean,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, len(tok) AS n_total FROM t)
+         SELECT d.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           coalesce(a.n_kept, 0) AS n_kept,
+           tot.n_total - coalesce(a.n_kept, 0) AS n_removed
          FROM documents d
          JOIN tot USING (doc_id)
          LEFT JOIN agg a USING (doc_id)

@@ -452,6 +452,39 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Hashed-linear quality classifier (fastText hashing trick, Joulin et
+    // al. 2017) — the learned-gate stage of CCNet/LLaMA curation. One
+    // whole-stage-codegen pass, NO shuffle/join: each token hashes into
+    // one of 1024 weight buckets and the doc score is the mean bucket
+    // weight (integer sums + one division — exact on any engine; the
+    // DuckDB oracle re-derives buckets, weights, and score from the same
+    // md5 arithmetic). Production swaps in a trained vector via the
+    // `weights` param — same plan shape, proven equal in TextStatsSpec.
+    "quality_classifier" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        TextStats.hashedLinearScore(col("text"), dim = 1024).as("score"))
+      .withColumn("keep", when(col("score") > 0, 1).otherwise(0))
+      .orderBy("doc_id")),
+
+    // Temperature-scaled mixture weights (the multilingual-LLM sampling
+    // rule p_i ∝ n_i^α, α = 0.5): per-language doc counts, sampling ratio
+    // relative to the largest language, and the planned per-language doc
+    // budget. One tiny groupBy + a broadcast one-row max join — nothing
+    // here grows with corpus size except the count itself. sqrt/division
+    // are single IEEE ops on exact integer counts, so the doubles are
+    // bit-identical on any engine — no rounding needed.
+    "mixture_temperature" -> ((s, d) => {
+      val byLang = documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val maxw = byLang.agg(max(sqrt(col("n_docs").cast("double"))).as("__maxw"))
+      byLang.crossJoin(broadcast(maxw))
+        .select(col("lang"), col("n_docs"),
+          (sqrt(col("n_docs").cast("double")) / col("__maxw")).as("sample_ratio"),
+          ceil(sqrt(col("n_docs").cast("double")) / col("__maxw") * col("n_docs"))
+            .cast("long").as("planned_docs"))
+        .orderBy("lang")
+    }),
+
     // Sequence packing — the concat-and-chunk step that turns a curated
     // corpus into fixed-length training sequences (ctx 512): documents are
     // concatenated in doc_id order and cut every 512 tokens; a document
@@ -716,6 +749,34 @@ object TextQueries {
            FROM toks)
          SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sel_tokens
          FROM placed WHERE start < 5000 GROUP BY 1 ORDER BY source""",
+    "quality_classifier" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tok
+           FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(tok) AS token, len(tok) AS n FROM t),
+         w AS (
+           SELECT doc_id, n,
+             CAST('0x' || substr(md5('w:' || CAST(
+               CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) % 1024
+             AS VARCHAR)), 1, 4) AS BIGINT) - 32768 AS wint
+           FROM toks),
+         s AS (
+           SELECT doc_id, sum(wint) AS sw, max(n) AS n FROM w GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(CAST(s.sw AS DOUBLE) / (greatest(s.n, 1) * 65536.0), 0.0) AS score,
+           CASE WHEN coalesce(s.sw, 0) > 0 THEN 1 ELSE 0 END AS keep
+         FROM documents d LEFT JOIN s USING (doc_id)
+         ORDER BY d.doc_id""",
+    "mixture_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         m AS (SELECT max(sqrt(CAST(n_docs AS DOUBLE))) AS maxw FROM c)
+         SELECT lang, n_docs,
+           sqrt(CAST(n_docs AS DOUBLE)) / maxw AS sample_ratio,
+           CAST(ceil(sqrt(CAST(n_docs AS DOUBLE)) / maxw * n_docs) AS BIGINT)
+             AS planned_docs
+         FROM c, m ORDER BY lang""",
     "quality_deciles" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),

@@ -62,11 +62,14 @@ class SparkEntrySpec extends SparkSpec {
     // all-pairs shapes are the brute-force pair twin it verifies against
     // and the 1×1 crossJoins stitching single-row aggregates into the
     // verdict row (decontaminate_bloom's documented shape).
+    // mixture_temperature's only NL join is the #langs×1 crossJoin of the
+    // per-language counts against the single-row corpus max — both sides
+    // are post-aggregation constants, the same stitch shape.
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
       "ann_topk_ivf_persist", "ann_topk_pq", "ann_topk_pq_persist",
       "ann_topk_ivfpq", "embed_neardup", "embed_neardup_lsh",
       "embed_quantize_int8", "dedup_simhash", "dedup_semantic",
-      "decontaminate_bloom", "sql_scalar_subquery")
+      "decontaminate_bloom", "sql_scalar_subquery", "mixture_temperature")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>

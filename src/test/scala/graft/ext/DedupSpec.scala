@@ -241,6 +241,51 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq((1L, "", 0L, 1L), (2L, "", 0L, 1L)))
   }
 
+  test("dropDuplicateSpans cuts a shared passage end-to-end, keeps unique text in order") {
+    // Lee et al. ExactSubstr shape: two docs share a verbatim 6-token
+    // passage; with w=4 the passage is covered by its own overlapping
+    // grams (straddle grams that mix unique + shared tokens appear in one
+    // doc only, so they never widen the cut past the passage itself).
+    val docs = Seq(
+      (1L, "a1 a2 p1 p2 p3 p4 p5 p6 a3"),
+      (2L, "b1 p1 p2 p3 p4 p5 p6")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, col("text"), col("doc_id"), w = 4)
+      .select("doc_id", "text_clean", "n_kept", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "a1 a2 a3", 3L, 6L),
+      (2L, "b1", 1L, 6L)))
+  }
+
+  test("dropDuplicateSpans never matches below the minimum span length") {
+    // identical 3-token docs with w=4: no w-gram exists, nothing is cut —
+    // w is the paper's minimum-match-length knob, short repeats survive
+    val docs = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, col("text"), col("doc_id"), w = 4)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toSeq
+    assert(out.forall(_._2 == 0L))
+  }
+
+  test("dropDuplicateSpans counts DISTINCT docs: a within-doc repeat survives") {
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4 x1 x2 x3 x4"),
+      (2L, "totally different tokens here indeed")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, col("text"), col("doc_id"), w = 4)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toSeq
+    assert(out.forall(_._2 == 0L))
+  }
+
+  test("dropDuplicateSpans canonicalizes spans (case) and empties a fully-shared doc") {
+    val docs = Seq(
+      (1L, "One Two Three Four"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, col("text"), col("doc_id"), w = 4)
+      .select("doc_id", "text_clean", "n_kept", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // both rows SURVIVE with empty text — downstream gates decide their fate
+    assert(out === Seq((1L, "", 0L, 4L), (2L, "", 0L, 4L)))
+  }
+
   test("dropDuplicateSegments matches fingerprint canonicalization (case/space)") {
     // segments equal after lowercase+whitespace-collapse dedup together,
     // exactly as ccnet hashes normalized lines

@@ -86,4 +86,51 @@ class TextStatsSpec extends SparkSpec {
     // every repeated doc scores identically (same tokens, same corpus stats)
     assert((2 to 20).forall(i => scores(i.toLong) == commonScore))
   }
+
+  // reference md5-hex used by the hashedLinearScore tests
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucketOf(token: String, dim: Int): Int =
+    (java.lang.Long.parseLong(md5hex(token).take(4), 16) % dim).toInt
+
+  test("hashedLinearScore weights path: mean of looked-up bucket weights") {
+    val dim = 8
+    val ws = Array(0.5, -1.0, 2.0, 0.25, -0.75, 1.5, -2.0, 3.0)
+    val text = "alpha beta gamma delta alpha"
+    val expected = text.split(" ").map(t => ws(bucketOf(t, dim))).sum / 5.0
+    val got = Seq(text).toDF("t")
+      .select(TextStats.hashedLinearScore(col("t"), dim, Some(ws)).as("s"))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
+  }
+
+  test("hashedLinearScore fixture path: md5-derived integer weights, exact division") {
+    val dim = 1024
+    val text = "key agg row scan"
+    val expected = {
+      val sw = text.split(" ").map { t =>
+        val b = bucketOf(t, dim)
+        java.lang.Long.parseLong(md5hex(s"w:$b").take(4), 16) - 32768L
+      }.sum
+      sw.toDouble / (4 * 65536.0)
+    }
+    val got = Seq(text).toDF("t")
+      .select(TextStats.hashedLinearScore(col("t"), dim).as("s"))
+      .as[Double].head()
+    assert(got === expected) // integer sums + one division — bit-exact
+  }
+
+  test("hashedLinearScore: empty text scores 0.0; bad args throw") {
+    val got = Seq("", "   ").toDF("t")
+      .select(TextStats.hashedLinearScore(col("t")).as("s")).as[Double].collect()
+    assert(got.toSeq === Seq(0.0, 0.0))
+    intercept[IllegalArgumentException] {
+      TextStats.hashedLinearScore(col("t"), dim = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.hashedLinearScore(col("t"), dim = 4, weights = Some(Array(1.0)))
+    }
+  }
 }
