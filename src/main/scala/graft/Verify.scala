@@ -46,6 +46,8 @@ object Verify {
     graft.ext.Dedup.releaseCaches()
     graft.ext.IvfIndex.releaseCaches()
     graft.ext.PqIndex.releaseCaches()
+    graft.queries.DedupQueries.releaseCaches()
+    graft.queries.TextQueries.releaseCaches()
     spark.stop()
   }
 }

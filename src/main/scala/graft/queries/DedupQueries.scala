@@ -18,60 +18,15 @@ object DedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** MinHash-LSH candidate pairs, persisted and pre-materialized. The
-    * candidate set is tiny (hundreds of pairs) but its subplan is referenced
-    * by several consumers (and by two queries); persisting + counting makes
-    * the LSH pipeline run once per session — Spark's cache manager matches
-    * the identical logical plan across separate query invocations. */
-  /** Frames this object persisted — released by [[releaseCaches]] so a
-    * pipeline teardown (Bench's explicit unpin step) frees the executor
-    * storage instead of pinning it for the JVM lifetime (round-12
-    * self-review: the segment-dedup cache had no release hook). */
-  private val persisted =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Materialized-frame memo keyed on (session, sf dir, table name): a
-    * repeat call returns the SAME DataFrame handle instead of rebuilding
-    * the plan and re-walking the persist/count handshake (each re-walk
-    * pays a count job per cached subplan — measurable when a benchmark
-    * calls the query three times). Entries drop with [[releaseCaches]];
-    * a stopped session's entries are inert (nothing re-reads them — the
-    * key includes the session, so a fresh session rebuilds). */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
-
-  private def memoized(name: String, s: SparkSession, d: String)(
-      build: => DataFrame): DataFrame = {
-    // get/put under a REENTRANT lock, not computeIfAbsent: builds nest
-    // (cachedVerified's build calls cachedCandidates on the same map),
-    // and a mapping function that mutates its own ConcurrentHashMap is
-    // forbidden — same-bin nesting throws "Recursive update"
-    val key = (s, d, name)
-    val hit = memo.get(key)
-    if (hit != null) return hit
-    memo.synchronized {
-      val again = memo.get(key)
-      if (again != null) return again
-      val df = build.persist()
-      persisted.add(df)
-      df.count() // materialize before fan-out: concurrent broadcast +
-                 // shuffle consumers of an unmaterialized cache would
-                 // each recompute
-      memo.put(key, df)
-      df
-    }
-  }
+  /** Materialized-frame memo (see [[QueryMemo]]): MinHash-LSH candidates,
+    * Jaccard-verified pairs, and the segment-dedup table are each consumed
+    * by several queries — persist once per (session, sf dir), release via
+    * [[releaseCaches]] (Bench's explicit unpin step). */
+  private val memoized = new QueryMemo
 
   /** Unpersist every frame this object cached; already-returned frames
     * recompute from lineage if re-read. */
-  def releaseCaches(): Unit = {
-    memo.clear()
-    var df = persisted.poll()
-    while (df != null) {
-      df.unpersist()
-      df = persisted.poll()
-    }
-  }
+  def releaseCaches(): Unit = memoized.release()
 
   private def cachedCandidates(s: SparkSession, d: String): DataFrame =
     memoized("candidates", s, d) {

@@ -13,6 +13,53 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Materialized-frame memo (see [[QueryMemo]]): the split+shingle table
+    * and its distinct train-shingle set feed both decontamination queries;
+    * the unigram-scored corpus feeds three quality queries. Released by
+    * [[releaseCaches]] (Bench's explicit unpin step). */
+  private val memoized = new QueryMemo
+
+  /** Unpersist every frame this object cached; already-returned frames
+    * recompute from lineage if re-read. */
+  def releaseCaches(): Unit = memoized.release()
+
+  /** (split, doc_id, __sh): deterministic md5 train/test tag + fused
+    * 64-bit 8-token shingle hashes, exploded — the common scan of
+    * `decontaminate` and `decontaminate_bloom` (which between them walk it
+    * four times per session: bloom build, bloom probe, exact semi-join
+    * sides). ~shingles ≈ tokens rows of three narrow columns. */
+  private def cachedSplitShingles(s: SparkSession, d: String): DataFrame =
+    memoized("split_shingles", s, d) {
+      documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1)
+            .isin("c", "d", "e", "f"), "test").otherwise("train"))
+        .select(col("split"), col("doc_id"),
+          explode(graft.functions.ShingleHashes.shingleHashes(
+            TextStats.tokens(col("text")), 8)).as("__sh"))
+    }
+
+  /** Distinct train-side shingle hashes — the semi-join build side of both
+    * decontamination queries (and the exact-count Bloom sizing). */
+  private def cachedTrainShingles(s: SparkSession, d: String): DataFrame =
+    memoized("train_shingles", s, d) {
+      cachedSplitShingles(s, d)
+        .filter(col("split") === "train").select("__sh").distinct()
+    }
+
+  /** (doc_id, neg_logp, lang): the corpus-relative unigram-LM score joined
+    * with the language column — consumed by `text_unigram_logprob`,
+    * `quality_deciles`, and `quality_deciles_sketch`, each of which
+    * otherwise re-runs the token explode + frequency join + per-doc agg. */
+  private def cachedUnigramScored(s: SparkSession, d: String): DataFrame =
+    memoized("unigram_scored", s, d) {
+      val docs = documents(s, d)
+      TextStats.unigramLogProb(docs, col("text"), col("doc_id"))
+        .select(col("__id").as("doc_id"), col("neg_logp"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    }
+
   val queries: Map[String, Q] = Map(
     // Token counting: non-empty whitespace-separated tokens.
     "text_tokens" -> ((s, d) => documents(s, d)
@@ -102,12 +149,12 @@ object TextQueries {
 
     // Corpus-relative unigram LM score (cheap perplexity): rare-token docs
     // score high, stopword-dense prose low — the standard quality filter.
-    "text_unigram_logprob" -> ((s, d) => {
-      val docs = documents(s, d)
-      graft.ext.TextStats.unigramLogProb(docs, col("text"), col("doc_id"))
-        .select(col("__id").as("doc_id"), col("neg_logp"))
-        .orderBy("doc_id")
-    }),
+    // The scored frame is shared (persisted) with both quality_deciles
+    // queries — three consumers, one token-explode + frequency-join pass.
+    "text_unigram_logprob" -> ((s, d) =>
+      cachedUnigramScored(s, d)
+        .select(col("doc_id"), col("neg_logp"))
+        .orderBy("doc_id")),
 
     // Sketch-then-verify heavy hitters: one Misra-Gries pass (k=200
     // mergeable counters — O(k) shuffle instead of a full-token groupBy)
@@ -176,21 +223,14 @@ object TextQueries {
     // string-shingle DuckDB oracle matches unless two DISTINCT shingles
     // collide in 64 bits (~n²/2⁶⁵, negligible — same argument as
     // dedup_ngram_jaccard).
-    "decontaminate" -> ((s, d) => {
-      val tagged = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("split",
-          when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d", "e", "f"), "test")
-            .otherwise("train"))
-      val sh = tagged.select(col("split"), col("doc_id"),
-        explode(graft.functions.ShingleHashes.shingleHashes(
-          TextStats.tokens(col("text")), 8)).as("__sh"))
-      val trainSh = sh.filter(col("split") === "train").select("__sh").distinct()
-      sh.filter(col("split") === "test")
-        .join(trainSh, "__sh", "left_semi")
+    "decontaminate" -> ((s, d) =>
+      // split+shingle scan and train-shingle set shared (persisted) with
+      // decontaminate_bloom — the pair otherwise re-shingles the corpus
+      // four times between them
+      cachedSplitShingles(s, d).filter(col("split") === "test")
+        .join(cachedTrainShingles(s, d), "__sh", "left_semi")
         .select("doc_id").distinct()
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // End-to-end curation pipeline — the composition a dataset curator
     // actually ships: language gate (en) → quality gates (token count
@@ -230,10 +270,7 @@ object TextQueries {
     // query oracle-able, ties broken by doc_id on both engines).
     "quality_deciles" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = documents(s, d)
-      val scored = TextStats.unigramLogProb(docs, col("text"), col("doc_id"))
-        .select(col("__id").as("doc_id"), col("neg_logp"))
-        .join(docs.select("doc_id", "lang"), "doc_id")
+      val scored = cachedUnigramScored(s, d)
       val w = Window.partitionBy("lang").orderBy(col("neg_logp"), col("doc_id"))
       scored.withColumn("decile", ntile(10).over(w))
         .groupBy("lang", "decile")
@@ -255,10 +292,7 @@ object TextQueries {
     // inflates a bucket and flips the pinned verdict.
     "quality_deciles_sketch" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d)
-      val scored = TextStats.unigramLogProb(docs, col("text"), col("doc_id"))
-        .select(col("__id").as("doc_id"), col("neg_logp"))
-        .join(docs.select("doc_id", "lang"), "doc_id")
+      val scored = cachedUnigramScored(s, d)
       val probs = (1 to 9).map(_ / 10.0)
       val cuts = scored.select(col("lang"), col("neg_logp")).as[(String, Double)]
         .groupByKey(_._1).mapValues(_._2)
@@ -342,34 +376,31 @@ object TextQueries {
     // mismatch between build and probe craters membership and flips the
     // pinned verdict; n_exact/n_test are data-dependent exact columns.
     "decontaminate_bloom" -> ((s, d) => {
-      val tagged = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("split",
-          when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d", "e", "f"), "test")
-            .otherwise("train"))
-      val sh = tagged.select(col("split"), col("doc_id"),
-        explode(graft.functions.ShingleHashes.shingleHashes(
-          TextStats.tokens(col("text")), 8)).as("__sh"))
-      // Size the Bloom sketch from a one-aggregate corpus statistic
-      // (shingles ≲ tokens ≈ chars/5, so chars/4 over-covers): a hard-coded
-      // expectedItems either overloads the filter at scale or — the failure
-      // this replaced — allocates a multi-MB bitmap PER PARTIAL AGGREGATE
-      // for a small corpus, and merging 32 oversized bitmaps dwarfs the
-      // actual scan. fpp 1e-4 keeps the DOC-level false-positive rate low
-      // too: a doc is flagged if ANY of its ~10²-10³ shingles probes true,
-      // so per-shingle fpp must sit well under 1/shingles-per-doc.
-      val expectedShingles = math.max(1000L,
-        documents(s, d).agg(sum(length(col("text")))).first().getLong(0) / 4)
-      val bf = sh.filter(col("split") === "train")
-        .stat.bloomFilter("__sh", expectedShingles, 1e-4)
+      // the split+shingle scan and distinct train-shingle set are shared
+      // (persisted) with `decontaminate` — this query alone walks them
+      // three times (bloom build, bloom probe, exact twin)
+      val sh = cachedSplitShingles(s, d)
+      val trainSh = cachedTrainShingles(s, d)
+      // Size the Bloom sketch from the EXACT distinct train-shingle count
+      // (free — the persisted set is counted at materialization). A
+      // hard-coded expectedItems either overloads the filter at scale or —
+      // the failure this replaced — allocates a multi-MB bitmap PER
+      // PARTIAL AGGREGATE for a small corpus, and merging 32 oversized
+      // bitmaps dwarfs the actual scan. fpp 1e-4 keeps the DOC-level
+      // false-positive rate low too: a doc is flagged if ANY of its
+      // ~10²-10³ shingles probes true, so per-shingle fpp must sit well
+      // under 1/shingles-per-doc.
+      val expectedShingles = math.max(1000L, trainSh.count())
+      val bf = trainSh.stat.bloomFilter("__sh", expectedShingles, 1e-4)
       val testSh = sh.filter(col("split") === "test")
       val flaggedBloom = testSh
         .filter(graft.functions.BloomColumns.mightContain(bf, col("__sh")))
         .select("doc_id").distinct()
-      val trainSh = sh.filter(col("split") === "train").select("__sh").distinct()
       val flaggedExact = testSh.join(trainSh, "__sh", "left_semi")
         .select("doc_id").distinct()
-      val nTest = tagged.filter(col("split") === "test")
+      val nTest = documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("c", "d", "e", "f"))
         .agg(count(lit(1)).as("n_test_docs"))
       flaggedExact.withColumn("__e", lit(1))
         .join(flaggedBloom.withColumn("__b", lit(1)), Seq("doc_id"), "full_outer")
