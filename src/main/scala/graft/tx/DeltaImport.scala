@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, MapType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
 
 /** `CONVERT TO GRAFT` over an existing DELTA table (the import half of the
   * round-11 interop gap; [[DeltaExport]] is the export half): the
@@ -22,14 +22,17 @@ import org.apache.spark.sql.types.{DataType, MapType, StringType, StructType}
   * routes here whenever `_delta_log` exists.
   *
   * Mechanics (all metadata; no data read or rewritten):
-  *  1. reconstruct the LATEST Delta snapshot — newest parquet checkpoint
-  *     (its rows re-serialized as action JSON) + ordered replay of the
-  *     JSON commits above it; `remove` tombstones inside a checkpoint are
-  *     already applied and are ignored, `remove` actions in commits drop;
+  *  1. reconstruct the LATEST Delta snapshot — newest readable checkpoint
+  *     (classic single-part, complete multi-part, or v2 UUID-named with
+  *     its `_sidecars/` files) + ordered replay of the JSON commits above
+  *     it; `remove` tombstones inside a checkpoint are already applied
+  *     and are ignored, `remove` actions in commits drop;
   *  2. refuse unreadable tables LOUDLY before touching anything:
-  *     `minReaderVersion` > 1 (deletion vectors, column mapping v2),
+  *     unsupported reader protocol (anything beyond reader v1 or a
+  *     v2Checkpoint-only reader v3 — deletion vectors, column mapping),
   *     `delta.columnMapping.mode` set, any `add.deletionVector`, a gap in
-  *     the commit sequence, or an absolute/external `add.path`;
+  *     the commit sequence, an incomplete multi-part checkpoint, or an
+  *     absolute/external `add.path`/`sidecar.path`;
   *  3. move each LIVE file into one fresh `data/<uuid>/` commit dir under
   *     hive `k=v` segments rebuilt from the add's `partitionValues` (the
   *     authoritative source — Delta paths are not required to carry hive
@@ -216,17 +219,15 @@ object DeltaImport {
         n.dropRight(".checkpoint.parquet".length).forall(_.isDigit) =>
         n.dropRight(".checkpoint.parquet".length).toLong
     }.sorted
-    // checkpoint forms this import cannot READ: multi-part
-    // (`N.checkpoint.i.n.parquet`) and v2 UUID-named
-    // (`N.checkpoint.<uuid>.parquet` / `.json`). They must be DETECTED so
-    // a table whose pre-checkpoint JSON commits were cleaned up refuses
-    // with "unsupported checkpoint format", not a misleading "log gap"
-    // diagnosis (round-12 ADVICE, low).
+    // Checkpoint forms beyond the classic `N.checkpoint.parquet`:
     // multi-part checkpoints (`N.checkpoint.<i>.<n>.parquet`, the form
     // Spark's Delta writes past spark.databricks.delta.checkpoint.partSize)
     // are READ when complete: the parts partition the action rows, so the
     // snapshot is one parquet scan over all n files. An incomplete set
-    // (parts missing from a partial copy) stays unsupported-and-loud.
+    // (parts missing from a partial copy) is DETECTED so a table whose
+    // pre-checkpoint JSON commits were cleaned up refuses with
+    // "unsupported checkpoint format", not a misleading "log gap"
+    // diagnosis (round-12 ADVICE, low).
     val multiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
     val multiParts: Map[Long, Seq[String]] = entries.flatMap { n =>
       multiPartRe.findFirstMatchIn(n).filter(_.matched == n)
@@ -235,18 +236,34 @@ object DeltaImport {
       case ((v, total), parts) if parts.map(_._2).toSet == (1 to total).toSet =>
         v -> parts.sortBy(_._2).map(_._4).toSeq
     }.toMap
+    // v2 (UUID-named) checkpoints — `N.checkpoint.<uuid>.parquet|json` —
+    // are READ: same action rows plus a `checkpointMetadata` marker and
+    // optional `sidecar` references whose files (under `_delta_log/
+    // _sidecars/`) carry the file actions. Any single UUID checkpoint at a
+    // version is complete by construction; pick the lexicographically last
+    // name for determinism when a version has several.
+    val v2Re = ("""(\d{20})\.checkpoint\.""" +
+      """([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-""" +
+      """[0-9a-fA-F]{12})\.(parquet|json)""").r
+    val v2Ckpts: Map[Long, (String, String)] = entries.flatMap { n =>
+      v2Re.findFirstMatchIn(n).filter(_.matched == n)
+        .map(m => (m.group(1).toLong, n, m.group(3)))
+    }.groupBy(_._1).map { case (v, xs) =>
+      val best = xs.maxBy(_._2)
+      v -> (best._2, best._3)
+    }
     val unsupportedCkpt = entries.flatMap { n =>
-      val m = """(\d{20})\.checkpoint\.(?:\d{10}\.\d{10}\.parquet|[0-9a-fA-F-]{36}\.(?:parquet|json))""".r
+      val m = """(\d{20})\.checkpoint\.(?:\d{10}\.\d{10})\.parquet""".r
       m.findFirstMatchIn(n).filter(_.matched == n).map(_.group(1).toLong -> n)
     }.filterNot { case (v, _) => multiParts.contains(v) }.sortBy(_._1)
-    // newest readable checkpoint: classic single-part or complete
-    // multi-part; its paths feed one distributed scan either way
+    // newest readable checkpoint: classic single-part, complete
+    // multi-part (plain-scan file sets), or v2 UUID (main file + sidecars)
     val ckptPaths: Map[Long, Seq[String]] =
       ckptVersions.map(v => v -> Seq(f"$v%020d.checkpoint.parquet")).toMap ++
         multiParts
-    require(jsonVersions.nonEmpty || ckptPaths.nonEmpty ||
+    require(jsonVersions.nonEmpty || ckptPaths.nonEmpty || v2Ckpts.nonEmpty ||
         unsupportedCkpt.nonEmpty, s"$logDir holds no commits")
-    val ckpt = ckptPaths.keys.toSeq.sorted.lastOption
+    val ckpt = (ckptPaths.keys ++ v2Ckpts.keys).toSeq.sorted.lastOption
     val replay = jsonVersions.filter(v => ckpt.forall(_ < v))
     // the log must be contiguous above the checkpoint (or from 0 without
     // one) — a gap means an incomplete copy and a wrong snapshot. When the
@@ -256,12 +273,11 @@ object DeltaImport {
     def refuseIfUnsupportedCovers(missing: Long): Unit =
       unsupportedCkpt.filter(_._1 >= missing).lastOption.foreach { case (_, n) =>
         throw new IllegalArgumentException(
-          s"Delta checkpoint '$n' uses an unsupported format (an INCOMPLETE " +
-            "multi-part set, or v2 UUID-named) — this import reads classic " +
-            "'N.checkpoint.parquet' and complete multi-part checkpoints; " +
-            "restore the missing parts (or the cleaned-up JSON commits), " +
-            "or have a Delta writer rewrite a classic checkpoint, then " +
-            "re-run CONVERT")
+          s"Delta checkpoint '$n' is an INCOMPLETE multi-part set — this " +
+            "import reads classic 'N.checkpoint.parquet', complete " +
+            "multi-part, and v2 UUID checkpoints; restore the missing " +
+            "parts (or the cleaned-up JSON commits), or have a Delta " +
+            "writer rewrite a complete checkpoint, then re-run CONVERT")
       }
     if (replay.isEmpty && ckpt.isEmpty) refuseIfUnsupportedCovers(0L)
     replay.zipWithIndex.foreach { case (v, i) =>
@@ -283,6 +299,24 @@ object DeltaImport {
       else pv.properties().asScala.map { e =>
         e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
       }.toMap
+    }
+    // Reader-protocol gate: basic tables (reader v1) and v2Checkpoint-only
+    // tables (reader v3 whose readerFeatures carry nothing else) convert.
+    // Reader v2 (column mapping) and any other v3 feature (deletion
+    // vectors, column mapping, timestampNtz physical types…) refuse — the
+    // features change how FILES must be read, not just the log.
+    def requireSupportedReader(r: Int, feats: Seq[String]): Unit = {
+      if (r > 1) {
+        val unsupported = feats.filterNot(_ == "v2Checkpoint")
+        require(r == 3 && feats.nonEmpty && unsupported.isEmpty,
+          s"Delta protocol minReaderVersion $r" +
+            (if (unsupported.nonEmpty)
+              s" with reader features [${unsupported.mkString(", ")}]"
+            else "") +
+            " is unsupported for import (reader features like deletion " +
+            "vectors / column mapping v2); basic (reader v1) and " +
+            "v2Checkpoint-only (reader v3) tables convert")
+      }
     }
     def apply(action: JsonNode, fromCheckpoint: Boolean): Unit = {
       val add = action.path("add")
@@ -308,11 +342,9 @@ object DeltaImport {
           configuration = conf.properties().asScala
             .map(e => e.getKey -> e.getValue.asText()).toMap
       } else if (protocol.isObject) {
-        val r = protocol.path("minReaderVersion").asInt(1)
-        require(r <= 1,
-          s"Delta protocol minReaderVersion $r is unsupported for import " +
-            "(reader features like deletion vectors / column mapping v2); " +
-            "only basic (reader v1) tables convert")
+        val feats = protocol.path("readerFeatures").elements().asScala
+          .map(_.asText()).toSeq
+        requireSupportedReader(protocol.path("minReaderVersion").asInt(1), feats)
       } else if (txn.isObject && txn.path("appId").isTextual) {
         txns(txn.path("appId").asText()) = txn.path("version").asLong()
       }
@@ -326,22 +358,28 @@ object DeltaImport {
     // full action strings on the driver — GBs of heap at a 10⁶-file foreign
     // table (round-12 VERDICT item 2). Checkpoint `remove` rows are
     // tombstones of already-applied deletes and are never even selected.
-    ckpt.foreach { v =>
-      val df = spark.read.parquet(
-        ckptPaths(v).map(n => logDir.resolve(n).toString): _*)
+    // One checkpoint FRAME scanner, applied to the classic/multi-part
+    // file set, a v2 checkpoint's main file, and v2 sidecar files alike —
+    // each only carries a subset of the action columns, so every branch is
+    // presence-gated.
+    def scanCheckpointFrame(df: org.apache.spark.sql.DataFrame): Unit = {
       val top = df.schema.fieldNames.toSet
       if (top.contains("protocol")) {
         // casts throughout: a foreign checkpoint's physical types are
         // whatever its writer (or a JSON round-trip) chose — int vs long
         // must not crash the parse
+        val protoFields = df.schema("protocol").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val featsCol =
+          if (protoFields.contains("readerFeatures"))
+            col("protocol.readerFeatures")
+          else lit(null).cast(ArrayType(StringType))
         df.filter(col("protocol").isNotNull)
-          .select(col("protocol.minReaderVersion").cast("int"))
+          .select(col("protocol.minReaderVersion").cast("int"), featsCol)
           .collect().foreach { r =>
             val rv = if (r.isNullAt(0)) 1 else r.getInt(0)
-            require(rv <= 1,
-              s"Delta protocol minReaderVersion $rv is unsupported for " +
-                "import (reader features like deletion vectors / column " +
-                "mapping v2); only basic (reader v1) tables convert")
+            val feats = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+            requireSupportedReader(rv, feats)
           }
       }
       if (top.contains("metaData")) {
@@ -412,6 +450,57 @@ object DeltaImport {
           }
       }
     }
+    // Resolve a v2 `sidecar.path` under `_delta_log/_sidecars/` — the spec
+    // pins sidecars to that directory, so anything absolute/external (or
+    // escaping it after percent-decoding) refuses, the same posture as
+    // add.path (round-12 ADVICE, medium).
+    def sidecarFile(raw: String): Path = {
+      val decoded = DeltaPaths.decode(raw)
+      require(!raw.contains("://") && !decoded.contains("://") &&
+          decoded.nonEmpty && !decoded.startsWith("/") &&
+          !decoded.startsWith("\\"),
+        s"Delta sidecar path '$raw' is absolute/external — sidecars live " +
+          "under _delta_log/_sidecars")
+      val root = logDir.resolve("_sidecars").toAbsolutePath.normalize()
+      val resolved = root.resolve(decoded).normalize()
+      require(resolved.startsWith(root) && resolved != root,
+        s"Delta sidecar path '$raw' escapes _delta_log/_sidecars after " +
+          "decoding — refusing the import")
+      require(Files.isRegularFile(resolved),
+        s"Delta sidecar file '$decoded' referenced by the v2 checkpoint " +
+          "is missing — incomplete log copy, refusing to reconstruct a " +
+          "wrong snapshot")
+      resolved
+    }
+    def scanSidecars(paths: Seq[String]): Unit =
+      if (paths.nonEmpty)
+        scanCheckpointFrame(
+          spark.read.parquet(paths.map(sidecarFile(_).toString): _*))
+    ckpt.foreach { v =>
+      v2Ckpts.get(v) match {
+        case None =>
+          scanCheckpointFrame(spark.read.parquet(
+            ckptPaths(v).map(n => logDir.resolve(n).toString): _*))
+        case Some((name, "parquet")) =>
+          val df = spark.read.parquet(logDir.resolve(name).toString)
+          scanCheckpointFrame(df)
+          if (df.schema.fieldNames.contains("sidecar"))
+            scanSidecars(df.filter(col("sidecar").isNotNull)
+              .select(col("sidecar.path").cast("string"))
+              .collect().toSeq.map(_.getString(0)))
+        case Some((name, _)) => // v2 json: newline actions, like a commit
+          val sidecars = scala.collection.mutable.ArrayBuffer.empty[String]
+          new String(Files.readAllBytes(logDir.resolve(name)), "UTF-8")
+            .split("\n").filter(_.trim.nonEmpty)
+            .foreach { line =>
+              val node = mapper.readTree(line)
+              val sc = node.path("sidecar")
+              if (sc.isObject) sidecars += sc.path("path").asText()
+              else apply(node, fromCheckpoint = true)
+            }
+          scanSidecars(sidecars.toSeq)
+      }
+    }
     replay.foreach { v =>
       new String(Files.readAllBytes(logDir.resolve(f"$v%020d.json")), "UTF-8")
         .split("\n").filter(_.trim.nonEmpty)
@@ -422,10 +511,10 @@ object DeltaImport {
     require(unsupportedCkpt.isEmpty ||
         unsupportedCkpt.last._1 <= ckpt.getOrElse(-1L).max(
           replay.lastOption.getOrElse(-1L)),
-      s"Delta checkpoint '${unsupportedCkpt.last._2}' uses an unsupported " +
-        "format (multi-part or v2 UUID-named) ABOVE the readable commits — " +
-        "the reconstructed snapshot would be stale; have a Delta writer " +
-        "rewrite a classic checkpoint, then re-run CONVERT")
+      s"Delta checkpoint '${unsupportedCkpt.last._2}' is an INCOMPLETE " +
+        "multi-part set ABOVE the readable commits — the reconstructed " +
+        "snapshot would be stale; restore the missing parts or have a " +
+        "Delta writer rewrite a complete checkpoint, then re-run CONVERT")
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmMode == "none",
       s"Delta column mapping mode '$cmMode' is unsupported for import; " +

@@ -348,37 +348,23 @@ class DeltaImportSpec extends SparkSpec {
       assert(!ex.getMessage.contains("lacks a partitionValues entry")))
   }
 
-  test("multi-part and v2 UUID checkpoints refuse with an explicit " +
-      "unsupported-format message, not a misleading 'log gap' (round-12 " +
-      "ADVICE, low)") {
+  test("an INCOMPLETE multi-part checkpoint refuses with an explicit " +
+      "message, not a misleading 'log gap' (round-12 ADVICE, low)") {
     val t = freshDir()
     val s1 = writeFile(t, "part-0005.parquet", Seq((1L, 1.0)))
     val logDir = t.resolve("_delta_log")
     Files.createDirectories(logDir)
-    // multi-part checkpoint at v4 (form we can't read); JSON commits from
-    // v5 only — the pre-checkpoint commits were cleaned up, as Delta does
+    // part 1 of 2 only (partial copy); JSON commits from v5 only — the
+    // pre-checkpoint commits were cleaned up, as Delta does
     Files.write(logDir.resolve(
       f"${4L}%020d.checkpoint.0000000001.0000000002.parquet"), Array[Byte]())
     writeCommit(t, 5L, Seq(protocolV1, metaAction(),
       addAction("part-0005.parquet", s1)))
     val e = intercept[IllegalArgumentException](
       CommitLog.convert(spark, t.toString))
-    assert(e.getMessage.contains("unsupported format"),
-      s"expected unsupported-checkpoint message, got: ${e.getMessage}")
+    assert(e.getMessage.contains("INCOMPLETE multi-part"),
+      s"expected incomplete-checkpoint message, got: ${e.getMessage}")
     assert(!e.getMessage.contains("log gap"))
-    // v2 UUID-named form refuses the same way
-    val t2 = freshDir()
-    val s2 = writeFile(t2, "part-0005.parquet", Seq((1L, 1.0)))
-    val logDir2 = t2.resolve("_delta_log")
-    Files.createDirectories(logDir2)
-    Files.write(logDir2.resolve(
-      f"${4L}%020d.checkpoint.3a0f5b0e-9c7d-4b6a-8f21-0123456789ab.parquet"),
-      Array[Byte]())
-    writeCommit(t2, 5L, Seq(protocolV1, metaAction(),
-      addAction("part-0005.parquet", s2)))
-    val e2 = intercept[IllegalArgumentException](
-      CommitLog.convert(spark, t2.toString))
-    assert(e2.getMessage.contains("unsupported format"))
     // and a genuinely gapped log WITHOUT any checkpoint still says "gap"
     val t3 = freshDir()
     val s3 = writeFile(t3, "part-0005.parquet", Seq((1L, 1.0)))
@@ -462,5 +448,126 @@ class DeltaImportSpec extends SparkSpec {
     assert(v === 1L)
     assert(CommitLog.read(spark, t.toString).count() === n.toLong)
     assert(CommitLog.txnVersion(t.toString, "bulk-writer") === Some(42L))
+  }
+
+  /** Write action-JSON strings as ONE parquet file at `dest`. */
+  private def writeActionsParquet(scratch: Path, actions: Seq[String],
+      dest: Path): Unit = {
+    val ds = spark.read.json(spark.createDataset(actions))
+    val tmp = scratch.resolve("_v2_tmp")
+    ds.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val st = Files.list(tmp)
+      try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+    }
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest)
+    CommitLog.deleteTree(tmp)
+  }
+
+  private val protocolV2Ckpt =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+
+  test("a v2 UUID checkpoint with sidecars imports: file actions come from " +
+      "_delta_log/_sidecars, the main file carries the non-file actions") {
+    val t = freshDir()
+    val s1 = writeFile(t, "part-0001.parquet", Seq((1L, 1.0)))
+    val s2 = writeFile(t, "part-0002.parquet", Seq((2L, 2.0)))
+    val s3 = writeFile(t, "part-0003.parquet", Seq((3L, 3.0)))
+    val logDir = t.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    // sidecar 1: two adds + a TOMBSTONE remove (already applied — ignored);
+    // sidecar 2: one add — proves multiple sidecars scan together
+    writeActionsParquet(t, Seq(
+      addAction("part-0001.parquet", s1),
+      addAction("part-0002.parquet", s2),
+      """{"remove":{"path":"part-0000-ancient.parquet","deletionTimestamp":1,"dataChange":true}}"""),
+      logDir.resolve("_sidecars/sc-1.parquet"))
+    writeActionsParquet(t, Seq(addAction("part-0003.parquet", s3)),
+      logDir.resolve("_sidecars/sc-2.parquet"))
+    writeActionsParquet(t, Seq(
+      protocolV2Ckpt, metaAction(),
+      """{"txn":{"appId":"writer-v2","version":9}}""",
+      """{"checkpointMetadata":{"version":1}}""",
+      """{"sidecar":{"path":"sc-1.parquet","sizeInBytes":100,"modificationTime":1}}""",
+      """{"sidecar":{"path":"sc-2.parquet","sizeInBytes":100,"modificationTime":1}}"""),
+      logDir.resolve(
+        f"${1L}%020d.checkpoint.3a0f5b0e-9c7d-4b6a-8f21-0123456789ab.parquet"))
+    // one JSON commit above the checkpoint proves the replay stitches on
+    val s4 = writeFile(t, "part-0004.parquet", Seq((4L, 4.0)))
+    writeCommit(t, 2L, Seq(addAction("part-0004.parquet", s4)))
+    val v = CommitLog.convert(spark, t.toString)
+    assert(v === 1L)
+    assert(CommitLog.read(spark, t.toString).select("id").as[Long]
+      .collect().sorted === Seq(1L, 2L, 3L, 4L))
+    assert(CommitLog.txnVersion(t.toString, "writer-v2") === Some(9L))
+  }
+
+  test("a self-contained v2 JSON checkpoint imports with no JSON commits " +
+      "left (metadata-cleaned log, checkpoint is the whole snapshot)") {
+    val t = freshDir()
+    val s1 = writeFile(t, "part-0001.parquet", Seq((1L, 1.0)))
+    val s2 = writeFile(t, "part-0002.parquet", Seq((2L, 2.0)))
+    val logDir = t.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val lines = Seq(
+      protocolV2Ckpt, metaAction(),
+      """{"checkpointMetadata":{"version":3}}""",
+      addAction("part-0001.parquet", s1),
+      addAction("part-0002.parquet", s2))
+    Files.write(logDir.resolve(
+      f"${3L}%020d.checkpoint.00112233-4455-6677-8899-aabbccddeeff.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val v = CommitLog.convert(spark, t.toString)
+    assert(v === 1L)
+    assert(CommitLog.read(spark, t.toString).select("id").as[Long]
+      .collect().sorted === Seq(1L, 2L))
+  }
+
+  test("v2 refusals: non-v2Checkpoint reader features, sidecar escape, " +
+      "missing sidecar — all loud, nothing touched") {
+    // reader v3 with a feature that changes file reading
+    val t1 = freshDir()
+    val s1 = writeFile(t1, "part-0001.parquet", Seq((1L, 1.0)))
+    writeCommit(t1, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint","deletionVectors"]}}""",
+      metaAction(), addAction("part-0001.parquet", s1)))
+    val e1 = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t1.toString))
+    assert(e1.getMessage.contains("deletionVectors"))
+    assert(Files.isRegularFile(t1.resolve("part-0001.parquet")))
+
+    // sidecar path escaping _delta_log/_sidecars after decoding
+    val t2 = freshDir()
+    val victim = t2.getParent.resolve("victim.parquet")
+    val s2 = writeFile(t2, "part-0001.parquet", Seq((1L, 1.0)))
+    Files.copy(t2.resolve("part-0001.parquet"), victim)
+    val logDir2 = t2.resolve("_delta_log")
+    writeActionsParquet(t2, Seq(
+      protocolV2Ckpt, metaAction(),
+      """{"sidecar":{"path":"..%2F..%2F..%2Fvictim.parquet","sizeInBytes":1,"modificationTime":1}}"""),
+      logDir2.resolve(
+        f"${0L}%020d.checkpoint.3a0f5b0e-9c7d-4b6a-8f21-0123456789ab.parquet"))
+    val e2 = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t2.toString))
+    assert(e2.getMessage.contains("escapes _delta_log/_sidecars"))
+    assert(Files.isRegularFile(victim)) // never touched
+
+    // sidecar referenced but missing: incomplete copy, loud
+    val t3 = freshDir()
+    writeFile(t3, "part-0001.parquet", Seq((1L, 1.0)))
+    val logDir3 = t3.resolve("_delta_log")
+    writeActionsParquet(t3, Seq(
+      protocolV2Ckpt, metaAction(),
+      """{"sidecar":{"path":"nope.parquet","sizeInBytes":1,"modificationTime":1}}"""),
+      logDir3.resolve(
+        f"${0L}%020d.checkpoint.3a0f5b0e-9c7d-4b6a-8f21-0123456789ab.parquet"))
+    val e3 = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t3.toString))
+    assert(e3.getMessage.contains("missing"))
   }
 }
