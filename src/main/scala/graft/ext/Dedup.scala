@@ -157,7 +157,12 @@ object Dedup {
       .join(rebuilt, id === rebuilt("__did"), "left_outer").drop("__did")
       .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
-      .withColumn("n_removed", col("__n_total") - col("n_kept"))
+      // coalesce + greatest: a null text tokenizes to null and size(null)
+      // is -1 with ANSI off — without the guard a null-text row would
+      // report n_removed = -1 (the sibling dropDuplicateSegments guards
+      // the same join-back at its coalesce)
+      .withColumn("n_removed",
+        greatest(coalesce(col("__n_total"), lit(0L)), lit(0L)) - col("n_kept"))
       .drop("__n_total")
   }
 

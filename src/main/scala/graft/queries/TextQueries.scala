@@ -23,6 +23,14 @@ object TextQueries {
     * recompute from lineage if re-read. */
   def releaseCaches(): Unit = memoized.release()
 
+  /** The deterministic md5 train/test membership predicate (first hex
+    * digit c/d/e/f → test ≈ 25%) — ONE definition shared by
+    * split_train_test, the decontamination pair, and
+    * decontaminate_bloom's n_test count, so the rule can never drift
+    * between the shingle table and a consumer's own derivation. */
+  private def isTestSplit(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 1).isin("c", "d", "e", "f")
+
   /** (split, doc_id, __sh): deterministic md5 train/test tag + fused
     * 64-bit 8-token shingle hashes, exploded — the common scan of
     * `decontaminate` and `decontaminate_bloom` (which between them walk it
@@ -33,8 +41,7 @@ object TextQueries {
       documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("split",
-          when(substring(md5(col("doc_id").cast("string")), 1, 1)
-            .isin("c", "d", "e", "f"), "test").otherwise("train"))
+          when(isTestSplit(col("doc_id")), "test").otherwise("train"))
         .select(col("split"), col("doc_id"),
           explode(graft.functions.ShingleHashes.shingleHashes(
             TextStats.tokens(col("text")), 8)).as("__sh"))
@@ -209,8 +216,7 @@ object TextQueries {
     // RNG, no seed bookkeeping. Output: per-split doc counts.
     "split_train_test" -> ((s, d) => documents(s, d)
       .withColumn("split",
-        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d", "e", "f"), "test")
-          .otherwise("train"))
+        when(isTestSplit(col("doc_id")), "test").otherwise("train"))
       .groupBy("split").agg(count(lit(1)).as("n_docs"))
       .orderBy("split")),
 
@@ -399,8 +405,7 @@ object TextQueries {
       val flaggedExact = testSh.join(trainSh, "__sh", "left_semi")
         .select("doc_id").distinct()
       val nTest = documents(s, d)
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
-          .isin("c", "d", "e", "f"))
+        .filter(isTestSplit(col("doc_id")))
         .agg(count(lit(1)).as("n_test_docs"))
       flaggedExact.withColumn("__e", lit(1))
         .join(flaggedBloom.withColumn("__b", lit(1)), Seq("doc_id"), "full_outer")

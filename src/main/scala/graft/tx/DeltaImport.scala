@@ -487,7 +487,13 @@ object DeltaImport {
           if (df.schema.fieldNames.contains("sidecar"))
             scanSidecars(df.filter(col("sidecar").isNotNull)
               .select(col("sidecar.path").cast("string"))
-              .collect().toSeq.map(_.getString(0)))
+              .collect().toSeq.map { r =>
+                // refuse LOUDLY, not with an NPE from decode(null)
+                require(!r.isNullAt(0),
+                  s"Delta v2 checkpoint '$name' carries a sidecar action " +
+                    "with a null path — malformed checkpoint, refusing")
+                r.getString(0)
+              })
         case Some((name, _)) => // v2 json: newline actions, like a commit
           val sidecars = scala.collection.mutable.ArrayBuffer.empty[String]
           new String(Files.readAllBytes(logDir.resolve(name)), "UTF-8")
@@ -495,8 +501,12 @@ object DeltaImport {
             .foreach { line =>
               val node = mapper.readTree(line)
               val sc = node.path("sidecar")
-              if (sc.isObject) sidecars += sc.path("path").asText()
-              else apply(node, fromCheckpoint = true)
+              if (sc.isObject) {
+                require(sc.path("path").isTextual,
+                  s"Delta v2 checkpoint '$name' carries a sidecar action " +
+                    "with a null path — malformed checkpoint, refusing")
+                sidecars += sc.path("path").asText()
+              } else apply(node, fromCheckpoint = true)
             }
           scanSidecars(sidecars.toSeq)
       }

@@ -275,6 +275,19 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_._2 == 0L))
   }
 
+  test("dropDuplicateSpans: a null-text row survives with zero counts, never -1") {
+    // size(null) is -1 with ANSI off — the join-back must coalesce, or a
+    // null text reports n_removed = -1 (self-review finding)
+    val docs = Seq((1L, null: String), (2L, "some real tokens here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, col("text"), col("doc_id"), w = 4)
+      .select("doc_id", "text_clean", "n_kept", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "", 0L, 0L),
+      (2L, "some real tokens here", 4L, 0L)))
+  }
+
   test("dropDuplicateSpans canonicalizes spans (case) and empties a fully-shared doc") {
     val docs = Seq(
       (1L, "One Two Three Four"),
