@@ -130,6 +130,76 @@ object DedupQueries {
         .select(col("doc_id"), col("text_clean"), col("n_kept"), col("n_removed"))
         .orderBy("doc_id")),
 
+    // Inter-source overlap matrix — the mixture-design audit ("how much of
+    // source B is already in source A?") run before weighting a training
+    // mixture. The per-source shingle-set MinHash signature is a MERGEABLE
+    // aggregate (slotwise min: doc-level signatures partial-aggregate
+    // map-side, so a 100 TB corpus shuffles 8 hex slots per source, not
+    // shingles), and est_sim is the matching-slot fraction of each source
+    // pair. The exact Jaccard column is the verification twin (distinct
+    // shingles per source + an equi-join on shingle — one corpus-wide
+    // shuffle, affordable at test SF; at scale you'd ship est_sim alone or
+    // verify a sampled pair set). Both columns are engine-portable md5
+    // arithmetic, so the oracle recomputes them EXACTLY — est_sim is k/8
+    // (exactly representable) and jaccard divides the same integers.
+    "corpus_source_overlap" -> ((s, d) => {
+      val docs = documents(s, d)
+      val sig = Dedup.minhashSignature(docs, col("text"), col("source"), 5, 8)
+      val slotMins = (0 until 8).map(i => min(col(s"__mh$i")).as(s"__m$i"))
+      val srcSig = sig.groupBy(col("__id").as("source"))
+        .agg(slotMins.head, slotMins.tail: _*)
+      val a = srcSig.select(col("source").as("src_a") +:
+        (0 until 8).map(i => col(s"__m$i").as(s"__a$i")): _*)
+      val b = srcSig.select(col("source").as("src_b") +:
+        (0 until 8).map(i => col(s"__m$i").as(s"__b$i")): _*)
+      val est = a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          ((0 until 8).map(i => (col(s"__a$i") === col(s"__b$i")).cast("int"))
+            .reduce(_ + _) / lit(8.0)).as("est_sim"))
+      val sh = docs.select(col("source"),
+          explode(Dedup.shingles(col("text"), 5)).as("shingle")).distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("__n"))
+      val inter = sh.select(col("source").as("__sa"), col("shingle"))
+        .join(sh.select(col("source").as("__sb"), col("shingle")), "shingle")
+        .filter(col("__sa") < col("__sb"))
+        .groupBy(col("__sa"), col("__sb")).agg(count(lit(1)).as("__i"))
+      est
+        .join(inter, col("src_a") === col("__sa") && col("src_b") === col("__sb"), "left")
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("__n").as("__na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("__n").as("__nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("est_sim"),
+          (coalesce(col("__i"), lit(0L)).cast("double") /
+            (col("__na") + col("__nb") - coalesce(col("__i"), lit(0L))))
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // Leakage-free train/test split: the per-doc md5 split rule
+    // (split_train_test) applied at near-dup-GROUP granularity, so a
+    // document and its fuzzy duplicates can never straddle the eval
+    // boundary (the classic contamination path: a test doc's near-copy in
+    // train inflates every benchmark number). Groups = connected
+    // components over the Jaccard-VERIFIED pairs (the same persisted
+    // subplan dedup_fuzzy_keep clusters); singletons are their own group,
+    // so for a pair-free corpus this degenerates to split_train_test
+    // exactly. Scale shape: the label table is bounded by the near-dup
+    // docs (a small fraction of the corpus), the join is AQE
+    // broadcast-able, and the split decision is map-side arithmetic.
+    // Oracle: DuckDB rebuilds the groups with a recursive-CTE closure and
+    // applies the identical md5 rule — exact, per-doc.
+    "split_leakfree" -> ((s, d) => {
+      val labels = Dedup.connectedComponents(cachedVerified(s, d).select("a", "b"))
+        .withColumnRenamed("id", "doc_id")
+      documents(s, d).select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("group_id"))
+        .withColumn("split",
+          when(Tables.isTestSplit(col("group_id")), "test").otherwise("train"))
+        .select("doc_id", "split", "group_id")
+        .orderBy("doc_id")
+    }),
+
     // Duplicate CLUSTERS: connected components (min-label propagation) over
     // the MinHash-LSH candidate pairs — the transitive-closure step every
     // production dedup pipeline needs between "similar pairs" and "keep one
@@ -306,6 +376,67 @@ object DedupQueries {
          FROM documents d
          JOIN tot USING (doc_id)
          LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+    "corpus_source_overlap" ->
+      """WITH stoks AS (
+           SELECT source, list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS tokens
+           FROM documents),
+         ssh AS (
+           SELECT source, unnest(list_distinct(CASE WHEN len(tokens) >= 5
+             THEN list_transform(range(1, len(tokens) - 3),
+               i -> array_to_string(tokens[i:i+4], ' '))
+             ELSE [array_to_string(tokens, ' ')] END)) AS shingle
+           FROM stoks),
+         shd AS (SELECT DISTINCT source, shingle FROM ssh),
+         mh AS (
+           SELECT source,
+             min(substr(md5('0:' || shingle), 1, 8))  AS m0,
+             min(substr(md5('0:' || shingle), 9, 8))  AS m1,
+             min(substr(md5('0:' || shingle), 17, 8)) AS m2,
+             min(substr(md5('0:' || shingle), 25, 8)) AS m3,
+             min(substr(md5('1:' || shingle), 1, 8))  AS m4,
+             min(substr(md5('1:' || shingle), 9, 8))  AS m5,
+             min(substr(md5('1:' || shingle), 17, 8)) AS m6,
+             min(substr(md5('1:' || shingle), 25, 8)) AS m7
+           FROM ssh GROUP BY source),
+         sizes AS (SELECT source, count(*) AS n FROM shd GROUP BY 1),
+         est AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             (CAST(a.m0 = b.m0 AS INTEGER) + CAST(a.m1 = b.m1 AS INTEGER)
+              + CAST(a.m2 = b.m2 AS INTEGER) + CAST(a.m3 = b.m3 AS INTEGER)
+              + CAST(a.m4 = b.m4 AS INTEGER) + CAST(a.m5 = b.m5 AS INTEGER)
+              + CAST(a.m6 = b.m6 AS INTEGER) + CAST(a.m7 = b.m7 AS INTEGER))
+               / 8.0 AS est_sim
+           FROM mh a JOIN mh b ON a.source < b.source),
+         inter AS (
+           SELECT x.source AS src_a, y.source AS src_b, count(*) AS i
+           FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.source < y.source
+           GROUP BY 1, 2)
+         SELECT e.src_a, e.src_b, e.est_sim,
+           CAST(coalesce(i.i, 0) AS DOUBLE)
+             / (na.n + nb.n - coalesce(i.i, 0)) AS jaccard
+         FROM est e
+         LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+         JOIN sizes na ON na.source = e.src_a
+         JOIN sizes nb ON nb.source = e.src_b
+         ORDER BY e.src_a, e.src_b""",
+    "split_leakfree" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         vsym AS (
+           SELECT a AS s, b AS t FROM vpairs
+           UNION SELECT b, a FROM vpairs),
+         vreach(s, t) AS (
+           SELECT s, t FROM vsym
+           UNION
+           SELECT r.s, y.t FROM vreach r JOIN vsym y ON r.t = y.s),
+         comps AS (SELECT s, min(least(s, t)) AS comp FROM vreach GROUP BY s)
+         SELECT d.doc_id,
+           CASE WHEN substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 1)
+                  IN ('c','d','e','f')
+                THEN 'test' ELSE 'train' END AS split,
+           coalesce(c.comp, d.doc_id) AS group_id
+         FROM documents d LEFT JOIN comps c ON c.s = d.doc_id
          ORDER BY d.doc_id""",
     "dedup_fuzzy_keep" ->
       s"""WITH RECURSIVE $jaccardCtes,

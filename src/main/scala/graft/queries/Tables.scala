@@ -50,6 +50,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** The deterministic md5 train/test membership predicate (first hex
+    * digit c/d/e/f → test ≈ 25%) — ONE definition shared by
+    * split_train_test, the decontamination pair, decontaminate_bloom's
+    * n_test count, and split_leakfree (which applies it at near-dup-GROUP
+    * granularity), so the rule can never drift between the shingle table
+    * and a consumer's own derivation. */
+  private[queries] def isTestSplit(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 1).isin("c", "d", "e", "f")
+
   /** Recursive delete for the query-built scratch tables (one shared copy —
     * three query objects used to carry private clones that could drift). */
   private[queries] def deleteRecursively(f: java.io.File): Unit = {

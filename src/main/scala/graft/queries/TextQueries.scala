@@ -23,14 +23,6 @@ object TextQueries {
     * recompute from lineage if re-read. */
   def releaseCaches(): Unit = memoized.release()
 
-  /** The deterministic md5 train/test membership predicate (first hex
-    * digit c/d/e/f → test ≈ 25%) — ONE definition shared by
-    * split_train_test, the decontamination pair, and
-    * decontaminate_bloom's n_test count, so the rule can never drift
-    * between the shingle table and a consumer's own derivation. */
-  private def isTestSplit(id: Column): Column =
-    substring(md5(id.cast("string")), 1, 1).isin("c", "d", "e", "f")
-
   /** (split, doc_id, __sh): deterministic md5 train/test tag + fused
     * 64-bit 8-token shingle hashes, exploded — the common scan of
     * `decontaminate` and `decontaminate_bloom` (which between them walk it
@@ -521,6 +513,55 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // the standard recipe for "select crawl data that looks like the
+    // target domain"). Hashed-unigram LMs (the same 16-bit-md5 bucket
+    // arithmetic quality_classifier uses, dim 1024, add-1 smoothing) are
+    // fit on the TARGET slice (lang='en', standing in for the
+    // Wikipedia-like target) and on the RAW pool (everything else); each
+    // raw doc's importance weight is its summed per-token log ratio
+    // log p_tgt(b) − log p_raw(b), and the top-k selection is
+    // Gumbel-top-k — logw plus Gumbel(0,1) noise from the md5 uniform, the
+    // exact without-replacement sampler the paper uses, deterministic and
+    // engine-portable here because the "noise" derives from md5(doc_id).
+    // Scale shape: the two LMs are 1024-row aggregates (map-side partial,
+    // broadcast back), the per-doc weight is one map-side join + groupBy
+    // on doc_id, and the top-k is a TakeOrdered — nothing but the token
+    // scan grows with the corpus. Ordering crosses engines on the ROUNDED
+    // score (1e-6 grid) with doc_id tie-break, so float summation order
+    // can never flip a rank.
+    "dsir_select" -> ((s, d) => {
+      val dim = 1024
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextStats.tokens(col("text"))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % dim)
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = toks.filter(col("lang") =!= "en")
+        .groupBy("b").agg(count(lit(1)).as("cr"))
+      val counts = tgt.join(raw, Seq("b"), "full_outer")
+        .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cr"), lit(0L)).as("cr"))
+      val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      val lr = counts.crossJoin(tot).select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("tt") + dim)) -
+          log((col("cr") + 1).cast("double") / (col("tr") + dim))).as("lr"))
+      val logw = toks.filter(col("lang") =!= "en")
+        .join(broadcast(lr), "b")
+        .groupBy("doc_id").agg(sum("lr").as("logw"))
+      logw
+        .withColumn("u",
+          (conv(substring(md5(concat(lit("dsir42:"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").cast("double") + 0.5) / lit(4294967296.0))
+        .select(col("doc_id"), round(col("logw"), 6).as("logw"),
+          round(col("logw") - log(-log(col("u"))), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // Sequence packing — the concat-and-chunk step that turns a curated
     // corpus into fixed-length training sequences (ctx 512): documents are
     // concatenated in doc_id order and cut every 512 tokens; a document
@@ -805,6 +846,36 @@ object TextQueries {
            CASE WHEN coalesce(s.sw, 0) > 0 THEN 1 ELSE 0 END AS keep
          FROM documents d LEFT JOIN s USING (doc_id)
          ORDER BY d.doc_id""",
+    "dsir_select" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         bt AS (
+           SELECT doc_id, lang,
+             CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 1024 AS b
+           FROM toks),
+         tgt AS (SELECT b, count(*) AS ct FROM bt WHERE lang = 'en' GROUP BY 1),
+         rawc AS (SELECT b, count(*) AS cr FROM bt WHERE lang <> 'en' GROUP BY 1),
+         counts AS (
+           SELECT coalesce(t.b, r.b) AS b, coalesce(ct, 0) AS ct,
+             coalesce(cr, 0) AS cr
+           FROM tgt t FULL OUTER JOIN rawc r ON t.b = r.b),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+         lr AS (
+           SELECT b,
+             ln((ct + 1) / CAST(tt + 1024 AS DOUBLE))
+               - ln((cr + 1) / CAST(tr + 1024 AS DOUBLE)) AS lr
+           FROM counts, tot),
+         lw AS (
+           SELECT doc_id, sum(lr) AS logw
+           FROM bt JOIN lr USING (b) WHERE lang <> 'en' GROUP BY doc_id)
+         SELECT doc_id, round(logw, 6) AS logw,
+           round(logw - ln(-ln(
+             (CAST('0x' || substr(md5('dsir42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) + 0.5) / 4294967296.0)), 6) AS score
+         FROM lw
+         ORDER BY score DESC, doc_id LIMIT 100""",
     "mixture_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          m AS (SELECT max(sqrt(CAST(n_docs AS DOUBLE))) AS maxw FROM c)

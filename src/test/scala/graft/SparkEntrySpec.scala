@@ -65,11 +65,19 @@ class SparkEntrySpec extends SparkSpec {
     // mixture_temperature's only NL join is the #langs×1 crossJoin of the
     // per-language counts against the single-row corpus max — both sides
     // are post-aggregation constants, the same stitch shape.
+    // dsir_select's only NL join is the 1024×1 crossJoin of the hashed-LM
+    // bucket counts against the single-row totals — post-aggregation
+    // constants, mixture_temperature's stitch shape at dim width.
+    // corpus_source_overlap's pair matrix is all-pairs AT SOURCE
+    // GRANULARITY by definition (its output IS the #sources² overlap
+    // matrix over post-aggregation one-row-per-source signatures) — never
+    // doc-level all-pairs; the shingle intersection twin is an equi-join.
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
       "ann_topk_ivf_persist", "ann_topk_pq", "ann_topk_pq_persist",
       "ann_topk_ivfpq", "embed_neardup", "embed_neardup_lsh",
       "embed_quantize_int8", "dedup_simhash", "dedup_semantic",
-      "decontaminate_bloom", "sql_scalar_subquery", "mixture_temperature")
+      "decontaminate_bloom", "sql_scalar_subquery", "mixture_temperature",
+      "dsir_select", "corpus_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>

@@ -154,6 +154,117 @@ class QueriesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("split_leakfree: near-dup groups never straddle; singletons follow the per-doc rule") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def isTest(id: Long): Boolean = "cdef".contains(md5hex(id.toString).head)
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has too few verified pairs to bite
+    val rows = DedupQueries.queries("split_leakfree")(spark, sf01)
+      .select("doc_id", "split", "group_id")
+      .as[(Long, String, Long)].collect()
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    val pairs = graft.ext.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sf01), col("text"), col("doc_id"))
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture has no verified near-dup pairs — vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(byId(a) === byId(b), s"near-dup pair ($a,$b) straddles the split")
+    }
+    // the operator has teeth on this fixture: the per-doc rule WOULD have
+    // leaked at least one pair across the boundary
+    assert(pairs.exists { case (a, b) => isTest(a) != isTest(b) },
+      "fixture never exercises the leak path — per-doc rule splits no pair")
+    // partition + degenerate contract: docs outside every pair are their
+    // own group and follow split_train_test's per-doc rule exactly
+    assert(byId.size.toLong === Tables.documents(spark, sf01).count())
+    assert(rows.map(_._2).toSet === Set("train", "test"))
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    rows.filterNot(r => paired(r._1)).foreach { case (id, sp, g) =>
+      assert(g === id, s"singleton $id grouped as $g")
+      assert(sp === (if (isTest(id)) "test" else "train"), s"singleton $id split")
+    }
+  }
+
+  test("corpus_source_overlap equals a driver-side shingle recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def sh5(t: String): Seq[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      (if (toks.size >= 5) toks.sliding(5).map(_.mkString(" ")).toSeq
+       else Seq(toks.mkString(" "))).distinct
+    }
+    // per-source distinct shingle sets and 8-slot minhash signatures
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => sh5(d._2)).toSet).toMap
+    def slot(s: Int, shingle: String): String =
+      md5hex(s"${s / 4}:$shingle").substring((s % 4) * 8, (s % 4) * 8 + 8)
+    val sig = bySrc.view.mapValues(set =>
+      (0 until 8).map(i => set.map(sh => slot(i, sh)).min)).toMap
+    val got = DedupQueries.queries("corpus_source_overlap")(spark, sf)
+      .as[(String, String, Double, Double)].collect()
+    val srcs = bySrc.keySet.toSeq.sorted
+    assert(got.length === srcs.combinations(2).size, "one row per source pair")
+    got.foreach { case (a, b, est, jac) =>
+      assert(a < b)
+      val (sa, sb) = (bySrc(a), bySrc(b))
+      val i = (sa & sb).size
+      assert(jac === i.toDouble / (sa.size + sb.size - i), s"($a,$b) jaccard")
+      val k = (0 until 8).count(s => sig(a)(s) == sig(b)(s))
+      assert(est === k / 8.0, s"($a,$b) est_sim")
+    }
+    // the estimator has signal on this fixture: at least one overlapping
+    // pair gets a non-zero estimate
+    assert(got.exists(r => r._4 > 0 && r._3 > 0),
+      "no overlapping pair estimated > 0 — estimator (or fixture) is dead")
+  }
+
+  test("dsir_select equals a driver-side hashed-LM recompute; selection is top-k") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    def buckets(t: String): Seq[Long] =
+      t.split("\\s+").filter(_.nonEmpty).toSeq
+        .map(tok => java.lang.Long.parseLong(md5hex(tok).substring(0, 4), 16) % 1024L)
+    val tgt = docs.filter(_._2 == "en").flatMap(d => buckets(d._3)).toSeq
+    val raw = docs.filter(_._2 != "en").flatMap(d => buckets(d._3)).toSeq
+    assert(tgt.nonEmpty && raw.nonEmpty, "fixture needs target and raw docs")
+    val ct = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = raw.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def lr(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tgt.size + 1024)) -
+        math.log((cr.getOrElse(b, 0L) + 1).toDouble / (raw.size + 1024))
+    def gumbel(id: Long): Double = {
+      val u = (java.lang.Long.parseLong(
+        md5hex(s"dsir42:$id").substring(0, 8), 16).toDouble + 0.5) / 4294967296.0
+      -math.log(-math.log(u))
+    }
+    val expScore = docs.filter(_._2 != "en").map { d =>
+      d._1 -> (buckets(d._3).map(lr).sum, gumbel(d._1))
+    }.toMap
+    val got = TextQueries.queries("dsir_select")(spark, sf)
+      .select("doc_id", "logw", "score").as[(Long, Double, Double)].collect()
+    assert(got.nonEmpty && got.length <= 100)
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "rows must be ordered by score desc")
+    got.foreach { case (id, lw, sc) =>
+      val (elw, g) = expScore(id)
+      assert(math.abs(lw - elw) < 1e-5, s"doc $id logw $lw vs recomputed $elw")
+      assert(math.abs(sc - (elw + g)) < 1e-5, s"doc $id gumbel score")
+    }
+    // Gumbel-top-k: every unselected raw doc scores at or below the cut
+    val selected = got.map(_._1).toSet
+    val minSel = got.map(_._3).min
+    expScore.filterNot(kv => selected(kv._1)).foreach { case (id, (elw, g)) =>
+      assert(elw + g <= minSel + 1e-5, s"unselected doc $id outranks the cut")
+    }
+  }
+
   test("recall property oracle has teeth: a broken ANN flips the verdict") {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, sf)
