@@ -175,15 +175,17 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
-  /** w-token shingles of the token array (whole text if shorter than w). */
-  def shingles(text: Column, w: Int): Column = {
-    val ts = TextStats.tokens(text)
-    array_distinct(
-      when(size(ts) >= w,
-        transform(sequence(lit(0), size(ts) - w),
-          i => array_join(slice(ts, i + 1, lit(w)), " ")))
-      .otherwise(array(array_join(ts, " "))))
-  }
+  /** w-token shingles of the token array (whole text if shorter than w).
+    * Token array bound once via [[TextStats.bind]] — naming it inside the
+    * slice lambda would re-run the regex split per window, O(tokens²). */
+  def shingles(text: Column, w: Int): Column =
+    TextStats.bind(TextStats.tokens(text)) { ts =>
+      array_distinct(
+        when(size(ts) >= w,
+          transform(sequence(lit(0), size(ts) - w),
+            i => array_join(slice(ts, i + 1, lit(w)), " ")))
+        .otherwise(array(array_join(ts, " "))))
+    }
 
   /** MinHash signature: `numHashes` min-hash slots per document. Hash
     * family h_s(x) = 8-hex-char slice s%4 of md5((s/4) || ':' || x) — four

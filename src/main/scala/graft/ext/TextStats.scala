@@ -33,12 +33,25 @@ object TextStats {
     * whole-stage codegen and the explode at the call site is the only
     * fan-out — no shuffle, linear in corpus size. The `greatest(…, 0)`
     * guards the empty document: `sequence(a, b)` DESCENDS when a > b. */
+  /** Expression-level let-binding: evaluates `c` ONCE per row and hands it
+    * to `body` as a lambda variable. Spark has no `let` for columns, and
+    * referencing a subexpression from inside a higher-order-function
+    * lambda re-evaluates it PER ELEMENT (HOF lambdas run interpreted, no
+    * common-subexpression elimination) — a token split inside a slice
+    * lambda is O(tokens²) per document (measured 5× on
+    * corpus_source_overlap's shingle explode before it moved to the fused
+    * ShingleHashes path). `transform` over a one-element array is the
+    * standard workaround. */
+  private[graft] def bind(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
   def chunkWindows(text: Column, window: Int, stride: Int): Column = {
     require(window > 0 && stride > 0, "window and stride must be positive")
-    val ts = tokens(text)
-    transform(
-      sequence(lit(0), greatest(size(ts) - 1, lit(0)), lit(stride)),
-      start => array_join(slice(ts, start + 1, lit(window)), " "))
+    bind(tokens(text)) { ts =>
+      transform(
+        sequence(lit(0), greatest(size(ts) - 1, lit(0)), lit(stride)),
+        start => array_join(slice(ts, start + 1, lit(window)), " "))
+    }
   }
 
   /** PII patterns shared with the oracle SQL (portable across Java regex and
@@ -160,17 +173,19 @@ object TextStats {
   /** Language-ID: argmax over per-language stopword hit counts, ties broken
     * by profile order then 'und' (undetermined) when nothing matches.
     * One pass, no shuffle; the hit counting is a codegen'd array filter. */
-  def langId(text: Column): Column = {
-    val ts = tokens(text)
-    // struct(score, rank) max — greatest() over structs picks by score first,
-    // then by (negated) profile index so earlier profiles win ties.
-    val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
-      struct(
-        size(filter(ts, t => t.isInCollection(words))).as("score"),
-        lit(-i).as("pref"),
-        lit(lang).as("lang"))
+  def langId(text: Column): Column =
+    // bind: each profile's filter would otherwise re-run the token split —
+    // #profiles splits per row instead of one
+    bind(tokens(text)) { ts =>
+      // struct(score, rank) max — greatest() over structs picks by score
+      // first, then by (negated) profile index so earlier profiles win ties.
+      val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
+        struct(
+          size(filter(ts, t => t.isInCollection(words))).as("score"),
+          lit(-i).as("pref"),
+          lit(lang).as("lang"))
+      }
+      val best = greatest(scored: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
     }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
 }

@@ -136,12 +136,20 @@ object DedupQueries {
     // aggregate (slotwise min: doc-level signatures partial-aggregate
     // map-side, so a 100 TB corpus shuffles 8 hex slots per source, not
     // shingles), and est_sim is the matching-slot fraction of each source
-    // pair. The exact Jaccard column is the verification twin (distinct
-    // shingles per source + an equi-join on shingle — one corpus-wide
-    // shuffle, affordable at test SF; at scale you'd ship est_sim alone or
-    // verify a sampled pair set). Both columns are engine-portable md5
-    // arithmetic, so the oracle recomputes them EXACTLY — est_sim is k/8
-    // (exactly representable) and jaccard divides the same integers.
+    // pair. The exact Jaccard column is the verification twin: distinct
+    // (source, shingle-FINGERPRINT) rows — the fused 64-bit ShingleHashes
+    // expression (one codegen pass, no shingle strings built, and no
+    // re-evaluated token split: the string-building `Dedup.shingles`
+    // column re-splits the text inside its slice lambda, O(tokens²) per
+    // doc) — grouped by fingerprint, with source PAIRS expanded WITHIN
+    // each group (sources per shingle ≤ #sources, so the fan-out is
+    // bounded and there is no corpus-wide self-join at all). Counts equal
+    // the string-set counts unless two distinct shingles collide in 64
+    // bits (~n²/2⁶⁵ — the dedup_ngram_jaccard argument). One fingerprint
+    // shuffle at test SF; at scale you'd ship est_sim alone or verify a
+    // sampled pair set. Both output columns are engine-exact — est_sim is
+    // k/8 (exactly representable) and jaccard divides the same integers —
+    // so the oracle recomputes them EXACTLY from the string shingles.
     "corpus_source_overlap" -> ((s, d) => {
       val docs = documents(s, d)
       val sig = Dedup.minhashSignature(docs, col("text"), col("source"), 5, 8)
@@ -157,10 +165,16 @@ object DedupQueries {
           ((0 until 8).map(i => (col(s"__a$i") === col(s"__b$i")).cast("int"))
             .reduce(_ + _) / lit(8.0)).as("est_sim"))
       val sh = docs.select(col("source"),
-          explode(Dedup.shingles(col("text"), 5)).as("shingle")).distinct()
+          explode(graft.functions.ShingleHashes.shingleHashes(
+            graft.ext.TextStats.tokens(col("text")), 5)).as("__fp"))
+        .distinct()
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("__n"))
-      val inter = sh.select(col("source").as("__sa"), col("shingle"))
-        .join(sh.select(col("source").as("__sb"), col("shingle")), "shingle")
+      val inter = sh.groupBy("__fp").agg(collect_set(col("source")).as("__ss"))
+        .filter(size(col("__ss")) >= 2)
+        .select(explode(flatten(transform(col("__ss"), a =>
+          transform(col("__ss"), b =>
+            struct(a.as("__sa"), b.as("__sb")))))).as("__p"))
+        .select(col("__p.__sa").as("__sa"), col("__p.__sb").as("__sb"))
         .filter(col("__sa") < col("__sb"))
         .groupBy(col("__sa"), col("__sb")).agg(count(lit(1)).as("__i"))
       est
