@@ -54,11 +54,15 @@ object PqIndex {
     unkeyedCache.release()
   }
 
-  private def normalized(vec: Column): Column = {
-    val v = vec.cast("array<double>")
-    val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-    transform(v, x => x / greatest(norm, lit(1e-12)))
-  }
+  private def normalized(vec: Column): Column =
+    // bind both the cast array and its norm: naming the O(d) norm
+    // aggregate inside the scale lambda would re-run it per element,
+    // O(d²) per vector on the corpus-wide encode path
+    TextStats.bind(vec.cast("array<double>")) { v =>
+      TextStats.bind(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))) { norm =>
+        transform(v, x => x / greatest(norm, lit(1e-12)))
+      }
+    }
 
   /** Driver/executor-side unit normalization — the JVM twin of
     * [[normalized]], shared by the residual fit/encode/query paths so all

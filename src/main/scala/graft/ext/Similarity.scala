@@ -94,21 +94,29 @@ object Similarity {
     * codes = round(x/scale) as bytes. Returns struct(scale float,
     * codes array<tinyint>); pure column ops (one fused pass per row).
     * An all-zero vector gets scale 0 and all-zero codes. */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = aggregate(vec, lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))) / 127.0
-    struct(
-      scale.cast("float").as("scale"),
-      transform(vec, x =>
-        when(scale === 0.0, lit(0))
-          .otherwise(round(x.cast("double") / scale)).cast("byte")).as("codes"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    // bind: the scale is an O(d) aggregate — naming it inside the codes
+    // lambda would re-run it per element, O(d²) per vector
+    TextStats.bind(
+      aggregate(vec, lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))) / 127.0) { scale =>
+      struct(
+        scale.cast("float").as("scale"),
+        transform(vec, x =>
+          when(scale === 0.0, lit(0))
+            .otherwise(round(x.cast("double") / scale)).cast("byte")).as("codes"))
+    }
 
   /** Dequantize [[quantizeInt8]] output back to a float array (codes ×
     * scale) — feeds the codegen'd cosine unchanged, so quantized scoring
     * reuses the exact scoring path. */
   def dequantizeInt8(q: Column): Column =
-    transform(q.getField("codes"), c =>
-      (c.cast("double") * q.getField("scale")).cast("float"))
+    // bind: when q is a composed expression (quantize→dequantize in one
+    // projection) the scale getField inside the lambda would recompute the
+    // whole quantize struct per element
+    TextStats.bind(q) { qq =>
+      transform(qq.getField("codes"), c =>
+        (c.cast("double") * qq.getField("scale")).cast("float"))
+    }
 
   /** Hyperplane dimensionality from the first corpus vector (one pruned
     * single-row job). An empty corpus yields a harmless default instead of

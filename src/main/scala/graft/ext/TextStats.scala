@@ -25,14 +25,6 @@ object TextStats {
     aggregate(ts, lit(0), (acc, t) => acc + length(t)).cast("double") / size(ts)
   }
 
-  /** Overlapping token-window chunks — the training-data assembly step that
-    * turns documents into fixed-size model inputs. One chunk starts every
-    * `stride` tokens (stride < window ⇒ overlap, the usual context-carry);
-    * each chunk is the space-rejoined slice of up to `window` tokens. Pure
-    * column ops (sequence → transform → slice), so chunking stays inside
-    * whole-stage codegen and the explode at the call site is the only
-    * fan-out — no shuffle, linear in corpus size. The `greatest(…, 0)`
-    * guards the empty document: `sequence(a, b)` DESCENDS when a > b. */
   /** Expression-level let-binding: evaluates `c` ONCE per row and hands it
     * to `body` as a lambda variable. Spark has no `let` for columns, and
     * referencing a subexpression from inside a higher-order-function
@@ -45,6 +37,14 @@ object TextStats {
   private[graft] def bind(c: Column)(body: Column => Column): Column =
     element_at(transform(array(c), body), 1)
 
+  /** Overlapping token-window chunks — the training-data assembly step that
+    * turns documents into fixed-size model inputs. One chunk starts every
+    * `stride` tokens (stride < window ⇒ overlap, the usual context-carry);
+    * each chunk is the space-rejoined slice of up to `window` tokens. Pure
+    * column ops (sequence → transform → slice), no shuffle, linear in
+    * corpus size — the explode at the call site is the only fan-out. The
+    * `greatest(…, 0)` guards the empty document: `sequence(a, b)` DESCENDS
+    * when a > b. */
   def chunkWindows(text: Column, window: Int, stride: Int): Column = {
     require(window > 0 && stride > 0, "window and stride must be positive")
     bind(tokens(text)) { ts =>
