@@ -116,10 +116,14 @@ object MediaQueries {
     * base of both recompute paths (features, resize). */
   private def withDecodedDims(m: DataFrame): DataFrame = {
     val pl = col("payload")
-    val hx = hex(pl)
     val len = octet_length(pl).cast("long")
-    val ubArr = transform(sequence(lit(0L), len - 1),
-      j => conv(hx.substr((j * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long"))
+    // bind the hex string: naming it inside the per-byte lambda would
+    // re-hex the whole payload per element — O(len²) per media row
+    // (interpreted-HOF hazard, see TextStats.bind)
+    val ubArr = graft.ext.TextStats.bind(hex(pl)) { hx =>
+      transform(sequence(lit(0L), len - 1),
+        j => conv(hx.substr((j * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long"))
+    }
     val withUb = m.select(col("media_id"), ubArr.as("__ub"))
     val m32 = lit(4294967296L)
     val hmod = aggregate(col("__ub"), lit(1L),
