@@ -554,19 +554,24 @@ object Dedup {
       val cands = candidates.getOrElse(minhashCandidates(df, text, id, w))
       ngramJaccardPairs(df, text, id, jaccardW, threshold, Some(cands))
     }.select("a", "b")
-    // Label propagation is the cheap path (rounds = diameter, typically 2-3
-    // for duplicate clusters); an adversarially long chain (20+ templated
-    // near-dups in a row) trips its round cap, and the pipeline then falls
-    // back to star contraction, whose O(log² n) rounds handle any shape —
-    // so the entry point users actually call never aborts on chain length.
-    val labels =
-      try connectedComponents(verified)
-      catch { case _: IllegalStateException => connectedComponentsStar(verified) }
+    val labels = connectedComponentsResilient(verified)
     val drops = labels
       .filter(col("id") =!= col("comp")) // non-representatives
       .select(col("id").as("__drop"))
     df.join(broadcast(drops), id === col("__drop"), "left_anti")
   }
+
+  /** Connected components that never abort on chain length: label
+    * propagation is the cheap path (rounds = diameter, typically 2-3 for
+    * duplicate clusters); an adversarially long chain (20+ templated
+    * near-dups in a row) trips its round cap, and the call then falls
+    * back to star contraction, whose O(log² n) rounds handle any graph
+    * shape. The entry point pipeline queries (fuzzyDedupKeep,
+    * split_leakfree) call, so none of them dies on an unlucky corpus. */
+  def connectedComponentsResilient(edges: DataFrame,
+      a: String = "a", b: String = "b"): DataFrame =
+    try connectedComponents(edges, a, b)
+    catch { case _: IllegalStateException => connectedComponentsStar(edges, a, b) }
 
   /** 32-bit SimHash over tokens — the codegen'd [[graft.functions.SimHash]]
     * expression (Murmur3 token hashes, bit votes, sign → bit) fused into one

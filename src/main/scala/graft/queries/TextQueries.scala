@@ -524,26 +524,26 @@ object TextQueries {
     // Gumbel-top-k — logw plus Gumbel(0,1) noise from the md5 uniform, the
     // exact without-replacement sampler the paper uses, deterministic and
     // engine-portable here because the "noise" derives from md5(doc_id).
-    // Scale shape: the two LMs are 1024-row aggregates (map-side partial,
-    // broadcast back), the per-doc weight is one map-side join + groupBy
-    // on doc_id, and the top-k is a TakeOrdered — nothing but the token
-    // scan grows with the corpus. Ordering crosses engines on the ROUNDED
-    // score (1e-6 grid) with doc_id tie-break, so float summation order
-    // can never flip a rank.
+    // Scale shape: BOTH LMs come from one conditional aggregation over a
+    // single token scan (1024 rows, persisted — its two consumers, the
+    // totals and the ratio table, must not re-walk the corpus), the
+    // per-doc weight is one map-side broadcast join + groupBy on doc_id
+    // over the only other scan, and the top-k is a TakeOrdered — two
+    // token scans total, nothing else grows with the corpus. Ordering
+    // crosses engines on the ROUNDED score (1e-6 grid) with doc_id
+    // tie-break, so float summation order can never flip a rank.
     "dsir_select" -> ((s, d) => {
       val dim = 1024
-      val toks = documents(s, d)
+      def toks = documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(TextStats.tokens(col("text"))).as("tok"))
         .withColumn("b",
           conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % dim)
-      val tgt = toks.filter(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("ct"))
-      val raw = toks.filter(col("lang") =!= "en")
-        .groupBy("b").agg(count(lit(1)).as("cr"))
-      val counts = tgt.join(raw, Seq("b"), "full_outer")
-        .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
-          coalesce(col("cr"), lit(0L)).as("cr"))
+      val counts = memoized("dsir_counts", s, d) {
+        toks.groupBy("b").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+      }
       val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
       val lr = counts.crossJoin(tot).select(col("b"),
         (log((col("ct") + 1).cast("double") / (col("tt") + dim)) -

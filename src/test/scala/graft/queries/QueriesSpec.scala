@@ -164,8 +164,14 @@ class QueriesSpec extends SparkSpec {
       .select("doc_id", "split", "group_id")
       .as[(Long, String, Long)].collect()
     val byId = rows.map(r => r._1 -> r._2).toMap
+    // recompute the operator's OWN pair set (LSH-candidate-gated, the
+    // contract it groups on) — asserting over exhaustive all-pairs Jaccard
+    // would demand more than the operator promises and break the moment
+    // banding misses a borderline pair on a regenerated fixture
+    val docs = Tables.documents(spark, sf01)
     val pairs = graft.ext.Dedup.ngramJaccardPairs(
-      Tables.documents(spark, sf01), col("text"), col("doc_id"))
+      docs, col("text"), col("doc_id"),
+      candidates = Some(graft.ext.Dedup.minhashCandidates(docs, col("text"), col("doc_id"))))
       .select("a", "b").as[(Long, Long)].collect()
     assert(pairs.nonEmpty, "fixture has no verified near-dup pairs — vacuous")
     pairs.foreach { case (a, b) =>
