@@ -573,6 +573,109 @@ object Dedup {
     try connectedComponents(edges, a, b)
     catch { case _: IllegalStateException => connectedComponentsStar(edges, a, b) }
 
+  /** Per-source MinHash UNION signature: one row per `source` value with
+    * `numHashes` slotwise-min hex slots. The union signature of a set of
+    * documents equals the slotwise min of their per-doc signatures, so
+    * this is a MERGEABLE sketch of each source's shingle SET — the
+    * exchange carries numHashes slots per source regardless of corpus
+    * size (map-side partial min). Output: (source, __m0..__mN-1). */
+  def sourceSignatures(df: DataFrame, text: Column, source: Column,
+      w: Int = 5, numHashes: Int = 8): DataFrame = {
+    val sig = minhashSignature(df, text, source, w, numHashes)
+    val slotMins = (0 until numHashes).map(i => min(col(s"__mh$i")).as(s"__m$i"))
+    sig.groupBy(col("__id").as("source")).agg(slotMins.head, slotMins.tail: _*)
+  }
+
+  /** Distinct (source, 64-bit shingle fingerprint) rows via the fused
+    * [[graft.functions.ShingleHashes]] expression (one codegen pass — no
+    * shingle strings built, no hex round-trip). The exact-Jaccard build
+    * side of [[sourceOverlap]]. */
+  def sourceShingleFingerprints(df: DataFrame, text: Column, source: Column,
+      w: Int = 5): DataFrame =
+    df.select(source.as("source"),
+        explode(graft.functions.ShingleHashes.shingleHashes(
+          TextStats.tokens(text), w)).as("__fp"))
+      .distinct()
+
+  /** Inter-source overlap matrix — the mixture-design audit ("how much of
+    * source B is already in source A?") run before weighting a training
+    * mixture. `est_sim` is the matching-slot fraction of the two sources'
+    * union MinHash signatures ([[sourceSignatures]] — mergeable, O(#sources)
+    * state); `jaccard` is the exact shingle-set Jaccard computed from
+    * [[sourceShingleFingerprints]], with source PAIRS expanded WITHIN each
+    * fingerprint group (sources per shingle ≤ #sources, so the fan-out is
+    * bounded and there is no corpus-wide self-join). Exact counts equal
+    * string-set counts unless two distinct shingles collide in 64 bits
+    * (~n²/2⁶⁵ — the [[ngramJaccardPairs]] argument). At 100 TB ship
+    * est_sim alone or verify a sampled pair set — the exact twin walks
+    * every distinct shingle once. `sigTable`/`fingerprintTable` accept
+    * pre-persisted builds of the two helpers (each has 2-3 consumers in
+    * the plan; an unpersisted subplan re-walks the corpus per consumer).
+    * Output: (src_a, src_b, est_sim, jaccard), one row per unordered
+    * source pair. */
+  def sourceOverlap(df: DataFrame, text: Column, source: Column,
+      w: Int = 5, numHashes: Int = 8,
+      sigTable: Option[DataFrame] = None,
+      fingerprintTable: Option[DataFrame] = None): DataFrame = {
+    val srcSig = sigTable.getOrElse(sourceSignatures(df, text, source, w, numHashes))
+    val a = srcSig.select(col("source").as("src_a") +:
+      (0 until numHashes).map(i => col(s"__m$i").as(s"__a$i")): _*)
+    val b = srcSig.select(col("source").as("src_b") +:
+      (0 until numHashes).map(i => col(s"__m$i").as(s"__b$i")): _*)
+    val est = a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        ((0 until numHashes).map(i => (col(s"__a$i") === col(s"__b$i")).cast("int"))
+          .reduce(_ + _) / lit(numHashes.toDouble)).as("est_sim"))
+    val sh = fingerprintTable.getOrElse(sourceShingleFingerprints(df, text, source, w))
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("__n"))
+    val inter = sh.groupBy("__fp").agg(collect_set(col("source")).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(explode(flatten(transform(col("__ss"), x =>
+        transform(col("__ss"), y =>
+          struct(x.as("__sa"), y.as("__sb")))))).as("__p"))
+      .select(col("__p.__sa").as("__sa"), col("__p.__sb").as("__sb"))
+      .filter(col("__sa") < col("__sb"))
+      .groupBy(col("__sa"), col("__sb")).agg(count(lit(1)).as("__i"))
+    est
+      .join(inter, col("src_a") === col("__sa") && col("src_b") === col("__sb"), "left")
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("__n").as("__na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("__n").as("__nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("est_sim"),
+        (coalesce(col("__i"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("__i"), lit(0L))))
+          .as("jaccard"))
+  }
+
+  /** Leakage-free train/test split: the caller's `isTest` membership rule
+    * applied at near-dup-GROUP granularity, so a document and its fuzzy
+    * duplicates can never straddle the eval boundary (the classic
+    * contamination path: a test doc's near-copy in train inflates every
+    * benchmark number). Groups = connected components over the
+    * Jaccard-verified candidate pairs (the same graph [[fuzzyDedupKeep]]
+    * clusters, resilient to adversarial chain length); unpaired documents
+    * are their own group, so a pair-free corpus degenerates to the plain
+    * per-doc rule. The label table is bounded by the near-dup docs (a
+    * small corpus fraction), the join is AQE-broadcast-able, and the
+    * split decision is map-side. Output: (doc_id, split, group_id). */
+  def leakFreeSplit(df: DataFrame, text: Column, id: Column,
+      isTest: Column => Column,
+      w: Int = 5, jaccardW: Int = 3, threshold: Double = 0.4,
+      verifiedPairs: Option[DataFrame] = None): DataFrame = {
+    val verified = verifiedPairs.getOrElse {
+      val cands = minhashCandidates(df, text, id, w)
+      ngramJaccardPairs(df, text, id, jaccardW, threshold, Some(cands))
+    }.select("a", "b")
+    val labels = connectedComponentsResilient(verified)
+      .select(col("id").as("__gid"), col("comp"))
+    df.select(id.as("doc_id"))
+      .join(labels, col("doc_id") === col("__gid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("group_id"))
+      .withColumn("split",
+        when(isTest(col("group_id")), "test").otherwise("train"))
+      .select("doc_id", "split", "group_id")
+  }
+
   /** 32-bit SimHash over tokens — the codegen'd [[graft.functions.SimHash]]
     * expression (Murmur3 token hashes, bit votes, sign → bit) fused into one
     * loop per row. Near-dups = small Hamming distance. */

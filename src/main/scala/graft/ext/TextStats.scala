@@ -161,6 +161,69 @@ object TextStats {
     * broadcast-joins while it fits, shuffle-joins beyond). Rounded to 6
     * decimals so the float accumulation order never shows. Output:
     * (id-named column, neg_logp). */
+  /** Hashed-unigram token table for DSIR: one row per token with its
+    * 16-bit-md5 bucket (the same portable bucket arithmetic
+    * [[hashedLinearScore]] uses) and the caller's target-membership flag.
+    * Shared shape of [[dsirCounts]] and [[dsirSelect]]'s weight pass. */
+  private def dsirToks(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, isTarget: Column, dim: Int) =
+    df.select(id.as("doc_id"), isTarget.as("__tgt"),
+        explode(tokens(text)).as("__tok"))
+      .withColumn("__b",
+        conv(substring(md5(col("__tok")), 1, 4), 16, 10).cast("long") % dim)
+
+  /** Both DSIR hashed-unigram LMs from ONE conditional aggregation over a
+    * single token scan: per bucket, the target-slice count `ct` and the
+    * raw-pool count `cr` (a null target flag counts in neither — the
+    * WHERE-clause semantics of the two-filter formulation). ≤ `dim` rows;
+    * persist before handing to [[dsirSelect]] — its totals and ratio
+    * consumers would otherwise re-walk the corpus. */
+  def dsirCounts(df: org.apache.spark.sql.DataFrame, text: Column,
+      isTarget: Column, dim: Int = 1024): org.apache.spark.sql.DataFrame =
+    dsirToks(df, text, lit(0L), isTarget, dim)
+      .groupBy(col("__b").as("b")).agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("cr"))
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * the standard recipe for "select crawl data that looks like the
+    * target domain"). Hashed-unigram LMs (`dim` md5 buckets, add-1
+    * smoothing) are fit on the TARGET slice and on the RAW pool
+    * (everything else); each raw doc's importance weight is its summed
+    * per-token log ratio log p_tgt(b) − log p_raw(b), and the top-`k`
+    * selection is Gumbel-top-k — logw plus Gumbel(0,1) noise derived from
+    * md5(seedTag + id), the paper's without-replacement sampler made
+    * deterministic and engine-portable. Scale shape: the LM table is a
+    * ≤dim-row aggregate (broadcast back), the per-doc weight is one
+    * map-side join + groupBy on id over the only other token scan, and
+    * the top-k is a TakeOrdered. Output (doc_id, logw, score), ordered by
+    * the 1e-6-ROUNDED score (doc_id tie-break) so float summation order
+    * can never flip a rank across engines or partitionings. */
+  def dsirSelect(df: org.apache.spark.sql.DataFrame, text: Column, id: Column,
+      isTarget: Column, dim: Int = 1024, k: Int = 100,
+      seedTag: String = "dsir42:",
+      counts: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val cnt = counts.getOrElse(dsirCounts(df, text, isTarget, dim))
+    val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lr = cnt.crossJoin(tot).select(col("b"),
+      (log((col("ct") + 1).cast("double") / (col("tt") + dim)) -
+        log((col("cr") + 1).cast("double") / (col("tr") + dim))).as("lr"))
+    val logw = dsirToks(df, text, id, isTarget, dim)
+      .filter(!col("__tgt"))
+      .join(broadcast(lr), col("__b") === col("b"))
+      .groupBy("doc_id").agg(sum("lr").as("logw"))
+    logw
+      .withColumn("u",
+        (conv(substring(md5(concat(lit(seedTag),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double") + 0.5) / lit(4294967296.0))
+      .select(col("doc_id"), round(col("logw"), 6).as("logw"),
+        round(col("logw") - log(-log(col("u"))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def unigramLogProb(df: org.apache.spark.sql.DataFrame, text: Column, id: Column): org.apache.spark.sql.DataFrame = {
     val toks = df.select(id.as("__id"), explode(tokens(text)).as("__tok"))
     val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))

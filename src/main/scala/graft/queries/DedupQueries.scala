@@ -130,95 +130,35 @@ object DedupQueries {
         .select(col("doc_id"), col("text_clean"), col("n_kept"), col("n_removed"))
         .orderBy("doc_id")),
 
-    // Inter-source overlap matrix — the mixture-design audit ("how much of
-    // source B is already in source A?") run before weighting a training
-    // mixture. The per-source shingle-set MinHash signature is a MERGEABLE
-    // aggregate (slotwise min: doc-level signatures partial-aggregate
-    // map-side, so a 100 TB corpus shuffles 8 hex slots per source, not
-    // shingles), and est_sim is the matching-slot fraction of each source
-    // pair. The exact Jaccard column is the verification twin: distinct
-    // (source, shingle-FINGERPRINT) rows — the fused 64-bit ShingleHashes
-    // expression (one codegen pass: no shingle strings built, no hex
-    // round-trip) — grouped by fingerprint, with source PAIRS expanded
-    // WITHIN each group (sources per shingle ≤ #sources, so the fan-out
-    // is bounded and there is no corpus-wide self-join at all). Counts
-    // equal the string-set counts unless two distinct shingles collide in
-    // 64 bits (~n²/2⁶⁵ — the dedup_ngram_jaccard argument). The signature
-    // and fingerprint tables are PERSISTED before fan-out (each has 2-3
-    // consumers — the pair matrix's two sides, sizes, inter — and an
-    // unpersisted subplan re-walks the corpus per consumer), so the query
-    // really does pay one signature scan and one fingerprint shuffle; at
-    // scale you'd ship est_sim alone or verify a sampled pair set. Both
-    // output columns are engine-exact — est_sim is k/8 (exactly
-    // representable) and jaccard divides the same integers — so the
-    // oracle recomputes them EXACTLY from the string shingles.
+    // Inter-source overlap matrix ([[Dedup.sourceOverlap]] — mergeable
+    // per-source MinHash signatures beside the exact fingerprint-grouped
+    // Jaccard twin). Both output columns are engine-exact — est_sim is
+    // k/8 (exactly representable) and jaccard divides the same integers —
+    // so the oracle recomputes them EXACTLY from the string shingles.
+    // The signature and fingerprint tables are memoized per (session,
+    // dir): each has 2-3 plan consumers, and an unpersisted subplan
+    // re-walks the corpus per consumer.
     "corpus_source_overlap" -> ((s, d) => {
       val docs = documents(s, d)
-      val srcSig = memoized("srcsig", s, d) {
-        val sig = Dedup.minhashSignature(docs, col("text"), col("source"), 5, 8)
-        val slotMins = (0 until 8).map(i => min(col(s"__mh$i")).as(s"__m$i"))
-        sig.groupBy(col("__id").as("source")).agg(slotMins.head, slotMins.tail: _*)
-      }
-      val a = srcSig.select(col("source").as("src_a") +:
-        (0 until 8).map(i => col(s"__m$i").as(s"__a$i")): _*)
-      val b = srcSig.select(col("source").as("src_b") +:
-        (0 until 8).map(i => col(s"__m$i").as(s"__b$i")): _*)
-      val est = a.join(b, col("src_a") < col("src_b"))
-        .select(col("src_a"), col("src_b"),
-          ((0 until 8).map(i => (col(s"__a$i") === col(s"__b$i")).cast("int"))
-            .reduce(_ + _) / lit(8.0)).as("est_sim"))
-      val sh = memoized("source_shingle_fp", s, d) {
-        docs.select(col("source"),
-            explode(graft.functions.ShingleHashes.shingleHashes(
-              graft.ext.TextStats.tokens(col("text")), 5)).as("__fp"))
-          .distinct()
-      }
-      val sizes = sh.groupBy("source").agg(count(lit(1)).as("__n"))
-      val inter = sh.groupBy("__fp").agg(collect_set(col("source")).as("__ss"))
-        .filter(size(col("__ss")) >= 2)
-        .select(explode(flatten(transform(col("__ss"), a =>
-          transform(col("__ss"), b =>
-            struct(a.as("__sa"), b.as("__sb")))))).as("__p"))
-        .select(col("__p.__sa").as("__sa"), col("__p.__sb").as("__sb"))
-        .filter(col("__sa") < col("__sb"))
-        .groupBy(col("__sa"), col("__sb")).agg(count(lit(1)).as("__i"))
-      est
-        .join(inter, col("src_a") === col("__sa") && col("src_b") === col("__sb"), "left")
-        .join(broadcast(sizes.select(col("source").as("src_a"), col("__n").as("__na"))), "src_a")
-        .join(broadcast(sizes.select(col("source").as("src_b"), col("__n").as("__nb"))), "src_b")
-        .select(col("src_a"), col("src_b"), col("est_sim"),
-          (coalesce(col("__i"), lit(0L)).cast("double") /
-            (col("__na") + col("__nb") - coalesce(col("__i"), lit(0L))))
-            .as("jaccard"))
+      Dedup.sourceOverlap(docs, col("text"), col("source"),
+          sigTable = Some(memoized("srcsig", s, d) {
+            Dedup.sourceSignatures(docs, col("text"), col("source")) }),
+          fingerprintTable = Some(memoized("source_shingle_fp", s, d) {
+            Dedup.sourceShingleFingerprints(docs, col("text"), col("source")) }))
         .orderBy("src_a", "src_b")
     }),
 
-    // Leakage-free train/test split: the per-doc md5 split rule
-    // (split_train_test) applied at near-dup-GROUP granularity, so a
-    // document and its fuzzy duplicates can never straddle the eval
-    // boundary (the classic contamination path: a test doc's near-copy in
-    // train inflates every benchmark number). Groups = connected
-    // components over the Jaccard-VERIFIED pairs (the same persisted
-    // subplan dedup_fuzzy_keep clusters); singletons are their own group,
-    // so for a pair-free corpus this degenerates to split_train_test
-    // exactly. Scale shape: the label table is bounded by the near-dup
-    // docs (a small fraction of the corpus), the join is AQE
-    // broadcast-able, and the split decision is map-side arithmetic.
-    // Oracle: DuckDB rebuilds the groups with a recursive-CTE closure and
-    // applies the identical md5 rule — exact, per-doc.
-    "split_leakfree" -> ((s, d) => {
-      val labels = Dedup
-        .connectedComponentsResilient(cachedVerified(s, d).select("a", "b"))
-        .withColumnRenamed("id", "doc_id")
-      documents(s, d).select("doc_id")
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("group_id"))
-        .withColumn("split",
-          when(Tables.isTestSplit(col("group_id")), "test").otherwise("train"))
-        .select("doc_id", "split", "group_id")
-        .orderBy("doc_id")
-    }),
+    // Leakage-free train/test split ([[Dedup.leakFreeSplit]]): the shared
+    // per-doc md5 rule (split_train_test) applied at near-dup-GROUP
+    // granularity over the same persisted verified-pair subplan
+    // dedup_fuzzy_keep clusters. Oracle: DuckDB rebuilds the groups with
+    // a recursive-CTE closure and applies the identical md5 rule — exact,
+    // per-doc.
+    "split_leakfree" -> ((s, d) =>
+      Dedup.leakFreeSplit(documents(s, d), col("text"), col("doc_id"),
+          isTest = Tables.isTestSplit,
+          verifiedPairs = Some(cachedVerified(s, d)))
+        .orderBy("doc_id")),
 
     // Duplicate CLUSTERS: connected components (min-label propagation) over
     // the MinHash-LSH candidate pairs — the transitive-closure step every

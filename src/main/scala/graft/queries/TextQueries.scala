@@ -513,53 +513,19 @@ object TextQueries {
         .orderBy("lang")
     }),
 
-    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
-    // the standard recipe for "select crawl data that looks like the
-    // target domain"). Hashed-unigram LMs (the same 16-bit-md5 bucket
-    // arithmetic quality_classifier uses, dim 1024, add-1 smoothing) are
-    // fit on the TARGET slice (lang='en', standing in for the
-    // Wikipedia-like target) and on the RAW pool (everything else); each
-    // raw doc's importance weight is its summed per-token log ratio
-    // log p_tgt(b) − log p_raw(b), and the top-k selection is
-    // Gumbel-top-k — logw plus Gumbel(0,1) noise from the md5 uniform, the
-    // exact without-replacement sampler the paper uses, deterministic and
-    // engine-portable here because the "noise" derives from md5(doc_id).
-    // Scale shape: BOTH LMs come from one conditional aggregation over a
-    // single token scan (1024 rows, persisted — its two consumers, the
-    // totals and the ratio table, must not re-walk the corpus), the
-    // per-doc weight is one map-side broadcast join + groupBy on doc_id
-    // over the only other scan, and the top-k is a TakeOrdered — two
-    // token scans total, nothing else grows with the corpus. Ordering
-    // crosses engines on the ROUNDED score (1e-6 grid) with doc_id
-    // tie-break, so float summation order can never flip a rank.
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023;
+    // [[TextStats.dsirSelect]], target slice = lang='en' standing in for
+    // the Wikipedia-like target). The 1024-row LM table is memoized — its
+    // two plan consumers (totals, ratio table) must not re-walk the
+    // corpus. The oracle is an identical DuckDB md5/ln derivation; both
+    // engines order on the 1e-6-ROUNDED score with doc_id tie-break, so
+    // float summation order can never flip a rank.
     "dsir_select" -> ((s, d) => {
-      val dim = 1024
-      def toks = documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(TextStats.tokens(col("text"))).as("tok"))
-        .withColumn("b",
-          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % dim)
-      val counts = memoized("dsir_counts", s, d) {
-        toks.groupBy("b").agg(
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
-      }
-      val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-      val lr = counts.crossJoin(tot).select(col("b"),
-        (log((col("ct") + 1).cast("double") / (col("tt") + dim)) -
-          log((col("cr") + 1).cast("double") / (col("tr") + dim))).as("lr"))
-      val logw = toks.filter(col("lang") =!= "en")
-        .join(broadcast(lr), "b")
-        .groupBy("doc_id").agg(sum("lr").as("logw"))
-      logw
-        .withColumn("u",
-          (conv(substring(md5(concat(lit("dsir42:"),
-              col("doc_id").cast("string"))), 1, 8), 16, 10)
-            .cast("long").cast("double") + 0.5) / lit(4294967296.0))
-        .select(col("doc_id"), round(col("logw"), 6).as("logw"),
-          round(col("logw") - log(-log(col("u"))), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(100)
+      val docs = documents(s, d)
+      TextStats.dsirSelect(docs, col("text"), col("doc_id"),
+        isTarget = col("lang") === "en",
+        counts = Some(memoized("dsir_counts", s, d) {
+          TextStats.dsirCounts(docs, col("text"), col("lang") === "en") }))
     }),
 
     // Sequence packing — the concat-and-chunk step that turns a curated

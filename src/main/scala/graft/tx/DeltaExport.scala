@@ -283,7 +283,11 @@ object DeltaExport {
     // versions as the reader's "latest"). Falls back to full otherwise.
     val incremental = prior
       .filter { case (gv, _, priorCow) =>
-        gv < v && !priorCow && !cowUsed && !foreignCommits &&
+        // FORCE always routes FULL — that is its documented contract
+        // (discard everything, fresh baseline), and before this guard a
+        // clean-prior FORCE silently fell through to an incremental
+        // append, leaving the caller's "rebuild the log" request unmet
+        !force && gv < v && !priorCow && !cowUsed && !foreignCommits &&
           !crashedOwnCommits }
       .flatMap { case (gv, dv, _) =>
       try {

@@ -99,6 +99,38 @@ class DeltaExportSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() === 2L)
   }
 
+  test("FORCE over a clean prior rebuilds a fresh v0-only log, never an " +
+      "incremental append") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
+    DeltaExport.writeDeltaLog(t)
+    CommitLog.commit(Seq((2L, 2.0)).toDF("id", "v"), t, "append")
+    DeltaExport.writeDeltaLog(t) // incremental → delta v1
+    val logDir = Paths.get(t).resolve("_delta_log")
+    assert(Files.isRegularFile(logDir.resolve(f"${1L}%020d.json")))
+    // FORCE with NO foreign commits (the clean-prior case): the contract
+    // is a full rebuild — before the fix this silently fell through to an
+    // incremental append at v2, leaving the caller's fresh baseline unmet
+    CommitLog.commit(Seq((3L, 3.0)).toDF("id", "v"), t, "append")
+    DeltaExport.writeDeltaLog(t, force = true)
+    assert(Files.isRegularFile(logDir.resolve(f"${0L}%020d.json")))
+    assert(!Files.exists(logDir.resolve(f"${1L}%020d.json")),
+      "FORCE must sweep the stale incremental chain")
+    assert(!Files.exists(logDir.resolve(f"${2L}%020d.json")))
+    val marker = new String(Files.readAllBytes(
+      logDir.resolve("_graft_export")), "UTF-8")
+    assert(marker.contains("delta_version=0"))
+    // the fresh v0 names exactly the latest snapshot
+    val adds = spark.read.json(logDir.resolve(f"${0L}%020d.json").toString)
+      .filter(col("add").isNotNull).select("add.path").as[String].collect().toSet
+    assert(adds === CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+      .files.toSet)
+    // and the incremental chain restarts cleanly on top of the rebuild
+    CommitLog.commit(Seq((4L, 4.0)).toDF("id", "v"), t, "append")
+    DeltaExport.writeDeltaLog(t)
+    assert(Files.isRegularFile(logDir.resolve(f"${1L}%020d.json")))
+  }
+
   test("an incrementally exported multi-version log re-imports exactly") {
     val src = freshTable()
     CommitLog.commit(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), src, "append")
