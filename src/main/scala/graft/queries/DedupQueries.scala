@@ -59,7 +59,47 @@ object DedupQueries {
         col("doc_id"), minDocs = 2)
     }
 
+  /** sf dir → index root of the persisted dedup band table, built once
+    * per session over a commit-log base: commit 90% of documents → build
+    * → append the held-out tenth → change-feed refresh (the same
+    * 90/10/refresh harness the persisted ANN indexes use). Pid-unique
+    * paths; cleaned on JVM exit. */
+  private val builtDedupStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureDedupStore(s: SparkSession, d: String): String =
+    builtDedupStore.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_dedupstore_${tag}_$pid"
+      Tables.deleteRecursively(new java.io.File(root))
+      sys.addShutdownHook(Tables.deleteRecursively(new java.io.File(root))): Unit
+      val base = s"$root/base"
+      val docs = documents(s, d).select("doc_id", "text")
+      graft.tx.CommitLog.commit(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base, "append")
+      graft.ext.DedupStore.build(s, base, s"$root/index")
+      graft.tx.CommitLog.commit(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base, "append")
+      graft.ext.DedupStore.refresh(s, base, s"$root/index")
+      s"$root/index"
+    })
+
   val queries: Map[String, Q] = Map(
+    // INCREMENTAL dedup through the persisted band table
+    // ([[graft.ext.DedupStore]]): the index is built on 90% of the corpus,
+    // the held-out tenth arrives as a base-table append and folds in via a
+    // change-feed refresh that signs ONLY the delta — then the stored
+    // band-key self-join must produce EXACTLY the candidate set a batch
+    // recompute over the full corpus produces (signatures are
+    // per-document, so incremental maintenance loses nothing). The oracle
+    // is dedup_minhash_lsh's own full-recompute SQL — a lost refresh, a
+    // stale watermark, or a band row surviving its doc all break the
+    // hash.
+    "dedup_incremental" -> ((s, d) =>
+      graft.ext.DedupStore.pairs(s, ensureDedupStore(s, d)).orderBy("a", "b")),
+
     // MinHash(8 hashes, 5-token shingles) + LSH(4 bands × 2 rows) candidates.
     "dedup_minhash_lsh" -> ((s, d) =>
       cachedCandidates(s, d).orderBy("a", "b")),
@@ -177,6 +217,13 @@ object DedupQueries {
   val operatorOnly: Map[String, Q] = Map(
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashCandidates(documents(s, d), col("text"), col("doc_id"))),
+    // the serving shape: sign only the incoming batch, probe the stored
+    // band table — the corpus is never re-signed. Certified by the full
+    // query's oracle (same store, stricter equality).
+    "dedup_incremental" -> ((s, d) =>
+      graft.ext.DedupStore.candidates(s, ensureDedupStore(s, d),
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 7)
+          .select("doc_id", "text"))),
   )
 
   private val candCtes =
@@ -242,6 +289,10 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
+      s"""WITH $candCtes
+         SELECT a, b FROM cand ORDER BY a, b""",
+    // the incrementally maintained store must EQUAL the full recompute
+    "dedup_incremental" ->
       s"""WITH $candCtes
          SELECT a, b FROM cand ORDER BY a, b""",
     "dedup_cc_clusters" ->

@@ -1,0 +1,114 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.tx.CommitLog
+import org.apache.spark.sql.functions._
+
+/** The persisted dedup band table: build once, fold EVERY base change in
+  * through the change feed (appends, text rewrites, deletes), and the
+  * incrementally maintained candidate set must EQUAL a batch recompute —
+  * there is no fitted model, so incremental maintenance loses nothing. */
+class DedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_dedupstore").toString
+
+  // two planted near-dup clusters + singletons; texts long enough to shingle
+  private def corpus(ids: Long*): Seq[(Long, String)] = ids.map { i =>
+    val t = i % 3 match {
+      case 0 => s"alpha beta gamma delta epsilon zeta eta theta common tail $i"
+      case 1 => s"alpha beta gamma delta epsilon zeta eta theta common tail ${i - 1}x"
+      case _ => s"totally unrelated document number $i with its own words here"
+    }
+    (i, t)
+  }
+
+  private def batchPairs(docs: Seq[(Long, String)]): Set[(Long, Long)] =
+    Dedup.minhashCandidates(docs.toDF("doc_id", "text"),
+        col("text"), col("doc_id"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+
+  test("build → append → refresh equals the batch recompute; watermark is idempotent") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    val all = corpus(0L to 19L: _*)
+    val (seed, late) = all.partition(_._1 < 14)
+    CommitLog.commit(seed.toDF("doc_id", "text"), base, "append")
+    val covered = DedupStore.build(spark, base, index)
+    assert(covered === 1L)
+    assert(DedupStore.coveredVersion(index) === Some(1L))
+    CommitLog.commit(late.toDF("doc_id", "text"), base, "append")
+    val v2 = DedupStore.refresh(spark, base, index)
+    assert(v2 === 2L)
+    val stored = DedupStore.pairs(spark, index)
+      .as[(Long, Long)].collect().toSet
+    assert(stored === batchPairs(all))
+    assert(stored.nonEmpty, "fixture must plant near-dup pairs")
+    // replayed refresh re-applies nothing
+    assert(DedupStore.refresh(spark, base, index) === 2L)
+    assert(DedupStore.pairs(spark, index)
+      .as[(Long, Long)].collect().toSet === stored)
+  }
+
+  test("text rewrites re-band and deletes retire — CDC folding, not append-only") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    val all = corpus(0L to 11L: _*)
+    CommitLog.commit(all.toDF("doc_id", "text"), base, "append")
+    DedupStore.build(spark, base, index)
+    // doc 2 (a singleton) is REWRITTEN to duplicate doc 0's text; doc 1
+    // (doc 0's near-dup) is DELETED
+    CommitLog.merge(spark, base,
+      Seq((2L, all.find(_._1 == 0L).get._2 + " v2")).toDF("doc_id", "text"),
+      Seq("doc_id"))
+    CommitLog.deleteKeys(spark, base, Seq(1L).toDF("doc_id"), Seq("doc_id"))
+    DedupStore.refresh(spark, base, index)
+    val expected = batchPairs(
+      all.filterNot(_._1 == 1L).map {
+        case (2L, _) => (2L, all.find(_._1 == 0L).get._2 + " v2")
+        case other => other
+      })
+    val stored = DedupStore.pairs(spark, index)
+      .as[(Long, Long)].collect().toSet
+    assert(stored === expected)
+    assert(!stored.exists(p => p._1 == 1L || p._2 == 1L),
+      "deleted doc's bands must retire")
+    assert(stored.exists(p => p._1 == 0L && p._2 == 2L),
+      "rewritten doc must re-band into its new cluster")
+  }
+
+  test("candidates probes the store for a new batch without re-signing the corpus") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    val all = corpus(0L to 11L: _*)
+    CommitLog.commit(all.toDF("doc_id", "text"), base, "append")
+    DedupStore.build(spark, base, index)
+    // a fresh batch: one near-dup of cluster {0,1}, one novel doc
+    val batch = Seq(
+      (100L, all.find(_._1 == 0L).get._2 + " y"),
+      (101L, "entirely novel text with no shared shingles at all right"))
+    val got = DedupStore.candidates(spark, index,
+        batch.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    val expected = batchPairs(all ++ batch)
+      .collect {
+        case (a, b) if a >= 100L => (a, b)
+        case (a, b) if b >= 100L => (b, a)
+      }
+    assert(got === expected)
+    assert(got.exists(_._1 == 100L), "planted near-dup must match the corpus")
+    assert(!got.exists(_._1 == 101L), "novel doc must match nothing")
+    // a batch doc already IN the index matches its neighbors, not itself
+    val self = DedupStore.candidates(spark, index,
+        Seq(all.find(_._1 == 0L).get).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(!self.contains((0L, 0L)))
+    assert(self.contains((0L, 1L)))
+  }
+}
