@@ -12,23 +12,40 @@ import graft.tx.CommitLog
   * corpus is unchanged. Here the band table lives on storage:
   *
   * {{{
-  *   <indexRoot>/config   (w INT, bands INT, rows_per_band INT)
-  *   <indexRoot>/bands    (<idCol>, band INT, bandkey STRING)
+  *   <indexRoot>/config   (w INT, bands INT, rows_per_band INT, build_id STRING)
+  *   <indexRoot>/bands    (<idCol>, band INT, bandkey STRING, build_id STRING)
   * }}}
   *
   * and [[refresh]] folds base changes through a delta-only
   * sign-and-band pass, so the steady-state cost of "dedup the day's crawl
   * against the whole corpus" is O(delta), never O(corpus).
   *
+  * CONTRACT: the base table's `idCol` is a KEY — one row per document
+  * (the same contract [[IvfStore]] places on `vec_id`); [[build]] refuses
+  * a base with duplicate ids rather than banding rows the change feed's
+  * per-id folding could never retire individually.
+  *
   * Unlike [[IvfStore]]/[[PqStore]] there is NO fitted model to freeze:
   * the signature of a document depends on nothing but that document (the
   * md5 hash family is fixed), so an incrementally maintained band table
   * is EXACTLY equal to a full recompute — pinned by the `dedup_incremental`
   * oracle query, whose DuckDB twin re-derives the candidates of the whole
-  * corpus from scratch. The same contract as the other stores otherwise:
-  * the covered base version rides as a txn watermark (appId [[AppId]]),
-  * a replayed refresh re-applies nothing, and any process answers from
-  * storage without re-signing the corpus. */
+  * corpus from scratch. The same durability contract as the other stores:
+  * the covered base version rides as a txn watermark (appId [[AppId]]), a
+  * replayed or RACING refresh re-applies nothing — retirements are
+  * idempotent key deletes and fresh bands land as a keyed (id, band)
+  * MERGE upsert, so a stalled duplicate refresher that resumes after a
+  * winner cannot destroy the winner's rows (the delete touches only
+  * retired ids, the merge is skipped by the txn fast path) — and any
+  * process answers from storage without re-signing the corpus.
+  *
+  * `build_id` is the banding-parameter fingerprint, stamped on BOTH
+  * tables: a re-[[build]] with different parameters that crashes between
+  * the config overwrite and the bands overwrite leaves a mismatch that
+  * [[refresh]]/[[pairs]]/[[candidates]] REFUSE loudly (re-run build),
+  * instead of silently probing old-parameter bands with new-parameter
+  * keys — the watermark cannot catch this (a same-base-version re-build
+  * leaves it valid). */
 object DedupStore {
 
   /** Writer id for the version watermark on `bands`. */
@@ -37,11 +54,15 @@ object DedupStore {
   private def configTable(root: String) = s"$root/config"
   private def bandsTable(root: String) = s"$root/bands"
 
+  private def buildId(w: Int, bands: Int, rowsPerBand: Int): String =
+    s"w${w}b${bands}r$rowsPerBand"
+
   /** Sign + band the FULL base snapshot and publish the band table;
-    * returns the covered base version. Config commits FIRST (an honest
-    * crash state: config without bands refuses in [[pairs]] via the
-    * missing-versions path, and a re-run repairs both); the watermark is
-    * attached only when it ADVANCES, for the same reason [[IvfStore.build]]
+    * returns the covered base version. Config commits FIRST (a first-build
+    * crash leaves config without bands — [[pairs]] refuses on the missing
+    * table; a RE-build crash leaves mismatched build_ids — every reader
+    * refuses on the stamp, see the class doc); the watermark is attached
+    * only when it ADVANCES, for the same reason [[IvfStore.build]]
     * documents — an unconditional txn would trip the exactly-once fast
     * path on a same-version re-build and silently skip the overwrite. */
   def build(spark: SparkSession, baseTable: String, indexRoot: String,
@@ -49,16 +70,25 @@ object DedupStore {
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val baseVersion = CommitLog.latestVersion(baseTable).getOrElse(
       throw new IllegalArgumentException(s"$baseTable has no committed versions"))
+    val corpus = CommitLog.read(spark, baseTable)
+    val cnts = corpus
+      .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("nd")).head()
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"$baseTable holds duplicate $idCol values (${cnts.getLong(0)} rows, " +
+        s"${cnts.getLong(1)} distinct) — the dedup store folds the change " +
+        "feed per id and cannot represent multi-row ids; de-duplicate the " +
+        "base first")
     import spark.implicits._
+    val bid = buildId(w, bands, rowsPerBand)
     val txn =
       if (coveredVersion(indexRoot).exists(_ >= baseVersion)) None
       else Some((AppId, baseVersion))
     CommitLog.commit(
-      Seq((w, bands, rowsPerBand)).toDF("w", "bands", "rows_per_band"),
+      Seq((w, bands, rowsPerBand, bid))
+        .toDF("w", "bands", "rows_per_band", "build_id"),
       configTable(indexRoot), "overwrite")
     CommitLog.commit(
-      bandRows(CommitLog.read(spark, baseTable), w, bands, rowsPerBand,
-        idCol, textCol),
+      bandRows(corpus, w, bands, rowsPerBand, idCol, textCol, bid),
       bandsTable(indexRoot), "overwrite", txn = txn)
     baseVersion
   }
@@ -69,13 +99,13 @@ object DedupStore {
 
   /** Fold every base change since the covered watermark into the band
     * table: the change-feed slice reduces to one final action per doc
-    * ([[IndexUpkeep.finalActions]]); retired AND re-inserted docs leave
-    * the table file-granularly via [[CommitLog.deleteKeys]] (a changed
-    * doc's stale bands must fall before its new ones land — the band
-    * table is multi-row-per-doc, so delete-then-append, not merge), and
-    * fresh docs' bands are signed delta-only and appended with the
-    * watermark. O(delta) compute + O(touched files) rewrite; the
-    * no-op-slice watermark pin mirrors [[IvfStore.refresh]]. */
+    * ([[IndexUpkeep.finalActions]]); retired docs leave the table
+    * file-granularly via [[CommitLog.deleteKeys]] (idempotent — a replay
+    * re-deletes nothing), and fresh docs' bands are signed delta-only and
+    * MERGE-upserted on (id, band) — a rewritten doc emits the same band
+    * indexes, so the upsert replaces its stale keys in place and a
+    * replayed refresh is a txn no-op. O(delta) compute + O(touched files)
+    * rewrite; the no-op-slice watermark pin mirrors [[IvfStore.refresh]]. */
   def refresh(spark: SparkSession, baseTable: String, indexRoot: String,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val covered = coveredVersion(indexRoot).getOrElse(
@@ -83,23 +113,23 @@ object DedupStore {
     val latest = CommitLog.latestVersion(baseTable).getOrElse(
       throw new IllegalArgumentException(s"$baseTable has no committed versions"))
     if (latest <= covered) return covered
-    val (w, bands, rowsPerBand) = config(spark, indexRoot)
+    val (w, bands, rowsPerBand, bid) = checkedConfig(spark, indexRoot)
     val feed = CommitLog.changeFeed(spark, baseTable, covered, Some(latest),
       overwriteDiff = true)
     val finalActs = IndexUpkeep.finalActions(feed, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val retired = finalActs.filter(col(CommitLog.ChangeTypeCol) === "delete")
+        .select(col(idCol))
       val fresh = finalActs.filter(col(CommitLog.ChangeTypeCol) =!= "delete")
         .select(col(idCol), col(textCol))
       val hasFresh = !fresh.isEmpty
-      // every acted-on id's existing bands fall (deleted docs for good,
-      // changed docs to make room for their re-signed bands)
-      CommitLog.deleteKeys(spark, bandsTable(indexRoot),
-        finalActs.select(col(idCol)), Seq(idCol),
+      CommitLog.deleteKeys(spark, bandsTable(indexRoot), retired, Seq(idCol),
         txn = if (hasFresh) None else Some((AppId, latest)))
       if (hasFresh)
-        CommitLog.commit(bandRows(fresh, w, bands, rowsPerBand, idCol, textCol),
-          bandsTable(indexRoot), "append", txn = Some((AppId, latest)))
+        CommitLog.merge(spark, bandsTable(indexRoot),
+          bandRows(fresh, w, bands, rowsPerBand, idCol, textCol, bid),
+          Seq(idCol, "band"), txn = Some((AppId, latest)))
       if (!coveredVersion(indexRoot).exists(_ >= latest))
         CommitLog.commit(
           CommitLog.read(spark, bandsTable(indexRoot)).limit(0),
@@ -115,6 +145,7 @@ object DedupStore {
     * nothing — the oracle pins this). */
   def pairs(spark: SparkSession, indexRoot: String,
       idCol: String = "doc_id"): DataFrame = {
+    checkedConfig(spark, indexRoot): Unit
     val bd = CommitLog.read(spark, bandsTable(indexRoot))
     val a = bd.select(col("band").as("band_a"), col("bandkey").as("key_a"),
       col(idCol).as("a"))
@@ -134,8 +165,8 @@ object DedupStore {
     * EXCEPT itself. */
   def candidates(spark: SparkSession, indexRoot: String, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val (w, bands, rowsPerBand) = config(spark, indexRoot)
-    val qb = bandRows(batch, w, bands, rowsPerBand, idCol, textCol)
+    val (w, bands, rowsPerBand, bid) = checkedConfig(spark, indexRoot)
+    val qb = bandRows(batch, w, bands, rowsPerBand, idCol, textCol, bid)
       .select(col("band").as("band_q"), col("bandkey").as("key_q"),
         col(idCol).as("query_id"))
     val sb = CommitLog.read(spark, bandsTable(indexRoot))
@@ -146,20 +177,35 @@ object DedupStore {
       .select("query_id", "match_id").distinct()
   }
 
-  private def config(spark: SparkSession, indexRoot: String): (Int, Int, Int) = {
+  /** Load the banding config AND verify the bands table carries the same
+    * parameter fingerprint — a torn re-build (config overwritten, bands
+    * overwrite crashed) must refuse loudly, never probe old-parameter
+    * bands with new-parameter keys. One sampled row: refresh mixing is
+    * impossible (it refuses here first), so any surviving row exposes a
+    * tear. An EMPTY bands table has nothing to mismatch and passes. */
+  private def checkedConfig(spark: SparkSession,
+      indexRoot: String): (Int, Int, Int, String) = {
     val row = CommitLog.read(spark, configTable(indexRoot))
-      .select("w", "bands", "rows_per_band").head()
-    (row.getInt(0), row.getInt(1), row.getInt(2))
+      .select("w", "bands", "rows_per_band", "build_id").head()
+    val cfg = (row.getInt(0), row.getInt(1), row.getInt(2), row.getString(3))
+    CommitLog.read(spark, bandsTable(indexRoot))
+      .select("build_id").head(1).headOption.foreach { b =>
+        require(b.getString(0) == cfg._4,
+          s"$indexRoot: bands table carries build ${b.getString(0)} but " +
+            s"config says ${cfg._4} — a re-build crashed between its " +
+            "config and bands overwrites; run build again")
+      }
+    cfg
   }
 
-  /** (idCol, band, bandkey) rows of a document frame — the fused
-    * signature expression + banding, delta-sized input in the refresh and
-    * serving paths. */
+  /** (idCol, band, bandkey, build_id) rows of a document frame — the
+    * fused signature expression + banding, delta-sized input in the
+    * refresh and serving paths. */
   private def bandRows(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
-      idCol: String, textCol: String): DataFrame =
+      idCol: String, textCol: String, bid: String): DataFrame =
     Dedup.lshBands(
         Dedup.minhashSignature(docs, col(textCol), col(idCol),
           w, bands * rowsPerBand), bands, rowsPerBand)
       .select(col("__id").as(idCol), col("__band").as("band"),
-        col("__bandkey").as("bandkey"))
+        col("__bandkey").as("bandkey"), lit(bid).as("build_id"))
 }

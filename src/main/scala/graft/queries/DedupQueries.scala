@@ -69,21 +69,15 @@ object DedupQueries {
 
   private def ensureDedupStore(s: SparkSession, d: String): String =
     builtDedupStore.computeIfAbsent(d, _ => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val pid = ProcessHandle.current().pid()
-      val root =
-        s"${System.getProperty("java.io.tmpdir")}/graft_dedupstore_${tag}_$pid"
-      Tables.deleteRecursively(new java.io.File(root))
-      sys.addShutdownHook(Tables.deleteRecursively(new java.io.File(root))): Unit
-      val base = s"$root/base"
+      val (base, index) = Tables.storeRoots(d, "dedupstore")
       val docs = documents(s, d).select("doc_id", "text")
       graft.tx.CommitLog.commit(
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base, "append")
-      graft.ext.DedupStore.build(s, base, s"$root/index")
+      graft.ext.DedupStore.build(s, base, index)
       graft.tx.CommitLog.commit(
         docs.filter(pmod(col("doc_id"), lit(10)) === 7), base, "append")
-      graft.ext.DedupStore.refresh(s, base, s"$root/index")
-      s"$root/index"
+      graft.ext.DedupStore.refresh(s, base, index)
+      index
     })
 
   val queries: Map[String, Q] = Map(

@@ -59,6 +59,20 @@ object Tables {
   private[queries] def isTestSplit(id: Column): Column =
     substring(md5(id.cast("string")), 1, 1).isin("c", "d", "e", "f")
 
+  /** Pid-unique scratch roots for the persisted-index harnesses (the ANN
+    * stores and the dedup store): `<tmp>/graft_<flavor>_<sfhash>_<pid>/
+    * {base,index}`, wiped now and at JVM exit. ONE definition — the hash
+    * tag, recursive cleanup, and shutdown-hook semantics must not drift
+    * between the stores' build harnesses. */
+  private[queries] def storeRoots(d: String, flavor: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val pid = ProcessHandle.current().pid()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${flavor}_${tag}_$pid"
+    deleteRecursively(new java.io.File(root))
+    sys.addShutdownHook(deleteRecursively(new java.io.File(root))): Unit
+    (s"$root/base", s"$root/index")
+  }
+
   /** Recursive delete for the query-built scratch tables (one shared copy —
     * three query objects used to carry private clones that could drift). */
   private[queries] def deleteRecursively(f: java.io.File): Unit = {

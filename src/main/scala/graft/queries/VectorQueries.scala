@@ -234,16 +234,11 @@ object VectorQueries {
     * an empty index root under tmp (two JVMs in one round never race each
     * other's files); cleaned at JVM exit. */
   private def persistRoots(s: SparkSession, d: String, flavor: String): (String, String) = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
-    val pid = ProcessHandle.current().pid()
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${flavor}_${tag}_$pid"
-    Tables.deleteRecursively(new java.io.File(root))
-    sys.addShutdownHook(Tables.deleteRecursively(new java.io.File(root)))
-    val base = s"$root/base"
+    val (base, index) = Tables.storeRoots(d, flavor)
     graft.tx.CommitLog.commit(
       embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) =!= 7),
       base, "append")
-    (base, s"$root/index")
+    (base, index)
   }
 
   /** Operator-only twins of the property-oracle queries above: the SAME

@@ -82,6 +82,45 @@ class DedupStoreSpec extends SparkSpec {
       "rewritten doc must re-band into its new cluster")
   }
 
+  test("build refuses a base with duplicate ids; a torn re-build refuses loudly") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    // duplicate-id contract: the change feed folds per id, so a multi-row
+    // id could never be retired row-by-row — refuse at build
+    CommitLog.commit(
+      (corpus(0L to 5L: _*) :+ (3L -> "a second row for doc three oops"))
+        .toDF("doc_id", "text"),
+      base, "append")
+    val dup = intercept[IllegalArgumentException] {
+      DedupStore.build(spark, base, index)
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // clean base → build succeeds
+    CommitLog.delete(spark, base, col("text").contains("oops"))
+    DedupStore.build(spark, base, index)
+    assert(DedupStore.pairs(spark, index).count() >= 0L)
+    // torn re-build: a parameter change whose bands overwrite never
+    // landed — emulated by overwriting ONLY the config (what a crash
+    // between build's two commits leaves behind). Readers and refresh
+    // must refuse, not probe old-parameter bands with new-parameter keys.
+    import spark.implicits._
+    CommitLog.commit(
+      Seq((5, 8, 2, "w5b8r2")).toDF("w", "bands", "rows_per_band", "build_id"),
+      s"$index/config", "overwrite")
+    val torn = intercept[IllegalArgumentException] {
+      DedupStore.pairs(spark, index).count()
+    }
+    assert(torn.getMessage.contains("re-build crashed"))
+    intercept[IllegalArgumentException] {
+      DedupStore.candidates(spark, index,
+        corpus(100L).toDF("doc_id", "text")).count()
+    }
+    // re-running build repairs both tables
+    DedupStore.build(spark, base, index, bands = 8)
+    assert(DedupStore.pairs(spark, index).count() >= 0L)
+  }
+
   test("candidates probes the store for a new batch without re-signing the corpus") {
     val root = freshRoot()
     val base = s"$root/base"
