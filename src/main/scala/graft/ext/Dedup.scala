@@ -30,13 +30,18 @@ object Dedup {
   }
 
   /** Keep one row per exact-duplicate group (lowest id wins) — hash-groupBy,
-    * one shuffle on the 128-bit fingerprint. */
-  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    * one shuffle on the 128-bit fingerprint. `min_by(struct, id)` instead
+    * of a `row_number` window (round-13 VERDICT item 6): a hash aggregate
+    * with map-side partial min_by, no per-group sort — at 100 TB the
+    * window form sorts every fingerprint partition for a winner the
+    * aggregate finds in one streaming pass. */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val cols = df.columns.toSeq
     df.withColumn("__fp", TextStats.fingerprint(text))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__fp")).orderBy(id)))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), id).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
+  }
 
   /** ccnet-style duplicated-SEGMENT removal (Wenzek et al. 2020 §3.1,
     * "deduplicating paragraphs" — the boilerplate-stripping pass every

@@ -31,13 +31,25 @@ import graft.tx.CommitLog
   * is EXACTLY equal to a full recompute — pinned by the `dedup_incremental`
   * oracle query, whose DuckDB twin re-derives the candidates of the whole
   * corpus from scratch. The same durability contract as the other stores:
-  * the covered base version rides as a txn watermark (appId [[AppId]]), a
-  * replayed or RACING refresh re-applies nothing — retirements are
-  * idempotent key deletes and fresh bands land as a keyed (id, band)
-  * MERGE upsert, so a stalled duplicate refresher that resumes after a
-  * winner cannot destroy the winner's rows (the delete touches only
-  * retired ids, the merge is skipped by the txn fast path) — and any
-  * process answers from storage without re-signing the corpus.
+  * the covered base version rides as a txn watermark (appId [[AppId]]),
+  * and BOTH halves of a refresh are fenced by a watermark — retirements
+  * by their own appId ([[DelAppId]], pinned unconditionally before the
+  * merge so a slice's deletes can never be older than its upserts), fresh
+  * bands by [[AppId]] on the keyed (id, band) MERGE upsert. A stalled
+  * refresher that resumes AFTER a newer refresh completed replays an
+  * already-superseded slice: its delete AND its merge are both skipped by
+  * the txn fast path (round-13 ADVICE — with an unfenced delete, a stale
+  * slice could remove band rows a newer slice re-inserted). Any process
+  * answers from storage without re-signing the corpus.
+  *
+  * CONCURRENCY SCOPE: replays, crashes mid-refresh, and stalled
+  * refreshers resuming after a winner are all harmless (above). Two
+  * refreshers INTERLEAVING their mutations live, or a [[build]] racing an
+  * in-flight refresh, still require a single serialized maintainer (the
+  * [[graft.tools.Maintenance]] cycle) — the same single-maintainer
+  * contract as [[IvfStore]]; the build_id aggregate check below turns a
+  * build-vs-refresh mix into a loud refusal rather than silent
+  * mixed-parameter probing.
   *
   * `build_id` is the banding-parameter fingerprint, stamped on BOTH
   * tables: a re-[[build]] with different parameters that crashes between
@@ -50,6 +62,13 @@ object DedupStore {
 
   /** Writer id for the version watermark on `bands`. */
   val AppId = "graft-dedup"
+
+  /** Writer id fencing refresh RETIREMENTS separately from upserts: the
+    * delete and the merge of one slice must both run (same target
+    * version), so they cannot share an appId — the first would trip the
+    * second's exactly-once fast path. A separate delete watermark lets a
+    * stale slice's delete be skipped without blocking its merge check. */
+  val DelAppId = "graft-dedup-del"
 
   private def configTable(root: String) = s"$root/config"
   private def bandsTable(root: String) = s"$root/bands"
@@ -70,7 +89,12 @@ object DedupStore {
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val baseVersion = CommitLog.latestVersion(baseTable).getOrElse(
       throw new IllegalArgumentException(s"$baseTable has no committed versions"))
-    val corpus = CommitLog.read(spark, baseTable)
+    // read PINNED at the resolved version (round-13 ADVICE): a commit
+    // landing between latestVersion() and a live-table read would band a
+    // snapshot NEWER than the recorded watermark — safe in direction
+    // (refresh re-folds idempotently) but the duplicate-id check and the
+    // banded content would disagree with the version the watermark claims
+    val corpus = CommitLog.readAt(spark, baseTable, baseVersion)
     val cnts = corpus
       .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("nd")).head()
     require(cnts.getLong(0) == cnts.getLong(1),
@@ -97,6 +121,23 @@ object DedupStore {
   def coveredVersion(indexRoot: String): Option[Long] =
     CommitLog.txnVersion(bandsTable(indexRoot), AppId)
 
+  /** The store's data table, for maintenance (width-gated compaction —
+    * refresh merges accumulate commit dirs on `bands` like any hot
+    * table). */
+  def artifactTable(indexRoot: String): String = bandsTable(indexRoot)
+
+  /** Merge-accumulation fraction of the bands snapshot since the last
+    * build — [[IndexUpkeep.mergeDriftFraction]], the same metadata-only
+    * walk [[IvfStore.staleFraction]] runs. NOT semantic drift: the store
+    * has no fitted model (incremental maintenance is EXACTLY a full
+    * recompute — class doc), so a high value never means wrong answers;
+    * it is layout debt — the snapshot is mostly merge deltas, and a
+    * clean re-[[build]] (one overwrite) or compaction resets it. The
+    * maintenance cycle surfaces it with the same threshold-alarm
+    * semantics as the ANN stores. */
+  def staleFraction(indexRoot: String): Double =
+    IndexUpkeep.mergeDriftFraction(bandsTable(indexRoot))
+
   /** Fold every base change since the covered watermark into the band
     * table: the change-feed slice reduces to one final action per doc
     * ([[IndexUpkeep.finalActions]]); retired docs leave the table
@@ -105,7 +146,13 @@ object DedupStore {
     * MERGE-upserted on (id, band) — a rewritten doc emits the same band
     * indexes, so the upsert replaces its stale keys in place and a
     * replayed refresh is a txn no-op. O(delta) compute + O(touched files)
-    * rewrite; the no-op-slice watermark pin mirrors [[IvfStore.refresh]]. */
+    * rewrite; the no-op-slice watermark pin mirrors [[IvfStore.refresh]].
+    *
+    * Fencing order (class doc, CONCURRENCY SCOPE): delete under
+    * [[DelAppId]], pin [[DelAppId]] BEFORE the merge, merge under
+    * [[AppId]], pin [[AppId]] — so the moment a slice's upserts are
+    * visible, every older slice's delete is already fenced, and a crash
+    * at any point re-runs idempotently. */
   def refresh(spark: SparkSession, baseTable: String, indexRoot: String,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val covered = coveredVersion(indexRoot).getOrElse(
@@ -123,17 +170,23 @@ object DedupStore {
         .select(col(idCol))
       val fresh = finalActs.filter(col(CommitLog.ChangeTypeCol) =!= "delete")
         .select(col(idCol), col(textCol))
-      val hasFresh = !fresh.isEmpty
+      def pin(app: String): Unit =
+        if (!CommitLog.txnVersion(bandsTable(indexRoot), app).exists(_ >= latest))
+          CommitLog.commit(
+            CommitLog.read(spark, bandsTable(indexRoot)).limit(0),
+            bandsTable(indexRoot), "append", txn = Some((app, latest))): Unit
       CommitLog.deleteKeys(spark, bandsTable(indexRoot), retired, Seq(idCol),
-        txn = if (hasFresh) None else Some((AppId, latest)))
-      if (hasFresh)
+        txn = Some((DelAppId, latest)))
+      // pin the delete watermark BEFORE the merge: once this slice's
+      // upserts are visible, no older slice's delete may still be live
+      // (deleteKeys records its txn only when keys matched — an empty or
+      // all-miss retirement set leaves the fence to this pin)
+      pin(DelAppId)
+      if (!fresh.isEmpty)
         CommitLog.merge(spark, bandsTable(indexRoot),
           bandRows(fresh, w, bands, rowsPerBand, idCol, textCol, bid),
           Seq(idCol, "band"), txn = Some((AppId, latest)))
-      if (!coveredVersion(indexRoot).exists(_ >= latest))
-        CommitLog.commit(
-          CommitLog.read(spark, bandsTable(indexRoot)).limit(0),
-          bandsTable(indexRoot), "append", txn = Some((AppId, latest)))
+      pin(AppId)
       latest
     } finally finalActs.unpersist(blocking = false): Unit
   }
@@ -177,24 +230,56 @@ object DedupStore {
       .select("query_id", "match_id").distinct()
   }
 
+  /** Checked configs memoized per index root, keyed by the (config,
+    * bands) table versions the check ran against (round-13 VERDICT item
+    * 7): the verified result is a function of immutable versioned
+    * storage, so a hot serving loop of [[pairs]]/[[candidates]] calls
+    * pays two driver-side version listings (no Spark actions) per probe
+    * instead of two jobs, and ANY commit to either table — a re-build, a
+    * refresh merge — changes a version and forces a re-check. One entry
+    * per root (latest wins), so the cache is bounded by live roots. */
+  private val configCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, (Int, Int, Int, String))]()
+
+  /** Drop memoized config checks — tests and long-lived drivers. */
+  def invalidateConfigCache(): Unit = configCache.clear()
+
+  /** Count of config checks that actually ran jobs (cache misses) —
+    * exposed for the serving-path spec; monotonic per JVM. */
+  @volatile private[ext] var configCheckCount: Long = 0L
+
   /** Load the banding config AND verify the bands table carries the same
     * parameter fingerprint — a torn re-build (config overwritten, bands
     * overwrite crashed) must refuse loudly, never probe old-parameter
-    * bands with new-parameter keys. One sampled row: refresh mixing is
-    * impossible (it refuses here first), so any surviving row exposes a
-    * tear. An EMPTY bands table has nothing to mismatch and passes. */
+    * bands with new-parameter keys. AGGREGATE check (round-13 ADVICE): a
+    * re-build racing an in-flight refresh can land old-build rows in the
+    * new bands table, so a single sampled row could miss the mix — the
+    * distinct build_id set must be exactly {config's}. An EMPTY bands
+    * table has nothing to mismatch and passes. */
   private def checkedConfig(spark: SparkSession,
       indexRoot: String): (Int, Int, Int, String) = {
-    val row = CommitLog.read(spark, configTable(indexRoot))
+    val cv = CommitLog.latestVersion(configTable(indexRoot)).getOrElse(
+      throw new IllegalStateException(s"$indexRoot has no built index; run build first"))
+    val bv = CommitLog.latestVersion(bandsTable(indexRoot)).getOrElse(
+      throw new IllegalStateException(
+        s"$indexRoot: config exists but bands table has no versions — a " +
+          "first build crashed before its bands overwrite; run build again"))
+    Option(configCache.get(indexRoot)) match {
+      case Some((`cv`, `bv`, cfg)) => return cfg
+      case _ => ()
+    }
+    configCheckCount += 1
+    val row = CommitLog.readAt(spark, configTable(indexRoot), cv)
       .select("w", "bands", "rows_per_band", "build_id").head()
     val cfg = (row.getInt(0), row.getInt(1), row.getInt(2), row.getString(3))
-    CommitLog.read(spark, bandsTable(indexRoot))
-      .select("build_id").head(1).headOption.foreach { b =>
-        require(b.getString(0) == cfg._4,
-          s"$indexRoot: bands table carries build ${b.getString(0)} but " +
-            s"config says ${cfg._4} — a re-build crashed between its " +
-            "config and bands overwrites; run build again")
-      }
+    val ids = CommitLog.readAt(spark, bandsTable(indexRoot), bv)
+      .select("build_id").distinct().limit(3)
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(ids.isEmpty || ids == Seq(cfg._4),
+      s"$indexRoot: bands table carries builds [${ids.mkString(", ")}] but " +
+        s"config says ${cfg._4} — a re-build crashed between its config " +
+        "and bands overwrites, or raced an in-flight refresh; run build again")
+    configCache.put(indexRoot, (cv, bv, cfg))
     cfg
   }
 

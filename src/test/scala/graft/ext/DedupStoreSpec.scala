@@ -121,6 +121,89 @@ class DedupStoreSpec extends SparkSpec {
     assert(DedupStore.pairs(spark, index).count() >= 0L)
   }
 
+  test("a stale replayed slice's delete AND merge are both watermark-fenced") {
+    // round-13 ADVICE (medium): doc X is deleted in slice (v1→v2) and
+    // re-inserted in (v2→v3). The winner refreshes to v3 (X's final
+    // action over v1→v3 is upsert — its bands land). A stalled refresher
+    // that computed the OLD slice and resumes now would replay delete(X)
+    // — with an unfenced delete that silently diverges the store.
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    val all = corpus(0L to 11L: _*)
+    CommitLog.commit(all.toDF("doc_id", "text"), base, "append")
+    DedupStore.build(spark, base, index)                     // covers v1
+    CommitLog.deleteKeys(spark, base, Seq(1L).toDF("doc_id"), Seq("doc_id")) // v2
+    CommitLog.commit(Seq(all.find(_._1 == 1L).get).toDF("doc_id", "text"),
+      base, "append")                                        // v3: re-insert
+    DedupStore.refresh(spark, base, index)                   // winner
+    val before = DedupStore.pairs(spark, index)
+      .as[(Long, Long)].collect().toSet
+    assert(before.exists(p => p._1 == 1L || p._2 == 1L),
+      "re-inserted doc must be banded after the winner's refresh")
+    // the stale replayer's two mutations, exactly as refresh issues them
+    // for latest=2: both must be skipped by the txn fast path
+    val bands = DedupStore.artifactTable(index)
+    CommitLog.deleteKeys(spark, bands, Seq(1L).toDF("doc_id"), Seq("doc_id"),
+      txn = Some((DedupStore.DelAppId, 2L)))
+    CommitLog.merge(spark, bands,
+      CommitLog.read(spark, bands).limit(1)
+        .withColumn("bandkey", lit("poisoned-stale-key")),
+      Seq("doc_id", "band"), txn = Some((DedupStore.AppId, 2L)))
+    val after = DedupStore.pairs(spark, index)
+      .as[(Long, Long)].collect().toSet
+    assert(after === before, "stale slice replay must change nothing")
+    assert(after === batchPairs(all), "store must still equal batch recompute")
+  }
+
+  test("aggregate build_id check refuses a bands table with MIXED builds") {
+    // round-13 ADVICE (low): a re-build racing an in-flight refresh can
+    // land old-build rows inside the new bands table — a single sampled
+    // row can miss the mix; the distinct-set check cannot.
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(corpus(0L to 8L: _*).toDF("doc_id", "text"), base, "append")
+    DedupStore.build(spark, base, index)
+    val bands = DedupStore.artifactTable(index)
+    // one foreign-build row amid many current ones (sampling would
+    // almost certainly return a current row and pass)
+    CommitLog.commit(
+      CommitLog.read(spark, bands).limit(1)
+        .withColumn("doc_id", lit(999L))
+        .withColumn("build_id", lit("w9b9r9")),
+      bands, "append")
+    val mixed = intercept[IllegalArgumentException] {
+      DedupStore.pairs(spark, index).count()
+    }
+    assert(mixed.getMessage.contains("w9b9r9"))
+    // re-build repairs
+    DedupStore.build(spark, base, index)
+    assert(DedupStore.pairs(spark, index).count() >= 0L)
+  }
+
+  test("config check is memoized per (root, versions): one job set across repeated probes") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    val all = corpus(0L to 11L: _*)
+    CommitLog.commit(all.toDF("doc_id", "text"), base, "append")
+    DedupStore.build(spark, base, index)
+    DedupStore.invalidateConfigCache()
+    val c0 = DedupStore.configCheckCount
+    DedupStore.pairs(spark, index).count()
+    DedupStore.candidates(spark, index,
+      corpus(100L).toDF("doc_id", "text")).count()
+    DedupStore.pairs(spark, index).count()
+    assert(DedupStore.configCheckCount === c0 + 1,
+      "repeated probes of an unchanged store must not re-run the check")
+    // any commit to either table invalidates: a re-build bumps versions
+    // and the NEXT probe re-checks (and still refuses a planted tear)
+    DedupStore.build(spark, base, index, bands = 8)
+    DedupStore.pairs(spark, index).count()
+    assert(DedupStore.configCheckCount === c0 + 2)
+  }
+
   test("candidates probes the store for a new batch without re-signing the corpus") {
     val root = freshRoot()
     val base = s"$root/base"

@@ -3,6 +3,7 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
+import graft.ext.{Dedup, DedupStore}
 import graft.tx.CommitLog
 import org.apache.spark.sql.functions._
 
@@ -174,6 +175,54 @@ class MaintenanceSpec extends SparkSpec {
     val res = graft.ext.PqStore.topK(spark, base, index,
       emb.filter(col("vec_id") < 10), k = 3)
     assert(res.groupBy("query_id").count().count() === 10L)
+  }
+
+  test("the cycle refreshes a registered dedup store alongside both ANN stores") {
+    // round-13 VERDICT item 2: the band table has the identical watermark
+    // contract as the ANN stores, so the hourly cron analogue must drive
+    // all three from one Policy — no separate dedup cron.
+    val root = Files.createTempDirectory("graft_maint_dedup").toString
+    val base = s"$root/base"
+    val (ivf, pq, ddp) = (s"$root/ivf", s"$root/pq", s"$root/dedup")
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, dir).select("doc_id", "text")
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    val full = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select("doc_id", "text", "vec_id", "embedding")
+    CommitLog.commit(full.filter(col("doc_id") < 400L), base, "append")
+    graft.ext.IvfStore.build(spark, base, ivf, nCells = 8)
+    graft.ext.PqStore.build(spark, base, pq)
+    graft.ext.DedupStore.build(spark, base, ddp)
+    // base advances between cron ticks: an append AND a doc retirement
+    CommitLog.commit(
+      full.filter(col("doc_id") >= 400L && col("doc_id") < 450L), base, "append")
+    CommitLog.deleteKeys(spark, base,
+      full.filter(col("doc_id") === 7L).select("doc_id"), Seq("doc_id"))
+    val pol = Maintenance.Policy(minAgeMillis = 0, force = true,
+      vacuumKeepVersions = 6, indexes = Seq(
+        Maintenance.IndexRef(ivf),
+        Maintenance.IndexRef(pq, kind = "pq"),
+        Maintenance.IndexRef(ddp, idCol = "doc_id", kind = "dedup")))
+    val r1 = Maintenance.run(spark, base, pol)
+    val latest = CommitLog.latestVersion(base).get
+    assert(r1.refreshedIndexes === Seq(ivf -> latest, pq -> latest, ddp -> latest))
+    assert(graft.ext.DedupStore.coveredVersion(ddp) === Some(latest))
+    assert(r1.healthy)
+    // the maintained store answers exactly like a batch recompute of the
+    // mutated base — and the retired doc's bands are gone
+    val stored = DedupStore.pairs(spark, ddp)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashCandidates(
+        CommitLog.read(spark, base).select("doc_id", "text"),
+        col("text"), col("doc_id"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === batch)
+    assert(!stored.exists(p => p._1 == 7L || p._2 == 7L))
+    // replay-safe: a second cycle no-ops all three refreshes
+    val bV = CommitLog.latestVersion(graft.ext.DedupStore.artifactTable(ddp)).get
+    val r2 = Maintenance.run(spark, base, pol)
+    assert(r2.refreshedIndexes.map(_._2).forall(_ === latest))
+    assert(CommitLog.latestVersion(graft.ext.DedupStore.artifactTable(ddp)) === Some(bV))
   }
 
   test("the cycle re-clusters a gated index's codes once refresh merges widen it") {
