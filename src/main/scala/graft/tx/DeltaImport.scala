@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructField, StructType}
 
 /** `CONVERT TO GRAFT` over an existing DELTA table (the import half of the
   * round-11 interop gap; [[DeltaExport]] is the export half): the
@@ -28,11 +28,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, Str
   *     it; `remove` tombstones inside a checkpoint are already applied
   *     and are ignored, `remove` actions in commits drop;
   *  2. refuse unreadable tables LOUDLY before touching anything:
-  *     unsupported reader protocol (anything beyond reader v1 or a
-  *     v2Checkpoint-only reader v3 — deletion vectors, column mapping),
-  *     `delta.columnMapping.mode` set, any `add.deletionVector`, a gap in
-  *     the commit sequence, an incomplete multi-part checkpoint, or an
-  *     absolute/external `add.path`/`sidecar.path`;
+  *     unsupported reader protocol (features beyond
+  *     v2Checkpoint/columnMapping — e.g. deletion vectors), column
+  *     mapping mode `id` (files keyed by parquet field ids) or NESTED
+  *     physical renames, any `add.deletionVector`, a gap in the commit
+  *     sequence, an incomplete multi-part checkpoint, or an
+  *     absolute/external `add.path`/`sidecar.path`. Column mapping mode
+  *     `name` IMPORTS (round-13 VERDICT item 1): the physical names
+  *     translate directly into graft's own `colMap`;
   *  3. move each LIVE file into one fresh `data/<uuid>/` commit dir under
   *     hive `k=v` segments rebuilt from the add's `partitionValues` (the
   *     authoritative source — Delta paths are not required to carry hive
@@ -55,7 +58,12 @@ object DeltaImport {
   private final case class DeltaSnapshot(
       adds: Seq[(String, Map[String, Option[String]])],
       schema: StructType, partitionColumns: Seq[String],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      /** logical → physical file-column names (Delta columnMapping
+        * mode=name); partition columns excluded — their PHYSICAL names
+        * live in [[partPhys]] for resolving `add.partitionValues` keys. */
+      colMap: Map[String, String] = Map.empty,
+      partPhys: Map[String, String] = Map.empty)
 
   def convertDelta(spark: SparkSession, table: String,
       partitionBy: Seq[String] = Nil): Long = {
@@ -116,8 +124,13 @@ object DeltaImport {
             // column; a missing key is a NONCONFORMING add, and defaulting
             // it to __HIVE_DEFAULT_PARTITION__ would silently null that
             // file's partition column — refuse loudly instead, naming the
-            // file (round-12 ADVICE, low)
-            val key = pvals.keys.find(_.equalsIgnoreCase(c)).getOrElse(
+            // file (round-12 ADVICE, low). Under column mapping the
+            // entry is keyed by the column's PHYSICAL name; the hive dir
+            // is built under the LOGICAL name either way (graft layout
+            // columns are logical — partition values live in dirs, not
+            // files, so the mapping ends here).
+            val lookup = snap.partPhys.getOrElse(c, c)
+            val key = pvals.keys.find(_.equalsIgnoreCase(lookup)).getOrElse(
               throw new IllegalArgumentException(
                 s"Delta add for file '$rel' lacks a partitionValues entry " +
                   s"for partition column '$c' — nonconforming log, refusing " +
@@ -197,7 +210,7 @@ object DeltaImport {
     Files.createDirectories(tableDir.resolve("_graft_log"))
     val v = CommitLog.publishImport(table,
       moved.map(f => tableDir.relativize(f).toString.replace('\\', '/')),
-      snap.schema, snap.partitionColumns, snap.txns)
+      snap.schema, snap.partitionColumns, snap.txns, snap.colMap)
     Files.deleteIfExists(planFile)
     v
   }
@@ -300,22 +313,26 @@ object DeltaImport {
         e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
       }.toMap
     }
-    // Reader-protocol gate: basic tables (reader v1) and v2Checkpoint-only
-    // tables (reader v3 whose readerFeatures carry nothing else) convert.
-    // Reader v2 (column mapping) and any other v3 feature (deletion
-    // vectors, column mapping, timestampNtz physical types…) refuse — the
-    // features change how FILES must be read, not just the log.
+    // Reader-protocol gate: basic tables (reader v1), legacy
+    // column-mapping tables (reader v2 — graft's own colMap serves
+    // name-mode physical files; id mode still refuses below, at the
+    // metadata where the mode is actually declared), and reader-v3
+    // tables whose features are only v2Checkpoint / columnMapping
+    // convert. Any other v3 feature (deletion vectors, timestampNtz
+    // physical types…) refuses — those change how FILES must be read,
+    // not just the log.
     def requireSupportedReader(r: Int, feats: Seq[String]): Unit = {
-      if (r > 1) {
-        val unsupported = feats.filterNot(_ == "v2Checkpoint")
+      if (r > 2) {
+        val unsupported = feats.filterNot(f =>
+          f == "v2Checkpoint" || f == "columnMapping")
         require(r == 3 && feats.nonEmpty && unsupported.isEmpty,
           s"Delta protocol minReaderVersion $r" +
             (if (unsupported.nonEmpty)
               s" with reader features [${unsupported.mkString(", ")}]"
             else "") +
             " is unsupported for import (reader features like deletion " +
-            "vectors / column mapping v2); basic (reader v1) and " +
-            "v2Checkpoint-only (reader v3) tables convert")
+            "vectors); basic (reader v1), column-mapped (reader v2), and " +
+            "v2Checkpoint/columnMapping-only (reader v3) tables convert")
       }
     }
     def apply(action: JsonNode, fromCheckpoint: Boolean): Unit = {
@@ -526,12 +543,71 @@ object DeltaImport {
         "snapshot would be stale; restore the missing parts or have a " +
         "Delta writer rewrite a complete checkpoint, then re-run CONVERT")
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none",
+    require(cmMode == "none" || cmMode == "name",
       s"Delta column mapping mode '$cmMode' is unsupported for import; " +
-        "files store mapped names the schema wouldn't match")
-    DeltaSnapshot(adds.toSeq,
-      DataType.fromJson(schemaString.get).asInstanceOf[StructType],
-      partitionColumns, txns.toMap)
+        "its files are keyed by parquet field IDS, which graft's " +
+        "name-based read path cannot resolve — have a Delta writer " +
+        "rewrite the table to mode 'name' or 'none' first")
+    val schema0 = DataType.fromJson(schemaString.get).asInstanceOf[StructType]
+    val (schema, colMap, partPhys) =
+      if (cmMode == "none") (schema0, Map.empty[String, String], Map.empty[String, String])
+      else mappedSchema(schema0, partitionColumns)
+    DeltaSnapshot(adds.toSeq, schema, partitionColumns, txns.toMap,
+      colMap, partPhys)
+  }
+
+  /** NAME-mode column mapping → graft `colMap` (round-13 VERDICT item 1's
+    * import half): each top-level field's
+    * `delta.columnMapping.physicalName` metadata names what the data
+    * files store; graft's own mapped-read path (logical schema +
+    * logical→physical `colMap`, [[CommitLog.renameColumn]]) serves it
+    * natively, so the import stays metadata-only. Partition columns are
+    * excluded from the map — Delta never writes them into data files and
+    * graft materializes them from the hive dirs the import plan builds
+    * (under their LOGICAL names). NESTED mappings refuse: graft's colMap
+    * aliases top-level columns only, so a physically-renamed nested
+    * field would silently read as null through the logical schema. The
+    * returned schema is stripped of the mapping metadata — the colMap IS
+    * that truth in graft, and stale field metadata would linger after an
+    * OPTIMIZE clears the map. */
+  private def mappedSchema(schema0: StructType, partitionColumns: Seq[String])
+      : (StructType, Map[String, String], Map[String, String]) = {
+    val CmKeys = Seq("delta.columnMapping.id",
+      "delta.columnMapping.physicalName", "delta.columnMapping.nested.ids")
+    def physNameOf(f: StructField): Option[String] =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        Some(f.metadata.getString("delta.columnMapping.physicalName"))
+      else None
+    def strip(f: StructField): StructField = {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      CmKeys.foreach(mb.remove)
+      f.copy(metadata = mb.build(), dataType = stripType(f.dataType, f.name))
+    }
+    def stripType(dt: DataType, path: String): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { nf =>
+        physNameOf(nf).filter(_ != nf.name).foreach { p =>
+          throw new IllegalArgumentException(
+            s"Delta column mapping renames NESTED field '$path.${nf.name}' " +
+              s"to physical '$p' — unsupported for import (graft maps " +
+              "top-level columns only); have a Delta writer rewrite the " +
+              "files under logical names first")
+        }
+        strip(nf)
+      })
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType = stripType(at.elementType, s"$path[]"))
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(valueType = stripType(mt.valueType, s"$path{}"))
+      case other => other
+    }
+    val partSet = partitionColumns.map(_.toLowerCase).toSet
+    val mapped = schema0.fields.flatMap { f =>
+      physNameOf(f).filter(_ != f.name).map(f.name -> _)
+    }.toMap
+    val (partPhys, colMap) =
+      mapped.partition { case (l, _) => partSet(l.toLowerCase) }
+    (StructType(schema0.fields.map(strip)), colMap, partPhys)
   }
 
   /** Validate an `add.path` AFTER decoding and prove it stays inside the

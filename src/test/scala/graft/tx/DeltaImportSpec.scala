@@ -196,11 +196,13 @@ class DeltaImportSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       CommitLog.convert(spark, t2.toString)).getMessage.contains("minReaderVersion"))
 
-    // column mapping
+    // column mapping mode ID refuses (files keyed by parquet field ids,
+    // which the name-based read path cannot resolve); NAME mode imports —
+    // see the dedicated test below
     val t3 = freshDir()
     val s3 = writeFile(t3, "part-0001.parquet", Seq((1L, 1.0)))
     writeCommit(t3, 0L, Seq(protocolV1,
-      metaAction(config = """{"delta.columnMapping.mode":"name"}"""),
+      metaAction(config = """{"delta.columnMapping.mode":"id"}"""),
       addAction("part-0001.parquet", s3)))
     assert(intercept[IllegalArgumentException](
       CommitLog.convert(spark, t3.toString)).getMessage.contains("column mapping"))
@@ -213,6 +215,73 @@ class DeltaImportSpec extends SparkSpec {
     writeCommit(t4, 2L, Seq(addAction("part-0001.parquet", s4)))
     assert(intercept[IllegalArgumentException](
       CommitLog.convert(spark, t4.toString)).getMessage.contains("gap"))
+  }
+
+  test("NAME-mode column mapping imports: physical file names become graft colMap") {
+    // foreign writer laid down a renamed table: files store physical
+    // column `val_phys`, the logical schema calls it `value`
+    val t = freshDir()
+    val tmp = Files.createTempDirectory("dimp_cm")
+    Seq((1L, 1.5), (2L, 2.5)).toDF("id", "val_phys")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val src = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(t)
+    Files.move(src, t.resolve("part-0001.parquet"))
+    val sz = Files.size(t.resolve("part-0001.parquet"))
+    import org.apache.spark.sql.types._
+    val mappedSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder().putLong("delta.columnMapping.id", 1L)
+          .putString("delta.columnMapping.physicalName", "id").build()),
+      StructField("value", DoubleType, nullable = true,
+        new MetadataBuilder().putLong("delta.columnMapping.id", 2L)
+          .putString("delta.columnMapping.physicalName", "val_phys").build())))
+    writeCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"11111111-1111-1111-1111-111111111111",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(mappedSchema.json)},""" +
+        s""""partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      addAction("part-0001.parquet", sz)))
+    val v = CommitLog.convert(spark, t.toString)
+    // graft serves LOGICAL names over the physically-named file
+    val got = CommitLog.read(spark, t.toString)
+    assert(got.schema.fieldNames.toSeq === Seq("id", "value"))
+    assert(got.select("id", "value").as[(Long, Double)].collect().sorted
+      === Seq((1L, 1.5), (2L, 2.5)))
+    // the mapping landed as colMap, and the foreign metadata is stripped
+    val m = CommitLog.manifest(t.toString, v)
+    assert(m.colMap === Map("value" -> "val_phys"))
+    assert(!m.schema.fields.exists(
+      _.metadata.contains("delta.columnMapping.physicalName")))
+    // OPTIMIZE rewrites to logical names and clears the map — the full
+    // graft lifecycle works on the imported table
+    CommitLog.compact(spark, t.toString)
+    assert(CommitLog.manifest(t.toString,
+      CommitLog.latestVersion(t.toString).get).colMap === Map.empty)
+    assert(CommitLog.read(spark, t.toString).select("value").as[Double]
+      .collect().sorted === Seq(1.5, 2.5))
+
+    // a NESTED physical rename refuses loudly
+    val t2 = freshDir()
+    val s2 = writeFile(t2, "part-0001.parquet", Seq((1L, 1.0)))
+    val nested = StructType(Seq(
+      StructField("id", LongType),
+      StructField("obj", StructType(Seq(
+        StructField("inner", StringType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "col-xyz")
+            .build()))))))
+    writeCommit(t2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(config = """{"delta.columnMapping.mode":"name"}""")
+        .replace(jstr(schemaJson), jstr(nested.json)),
+      addAction("part-0001.parquet", s2)))
+    assert(intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t2.toString)).getMessage.contains("NESTED"))
   }
 
   test("a crashed import RESUMES from its recorded plan at every interruption point") {
