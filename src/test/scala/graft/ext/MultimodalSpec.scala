@@ -45,6 +45,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG roundtrip: encodeToPng → ImageIoDecoder reproduces the exact pixels") {
+    // the real codec (javax.imageio) decodes the synthesized PNGs to the
+    // SAME pixels the stub derives from the raw bytes — lossless 8-bit
+    // grayscale, so the whole decode pipeline can run production-real
+    // while a codec-free twin still predicts every byte
+    val raw = media.filter(octet_length(col("payload")) > 0)
+    val png = Multimodal.encodeToPng(raw)
+    assert(png.schema.fieldNames.toSeq === Multimodal.mediaSchema.fieldNames.toSeq)
+    assert(png.select("meta.format").distinct().as[String].collect().toSeq
+      === Seq("png"))
+    // payloads really are PNG on the wire (magic bytes)
+    png.select("payload").as[Array[Byte]].take(5).foreach { b =>
+      assert(b.take(8).toSeq ===
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    }
+    val viaReal = Multimodal.decodeFeatures(png, Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect().toSeq
+    val viaStub = Multimodal.decodeFeatures(raw, Multimodal.StubDecoder)
+      .orderBy("media_id").collect().toSeq
+    assert(viaReal === viaStub)
+    // resize through the real codec matches the stub path byte-for-byte
+    val rReal = Multimodal.resize(png, 4, 4, Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect().toSeq.map(_.getAs[Array[Byte]]("pixels").toSeq)
+    val rStub = Multimodal.resize(raw, 4, 4, Multimodal.StubDecoder)
+      .orderBy("media_id").collect().toSeq.map(_.getAs[Array[Byte]]("pixels").toSeq)
+    assert(rReal === rStub)
+  }
+
+  test("corrupt bytes refuse loudly through the real decoder") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode("definitely not a png".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+    // and in a distributed frame the task fails visibly, never a fake row
+    val corrupt = Seq((1L, "image", "garbage bytes".getBytes("UTF-8"),
+      ("png", 0, 0, 0))).toDF("media_id", "kind", "payload", "meta")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(corrupt, Multimodal.ImageIoDecoder).collect()
+    }
+    assert(err.getMessage.contains("not a decodable image") ||
+      Option(err.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
+  test("color images collapse to deterministic integer luminance") {
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // pure red
+    img.setRGB(1, 0, 0x4080c0) // mixed
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out): Unit
+    val d = Multimodal.ImageIoDecoder.decode(out.toByteArray)
+    assert(d.width === 2 && d.height === 1 && d.channels === 3)
+    assert((d.pixels(0) & 0xff) === (299 * 255 + 500) / 1000)
+    assert((d.pixels(1) & 0xff) ===
+      (299 * 0x40 + 587 * 0x80 + 114 * 0xc0 + 500) / 1000)
+  }
+
   test("frame sampling slices payloads and keeps every stride-th frame") {
     val one = media.filter(col("media_id") === 0)
     val payloadLen = one.select(length(col("payload"))).as[Int].collect().head
