@@ -155,6 +155,15 @@ object TextQueries {
         .select(col("doc_id"), col("neg_logp"))
         .orderBy("doc_id")),
 
+    // Interpolated hashed-BIGRAM LM (round-13 VERDICT item 4): the
+    // CCNet-shaped learned signal the unigram score cannot see — shuffled
+    // word order breaks bigram buckets while unigrams stay identical.
+    // Hashed buckets + add-1 smoothing keep it engine-exact; λ rides the
+    // plan as a literal, both LM tables broadcast.
+    "text_bigram_logprob" -> ((s, d) =>
+      TextStats.bigramLogProb(documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
     // Sketch-then-verify heavy hitters: one Misra-Gries pass (k=200
     // mergeable counters — O(k) shuffle instead of a full-token groupBy)
     // generates a GUARANTEED superset of tokens above 1% frequency
@@ -682,6 +691,42 @@ object TextQueries {
          SELECT doc_id, round(avg(-ln(c / CAST(n AS DOUBLE))), 6) AS neg_logp
          FROM toks JOIN freq USING (tok), tot
          GROUP BY doc_id ORDER BY doc_id""",
+    "text_bigram_logprob" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         uni AS (
+           SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 4096 AS b
+           FROM (SELECT doc_id, unnest(ts) AS tok FROM d)),
+         c1 AS (SELECT b, count(*) AS c1 FROM uni GROUP BY 1),
+         n1 AS (SELECT count(*) AS n FROM uni),
+         bg AS (
+           SELECT doc_id,
+             unnest(ts[1:len(ts)-1]) AS prev,
+             unnest(ts[2:len(ts)]) AS cur
+           FROM d WHERE len(ts) >= 2),
+         pos AS (
+           SELECT doc_id,
+             CAST('0x' || substr(md5(prev), 1, 4) AS BIGINT) % 4096 AS bprev,
+             CAST('0x' || substr(md5(cur), 1, 4) AS BIGINT) % 4096 AS bcur,
+             CAST('0x' || substr(md5(prev || ' ' || cur), 1, 4) AS BIGINT) % 4096 AS bbg
+           FROM bg),
+         c2 AS (SELECT bbg AS b, count(*) AS c2 FROM pos GROUP BY 1),
+         sc AS (
+           SELECT pos.doc_id,
+             round(avg(-ln(
+               CAST(0.7 AS DOUBLE) * (c2.c2 + 1) / CAST(p.c1 + 4096 AS DOUBLE)
+               + CAST(0.3 AS DOUBLE) * (c.c1 + 1) / CAST(n1.n + 4096 AS DOUBLE))), 6) AS neg_logp2
+           FROM pos
+             JOIN c2 ON pos.bbg = c2.b
+             JOIN c1 p ON pos.bprev = p.b
+             JOIN c1 c ON pos.bcur = c.b, n1
+           GROUP BY 1)
+         SELECT doc.doc_id, sc.neg_logp2
+         FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+         ORDER BY doc.doc_id""",
     "text_heavy_hitters_sketch" ->
       """WITH toks AS (
            SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),

@@ -87,6 +87,32 @@ class TextStatsSpec extends SparkSpec {
     assert((2 to 20).forall(i => scores(i.toLong) == commonScore))
   }
 
+  test("bigram log-prob: broken word ORDER scores higher than fluent text " +
+      "even when unigrams are identical — the signal the unigram LM cannot see") {
+    // 20 fluent docs of the same sentence + one doc with the SAME words
+    // shuffled (every unigram count identical) + one too-short doc
+    val fluent = "the quick brown fox jumps over the lazy dog again"
+    val shuffled = "dog the over quick lazy jumps brown again fox the"
+    val docs = ((1 to 20).map(i => (i.toLong, fluent)) ++
+      Seq((99L, shuffled), (100L, "solo"))).toDF("doc_id", "text")
+    val scores = TextStats.bigramLogProb(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val fl = scores(1L).get
+    val sh = scores(99L).get
+    assert(sh > fl + 0.5,
+      s"shuffled doc must score higher: shuffled=$sh fluent=$fl")
+    // unigram LM is blind to the same difference
+    val uni = TextStats.unigramLogProb(docs, col("text"), col("doc_id"))
+      .select(col("__id"), col("neg_logp")).as[(Long, Double)].collect().toMap
+    assert(uni(99L) === uni(1L))
+    // every repeated doc scores identically; <2-token docs carry NULL
+    assert((2 to 20).forall(i => scores(i.toLong).get == fl))
+    assert(scores(100L) === None)
+    // one row per input document, short docs included
+    assert(scores.size === 22)
+  }
+
   // reference md5-hex used by the hashedLinearScore tests
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
