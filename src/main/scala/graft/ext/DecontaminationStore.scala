@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.tx.CommitLog
+
+/** Bloom sketch of the TRAIN corpus's shingle hashes PERSISTED as a
+  * commit-log table and maintained from the train table's change feed —
+  * incremental test-set decontamination (round-13 VERDICT item 5). The
+  * batch `decontaminate_bloom` query rebuilds the sketch from the whole
+  * train corpus on EVERY run; at 100 TB the build is the cost, and it is
+  * almost always spent re-sketching unchanged data. Here the sketch
+  * lives on storage:
+  *
+  * {{{
+  *   <root>/sketch   one row: (w INT, capacity LONG, fpp DOUBLE,
+  *                             n_inserted LONG, sketch BINARY)
+  * }}}
+  *
+  * and [[refresh]] folds newly arrived train docs by UNIONING a
+  * delta-only sketch into the stored one — Bloom filters of equal
+  * (capacity, fpp) are mergeable bit-or's, so the steady-state cost of
+  * "did today's eval batch leak into train" is O(new train docs), never
+  * O(train corpus). Any process probes from storage map-side
+  * ([[flaggedDocs]] — the codegen'd BloomFilterMightContain over the
+  * batch's shingles) without touching the train table at all.
+  *
+  * DIRECTION OF ERROR (what makes a Bloom the right store here): the
+  * sketch can only OVER-flag. No false negatives by construction — a doc
+  * sharing a shingle with train always flags; build→refresh union
+  * preserves that (`dedup_incremental`-style oracle pins it). Deletes
+  * and rewrites in the feed are deliberately folded ADD-ONLY: a Bloom
+  * cannot retract bits, so a retired train doc's shingles keep flagging
+  * — a conservative stale-positive, never a leak. Reclaim precision with
+  * a periodic re-[[build]] (the [[saturation]] gauge says when).
+  *
+  * Sizing honesty: `capacity` is frozen at build (merge compatibility
+  * requires identical bit geometry), so build sizes it with headroom
+  * (4× the measured distinct-shingle count by default) and [[refresh]]
+  * tracks `n_inserted`; [[saturation]] > 1 means the fpp contract is no
+  * longer honest and a re-build with a larger capacity is due — the same
+  * threshold-alarm semantics as [[IvfStore.staleFraction]]. The sketch
+  * rides query plans as a broadcast literal, so capacity is also bounded
+  * by sane plan size (~10⁸ items ≈ 230 MB at 1e-4); beyond that, shard
+  * the store by shingle-hash prefix.
+  *
+  * Concurrency contract mirrors [[DedupStore]] where it applies, and is
+  * SIMPLER: one table, one overwrite per refresh, watermark appId
+  * [[AppId]] — a replayed or superseded-slice refresh is skipped whole
+  * by the txn fast path (no delete/merge split to fence). Like the other
+  * stores, live INTERLEAVED refreshers still want the single serialized
+  * maintainer ([[graft.tools.Maintenance]]). */
+object DecontaminationStore {
+
+  /** Writer id for the version watermark on `sketch`. */
+  val AppId = "graft-decon"
+
+  private def sketchTable(root: String) = s"$root/sketch"
+
+  /** Sketch the FULL train snapshot and publish; returns the covered
+    * train-table version. `expectedItems <= 0` sizes capacity as
+    * 4 × the measured distinct shingle count (growth headroom for
+    * refreshes), floored at 1000 so tiny corpora never allocate a
+    * degenerate filter. */
+  def build(spark: SparkSession, trainTable: String, indexRoot: String,
+      w: Int = 8, expectedItems: Long = -1L, fpp: Double = 1e-4,
+      textCol: String = "text"): Long = {
+    val baseVersion = CommitLog.latestVersion(trainTable).getOrElse(
+      throw new IllegalArgumentException(s"$trainTable has no committed versions"))
+    val corpus = CommitLog.readAt(spark, trainTable, baseVersion)
+    val sh = shingleFrame(corpus, w, textCol)
+    val capacity =
+      if (expectedItems > 0) expectedItems
+      else math.max(1000L, 4L * sh.select("__sh").distinct().count())
+    val (bf, n) = sketchOf(sh, capacity, fpp)
+    val txn =
+      if (coveredVersion(indexRoot).exists(_ >= baseVersion)) None
+      else Some((AppId, baseVersion))
+    commitSketch(spark, indexRoot, w, capacity, fpp, n, bf, txn)
+    baseVersion
+  }
+
+  /** Train-table version the sketch currently covers (the txn watermark). */
+  def coveredVersion(indexRoot: String): Option[Long] =
+    CommitLog.txnVersion(sketchTable(indexRoot), AppId)
+
+  /** The store's data table, for maintenance registration. */
+  def artifactTable(indexRoot: String): String = sketchTable(indexRoot)
+
+  /** Fill gauge: inserted shingle instances over frozen capacity. The
+    * count is of INSERTIONS (delta slices are distinct-per-slice, not
+    * vs. the stored set — a Bloom can't enumerate members), so it
+    * overestimates distinct fill; > 1.0 means the fpp bound is no longer
+    * honest and a re-[[build]] with a larger capacity is due. */
+  def saturation(spark: SparkSession, indexRoot: String): Double = {
+    val r = CommitLog.read(spark, sketchTable(indexRoot))
+      .select("n_inserted", "capacity").head()
+    r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  /** Fold train docs that arrived since the covered watermark: the
+    * change-feed slice reduces to one final action per doc, new/rewritten
+    * docs' shingles union in as a delta-only sketch (identical bit
+    * geometry — capacity/fpp come from the stored row), deletes fold
+    * ADD-ONLY (class doc: conservative stale-positives, never a leak).
+    * One overwrite commit carries the advanced watermark; a replayed or
+    * stale-slice refresh is a txn no-op. */
+  def refresh(spark: SparkSession, trainTable: String, indexRoot: String,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    val covered = coveredVersion(indexRoot).getOrElse(
+      throw new IllegalStateException(s"$indexRoot has no built sketch; run build first"))
+    val latest = CommitLog.latestVersion(trainTable).getOrElse(
+      throw new IllegalArgumentException(s"$trainTable has no committed versions"))
+    if (latest <= covered) return covered
+    val row = CommitLog.read(spark, sketchTable(indexRoot))
+      .select("w", "capacity", "fpp", "n_inserted", "sketch").head()
+    val (w, capacity, fpp, n0) =
+      (row.getInt(0), row.getLong(1), row.getDouble(2), row.getLong(3))
+    val stored = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](4)))
+    val feed = CommitLog.changeFeed(spark, trainTable, covered, Some(latest),
+      overwriteDiff = true)
+    val fresh = IndexUpkeep.finalActions(feed, idCol)
+      .filter(col(CommitLog.ChangeTypeCol) =!= "delete")
+      .select(col(textCol))
+    val (delta, nDelta) = sketchOf(shingleFrame(fresh, w, textCol), capacity, fpp)
+    stored.mergeInPlace(delta): Unit
+    commitSketch(spark, indexRoot, w, capacity, fpp, n0 + nDelta, stored,
+      Some((AppId, latest)))
+    latest
+  }
+
+  /** Batch doc ids that MIGHT share a shingle with the sketched train
+    * corpus — the serving probe: shingle the batch (O(batch)), filter
+    * map-side through the stored sketch as a codegen'd predicate, no
+    * shuffle until the final distinct on flagged ids. Superset of the
+    * exact contaminated set by the no-false-negative construction; chase
+    * with an exact semi-join on the flagged sliver when precision
+    * matters. */
+  def flaggedDocs(spark: SparkSession, indexRoot: String, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val row = CommitLog.read(spark, sketchTable(indexRoot))
+      .select("w", "sketch").head()
+    val bf = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+    batch.select(col(idCol), explode(graft.functions.ShingleHashes
+        .shingleHashes(TextStats.tokens(col(textCol)), row.getInt(0))).as("__sh"))
+      .filter(graft.functions.BloomColumns.mightContain(bf, col("__sh")))
+      .select(idCol).distinct()
+  }
+
+  /** Per-slice distinct shingle-hash rows of a document frame. */
+  private def shingleFrame(docs: DataFrame, w: Int, textCol: String): DataFrame =
+    docs.select(explode(graft.functions.ShingleHashes
+      .shingleHashes(TextStats.tokens(col(textCol)), w)).as("__sh"))
+      .distinct()
+
+  /** (sketch, inserted-count) of a shingle frame — one distributed
+    * treeAggregate; the driver holds only the bitmap. */
+  private def sketchOf(sh: DataFrame, capacity: Long,
+      fpp: Double): (BloomFilter, Long) = {
+    val pinned = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = pinned.count()
+      val bf =
+        if (n == 0) BloomFilter.create(capacity, fpp)
+        else pinned.stat.bloomFilter("__sh", capacity, fpp)
+      (bf, n)
+    } finally pinned.unpersist(blocking = false): Unit
+  }
+
+  private def commitSketch(spark: SparkSession, indexRoot: String, w: Int,
+      capacity: Long, fpp: Double, n: Long, bf: BloomFilter,
+      txn: Option[(String, Long)]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import spark.implicits._
+    CommitLog.commit(
+      Seq((w, capacity, fpp, n, bos.toByteArray))
+        .toDF("w", "capacity", "fpp", "n_inserted", "sketch"),
+      sketchTable(indexRoot), "overwrite", txn = txn): Unit
+  }
+}

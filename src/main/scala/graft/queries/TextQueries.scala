@@ -47,6 +47,27 @@ object TextQueries {
         .filter(col("split") === "train").select("__sh").distinct()
     }
 
+  /** sf dir → index root of the persisted decontamination sketch, built
+    * once per session over a commit-log TRAIN table: commit 90% of the
+    * train docs → build → append the held-out tenth → change-feed refresh
+    * (the same 90/10/refresh harness the dedup/ANN stores use). */
+  private val builtDeconStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureDeconStore(s: SparkSession, d: String): String =
+    builtDeconStore.computeIfAbsent(d, _ => {
+      val (base, index) = Tables.storeRoots(d, "deconstore")
+      val train = documents(s, d).filter(!isTestSplit(col("doc_id")))
+        .select("doc_id", "text")
+      graft.tx.CommitLog.commit(
+        train.filter(pmod(col("doc_id"), lit(10)) =!= 7), base, "append")
+      graft.ext.DecontaminationStore.build(s, base, index)
+      graft.tx.CommitLog.commit(
+        train.filter(pmod(col("doc_id"), lit(10)) === 7), base, "append")
+      graft.ext.DecontaminationStore.refresh(s, base, index)
+      index
+    })
+
   /** (doc_id, neg_logp, lang): the corpus-relative unigram-LM score joined
     * with the language column — consumed by `text_unigram_logprob`,
     * `quality_deciles`, and `quality_deciles_sketch`, each of which
@@ -416,6 +437,40 @@ object TextQueries {
           coalesce(sum(col("__e").cast("long")), lit(0L)).as("n_exact_contaminated"))
         .crossJoin(nTest)
         .select("bloom_catches_all", "n_exact_contaminated", "n_test_docs")
+    }),
+
+    // PERSISTED decontamination through the commit-log Bloom store
+    // ([[graft.ext.DecontaminationStore]], round-13 VERDICT item 5): the
+    // sketch is built on 90% of the train corpus, the held-out tenth
+    // arrives as a base-table append and folds in via a change-feed
+    // refresh that sketches ONLY the delta (Bloom union — never a corpus
+    // re-shingle), then the TEST docs probe the STORED sketch map-side.
+    // PROPERTY oracle: the union must preserve no-false-negatives across
+    // build → append → refresh, so every exactly-contaminated doc
+    // (against the FULL train set, appended slice included) must be
+    // store-flagged — a lost refresh, a geometry-mismatched union, or a
+    // stale watermark breaks the pinned verdict; the exact counts are
+    // data-dependent columns.
+    "decontaminate_store" -> ((s, d) => {
+      val index = ensureDeconStore(s, d)
+      val sh = cachedSplitShingles(s, d)
+      val testSh = sh.filter(col("split") === "test")
+      val flaggedStore = graft.ext.DecontaminationStore.flaggedDocs(
+        s, index, documents(s, d).filter(isTestSplit(col("doc_id")))
+          .select("doc_id", "text"))
+      val flaggedExact = testSh.join(cachedTrainShingles(s, d), "__sh", "left_semi")
+        .select("doc_id").distinct()
+      val nTest = documents(s, d)
+        .filter(isTestSplit(col("doc_id")))
+        .agg(count(lit(1)).as("n_test_docs"))
+      flaggedExact.withColumn("__e", lit(1))
+        .join(flaggedStore.withColumn("__b", lit(1)), Seq("doc_id"), "full_outer")
+        .agg(
+          (coalesce(sum(when(col("__e").isNotNull && col("__b").isNull, 1L)
+            .otherwise(0L)), lit(0L)) === 0).as("store_catches_all"),
+          coalesce(sum(col("__e").cast("long")), lit(0L)).as("n_exact_contaminated"))
+        .crossJoin(nTest)
+        .select("store_catches_all", "n_exact_contaminated", "n_test_docs")
     }),
 
     // Exact-dedup result: keep the lowest doc_id per fingerprint group.
@@ -989,6 +1044,26 @@ object TextQueries {
            FROM spans)
          SELECT seq_id, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens
          FROM contrib GROUP BY 1 ORDER BY seq_id""",
+    "decontaminate_store" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')
+               THEN 'test' ELSE 'train' END AS split,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tokens
+           FROM documents),
+         sh8 AS (
+           SELECT doc_id, split, unnest(list_distinct(CASE WHEN len(tokens) >= 8
+             THEN list_transform(range(1, len(tokens) - 6),
+               i -> array_to_string(tokens[i:i+7], ' '))
+             ELSE [array_to_string(tokens, ' ')] END)) AS shingle
+           FROM toks),
+         flagged AS (
+           SELECT DISTINCT t.doc_id
+           FROM sh8 t JOIN sh8 tr ON t.shingle = tr.shingle
+           WHERE t.split = 'test' AND tr.split = 'train')
+         SELECT true AS store_catches_all,
+           CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_exact_contaminated,
+           CAST((SELECT count(*) FROM toks WHERE split = 'test') AS BIGINT) AS n_test_docs""",
     "decontaminate_bloom" ->
       """WITH toks AS (
            SELECT doc_id,

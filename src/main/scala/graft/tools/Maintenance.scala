@@ -86,33 +86,41 @@ object Maintenance {
   final case class IndexRef(indexRoot: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       kind: String = "ivf", textCol: String = "text") {
-    require(kind == "ivf" || kind == "pq" || kind == "dedup",
+    require(kind == "ivf" || kind == "pq" || kind == "dedup" || kind == "decon",
       s"unknown index kind: $kind")
     def refresh(spark: SparkSession, table: String): Long = kind match {
       case "pq" => graft.ext.PqStore.refresh(spark, table, indexRoot, idCol, vecCol)
       case "dedup" =>
         graft.ext.DedupStore.refresh(spark, table, indexRoot, idCol, textCol)
+      case "decon" =>
+        graft.ext.DecontaminationStore.refresh(spark, table, indexRoot, idCol, textCol)
       case _ => graft.ext.IvfStore.refresh(spark, table, indexRoot, idCol, vecCol)
     }
+    /** For "decon" this is the [[graft.ext.DecontaminationStore.saturation]]
+      * fill gauge (> threshold ⇒ the fpp contract needs a bigger
+      * re-build) — the same alarm semantics, a different debt. */
     def staleFraction(): Double = kind match {
       case "pq" => graft.ext.PqStore.staleFraction(indexRoot)
       case "dedup" => graft.ext.DedupStore.staleFraction(indexRoot)
+      case "decon" => graft.ext.DecontaminationStore.saturation(
+        org.apache.spark.sql.SparkSession.active, indexRoot)
       case _ => graft.ext.IvfStore.staleFraction(indexRoot)
     }
     def artifactTable: String = kind match {
       case "pq" => graft.ext.PqStore.artifactTable(indexRoot)
       case "dedup" => graft.ext.DedupStore.artifactTable(indexRoot)
+      case "decon" => graft.ext.DecontaminationStore.artifactTable(indexRoot)
       case _ => graft.ext.IvfStore.artifactTable(indexRoot)
     }
     /** Cluster key for the artifact re-cluster: `cell` wherever the
       * layout powers a gate (IVF probe reads filter on it; the gated
       * composite's file skipping depends on it). The dedup band table
-      * has no gated read (its joins carry no static predicate), so it
-      * compacts unclustered. */
+      * has no gated read (its joins carry no static predicate) and the
+      * decon sketch is one row, so both compact unclustered. */
     def clusterBy: Seq[String] = kind match {
       case "pq" =>
         if (graft.ext.PqStore.isGated(indexRoot)) Seq("cell") else Nil
-      case "dedup" => Nil
+      case "dedup" | "decon" => Nil
       case _ => Seq("cell")
     }
   }

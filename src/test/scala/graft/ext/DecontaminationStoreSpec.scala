@@ -1,0 +1,132 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.tx.CommitLog
+import org.apache.spark.sql.functions._
+
+/** The persisted decontamination sketch: build once on the train corpus,
+  * fold newly arrived train docs through the change feed as Bloom unions,
+  * and the stored probe must keep the no-false-negative contract a fresh
+  * batch rebuild would give — plus replay/stale-slice safety via the
+  * watermark and the saturation gauge for the frozen capacity. */
+class DecontaminationStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_deconstore").toString
+
+  // train docs share an 8-token passage with some test docs (planted
+  // contamination); others are clean
+  private val passage = "alpha beta gamma delta epsilon zeta eta theta"
+  private def trainDocs(ids: Range): Seq[(Long, String)] =
+    ids.map(i => (i.toLong, s"$passage train doc $i filler words here"))
+  private val contaminatedTest = Seq(
+    (900L, s"completely new intro then $passage and an outro"),
+    (901L, s"$passage verbatim leak right at the start here"))
+  private val cleanTest = Seq(
+    (950L, "nothing in common with the training corpus at all in here truly"),
+    (951L, "independent words that never appeared before anywhere else okay"))
+
+  test("build → append → refresh: stored probe has NO false negatives vs the full train set") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 8).toDF("doc_id", "text"), base, "append")
+    val covered = DecontaminationStore.build(spark, base, index)
+    assert(covered === 1L)
+    assert(DecontaminationStore.coveredVersion(index) === Some(1L))
+    // a LATE train doc introduces a brand-new passage, then leaks into test
+    val latePassage = "one two three four five six seven eight"
+    CommitLog.commit(Seq((100L, s"$latePassage late train arrival text pad"))
+      .toDF("doc_id", "text"), base, "append")
+    assert(DecontaminationStore.refresh(spark, base, index) === 2L)
+    val batch = (contaminatedTest ++ cleanTest :+
+      (902L, s"leaks the late passage $latePassage here")).toDF("doc_id", "text")
+    val flagged = DecontaminationStore.flaggedDocs(spark, index, batch)
+      .as[Long].collect().toSet
+    assert(Set(900L, 901L, 902L).subsetOf(flagged),
+      s"every exactly-contaminated doc must flag (got $flagged)")
+    // the late doc's flagging PROVES the refresh folded the delta: the
+    // built sketch never saw latePassage
+    assert(flagged.contains(902L))
+    // replayed refresh is a txn no-op — no new version
+    val v = CommitLog.latestVersion(DecontaminationStore.artifactTable(index)).get
+    assert(DecontaminationStore.refresh(spark, base, index) === 2L)
+    assert(CommitLog.latestVersion(
+      DecontaminationStore.artifactTable(index)) === Some(v))
+    // clean docs USUALLY pass (fpp 1e-4 — not pinned, but both missing
+    // would smell like an always-true sketch)
+    assert(!flagged.contains(950L) || !flagged.contains(951L))
+  }
+
+  test("deletes fold ADD-ONLY: a retired train doc keeps flagging (conservative)") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 6).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index)
+    CommitLog.deleteKeys(spark, base, Seq(0L, 1L).toDF("doc_id"), Seq("doc_id"))
+    DecontaminationStore.refresh(spark, base, index)
+    val flagged = DecontaminationStore.flaggedDocs(spark, index,
+      contaminatedTest.toDF("doc_id", "text")).as[Long].collect().toSet
+    assert(flagged === Set(900L, 901L),
+      "stale positives are the documented safe direction — never a leak")
+  }
+
+  test("a stale replayed refresh slice cannot regress the sketch") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 4).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index)
+    CommitLog.commit(Seq((50L, "first appended passage alpha omega pad pad pad pad pad"))
+      .toDF("doc_id", "text"), base, "append") // v2
+    CommitLog.commit(Seq((51L, "second appended words nine ten eleven twelve pad pad pad pad"))
+      .toDF("doc_id", "text"), base, "append") // v3
+    DecontaminationStore.refresh(spark, base, index) // winner covers v3
+    // a stalled refresher replays the (v1→v2) slice's commit: one
+    // overwrite with an OLDER watermark — the txn fast path must skip it
+    val table = DecontaminationStore.artifactTable(index)
+    val before = CommitLog.read(spark, table)
+      .select("n_inserted").as[Long].head()
+    val vBefore = CommitLog.latestVersion(table).get
+    CommitLog.commit(
+      Seq((8, 1000L, 1e-4, 1L, Array[Byte](1, 2, 3)))
+        .toDF("w", "capacity", "fpp", "n_inserted", "sketch"),
+      table, "overwrite", txn = Some((DecontaminationStore.AppId, 2L)))
+    assert(CommitLog.latestVersion(table) === Some(vBefore))
+    assert(CommitLog.read(spark, table)
+      .select("n_inserted").as[Long].head() === before)
+  }
+
+  test("saturation gauges fill against the frozen capacity") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 8).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index, expectedItems = 100L)
+    val s0 = DecontaminationStore.saturation(spark, index)
+    assert(s0 > 0.0 && s0 < 10.0)
+    CommitLog.commit(
+      (200 until 220).map(i => (i.toLong,
+        s"fresh unique words row$i alpha$i beta$i gamma$i delta$i more$i"))
+        .toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.refresh(spark, base, index)
+    assert(DecontaminationStore.saturation(spark, index) > s0,
+      "refresh insertions must move the gauge")
+    // and the maintenance cycle drives the store through IndexRef
+    val pol = graft.tools.Maintenance.Policy(minAgeMillis = 0, force = true,
+      vacuumKeepVersions = 6, indexStaleThreshold = 1e9,
+      indexes = Seq(graft.tools.Maintenance.IndexRef(
+        index, idCol = "doc_id", kind = "decon")))
+    CommitLog.commit(Seq((300L, "maintenance tick arrival doc pad pad pad pad pad"))
+      .toDF("doc_id", "text"), base, "append")
+    val r = graft.tools.Maintenance.run(spark, base, pol)
+    assert(r.refreshedIndexes ===
+      Seq(index -> CommitLog.latestVersion(base).get))
+    assert(DecontaminationStore.coveredVersion(index) ===
+      CommitLog.latestVersion(base))
+  }
+}
