@@ -111,8 +111,21 @@ object DedupStore {
       Seq((w, bands, rowsPerBand, bid))
         .toDF("w", "bands", "rows_per_band", "build_id"),
       configTable(indexRoot), "overwrite")
+    // RANGE-CLUSTERED on the doc id (round-14 ScaleSmoke finding): the
+    // refresh path's keyed mutations (deleteKeys retirements, the
+    // (id, band) MERGE) pre-shrink their probe with per-file id BOUNDS —
+    // a hash-spread layout puts the whole id domain in every file's
+    // [min,max], so each refresh scanned the ENTIRE band table (O(corpus)
+    // hiding inside the O(delta) claim). Tight disjoint ranges prune a
+    // fresh-id append's merge to ZERO probed files and a rewrite to the
+    // files actually holding those ids; merge debt re-erodes the
+    // clustering, which the maintenance cycle's width-gated re-cluster
+    // (IndexRef(kind = "dedup").clusterBy) repays — the same layout
+    // story as PqStore's cell-clustered codes.
     CommitLog.commit(
-      bandRows(corpus, w, bands, rowsPerBand, idCol, textCol, bid),
+      bandRows(corpus, w, bands, rowsPerBand, idCol, textCol, bid)
+        .repartitionByRange(
+          spark.sessionState.conf.numShufflePartitions, col(idCol)),
       bandsTable(indexRoot), "overwrite", txn = txn)
     baseVersion
   }

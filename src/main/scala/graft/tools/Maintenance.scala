@@ -114,13 +114,17 @@ object Maintenance {
     }
     /** Cluster key for the artifact re-cluster: `cell` wherever the
       * layout powers a gate (IVF probe reads filter on it; the gated
-      * composite's file skipping depends on it). The dedup band table
-      * has no gated read (its joins carry no static predicate) and the
-      * decon sketch is one row, so both compact unclustered. */
+      * composite's file skipping depends on it); the dedup band table
+      * clusters on the DOC ID — not for reads (its self-join carries no
+      * static predicate) but for the refresh path's keyed mutations,
+      * whose bounds pre-shrink needs tight per-file id ranges to stay
+      * O(touched files) (DedupStore.build's layout note). The decon
+      * sketch is one row and compacts unclustered. */
     def clusterBy: Seq[String] = kind match {
       case "pq" =>
         if (graft.ext.PqStore.isGated(indexRoot)) Seq("cell") else Nil
-      case "dedup" | "decon" => Nil
+      case "dedup" => Seq(idCol)
+      case "decon" => Nil
       case _ => Seq("cell")
     }
   }
