@@ -651,6 +651,16 @@ object TextQueries {
       .select(col("doc_id"),
         graft.functions.TextExpressions.rollingHash(col("text"), 16).as("windows"))),
 
+    // The STORED decontamination probe alone — the steady-state serving
+    // shape: shingle the test batch, filter map-side through the
+    // persisted sketch, count flagged docs; no build, no exact twin.
+    "decontaminate_store" -> ((s, d) =>
+      graft.ext.DecontaminationStore.flaggedDocs(
+          s, ensureDeconStore(s, d),
+          documents(s, d).filter(isTestSplit(col("doc_id")))
+            .select("doc_id", "text"))
+        .agg(count(lit(1)).as("n_store_flagged"))),
+
     // The Bloom decontamination path alone: build the train-shingle sketch,
     // probe test shingles map-side, count flagged docs — without the exact
     // all-pairs twin the full query runs for its no-false-negative oracle.
