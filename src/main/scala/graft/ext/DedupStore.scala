@@ -122,6 +122,14 @@ object DedupStore {
     // clustering, which the maintenance cycle's width-gated re-cluster
     // (IndexRef(kind = "dedup").clusterBy) repays — the same layout
     // story as PqStore's cell-clustered codes.
+    // Bloom sidecars on the mutation keys AND the probe key: the id/band
+    // blooms give refresh's trickle mutations file skipping even where
+    // clustering has eroded (a scattered-rewrite slice's ids hit every
+    // range), and the bandkey bloom powers [[candidates]]' gated serving
+    // probe — bandkey is a hash, so min/max bounds can never prune it;
+    // a per-file bloom answers the membership question layout can't.
+    graft.tx.BloomIndex.setColumns(bandsTable(indexRoot),
+      Seq(idCol, "band", "bandkey"))
     CommitLog.commit(
       bandRows(corpus, w, bands, rowsPerBand, idCol, textCol, bid)
         .repartitionByRange(
@@ -222,20 +230,44 @@ object DedupStore {
       .select("a", "b").distinct()
   }
 
+  /** Distinct batch band keys at or under which the serving probe gates
+    * the stored scan through the bandkey bloom sidecars (matches
+    * [[CommitLog.BloomKeyProbeMaxKeys]]' trickle bound — an IN list
+    * beyond this stops being a point probe). */
+  val ProbeMaxKeys: Int = 4096
+
   /** Candidates of a NEW batch against the indexed corpus — the serving
     * shape ("dedup today's crawl against everything"): the batch is
     * signed in-flight (O(batch)) and its bands probe the stored table;
     * the corpus is never re-signed and only band-matching rows are
-    * touched. Output: (query_id, match_id), match ≠ query — a batch doc
-    * already present in the index matches everything it collides with
-    * EXCEPT itself. */
+    * touched. A SMALL batch (≤ [[ProbeMaxKeys]] distinct band keys —
+    * the serving norm) goes further: its keys push as an IN predicate
+    * through [[CommitLog.readPruned]], and the per-file bandkey BLOOM
+    * sidecars (registered at [[build]]) skip stored files that cannot
+    * hold any of them — at 100 TB the difference between scanning the
+    * corpus's whole band table per probe and opening the handful of
+    * files that might answer. Collecting the key list is one eager
+    * action over the (small) batch; larger batches keep the lazy full
+    * bucket join. Output: (query_id, match_id), match ≠ query — a batch
+    * doc already present in the index matches everything it collides
+    * with EXCEPT itself. */
   def candidates(spark: SparkSession, indexRoot: String, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val (w, bands, rowsPerBand, bid) = checkedConfig(spark, indexRoot)
     val qb = bandRows(batch, w, bands, rowsPerBand, idCol, textCol, bid)
       .select(col("band").as("band_q"), col("bandkey").as("key_q"),
         col(idCol).as("query_id"))
-    val sb = CommitLog.read(spark, bandsTable(indexRoot))
+    // bandkey alone gates conservatively (it omits the band index, so a
+    // cross-band hash collision keeps a file the join then rejects) —
+    // exactly the pruning contract
+    val probeKeys = qb.select("key_q").distinct()
+      .limit(ProbeMaxKeys + 1).collect().map(_.getString(0))
+    val stored =
+      if (probeKeys.nonEmpty && probeKeys.length <= ProbeMaxKeys)
+        CommitLog.readPruned(spark, bandsTable(indexRoot),
+          col("bandkey").isin(probeKeys.toSeq: _*))
+      else CommitLog.read(spark, bandsTable(indexRoot))
+    val sb = stored
       .select(col("band").as("band_s"), col("bandkey").as("key_s"),
         col(idCol).as("match_id"))
     qb.join(sb, col("band_q") === col("band_s") &&

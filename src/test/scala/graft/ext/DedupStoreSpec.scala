@@ -204,6 +204,41 @@ class DedupStoreSpec extends SparkSpec {
     assert(DedupStore.configCheckCount === c0 + 2)
   }
 
+  test("small-batch candidates gate the stored scan through bandkey blooms") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    val all = corpus(0L to 199L: _*)
+    CommitLog.commit(all.toDF("doc_id", "text"), base, "append")
+    DedupStore.build(spark, base, index)
+    val bands = DedupStore.artifactTable(index)
+    // the range-clustered build spread the band table over many files;
+    // a point bandkey read must OPEN only the files whose bloom admits
+    // it — bandkey is a hash, so only the sidecar can prune it
+    val full = CommitLog.read(spark, bands).inputFiles.length
+    assert(full >= 4, s"fixture too small to prove pruning ($full files)")
+    val k = CommitLog.read(spark, bands).select("bandkey")
+      .head().getString(0)
+    val pruned = CommitLog.readPruned(spark, bands,
+      col("bandkey") === k).inputFiles.length
+    assert(pruned < full,
+      s"bandkey bloom pruned nothing ($pruned of $full files)")
+    // and the gated serving path (small batch → IN pushdown) answers
+    // exactly like the full bucket join
+    val batch = Seq(
+      (900L, all.find(_._1 == 0L).get._2 + " y"),
+      (901L, "entirely novel text with no shared shingles at all right"))
+    val got = DedupStore.candidates(spark, index,
+        batch.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    val expected = batchPairs(all ++ batch).collect {
+      case (a, b) if a >= 900L => (a, b)
+      case (a, b) if b >= 900L => (b, a)
+    }
+    assert(got === expected)
+    assert(got.exists(_._1 == 900L))
+  }
+
   test("candidates probes the store for a new batch without re-signing the corpus") {
     val root = freshRoot()
     val base = s"$root/base"
