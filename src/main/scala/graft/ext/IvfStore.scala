@@ -53,9 +53,12 @@ object IvfStore {
     * a permanently inconsistent index. */
   def build(spark: SparkSession, baseTable: String, indexRoot: String,
       nCells: Int = 16, idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    // read PINNED at the resolved version (round-13 ADVICE on DedupStore,
+    // applied store-wide): a commit landing between latestVersion() and a
+    // live read would index a snapshot NEWER than the recorded watermark
     val baseVersion = CommitLog.latestVersion(baseTable).getOrElse(
       throw new IllegalArgumentException(s"$baseTable has no committed versions"))
-    val corpus = CommitLog.read(spark, baseTable)
+    val corpus = CommitLog.readAt(spark, baseTable, baseVersion)
     val idx = IvfIndex.build(corpus, nCells, idCol, vecCol)
     import spark.implicits._
     val txn =

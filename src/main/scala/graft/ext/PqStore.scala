@@ -69,9 +69,12 @@ object PqStore {
   def build(spark: SparkSession, baseTable: String, indexRoot: String,
       m: Int = 8, nCodes: Int = 256, nCells: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    // read PINNED at the resolved version (round-13 ADVICE on DedupStore,
+    // applied store-wide): the watermark must name the snapshot that was
+    // actually encoded, not whatever a racing commit made latest
     val baseVersion = CommitLog.latestVersion(baseTable).getOrElse(
       throw new IllegalArgumentException(s"$baseTable has no committed versions"))
-    val corpus = CommitLog.read(spark, baseTable)
+    val corpus = CommitLog.readAt(spark, baseTable, baseVersion)
     import spark.implicits._
     // the coarse quantizer is fit FIRST because the composite's codebooks
     // are fit on residuals against it (FAISS IVFPQ proper — cells and
