@@ -190,6 +190,52 @@ object DeltaExport {
           .build())
       }).json
     }
+    // add.stats from the engine's OWN stats sidecars (metadata-only — no
+    // data read): numRecords powers foreign readers' count-only scans and
+    // min/max/nullCount power their file skipping, the same pruning graft
+    // reads get natively. STRICTLY SAFE SUBSET — a wrong exported stat is
+    // silent data loss for a foreign reader, the worst failure class:
+    // top-level primitive columns only (nested parquet paths count
+    // repeated values, so their `values` is not a row count), longs /
+    // finite doubles / booleans rendered as JSON numbers, strings ONLY
+    // when the sidecar proves them untruncated (a truncated max is not an
+    // upper bound), timestamps/dates omitted (engine-internal encoding ≠
+    // Delta's ISO forms). Absent stats are always legal Delta. Sidecar
+    // keys are PHYSICAL column names — exactly what mapped stats want.
+    val statsCache = scala.collection.mutable.Map
+      .empty[String, Map[String, Map[String, FileStats.ColStats]]]
+    val topPhysCols = m.schema.fieldNames.map(physOf).toSet
+    def statsJsonOf(rel: String): Option[String] = {
+      val dir =
+        try CommitLog.commitDirOf(rel)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      val byFile = statsCache.getOrElseUpdate(dir,
+        try FileStats.readSidecar(root.resolve(dir))
+        catch { case scala.util.control.NonFatal(_) => Map.empty })
+      val cols = byFile.getOrElse(rel.stripPrefix(dir + "/"), Map.empty)
+        .filter { case (c, _) => topPhysCols.contains(c) }
+      if (cols.isEmpty) return None
+      val numRecords = cols.valuesIterator.map(_.values).max
+      def bound(pickMin: Boolean): Seq[String] =
+        cols.toSeq.sortBy(_._1).flatMap { case (c, s) =>
+          (if (pickMin) s.min else s.max).flatMap { v =>
+            s.kind match {
+              case "long" => v.toLongOption.map(_.toString)
+              case "double" => v.toDoubleOption
+                .filter(java.lang.Double.isFinite).map(_.toString)
+              case "boolean" if v == "true" || v == "false" => Some(v)
+              case "string" if s.exact => Some(jstr(v))
+              case _ => None
+            }
+          }.map(j => s"${jstr(c)}:$j")
+        }
+      val nulls = cols.toSeq.sortBy(_._1)
+        .map { case (c, s) => s"${jstr(c)}:${s.nulls}" }
+      Some(s"""{"numRecords":$numRecords""" +
+        s""","minValues":{${bound(pickMin = true).mkString(",")}}""" +
+        s""","maxValues":{${bound(pickMin = false).mkString(",")}}""" +
+        s""","nullCount":{${nulls.mkString(",")}}}""")
+    }
     def addAction(rel: String): String = {
       val p = root.resolve(rel)
       val vals = partitionValuesOf(rel)
@@ -209,6 +255,7 @@ object DeltaExport {
       s"""{"add":{"path":${jstr(DeltaPaths.encode(rel))},"partitionValues":{$pvJson},""" +
         s""""size":${Files.size(p)},""" +
         s""""modificationTime":${Files.getLastModifiedTime(p).toMillis},""" +
+        statsJsonOf(rel).map(s => s""""stats":${jstr(s)},""").getOrElse("") +
         """"dataChange":true}}"""
     }
     def metaAction(mapped: Boolean): String = {
@@ -487,6 +534,7 @@ object DeltaExport {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
+        StructField("stats", StringType),
         StructField("dataChange", BooleanType))))))
     import spark.implicits._
     val df = spark.read.schema(ckSchema)

@@ -67,6 +67,51 @@ class DeltaExportSpec extends SparkSpec {
     assert(expect.find(_._1 == 4L).get._2 === null) // default-partition row
   }
 
+  test("exported adds carry per-file stats a foreign reader can skip with") {
+    val t = freshTable()
+    CommitLog.commit(
+      Seq((1L, 1.5, "alpha", Some(10L)), (2L, 2.5, "bravo", None),
+        (3L, -3.5, "charlie", Some(30L)))
+        .toDF("id", "v", "name", "opt").coalesce(1),
+      t, "append")
+    CommitLog.commit(Seq((9L, 9.5, "zulu", Some(90L)))
+      .toDF("id", "v", "name", "opt").coalesce(1), t, "append")
+    DeltaExport.writeDeltaLog(t)
+    val adds = spark.read.json(logFile(t))
+      .filter(col("add").isNotNull).select("add.path", "add.stats")
+      .as[(String, String)].collect().toMap
+    assert(adds.size === 2)
+    adds.values.foreach(s => assert(s != null, "every add must carry stats"))
+    val parsed = adds.map { case (p, s) =>
+      DeltaPaths.decode(p) -> new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s)
+    }
+    // numRecords per file is exact, so a count-only foreign scan reads
+    // zero data
+    assert(parsed.values.map(_.path("numRecords").asLong()).toSeq.sorted
+      === Seq(1L, 3L))
+    val big = parsed.values.find(_.path("numRecords").asLong() == 3L).get
+    assert(big.path("minValues").path("id").asLong() === 1L)
+    assert(big.path("maxValues").path("id").asLong() === 3L)
+    assert(big.path("minValues").path("v").asDouble() === -3.5)
+    assert(big.path("maxValues").path("v").asDouble() === 2.5)
+    // engine-written strings are proven untruncated → exported exactly
+    assert(big.path("minValues").path("name").asText() === "alpha")
+    assert(big.path("maxValues").path("name").asText() === "charlie")
+    assert(big.path("nullCount").path("opt").asLong() === 1L)
+    assert(big.path("nullCount").path("id").asLong() === 0L)
+    // the skipping contract a foreign reader derives: only the small
+    // file's [min,max] admits id = 9
+    val smallOnly = parsed.filter { case (_, n) =>
+      n.path("minValues").path("id").asLong() <= 9L &&
+        n.path("maxValues").path("id").asLong() >= 9L
+    }
+    assert(smallOnly.size === 1)
+    val skipped = spark.read.parquet(s"$t/${smallOnly.keys.head}")
+      .select("id").as[Long].collect().toSeq
+    assert(skipped === Seq(9L))
+  }
+
   test("re-export appends an O(diff) Delta commit; full replay equals the snapshot") {
     val t = freshTable()
     CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")
