@@ -2689,7 +2689,15 @@ object CommitLog {
     // answer. A compact() folds the DVs and restores zero-read answers.
     val perFile = perFileStats(table, m)
     if (perFile.exists(_._3.isEmpty)) return None // file absent from sidecar
-    val stored = perFile.map(_._3.valuesIterator.map(_.values).max).sum
+    // per-file row count: prefer the sidecar's footer-total `rows` (exact
+    // even when a foreign-written file has stats-less column chunks —
+    // there `values` under-counts); legacy 8-field sidecars fall back to
+    // the historical max-of-values (engine-written files: full coverage)
+    val stored = perFile.map { pf =>
+      val ss = pf._3.valuesIterator.toSeq
+      val known = ss.map(_.rows).filter(_ >= 0L)
+      if (known.nonEmpty) known.max else ss.map(_.values).max
+    }.sum
     val deathMap: Map[String, Set[Long]] =
       if (m.dvDirs.isEmpty) Map.empty
       else liveDvDeathMap(table, m, maxDvRows) match {
@@ -2798,7 +2806,10 @@ object CommitLog {
       if (countableKind.isEmpty || isPartitionCol ||
           ((f.dataType == TimestampType || f.dataType == StringType) &&
             !tsAbsenceProven(f.name)) ||
-          present.exists(cs => cs.nulls < 0 || cs.kind != countableKind.get))
+          // !covered: a stats-less chunk makes values/nulls partial sums —
+          // a metadata count over them would silently under-report
+          present.exists(cs => cs.nulls < 0 || !cs.covered ||
+            cs.kind != countableKind.get))
         None
       else Some(MetaColAgg(None, None, present.map(cs => cs.values - cs.nulls).sum))
     }
@@ -2893,6 +2904,7 @@ object CommitLog {
       val cs = present(i)
       if (cs.kind != kind) return None // schema/stats disagreement
       if (cs.nulls < 0) return None // parquet null count unset: uncountable
+      if (!cs.covered) return None // stats-less chunk: bounds/counts partial
       val nn = cs.values - cs.nulls
       nonNull += nn
       if (nn > 0) (cs.min, cs.max) match {

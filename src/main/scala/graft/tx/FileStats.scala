@@ -38,6 +38,17 @@ object FileStats {
     * is unsupported; comparisons treat that as unknowable unless the null
     * counts prove the column is entirely null.
     *
+    * `rows` is the file's TOTAL footer row count (sum of row-group counts,
+    * a fact independent of any column's statistics), -1 on pre-feature
+    * sidecar lines. `values` accumulates only over row groups whose column
+    * chunk CARRIED statistics, so on a foreign-written file with a
+    * stats-less chunk `values < rows` — the bounds and null counts then
+    * cover only part of the file ([[covered]] = false) and every consumer
+    * that would treat them as file-wide (pruning, metadata aggregates,
+    * exported Delta stats) must stand down (round-14 ADVICE: numRecords
+    * derived from `values` understated such files, corrupting a foreign
+    * reader's metadata-only COUNT(*)).
+    *
     * `exact` marks STRING bounds as provably untruncated (numeric/boolean/
     * date bounds are fixed-width and exact by format; timestamps carry
     * their own unit proof). Parquet writers may truncate binary footer
@@ -53,8 +64,13 @@ object FileStats {
     * pre-feature 7-field sidecar lines stay `exact = false`, refusing
     * metadata MIN/MAX while keeping pruning and counts. */
   final case class ColStats(kind: String, min: Option[String], max: Option[String],
-      nulls: Long, values: Long, exact: Boolean = false) {
-    def allNull: Boolean = values > 0 && nulls == values
+      nulls: Long, values: Long, exact: Boolean = false, rows: Long = -1L) {
+    /** Do the accumulated stats span EVERY row of the file? Pre-feature
+      * lines (`rows < 0`) are engine-written or grandfathered and keep the
+      * historical full-coverage assumption (Spark's writer always records
+      * primitive stats); a known row count demands `values == rows`. */
+    def covered: Boolean = rows < 0 || values == rows
+    def allNull: Boolean = covered && values > 0 && nulls == values
   }
 
   /** Read footer stats for `files` (relative to `dataDir`) and write the
@@ -69,7 +85,7 @@ object FileStats {
       try collect(p, conf).map { case (col, s) =>
         Seq(enc(rel), enc(col), s.kind, s.min.map(enc).getOrElse("-"),
           s.max.map(enc).getOrElse("-"), s.nulls.toString, s.values.toString,
-          if (exactStrings && s.min.isDefined) "x" else "-")
+          if (exactStrings && s.min.isDefined) "x" else "-", s.rows.toString)
           .mkString("\t")
       } catch { case scala.util.control.NonFatal(_) => Nil }
     }
@@ -98,6 +114,10 @@ object FileStats {
     val reader = ParquetFileReader.open(in)
     try {
       val footer = reader.getFooter
+      // the file's TRUE row count — a block-header fact, never dependent on
+      // any column chunk carrying Statistics; rides every line so consumers
+      // can tell full coverage (values == rows) from a stats-less chunk
+      val fileRows = footer.getBlocks.asScala.map(_.getRowCount.longValue).sum
       val acc = scala.collection.mutable.LinkedHashMap.empty[String, ColStats]
       footer.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { cc =>
@@ -150,7 +170,8 @@ object FileStats {
                   if (lo.isEmpty || hi.isEmpty) (None, None) else (lo, hi)
                 }
               val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
-              val add = ColStats(kind, mn, mx, nulls, block.getRowCount)
+              val add = ColStats(kind, mn, mx, nulls, block.getRowCount,
+                rows = fileRows)
               acc.get(name) match {
                 case None => acc(name) = add
                 case Some(prev) => acc(name) = mergeStats(prev, add)
@@ -223,6 +244,20 @@ object FileStats {
     // untruncated ≤64-byte bounds) — the value IS the string
     case "string" => s
     case other => throw new IllegalArgumentException(s"not an exact kind: $other")
+  }
+
+  /** Top-level fields of one parquet file's physical schema with their
+    * parquet FIELD IDS (None when the writer recorded none). One footer
+    * read, no data pages — [[DeltaImport]]'s id-mode column-mapping
+    * verification proves name-resolution and id-resolution agree file by
+    * file before adopting the table. */
+  private[tx] def topLevelFieldIds(p: Path,
+      conf: Configuration): Seq[(String, Option[Int])] = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+      .map(f => f.getName -> Option(f.getId).map(_.intValue))
+    finally reader.close()
   }
 
   /** Does this parquet file's PHYSICAL schema contain a column at
@@ -309,7 +344,9 @@ object FileStats {
       if (!acc.contains(name))
         acc(name) = ColStats(kind, None, None, 0L, 0L, exact = true)
     }
-    acc.toMap
+    // the projection visited every LIVE row for every wanted column, so
+    // coverage is total by construction: rows == values
+    acc.toMap.map { case (k, v) => k -> v.copy(rows = v.values) }
   }
 
   /** Sidecar kind of a primitive parquet type — the same mapping
@@ -375,7 +412,10 @@ object FileStats {
       }
     ColStats(a.kind, pick(a.min, b.min, lo = true), pick(a.max, b.max, lo = false),
       if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls,
-      a.values + b.values)
+      a.values + b.values,
+      // row-group merges within ONE file: both sides carry the same
+      // file-total row count (collect stamps it uniformly)
+      rows = math.max(a.rows, b.rows))
   }
 
   private def render(v: Any, kind: String): Option[String] = (kind, v) match {
@@ -403,7 +443,8 @@ object FileStats {
         val k = hiveUnescape(seg.substring(0, eq))
         val raw = hiveUnescape(seg.substring(eq + 1))
         if (raw == "__HIVE_DEFAULT_PARTITION__")
-          Some(k -> ColStats("string", None, None, nulls = 1L, values = 1L))
+          Some(k -> ColStats("string", None, None, nulls = 1L, values = 1L,
+            rows = 1L))
         else {
           val epochDay: Option[Long] =
             if (!raw.matches("\\d{4}-\\d{2}-\\d{2}")) None
@@ -421,15 +462,17 @@ object FileStats {
             case "date" => epochDay.get.toString
             case _ => raw
           }
-          Some(k -> ColStats(kind, Some(v), Some(v), nulls = 0L, values = 1L))
+          Some(k -> ColStats(kind, Some(v), Some(v), nulls = 0L, values = 1L,
+            rows = 1L))
         }
       }
     }.toMap
   }
 
-  /** Parse a sidecar: relative file → (column → stats). Accepts both the
+  /** Parse a sidecar: relative file → (column → stats). Accepts the
     * pre-exactness 7-field form (`exact = false` — conservative: old
-    * sidecars can't prove their writer config) and the 8-field form. */
+    * sidecars can't prove their writer config), the 8-field form
+    * (`rows = -1` — pre-row-count), and the current 9-field form. */
   def readSidecar(dataDir: Path): Map[String, Map[String, ColStats]] = {
     val p = dataDir.resolve(SidecarName)
     if (!Files.exists(p)) return Map.empty
@@ -437,16 +480,20 @@ object FileStats {
       .filter(_.nonEmpty)
       .flatMap { line =>
         def stats(f: String, c: String, kind: String, mn: String, mx: String,
-            nulls: String, values: String, exact: Boolean) =
+            nulls: String, values: String, exact: Boolean, rows: Long) =
           Some((dec(f), dec(c),
             ColStats(kind, if (mn == "-") None else Some(dec(mn)),
               if (mx == "-") None else Some(dec(mx)),
-              nulls.toLong, values.toLong, exact)))
+              nulls.toLong, values.toLong, exact, rows)))
         line.split("\t", -1) match {
           case Array(f, c, kind, mn, mx, nulls, values) =>
-            stats(f, c, kind, mn, mx, nulls, values, exact = false)
+            stats(f, c, kind, mn, mx, nulls, values, exact = false, rows = -1L)
           case Array(f, c, kind, mn, mx, nulls, values, flag) =>
-            stats(f, c, kind, mn, mx, nulls, values, exact = flag == "x")
+            stats(f, c, kind, mn, mx, nulls, values, exact = flag == "x",
+              rows = -1L)
+          case Array(f, c, kind, mn, mx, nulls, values, flag, rows) =>
+            stats(f, c, kind, mn, mx, nulls, values, exact = flag == "x",
+              rows = rows.toLong)
           case _ => None
         }
       }
@@ -466,14 +513,19 @@ object FileStats {
     case LessThanOrEqual(a, v) => boundBelow(stats.get(a), v, strict = false)
     case In(a, vs) => vs.isEmpty ||
       vs.exists(v => inRange(stats.get(a), v, allowEq = true, allowLt = false, allowGt = false))
-    case IsNull(a) => stats.get(a).forall(s => s.nulls != 0L)
+    // IsNull prunes only on PROVEN zero nulls: full coverage and a set
+    // null count (a stats-less chunk could hide nulls the counted chunks
+    // don't show)
+    case IsNull(a) => stats.get(a).forall(s => !(s.covered && s.nulls == 0L))
     case IsNotNull(a) => stats.get(a).forall(s => !s.allNull)
     case StringStartsWith(a, prefix) => stats.get(a) match {
       // a prefix-prefixed string can live in [min,max] iff prefix <= max
       // AND min's first |prefix| bytes are <= prefix (comparing min against
       // "prefix + infinitely-high bytes" without materializing a bound —
-      // appending any concrete character would under-shoot 4-byte UTF-8)
-      case Some(s) if s.min.isDefined && s.max.isDefined && s.kind == "string" =>
+      // appending any concrete character would under-shoot 4-byte UTF-8).
+      // Partial-coverage bounds span only some row groups — never prune.
+      case Some(s) if s.covered && s.min.isDefined && s.max.isDefined &&
+          s.kind == "string" =>
         utf8CmpTruncated(s.min.get, prefix) <= 0 && utf8Cmp(prefix, s.max.get) <= 0
       case Some(s) if s.allNull => false
       case _ => true
@@ -481,9 +533,12 @@ object FileStats {
     case _ => true // unsupported filter: never prune on it
   }
 
-  /** value ∈ [min,max] possible? */
+  /** value ∈ [min,max] possible? A partial-coverage file (stats-less row
+    * group in a foreign write) has bounds that span only SOME rows —
+    * pruning on them would drop rows the uncovered groups may hold. */
   private def inRange(s: Option[ColStats], v: Any,
       allowEq: Boolean, allowLt: Boolean, allowGt: Boolean): Boolean = s match {
+    case Some(st) if !st.covered => true
     case Some(st) if st.allNull => false // comparisons never match null
     case Some(st) =>
       (st.min, st.max, renderValue(st.kind, v)) match {
@@ -496,6 +551,7 @@ object FileStats {
 
   /** can some value > v (or >= v) exist? needs max > v (max >= v). */
   private def boundAbove(s: Option[ColStats], v: Any, strict: Boolean): Boolean = s match {
+    case Some(st) if !st.covered => true
     case Some(st) if st.allNull => false
     case Some(st) => (st.max, renderValue(st.kind, v)) match {
       case (Some(hi), Some(x)) =>
@@ -508,6 +564,7 @@ object FileStats {
 
   /** can some value < v (or <= v) exist? needs min < v (min <= v). */
   private def boundBelow(s: Option[ColStats], v: Any, strict: Boolean): Boolean = s match {
+    case Some(st) if !st.covered => true
     case Some(st) if st.allNull => false
     case Some(st) => (st.min, renderValue(st.kind, v)) match {
       case (Some(lo), Some(x)) =>

@@ -657,6 +657,274 @@ class DeltaExportSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.export.checkpointAt")
   }
 
+  test("a CONVERT-imported foreign footer without numNulls exports stats " +
+      "whose nullCount OMITS the column — never the -1 sentinel " +
+      "(round-14 VERDICT item 1)") {
+    val t = freshTable()
+    Files.createDirectories(Paths.get(t))
+    // foreign writer with statistics DISABLED: the footer's column chunks
+    // carry EMPTY Statistics (numNulls unset, no bounds) — FileStats
+    // records nulls = -1, its 'unknown' sentinel
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message t { required int64 id; optional binary s (STRING); }")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(
+      Paths.get(t).resolve("foreign.parquet").toUri)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(p, conf))
+      .withConf(conf).withType(schema).withStatisticsEnabled(false).build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    (1 to 5).foreach { i =>
+      val g = gf.newGroup()
+      g.add("id", i.toLong)
+      if (i != 3) g.add("s", s"v$i")
+      w.write(g)
+    }
+    w.close()
+    CommitLog.convert(spark, t)
+    // the sidecar pins the sentinel path: nulls unknown, footer total known
+    val m = CommitLog.manifest(t, 1L)
+    val dir = m.files.head.split("/").take(2).mkString("/")
+    val sc = FileStats.readSidecar(Paths.get(t).resolve(dir))(
+      m.files.head.stripPrefix(dir + "/"))
+    assert(sc("id").nulls === -1L)
+    assert(sc("id").rows === 5L)
+    DeltaExport.writeDeltaLog(t)
+    val statsStr = spark.read.json(logFile(t)).filter(col("add").isNotNull)
+      .select("add.stats").as[String].head()
+    assert(statsStr != null, "numRecords is still provable from the footer total")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(statsStr)
+    // exact despite the stats-less chunks: numRecords is a block-header fact
+    assert(node.path("numRecords").asLong() === 5L)
+    // NO nullCount entries (every column's numNulls is unset) and no
+    // negative value anywhere — a reader serving COUNT(col) as
+    // numRecords − nullCount can never derive a wrong answer
+    import scala.jdk.CollectionConverters._
+    assert(!node.path("nullCount").properties().iterator().hasNext,
+      s"sentinel leaked into nullCount: $statsStr")
+    assert(!node.path("minValues").properties().iterator().hasNext)
+    node.path("nullCount").properties().asScala
+      .foreach(e => assert(e.getValue.asLong() >= 0L))
+  }
+
+  test("partial-coverage column stats export numRecords but neither bounds " +
+      "nor nullCount for the uncovered column; pruning and metadata counts " +
+      "stand down too (round-14 ADVICE)") {
+    import org.apache.spark.sql.sources.GreaterThan
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .coalesce(1), t, "append")
+    val m = CommitLog.manifest(t, 1L)
+    val dir = m.files.head.split("/").take(2).mkString("/")
+    val sidecar = Paths.get(t).resolve(dir).resolve(FileStats.SidecarName)
+    // simulate a stats-less row group on `v` alone: values < rows (the
+    // shape a foreign multi-group file with one bare chunk produces)
+    val doctored = new String(Files.readAllBytes(sidecar), "UTF-8")
+      .split("\n").map { line =>
+        val f = line.split("\t", -1)
+        if (f(1) == "v") { f(6) = "2"; f.mkString("\t") } else line
+      }.mkString("\n")
+    Files.write(sidecar, doctored.getBytes("UTF-8"))
+    // pruning conservatism: partial bounds may NOT drop the file
+    assert(CommitLog.pruneFiles(t, m, Seq(GreaterThan("v", 1000.0))) === m.files)
+    assert(CommitLog.pruneFiles(t, m, Seq(GreaterThan("id", 1000L))).isEmpty)
+    // metadata COUNT(v) refuses (values/nulls are partial sums); COUNT(*)
+    // stays exact from the footer total
+    assert(CommitLog.metaRowCount(t) === Some(3L))
+    assert(CommitLog.metaAggregate(t, Nil, countOnlyColumns = Seq("v")).isEmpty)
+    DeltaExport.writeDeltaLog(t)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      spark.read.json(logFile(t)).filter(col("add").isNotNull)
+        .select("add.stats").as[String].head())
+    assert(node.path("numRecords").asLong() === 3L)
+    assert(node.path("minValues").path("id").asLong() === 1L)
+    assert(node.path("nullCount").path("id").asLong() === 0L)
+    assert(node.path("minValues").path("v").isMissingNode, "partial bound exported")
+    assert(node.path("maxValues").path("v").isMissingNode)
+    assert(node.path("nullCount").path("v").isMissingNode)
+
+    // and per-column footer row counts that DISAGREE refuse loudly — a
+    // corrupt sidecar must not export a plausible-but-wrong numRecords
+    val t2 = freshTable()
+    CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v").coalesce(1), t2, "append")
+    val m2 = CommitLog.manifest(t2, 1L)
+    val dir2 = m2.files.head.split("/").take(2).mkString("/")
+    val sidecar2 = Paths.get(t2).resolve(dir2).resolve(FileStats.SidecarName)
+    val corrupt = new String(Files.readAllBytes(sidecar2), "UTF-8")
+      .split("\n").map { line =>
+        val f = line.split("\t", -1)
+        if (f(1) == "v") { f(8) = "999"; f.mkString("\t") } else line
+      }.mkString("\n")
+    Files.write(sidecar2, corrupt.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaExport.writeDeltaLog(t2))
+    assert(e.getMessage.contains("disagree"))
+  }
+
+  test("a legacy (pre-row-count) sidecar exports NO stats blob: numRecords " +
+      "is unprovable without the footer total") {
+    val t = freshTable()
+    CommitLog.commit(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").coalesce(1),
+      t, "append")
+    val m = CommitLog.manifest(t, 1L)
+    val dir = m.files.head.split("/").take(2).mkString("/")
+    val sidecar = Paths.get(t).resolve(dir).resolve(FileStats.SidecarName)
+    // strip to the 8-field legacy form (drop the rows column)
+    val legacy = new String(Files.readAllBytes(sidecar), "UTF-8")
+      .split("\n").map(_.split("\t", -1).take(8).mkString("\t")).mkString("\n")
+    Files.write(sidecar, legacy.getBytes("UTF-8"))
+    DeltaExport.writeDeltaLog(t)
+    val raw = new String(Files.readAllBytes(Paths.get(logFile(t))), "UTF-8")
+    assert(!raw.contains("\"stats\""),
+      "legacy sidecar must export no stats blob (historical max-of-values " +
+        "under-counted foreign files with stats-less chunks)")
+  }
+
+  test("timestamp/date bounds export in Delta's ISO forms; a foreign " +
+      "reader's one-day window keeps file skipping on the time-clustered " +
+      "table (round-14 VERDICT item 3)") {
+    val t = freshTable()
+    // 4 single-file commits of one UTC day each — the reference's ingest
+    // layout and its dominant filter shape
+    (0 until 4).foreach { d =>
+      val rows = (0 until 24).map { h =>
+        (d * 24L + h,
+          java.time.Instant.parse(f"2024-01-${d + 1}%02dT$h%02d:00:00Z"),
+          java.sql.Date.valueOf(f"2024-01-${d + 1}%02d"))
+      }
+      CommitLog.commit(rows.toDF("id", "ets", "dt")
+        .withColumn("nts", lit("2024-01-05T06:07:08").cast("timestamp_ntz"))
+        .coalesce(1), t, "append")
+    }
+    DeltaExport.writeDeltaLog(t)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = spark.read.json(logFile(t)).filter(col("add").isNotNull)
+      .select("add.stats").as[String].collect().toSeq.map(om.readTree)
+    assert(parsed.size === 4)
+    val day1 = parsed.find(_.path("minValues").path("id").asLong() == 0L).get
+    // micros-precision ISO with Z for TZ timestamps, none for NTZ, plain
+    // ISO dates — byte-stable forms a foreign JSON stats parser accepts
+    assert(day1.path("minValues").path("ets").asText()
+      === "2024-01-01T00:00:00.000000Z")
+    assert(day1.path("maxValues").path("ets").asText()
+      === "2024-01-01T23:00:00.000000Z")
+    assert(day1.path("minValues").path("dt").asText() === "2024-01-01")
+    assert(day1.path("minValues").path("nts").asText()
+      === "2024-01-05T06:07:08.000000")
+    // the skipping derivation a foreign reader runs: a one-day window
+    // [2024-01-02, 2024-01-03) admits exactly 1 of 4 files
+    val lo = java.time.Instant.parse("2024-01-02T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-03T00:00:00Z")
+    val admitted = parsed.filter { n =>
+      val mn = java.time.Instant.parse(n.path("minValues").path("ets").asText())
+      val mx = java.time.Instant.parse(n.path("maxValues").path("ets").asText())
+      !mx.isBefore(lo) && mn.isBefore(hi)
+    }
+    assert(admitted.size === 1, "one-day window must keep 1 of 4 files")
+    // Spark-as-foreign-reader: from_json with the table's types parses the
+    // exported forms to the exact original values
+    val back = spark.range(1).select(from_json(
+      lit(day1.path("minValues").toString),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ets",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("dt",
+          org.apache.spark.sql.types.DateType)))).as("s"))
+      .select("s.ets", "s.dt")
+      .as[(java.sql.Timestamp, java.sql.Date)].head()
+    assert(back._1.toInstant === java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    assert(back._2 === java.sql.Date.valueOf("2024-01-01"))
+  }
+
+  test("a CONVERT-imported foreign timestamp column exports NO ts bounds " +
+      "(unproven unit widening is valid for skipping but not for the tight " +
+      "stats Delta readers serve MIN/MAX from)") {
+    val t = freshTable()
+    val tmp = Files.createTempDirectory("graft_dexp_fts")
+    Seq((1L, java.time.Instant.parse("2024-01-01T00:00:00Z")))
+      .toDF("id", "ets").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val st = Files.list(tmp)
+    val part =
+      try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+    Files.createDirectories(Paths.get(t))
+    Files.move(part, Paths.get(t).resolve("foreign.parquet"))
+    CommitLog.convert(spark, t) // exactStrings=false: foreign writer config
+    DeltaExport.writeDeltaLog(t)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      spark.read.json(logFile(t)).filter(col("add").isNotNull)
+        .select("add.stats").as[String].head())
+    assert(node.path("numRecords").asLong() === 1L)
+    assert(node.path("minValues").path("id").asLong() === 1L)
+    assert(node.path("minValues").path("ets").isMissingNode,
+      "foreign ts bound must stay unexported")
+  }
+
+  test("nested struct fields carry columnMapping id + physicalName; " +
+      "maxColumnId counts every stamped field (round-14 ADVICE)") {
+    val t = freshTable()
+    val df = Seq((1L, 2.0, "x", 0.5), (2L, 3.0, "y", 0.7))
+      .toDF("id", "lat", "name", "x")
+      .select(col("id"), struct(col("lat"), col("name")).as("geo"),
+        array(struct(col("x"))).as("tags"),
+        (col("id") * 2.0).as("v"))
+    CommitLog.commit(df, t, "append")
+    CommitLog.renameColumn(t, "v", "value")
+    DeltaExport.writeDeltaLog(t)
+    val meta = spark.read.json(logFile(t)).filter(col("metaData").isNotNull)
+      .select("metaData.schemaString",
+        "metaData.configuration.`delta.columnMapping.maxColumnId`")
+      .as[(String, String)].head()
+    val parsed = DataType.fromJson(meta._1).asInstanceOf[StructType]
+    // every field — nested included — carries the id+physicalName pair
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def walk(st: StructType, path: String): Unit = st.fields.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.id"),
+        s"field $path${f.name} lacks a mapping id")
+      assert(f.metadata.contains("delta.columnMapping.physicalName"),
+        s"field $path${f.name} lacks a physicalName")
+      ids += f.metadata.getLong("delta.columnMapping.id")
+      f.dataType match {
+        case s: StructType => walk(s, s"$path${f.name}.")
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.elementType match {
+            case s: StructType => walk(s, s"$path${f.name}[].")
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    walk(parsed, "")
+    // top-level: id, geo, tags, value; nested: geo.{lat,name}, tags[].x
+    assert(ids.size === 7)
+    assert(ids.toSet.size === 7, s"mapping ids must be unique: $ids")
+    assert(meta._2 === "7", "maxColumnId must count every stamped field")
+    // nested physical names are identity; the renamed top-level maps back
+    val geo = parsed.fields.find(_.name == "geo").get
+    geo.dataType.asInstanceOf[StructType].fields.foreach { nf =>
+      assert(nf.metadata.getString("delta.columnMapping.physicalName") === nf.name)
+    }
+    assert(parsed.fields.find(_.name == "value").get.metadata
+      .getString("delta.columnMapping.physicalName") === "v")
+    // roundtrip: our own import accepts identity-stamped nested fields
+    val dst = Files.createTempDirectory("graft_dexp_nest").resolve("t")
+    val srcDir = Paths.get(t)
+    CommitLog.manifest(t, CommitLog.latestVersion(t).get).files.foreach { rel =>
+      val d = dst.resolve(rel)
+      Files.createDirectories(d.getParent)
+      Files.copy(srcDir.resolve(rel), d)
+    }
+    Files.createDirectories(dst.resolve("_delta_log"))
+    Files.copy(srcDir.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+      dst.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    CommitLog.convert(spark, dst.toString)
+    val back = CommitLog.read(spark, dst.toString)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "geo", "tags", "value"))
+    assert(back.select("value").as[Double].collect().sorted === Seq(2.0, 4.0))
+    assert(back.select("geo.lat").as[Double].collect().sorted === Seq(2.0, 3.0))
+  }
+
   test("SQL surface: EXPORT <table> TO DELTA [VERSION AS OF]") {
     val t = freshTable()
     CommitLog.commit(Seq((1L, 1.0)).toDF("id", "v"), t, "append")

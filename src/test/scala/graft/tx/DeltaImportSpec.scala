@@ -196,16 +196,17 @@ class DeltaImportSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       CommitLog.convert(spark, t2.toString)).getMessage.contains("minReaderVersion"))
 
-    // column mapping mode ID refuses (files keyed by parquet field ids,
-    // which the name-based read path cannot resolve); NAME mode imports —
-    // see the dedicated test below
+    // a NONCONFORMING id-mode log (fields lacking the mandated
+    // delta.columnMapping.id metadata) refuses loudly; conforming id mode
+    // imports — see the dedicated tests below
     val t3 = freshDir()
     val s3 = writeFile(t3, "part-0001.parquet", Seq((1L, 1.0)))
     writeCommit(t3, 0L, Seq(protocolV1,
       metaAction(config = """{"delta.columnMapping.mode":"id"}"""),
       addAction("part-0001.parquet", s3)))
     assert(intercept[IllegalArgumentException](
-      CommitLog.convert(spark, t3.toString)).getMessage.contains("column mapping"))
+      CommitLog.convert(spark, t3.toString))
+      .getMessage.contains("delta.columnMapping.id"))
 
     // a gap in the commit sequence
     val t4 = freshDir()
@@ -282,6 +283,140 @@ class DeltaImportSpec extends SparkSpec {
       addAction("part-0001.parquet", s2)))
     assert(intercept[IllegalArgumentException](
       CommitLog.convert(spark, t2.toString)).getMessage.contains("NESTED"))
+
+    // a physical rename on a struct nested inside a map KEY refuses too —
+    // before the keyType recursion it escaped the guard and the imported
+    // table would silently serve nulls for the field (round-14 ADVICE)
+    val t3 = freshDir()
+    val s3k = writeFile(t3, "part-0001.parquet", Seq((1L, 1.0)))
+    val keyRenamed = StructType(Seq(
+      StructField("id", LongType),
+      StructField("m", MapType(
+        StructType(Seq(
+          StructField("inner", StringType, nullable = true,
+            new MetadataBuilder()
+              .putString("delta.columnMapping.physicalName", "col-abc")
+              .build()))),
+        DoubleType))))
+    writeCommit(t3, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(config = """{"delta.columnMapping.mode":"name"}""")
+        .replace(jstr(schemaJson), jstr(keyRenamed.json)),
+      addAction("part-0001.parquet", s3k)))
+    val eKey = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t3.toString))
+    assert(eKey.getMessage.contains("NESTED") &&
+      eKey.getMessage.contains("{key}"), eKey.getMessage)
+  }
+
+  /** One parquet file whose columns carry parquet FIELD IDS (what Delta
+    * id-mode writers store), moved to tableDir/relPath; returns size. */
+  private def writeFileWithIds(tableDir: Path, relPath: String,
+      cols: Seq[(String, Int)], rows: Seq[(Long, Double)]): Long = {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("dimp_fid")
+    val df0 = rows.toDF(cols.map(_._1): _*)
+    val withIds = spark.createDataFrame(df0.rdd,
+      StructType(df0.schema.fields.zip(cols).map { case (f, (_, fid)) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", fid.toLong).build())
+      }))
+    withIds.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val src = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = tableDir.resolve(relPath)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+    Files.size(dst)
+  }
+
+  private def idModeMeta(fields: Seq[(String, Int, String)]): String = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(fields.map { case (logical, fid, phys) =>
+      StructField(logical,
+        if (logical == "id") LongType else DoubleType, nullable = true,
+        new MetadataBuilder().putLong("delta.columnMapping.id", fid.toLong)
+          .putString("delta.columnMapping.physicalName", phys).build())
+    })
+    s"""{"metaData":{"id":"33333333-3333-3333-3333-333333333333",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schema.json)},""" +
+      s""""partitionColumns":[],""" +
+      s""""configuration":{"delta.columnMapping.mode":"id",""" +
+      s""""delta.columnMapping.maxColumnId":"9"},"createdTime":1}}"""
+  }
+
+  private val protocolMapping =
+    """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+
+  test("ID-mode column mapping imports when footer field ids agree with " +
+      "the schema's mapping (round-14 VERDICT item 6)") {
+    val t = freshDir()
+    Files.createDirectories(t)
+    // conforming id-mode writer: physically-named columns WITH field ids
+    val sz = writeFileWithIds(t, "part-0001.parquet",
+      Seq("id" -> 1, "val_phys" -> 2), Seq((1L, 1.5), (2L, 2.5)))
+    writeCommit(t, 0L, Seq(protocolMapping,
+      idModeMeta(Seq(("id", 1, "id"), ("value", 2, "val_phys"))),
+      addAction("part-0001.parquet", sz)))
+    val v = CommitLog.convert(spark, t.toString)
+    val got = CommitLog.read(spark, t.toString)
+    assert(got.schema.fieldNames.toSeq === Seq("id", "value"))
+    assert(got.select("id", "value").as[(Long, Double)].collect().sorted
+      === Seq((1L, 1.5), (2L, 2.5)))
+    assert(CommitLog.manifest(t.toString, v).colMap
+      === Map("value" -> "val_phys"))
+  }
+
+  test("ID-mode import refuses when a footer's field ids DISAGREE with the " +
+      "mapping — an id-mode reader and a name reader would serve different " +
+      "columns; nothing moves") {
+    // (a) the mapped id binds a differently-named footer column
+    val t1 = freshDir()
+    Files.createDirectories(t1)
+    val s1 = writeFileWithIds(t1, "part-0001.parquet",
+      Seq("id" -> 1, "other" -> 2), Seq((1L, 1.5)))
+    writeCommit(t1, 0L, Seq(protocolMapping,
+      idModeMeta(Seq(("id", 1, "id"), ("value", 2, "val_phys"))),
+      addAction("part-0001.parquet", s1)))
+    val e1 = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t1.toString))
+    assert(e1.getMessage.contains("DIFFERENT columns"), e1.getMessage)
+    assert(Files.isRegularFile(t1.resolve("part-0001.parquet"))) // untouched
+    assert(Files.isDirectory(t1.resolve("_delta_log")))
+    assert(!Files.exists(t1.resolve("_graft_import_plan")))
+
+    // (b) the physical NAME is present but under a foreign field id
+    val t2 = freshDir()
+    Files.createDirectories(t2)
+    val s2 = writeFileWithIds(t2, "part-0001.parquet",
+      Seq("id" -> 1, "val_phys" -> 9), Seq((1L, 1.5)))
+    writeCommit(t2, 0L, Seq(protocolMapping,
+      idModeMeta(Seq(("id", 1, "id"), ("value", 2, "val_phys"))),
+      addAction("part-0001.parquet", s2)))
+    val e2 = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t2.toString))
+    assert(e2.getMessage.contains("bind it elsewhere"), e2.getMessage)
+  }
+
+  test("ID-mode import accepts files WITHOUT field ids by name resolution " +
+      "(delta-spark's own id-mode fallback)") {
+    val t = freshDir()
+    // a plain Spark-written file: physical names, NO parquet field ids
+    val tmp = Files.createTempDirectory("dimp_noid")
+    Seq((1L, 1.5)).toDF("id", "val_phys").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val src = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(t)
+    Files.move(src, t.resolve("part-0001.parquet"))
+    val sz = Files.size(t.resolve("part-0001.parquet"))
+    writeCommit(t, 0L, Seq(protocolMapping,
+      idModeMeta(Seq(("id", 1, "id"), ("value", 2, "val_phys"))),
+      addAction("part-0001.parquet", sz)))
+    CommitLog.convert(spark, t.toString)
+    assert(CommitLog.read(spark, t.toString).select("id", "value")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 1.5)))
   }
 
   test("a crashed import RESUMES from its recorded plan at every interruption point") {
