@@ -16,7 +16,8 @@ import graft.tx.CommitLog
   *
   * {{{
   *   <root>/sketch   one row: (w INT, capacity LONG, fpp DOUBLE,
-  *                             n_inserted LONG, sketch BINARY)
+  *                             n_inserted LONG, n_deleted LONG,
+  *                             sketch BINARY)
   * }}}
   *
   * and [[refresh]] folds newly arrived train docs by UNIONING a
@@ -34,7 +35,25 @@ import graft.tx.CommitLog
   * and rewrites in the feed are deliberately folded ADD-ONLY: a Bloom
   * cannot retract bits, so a retired train doc's shingles keep flagging
   * — a conservative stale-positive, never a leak. Reclaim precision with
-  * a periodic re-[[build]] (the [[saturation]] gauge says when).
+  * a periodic re-[[build]]: [[saturation]] says when the fpp contract
+  * needs a bigger filter, and [[deleteDebt]] (retired shingle instances
+  * over inserted — round-14 VERDICT item 7) says when a churning train
+  * corpus (GDPR deletes, re-crawls) has accumulated enough stale
+  * positives that precision is due a reclaim;
+  * [[graft.tools.Maintenance]] auto-runs [[rebuild]] past its
+  * `deconRebuildDebtThreshold` because a decon re-build is deterministic
+  * data-derived state (unlike an IVF re-fit, it needs no operator
+  * judgment).
+  *
+  * LOST-UPDATE guard (round-14 ADVICE): [[refresh]] is a
+  * read-modify-write of the single sketch row, and two interleaved
+  * refreshers would each union only their own delta — the later
+  * overwrite silently dropping the other's bits, producing FALSE
+  * NEGATIVES, the one direction this store promises never to err in.
+  * The overwrite therefore publishes compare-and-set (expected sketch
+  * version = the one the fold read); the losing refresher fails loudly
+  * with ConcurrentModificationException instead of un-flagging leaked
+  * docs. Re-run it: the re-read folds on top of the winner.
   *
   * Sizing honesty: `capacity` is frozen at build (merge compatibility
   * requires identical bit geometry), so build sizes it with headroom
@@ -78,8 +97,22 @@ object DecontaminationStore {
     val txn =
       if (coveredVersion(indexRoot).exists(_ >= baseVersion)) None
       else Some((AppId, baseVersion))
-    commitSketch(spark, indexRoot, w, capacity, fpp, n, bf, txn)
+    commitSketch(spark, indexRoot, w, capacity, fpp, n, 0L, bf, txn,
+      expectPrior = None)
     baseVersion
+  }
+
+  /** Re-[[build]] reusing the stored sketch's (w, fpp) — what
+    * [[graft.tools.Maintenance]] runs when [[deleteDebt]] or
+    * [[saturation]] crosses its threshold: capacity re-sizes to the
+    * CURRENT corpus (reclaiming both headroom debt and delete debt) and
+    * the delete counter resets. */
+  def rebuild(spark: SparkSession, trainTable: String, indexRoot: String,
+      textCol: String = "text"): Long = {
+    val row = CommitLog.read(spark, sketchTable(indexRoot))
+      .select("w", "fpp").head()
+    build(spark, trainTable, indexRoot, w = row.getInt(0),
+      fpp = row.getDouble(1), textCol = textCol)
   }
 
   /** Train-table version the sketch currently covers (the txn watermark). */
@@ -100,6 +133,20 @@ object DecontaminationStore {
     r.getLong(0).toDouble / r.getLong(1)
   }
 
+  /** Churn gauge: shingle instances of RETIRED train docs (deletes folded
+    * add-only — their bits still flag) over inserted instances. > the
+    * maintenance threshold means enough of the sketch is stale positives
+    * that a precision-reclaiming [[rebuild]] is due. 0 for stores built
+    * before the counter existed (their overwrites reset it on the next
+    * refresh). Updates-in-place also strand old-version bits, but those
+    * docs are still train members — only full retirements count. */
+  def deleteDebt(spark: SparkSession, indexRoot: String): Double = {
+    val df = CommitLog.read(spark, sketchTable(indexRoot))
+    if (!df.columns.contains("n_deleted")) return 0.0
+    val r = df.select("n_deleted", "n_inserted").head()
+    if (r.getLong(1) <= 0L) 0.0 else r.getLong(0).toDouble / r.getLong(1)
+  }
+
   /** Fold train docs that arrived since the covered watermark: the
     * change-feed slice reduces to one final action per doc, new/rewritten
     * docs' shingles union in as a delta-only sketch (identical bit
@@ -114,21 +161,39 @@ object DecontaminationStore {
     val latest = CommitLog.latestVersion(trainTable).getOrElse(
       throw new IllegalArgumentException(s"$trainTable has no committed versions"))
     if (latest <= covered) return covered
-    val row = CommitLog.read(spark, sketchTable(indexRoot))
-      .select("w", "capacity", "fpp", "n_inserted", "sketch").head()
+    // pin the sketch version this fold is based on: the commit below is
+    // compare-and-set against it, so an interleaved refresher can never
+    // silently drop this union (class doc: lost updates here are false
+    // NEGATIVES, the one forbidden error direction)
+    val sketchBase = CommitLog.latestVersion(sketchTable(indexRoot)).getOrElse(0L)
+    val df = CommitLog.readAt(spark, sketchTable(indexRoot), sketchBase)
+    val hasDel = df.columns.contains("n_deleted")
+    val row = (if (hasDel)
+      df.select("w", "capacity", "fpp", "n_inserted", "sketch", "n_deleted")
+    else df.select("w", "capacity", "fpp", "n_inserted", "sketch")).head()
     val (w, capacity, fpp, n0) =
       (row.getInt(0), row.getLong(1), row.getDouble(2), row.getLong(3))
+    val d0 = if (hasDel) row.getLong(5) else 0L
     val stored = BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](4)))
     val feed = CommitLog.changeFeed(spark, trainTable, covered, Some(latest),
       overwriteDiff = true)
-    val fresh = IndexUpkeep.finalActions(feed, idCol)
+    val finals = IndexUpkeep.finalActions(feed, idCol)
+    val fresh = finals
       .filter(col(CommitLog.ChangeTypeCol) =!= "delete")
       .select(col(textCol))
+    // delete debt: retired docs' shingles stay in the sketch (add-only
+    // fold) — count them so Maintenance knows when precision needs a
+    // rebuild. O(deleted docs in the slice), the same cost class as the
+    // delta sketch itself.
+    val nRetired = shingleFrame(finals
+      .filter(col(CommitLog.ChangeTypeCol) === "delete")
+      .select(col(textCol)), w, textCol).count()
     val (delta, nDelta) = sketchOf(shingleFrame(fresh, w, textCol), capacity, fpp)
     stored.mergeInPlace(delta): Unit
-    commitSketch(spark, indexRoot, w, capacity, fpp, n0 + nDelta, stored,
-      Some((AppId, latest)))
+    commitSketch(spark, indexRoot, w, capacity, fpp, n0 + nDelta,
+      d0 + nRetired, stored, Some((AppId, latest)),
+      expectPrior = Some(sketchBase))
     latest
   }
 
@@ -172,14 +237,15 @@ object DecontaminationStore {
   }
 
   private def commitSketch(spark: SparkSession, indexRoot: String, w: Int,
-      capacity: Long, fpp: Double, n: Long, bf: BloomFilter,
-      txn: Option[(String, Long)]): Unit = {
+      capacity: Long, fpp: Double, n: Long, nDeleted: Long, bf: BloomFilter,
+      txn: Option[(String, Long)], expectPrior: Option[Long]): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     import spark.implicits._
     CommitLog.commit(
-      Seq((w, capacity, fpp, n, bos.toByteArray))
-        .toDF("w", "capacity", "fpp", "n_inserted", "sketch"),
-      sketchTable(indexRoot), "overwrite", txn = txn): Unit
+      Seq((w, capacity, fpp, n, nDeleted, bos.toByteArray))
+        .toDF("w", "capacity", "fpp", "n_inserted", "n_deleted", "sketch"),
+      sketchTable(indexRoot), "overwrite", txn = txn,
+      expectPriorVersion = expectPrior): Unit
   }
 }

@@ -71,7 +71,16 @@ object Maintenance {
         * trickle writes, and the cycle is where that debt gets repaid
         * (Delta's OPTIMIZE on a DV table). deleteDv's own fold-at-32
         * bounds dir COUNT; this threshold repays the row debt itself. */
-      compactWhenDvDirsExceed: Int = 8)
+      compactWhenDvDirsExceed: Int = 8,
+      /** Auto-[[graft.ext.DecontaminationStore.rebuild]] a registered
+        * "decon" index once its [[graft.ext.DecontaminationStore.deleteDebt]]
+        * (retired-shingle instances over inserted) or
+        * [[graft.ext.DecontaminationStore.saturation]] crosses this —
+        * unlike an IVF re-fit, a decon re-build is deterministic
+        * data-derived state, so the cycle RUNS it instead of only
+        * flagging (round-14 VERDICT item 7: a churning train corpus
+        * otherwise accumulates stale positives silently forever). */
+      deconRebuildDebtThreshold: Double = 0.25)
 
   /** A persisted index rooted at `indexRoot`, built over the maintained
     * table. `kind` selects the store: "ivf" ([[graft.ext.IvfStore]]),
@@ -138,7 +147,8 @@ object Maintenance {
       fsck: CommitLog.FsckReport,
       refreshedIndexes: Seq[(String, Long)] = Nil,
       staleIndexes: Seq[String] = Nil,
-      laggingReaderCursor: Option[Long] = None) {
+      laggingReaderCursor: Option[Long] = None,
+      rebuiltIndexes: Seq[String] = Nil) {
     def healthy: Boolean = fsck.clean
   }
 
@@ -163,8 +173,22 @@ object Maintenance {
     // 3. registered indexes: fold the base's changes since each index's
     // covered watermark (BEFORE vacuum, so the feed slice still exists);
     // report — don't auto-run — the rebuild decision on drift
+    val rebuilt = scala.collection.mutable.ArrayBuffer.empty[String]
     val refreshed = policy.indexes.map { ix =>
-      val v = ix.refresh(spark, table)
+      var v = ix.refresh(spark, table)
+      // decon stores rebuild IN-CYCLE past the debt threshold: the bloom
+      // can't retract retired docs' bits (stale positives) and its
+      // capacity is frozen (fpp debt) — a re-build reclaims both, is
+      // deterministic, and costs one pass over the current corpus
+      if (ix.kind == "decon" &&
+          (graft.ext.DecontaminationStore.deleteDebt(spark, ix.indexRoot) >
+              policy.deconRebuildDebtThreshold ||
+            graft.ext.DecontaminationStore.saturation(spark, ix.indexRoot) >
+              1.0)) {
+        v = graft.ext.DecontaminationStore.rebuild(spark, table,
+          ix.indexRoot, ix.textCol)
+        rebuilt += ix.indexRoot
+      }
       // the artifact table accumulates refresh-merge dirs like any hot
       // table — and each merge lands UNCLUSTERED, eroding the cell
       // gate's file skipping. Width-gate a re-cluster on the gate column
@@ -218,7 +242,7 @@ object Maintenance {
       audit = CommitLog.fsck(table, policy.minAgeMillis)
     }
     Report(repairedCdc, compactedTo, pruned, vacuumed, cleaned, audit,
-      refreshed, stale, laggingCursor)
+      refreshed, stale, laggingCursor, rebuilt.toSeq)
   }
 
   /** CLI: `Maintenance <table> [zorderCol,...] [subscriberCheckpoint]
@@ -238,6 +262,8 @@ object Maintenance {
         case r if r.startsWith("pq:") => IndexRef(r.stripPrefix("pq:"), kind = "pq")
         case r if r.startsWith("dedup:") =>
           IndexRef(r.stripPrefix("dedup:"), idCol = "doc_id", kind = "dedup")
+        case r if r.startsWith("decon:") =>
+          IndexRef(r.stripPrefix("decon:"), idCol = "doc_id", kind = "decon")
         case r => IndexRef(r)
       } else Nil
     val spark = graft.GraftSession.local("graft-maintenance",
@@ -251,6 +277,7 @@ object Maintenance {
         s"vacuumed=${r.vacuumedFiles} cleaned=${r.cleanedLeftovers} " +
         s"refreshedIndexes=${r.refreshedIndexes.map { case (p, v) => s"$p@$v" }.mkString(",")} " +
         s"staleIndexes=${r.staleIndexes.mkString(",")} " +
+        s"rebuiltIndexes=${r.rebuiltIndexes.mkString(",")} " +
         s"laggingReaderCursor=${r.laggingReaderCursor.getOrElse(-1L)} " +
         s"healthy=${r.healthy}")
       if (!r.healthy) {

@@ -198,7 +198,16 @@ object CommitLog {
   def commit(df: DataFrame, table: String, mode: String,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 64,
       txn: Option[(String, Long)] = None, mirror: Boolean = false,
-      autoCompactEvery: Int = AutoCompactEvery, cdc: Boolean = false): Long = {
+      autoCompactEvery: Int = AutoCompactEvery, cdc: Boolean = false,
+      /** Compare-and-set: publish ONLY as the immediate successor of this
+        * table version; any concurrent advance throws
+        * [[java.util.ConcurrentModificationException]] instead of landing
+        * on top of the interloper. For read-modify-write overwrites whose
+        * payload folds the prior row (e.g. a sketch union) a lost race is
+        * SILENT DATA LOSS — the later overwrite drops the other's fold —
+        * so the loser must fail loudly and re-read, not win the slot
+        * race (round-14 ADVICE on [[graft.ext.DecontaminationStore]]). */
+      expectPriorVersion: Option[Long] = None): Long = {
     if (mode != "append" && mode != "overwrite")
       throw new IllegalArgumentException(s"Invalid mode: $mode. Use 'append' or 'overwrite'.")
     require(!cdc || mode == "overwrite",
@@ -274,6 +283,20 @@ object CommitLog {
         if (prev.exists(_.txns.get(app).exists(_ >= batch))) {
           if (mirror) repairMirror(tableDir, prev.get)
           return prev.get.version // a concurrent duplicate of this txn won
+        }
+      }
+      // compare-and-set: a table that advanced past the expected
+      // predecessor fails LOUDLY (after the txn replay check above — an
+      // exact replay of this very write is still a no-op, not a conflict)
+      expectPriorVersion.foreach { want =>
+        val have = prev.map(_.version).getOrElse(0L)
+        if (have != want) {
+          newFiles.map(commitDirOf).distinct
+            .foreach(d => deleteTree(tableDir.resolve(d)))
+          throw new java.util.ConcurrentModificationException(
+            s"$table advanced to v$have during a compare-and-set commit " +
+              s"expecting to succeed v$want — a concurrent writer landed " +
+              "first; re-read the table and retry the fold")
         }
       }
       // a constraint committed AFTER this write's enforcement pass ran

@@ -101,6 +101,90 @@ class DecontaminationStoreSpec extends SparkSpec {
       .select("n_inserted").as[Long].head() === before)
   }
 
+  test("an interleaved refresh fails LOUDLY instead of silently dropping " +
+      "the winner's union (compare-and-set overwrite — round-14 ADVICE)") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 4).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index)
+    val table = DecontaminationStore.artifactTable(index)
+    val vRead = CommitLog.latestVersion(table).get
+    // the WINNER lands its fold first (advancing the sketch version past
+    // what the stalled refresher read)
+    CommitLog.commit(Seq((100L, "winner fold arrival doc pad pad pad pad pad"))
+      .toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.refresh(spark, base, index)
+    assert(CommitLog.latestVersion(table).get > vRead)
+    val winner = CommitLog.read(spark, table)
+      .select("n_inserted").as[Long].head()
+    // the stalled refresher's overwrite is compare-and-set against the
+    // version IT read — exactly what refresh passes — and must refuse,
+    // because landing it would drop the winner's bits: false NEGATIVES,
+    // the one direction the store promises never to err in
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commit(
+        Seq((8, 1000L, 1e-4, 1L, 0L, Array[Byte](1, 2, 3)))
+          .toDF("w", "capacity", "fpp", "n_inserted", "n_deleted", "sketch"),
+        table, "overwrite",
+        txn = Some((DecontaminationStore.AppId, 99L)),
+        expectPriorVersion = Some(vRead))
+    }
+    // the winner's fold is intact
+    assert(CommitLog.read(spark, table)
+      .select("n_inserted").as[Long].head() === winner)
+    // and a re-run of refresh (the documented recovery) is a clean no-op
+    assert(DecontaminationStore.refresh(spark, base, index)
+      === CommitLog.latestVersion(base).get)
+  }
+
+  test("delete churn past the debt threshold triggers an IN-CYCLE rebuild " +
+      "that reclaims stale positives (round-14 VERDICT item 7)") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    // doc 0 carries a passage UNIQUE to it — after its retirement and a
+    // rebuild, that passage must stop flagging
+    val uniq = "uno dos tres cuatro cinco seis siete ocho"
+    CommitLog.commit(
+      ((0L, s"$uniq retired doc zero filler pad") +:
+        (1 until 5).map(i => (i.toLong, s"$passage train doc $i filler pad")))
+        .toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index)
+    val probe = Seq((902L, s"eval doc leaking $uniq verbatim here"))
+      .toDF("doc_id", "text")
+    assert(DecontaminationStore.flaggedDocs(spark, index, probe)
+      .as[Long].collect().toSet === Set(902L))
+    assert(DecontaminationStore.deleteDebt(spark, index) === 0.0)
+    // GDPR-style churn: retire docs 0 and 1 (≈2/5 of the corpus' shingles)
+    CommitLog.deleteKeys(spark, base, Seq(0L, 1L).toDF("doc_id"), Seq("doc_id"))
+    DecontaminationStore.refresh(spark, base, index)
+    // add-only fold: still flags (conservative), but the DEBT is measured
+    val debt = DecontaminationStore.deleteDebt(spark, index)
+    assert(debt > 0.25, s"retiring 2 of 5 docs must cross the default threshold (got $debt)")
+    assert(DecontaminationStore.flaggedDocs(spark, index, probe)
+      .as[Long].collect().toSet === Set(902L), "pre-rebuild: stale positive")
+    // the maintenance cycle sees the debt and REBUILDS in-cycle
+    val pol = graft.tools.Maintenance.Policy(minAgeMillis = 0, force = true,
+      vacuumKeepVersions = 8, indexStaleThreshold = 1e9,
+      indexes = Seq(graft.tools.Maintenance.IndexRef(
+        index, idCol = "doc_id", kind = "decon")))
+    val r = graft.tools.Maintenance.run(spark, base, pol)
+    assert(r.rebuiltIndexes === Seq(index))
+    // stale positives gone, debt reset, live train still covered
+    assert(DecontaminationStore.flaggedDocs(spark, index, probe)
+      .as[Long].collect().isEmpty, "rebuild must reclaim the retired passage")
+    assert(DecontaminationStore.deleteDebt(spark, index) === 0.0)
+    val live = DecontaminationStore.flaggedDocs(spark, index,
+      contaminatedTest.toDF("doc_id", "text")).as[Long].collect().toSet
+    assert(live === Set(900L, 901L), "live train contamination must keep flagging")
+    // no churn, no debt → the next cycle does NOT rebuild
+    CommitLog.commit(Seq((500L, "quiet arrival doc pad pad pad pad pad"))
+      .toDF("doc_id", "text"), base, "append")
+    val r2 = graft.tools.Maintenance.run(spark, base, pol)
+    assert(r2.rebuiltIndexes.isEmpty)
+  }
+
   test("saturation gauges fill against the frozen capacity") {
     val root = freshRoot()
     val base = s"$root/base"
