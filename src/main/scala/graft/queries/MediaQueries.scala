@@ -77,6 +77,30 @@ object MediaQueries {
             .otherwise(0L)), lit(0L)).as("mismatches"))
     }),
 
+    // PERMISSIVE decode with quarantine (round-14 VERDICT item 5): the
+    // batch mixes real PNGs with planted CORRUPT payloads (the raw UTF-8
+    // bytes — no codec recognizes them); decodeFeaturesOrQuarantine must
+    // keep every row, flag exactly the planted ones (id checksum pins
+    // WHICH rows, not just how many), and leave no clean row with null
+    // features. The corrupt subset is deterministic (doc_id % 10 == 3,
+    // ids offset by 10^6), so DuckDB derives every expected count from
+    // the documents table with no codec.
+    "multimodal_quarantine" -> ((s, d) => {
+      val m = media(s, d).filter(octet_length(col("payload")) > 0)
+      val corrupt = m.filter(pmod(col("media_id"), lit(10)) === 3)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val out = Multimodal.decodeFeaturesOrQuarantine(
+        pngMedia(s, d).unionByName(corrupt))
+      out.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("decode_error").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("decode_error").isNotNull, col("media_id"))
+          .otherwise(0L)).as("q_id_sum"),
+        sum(when(col("decode_error").isNull && col("n_pixels").isNull, 1L)
+          .otherwise(0L)).as("clean_null_features"))
+    }),
+
     // Nearest-neighbor resize to 4×4 through the REAL codec — PROPERTY
     // oracle in the same style: the imperative resample loop over
     // javax.imageio-decoded PNG pixels is re-derived declaratively from
@@ -174,6 +198,12 @@ object MediaQueries {
          FROM documents WHERE octet_length(encode(text)) > 0""",
     "multimodal_resize" ->
       """SELECT count(*) AS n_media, CAST(0 AS BIGINT) AS mismatches
+         FROM documents WHERE octet_length(encode(text)) > 0""",
+    "multimodal_quarantine" ->
+      """SELECT CAST(count(*) + sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN doc_id % 10 = 3 THEN doc_id + 1000000 ELSE 0 END) AS BIGINT) AS q_id_sum,
+           CAST(0 AS BIGINT) AS clean_null_features
          FROM documents WHERE octet_length(encode(text)) > 0""",
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,

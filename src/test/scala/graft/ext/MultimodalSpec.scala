@@ -88,6 +88,65 @@ class MultimodalSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("not a decodable image")))
   }
 
+  test("quarantine mode: a corrupt payload lands as an error row, the " +
+      "batch survives, counts pinned (round-14 VERDICT item 5)") {
+    val good = Multimodal.encodeToPng(media.limit(9))
+    // one corrupt row: junk bytes no codec recognizes
+    val corrupt = Seq((666L, "image",
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(lit("png").as("format"), lit(0).as("width"),
+        lit(0).as("height"), lit(0).as("sample_rate")))
+    val batch = good.unionByName(corrupt)
+    val out = Multimodal.decodeFeaturesOrQuarantine(batch).cache()
+    assert(out.schema === Multimodal.quarantineSchema)
+    // the batch SURVIVED: every row accounted for, exactly one quarantined
+    assert(out.count() === 10L)
+    val q = out.filter(col("decode_error").isNotNull)
+    assert(q.count() === 1L)
+    assert(q.select("media_id").as[Long].head() === 666L)
+    assert(q.select("width").head().isNullAt(0), "quarantine rows carry null features")
+    assert(q.select("decode_error").as[String].head().nonEmpty)
+    // clean rows decode IDENTICALLY to the loud path
+    val clean = out.filter(col("decode_error").isNull)
+      .drop("decode_error").orderBy("media_id").collect().toSeq
+    val loud = Multimodal.decodeFeatures(good, Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect().toSeq
+    assert(clean === loud)
+    // the loud default still refuses the same batch — quarantine is opt-in
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(batch, Multimodal.ImageIoDecoder).count()
+    }
+    out.unpersist(): Unit
+  }
+
+  test("JPEG roundtrip: encodeToJpeg → ImageIoDecoder (lossy: exact dims, " +
+      "near-equal intensity)") {
+    val raw = media.filter(octet_length(col("payload")) > 0).limit(10)
+    val jpg = Multimodal.encodeToJpeg(raw)
+    assert(jpg.select("meta.format").distinct().as[String].collect().toSeq
+      === Seq("jpeg"))
+    // payloads really are JFIF/JPEG on the wire (SOI marker FF D8)
+    jpg.select("payload").as[Array[Byte]].take(5).foreach { b =>
+      assert((b(0) & 0xff) === 0xff && (b(1) & 0xff) === 0xd8,
+        "missing JPEG SOI marker")
+    }
+    val decoded = Multimodal.decodeFeatures(jpg, Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect().toSeq
+    val expected = Multimodal.decodeFeatures(raw) // stub twin on raw bytes
+      .orderBy("media_id").collect().toSeq
+    decoded.zip(expected).foreach { case (d, e) =>
+      // container metadata is exact even through a lossy codec
+      assert(d.getAs[Int]("width") === e.getAs[Int]("width"))
+      assert(d.getAs[Int]("height") === e.getAs[Int]("height"))
+      assert(d.getAs[Int]("n_pixels") === e.getAs[Int]("n_pixels"))
+      // pixel VALUES are lossy — mean intensity stays near the source
+      assert(math.abs(d.getAs[Double]("mean_intensity") -
+        e.getAs[Double]("mean_intensity")) < 16.0,
+        s"JPEG drifted too far: $d vs $e")
+    }
+  }
+
   test("color images collapse to deterministic integer luminance") {
     val img = new java.awt.image.BufferedImage(2, 1,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
