@@ -107,7 +107,14 @@ object TextQueries {
         count(lit(1)).as("n_docs"),
         countDistinct(TextStats.fingerprint(col("text"))).as("n_unique"))),
 
-    // BPE-ish regex tokenization (GPT-style pre-tokenizer word pieces).
+    // REAL merge-table BPE (round-14 VERDICT item 4): GPT-style regex
+    // pre-tokenization, then greedy lowest-rank pair merging per word
+    // through the native BpeEncode expression over the fixture merge
+    // table. The oracle REPLAYS the identical merges in DuckDB (recursive
+    // CTE over distinct pre-tokens: per iteration pick the lowest-rank
+    // adjacent pair and fuse its occurrences left-to-right), so any
+    // divergence in rank priority, non-overlap handling, or cascade order
+    // shifts counts on many docs and breaks the hash gate.
     "text_tokens_bpe" -> ((s, d) => documents(s, d)
       .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).as("n_pieces"))
       .orderBy("doc_id")),
@@ -602,9 +609,13 @@ object TextQueries {
     // WIDTH-INDEPENDENT by construction: DuckDB re-derives it with a plain
     // global window and every sequence's (n_docs, n_tokens) must
     // hash-match; TextQueriesSpec proves equality across two widths.
+    // Budgets by REAL BPE piece counts (round-14 VERDICT item 4) — the
+    // number an actual training pipeline allocates context windows by,
+    // not the whitespace-token proxy; the oracle re-derives the same
+    // counts through the DuckDB merge replay.
     "pack_sequences" -> ((s, d) => {
       val toks = documents(s, d)
-        .select(col("doc_id"), size(TextStats.tokens(col("text"))).as("n"))
+        .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).as("n"))
         .filter(col("n") > 0)
       packSequences(toks, ctx = 512, width = s.sparkContext.defaultParallelism)
     }),
@@ -709,11 +720,56 @@ object TextQueries {
         greatest(size(toks) - 3, lit(1)), 6)
   }
 
+  /** DuckDB replay of [[graft.functions.BpeEncode]] over the fixture merge
+    * table — an independent SQL re-implementation of greedy BPE: a
+    * recursive CTE carries each distinct pre-token's symbol list; per
+    * iteration the lowest-rank adjacent pair present in the table is
+    * picked (`list_position` over the literal merge list = rank) and its
+    * occurrences fuse left-to-right non-overlapping via a string fold
+    * (merging into the accumulator's LAST token reproduces the
+    * non-overlap semantics exactly); recursion stops when no pair
+    * matches, and the terminal row per word (max iteration) carries its
+    * piece count. Ends with `bpecnt(doc_id, n_pieces)`; prepend
+    * `WITH RECURSIVE`. */
+  private def bpeReplayCtes: String =
+    s"""ml AS (SELECT [${graft.functions.BpeEncode.fixturePairsSql}] AS M),
+       pt AS (SELECT doc_id, regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS pieces
+         FROM documents),
+       words AS (SELECT DISTINCT unnest(pieces) AS w FROM pt),
+       bpe(w, syms, it) AS (
+         SELECT w, list_transform(range(1, length(w) + 1),
+           i -> substr(w, CAST(i AS INTEGER), 1)), 0 FROM words
+         UNION ALL
+         SELECT w,
+           string_split(list_reduce(syms, (acc, s) -> CASE
+             WHEN regexp_extract(acc, '[^ ]+$$') || ' ' || s = best
+             THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]+$$')))
+               || regexp_extract(acc, '[^ ]+$$') || s
+             ELSE acc || ' ' || s END), ' '),
+           it + 1
+         FROM (
+           SELECT b.w, b.syms, b.it,
+             ml.M[CAST(list_min(list_filter(list_transform(
+               list_transform(range(1, len(b.syms)),
+                 i -> b.syms[CAST(i AS INTEGER)] || ' ' || b.syms[CAST(i + 1 AS INTEGER)]),
+               p -> list_position(ml.M, p)), r -> r > 0)) AS INTEGER)] AS best
+           FROM bpe b, ml) x
+         WHERE best IS NOT NULL),
+       fin AS (SELECT w, max(it) AS mit FROM bpe GROUP BY w),
+       wp AS (SELECT b.w, len(b.syms) AS np FROM bpe b
+         JOIN fin ON b.w = fin.w AND b.it = fin.mit),
+       expl AS (SELECT doc_id, unnest(pieces) AS w FROM pt),
+       bpeagg AS (SELECT doc_id, sum(np) AS np FROM expl
+         JOIN wp ON expl.w = wp.w GROUP BY doc_id),
+       bpecnt AS (SELECT p.doc_id, CAST(coalesce(a.np, 0) AS INTEGER) AS n_pieces
+         FROM pt p LEFT JOIN bpeagg a ON p.doc_id = a.doc_id)"""
+
   val oracle: Map[String, String] = Map(
     "text_tokens_bpe" ->
-      """SELECT doc_id, CAST(len(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_pieces
-         FROM documents ORDER BY doc_id""",
+      s"""WITH RECURSIVE
+         $bpeReplayCtes
+         SELECT doc_id, n_pieces FROM bpecnt ORDER BY doc_id""",
     "text_tokens" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
            x -> x <> '')) AS INTEGER) AS n_tokens
@@ -1036,10 +1092,9 @@ object TextQueries {
              AS BIGINT) % 8 AS BIGINT) AS shard
          FROM documents ORDER BY shuffle_key LIMIT 200""",
     "pack_sequences" ->
-      """WITH toks AS (
-           SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'),
-             x -> x <> '')) AS n
-           FROM documents),
+      s"""WITH RECURSIVE
+         $bpeReplayCtes,
+         toks AS (SELECT doc_id, n_pieces AS n FROM bpecnt),
          c AS (
            SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) - n AS start
            FROM toks WHERE n > 0),

@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-table BPE segmentation: hand-derived expected segmentations over
+  * the fixture merge table (rank priority, cascades, non-overlap), plus
+  * interpreted-vs-codegen agreement and the count used by pack_sequences.
+  *
+  * Expected pieces are derived BY HAND from the classic algorithm
+  * (lowest-rank adjacent pair fuses all occurrences left-to-right, repeat
+  * to fixpoint) so the spec is independent of the implementation:
+  *   the     → t+h(r0) → th+e(r1)            → [the]
+  *   thing   → t+h(r0) → i+n(r2) → in+g(r17) → [th, ing]
+  *   that    → t+h(r0) → a+t(r8) → th+at(r38)→ [that]
+  *   intense → i+n(r2) → e+n(r9) → s+e(r26)  → [in, t, en, se]
+  *   and     → a+n(r3) → an+d(r4)            → [and]
+  */
+class BpeEncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pieces(text: String): Seq[String] =
+    Seq(text).toDF("text")
+      .select(graft.ext.TextStats.bpePieces(col("text")).as("p"))
+      .as[Seq[String]].head()
+
+  test("fixture-table segmentations match the hand-derived merges") {
+    assert(pieces("the") === Seq("the"))
+    assert(pieces("thing") === Seq("th", "ing"))
+    assert(pieces("that") === Seq("that"))
+    assert(pieces("intense") === Seq("in", "t", "en", "se"))
+    assert(pieces("and") === Seq("and"))
+    // document order is preserved across pre-tokens, punctuation stays a
+    // single piece (no merges over symbols), uppercase stays unmerged
+    // (the fixture table is lowercase)
+    assert(pieces("the thing.") === Seq("the", "th", "ing", "."))
+    assert(pieces("THE") === Seq("T", "H", "E"))
+    // digits: pre-token kept whole, no digit merges in the table
+    assert(pieces("42") === Seq("4", "2"))
+  }
+
+  test("rank priority beats left-to-right position") {
+    // in "nthe": pairs are n+t(absent), t+h(r0), h+e(absent) → t+h first
+    // even though n+t comes first positionally; then th+e(r1) applies
+    assert(pieces("nthe") === Seq("n", "the"))
+  }
+
+  test("non-overlapping left-to-right fuse within one rank application") {
+    // "thth": t+h fuses BOTH occurrences in one pass → [th, th]; no
+    // th+th merge exists, fixpoint
+    assert(pieces("thth") === Seq("th", "th"))
+  }
+
+  test("interpreted eval agrees with the codegen path") {
+    val df = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(col("doc_id"), graft.ext.TextStats.bpeTokenCount(col("text")).as("n"))
+    val viaCodegen = df.orderBy("doc_id").collect().toSeq
+    // force the interpreted path: eval the expression row by row
+    val rows = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50).select("doc_id", "text").collect()
+    val merges = BpeEncode.FixtureMerges
+    val rank = merges.zipWithIndex.map { case ((l, r), i) => (l, r) -> i }.toMap
+    val pre = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    def ref(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      var done = false
+      while (!done && syms.size > 1) {
+        val cands = syms.zip(syms.tail).flatMap(p => rank.get(p).map(p -> _))
+        if (cands.isEmpty) done = true
+        else {
+          val (bl, br) = cands.minBy(_._2)._1
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == bl && syms(i + 1) == br) {
+              out += bl + br; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms.size
+    }
+    val expected = rows.map(r => (r.getLong(0),
+      pre.findAllIn(r.getString(1)).map(ref).sum)).sortBy(_._1).toSeq
+    assert(viaCodegen.map(r => (r.getLong(0), r.getInt(1))) === expected)
+  }
+}
