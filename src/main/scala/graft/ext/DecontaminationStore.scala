@@ -212,7 +212,12 @@ object DecontaminationStore {
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
     batch.select(col(idCol), explode(graft.functions.ShingleHashes
         .shingleHashes(TextStats.tokens(col(textCol)), row.getInt(0))).as("__sh"))
-      .filter(graft.functions.BloomColumns.mightContain(bf, col("__sh")))
+      // Auto: a production-size sketch (100+ MB) probes through a
+      // broadcast handle, never a plan literal (round-15 64x stanza: the
+      // literal path spent 420 s on plan-side bitmap hashing/shipping
+      // for a probe whose real work is seconds)
+      .filter(graft.functions.BloomColumns.mightContainAuto(
+        spark, bf, col("__sh")))
       .select(idCol).distinct()
   }
 
@@ -223,7 +228,11 @@ object DecontaminationStore {
       .distinct()
 
   /** (sketch, inserted-count) of a shingle frame — one distributed
-    * treeAggregate; the driver holds only the bitmap. */
+    * partial-filter reduce ([[graft.functions.BloomColumns.buildLong]]);
+    * the driver holds only the bitmap. NOT `stat.bloomFilter`: Spark 4
+    * silently clamps that at 2^26 bits, which the 64x stanza caught as a
+    * 41%-fpp sketch claiming 0.25 fill — the silent-poison failure for a
+    * store whose fpp is the contract. */
   private def sketchOf(sh: DataFrame, capacity: Long,
       fpp: Double): (BloomFilter, Long) = {
     val pinned = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -231,7 +240,8 @@ object DecontaminationStore {
       val n = pinned.count()
       val bf =
         if (n == 0) BloomFilter.create(capacity, fpp)
-        else pinned.stat.bloomFilter("__sh", capacity, fpp)
+        else graft.functions.BloomColumns.buildLong(pinned, "__sh", capacity,
+          fpp, itemsHint = n)
       (bf, n)
     } finally pinned.unpersist(blocking = false): Unit
   }

@@ -426,10 +426,14 @@ object TextQueries {
       // ~10²-10³ shingles probes true, so per-shingle fpp must sit well
       // under 1/shingles-per-doc.
       val expectedShingles = math.max(1000L, trainSh.count())
-      val bf = trainSh.stat.bloomFilter("__sh", expectedShingles, 1e-4)
+      // honest sizing at any scale: stat.bloomFilter silently clamps at
+      // 2^26 bits (see BloomColumns.buildLong)
+      val bf = graft.functions.BloomColumns
+        .buildLong(trainSh, "__sh", expectedShingles, 1e-4,
+          itemsHint = expectedShingles)
       val testSh = sh.filter(col("split") === "test")
       val flaggedBloom = testSh
-        .filter(graft.functions.BloomColumns.mightContain(bf, col("__sh")))
+        .filter(graft.functions.BloomColumns.mightContainAuto(s, bf, col("__sh")))
         .select("doc_id").distinct()
       val flaggedExact = testSh.join(trainSh, "__sh", "left_semi")
         .select("doc_id").distinct()
@@ -686,10 +690,11 @@ object TextQueries {
           TextStats.tokens(col("text")), 8)).as("__sh"))
       val expectedShingles = math.max(1000L,
         documents(s, d).agg(sum(length(col("text")))).first().getLong(0) / 4)
-      val bf = sh.filter(col("split") === "train")
-        .stat.bloomFilter("__sh", expectedShingles, 1e-4)
+      val bf = graft.functions.BloomColumns.buildLong(
+        sh.filter(col("split") === "train"), "__sh", expectedShingles, 1e-4,
+        itemsHint = expectedShingles)
       sh.filter(col("split") === "test")
-        .filter(graft.functions.BloomColumns.mightContain(bf, col("__sh")))
+        .filter(graft.functions.BloomColumns.mightContainAuto(s, bf, col("__sh")))
         .select("doc_id").distinct()
         .agg(count(lit(1)).as("n_bloom_flagged"))
     }),

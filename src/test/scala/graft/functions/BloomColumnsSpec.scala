@@ -27,6 +27,60 @@ class BloomColumnsSpec extends SparkSpec {
     assert(fp <= (probes.size * 0.05).toLong, s"false positives $fp of ${probes.size}")
   }
 
+  test("buildLong sizes honestly past stat.bloomFilter's silent 2^26-bit " +
+      "clamp (round-15: the 64x stanza caught a 41%-fpp sketch)") {
+    // stat.bloomFilter routes through BloomFilterAggregate, whose bitmap is
+    // clamped at spark.sql.optimizer.runtime.bloomFilter.maxNumBits
+    // (67,108,864) no matter the requested capacity — right for runtime
+    // join filters, silent poison for fpp-contract sketches
+    val df = (0L until 2000L).toDF("v")
+    val clamped = df.stat.bloomFilter("v", 10000000L, 1e-4)
+    assert(clamped.bitSize() === 67108864L, "Spark clamp assumption changed")
+    val honest = BloomColumns.buildLong(df, "v", 10000000L, 1e-4)
+    assert(honest.bitSize() > 67108864L,
+      s"buildLong must size for the requested capacity, got ${honest.bitSize()}")
+    // probe compatibility: every inserted value answers true through the
+    // SAME codegen predicate the stores use
+    assert(df.filter(BloomColumns.mightContain(honest, col("v"))).count() === 2000L)
+    // disjoint probes stay near the configured fpp
+    val probes = (1L to 20000L).map(i => i * -7046029254386353131L + 13L)
+      .filter(v => v < 0L || v >= 2000L)
+    val fp = probes.toDF("v")
+      .filter(BloomColumns.mightContain(honest, col("v"))).count()
+    assert(fp <= (probes.size * 0.01).toLong, s"false positives $fp of ${probes.size}")
+    // empty input builds a valid empty sketch
+    val empty = BloomColumns.buildLong(df.filter(col("v") < 0L), "v", 100L, 1e-4)
+    assert(!empty.mightContainLong(42L))
+  }
+
+  test("mightContainAuto routes big sketches through a broadcast handle " +
+      "with identical answers to the literal path") {
+    // ~23 MB sketch — over the 8 MB literal cap, so Auto must pick the
+    // broadcast expression; answers must be bit-identical to the literal
+    val bf = BloomColumns.buildLong(
+      (0L until 5000L).toDF("v"), "v", 10000000L, 1e-4)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    assert(bos.size() > BloomColumns.LiteralSketchMaxBytes)
+    val probes = ((0L until 1000L) ++ (100000L until 101000L)).toDF("v")
+    val viaAuto = probes
+      .filter(BloomColumns.mightContainAuto(spark, bf, col("v")))
+      .as[Long].collect().sorted
+    val viaLiteral = probes
+      .filter(BloomColumns.mightContain(bf, col("v")))
+      .as[Long].collect().sorted
+    assert(viaAuto === viaLiteral)
+    assert((0L until 1000L).forall(viaAuto.contains), "no false negatives")
+    // a small sketch stays on the literal path (plan-transparent for the
+    // audit greps) — mightContainAuto must not change its answers either
+    val small = BloomColumns.buildLong((0L until 100L).toDF("v"), "v", 1000L, 1e-4)
+    val a2 = probes.filter(BloomColumns.mightContainAuto(spark, small, col("v")))
+      .as[Long].collect().sorted
+    val l2 = probes.filter(BloomColumns.mightContain(small, col("v")))
+      .as[Long].collect().sorted
+    assert(a2 === l2)
+  }
+
   test("bloom gate composes with an exact semi-join: same rows, fewer candidates") {
     val big = (0L until 5000L).toDF("k")
     val small = Seq(10L, 500L, 999L, 4321L).toDF("k")
