@@ -616,11 +616,16 @@ object TextQueries {
     // Budgets by REAL BPE piece counts (round-14 VERDICT item 4) — the
     // number an actual training pipeline allocates context windows by,
     // not the whitespace-token proxy; the oracle re-derives the same
-    // counts through the DuckDB merge replay.
+    // counts through the DuckDB merge replay. The narrow (doc_id, n)
+    // projection is PERSISTED before the range exchange: the range
+    // partitioner's sampling pass otherwise re-runs the tokenizer over
+    // the whole corpus a second time — at 100 TB that doubles the
+    // pipeline's dominant cost for a 16-bytes-per-doc intermediate.
     "pack_sequences" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).as("n"))
         .filter(col("n") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       packSequences(toks, ctx = 512, width = s.sparkContext.defaultParallelism)
     }),
   )
