@@ -61,9 +61,11 @@ import graft.tx.CommitLog
   * tracks `n_inserted`; [[saturation]] > 1 means the fpp contract is no
   * longer honest and a re-build with a larger capacity is due — the same
   * threshold-alarm semantics as [[IvfStore.staleFraction]]. The sketch
-  * rides query plans as a broadcast literal, so capacity is also bounded
-  * by sane plan size (~10⁸ items ≈ 230 MB at 1e-4); beyond that, shard
-  * the store by shingle-hash prefix.
+  * ships to probes as a plan literal when small and a TorrentBroadcast
+  * handle when production-size (round 15 — a 130 MB literal cost 420 s
+  * in plan-side hashing/shipping), so capacity is bounded by executor
+  * memory rather than plan size (~10⁸ items ≈ 230 MB at 1e-4); beyond
+  * that, shard the store by shingle-hash prefix.
   *
   * Concurrency contract mirrors [[DedupStore]] where it applies, and is
   * SIMPLER: one table, one overwrite per refresh, watermark appId
@@ -206,20 +208,58 @@ object DecontaminationStore {
     * matters. */
   def flaggedDocs(spark: SparkSession, indexRoot: String, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val row = CommitLog.read(spark, sketchTable(indexRoot))
-      .select("w", "sketch").head()
-    val bf = BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+    val table = sketchTable(indexRoot)
+    val version = CommitLog.latestVersion(table).getOrElse(
+      throw new IllegalStateException(
+        s"$indexRoot has no built sketch; run build first"))
+    val key = (CommitLog.normalizeRoot(table), version)
+    val (w, probeOf) = servingCache.synchronized(
+      Option(servingCache.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        val row = CommitLog.readAt(spark, table, version)
+          .select("w", "sketch").head()
+        val w0 = row.getInt(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        // a production-size sketch (100+ MB) probes through a broadcast
+        // handle, never a plan literal (round-15 64x stanza: the literal
+        // path spent 420 s on plan-side bitmap hashing/shipping for a
+        // probe whose real work is seconds)
+        val probe: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          if (bytes.length <= graft.functions.BloomColumns.LiteralSketchMaxBytes) {
+            val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+            c => graft.functions.BloomColumns.mightContain(bf, c)
+          } else {
+            val bcast = spark.sparkContext.broadcast(bytes)
+            c => graft.functions.BloomColumns.mightContainBroadcast(bcast, c)
+          }
+        servingCache.synchronized(servingCache.put(key, (w0, probe)): Unit)
+        (w0, probe)
+    }
     batch.select(col(idCol), explode(graft.functions.ShingleHashes
-        .shingleHashes(TextStats.tokens(col(textCol)), row.getInt(0))).as("__sh"))
-      // Auto: a production-size sketch (100+ MB) probes through a
-      // broadcast handle, never a plan literal (round-15 64x stanza: the
-      // literal path spent 420 s on plan-side bitmap hashing/shipping
-      // for a probe whose real work is seconds)
-      .filter(graft.functions.BloomColumns.mightContainAuto(
-        spark, bf, col("__sh")))
+        .shingleHashes(TextStats.tokens(col(textCol)), w)).as("__sh"))
+      .filter(probeOf(col("__sh")))
       .select(idCol).distinct()
   }
+
+  /** Serving-probe state memoized per (root, sketch version): the probe
+    * COLUMN builder plus the shingle width. Memoizing means a steady
+    * stream of serving probes pays the 100+ MB sketch read and the
+    * broadcast ONCE per version ([[DedupStore]]'s `checkedConfig`
+    * pattern — version resolution is a file-metadata read, zero Spark
+    * jobs per cached probe), and re-broadcasting per call would LEAK a
+    * bitmap-sized broadcast per probe until session end. Evicted or
+    * superseded entries just drop the handle; Spark's ContextCleaner
+    * reclaims the broadcast once live plans release it. */
+  private val servingCache =
+    new java.util.LinkedHashMap[(String, Long),
+        (Int, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      4, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            (Int, org.apache.spark.sql.Column => org.apache.spark.sql.Column)]): Boolean =
+        size() > 4
+    }
 
   /** Per-slice distinct shingle-hash rows of a document frame. */
   private def shingleFrame(docs: DataFrame, w: Int, textCol: String): DataFrame =

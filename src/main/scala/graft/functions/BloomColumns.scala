@@ -56,6 +56,15 @@ object BloomColumns {
     * runtime-filter literal cap — 8 MB). */
   val LiteralSketchMaxBytes: Int = 8 * 1024 * 1024
 
+  /** Probe against an ALREADY-broadcast sketch — for callers that memoize
+    * the broadcast across probes (e.g. a serving path probing the same
+    * stored sketch repeatedly; re-broadcasting per call would leak a
+    * bitmap-sized broadcast each time). */
+  def mightContainBroadcast(bcast: Broadcast[Array[Byte]],
+      value: Column): Column =
+    ColumnBridge.column(BloomBroadcastMightContain(
+      ColumnBridge.expression(value), bcast))
+
   /** Per-JVM deserialization cache for broadcast sketches: one
     * `BloomFilter.readFrom` per executor per broadcast, not per task —
     * at 130 MB the parse is the probe's whole cost otherwise. Small LRU:
