@@ -112,11 +112,15 @@ object TextQueries {
     // through the native BpeEncode expression over the fixture merge
     // table. The oracle REPLAYS the identical merges in DuckDB (recursive
     // CTE over distinct pre-tokens: per iteration pick the lowest-rank
-    // adjacent pair and fuse its occurrences left-to-right), so any
-    // divergence in rank priority, non-overlap handling, or cascade order
-    // shifts counts on many docs and breaks the hash gate.
+    // adjacent pair and fuse its occurrences left-to-right) and pins the
+    // EXACT segmentation, not just counts: seg_fp is the md5 of the
+    // space-joined piece stream in document order, so any divergence in
+    // rank priority, non-overlap handling, cascade order, OR piece
+    // boundaries breaks the hash gate per doc.
     "text_tokens_bpe" -> ((s, d) => documents(s, d)
-      .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).as("n_pieces"))
+      .select(col("doc_id"), TextStats.bpePieces(col("text")).as("p"))
+      .select(col("doc_id"), size(col("p")).as("n_pieces"),
+        md5(concat_ws(" ", col("p"))).as("seg_fp"))
       .orderBy("doc_id")),
 
     // Winnowing-style rolling-hash fingerprint — PROPERTY oracle (round-2
@@ -767,8 +771,9 @@ object TextQueries {
            FROM bpe b, ml) x
          WHERE best IS NOT NULL),
        fin AS (SELECT w, max(it) AS mit FROM bpe GROUP BY w),
-       wp AS (SELECT b.w, len(b.syms) AS np FROM bpe b
-         JOIN fin ON b.w = fin.w AND b.it = fin.mit),
+       wp AS (SELECT b.w, len(b.syms) AS np,
+           array_to_string(b.syms, ' ') AS segs
+         FROM bpe b JOIN fin ON b.w = fin.w AND b.it = fin.mit),
        expl AS (SELECT doc_id, unnest(pieces) AS w FROM pt),
        bpeagg AS (SELECT doc_id, sum(np) AS np FROM expl
          JOIN wp ON expl.w = wp.w GROUP BY doc_id),
@@ -778,8 +783,16 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "text_tokens_bpe" ->
       s"""WITH RECURSIVE
-         $bpeReplayCtes
-         SELECT doc_id, n_pieces FROM bpecnt ORDER BY doc_id""",
+         $bpeReplayCtes,
+         ex2 AS (SELECT doc_id, unnest(pieces) AS w,
+           generate_subscripts(pieces, 1) AS i FROM pt),
+         docseg AS (SELECT e.doc_id,
+             string_agg(wp.segs, ' ' ORDER BY e.i) AS seg
+           FROM ex2 e JOIN wp ON e.w = wp.w GROUP BY e.doc_id)
+         SELECT c.doc_id, c.n_pieces,
+           md5(coalesce(d.seg, '')) AS seg_fp
+         FROM bpecnt c LEFT JOIN docseg d ON c.doc_id = d.doc_id
+         ORDER BY c.doc_id""",
     "text_tokens" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
            x -> x <> '')) AS INTEGER) AS n_tokens

@@ -2932,9 +2932,12 @@ object CommitLog {
       nonNull += nn
       if (nn > 0) (cs.min, cs.max) match {
         case (Some(a), Some(b)) =>
-          // string bounds from an unproven writer may be truncated —
-          // valid for pruning, not for MIN/MAX: refuse
-          if (kind == "string" && !cs.exact) return None
+          // string bounds from an unproven writer may be truncated, and a
+          // NANOS timestamp chunk's bounds are floor/ceil-WIDENED by unit
+          // normalization — valid for pruning, not for MIN/MAX: refuse
+          // unless the sidecar carries the kind's exactness proof
+          // (untruncating writer for strings, MILLIS/MICROS unit for ts)
+          if ((kind == "string" || kind == "ts") && !cs.exact) return None
           mn = Some(mn.fold(a)(p =>
             if (FileStats.compareRendered(kind, a, p) < 0) a else p))
           mx = Some(mx.fold(b)(p =>

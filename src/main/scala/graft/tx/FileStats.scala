@@ -83,9 +83,14 @@ object FileStats {
     val lines = files.flatMap { p =>
       val rel = dataDir.relativize(p).toString
       try collect(p, conf).map { case (col, s) =>
+        // the exact flag's proof differs by kind: strings need the
+        // WRITER proven untruncating (the engine's own commit path);
+        // timestamps carry a per-chunk UNIT proof collect() already made
+        val ex = s.min.isDefined &&
+          (if (s.kind == "ts") s.exact else exactStrings)
         Seq(enc(rel), enc(col), s.kind, s.min.map(enc).getOrElse("-"),
           s.max.map(enc).getOrElse("-"), s.nulls.toString, s.values.toString,
-          if (exactStrings && s.min.isDefined) "x" else "-", s.rows.toString)
+          if (ex) "x" else "-", s.rows.toString)
           .mkString("\t")
       } catch { case scala.util.control.NonFatal(_) => Nil }
     }
@@ -170,8 +175,17 @@ object FileStats {
                   if (lo.isEmpty || hi.isEmpty) (None, None) else (lo, hi)
                 }
               val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+              // ts exactness is a UNIT fact, provable per chunk regardless
+              // of writer: MILLIS/MICROS normalize to micros losslessly
+              // (the bounds are real values), only NANOS floor/ceil-WIDENS
+              // — so a foreign delta-rs MICROS file's ts bounds are as
+              // exact as the engine's own, and consumers gated on `exact`
+              // (metadata MIN/MAX, Delta stats export) may serve them
+              val tsExact = kind == "ts" &&
+                logical.asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+                  .getUnit != LogicalTypeAnnotation.TimeUnit.NANOS
               val add = ColStats(kind, mn, mx, nulls, block.getRowCount,
-                rows = fileRows)
+                exact = tsExact, rows = fileRows)
               acc.get(name) match {
                 case None => acc(name) = add
                 case Some(prev) => acc(name) = mergeStats(prev, add)
@@ -413,6 +427,9 @@ object FileStats {
     ColStats(a.kind, pick(a.min, b.min, lo = true), pick(a.max, b.max, lo = false),
       if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls,
       a.values + b.values,
+      // kind-level exactness (ts unit proof) survives the merge only when
+      // EVERY chunk carried it; one widened NANOS chunk taints the file
+      exact = a.exact && b.exact,
       // row-group merges within ONE file: both sides carry the same
       // file-total row count (collect stamps it uniformly)
       rows = math.max(a.rows, b.rows))

@@ -835,9 +835,12 @@ class DeltaExportSpec extends SparkSpec {
     assert(back._2 === java.sql.Date.valueOf("2024-01-01"))
   }
 
-  test("a CONVERT-imported foreign timestamp column exports NO ts bounds " +
-      "(unproven unit widening is valid for skipping but not for the tight " +
-      "stats Delta readers serve MIN/MAX from)") {
+  test("a CONVERT-imported foreign MICROS timestamp exports ISO bounds " +
+      "(unit-proven exact — delta-rs writes MICROS, so converted reference " +
+      "tables keep time skipping); a NANOS one stays unexported (widened)") {
+    // MICROS foreign file (Spark's writer under a tmp dir, adopted as
+    // foreign: CONVERT marks its strings inexact, but the ts unit proof
+    // is per-chunk and writer-independent)
     val t = freshTable()
     val tmp = Files.createTempDirectory("graft_dexp_fts")
     Seq((1L, java.time.Instant.parse("2024-01-01T00:00:00Z")))
@@ -857,8 +860,39 @@ class DeltaExportSpec extends SparkSpec {
         .select("add.stats").as[String].head())
     assert(node.path("numRecords").asLong() === 1L)
     assert(node.path("minValues").path("id").asLong() === 1L)
-    assert(node.path("minValues").path("ets").isMissingNode,
-      "foreign ts bound must stay unexported")
+    assert(node.path("minValues").path("ets").asText()
+      === "2024-01-01T00:00:00.000000Z",
+      "MICROS foreign ts bounds are unit-exact and must export")
+
+    // NANOS foreign file: unit normalization floor/ceil-WIDENS the bounds
+    // — valid for skipping, NOT the tight stats Delta readers serve
+    // metadata MIN/MAX from, so export refuses them
+    val t2 = freshTable()
+    Files.createDirectories(Paths.get(t2))
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message t { required int64 id; required int64 ets (TIMESTAMP(NANOS,true)); }")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(
+      Paths.get(t2).resolve("foreign.parquet").toUri)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(p, conf))
+      .withConf(conf).withType(schema).build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    (1 to 3).foreach { i =>
+      val g = gf.newGroup()
+      g.add("id", i.toLong)
+      g.add("ets", 1704067200000000000L + i * 1000000321L) // non-whole micros
+      w.write(g)
+    }
+    w.close()
+    CommitLog.convert(spark, t2)
+    DeltaExport.writeDeltaLog(t2)
+    val node2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      spark.read.json(logFile(t2)).filter(col("add").isNotNull)
+        .select("add.stats").as[String].head())
+    assert(node2.path("numRecords").asLong() === 3L)
+    assert(node2.path("minValues").path("ets").isMissingNode,
+      "NANOS-widened ts bounds must stay unexported")
   }
 
   test("nested struct fields carry columnMapping id + physicalName; " +
