@@ -263,9 +263,15 @@ object DeltaExport {
       if (ntz) base else base + "Z"
     }
     def statsJsonOf(rel: String): Option[String] = {
+      // COW rewrites (DV folds) live outside data/ but carry their own
+      // sidecar (written right after the fold below) — the dirty subset
+      // must not be the one place a foreign reader loses skipping
       val dir =
-        try CommitLog.commitDirOf(rel)
-        catch { case scala.util.control.NonFatal(_) => return None }
+        if (rel.startsWith("_graft_export_cow/"))
+          rel.split("/").take(2).mkString("/")
+        else
+          try CommitLog.commitDirOf(rel)
+          catch { case scala.util.control.NonFatal(_) => return None }
       val byFile = statsCache.getOrElseUpdate(dir,
         try FileStats.readSidecar(root.resolve(dir))
         catch { case scala.util.control.NonFatal(_) => Map.empty })
@@ -414,6 +420,7 @@ object DeltaExport {
             Files.createDirectories(cowDir.getParent)
             Files.move(tmp, cowDir, StandardCopyOption.ATOMIC_MOVE)
           }
+          val hconf = new org.apache.hadoop.conf.Configuration()
           val cowFiles = {
             val st = Files.walk(cowDir)
             try st.iterator().asScala
@@ -422,10 +429,21 @@ object DeltaExport {
                 val n = p.getFileName.toString
                 n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
               }
+              // a FULLY-dead dirty file folds to a zero-row part — a
+              // pointless add action a foreign reader would still open;
+              // drop it (footer-only row-count read, O(dirty files))
+              .filter(p => FileStats.footerRowCount(p, hconf) > 0L)
               .map(p => root.relativize(p).toString.replace('\\', '/'))
               .toSeq.sorted
             finally st.close()
           }
+          // stats sidecar for the fold's rewrites (engine-written: the
+          // untruncating Spark writer, MICROS timestamps — exact), so the
+          // dirty subset skips like the shared clean files do. Idempotent
+          // across re-exports: a pre-existing COW dir already carries it.
+          if (!Files.exists(cowDir.resolve(FileStats.SidecarName)))
+            FileStats.writeSidecar(cowDir,
+              cowFiles.map(root.resolve(_)), exactStrings = true)
           (clean ++ cowFiles, true)
         }
       }

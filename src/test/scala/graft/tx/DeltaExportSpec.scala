@@ -296,11 +296,13 @@ class DeltaExportSpec extends SparkSpec {
       "side dir (round-12 VERDICT item 5); column mapping composes") {
     val t = freshTable()
     // two files so the fold is provably SCOPED: only the death-carrying
-    // file is rewritten, the clean one is shared as-is
-    CommitLog.commit((1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
-      t, "append")
-    CommitLog.commit((21 to 30).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
-      t, "append")
+    // file is rewritten, the clean one is shared as-is. coalesce(1) makes
+    // the dirty file's LIVE remainder deterministic (a scattered layout
+    // could isolate the deaths in a fully-dead part, whose fold is empty)
+    CommitLog.commit((1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .coalesce(1), t, "append")
+    CommitLog.commit((21 to 30).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .coalesce(1), t, "append")
     CommitLog.deleteDv(spark, t, col("id") <= 5L)
     val v = DeltaExport.writeDeltaLog(t)
     assert(v === CommitLog.latestVersion(t).get)
@@ -313,6 +315,19 @@ class DeltaExportSpec extends SparkSpec {
       s"no COW add action in $adds")
     assert(adds.exists(_.startsWith("data/")),
       s"clean file not shared as-is in $adds")
+    // the COW rewrites carry per-file stats too — the dirty subset must
+    // not be the one place a foreign reader loses skipping. numRecords
+    // totals the LIVE rows and the id bounds exclude the folded deaths.
+    val om0 = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cowStats = spark.read.json(logFile(t)).filter(col("add").isNotNull)
+      .select("add.path", "add.stats").as[(String, String)].collect()
+      .filter(r => DeltaPaths.decode(r._1).startsWith("_graft_export_cow/"))
+    assert(cowStats.nonEmpty)
+    cowStats.foreach { case (p, s) => assert(s != null, s"COW add $p lacks stats") }
+    val cowNodes = cowStats.map(r => om0.readTree(r._2))
+    assert(cowNodes.map(_.path("numRecords").asLong()).sum === 15L)
+    assert(cowNodes.map(_.path("minValues").path("id").asLong()).min >= 6L,
+      "COW stats must reflect the folded (live-only) rows")
     adds.foreach { p =>
       assert(Files.isRegularFile(Paths.get(t).resolve(p)),
         s"add.path does not resolve on disk: $p")
@@ -357,6 +372,26 @@ class DeltaExportSpec extends SparkSpec {
     val rebuilt2 = adds2.toSeq.map(p => spark.read.parquet(s"$t/$p"))
       .reduce(_ unionByName _)
     assert(rebuilt2.select("id").as[Long].collect().sorted === (6L to 30L).toArray)
+  }
+
+  test("a fully-dead dirty file folds to NO zero-row cow add") {
+    val t = freshTable()
+    CommitLog.commit((1 to 5).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .coalesce(1), t, "append")
+    CommitLog.commit((6 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .coalesce(1), t, "append")
+    CommitLog.deleteDv(spark, t, col("id") <= 5L) // kills file 1 entirely
+    DeltaExport.writeDeltaLog(t)
+    val adds = spark.read.json(logFile(t)).filter(col("add").isNotNull)
+      .select("add.path").as[String].collect().toSeq.map(DeltaPaths.decode)
+    // no pointless zero-row adds: every listed file holds live rows
+    adds.foreach { p =>
+      assert(spark.read.parquet(s"$t/$p").count() > 0L,
+        s"zero-row add exported: $p")
+    }
+    val rebuilt = adds.map(p => spark.read.parquet(s"$t/$p"))
+      .reduce(_ unionByName _)
+    assert(rebuilt.select("id").as[Long].collect().sorted === (6L to 10L).toArray)
   }
 
   test("vacuum refreshes the exported log first — a foreign reader of the " +
