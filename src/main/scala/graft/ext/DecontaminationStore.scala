@@ -90,6 +90,14 @@ object DecontaminationStore {
       textCol: String = "text"): Long = {
     val baseVersion = CommitLog.latestVersion(trainTable).getOrElse(
       throw new IllegalArgumentException(s"$trainTable has no committed versions"))
+    // build/rebuild is compare-and-set like refresh: a rebuild racing a
+    // concurrent refresh would otherwise overwrite the refresh's fold
+    // while the txn watermark (which survives overwrites) still claims
+    // the folded slice is covered — the slice would never re-fold, a
+    // PERMANENT false negative. Pin the sketch version before the corpus
+    // scan; the loser re-reads and re-runs.
+    val sketchBase =
+      CommitLog.latestVersion(sketchTable(indexRoot)).getOrElse(0L)
     val corpus = CommitLog.readAt(spark, trainTable, baseVersion)
     val sh = shingleFrame(corpus, w, textCol)
     val capacity =
@@ -100,7 +108,7 @@ object DecontaminationStore {
       if (coveredVersion(indexRoot).exists(_ >= baseVersion)) None
       else Some((AppId, baseVersion))
     commitSketch(spark, indexRoot, w, capacity, fpp, n, 0L, bf, txn,
-      expectPrior = None)
+      expectPrior = Some(sketchBase))
     baseVersion
   }
 
@@ -212,7 +220,12 @@ object DecontaminationStore {
     val version = CommitLog.latestVersion(table).getOrElse(
       throw new IllegalStateException(
         s"$indexRoot has no built sketch; run build first"))
-    val key = (CommitLog.normalizeRoot(table), version)
+    // key includes the application id: a cached probe closure holds a
+    // Broadcast of a PARTICULAR SparkContext — after a context restart in
+    // the same JVM the handle is dead, and serving it would fail every
+    // probe until eviction
+    val key = (spark.sparkContext.applicationId,
+      CommitLog.normalizeRoot(table), version)
     val (w, probeOf) = servingCache.synchronized(
       Option(servingCache.get(key))) match {
       case Some(hit) => hit
@@ -252,11 +265,11 @@ object DecontaminationStore {
     * superseded entries just drop the handle; Spark's ContextCleaner
     * reclaims the broadcast once live plans release it. */
   private val servingCache =
-    new java.util.LinkedHashMap[(String, Long),
+    new java.util.LinkedHashMap[(String, String, Long),
         (Int, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
       4, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long),
+          e: java.util.Map.Entry[(String, String, Long),
             (Int, org.apache.spark.sql.Column => org.apache.spark.sql.Column)]): Boolean =
         size() > 4
     }

@@ -70,21 +70,31 @@ object BloomColumns {
     * at 130 MB the parse is the probe's whole cost otherwise. Small LRU:
     * an executor touches few distinct sketches per job. */
   private val filterCache =
-    new java.util.LinkedHashMap[Long, BloomFilter](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long), BloomFilter](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, BloomFilter]): Boolean = size() > 8
+          e: java.util.Map.Entry[(String, Long), BloomFilter]): Boolean = size() > 8
     }
 
-  private[functions] def cachedFilter(bcast: Broadcast[Array[Byte]]): BloomFilter =
+  /** Cache key scoped by APPLICATION id, not just broadcast id: broadcast
+    * ids are a per-SparkContext counter, so after a context restart in the
+    * same JVM a fresh broadcast could collide with a stale entry and
+    * silently answer membership from the WRONG sketch (false negatives
+    * included). SparkEnv is present on driver and executors alike. */
+  private[functions] def cachedFilter(bcast: Broadcast[Array[Byte]]): BloomFilter = {
+    val key = (org.apache.spark.SparkEnv.get.conf.getAppId, bcast.id)
     filterCache.synchronized {
-      val got = filterCache.get(bcast.id)
-      if (got != null) got
-      else {
-        val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bcast.value))
-        filterCache.put(bcast.id, f)
-        f
-      }
+      val got = filterCache.get(key)
+      if (got != null) return got
     }
+    // deserialize OUTSIDE the lock (a 130 MB parse must not serialize
+    // every task's first probe behind one thread)
+    val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bcast.value))
+    filterCache.synchronized {
+      val raced = filterCache.get(key)
+      if (raced != null) raced
+      else { filterCache.put(key, f); f }
+    }
+  }
   /** Distributed Bloom build over a LONG column, sized HONESTLY for
     * `expectedItems` at `fpp` — the round-15 replacement for
     * `df.stat.bloomFilter`, which (Spark 4 routes it through
@@ -110,8 +120,11 @@ object BloomColumns {
     * (the stores' class docs say where). */
   def buildLong(df: org.apache.spark.sql.DataFrame, column: String,
       expectedItems: Long, fpp: Double, itemsHint: Long = -1L): BloomFilter = {
-    val base = df.select(org.apache.spark.sql.functions.col(column)
-      .cast("long")).rdd.map(_.getLong(0))
+    // nulls never enter a sketch — parity with stat.bloomFilter's
+    // skip-nulls behavior (a bare getLong would NPE the build instead)
+    val c = org.apache.spark.sql.functions.col(column)
+    val base = df.filter(c.isNotNull).select(c.cast("long"))
+      .rdd.map(_.getLong(0))
     // bits = -n ln p / (ln 2)^2 (the standard optimal sizing — what
     // BloomFilter.create allocates), without allocating one to ask
     val bitmapBytes = math.max(8L,

@@ -625,6 +625,9 @@ object TextQueries {
     // partitioner's sampling pass otherwise re-runs the tokenizer over
     // the whole corpus a second time — at 100 TB that doubles the
     // pipeline's dominant cost for a 16-bytes-per-doc intermediate.
+    // No explicit unpersist: the cache is keyed by logical plan, so
+    // repeated invocations REUSE one entry per sfDir rather than
+    // accumulating, and eviction reclaims it under pressure.
     "pack_sequences" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).as("n"))

@@ -646,18 +646,29 @@ object DeltaImport {
       mapped.partition { case (l, _) => partSet(l.toLowerCase) }
     val idVerify: Map[Int, String] =
       if (!idMode) Map.empty
-      else schema0.fields.filterNot(f => partSet(f.name.toLowerCase)).map { f =>
-        require(f.metadata.contains("delta.columnMapping.id"),
-          s"id-mode Delta column '${f.name}' lacks delta.columnMapping.id " +
-            "field metadata — nonconforming log, refusing (id resolution " +
-            "is the mode's authoritative key)")
-        require(physNameOf(f).isDefined,
-          s"id-mode Delta column '${f.name}' lacks " +
-            "delta.columnMapping.physicalName field metadata — graft's " +
-            "name-based read path has nothing to resolve; nonconforming " +
-            "log, refusing")
-        f.metadata.getLong("delta.columnMapping.id").toInt -> physNameOf(f).get
-      }.toMap
+      else {
+        val pairs = schema0.fields
+          .filterNot(f => partSet(f.name.toLowerCase)).map { f =>
+            require(f.metadata.contains("delta.columnMapping.id"),
+              s"id-mode Delta column '${f.name}' lacks delta.columnMapping.id " +
+                "field metadata — nonconforming log, refusing (id resolution " +
+                "is the mode's authoritative key)")
+            require(physNameOf(f).isDefined,
+              s"id-mode Delta column '${f.name}' lacks " +
+                "delta.columnMapping.physicalName field metadata — graft's " +
+                "name-based read path has nothing to resolve; nonconforming " +
+                "log, refusing")
+            f.metadata.getLong("delta.columnMapping.id").toInt -> physNameOf(f).get
+          }.toSeq
+        // duplicate field ids are nonconforming — toMap would silently
+        // drop one side and skip its per-file verification
+        val dup = pairs.groupBy(_._1).collect { case (i, ps) if ps.size > 1 => i }
+        require(dup.isEmpty,
+          s"id-mode Delta schema reuses field id(s) ${dup.mkString(",")} " +
+            "across columns — nonconforming log, refusing (an id-mode " +
+            "reader's binding would be ambiguous)")
+        pairs.toMap
+      }
     (StructType(schema0.fields.map(strip)), colMap, partPhys, idVerify)
   }
 

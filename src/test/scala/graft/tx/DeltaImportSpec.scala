@@ -399,6 +399,21 @@ class DeltaImportSpec extends SparkSpec {
     assert(e2.getMessage.contains("bind it elsewhere"), e2.getMessage)
   }
 
+  test("ID-mode import refuses a schema that reuses a field id — toMap " +
+      "would silently skip one column's verification") {
+    val t = freshDir()
+    Files.createDirectories(t)
+    val sz = writeFileWithIds(t, "part-0001.parquet",
+      Seq("id" -> 1, "val_phys" -> 2), Seq((1L, 1.5)))
+    writeCommit(t, 0L, Seq(protocolMapping,
+      idModeMeta(Seq(("id", 1, "id"), ("value", 1, "val_phys"))), // dup id 1
+      addAction("part-0001.parquet", sz)))
+    val e = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t.toString))
+    assert(e.getMessage.contains("reuses field id"), e.getMessage)
+    assert(Files.isRegularFile(t.resolve("part-0001.parquet")))
+  }
+
   test("ID-mode import accepts files WITHOUT field ids by name resolution " +
       "(delta-spark's own id-mode fallback)") {
     val t = freshDir()
