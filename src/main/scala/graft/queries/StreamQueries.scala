@@ -99,6 +99,41 @@ object StreamQueries {
     * order for late keys, which an engine-diff gate can't pin. */
   private val builtDedup = new ConcurrentHashMap[String, String]()
 
+  /** sfDir → path of the STREAMED store-flagged test-doc ids. The eval
+    * docs land as several files and stream through in micro-batches; each
+    * batch shingles its rows and filters through the persisted sketch's
+    * memoized probe column ([[graft.ext.DecontaminationStore.flaggedDocs]]
+    * works unchanged on a streaming frame: the probe is a stateless
+    * codegen'd predicate, the trailing distinct a stateful streaming
+    * dedup that emits each flagged id exactly once in append mode). */
+  private val builtDecon = new ConcurrentHashMap[String, String]()
+
+  private def runDecon(s: SparkSession, d: String): String =
+    builtDecon.computeIfAbsent(d, _ => {
+      val index = TextQueries.ensureDeconStore(s, d)
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val pid = ProcessHandle.current().pid()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sdecon_${tag}_$pid"
+      deleteRecursively(new java.io.File(root))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+      val test = documents(s, d).filter(isTestSplit(col("doc_id")))
+        .select("doc_id", "text")
+      val landing = s"$root/landing"
+      test.repartition(8).write.parquet(landing)
+      val outName = s"sdecon_${tag}_$pid"
+      val q = graft.ext.DecontaminationStore.flaggedDocs(s, index,
+        s.readStream.schema(test.schema)
+          .option("maxFilesPerTrigger", "2").parquet(landing))
+        .writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      val outPath = s"$root/out"
+      s.table(outName).write.mode("overwrite").parquet(outPath)
+      outPath
+    })
+
   private def runDedup(s: SparkSession, d: String): String =
     builtDedup.computeIfAbsent(d, _ => {
       val tag = java.lang.Integer.toHexString(d.hashCode)
@@ -375,6 +410,37 @@ object StreamQueries {
         .orderBy("user_id")
     }),
 
+    // Streaming decontamination: the eval batch arrives as a LIVE file
+    // stream and every micro-batch probes the PERSISTED train sketch
+    // map-side — the serving-time shape of the decontamination store
+    // (stateless codegen'd might-contain + stateful distinct on flagged
+    // ids; the train table is never read). Verdict: the streamed flagged
+    // set equals the batch probe of the same store, and every
+    // exactly-contaminated doc (independent all-pairs shingle join) is
+    // flagged — the no-false-negative contract must survive arbitrary
+    // micro-batch splits.
+    "stream_decontaminate" -> ((s, d) => {
+      val streamed = s.read.parquet(runDecon(s, d)) // (doc_id)
+      val batchFlagged = graft.ext.DecontaminationStore.flaggedDocs(
+        s, TextQueries.ensureDeconStore(s, d),
+        documents(s, d).filter(isTestSplit(col("doc_id")))
+          .select("doc_id", "text"))
+      val flaggedExact = TextQueries.cachedSplitShingles(s, d)
+        .filter(col("split") === "test")
+        .join(TextQueries.cachedTrainShingles(s, d), "__sh", "left_semi")
+        .select("doc_id").distinct()
+      streamed.withColumn("__s", lit(1))
+        .join(batchFlagged.withColumn("__b", lit(1)), Seq("doc_id"), "full_outer")
+        .join(flaggedExact.withColumn("__e", lit(1)), Seq("doc_id"), "full_outer")
+        .agg(
+          (coalesce(sum(when(col("__s").isNull =!= col("__b").isNull, 1L)
+            .otherwise(0L)), lit(0L)) === 0).as("stream_matches_batch"),
+          (coalesce(sum(when(col("__e").isNotNull && col("__s").isNull, 1L)
+            .otherwise(0L)), lit(0L)) === 0).as("store_catches_all"),
+          coalesce(sum(col("__e").cast("long")), lit(0L))
+            .as("n_exact_contaminated"))
+    }),
+
     // Streaming exact dedup: every event arrives twice across several
     // micro-batches; the stateful dropDuplicates must emit each event_id
     // exactly once. Verdict joins the streamed per-type unique counts
@@ -401,6 +467,8 @@ object StreamQueries {
       s.read.parquet(runChain(s, d)).orderBy("event_type")),
     "stream_dedup" -> ((s, d) =>
       s.read.parquet(runDedup(s, d)).orderBy("event_type")),
+    "stream_decontaminate" -> ((s, d) =>
+      s.read.parquet(runDecon(s, d)).orderBy("doc_id")),
     "stream_interval_join" -> ((s, d) =>
       s.read.parquet(runIntervalJoin(s, d)).orderBy("p_user", "p_id", "c_id")),
   )
@@ -460,6 +528,25 @@ object StreamQueries {
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
            true AS stream_matches_batch
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "stream_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')
+               THEN 'test' ELSE 'train' END AS split,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tokens
+           FROM documents),
+         sh8 AS (
+           SELECT doc_id, split, unnest(list_distinct(CASE WHEN len(tokens) >= 8
+             THEN list_transform(range(1, len(tokens) - 6),
+               i -> array_to_string(tokens[i:i+7], ' '))
+             ELSE [array_to_string(tokens, ' ')] END)) AS shingle
+           FROM toks),
+         flagged AS (
+           SELECT DISTINCT t.doc_id
+           FROM sh8 t JOIN sh8 tr ON t.shingle = tr.shingle
+           WHERE t.split = 'test' AND tr.split = 'train')
+         SELECT true AS stream_matches_batch, true AS store_catches_all,
+           CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_exact_contaminated""",
     "stream_interval_join" ->
       """WITH p AS (SELECT user_id u, ts pt FROM events WHERE event_type = 'purchase'),
            c AS (SELECT user_id u, ts ct, event_id cid FROM events WHERE event_type = 'click'),

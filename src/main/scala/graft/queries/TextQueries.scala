@@ -28,7 +28,7 @@ object TextQueries {
     * `decontaminate` and `decontaminate_bloom` (which between them walk it
     * four times per session: bloom build, bloom probe, exact semi-join
     * sides). ~shingles ≈ tokens rows of three narrow columns. */
-  private def cachedSplitShingles(s: SparkSession, d: String): DataFrame =
+  private[queries] def cachedSplitShingles(s: SparkSession, d: String): DataFrame =
     memoized("split_shingles", s, d) {
       documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -41,7 +41,7 @@ object TextQueries {
 
   /** Distinct train-side shingle hashes — the semi-join build side of both
     * decontamination queries (and the exact-count Bloom sizing). */
-  private def cachedTrainShingles(s: SparkSession, d: String): DataFrame =
+  private[queries] def cachedTrainShingles(s: SparkSession, d: String): DataFrame =
     memoized("train_shingles", s, d) {
       cachedSplitShingles(s, d)
         .filter(col("split") === "train").select("__sh").distinct()
@@ -54,7 +54,7 @@ object TextQueries {
   private val builtDeconStore =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def ensureDeconStore(s: SparkSession, d: String): String =
+  private[queries] def ensureDeconStore(s: SparkSession, d: String): String =
     builtDeconStore.computeIfAbsent(d, _ => {
       val (base, index) = Tables.storeRoots(d, "deconstore")
       val train = documents(s, d).filter(!isTestSplit(col("doc_id")))
