@@ -650,8 +650,19 @@ object TextQueries {
     val parts = toks.repartitionByRange(math.max(width, 1), col("doc_id"))
       .sortWithinPartitions("doc_id")
       .withColumn("pid", spark_partition_id())
+    // `pid` MUST be materialized ONCE: the offsets branch and the placed
+    // branch below both consume it, and under AQE two separate executions
+    // of the same range exchange may coalesce shuffle partitions
+    // DIFFERENTLY — the branches would then disagree on what partition k
+    // means and the offset join would place documents at overlapping
+    // starts (observed at sf0.1: a 985-token "512-token" sequence). The
+    // persisted frame is (doc_id, n, pid, cum_in) — 32 bytes/doc, the
+    // same narrow-intermediate argument as the toks persist; the cache is
+    // plan-keyed, so repeated invocations reuse one entry.
     val within = parts.withColumn("cum_in",
       sum(col("n")).over(Window.partitionBy("pid").orderBy("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    within.count(): Unit
     val offsets = within.groupBy("pid").agg(max(col("cum_in")).as("ptot"))
       .withColumn("offset", coalesce(sum(col("ptot")).over(
         Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),

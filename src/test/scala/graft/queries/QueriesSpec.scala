@@ -132,6 +132,13 @@ class QueriesSpec extends SparkSpec {
     // packing conservation: total packed tokens == total corpus tokens
     val total = toks.agg(sum(col("n"))).as[Long].head()
     assert(at3.map(_._3).sum === total)
+    // NO sequence exceeds the context: overlapping document placements
+    // (the round-15 AQE-coalescing bug: the offsets branch and the placed
+    // branch disagreeing on pid) surface as a >ctx sequence
+    assert(at3.forall(_._3 <= 512L), s"over-full sequence: ${at3.filter(_._3 > 512L)}")
+    // and the seq_id range is CONTIGUOUS from 0 (no gaps — an offset
+    // under-shoot leaves holes at the tail)
+    assert(at3.map(_._1).sorted === (0L until at3.size.toLong))
   }
 
   test("decontaminate equals a driver-side string-shingle recompute") {
