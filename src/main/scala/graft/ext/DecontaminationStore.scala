@@ -78,6 +78,13 @@ object DecontaminationStore {
   /** Writer id for the version watermark on `sketch`. */
   val AppId = "graft-decon"
 
+  /** Delete-debt estimate for a CDC delete row with a NULL pre-image text
+    * when the slice offers no measured shingles-per-doc basis at all:
+    * deliberately high (a typical document has hundreds of shingles), so
+    * an estimate-heavy feed errs toward an EARLIER precision-reclaiming
+    * rebuild, never a deferred one. */
+  val NullTextShingleEstimate = 256L
+
   private def sketchTable(root: String) = s"$root/sketch"
 
   /** Sketch the FULL train snapshot and publish; returns the covered
@@ -192,14 +199,37 @@ object DecontaminationStore {
     val fresh = finals
       .filter(col(CommitLog.ChangeTypeCol) =!= "delete")
       .select(col(textCol))
+    val (delta, nDelta) = sketchOf(shingleFrame(fresh, w, textCol), capacity, fpp)
     // delete debt: retired docs' shingles stay in the sketch (add-only
     // fold) — count them so Maintenance knows when precision needs a
     // rebuild. O(deleted docs in the slice), the same cost class as the
-    // delta sketch itself.
-    val nRetired = shingleFrame(finals
-      .filter(col(CommitLog.ChangeTypeCol) === "delete")
-      .select(col(textCol)), w, textCol).count()
-    val (delta, nDelta) = sketchOf(shingleFrame(fresh, w, textCol), capacity, fpp)
+    // delta sketch itself. A change feed whose delete rows carry a NULL
+    // pre-image text (not all CDC producers ship one) would contribute 0
+    // here and silently defer the precision-reclaiming rebuild forever
+    // (round-15 ADVICE) — estimate those docs at the slice's measured
+    // shingles-per-doc instead (text-carrying deletes first, the fresh
+    // side next, then a deliberately HIGH default: over-counting debt
+    // only schedules the rebuild earlier, the safe direction).
+    val nRetired = {
+      val dels = finals.filter(col(CommitLog.ChangeTypeCol) === "delete")
+        .select(col(textCol))
+      val withText = dels.filter(col(textCol).isNotNull)
+      val nNull = dels.filter(col(textCol).isNull).count()
+      val exact = shingleFrame(withText, w, textCol).count()
+      if (nNull == 0L) exact
+      else {
+        val nWith = withText.count()
+        val perDoc =
+          if (nWith > 0 && exact > 0) math.ceil(exact.toDouble / nWith).toLong
+          else {
+            val nFresh = fresh.filter(col(textCol).isNotNull).count()
+            if (nFresh > 0 && nDelta > 0)
+              math.ceil(nDelta.toDouble / nFresh).toLong
+            else NullTextShingleEstimate
+          }
+        exact + nNull * perDoc
+      }
+    }
     stored.mergeInPlace(delta): Unit
     commitSketch(spark, indexRoot, w, capacity, fpp, n0 + nDelta,
       d0 + nRetired, stored, Some((AppId, latest)),

@@ -67,12 +67,18 @@ object BloomColumns {
 
   /** Per-JVM deserialization cache for broadcast sketches: one
     * `BloomFilter.readFrom` per executor per broadcast, not per task —
-    * at 130 MB the parse is the probe's whole cost otherwise. Small LRU:
-    * an executor touches few distinct sketches per job. */
+    * at 130 MB the parse is the probe's whole cost otherwise. Small LRU
+    * of SOFT references: an executor touches few distinct sketches per
+    * job, but 8 strong 230 MB bitmaps would pin ~1.8 GB of heap for the
+    * JVM's lifetime even after their broadcasts are destroyed (round-15
+    * ADVICE) — soft refs let the GC reclaim an idle sketch under memory
+    * pressure, and a reclaimed entry just re-parses on next probe. */
   private val filterCache =
-    new java.util.LinkedHashMap[(String, Long), BloomFilter](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long), java.lang.ref.SoftReference[BloomFilter]](
+        8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), BloomFilter]): Boolean = size() > 8
+          e: java.util.Map.Entry[(String, Long),
+            java.lang.ref.SoftReference[BloomFilter]]): Boolean = size() > 8
     }
 
   /** Cache key scoped by APPLICATION id, not just broadcast id: broadcast
@@ -84,15 +90,23 @@ object BloomColumns {
     val key = (org.apache.spark.SparkEnv.get.conf.getAppId, bcast.id)
     filterCache.synchronized {
       val got = filterCache.get(key)
-      if (got != null) return got
+      if (got != null) {
+        val f = got.get()
+        if (f != null) return f
+        filterCache.remove(key): Unit // GC-cleared: fall through and re-parse
+      }
     }
     // deserialize OUTSIDE the lock (a 130 MB parse must not serialize
     // every task's first probe behind one thread)
     val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bcast.value))
     filterCache.synchronized {
-      val raced = filterCache.get(key)
-      if (raced != null) raced
-      else { filterCache.put(key, f); f }
+      val raced = Option(filterCache.get(key)).flatMap(r => Option(r.get()))
+      raced match {
+        case Some(r) => r
+        case None =>
+          filterCache.put(key, new java.lang.ref.SoftReference(f)): Unit
+          f
+      }
     }
   }
   /** Distributed Bloom build over a LONG column, sized HONESTLY for
@@ -165,6 +179,19 @@ case class BloomBroadcastMightContain(child: Expression,
     bcast: Broadcast[Array[Byte]]) extends UnaryExpression with Serializable {
 
   override def dataType: DataType = BooleanType
+  // analysis-time type contract (round-15 ADVICE): a mistyped child fails
+  // with a readable AnalysisException instead of a janino compile error
+  // (codegen) or a ClassCastException (interpreted) at execution time —
+  // parity with the literal path, where Spark's BloomFilterMightContain
+  // checks its input types
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT child holding the putLong-inserted " +
+          s"hash; got ${child.dataType.catalogString}")
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bloom_broadcast_might_contain"
 

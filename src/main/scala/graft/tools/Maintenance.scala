@@ -148,7 +148,8 @@ object Maintenance {
       refreshedIndexes: Seq[(String, Long)] = Nil,
       staleIndexes: Seq[String] = Nil,
       laggingReaderCursor: Option[Long] = None,
-      rebuiltIndexes: Seq[String] = Nil) {
+      rebuiltIndexes: Seq[String] = Nil,
+      upgradedSidecars: Int = 0) {
     def healthy: Boolean = fsck.clean
   }
 
@@ -163,6 +164,15 @@ object Maintenance {
     val latest = CommitLog.latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
     val m0 = CommitLog.manifest(table, latest)
+    // 2a. legacy stats-sidecar upgrade (round-15 ADVICE on FileStats):
+    // CONVERT-imported foreign files recorded before the row-count field
+    // existed keep pruning on grandfathered full-coverage bounds — a
+    // stats-less row group could hide rows outside min/max. One footer
+    // re-read per legacy file makes coverage a measured fact; cheap and
+    // idempotent (a dir with no legacy lines is a sidecar read + no-op).
+    val upgradedSidecars = m0.files.map(CommitLog.commitDirOf).distinct
+      .map(d => graft.tx.FileStats.upgradeLegacySidecars(
+        java.nio.file.Paths.get(table).resolve(d))).sum
     val dirs = m0.files.map(CommitLog.commitDirOf).distinct.size
     val compactedTo =
       if (dirs > policy.compactWhenDirsExceed ||
@@ -242,7 +252,7 @@ object Maintenance {
       audit = CommitLog.fsck(table, policy.minAgeMillis)
     }
     Report(repairedCdc, compactedTo, pruned, vacuumed, cleaned, audit,
-      refreshed, stale, laggingCursor, rebuilt.toSeq)
+      refreshed, stale, laggingCursor, rebuilt.toSeq, upgradedSidecars)
   }
 
   /** CLI: `Maintenance <table> [zorderCol,...] [subscriberCheckpoint]

@@ -680,7 +680,13 @@ object DeltaImport {
     * different/foreign id refuses for the same reason. A file carrying
     * neither the id nor the name predates the column (additive evolution —
     * both readers serve NULL), and a file with NO field ids at all resolves
-    * by name alone, exactly delta-spark's own id-mode fallback. */
+    * by name alone, exactly delta-spark's own id-mode fallback. That
+    * fallback is per-FILE, not per-column (round-15 ADVICE): in a footer
+    * that DOES carry field ids, a mapped physical name present WITHOUT its
+    * id is a binding disagreement — a strict id-mode reader treats the
+    * column as missing (serves NULL) while graft's name reader serves
+    * values — so a MIXED footer refuses rather than sliding into name
+    * resolution for that column. */
   private def verifyIdModeFile(rel: String,
       footerFields: Seq[(String, Option[Int])],
       idVerify: Map[Int, String]): Unit = {
@@ -697,11 +703,18 @@ object DeltaImport {
               "the import")
         case None =>
           footerFields.find(_._1 == phys).foreach { case (_, fidOf) =>
-            require(fidOf.isEmpty,
+            require(fidOf.isEmpty && byId.isEmpty,
               s"id-mode column mapping disagreement in '$rel': footer " +
-                s"column '$phys' carries parquet field id ${fidOf.get}, " +
-                s"not the Delta schema's $fid — an id-mode reader would " +
-                "bind it elsewhere; refusing the import")
+                s"column '$phys' " + (fidOf match {
+                  case Some(f) =>
+                    s"carries parquet field id $f, not the Delta schema's " +
+                      s"$fid — an id-mode reader would bind it elsewhere"
+                  case None =>
+                    "lacks a parquet field id in a footer that carries " +
+                      "ids on other columns — an id-mode reader treats " +
+                      "the column as missing (serves NULL) where a name " +
+                      "reader serves its values"
+                }) + "; refusing the import")
           }
       }
     }

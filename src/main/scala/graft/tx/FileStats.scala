@@ -518,6 +518,57 @@ object FileStats {
       .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
   }
 
+  /** Upgrade a commit dir's LEGACY sidecar lines (7/8-field forms,
+    * `rows = -1`) to the current 9-field form by re-reading the parquet
+    * footers. Legacy lines are grandfathered as full-coverage
+    * ([[ColStats.covered]] — round-15 ADVICE): for tables CONVERT-imported
+    * from foreign writers BEFORE the row-count field existed, a stats-less
+    * row group can hide rows outside the recorded min/max, yet the legacy
+    * line keeps pruning on those bounds until the sidecar happens to be
+    * rewritten. The upgrade closes that edge by recording the footer-total
+    * row count so coverage becomes a measured fact (`values == rows`).
+    *
+    * String-bound EXACTNESS is a writer proof the footer cannot re-derive
+    * — it carries over from the old line (an engine-written `x` stays
+    * exact; a conservative `-` stays conservative); timestamp exactness
+    * is a per-chunk unit fact the re-read proves fresh. Returns the number
+    * of files upgraded; unreadable files keep their legacy lines
+    * (conservative for pruning only in the old way — surfaced by the
+    * return count staying below the legacy count). */
+  def upgradeLegacySidecars(dataDir: Path): Int = {
+    val cur = readSidecar(dataDir)
+    val legacy = cur.collect {
+      case (f, cols) if cols.values.exists(_.rows < 0L) => f
+    }.toSeq
+    if (legacy.isEmpty) return 0
+    val conf = new Configuration()
+    val upgraded: Map[String, Map[String, ColStats]] = legacy.flatMap { rel =>
+      try {
+        val fresh = collect(dataDir.resolve(rel), conf).toMap
+        val old = cur(rel)
+        Some(rel -> fresh.map { case (c, s) =>
+          val ex = s.min.isDefined &&
+            (if (s.kind == "ts") s.exact else old.get(c).exists(_.exact))
+          c -> s.copy(exact = ex)
+        })
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+    if (upgraded.isEmpty) return 0
+    val merged = cur ++ upgraded
+    val lines = merged.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        Seq(enc(f), enc(c), s.kind, s.min.map(enc).getOrElse("-"),
+          s.max.map(enc).getOrElse("-"), s.nulls.toString, s.values.toString,
+          if (s.exact) "x" else "-", s.rows.toString).mkString("\t")
+      }
+    }
+    Files.write(dataDir.resolve(SidecarName),
+      lines.mkString("\n").getBytes(UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    upgraded.size
+  }
+
   /** Can any row of a file with `stats` satisfy `filter`? Conservative:
     * only a PROVEN impossibility answers false. */
   def mightMatch(stats: Map[String, ColStats], filter: Filter): Boolean = filter match {

@@ -75,6 +75,45 @@ class DecontaminationStoreSpec extends SparkSpec {
       "stale positives are the documented safe direction — never a leak")
   }
 
+  test("delete rows with a NULL pre-image text still accrue delete debt " +
+      "via the shingles-per-doc estimate (round-15 ADVICE — a null-text " +
+      "feed must not defer the precision rebuild forever)") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    // a doc whose text is NULL contributes no shingles at build — its
+    // later delete row carries a null pre-image
+    CommitLog.commit((trainDocs(0 until 4) :+ (99L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index)
+    assert(DecontaminationStore.deleteDebt(spark, index) === 0.0)
+    CommitLog.deleteKeys(spark, base, Seq(99L).toDF("doc_id"), Seq("doc_id"))
+    DecontaminationStore.refresh(spark, base, index)
+    // before the fix the null text shingled to nothing → debt stayed 0 and
+    // Maintenance never rebuilt; the estimate must move the gauge
+    assert(DecontaminationStore.deleteDebt(spark, index) > 0.0,
+      "null-pre-image deletes must be estimated into the debt gauge")
+    // mixed slice: a text-carrying delete provides the measured basis
+    val root2 = freshRoot()
+    val base2 = s"$root2/base"
+    val index2 = s"$root2/index"
+    CommitLog.commit((trainDocs(0 until 4) :+ (99L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"), base2, "append")
+    DecontaminationStore.build(spark, base2, index2)
+    CommitLog.deleteKeys(spark, base2, Seq(0L, 99L).toDF("doc_id"), Seq("doc_id"))
+    DecontaminationStore.refresh(spark, base2, index2)
+    val debt2 = DecontaminationStore.deleteDebt(spark, index2)
+    assert(debt2 > 0.0)
+    // the measured basis (doc 0's real shingle count) is far below the
+    // conservative 256-shingle default — proves the estimate used the
+    // slice's own average, not the fallback constant
+    val row = CommitLog.read(spark,
+      DecontaminationStore.artifactTable(index2))
+      .select("n_deleted", "n_inserted").head()
+    assert(row.getLong(0) < DecontaminationStore.NullTextShingleEstimate,
+      s"expected measured per-doc estimate, got n_deleted=${row.getLong(0)}")
+  }
+
   test("a stale replayed refresh slice cannot regress the sketch") {
     val root = freshRoot()
     val base = s"$root/base"

@@ -53,6 +53,24 @@ class BloomColumnsSpec extends SparkSpec {
     assert(!empty.mightContainLong(42L))
   }
 
+  test("BloomBroadcastMightContain refuses a non-long child at ANALYSIS " +
+      "time with a readable message (round-15 ADVICE — not a janino " +
+      "compile error or a runtime ClassCastException)") {
+    val bf = BloomColumns.buildLong((0L until 10L).toDF("v"), "v", 100L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bcast = spark.sparkContext.broadcast(bos.toByteArray)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("not-a-long").toDF("s")
+        .filter(BloomColumns.mightContainBroadcast(bcast, col("s"))).collect()
+    }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+    // the long path still analyzes and answers
+    assert((0L until 10L).toDF("v")
+      .filter(BloomColumns.mightContainBroadcast(bcast, col("v")))
+      .count() === 10L)
+  }
+
   test("mightContainAuto routes big sketches through a broadcast handle " +
       "with identical answers to the literal path") {
     // ~23 MB sketch — over the 8 MB literal cap, so Auto must pick the

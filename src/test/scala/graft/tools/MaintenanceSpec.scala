@@ -75,6 +75,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(again.healthy)
   }
 
+  test("the cycle upgrades legacy stats sidecars so grandfathered " +
+      "coverage becomes measured (round-15 ADVICE on FileStats)") {
+    val t = Files.createTempDirectory("graft_maint_sc").resolve("t").toString
+    CommitLog.commit((0L until 50L).toDF("id").coalesce(1), t, "append")
+    val m = CommitLog.manifest(t, 1L)
+    val dir = Paths.get(t).resolve(CommitLog.commitDirOf(m.files.head))
+    val sc = dir.resolve(graft.tx.FileStats.SidecarName)
+    // doctor to the legacy 8-field form (pre-row-count)
+    val legacy = new String(Files.readAllBytes(sc), "UTF-8").split("\n")
+      .map(l => l.split("\t", -1).take(8).mkString("\t")).mkString("\n")
+    Files.write(sc, legacy.getBytes("UTF-8"))
+    val r = Maintenance.run(spark, t,
+      Maintenance.Policy(minAgeMillis = 0, force = true))
+    assert(r.upgradedSidecars === 1, r.toString)
+    assert(graft.tx.FileStats.readSidecar(dir)
+      .values.flatMap(_.values).forall(s => s.rows === 50L && s.covered))
+    // quiet follow-up cycle: nothing left to upgrade
+    val r2 = Maintenance.run(spark, t,
+      Maintenance.Policy(minAgeMillis = 0, force = true))
+    assert(r2.upgradedSidecars === 0)
+  }
+
   test("accumulated deletion vectors trigger the cycle's compact — merge-on-read debt repaid") {
     val t = Files.createTempDirectory("graft_maint_dv").resolve("t").toString
     CommitLog.commit((0 until 200).map(i => (i.toLong, s"s$i")).toDF("id", "s")

@@ -399,6 +399,39 @@ class DeltaImportSpec extends SparkSpec {
     assert(e2.getMessage.contains("bind it elsewhere"), e2.getMessage)
   }
 
+  test("ID-mode import refuses a MIXED footer: the mapped physical name " +
+      "present WITHOUT its field id in a footer that carries ids on other " +
+      "columns (round-15 ADVICE — a strict id-mode reader serves NULL " +
+      "where the name reader serves values)") {
+    import org.apache.spark.sql.types._
+    val t = freshDir()
+    Files.createDirectories(t)
+    // 'id' carries its parquet field id; 'val_phys' carries NONE — the
+    // per-column fallback would accept it by name, but a footer that DOES
+    // carry ids makes name resolution a binding disagreement
+    val tmp = Files.createTempDirectory("dimp_mixed")
+    val df0 = Seq((1L, 1.5)).toDF("id", "val_phys")
+    val mixed = spark.createDataFrame(df0.rdd,
+      StructType(df0.schema.fields.map { f =>
+        if (f.name == "id")
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", 1L).build())
+        else f
+      }))
+    mixed.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val src = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(src, t.resolve("part-0001.parquet"))
+    val sz = Files.size(t.resolve("part-0001.parquet"))
+    writeCommit(t, 0L, Seq(protocolMapping,
+      idModeMeta(Seq(("id", 1, "id"), ("value", 2, "val_phys"))),
+      addAction("part-0001.parquet", sz)))
+    val e = intercept[IllegalArgumentException](
+      CommitLog.convert(spark, t.toString))
+    assert(e.getMessage.contains("carries ids on other columns"), e.getMessage)
+    assert(Files.isRegularFile(t.resolve("part-0001.parquet"))) // untouched
+  }
+
   test("ID-mode import refuses a schema that reuses a field id — toMap " +
       "would silently skip one column's verification") {
     val t = freshDir()

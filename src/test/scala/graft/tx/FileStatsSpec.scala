@@ -47,6 +47,41 @@ class FileStatsSpec extends SparkSpec {
     assert(CommitLog.pruneFiles(t, m, Seq(StringStartsWith("s", "zzz"))).isEmpty)
   }
 
+  test("upgradeLegacySidecars rewrites rows=-1 lines with footer row " +
+      "counts, preserving string exactness (round-15 ADVICE — legacy " +
+      "grandfathered coverage becomes a measured fact)") {
+    val t = freshTable()
+    val m = seedRanged(t)
+    val dir = Paths.get(t).resolve(m.files.head.split("/").take(2).mkString("/"))
+    val sidecar = dir.resolve(FileStats.SidecarName)
+    // doctor to the legacy 8-field form (strip the trailing rows field)
+    val legacy = new String(Files.readAllBytes(sidecar), "UTF-8").split("\n")
+      .map(l => l.split("\t", -1).take(8).mkString("\t")).mkString("\n")
+    Files.write(sidecar, legacy.getBytes("UTF-8"))
+    val before = FileStats.readSidecar(dir)
+    assert(before.nonEmpty &&
+      before.values.flatMap(_.values).forall(_.rows < 0L))
+    val exactBefore = before.map { case (f, cs) =>
+      f -> cs.map { case (c, s) => c -> s.exact } }
+    val n = FileStats.upgradeLegacySidecars(dir)
+    assert(n === before.size)
+    val after = FileStats.readSidecar(dir)
+    assert(after.keySet === before.keySet)
+    after.foreach { case (f, cols) =>
+      cols.foreach { case (c, s) =>
+        assert(s.rows === 25L, s"$f/$c footer row count")
+        assert(s.covered && s.values === s.rows,
+          s"$f/$c coverage must now be measured")
+        assert(s.exact === exactBefore(f)(c),
+          s"$f/$c exactness must carry over, not re-derive")
+      }
+    }
+    // idempotent: a current-form sidecar is a no-op
+    assert(FileStats.upgradeLegacySidecars(dir) === 0)
+    // and pruning on the upgraded dir still answers exactly
+    assert(CommitLog.pruneFiles(t, m, Seq(EqualTo("id", 7L))).size === 1)
+  }
+
   test("readPruned equals read().filter for every predicate shape") {
     val t = freshTable()
     seedRanged(t)
