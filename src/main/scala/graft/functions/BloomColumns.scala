@@ -56,6 +56,15 @@ object BloomColumns {
     * runtime-filter literal cap — 8 MB). */
   val LiteralSketchMaxBytes: Int = 8 * 1024 * 1024
 
+  /** Probe against a PREFIX-SHARDED, already-broadcast sketch: the value
+    * routes to its [[shardOfLong]] shard and tests only that shard's
+    * filter ([[ShardedBloomMightContain]]). `bcasts(s)` = shard s's
+    * serialized bitmap. */
+  def mightContainSharded(bcasts: Seq[Broadcast[Array[Byte]]], bits: Int,
+      value: Column): Column =
+    ColumnBridge.column(ShardedBloomMightContain(
+      ColumnBridge.expression(value), bcasts, bits))
+
   /** Probe against an ALREADY-broadcast sketch — for callers that memoize
     * the broadcast across probes (e.g. a serving path probing the same
     * stored sketch repeatedly; re-broadcasting per call would leak a
@@ -167,6 +176,79 @@ object BloomColumns {
         BloomFilter.create(expectedItems, fpp)
     }
   }
+
+  /** Shard id of a hash under `bits` fixed PREFIX bits: the TOP bits of
+    * the 64-bit value, so a uniform hash spreads uniformly over the
+    * 2^bits shards. `bits = 0` is the unsharded degenerate (shard 0) —
+    * guarded explicitly because a 64-bit shift by 64 is a JVM no-op, not
+    * zero. Build-side and probe-side MUST route identically; this is the
+    * single definition both use. */
+  def shardOfLong(h: Long, bits: Int): Int =
+    if (bits == 0) 0 else (h >>> (64 - bits)).toInt
+
+  /** [[shardOfLong]] as a Column (build-side routing/grouping). */
+  def shardCol(c: Column, bits: Int): Column =
+    if (bits == 0) org.apache.spark.sql.functions.lit(0)
+    else org.apache.spark.sql.functions
+      .shiftrightunsigned(c, 64 - bits).cast("int")
+
+  /** Distributed PER-SHARD Bloom build over a LONG column: each hash
+    * routes to its [[shardOfLong]] prefix shard and inserts into that
+    * shard's honestly-sized filter. Returns shard → (filter, inserted
+    * count) for every NON-EMPTY shard.
+    *
+    * Why this exists (round-15 VERDICT item 1): a monolithic corpus-scale
+    * sketch has an O(capacity) floor on every incremental fold — the
+    * delta filter must allocate the FULL bitmap for merge compatibility,
+    * the bit-or is O(capacity), and the rewrite ships the whole sketch.
+    * Sharding bounds every per-task allocation at one shard's bitmap, the
+    * fold's work at (touched shards) × shardBytes, and lets the store
+    * rewrite/re-broadcast only touched shards.
+    *
+    * Shard routing by an Int key through a HashPartitioner is EXACT here
+    * (Int hashCode is the identity, so shard k lands in partition k):
+    * one partition per shard, one filter per shard, no cross-partition
+    * merge. Empty shards return no entry — the caller keeps its stored
+    * row (refresh) or writes an empty filter (build). */
+  def buildLongSharded(df: org.apache.spark.sql.DataFrame, column: String,
+      bits: Int, capacities: Map[Int, Long],
+      fpp: Double): Map[Int, (BloomFilter, Long)] = {
+    require(bits >= 0 && bits <= 8, s"shard bits out of range: $bits")
+    val c = org.apache.spark.sql.functions.col(column)
+    if (bits == 0) {
+      // unsharded degenerate: keep [[buildLong]]'s partial-filter
+      // parallelism (one partition per shard would serialize the build
+      // through a single task)
+      val base = df.filter(c.isNotNull)
+      val n = base.count()
+      return if (n == 0L) Map.empty
+      else Map(0 -> (buildLong(base, column, capacities(0), fpp,
+        itemsHint = n), n))
+    }
+    val spark = df.sparkSession
+    val capB = spark.sparkContext.broadcast(capacities)
+    val n = 1 << bits
+    val pairs = df.filter(c.isNotNull).select(c.cast("long"))
+      .rdd.map { r => val h = r.getLong(0); (shardOfLong(h, bits), h) }
+      .partitionBy(new org.apache.spark.HashPartitioner(n))
+    pairs.mapPartitions { it =>
+      val filters = scala.collection.mutable.Map.empty[Int, (BloomFilter, Long)]
+      it.foreach { case (s, h) =>
+        val (f, k) = filters.getOrElseUpdate(s,
+          (BloomFilter.create(capB.value.getOrElse(s,
+            throw new IllegalStateException(s"no capacity for shard $s")), fpp), 0L))
+        f.putLong(h)
+        filters(s) = (f, k + 1L)
+      }
+      filters.iterator.map { case (s, (f, k)) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        f.writeTo(bos)
+        (s, (bos.toByteArray, k))
+      }
+    }.collect().toMap.map { case (s, (bytes, k)) =>
+      s -> (BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)), k)
+    }
+  }
 }
 
 /** Bloom membership over a TorrentBroadcast sketch — the plan carries the
@@ -205,6 +287,54 @@ case class BloomBroadcastMightContain(child: Expression,
     nullSafeCodeGen(ctx, ev, a => {
       val ref = ctx.addReferenceObj("bloomBcast", this,
         classOf[BloomBroadcastMightContain].getName)
+      s"${ev.value} = $ref.test($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Bloom membership over a PREFIX-SHARDED sketch: the probe value routes
+  * to shard `shardOfLong(v, bits)` and tests only that shard's filter.
+  * `bcasts(s)` holds shard s's serialized bitmap as its OWN broadcast —
+  * no monolithic 100 MB+ bitmap ever ships or deserializes whole, an
+  * executor pulls and parses shards lazily as probes touch them (the
+  * per-JVM [[BloomColumns.cachedFilter]] cache), and a store refresh
+  * re-broadcasts only changed shards. Semantics are EXACTLY the
+  * single-filter probe's: a shard holds precisely the hashes whose prefix
+  * routes there, so no false negatives and per-shard fpp = configured
+  * fpp. `child` must be the LONG column whose values were
+  * `putLong`-inserted under the same `bits`. */
+case class ShardedBloomMightContain(child: Expression,
+    bcasts: Seq[Broadcast[Array[Byte]]], bits: Int)
+  extends UnaryExpression with Serializable {
+
+  require(bcasts.length == (1 << bits),
+    s"sharded probe needs ${1 << bits} shard broadcasts, got ${bcasts.length}")
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT child holding the putLong-inserted " +
+          s"hash; got ${child.dataType.catalogString}")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sharded_bloom_might_contain"
+
+  def test(v: Long): Boolean =
+    BloomColumns.cachedFilter(bcasts(BloomColumns.shardOfLong(v, bits)))
+      .mightContainLong(v)
+
+  override def nullSafeEval(input: Any): Any =
+    test(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("shardedBloom", this,
+        classOf[ShardedBloomMightContain].getName)
       s"${ev.value} = $ref.test($a);"
     })
 

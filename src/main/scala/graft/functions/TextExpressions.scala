@@ -187,7 +187,33 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bpe_encode"
 
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+  @transient private lazy val coder = new BpeCoder(merges)
+
+  /** Shared by interpreted eval and generated code (referenced as a plan
+    * object from codegen — the loop body stays compiled). */
+  def encodeAll(arr: ArrayData): ArrayData = coder.encodeAll(arr)
+
+  override def nullSafeEval(input: Any): Any =
+    encodeAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("bpeEncode", this,
+        classOf[BpeEncode].getName)
+      s"${ev.value} = $ref.encodeAll($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The greedy merge loop shared by [[BpeEncode]] (literal merge table)
+  * and [[BpeEncodeBroadcast]] (broadcast handle): identical algorithm,
+  * one definition — the two expressions must segment identically or the
+  * auto-routing would change answers with table size. */
+final class BpeCoder(merges: Seq[(String, String)]) extends Serializable {
+
+  private val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       m.put(l + " " + r, Integer.valueOf(i))
@@ -239,8 +265,6 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     syms
   }
 
-  /** Shared by interpreted eval and generated code (referenced as a plan
-    * object from codegen — the loop body stays compiled). */
   def encodeAll(arr: ArrayData): ArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
     var t = 0
@@ -259,19 +283,80 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[AnyRef](out.size())))
   }
+}
+
+/** [[BpeEncode]] with the merge table riding a TorrentBroadcast instead
+  * of the expression tree — the production-vocab path (round-15 VERDICT
+  * item 2). A ~50k-merge table embedded as a constructor literal is a
+  * ~1-2 MB plan object that every optimizer-pass equality/hash walk and
+  * every task binary drags along (the [[BloomBroadcastMightContain]]
+  * pathology at smaller scale); here the plan carries only the handle,
+  * the pairs ship once per executor, and the rank map builds once per
+  * (app, broadcast) through [[BpeEncodeBroadcast.coderCache]]. Routing is
+  * by [[TextExpressions.bpeEncodeAuto]]; segmentation is identical to the
+  * literal path by construction (same [[BpeCoder]]). */
+case class BpeEncodeBroadcast(child: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[Array[(String, String)]])
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_encode_broadcast"
+
+  def encodeAll(arr: ArrayData): ArrayData =
+    BpeEncodeBroadcast.cachedCoder(bcast).encodeAll(arr)
 
   override def nullSafeEval(input: Any): Any =
     encodeAll(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val ref = ctx.addReferenceObj("bpeEncode", this,
-        classOf[BpeEncode].getName)
+      val ref = ctx.addReferenceObj("bpeEncodeB", this,
+        classOf[BpeEncodeBroadcast].getName)
       s"${ev.value} = $ref.encodeAll($a);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object BpeEncodeBroadcast {
+  /** Per-JVM coder cache: one 50k-entry rank-map build per executor per
+    * broadcast, not per task. Keyed by application id + broadcast id
+    * (broadcast ids are a per-SparkContext counter — a context restart in
+    * the same JVM must not serve a stale table). Soft references: an idle
+    * vocabulary's map is GC-reclaimable, a reclaimed entry re-builds from
+    * the still-broadcast pairs. */
+  private val coderCache =
+    new java.util.LinkedHashMap[(String, Long),
+        java.lang.ref.SoftReference[BpeCoder]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            java.lang.ref.SoftReference[BpeCoder]]): Boolean = size() > 8
+    }
+
+  private[functions] def cachedCoder(
+      bcast: org.apache.spark.broadcast.Broadcast[Array[(String, String)]]): BpeCoder = {
+    val key = (org.apache.spark.SparkEnv.get.conf.getAppId, bcast.id)
+    coderCache.synchronized {
+      val got = coderCache.get(key)
+      if (got != null) {
+        val c = got.get()
+        if (c != null) return c
+        coderCache.remove(key): Unit
+      }
+    }
+    val c = new BpeCoder(bcast.value.toSeq)
+    coderCache.synchronized {
+      Option(coderCache.get(key)).flatMap(r => Option(r.get())) match {
+        case Some(r) => r
+        case None =>
+          coderCache.put(key, new java.lang.ref.SoftReference(c)): Unit
+          c
+      }
+    }
+  }
 }
 
 object BpeEncode {
@@ -309,4 +394,63 @@ object TextExpressions {
   def bpeEncode(preTokens: Column,
       merges: Seq[(String, String)] = BpeEncode.FixtureMerges): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(preTokens), merges))
+
+  /** Largest merge table embedded as a plan literal; production vocabs
+    * (~50k merges) ride a broadcast handle instead — the plan-object
+    * hashing/shipping cost grows with the table, the broadcast's doesn't. */
+  val BpeLiteralMaxMerges: Int = 4096
+
+  /** [[bpeEncode]] that routes PRODUCTION-SIZE merge tables through a
+    * TorrentBroadcast ([[BpeEncodeBroadcast]]) and keeps small ones as
+    * plan literals — same segmentation either way (shared [[BpeCoder]]),
+    * so callers pick by vocabulary size without changing answers. */
+  def bpeEncodeAuto(spark: org.apache.spark.sql.SparkSession,
+      preTokens: Column,
+      merges: Seq[(String, String)]): Column =
+    if (merges.size <= BpeLiteralMaxMerges)
+      bpeEncode(preTokens, merges)
+    else
+      ColumnBridge.column(BpeEncodeBroadcast(
+        ColumnBridge.expression(preTokens),
+        spark.sparkContext.broadcast(merges.toArray)))
+
+  /** Deterministic SYNTHETIC merge table for production-vocab-size
+    * benchmarking (round-15 VERDICT item 2): a real learned vocabulary
+    * needs a corpus-wide training pass, but the ENGINE cost under test —
+    * plan-object size, task shipping, per-word merge-loop work — depends
+    * only on table size and cascade depth, not on which pairs were
+    * learned. Seeds with all lowercase bigrams (realistic high-frequency
+    * head), then grows longer units by deterministically pairing existing
+    * symbols, GPT-2-style cascade shape. Pairs are unique; rank = position. */
+  def syntheticMerges(n: Int): Seq[(String, String)] = {
+    val letters = ('a' to 'z').map(_.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    // breadth-first by unit length: all bigrams, then every trigram in
+    // BOTH association orders ((bigram, letter) AND (letter, bigram) —
+    // greedy merging picks the lowest-rank bigram first, which can split
+    // a word either way, so both orders must continue the cascade), then
+    // 4-grams, until n rules exist. Every English-letter word therefore
+    // keeps merging to depth ~log(n)/log(26) like a learned vocabulary.
+    var frontier: Seq[String] = letters
+    while (out.size < n) {
+      require(frontier.nonEmpty,
+        s"synthetic merge growth stalled at ${out.size} of $n")
+      val next = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = frontier.iterator
+      while (it.hasNext && out.size < n) {
+        val s = it.next()
+        val lit = letters.iterator
+        while (lit.hasNext && out.size < n) {
+          val l = lit.next()
+          if (seen.add((s, l))) { out += ((s, l)); next += s + l }
+          if (s.length > 1 && out.size < n && seen.add((l, s))) {
+            out += ((l, s)); next += l + s
+          }
+        }
+      }
+      frontier = next.distinct.toSeq
+    }
+    out.toSeq
+  }
 }

@@ -68,6 +68,28 @@ object TextQueries {
       index
     })
 
+  /** [[ensureDeconStore]]'s PREFIX-SHARDED twin (round-15 VERDICT item 1):
+    * the same 90/10/refresh harness with `nShards = 4`, so the oracle
+    * exercises per-shard routing on build, the touched-shards-only
+    * replaceWhere fold on refresh, and the per-shard broadcast probe —
+    * against the identical exact-contamination oracle. */
+  private val builtDeconStoreSharded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def ensureDeconStoreSharded(s: SparkSession, d: String): String =
+    builtDeconStoreSharded.computeIfAbsent(d, _ => {
+      val (base, index) = Tables.storeRoots(d, "deconstore_shard")
+      val train = documents(s, d).filter(!isTestSplit(col("doc_id")))
+        .select("doc_id", "text")
+      graft.tx.CommitLog.commit(
+        train.filter(pmod(col("doc_id"), lit(10)) =!= 7), base, "append")
+      graft.ext.DecontaminationStore.build(s, base, index, nShards = 4)
+      graft.tx.CommitLog.commit(
+        train.filter(pmod(col("doc_id"), lit(10)) === 7), base, "append")
+      graft.ext.DecontaminationStore.refresh(s, base, index)
+      index
+    })
+
   /** (doc_id, neg_logp, lang): the corpus-relative unigram-LM score joined
     * with the language column — consumed by `text_unigram_logprob`,
     * `quality_deciles`, and `quality_deciles_sketch`, each of which
@@ -468,6 +490,36 @@ object TextQueries {
     // data-dependent columns.
     "decontaminate_store" -> ((s, d) => {
       val index = ensureDeconStore(s, d)
+      val sh = cachedSplitShingles(s, d)
+      val testSh = sh.filter(col("split") === "test")
+      val flaggedStore = graft.ext.DecontaminationStore.flaggedDocs(
+        s, index, documents(s, d).filter(isTestSplit(col("doc_id")))
+          .select("doc_id", "text"))
+      val flaggedExact = testSh.join(cachedTrainShingles(s, d), "__sh", "left_semi")
+        .select("doc_id").distinct()
+      val nTest = documents(s, d)
+        .filter(isTestSplit(col("doc_id")))
+        .agg(count(lit(1)).as("n_test_docs"))
+      flaggedExact.withColumn("__e", lit(1))
+        .join(flaggedStore.withColumn("__b", lit(1)), Seq("doc_id"), "full_outer")
+        .agg(
+          (coalesce(sum(when(col("__e").isNotNull && col("__b").isNull, 1L)
+            .otherwise(0L)), lit(0L)) === 0).as("store_catches_all"),
+          coalesce(sum(col("__e").cast("long")), lit(0L)).as("n_exact_contaminated"))
+        .crossJoin(nTest)
+        .select("store_catches_all", "n_exact_contaminated", "n_test_docs")
+    }),
+
+    // PREFIX-SHARDED decontamination store (round-15 VERDICT item 1): the
+    // identical build→append→refresh harness with nShards = 4 — the build
+    // routes each shingle to its top-2-prefix-bits shard, the refresh
+    // folds per-shard delta filters via a touched-shards-only
+    // replace-where, and the probe routes each shingle to its shard's
+    // broadcast. Same PROPERTY oracle as decontaminate_store: the union
+    // across shards must preserve no-false-negatives, so every
+    // exactly-contaminated doc must be store-flagged.
+    "decontaminate_sharded" -> ((s, d) => {
+      val index = ensureDeconStoreSharded(s, d)
       val sh = cachedSplitShingles(s, d)
       val testSh = sh.filter(col("split") === "test")
       val flaggedStore = graft.ext.DecontaminationStore.flaggedDocs(
@@ -1147,6 +1199,29 @@ object TextQueries {
          SELECT seq_id, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens
          FROM contrib GROUP BY 1 ORDER BY seq_id""",
     "decontaminate_store" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')
+               THEN 'test' ELSE 'train' END AS split,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tokens
+           FROM documents),
+         sh8 AS (
+           SELECT doc_id, split, unnest(list_distinct(CASE WHEN len(tokens) >= 8
+             THEN list_transform(range(1, len(tokens) - 6),
+               i -> array_to_string(tokens[i:i+7], ' '))
+             ELSE [array_to_string(tokens, ' ')] END)) AS shingle
+           FROM toks),
+         flagged AS (
+           SELECT DISTINCT t.doc_id
+           FROM sh8 t JOIN sh8 tr ON t.shingle = tr.shingle
+           WHERE t.split = 'test' AND tr.split = 'train')
+         SELECT true AS store_catches_all,
+           CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_exact_contaminated,
+           CAST((SELECT count(*) FROM toks WHERE split = 'test') AS BIGINT) AS n_test_docs""",
+    // identical exact oracle — only the STORAGE layout (4 prefix shards)
+    // differs from decontaminate_store, and sharding must not change a
+    // single answer
+    "decontaminate_sharded" ->
       """WITH toks AS (
            SELECT doc_id,
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')

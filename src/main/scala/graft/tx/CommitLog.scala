@@ -1764,12 +1764,29 @@ object CommitLog {
     * per-writer exactly-once contract. Returns the new version. */
   def replaceWhere(spark: SparkSession, table: String, source: DataFrame,
       condition: org.apache.spark.sql.Column, partitionBy: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      /** Compare-and-set like [[commit]]'s: publish ONLY as the immediate
+        * successor of this version. For read-modify-write replacements
+        * whose source folds rows read at that version (e.g. a sharded
+        * sketch union) a lost race is silent data loss — the loser must
+        * fail loudly with [[java.util.ConcurrentModificationException]]
+        * and re-read, not land on top of the interloper. The check runs
+        * against the manifest this call bases its rewrite on, and
+        * [[publishRewrite]]'s own advance guard covers the window to the
+        * actual publish. */
+      expectPriorVersion: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce => cz, col, lit, not}
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
     txn.foreach { case (app, batch) =>
       if (m.txns.get(app).exists(_ >= batch)) return m.version
+    }
+    expectPriorVersion.foreach { want =>
+      if (m.version != want)
+        throw new java.util.ConcurrentModificationException(
+          s"$table advanced to v${m.version} during a compare-and-set " +
+            s"replace expecting to succeed v$want — a concurrent writer " +
+            "landed first; re-read the table and retry the fold")
     }
     requireNoPhysicalGhost(m, source.schema, table)
     val schema = mergeAdditive(Some(m.schema), source.schema)
@@ -1821,8 +1838,12 @@ object CommitLog {
       val survivorFiles = touchedAligned.map(_.filter(not(hit)))
         .map(writeDataDir(_, tableDir, partitionBy, m.colMap)).getOrElse(Nil)
       val newFiles = srcFiles ++ survivorFiles
+      // align the source's stored read too: a hive-partitioned source
+      // surfaces its partition columns LAST on re-read, and this union is
+      // positional — without alignment the change rows would silently
+      // union mismatched columns (or fail analysis on type conflict)
       val cdcRows = touchedAligned.map(_.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
-        .foldLeft(srcStored.withColumn(ChangeTypeCol, lit("insert")))(_ union _)
+        .foldLeft(aligned(srcStored).withColumn(ChangeTypeCol, lit("insert")))(_ union _)
       val cdc = writeCdcTmp(cdcRows, tableDir)
       publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
         mode = "replace", schema = Some(schema), addTxn = txn, cdcTmp = cdc,

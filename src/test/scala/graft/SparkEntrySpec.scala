@@ -74,12 +74,15 @@ class SparkEntrySpec extends SparkSpec {
     // doc-level all-pairs; the shingle intersection twin is an equi-join.
     // decontaminate_store's only NL join is decontaminate_bloom's exact
     // shape: the 1×1 crossJoin stitching single-row aggregates into the
-    // verdict row (constant-width by construction).
+    // verdict row (constant-width by construction);
+    // decontaminate_sharded shares it verbatim (same verdict-row stitch,
+    // only the store's shard layout differs).
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
       "ann_topk_ivf_persist", "ann_topk_pq", "ann_topk_pq_persist",
       "ann_topk_ivfpq", "embed_neardup", "embed_neardup_lsh",
       "embed_quantize_int8", "dedup_simhash", "dedup_semantic",
-      "decontaminate_bloom", "decontaminate_store", "sql_scalar_subquery",
+      "decontaminate_bloom", "decontaminate_store", "decontaminate_sharded",
+      "sql_scalar_subquery",
       "mixture_temperature", "dsir_select", "corpus_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intended(name) }

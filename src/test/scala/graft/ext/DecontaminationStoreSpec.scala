@@ -114,6 +114,164 @@ class DecontaminationStoreSpec extends SparkSpec {
       s"expected measured per-doc estimate, got n_deleted=${row.getLong(0)}")
   }
 
+  test("SHARDED store: build writes one row per prefix shard, probe " +
+      "answers exactly like the unsharded twin, no false negatives " +
+      "(round-15 VERDICT item 1)") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    CommitLog.commit(trainDocs(0 until 8).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, s"$root/mono")
+    DecontaminationStore.build(spark, base, s"$root/shard", nShards = 4)
+    val rows = CommitLog.read(spark,
+      DecontaminationStore.artifactTable(s"$root/shard"))
+      .select("shard", "shards", "n_inserted").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    assert(rows.forall(_._2 === 4))
+    // the shards partition the shingle set: per-shard counts sum to the
+    // unsharded store's inserted count
+    val mono = CommitLog.read(spark,
+      DecontaminationStore.artifactTable(s"$root/mono"))
+      .select("n_inserted").as[Long].head()
+    assert(rows.map(_._3).sum === mono)
+    val batch = (contaminatedTest ++ cleanTest).toDF("doc_id", "text")
+    val fromMono = DecontaminationStore.flaggedDocs(spark, s"$root/mono", batch)
+      .as[Long].collect().toSet
+    val fromShard = DecontaminationStore.flaggedDocs(spark, s"$root/shard", batch)
+      .as[Long].collect().toSet
+    assert(Set(900L, 901L).subsetOf(fromShard), "no false negatives")
+    assert(fromShard === fromMono,
+      "sharded and monolithic probes must agree on this corpus")
+  }
+
+  test("SHARDED refresh rewrites ONLY touched shard files — untouched " +
+      "shards carry into the new version by reference") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 8).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index, nShards = 4)
+    val table = DecontaminationStore.artifactTable(index)
+    val v0 = CommitLog.latestVersion(table).get
+    val files0 = CommitLog.manifest(table, v0).files.toSet
+    // ONE tiny arrival: a 9-token doc has exactly 2 distinct w=8 shingles
+    // — it can touch at most 2 of the 4 shards
+    val late = "uno dos tres cuatro cinco seis siete ocho nueve"
+    CommitLog.commit(Seq((100L, late)).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.refresh(spark, base, index)
+    val v1 = CommitLog.latestVersion(table).get
+    val files1 = CommitLog.manifest(table, v1).files.toSet
+    val carried = files0.intersect(files1)
+    val rewritten = files1.diff(files0)
+    assert(rewritten.size <= 2,
+      s"a 2-shingle delta must rewrite at most 2 shard files, got " +
+        s"${rewritten.size} (carried ${carried.size})")
+    assert(carried.size >= 2,
+      "untouched shard files must carry by REFERENCE across the fold")
+    // and the fold is correct: the late passage flags
+    val flagged = DecontaminationStore.flaggedDocs(spark, index,
+      Seq((902L, s"leak of $late right here")).toDF("doc_id", "text"))
+      .as[Long].collect().toSet
+    assert(flagged === Set(902L))
+  }
+
+  test("SHARDED interleaved refresh loses the compare-and-set loudly " +
+      "(replaceWhere CAS — no cross-shard false-negative window)") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 8).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index, nShards = 4)
+    val table = DecontaminationStore.artifactTable(index)
+    val vRead = CommitLog.latestVersion(table).get
+    // winner folds first
+    CommitLog.commit(Seq((100L, "winner arrival doc pad pad pad pad pad pad"))
+      .toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.refresh(spark, base, index)
+    assert(CommitLog.latestVersion(table).get > vRead)
+    // the stalled refresher's replaceWhere is CAS against the version IT
+    // read — landing it would drop the winner's bits from the touched
+    // shards while the untouched ones keep them: a PARTIAL false-negative
+    // window no probe must ever see
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.replaceWhere(spark, table,
+        Seq((0, 4, 8, 1000L, 1e-4, 1L, 0L, Array[Byte](1, 2, 3)))
+          .toDF("shard", "shards", "w", "capacity", "fpp",
+            "n_inserted", "n_deleted", "sketch"),
+        col("shard") === 0, partitionBy = Seq("shard"),
+        txn = Some((DecontaminationStore.AppId, 99L)),
+        expectPriorVersion = Some(vRead))
+    }
+    // recovery: re-run refresh — clean no-op on the winner's watermark
+    assert(DecontaminationStore.refresh(spark, base, index)
+      === CommitLog.latestVersion(base).get)
+  }
+
+  test("rebuildShards re-sizes ONLY the given shards from the covered " +
+      "snapshot; refusal when the watermark lags the base") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 8).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index, nShards = 4)
+    val table = DecontaminationStore.artifactTable(index)
+    val before = CommitLog.read(spark, table)
+      .select("shard", "capacity", "sketch").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toMap
+    DecontaminationStore.rebuildShards(spark, base, index, Seq(1, 2))
+    val after = CommitLog.read(spark, table)
+      .select("shard", "capacity", "sketch").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toMap
+    assert(after(0) === before(0) && after(3) === before(3),
+      "untouched shards must be byte-identical")
+    // probe still has no false negatives after the partial rebuild
+    val flagged = DecontaminationStore.flaggedDocs(spark, index,
+      contaminatedTest.toDF("doc_id", "text")).as[Long].collect().toSet
+    assert(Set(900L, 901L).subsetOf(flagged))
+    // watermark unchanged — the partial rebuild covers the same snapshot
+    assert(DecontaminationStore.coveredVersion(index) === Some(1L))
+    // a lagging watermark refuses: rebuilt shards would cover data the
+    // others haven't folded
+    CommitLog.commit(Seq((200L, "new arrival pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text"), base, "append")
+    val e = intercept[IllegalArgumentException](
+      DecontaminationStore.rebuildShards(spark, base, index, Seq(0)))
+    assert(e.getMessage.contains("refresh first"), e.getMessage)
+  }
+
+  test("a LEGACY (pre-sharding) store migrates to the sharded layout on " +
+      "its first refresh, keeping its filter and watermark") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 6).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index)
+    val table = DecontaminationStore.artifactTable(index)
+    // rewrite the store in the PRE-SHARDING schema (no shard/shards
+    // columns) — txn watermarks carry through overwrites, so this is a
+    // faithful legacy store with a live covered version
+    val legacyRow = CommitLog.read(spark, table)
+      .select("w", "capacity", "fpp", "n_inserted", "n_deleted", "sketch")
+    CommitLog.commit(legacyRow, table, "overwrite")
+    assert(!CommitLog.read(spark, table).columns.contains("shard"))
+    assert(DecontaminationStore.coveredVersion(index) === Some(1L))
+    // gauges read the legacy row as shard 0 of 1
+    assert(DecontaminationStore.saturation(spark, index) > 0.0)
+    // a new arrival folds through the migrating refresh
+    val late = "one two three four five six seven eight"
+    CommitLog.commit(Seq((100L, s"$late late arrival text pad"))
+      .toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.refresh(spark, base, index)
+    val cols = CommitLog.read(spark, table).columns.toSet
+    assert(cols.contains("shard") && cols.contains("shards"),
+      "first refresh must migrate the legacy row to the sharded layout")
+    val flagged = DecontaminationStore.flaggedDocs(spark, index,
+      (contaminatedTest :+ (902L, s"leaks $late here")).toDF("doc_id", "text"))
+      .as[Long].collect().toSet
+    assert(Set(900L, 901L, 902L).subsetOf(flagged),
+      "migration must preserve the stored bits AND fold the delta")
+  }
+
   test("a stale replayed refresh slice cannot regress the sketch") {
     val root = freshRoot()
     val base = s"$root/base"

@@ -51,6 +51,36 @@ class BpeEncodeSpec extends SparkSpec {
     assert(pieces("thth") === Seq("th", "th"))
   }
 
+  test("bpeEncodeAuto: a production-size (50k) merge table routes through " +
+      "a broadcast and segments IDENTICALLY to the literal expression " +
+      "(round-15 VERDICT item 2)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val merges = TextExpressions.syntheticMerges(50000)
+    assert(merges.size === 50000 && merges.distinct.size === 50000)
+    // routing: small table → plan literal, production table → broadcast
+    val c = split(lower(col("text")), " ")
+    assert(ColumnBridge.expression(
+      TextExpressions.bpeEncodeAuto(spark, c, BpeEncode.FixtureMerges))
+      .isInstanceOf[BpeEncode])
+    val autoCol = TextExpressions.bpeEncodeAuto(spark, c, merges)
+    assert(ColumnBridge.expression(autoCol).isInstanceOf[BpeEncodeBroadcast])
+    // parity on real corpus text: same merges, literal vs broadcast
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100).select(col("doc_id"), col("text"))
+    val viaLiteral = docs
+      .select(col("doc_id"),
+        TextExpressions.bpeEncode(c, merges).as("p"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    val viaBroadcast = docs
+      .select(col("doc_id"), autoCol.as("p"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(viaBroadcast === viaLiteral,
+      "broadcast and literal paths must produce identical segmentations")
+    // sanity: the synthetic cascade actually merges multi-char units
+    assert(viaLiteral.exists(_._2.exists(_.length > 2)),
+      "50k synthetic merges should produce some deep pieces")
+  }
+
   test("interpreted eval agrees with the codegen path") {
     val df = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
       .limit(50)

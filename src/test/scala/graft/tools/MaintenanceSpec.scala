@@ -97,6 +97,46 @@ class MaintenanceSpec extends SparkSpec {
     assert(r2.upgradedSidecars === 0)
   }
 
+  test("the cycle re-sizes SATURATED decon shards alone — per-shard " +
+      "capacity decisions (round-15 VERDICT item 1)") {
+    val root = Files.createTempDirectory("graft_maint_decon").toString
+    val base = s"$root/base"
+    val index = s"$root/index"
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 20).map(j => s"w$i-$j").mkString(" ")))
+    // tight explicit sizing: 4 shards × 1000-capacity each
+    graft.tx.CommitLog.commit(docs(0 until 10).toDF("doc_id", "text"),
+      base, "append")
+    graft.ext.DecontaminationStore.build(spark, base, index,
+      expectedItems = 4000L, nShards = 4)
+    assert(graft.ext.DecontaminationStore.saturation(spark, index) < 1.0)
+    // ~300 unique docs × ~13 distinct shingles ≈ 3900 shingles — every
+    // shard's fill crosses its frozen 1000 capacity
+    graft.tx.CommitLog.commit(docs(10 until 310).toDF("doc_id", "text"),
+      base, "append")
+    graft.ext.DecontaminationStore.refresh(spark, base, index)
+    val sat = graft.ext.DecontaminationStore.saturatedShards(spark, index)
+    assert(sat.nonEmpty,
+      s"expected saturated shards, gauge=" +
+        graft.ext.DecontaminationStore.saturation(spark, index))
+    val pol = Maintenance.Policy(minAgeMillis = 0, force = true,
+      vacuumKeepVersions = 8, indexStaleThreshold = 1e9,
+      indexes = Seq(Maintenance.IndexRef(index, idCol = "doc_id",
+        kind = "decon")))
+    val r = Maintenance.run(spark, base, pol)
+    assert(r.rebuiltIndexes.exists(_.startsWith(s"$index#shards=")),
+      r.rebuiltIndexes.toString)
+    // the offenders re-sized; the store's fpp contract is honest again
+    assert(graft.ext.DecontaminationStore.saturation(spark, index) <= 1.0)
+    assert(graft.ext.DecontaminationStore
+      .saturatedShards(spark, index).isEmpty)
+    // and the probe still flags a live-train leak
+    val flagged = graft.ext.DecontaminationStore.flaggedDocs(spark, index,
+      Seq((9000L, docs(42 until 43).head._2)).toDF("doc_id", "text"))
+      .as[Long].collect().toSet
+    assert(flagged === Set(9000L))
+  }
+
   test("accumulated deletion vectors trigger the cycle's compact — merge-on-read debt repaid") {
     val t = Files.createTempDirectory("graft_maint_dv").resolve("t").toString
     CommitLog.commit((0 until 200).map(i => (i.toLong, s"s$i")).toDF("id", "s")
