@@ -297,7 +297,8 @@ object DecontaminationStore {
         newRows.toDF(SketchCols: _*),
         col("shard").isin(shardsToRebuild.map(Integer.valueOf): _*),
         partitionBy = Seq("shard"),
-        expectPriorVersion = Some(sketchBase)): Unit
+        expectPriorVersion = Some(sketchBase),
+        journalChanges = false): Unit
     } finally sh.unpersist(blocking = false): Unit
   }
 
@@ -442,7 +443,8 @@ object DecontaminationStore {
           spark.emptyDataset[Int].toDF("shard"),
           col("shard") === lit(-1), partitionBy = Seq("shard"),
           txn = Some((AppId, latest)),
-          expectPriorVersion = Some(sketchBase)): Unit
+          expectPriorVersion = Some(sketchBase),
+          journalChanges = false): Unit
         return latest
       }
       val newRows = touched.map { s =>
@@ -469,12 +471,18 @@ object DecontaminationStore {
           txn = Some((AppId, latest)),
           expectPriorVersion = Some(sketchBase)): Unit
       else
+        // journalChanges = false: the sketch table is an ARTIFACT nobody
+        // change-feed-subscribes to, and journaling a fold would read and
+        // re-write every touched 100 MB-class bitmap row a second time —
+        // with the partition-only fast path this makes the fold's cost
+        // the touched-shard WRITE alone
         CommitLog.replaceWhere(spark, table,
           newRows.toDF(SketchCols: _*),
           col("shard").isin(touched.map(Integer.valueOf): _*),
           partitionBy = Seq("shard"),
           txn = Some((AppId, latest)),
-          expectPriorVersion = Some(sketchBase)): Unit
+          expectPriorVersion = Some(sketchBase),
+          journalChanges = false): Unit
       latest
     } finally freshSh.unpersist(blocking = false): Unit
   }

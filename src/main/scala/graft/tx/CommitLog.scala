@@ -1774,7 +1774,16 @@ object CommitLog {
         * against the manifest this call bases its rewrite on, and
         * [[publishRewrite]]'s own advance guard covers the window to the
         * actual publish. */
-      expectPriorVersion: Option[Long] = None): Long = {
+      expectPriorVersion: Option[Long] = None,
+      /** `false` skips the CDC journal for this replace: the version is
+        * then NOT expressible as row changes ([[changeFeed]] refuses it
+        * loudly, like an un-journaled overwrite) and fsck does not expect
+        * change rows for it. For ARTIFACT tables nobody subscribes to
+        * (e.g. a sharded sketch store whose rows are 100 MB bitmaps),
+        * journaling would read every touched row and write a second copy
+        * of the payload per fold — the dominant cost of the whole
+        * operation. Leave `true` for any table with feed consumers. */
+      journalChanges: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{coalesce => cz, col, lit, not}
     val m = latestManifest(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
@@ -1812,9 +1821,90 @@ object CommitLog {
       .foreach(d => deleteTree(tableDir.resolve(d)))
     val srcStored = readManifest(spark, table,
       m.copy(schema = schema, files = srcFiles))
+    // PARTITION-ONLY fast path (round-16): when the condition references
+    // ONLY declared partition columns, every row of a hive-laid-out file
+    // shares the file's partition tuple, so the constraint probe, the
+    // touched-file discovery, and the survivor scan all collapse to
+    // DRIVER-side evaluation over the path segments — a sharded-store
+    // fold's replace then reads ZERO stored bytes and its cost is the
+    // source write alone. Files lacking a complete hive tuple (mixed
+    // layout after schema evolution) disable the fast path for the step
+    // that saw them — correctness never rides on an absent segment.
+    val layoutCols = m.partitionBy
+    def layoutType(c: String): Option[org.apache.spark.sql.types.DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    // only types whose hive-segment string round-trips EXACTLY through a
+    // cast qualify (a float or timestamp rendering could drift and flip
+    // the predicate on a boundary value)
+    def fastSafe(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+    val partitionOnly = layoutCols.nonEmpty &&
+      layoutCols.forall(c => layoutType(c).exists(fastSafe)) && {
+      val refs = org.apache.spark.sql.graftbridge.ColumnBridge
+        .expression(condition).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }
+      refs.nonEmpty &&
+        refs.forall(n => layoutCols.exists(_.equalsIgnoreCase(n)))
+    }
+    val escaper = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def hiveTuple(f: String): Option[Seq[String]] = {
+      val kv = f.split('/').dropRight(1).filter(_.contains('='))
+        .map { s =>
+          val i = s.indexOf('=')
+          escaper.unescapePathName(s.take(i)).toLowerCase -> s.drop(i + 1)
+        }.toMap
+      val vals = layoutCols.map(c => kv.get(c.toLowerCase))
+      if (vals.exists(_.isEmpty)) None
+      else Some(vals.map(_.get).map(raw =>
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else escaper.unescapePathName(raw)))
+    }
+    /** Which of `tuples` satisfy the condition — one driver-local job
+      * over O(distinct tuples) rows, zero file reads. */
+    def matchingTuples(tuples: Seq[Seq[String]]): Set[Seq[String]] = {
+      if (tuples.isEmpty) return Set.empty
+      val distinctT = tuples.distinct
+      val strSchema = StructType(
+        layoutCols.map(StructField(_, org.apache.spark.sql.types.StringType,
+          nullable = true)) :+
+          StructField("__graft_tuple_idx", org.apache.spark.sql.types.IntegerType))
+      val rows = distinctT.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.Row.fromSeq(t :+ i)
+      }
+      import scala.jdk.CollectionConverters._
+      val typed = spark.createDataFrame(rows.asJava, strSchema)
+        .select(layoutCols.map(c =>
+          col(c).cast(layoutType(c).get).as(c)) :+ col("__graft_tuple_idx"): _*)
+      val ok = typed.filter(condition).select("__graft_tuple_idx")
+        .collect().map(_.getInt(0)).toSet
+      distinctT.zipWithIndex.collect { case (t, i) if ok(i) => t }.toSet
+    }
+    val srcTuples: Option[Seq[Seq[String]]] =
+      if (!partitionOnly) None
+      else {
+        val ts = srcFiles.map(hiveTuple)
+        if (ts.exists(_.isEmpty)) None else Some(ts.map(_.get))
+      }
     val violating =
-      try srcStored.filter(not(cz(condition, lit(false)))).limit(1).count()
-      catch { case e: Throwable => dropSrc(); throw e }
+      try srcTuples match {
+        case Some(ts) =>
+          val ok = matchingTuples(ts)
+          if (ts.forall(ok)) 0L else 1L
+        case None =>
+          srcStored.filter(not(cz(condition, lit(false)))).limit(1).count()
+      } catch { case e: Throwable => dropSrc(); throw e }
     if (violating > 0) {
       dropSrc()
       throw new IllegalArgumentException(
@@ -1824,27 +1914,48 @@ object CommitLog {
     }
     try {
       val candidates = m.copy(files = pruneFiles(table, m, toFilters(spark, condition, m.schema)))
-      val touched = touchedFiles(
+      val fastTouched: Option[Set[String]] =
+        if (!partitionOnly) None
+        else {
+          val ts = candidates.files.map(f => f -> hiveTuple(f))
+          if (ts.exists(_._2.isEmpty)) None
+          else {
+            val ok = matchingTuples(ts.map(_._2.get))
+            Some(ts.collect { case (f, Some(t)) if ok(t) => f }.toSet)
+          }
+        }
+      val touched = fastTouched.getOrElse(touchedFiles(
         readManifestWithFile(spark, table, candidates, "__graft_file").filter(condition),
-        "__graft_file", tableDir)
+        "__graft_file", tableDir))
       val hit = cz(condition, lit(false))
+      // the touched rows are only READ when something needs them: the CDC
+      // journal always does; the survivor scan does not when the fast
+      // path PROVED every row of every touched file matches (whole-file
+      // replacement — survivors are empty by construction)
+      val needTouchedRead = touched.nonEmpty &&
+        (journalChanges || fastTouched.isEmpty)
       val touchedAligned =
-        if (touched.isEmpty) None
+        if (!needTouchedRead) None
         else Some(aligned(readManifest(spark, table, m.copy(files = touched.toSeq.sorted))))
       // kept survivors of rewritten files land in a second fresh write
       // (the source's files are already on disk and committed by
       // reference — rewriting them into a combined dir would defeat the
       // single-materialization contract above)
-      val survivorFiles = touchedAligned.map(_.filter(not(hit)))
-        .map(writeDataDir(_, tableDir, partitionBy, m.colMap)).getOrElse(Nil)
+      val survivorFiles =
+        if (fastTouched.isDefined) Nil
+        else touchedAligned.map(_.filter(not(hit)))
+          .map(writeDataDir(_, tableDir, partitionBy, m.colMap)).getOrElse(Nil)
       val newFiles = srcFiles ++ survivorFiles
       // align the source's stored read too: a hive-partitioned source
       // surfaces its partition columns LAST on re-read, and this union is
       // positional — without alignment the change rows would silently
       // union mismatched columns (or fail analysis on type conflict)
-      val cdcRows = touchedAligned.map(_.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
-        .foldLeft(aligned(srcStored).withColumn(ChangeTypeCol, lit("insert")))(_ union _)
-      val cdc = writeCdcTmp(cdcRows, tableDir)
+      val cdc =
+        if (!journalChanges) None
+        else writeCdcTmp(
+          touchedAligned.map(_.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
+            .foldLeft(aligned(srcStored).withColumn(ChangeTypeCol, lit("insert")))(_ union _),
+          tableDir)
       publishRewrite(table, m, m.files.filterNot(touched) ++ newFiles,
         mode = "replace", schema = Some(schema), addTxn = txn, cdcTmp = cdc,
         freshFiles = newFiles, dvDirs = m.dvDirs)
@@ -2147,10 +2258,12 @@ object CommitLog {
   private[tx] def publishImport(table: String, files: Seq[String],
       schema: StructType, partitionBy: Seq[String],
       txns: Map[String, Long],
-      colMap: Map[String, String] = Map.empty): Long =
+      colMap: Map[String, String] = Map.empty,
+      dvDirs: Seq[String] = Nil): Long =
     publishRewrite(table, Manifest(0L, "overwrite", schema, Nil, txns),
       files, mode = "overwrite", schema = Some(schema),
-      partitionSpec = Some(partitionBy), colMapSpec = Some(colMap))
+      partitionSpec = Some(partitionBy), colMapSpec = Some(colMap),
+      dvDirs = dvDirs)
 
   /** `TRUNCATE TABLE` — replace the snapshot with an EMPTY one, keeping
     * the schema: a transactional overwrite with zero files, so time
@@ -3438,7 +3551,12 @@ object CommitLog {
             .filter(Files.isDirectory(_)).getOrElse(cdcPath)
           if (!Files.isDirectory(src))
             throw new IllegalStateException(
-              s"version $v (${man.mode}) predates the change feed; rebuild from the snapshot")
+              s"version $v (${man.mode}) " +
+                (if (man.mode == "replace" && man.cdcName.isEmpty)
+                  "was written with journalChanges = false — not " +
+                    "expressible as row changes"
+                else "predates the change feed") +
+                "; rebuild from the snapshot")
           Some(alignedTo(spark.read.parquet(src.toString))
             .withColumn(CommitVersionCol, clit(v)))
         case "overwrite" =>
@@ -3575,12 +3693,14 @@ object CommitLog {
         .map(d => s"data/${d.getFileName}")
         .filterNot(referencedDirs.contains)
         .sorted
-    val mutationModes = Set("delete", "update", "merge", "replace")
+    val mutationModes = Set("delete", "update", "merge")
     // cdc-bearing = mutations (always journal) plus overwrites written
-    // with cdc = true (their manifest names an attempt dir)
+    // with cdc = true and replaces written with journalChanges = true
+    // (either way their manifest names an attempt dir; a journal-less
+    // replace carries none BY CONSTRUCTION — not damage)
     def cdcBearing(m: Manifest): Boolean =
       mutationModes.contains(m.mode) ||
-        (m.mode == "overwrite" && m.cdcName.isDefined)
+        ((m.mode == "overwrite" || m.mode == "replace") && m.cdcName.isDefined)
     val cdcVersions = manifests.filter(cdcBearing).map(_.version).toSet
     val cdcRoot = tableDir.resolve(CdcDir)
     val orphanCdc =

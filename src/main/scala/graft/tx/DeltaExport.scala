@@ -76,8 +76,22 @@ object DeltaExport {
     * delete those commits and their data would vanish from the Delta
     * view. Import them first (`CONVERT TO GRAFT`) or pass FORCE to
     * deliberately discard them. */
+  /** `nativeDv = true` exports live deletion vectors as the Delta
+    * `deletionVectors` TABLE FEATURE (round-15 VERDICT item 5) instead of
+    * copy-on-write folding the death-carrying files: the engine's
+    * positional deaths serialize into ONE `deletion_vector_<uuid>.bin`
+    * (the protocol's roaring-bitmap format, [[DeltaDv]]), each dirty
+    * add carries its descriptor, and the protocol rises to reader 3 /
+    * writer 7 with the feature declared — so a trickle-deleted 100 TB
+    * table exports O(DV bytes) with ZERO data-file rewrites. The fold
+    * stays the default because it serves EVERY Delta reader; the feature
+    * path serves only DV-capable ones. A DV export writes full logs
+    * (descriptors are snapshot state a file-set diff cannot carry) and
+    * skips the best-effort checkpoint (the checkpoint writer's typed
+    * schema carries no DV columns — a DV-blind checkpoint would resurrect
+    * deleted rows for checkpoint-first readers). */
   def writeDeltaLog(table: String, version: Option[Long] = None,
-      force: Boolean = false): Long = {
+      force: Boolean = false, nativeDv: Boolean = false): Long = {
     val root = Paths.get(CommitLog.normalizeRoot(table))
     val v = version.orElse(CommitLog.latestVersion(root.toString)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed versions"))
@@ -98,7 +112,10 @@ object DeltaExport {
         for {
           gv <- kv.get("graft_version").flatMap(_.toLongOption)
           dv <- kv.get("delta_version").flatMap(_.toLongOption).orElse(Some(0L))
-        } yield (gv, dv, kv.get("cow").exists(_ == "1"))
+        } yield (gv, dv,
+          // a prior COW or DV export both force FULL (their exported view
+          // is not a pure manifest file set a diff could extend)
+          kv.get("cow").exists(_ == "1") || kv.get("dv").exists(_ == "1"))
       }
     // FOREIGN-COMMIT GUARD (round-12 ADVICE, medium): the marker alone is
     // not proof the log is ours to rewrite — the exported log is a valid
@@ -310,6 +327,46 @@ object DeltaExport {
         s""","maxValues":{${bound(pickMin = false).mkString(",")}}""" +
         s""","nullCount":{${nulls.mkString(",")}}}""")
     }
+    // native-DV export: serialize every live death into ONE protocol-format
+    // DV file keyed deterministically by the exported graft version
+    // (idempotent re-export atomically replaces it), descriptors keyed by
+    // the file's REL path. Dangling death rows (their file left the
+    // snapshot) drop, like the COW path's dirty partition. O(DV rows)
+    // driver work — the trickle's rows, never the table's.
+    val dvDescs: Map[String, DeltaDv.Descriptor] =
+      if (!nativeDv || m.dvDirs.isEmpty) Map.empty
+      else {
+        val spark = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .getOrElse(throw new IllegalStateException(
+            s"exporting $table v$v with nativeDv requires an active " +
+              "SparkSession to read the deletion-vector rows"))
+        val deaths = spark.read
+          .parquet(m.dvDirs.map(d => s"${root.toString}/$d"): _*)
+          .select(org.apache.spark.sql.functions.col("file").cast("string"),
+            org.apache.spark.sql.functions.col("row_index").cast("long"))
+          .distinct().collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+        def nameOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+        val byName = m.files.map(f => nameOf(f) -> f).toMap
+        val live = deaths.toSeq
+          .flatMap { case (n, rows) => byName.get(n).map(_ -> rows) }
+          .sortBy(_._1)
+        if (live.isEmpty) Map.empty
+        else {
+          val uuid = UUID.nameUUIDFromBytes(
+            s"graft-dv:${root.toString}:v$v".getBytes("UTF-8"))
+          val descs = DeltaDv.writeDvFile(root, uuid, live.map(_._2))
+          live.map(_._1).zip(descs).toMap
+        }
+      }
+    val dvUsed = dvDescs.nonEmpty
+    def dvJson(d: DeltaDv.Descriptor): String =
+      s""""deletionVector":{"storageType":${jstr(d.storageType)},""" +
+        s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)},""" +
+        d.offset.map(o => s""""offset":$o,""").getOrElse("") +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
     def addAction(rel: String): String = {
       val p = root.resolve(rel)
       val vals = partitionValuesOf(rel)
@@ -326,19 +383,30 @@ object DeltaExport {
         val raw = vals.getOrElse(c, vals(c.toLowerCase))
         s"${jstr(physOf(c))}:${raw.map(jstr).getOrElse("null")}"
       }.mkString(",")
+      // a DV-carrying add's stats keep the PHYSICAL numRecords (protocol:
+      // logical rows = numRecords - cardinality) but declare
+      // tightBounds:false — the bounds span dead rows too
+      val stats = statsJsonOf(rel).map { s =>
+        if (dvDescs.contains(rel))
+          "{\"tightBounds\":false," + s.stripPrefix("{")
+        else s
+      }
       s"""{"add":{"path":${jstr(DeltaPaths.encode(rel))},"partitionValues":{$pvJson},""" +
         s""""size":${Files.size(p)},""" +
         s""""modificationTime":${Files.getLastModifiedTime(p).toMillis},""" +
-        statsJsonOf(rel).map(s => s""""stats":${jstr(s)},""").getOrElse("") +
+        stats.map(s => s""""stats":${jstr(s)},""").getOrElse("") +
+        dvDescs.get(rel).map(d => dvJson(d) + ",").getOrElse("") +
         """"dataChange":true}}"""
     }
     def metaAction(mapped: Boolean): String = {
-      val conf =
-        if (mapped)
-          s"""{"delta.columnMapping.mode":"name",""" +
+      val confEntries =
+        (if (mapped)
+          Seq(s""""delta.columnMapping.mode":"name"""",
             s""""delta.columnMapping.maxColumnId":${jstr(
-              mappedMaxColId.toString)}}"""
-        else "{}"
+              mappedMaxColId.toString)}""")
+        else Nil) ++
+        (if (dvUsed) Seq(""""delta.enableDeletionVectors":"true"""") else Nil)
+      val conf = confEntries.mkString("{", ",", "}")
       s"""{"metaData":{"id":${jstr(UUID.nameUUIDFromBytes(
           s"graft:${root.toString}".getBytes("UTF-8")).toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
@@ -347,7 +415,17 @@ object DeltaExport {
         s""""configuration":$conf,"createdTime":$createdTime}}"""
     }
     def protocolLine(mapped: Boolean): String =
-      if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      if (dvUsed) {
+        // table-features protocol: reader 3 / writer 7 must LIST every
+        // feature in use — deletionVectors, plus columnMapping when the
+        // schema is mapped
+        val feats = (Seq("deletionVectors") ++
+          (if (mapped) Seq("columnMapping") else Nil))
+          .map(jstr).mkString(",")
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[$feats],"writerFeatures":[$feats]}}"""
+      }
+      else if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     // every commit this export writes leads with this stamp: it is how a
     // later export tells our own crashed commit apart from a foreign
@@ -374,7 +452,7 @@ object DeltaExport {
     // — are shared untouched. The COW dir lives OUTSIDE `data/`, which is
     // the whole of vacuum's sweep root, so vacuum can never reclaim it.
     val (exportFiles: Seq[String], cowUsed: Boolean) =
-      if (m.dvDirs.isEmpty) (m.files, false)
+      if (m.dvDirs.isEmpty || dvUsed) (m.files, false)
       else {
         val spark = org.apache.spark.sql.SparkSession.getActiveSession
           .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
@@ -451,7 +529,8 @@ object DeltaExport {
     def writeMarker(deltaV: Long): Unit =
       Files.write(marker,
         (s"graft_version=$v\ndelta_version=$deltaV\n" +
-          s"cow=${if (cowUsed) "1" else "0"}\n").getBytes("UTF-8"))
+          s"cow=${if (cowUsed) "1" else "0"}\n" +
+          s"dv=${if (dvUsed) "1" else "0"}\n").getBytes("UTF-8"))
 
     // INCREMENTAL: append one Delta commit holding the manifest diff.
     // Only when NEITHER side's export involved a DV fold (a COW-bearing
@@ -466,7 +545,8 @@ object DeltaExport {
         // (discard everything, fresh baseline), and before this guard a
         // clean-prior FORCE silently fell through to an incremental
         // append, leaving the caller's "rebuild the log" request unmet
-        !force && gv < v && !priorCow && !cowUsed && !foreignCommits &&
+        !force && gv < v && !priorCow && !cowUsed && !dvUsed &&
+          !foreignCommits &&
           !crashedOwnCommits }
       .flatMap { case (gv, dv, _) =>
       try {
@@ -559,7 +639,10 @@ object DeltaExport {
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .flatMap(_.conf.getOption("spark.graft.export.checkpointAt"))
         .map(_.toInt).getOrElse(FullExportCheckpointAt)
-      if (exportFiles.size >= ckptAt)
+      // never checkpoint a DV export: the checkpoint writer's typed
+      // schema carries no deletionVector columns, and a checkpoint-first
+      // reader would silently resurrect the deleted rows
+      if (exportFiles.size >= ckptAt && !dvUsed)
         try writeCheckpoint(logDir, 0L,
           Seq(protocolLine(mappedNow), metaAction(mappedNow)) ++
             exportFiles.map(addAction))
@@ -579,6 +662,22 @@ object DeltaExport {
         // drop the dir itself when the fresh export needed no COW
         if (!cowUsed) Files.deleteIfExists(cowRoot)
       }
+      // superseded DV files from earlier native-DV exports (uuid is a
+      // deterministic function of the exported graft version, so the
+      // fresh one — if any — is recognizable) are likewise unreferenced
+      // by the fresh log
+      val keepDv =
+        if (dvUsed) Some(DeltaDv.dvFileName(UUID.nameUUIDFromBytes(
+          s"graft-dv:${root.toString}:v$v".getBytes("UTF-8"))))
+        else None
+      val rootLs = Files.list(root)
+      try rootLs.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+            !keepDv.contains(n)
+        }.toList.foreach(Files.deleteIfExists(_))
+      finally rootLs.close()
       v
     }
   }

@@ -68,7 +68,11 @@ object DeltaImport {
         * physical name, for the per-file footer agreement proof (graft
         * reads by NAME, a Delta id-mode reader by FIELD ID — the import
         * is sound only where the two provably bind the same columns). */
-      idVerify: Map[Int, String] = Map.empty)
+      idVerify: Map[Int, String] = Map.empty,
+      /** Live deletion-vector descriptors keyed by add path — the import
+        * materializes them into an engine DV dir ([[DeltaDv]] decodes the
+        * protocol's roaring format). */
+      dvs: Map[String, DeltaDv.Descriptor] = Map.empty)
 
   def convertDelta(spark: SparkSession, table: String,
       partitionBy: Seq[String] = Nil): Long = {
@@ -164,6 +168,21 @@ object DeltaImport {
           s"cannot convert $table: ${missing.size} file(s) named by the " +
             s"Delta log are missing on disk (first: ${missing.head}) — was " +
             "the table partially copied?")
+        // every deletion vector must DECODE (file present, CRC and
+        // cardinality agree) before the plan commits — a malformed or
+        // missing vector refuses with the directory exactly as found,
+        // never mid-move (the materialization later re-decodes; O(DV
+        // rows) twice is the trickle's cost, not the table's)
+        snap.dvs.foreach { case (rel, d) =>
+          try DeltaDv.readDescriptor(tableDir, d): Unit
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"Delta add for '$rel' carries an unreadable " +
+                  s"deletionVector: ${e.getMessage} — refusing the import " +
+                  "before anything moves", e)
+          }
+        }
         // ID-mode column mapping: prove per file that resolving by NAME
         // (graft's read path) binds the same columns an id-mode Delta
         // reader binds by FIELD ID — before anything moves, so a refusal
@@ -202,6 +221,33 @@ object DeltaImport {
         tableDir.resolve(plan.head._2.split("/").take(2).mkString("/"))
       FileStats.writeSidecar(dataDir, moved, exactStrings = false)
     }
+    // deletion vectors: decode each descriptor (protocol roaring format,
+    // CRC-verified) into the engine's own DV representation — one
+    // (file, row_index) parquet dir the manifest references, keyed by the
+    // MOVED files' sanitized basenames. O(deleted rows) driver work — the
+    // foreign table's trickle, never its data. Deterministic dir name +
+    // existence check keep a crash-resumed import idempotent (the .bin
+    // stays in place, unreferenced after conversion).
+    val dvDirs: Seq[String] =
+      if (snap.dvs.isEmpty) Nil
+      else {
+        val dstByRel = plan.toMap
+        val dvDirName = "data/dv-" + UUID.nameUUIDFromBytes(
+          ("dvimport:" + plan.head._2).getBytes("UTF-8")).toString
+        val dvDir = tableDir.resolve(dvDirName)
+        if (!Files.isDirectory(dvDir)) {
+          val rows = snap.dvs.toSeq.flatMap { case (rel, desc) =>
+            val dst = dstByRel.getOrElse(rel, throw new IllegalStateException(
+              s"deletionVector for a file the plan does not carry: $rel"))
+            val name = Paths.get(dst).getFileName.toString
+            DeltaDv.readDescriptor(tableDir, desc).map(i => (name, i))
+          }
+          import spark.implicits._
+          rows.toDF("file", "row_index")
+            .coalesce(1).write.mode("overwrite").parquet(dvDir.toString)
+        }
+        Seq(dvDirName)
+      }
     // dead files: anything parquet outside data/ the snapshot did not
     // claim — preserved under an invisible (_-prefixed) dir, never
     // resurrected, reclaimable by the operator
@@ -228,7 +274,7 @@ object DeltaImport {
     Files.createDirectories(tableDir.resolve("_graft_log"))
     val v = CommitLog.publishImport(table,
       moved.map(f => tableDir.relativize(f).toString.replace('\\', '/')),
-      snap.schema, snap.partitionColumns, snap.txns, snap.colMap)
+      snap.schema, snap.partitionColumns, snap.txns, snap.colMap, dvDirs)
     Files.deleteIfExists(planFile)
     v
   }
@@ -319,6 +365,7 @@ object DeltaImport {
     }
 
     var adds = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, DeltaDv.Descriptor]
     var schemaString: Option[String] = None
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
@@ -342,15 +389,17 @@ object DeltaImport {
     def requireSupportedReader(r: Int, feats: Seq[String]): Unit = {
       if (r > 2) {
         val unsupported = feats.filterNot(f =>
-          f == "v2Checkpoint" || f == "columnMapping")
+          f == "v2Checkpoint" || f == "columnMapping" ||
+            f == "deletionVectors")
         require(r == 3 && feats.nonEmpty && unsupported.isEmpty,
           s"Delta protocol minReaderVersion $r" +
             (if (unsupported.nonEmpty)
               s" with reader features [${unsupported.mkString(", ")}]"
             else "") +
-            " is unsupported for import (reader features like deletion " +
-            "vectors); basic (reader v1), column-mapped (reader v2), and " +
-            "v2Checkpoint/columnMapping-only (reader v3) tables convert")
+            " is unsupported for import (reader features like " +
+            "timestampNtz physical types); basic (reader v1), " +
+            "column-mapped (reader v2), and v2Checkpoint/columnMapping/" +
+            "deletionVectors (reader v3) tables convert")
       }
     }
     def apply(action: JsonNode, fromCheckpoint: Boolean): Unit = {
@@ -360,14 +409,33 @@ object DeltaImport {
       val protocol = action.path("protocol")
       val txn = action.path("txn")
       if (add.isObject) {
-        require(add.path("deletionVector").isMissingNode ||
-            add.path("deletionVector").isNull,
-          "Delta table carries deletion vectors — unsupported for import; " +
-            "have a Delta writer OPTIMIZE/rewrite them away first")
-        adds(safeRelPath(logDir, add.path("path").asText())) = pvalsOf(add)
+        val rel = safeRelPath(logDir, add.path("path").asText())
+        adds(rel) = pvalsOf(add)
+        // a re-add REPLACES the file's DV state: a descriptor rides in,
+        // a DV-less re-add (Delta's way of clearing a vector on rewrite)
+        // rides it out
+        dvs.remove(rel): Unit
+        val dvNode = add.path("deletionVector")
+        if (dvNode.isObject) {
+          require(dvNode.path("storageType").isTextual &&
+              dvNode.path("pathOrInlineDv").isTextual,
+            s"Delta add for '$rel' carries a malformed deletionVector " +
+              "descriptor — refusing the import")
+          dvs(rel) = DeltaDv.Descriptor(
+            dvNode.path("storageType").asText(),
+            dvNode.path("pathOrInlineDv").asText(),
+            if (dvNode.path("offset").isNumber)
+              Some(dvNode.path("offset").asLong()) else None,
+            dvNode.path("sizeInBytes").asInt(),
+            dvNode.path("cardinality").asLong())
+        }
       } else if (remove.isObject) {
         // a checkpoint's removes are TOMBSTONES of already-applied deletes
-        if (!fromCheckpoint) adds.remove(DeltaPaths.decode(remove.path("path").asText())): Unit
+        if (!fromCheckpoint) {
+          val rel = DeltaPaths.decode(remove.path("path").asText())
+          adds.remove(rel): Unit
+          dvs.remove(rel): Unit
+        }
       } else if (meta.isObject) {
         schemaString = Some(meta.path("schemaString").asText())
         partitionColumns = meta.path("partitionColumns").elements().asScala
@@ -446,10 +514,19 @@ object DeltaImport {
       if (top.contains("add")) {
         val addType = df.schema("add").dataType.asInstanceOf[StructType]
         val addFields = addType.fieldNames.toSet
-        val dvFlag =
-          if (addFields.contains("deletionVector"))
-            col("add.deletionVector").isNotNull
-          else lit(false)
+        // DV descriptor columns, presence-gated per subfield (a
+        // JSON-round-tripped checkpoint may carry a partial struct)
+        val dvSub: Set[String] = addType.fields
+          .find(_.name == "deletionVector").map(_.dataType) match {
+          case Some(st: StructType) => st.fieldNames.toSet
+          case _ => Set.empty
+        }
+        def dvField(n: String, t: String) =
+          if (dvSub.contains(n)) col(s"add.deletionVector.$n").cast(t)
+          else lit(null).cast(t)
+        val dvCols = Seq(dvField("storageType", "string"),
+          dvField("pathOrInlineDv", "string"), dvField("offset", "long"),
+          dvField("sizeInBytes", "int"), dvField("cardinality", "long"))
         // partitionValues is a MAP per the protocol's checkpoint schema,
         // but a checkpoint that went through JSON inference carries a
         // STRUCT (and an unpartitioned one may drop the field entirely) —
@@ -463,11 +540,8 @@ object DeltaImport {
             (lit(null).cast(MapType(StringType, StringType)), None)
         }
         df.filter(col("add").isNotNull)
-          .select(col("add.path").cast("string"), pvCol, dvFlag.as("__dv"))
+          .select(Seq(col("add.path").cast("string"), pvCol) ++ dvCols: _*)
           .collect().foreach { r =>
-            require(!r.getBoolean(2),
-              "Delta table carries deletion vectors — unsupported for " +
-                "import; have a Delta writer OPTIMIZE/rewrite them away first")
             val pvals: Map[String, Option[String]] =
               if (r.isNullAt(1)) Map.empty
               else pvStructFields match {
@@ -481,7 +555,18 @@ object DeltaImport {
                           else Some(String.valueOf(row.get(i))))
                   }.toMap
               }
-            adds(safeRelPath(logDir, r.getString(0))) = pvals
+            val rel = safeRelPath(logDir, r.getString(0))
+            adds(rel) = pvals
+            dvs.remove(rel): Unit
+            if (!r.isNullAt(2)) {
+              require(!r.isNullAt(3),
+                s"Delta checkpoint add for '$rel' carries a deletionVector " +
+                  "with no pathOrInlineDv — malformed checkpoint, refusing")
+              dvs(rel) = DeltaDv.Descriptor(r.getString(2), r.getString(3),
+                if (r.isNullAt(4)) None else Some(r.getLong(4)),
+                if (r.isNullAt(5)) 0 else r.getInt(5),
+                if (r.isNullAt(6)) 0L else r.getLong(6))
+            }
           }
       }
     }
@@ -566,12 +651,13 @@ object DeltaImport {
         "only 'none', 'name', and 'id' are defined by the protocol")
     val schema0 = DataType.fromJson(schemaString.get).asInstanceOf[StructType]
     if (cmMode == "none")
-      DeltaSnapshot(adds.toSeq, schema0, partitionColumns, txns.toMap)
+      DeltaSnapshot(adds.toSeq, schema0, partitionColumns, txns.toMap,
+        dvs = dvs.toMap)
     else {
       val (schema, colMap, partPhys, idVerify) =
         mappedSchema(schema0, partitionColumns, idMode = cmMode == "id")
       DeltaSnapshot(adds.toSeq, schema, partitionColumns, txns.toMap,
-        colMap, partPhys, idVerify)
+        colMap, partPhys, idVerify, dvs = dvs.toMap)
     }
   }
 

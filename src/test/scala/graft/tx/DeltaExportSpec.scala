@@ -2,6 +2,8 @@ package graft.tx
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -372,6 +374,105 @@ class DeltaExportSpec extends SparkSpec {
     val rebuilt2 = adds2.toSeq.map(p => spark.read.parquet(s"$t/$p"))
       .reduce(_ unionByName _)
     assert(rebuilt2.select("id").as[Long].collect().sorted === (6L to 30L).toArray)
+  }
+
+  test("NATIVE deletionVectors export: O(DV bytes), zero data-file " +
+      "rewrites, protocol rises to table features, and a full import " +
+      "round-trip serves the live rows (round-15 VERDICT item 5)") {
+    val t = freshTable()
+    CommitLog.commit((1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .coalesce(1), t, "append")
+    CommitLog.commit((21 to 30).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .coalesce(1), t, "append")
+    CommitLog.deleteDv(spark, t, col("id") <= 5L)
+    val m = CommitLog.manifest(t, CommitLog.latestVersion(t).get)
+    val dataMtimes = m.files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(t).resolve(f)).toMillis).toMap
+    val v = DeltaExport.writeDeltaLog(t, nativeDv = true)
+    assert(v === CommitLog.latestVersion(t).get)
+    // ZERO data-file rewrites: the adds are exactly the manifest's files,
+    // untouched on disk; no COW side dir exists
+    val actions = spark.read.json(logFile(t))
+    val addPaths = actions.filter(col("add").isNotNull)
+      .select("add.path").as[String].collect().toSeq.map(DeltaPaths.decode)
+    assert(addPaths.toSet === m.files.toSet)
+    assert(!Files.exists(Paths.get(t).resolve("_graft_export_cow")))
+    m.files.foreach(f => assert(Files.getLastModifiedTime(
+      Paths.get(t).resolve(f)).toMillis === dataMtimes(f),
+      s"data file $f was rewritten by a DV export"))
+    // protocol: reader 3 / writer 7 declaring the feature; metaData
+    // config enables it
+    val proto = actions.filter(col("protocol").isNotNull)
+      .select(col("protocol.minReaderVersion").cast("int"),
+        col("protocol.minWriterVersion").cast("int"),
+        col("protocol.readerFeatures"), col("protocol.writerFeatures"))
+      .as[(Int, Int, Seq[String], Seq[String])].head()
+    assert(proto === ((3, 7, Seq("deletionVectors"), Seq("deletionVectors"))))
+    assert(actions.filter(col("metaData").isNotNull)
+      .select("metaData.configuration.`delta.enableDeletionVectors`")
+      .as[String].head() === "true")
+    // exactly the dirty file carries a descriptor; the DV file itself is
+    // O(deleted rows) — a few hundred bytes against the table's data
+    val withDv = actions.filter(col("add").isNotNull)
+      .filter(col("add.deletionVector").isNotNull)
+      .select(col("add.path"), col("add.deletionVector.storageType"),
+        col("add.deletionVector.cardinality").cast("long"),
+        col("add.deletionVector.sizeInBytes").cast("int"),
+        col("add.deletionVector.pathOrInlineDv"),
+        col("add.deletionVector.offset").cast("long"),
+        col("add.stats"))
+      .collect()
+    assert(withDv.length === 1)
+    assert(withDv(0).getString(1) === "u")
+    assert(withDv(0).getLong(2) === 5L)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val statsNode = om.readTree(withDv(0).getString(6))
+    assert(!statsNode.path("tightBounds").asBoolean(true),
+      "DV-carrying stats must declare tightBounds:false")
+    assert(statsNode.path("numRecords").asLong() === 20L,
+      "numRecords stays PHYSICAL per the protocol")
+    val dvBins = {
+      val st = Files.list(Paths.get(t))
+      try st.iterator().asScala.filter(
+        _.getFileName.toString.startsWith("deletion_vector_")).toList
+      finally st.close()
+    }
+    assert(dvBins.size === 1)
+    assert(Files.size(dvBins.head) < 4096L,
+      s"DV file should be O(deleted rows), got ${Files.size(dvBins.head)} B")
+    // descriptor resolves through the codec to exactly the dead positions
+    val desc = DeltaDv.Descriptor("u", withDv(0).getString(4),
+      Some(withDv(0).getLong(5)), withDv(0).getInt(3), withDv(0).getLong(2))
+    assert(DeltaDv.readDescriptor(Paths.get(t), desc).length === 5)
+
+    // ROUND-TRIP through the engine's own importer: copy the exported
+    // view (data files + _delta_log + the DV file — NOT _graft_log) to a
+    // fresh directory and CONVERT it
+    val dst = Files.createTempDirectory("graft_dvrt").resolve("t")
+    Files.createDirectories(dst)
+    m.files.foreach { f =>
+      val to = dst.resolve(f)
+      Files.createDirectories(to.getParent)
+      Files.copy(Paths.get(t).resolve(f), to): Unit
+    }
+    val logSrc = Paths.get(t).resolve("_delta_log")
+    Files.createDirectories(dst.resolve("_delta_log"))
+    val ls = Files.list(logSrc)
+    try ls.iterator().asScala.filter(Files.isRegularFile(_)).foreach(p =>
+      Files.copy(p, dst.resolve("_delta_log").resolve(p.getFileName)): Unit)
+    finally ls.close()
+    dvBins.foreach(p => Files.copy(p, dst.resolve(p.getFileName)): Unit)
+    CommitLog.convert(spark, dst.toString)
+    val got = CommitLog.read(spark, dst.toString)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === (6L to 30L),
+      "imported DV table must serve exactly the live rows")
+    // the import materialized an engine DV dir; mutations keep working
+    assert(CommitLog.manifest(dst.toString,
+      CommitLog.latestVersion(dst.toString).get).dvDirs.nonEmpty)
+    CommitLog.deleteDv(spark, dst.toString, col("id") === 30L)
+    assert(CommitLog.read(spark, dst.toString)
+      .select("id").as[Long].collect().sorted.toSeq === (6L to 29L))
   }
 
   test("a fully-dead dirty file folds to NO zero-row cow add") {
@@ -1006,5 +1107,15 @@ class DeltaExportSpec extends SparkSpec {
     val adds = spark.read.json(logFile(t))
       .filter(col("add").isNotNull).select("add.path").as[String].collect()
     assert(adds.toSet === CommitLog.manifest(t, 1L).files.toSet)
+    // NATIVE DV option routes through the deletionVectors feature path
+    val t2 = freshTable()
+    CommitLog.commit((1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .coalesce(1), t2, "append")
+    CommitLog.deleteDv(spark, t2, col("id") <= 2L)
+    assert(spark.sql(s"EXPORT '$t2' TO DELTA NATIVE DV").as[Long].head() === 2L)
+    val dvAdds = spark.read.json(logFile(t2)).filter(col("add").isNotNull)
+      .filter(col("add.deletionVector").isNotNull).count()
+    assert(dvAdds === 1L)
+    assert(!Files.exists(Paths.get(t2).resolve("_graft_export_cow")))
   }
 }

@@ -175,7 +175,8 @@ class DeltaImportSpec extends SparkSpec {
   }
 
   test("refusals are loud and leave the directory untouched") {
-    // deletion vectors
+    // a MALFORMED deletion vector refuses BEFORE anything moves (the
+    // well-formed DV path now imports — round-15 VERDICT item 5)
     val t1 = freshDir()
     val s1 = writeFile(t1, "part-0001.parquet", Seq((1L, 1.0)))
     writeCommit(t1, 0L, Seq(protocolV1, metaAction(),
@@ -183,9 +184,11 @@ class DeltaImportSpec extends SparkSpec {
         """"modificationTime":1,"dataChange":true,""" +
         """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":10,"cardinality":2}}}"""))
     val e1 = intercept[IllegalArgumentException](CommitLog.convert(spark, t1.toString))
-    assert(e1.getMessage.contains("deletion vectors"))
+    assert(e1.getMessage.contains("unreadable deletionVector"), e1.getMessage)
     assert(Files.isRegularFile(t1.resolve("part-0001.parquet"))) // untouched
     assert(Files.isDirectory(t1.resolve("_delta_log")))
+    assert(!Files.exists(t1.resolve("_graft_import_plan")),
+      "a refused DV import must not leave a plan file")
 
     // reader protocol too new
     val t2 = freshDir()
@@ -781,17 +784,27 @@ class DeltaImportSpec extends SparkSpec {
 
   test("v2 refusals: non-v2Checkpoint reader features, sidecar escape, " +
       "missing sidecar — all loud, nothing touched") {
-    // reader v3 with a feature that changes file reading
+    // reader v3 with a feature that changes how files must be read
+    // (deletionVectors itself now imports — round-15 VERDICT item 5)
     val t1 = freshDir()
     val s1 = writeFile(t1, "part-0001.parquet", Seq((1L, 1.0)))
     writeCommit(t1, 0L, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint","deletionVectors"]}}""",
+        """"readerFeatures":["v2Checkpoint","timestampNtz"]}}""",
       metaAction(), addAction("part-0001.parquet", s1)))
     val e1 = intercept[IllegalArgumentException](
       CommitLog.convert(spark, t1.toString))
-    assert(e1.getMessage.contains("deletionVectors"))
+    assert(e1.getMessage.contains("timestampNtz"))
     assert(Files.isRegularFile(t1.resolve("part-0001.parquet")))
+    // a reader-3 log declaring deletionVectors (with none live) converts
+    val t1b = freshDir()
+    val s1b = writeFile(t1b, "part-0001.parquet", Seq((1L, 1.0)))
+    writeCommit(t1b, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint","deletionVectors"]}}""",
+      metaAction(), addAction("part-0001.parquet", s1b)))
+    CommitLog.convert(spark, t1b.toString)
+    assert(CommitLog.read(spark, t1b.toString).count() === 1L)
 
     // sidecar path escaping _delta_log/_sidecars after decoding
     val t2 = freshDir()

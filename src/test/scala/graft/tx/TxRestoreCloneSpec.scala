@@ -119,6 +119,77 @@ class TxRestoreCloneSpec extends SparkSpec {
     assert(byType === Map("delete" -> 25L, "insert" -> 5L))
   }
 
+  test("replaceWhere PARTITION-ONLY fast path: metadata-evaluated touch " +
+      "set and probe, zero survivor scan, results identical to the row " +
+      "path (round 16)") {
+    val t = freshTable()
+    val df = ((0 until 100).map(i => (i.toLong, s"s$i", i / 25)) :+
+      (500L, "nul", -1)).toDF("id", "s", "bucket")
+      .withColumn("bucket",
+        when(col("bucket") === -1, lit(null)).otherwise(col("bucket")))
+    CommitLog.commit(df, t, "append", partitionBy = Seq("bucket"))
+    val before = CommitLog.manifest(t, 1L).files
+    val repl = (1000 until 1005).map(i => (i.toLong, s"r$i", 0))
+      .toDF("id", "s", "bucket")
+    val v = CommitLog.replaceWhere(spark, t, repl, col("bucket") === 0,
+      partitionBy = Seq("bucket"))
+    val after = CommitLog.manifest(t, v).files
+    // every non-bucket-0 file (the null-bucket one included) carried by
+    // its exact relative path — the fast path's touch set is exact
+    assert(before.filterNot(_.contains("bucket=0"))
+      .forall(after.contains))
+    assert(after.forall(f => !before.contains(f) || !f.contains("bucket=0")))
+    val rows = CommitLog.read(spark, t)
+    assert(rows.count() === 81L) // 75 + null row + 5 replacements
+    assert(rows.filter(col("bucket") === 0 && col("id") < 1000).count() === 0L)
+    assert(rows.filter(col("id") === 500L).count() === 1L,
+      "the null-partition file must never be touched by bucket = 0")
+    // the journal rides the fast path by default: 25 deletes + 5 inserts
+    val byType = CommitLog.changeFeed(spark, t, fromVersion = 1L)
+      .groupBy(CommitLog.ChangeTypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("delete" -> 25L, "insert" -> 5L))
+    // IS NULL is partition-only too: replacing the null region touches
+    // exactly the __HIVE_DEFAULT_PARTITION__ file
+    val v2 = CommitLog.replaceWhere(spark, t,
+      Seq((501L, "nul2", null.asInstanceOf[Integer])).toDF("id", "s", "bucket"),
+      col("bucket").isNull, partitionBy = Seq("bucket"))
+    val rows2 = CommitLog.read(spark, t)
+    assert(rows2.filter(col("bucket").isNull).select("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(501L))
+    assert(rows2.count() === 81L)
+    // the metadata probe still refuses out-of-region source rows
+    val bad = Seq((2000L, "r", 3)).toDF("id", "s", "bucket")
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.replaceWhere(spark, t, bad, col("bucket") === 0,
+        partitionBy = Seq("bucket"))
+    }
+    assert(e.getMessage.contains("NOT matching"))
+    assert(CommitLog.versions(t) === Seq(1L, 2L, 3L))
+  }
+
+  test("replaceWhere journalChanges = false: no change rows written, feed " +
+      "reads refuse loudly, fsck stays clean (round 16 — artifact tables)") {
+    val t = freshTable()
+    CommitLog.commit((0 until 40).map(i => (i.toLong, s"s$i", i / 10))
+      .toDF("id", "s", "bucket"), t, "append", partitionBy = Seq("bucket"))
+    val v = CommitLog.replaceWhere(spark, t,
+      Seq((1000L, "r", 0)).toDF("id", "s", "bucket"),
+      col("bucket") === 0, partitionBy = Seq("bucket"),
+      journalChanges = false)
+    assert(CommitLog.read(spark, t).count() === 31L)
+    // no cdc slot, no attempt dir — by construction, not damage
+    assert(!Files.isDirectory(Paths.get(t).resolve("_cdc").resolve(f"$v%020d")))
+    val audit = CommitLog.fsck(t, leftoverMinAgeMillis = 0L)
+    assert(audit.clean, audit.toString)
+    // the feed refuses THIS version with the journalChanges message
+    val e = intercept[IllegalStateException] {
+      CommitLog.changeFeed(spark, t, fromVersion = v - 1, toVersion = Some(v))
+        .count()
+    }
+    assert(e.getMessage.contains("journalChanges"), e.getMessage)
+  }
+
   test("replaceWhere rejects source rows outside the condition") {
     val t = freshTable()
     seedRanged(t)
