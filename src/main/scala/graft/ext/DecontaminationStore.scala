@@ -123,31 +123,47 @@ object DecontaminationStore {
 
   /** Per-shard geometry + gauges read from storage. Legacy single-row
     * stores (pre-sharding, no `shard` column) surface as one shard with
-    * `shards = 1`. */
+    * `shards = 1`. `bytes` is empty when read via [[readShardMeta]] —
+    * parquet is columnar, so skipping the `sketch` column skips the
+    * bitmap bytes entirely: the gauges ([[saturation]], [[deleteDebt]],
+    * [[saturatedShards]]) and the fold's geometry read cost O(counters),
+    * never O(capacity). */
   private final case class ShardRow(shard: Int, shards: Int, w: Int,
       capacity: Long, fpp: Double, nInserted: Long, nDeleted: Long,
       bytes: Array[Byte])
 
   private def readShardRows(spark: SparkSession, table: String,
-      version: Long): Seq[ShardRow] = {
-    val df = CommitLog.readAt(spark, table, version)
-    val legacy = !df.columns.contains("shard")
-    val hasDel = df.columns.contains("n_deleted")
+      version: Long, withBytes: Boolean = true,
+      onlyShards: Option[Seq[Int]] = None): Seq[ShardRow] = {
+    val df0 = CommitLog.readAt(spark, table, version)
+    val legacy = !df0.columns.contains("shard")
+    val hasDel = df0.columns.contains("n_deleted")
+    // the shard filter prunes to the touched PARTITION files; omitting
+    // `sketch` prunes the bitmap COLUMN — together a fold's metadata pass
+    // reads kilobytes off a multi-GB store
+    val df = onlyShards match {
+      case Some(s) if !legacy => df0.filter(col("shard").isin(s: _*))
+      case _ => df0
+    }
     val cols =
-      if (legacy)
+      (if (legacy)
         Seq(lit(0).as("shard"), lit(1).as("shards"), col("w"),
           col("capacity"), col("fpp"), col("n_inserted"),
-          (if (hasDel) col("n_deleted") else lit(0L)).as("n_deleted"),
-          col("sketch"))
+          (if (hasDel) col("n_deleted") else lit(0L)).as("n_deleted"))
       else
         Seq(col("shard"), col("shards"), col("w"), col("capacity"),
-          col("fpp"), col("n_inserted"), col("n_deleted"), col("sketch"))
+          col("fpp"), col("n_inserted"), col("n_deleted"))) ++
+      (if (withBytes) Seq(col("sketch")) else Nil)
     df.select(cols: _*).collect().toSeq.map { r =>
       ShardRow(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
         r.getDouble(4), r.getLong(5), r.getLong(6),
-        r.getAs[Array[Byte]](7))
+        if (withBytes) r.getAs[Array[Byte]](7) else Array.emptyByteArray)
     }.sortBy(_.shard)
   }
+
+  private def readShardMeta(spark: SparkSession, table: String,
+      version: Long): Seq[ShardRow] =
+    readShardRows(spark, table, version, withBytes = false)
 
   private def bitsOf(shards: Int): Int = {
     require(shards >= 1 && Integer.bitCount(shards) == 1,
@@ -242,7 +258,7 @@ object DecontaminationStore {
     val table = sketchTable(indexRoot)
     val v = CommitLog.latestVersion(table).getOrElse(
       throw new IllegalStateException(s"$indexRoot has no built sketch"))
-    val head = readShardRows(spark, table, v).head
+    val head = readShardMeta(spark, table, v).head
     build(spark, trainTable, indexRoot, w = head.w, fpp = head.fpp,
       textCol = textCol)
   }
@@ -267,7 +283,7 @@ object DecontaminationStore {
       s"sketch covers v$covered but $trainTable is at v$latest — refresh " +
         "first, or the rebuilt shards would cover data the others miss")
     val sketchBase = CommitLog.latestVersion(table).getOrElse(0L)
-    val rows = readShardRows(spark, table, sketchBase)
+    val rows = readShardMeta(spark, table, sketchBase)
     val byShard = rows.map(r => r.shard -> r).toMap
     val bits = bitsOf(rows.head.shards)
     require(shardsToRebuild.forall(byShard.contains),
@@ -320,7 +336,7 @@ object DecontaminationStore {
     val table = sketchTable(indexRoot)
     val v = CommitLog.latestVersion(table).getOrElse(
       throw new IllegalStateException(s"$indexRoot has no built sketch"))
-    readShardRows(spark, table, v)
+    readShardMeta(spark, table, v)
       .map(r => r.nInserted.toDouble / r.capacity).max
   }
 
@@ -329,7 +345,7 @@ object DecontaminationStore {
     val table = sketchTable(indexRoot)
     val v = CommitLog.latestVersion(table).getOrElse(
       throw new IllegalStateException(s"$indexRoot has no built sketch"))
-    readShardRows(spark, table, v)
+    readShardMeta(spark, table, v)
       .filter(r => r.nInserted.toDouble / r.capacity > 1.0).map(_.shard)
   }
 
@@ -344,7 +360,7 @@ object DecontaminationStore {
     val table = sketchTable(indexRoot)
     val v = CommitLog.latestVersion(table).getOrElse(
       throw new IllegalStateException(s"$indexRoot has no built sketch"))
-    val rows = readShardRows(spark, table, v)
+    val rows = readShardMeta(spark, table, v)
     val ins = rows.map(_.nInserted).sum
     if (ins <= 0L) 0.0 else rows.map(_.nDeleted).sum.toDouble / ins
   }
@@ -375,10 +391,15 @@ object DecontaminationStore {
     // silently drop this union (class doc: lost updates here are false
     // NEGATIVES, the one forbidden error direction)
     val sketchBase = CommitLog.latestVersion(table).getOrElse(0L)
-    val stored = readShardRows(spark, table, sketchBase)
-    val byShard = stored.map(r => r.shard -> r).toMap
     val legacy = !CommitLog.readAt(spark, table, sketchBase)
       .columns.contains("shard")
+    // geometry/counters first WITHOUT the bitmap column (columnar skip) —
+    // the touched shards' bytes load later, partition-pruned; a legacy
+    // store migrates whole, so its single row loads with bytes up front
+    val stored =
+      if (legacy) readShardRows(spark, table, sketchBase)
+      else readShardMeta(spark, table, sketchBase)
+    val byShard = stored.map(r => r.shard -> r).toMap
     val bits = bitsOf(stored.head.shards)
     val w = stored.head.w
     val fpp = stored.head.fpp
@@ -447,10 +468,16 @@ object DecontaminationStore {
           journalChanges = false): Unit
         return latest
       }
+      // the TOUCHED shards' bitmaps, partition-pruned + column-selected:
+      // a small fold on a big store reads only those shard files' bytes
+      val touchedBytes: Map[Int, Array[Byte]] =
+        if (legacy) byShard.map { case (s, r) => s -> r.bytes }
+        else readShardRows(spark, table, sketchBase,
+          onlyShards = Some(touched)).map(r => r.shard -> r.bytes).toMap
       val newRows = touched.map { s =>
         val r = byShard(s)
         val bf = BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.bytes))
+          new java.io.ByteArrayInputStream(touchedBytes(s)))
         val dn = deltas.get(s) match {
           case Some((delta, n)) => bf.mergeInPlace(delta): Unit; n
           case None => 0L

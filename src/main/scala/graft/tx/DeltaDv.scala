@@ -271,8 +271,11 @@ object DeltaDv {
     }
     val tmp = tableRoot.resolve(s".tmp-dv-${UUID.randomUUID()}")
     Files.write(tmp, bos.toByteArray)
+    // REPLACE_EXISTING: a re-export of the same version derives the same
+    // uuid and must atomically replace its prior identical file, not throw
     Files.move(tmp, tableRoot.resolve(dvFileName(uuid)),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     descs
   }
 
@@ -299,8 +302,12 @@ object DeltaDv {
             require(!rel.contains("://") && !rel.startsWith("/"),
               s"absolute/external DV path '$rel' — only table-relative " +
                 "deletion vectors import")
-            val resolved = tableRoot.resolve(rel).normalize()
-            require(resolved.startsWith(tableRoot.toAbsolutePath.normalize()),
+            // resolve against the ABSOLUTE root on both sides — a caller's
+            // relative table path would otherwise never startWith the
+            // absolute form and every 'p' vector would refuse
+            val rootAbs = tableRoot.toAbsolutePath.normalize()
+            val resolved = rootAbs.resolve(rel).normalize()
+            require(resolved.startsWith(rootAbs) && resolved != rootAbs,
               s"DV path '$rel' escapes the table root")
             resolved
         }

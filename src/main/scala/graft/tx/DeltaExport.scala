@@ -674,8 +674,10 @@ object DeltaExport {
       try rootLs.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
-            !keepDv.contains(n)
+          (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+            !keepDv.contains(n)) ||
+            // crashed DV writes never published — reclaim their temps
+            n.startsWith(".tmp-dv-")
         }.toList.foreach(Files.deleteIfExists(_))
       finally rootLs.close()
       v

@@ -94,6 +94,33 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("cardinality"), e2.getMessage)
   }
 
+  test("storageType p resolves table-relative paths from a RELATIVE root " +
+      "too, and refuses escapes") {
+    val abs = Files.createTempDirectory("graft_dvp")
+    val rel = java.nio.file.Paths.get("").toAbsolutePath.relativize(abs)
+    val uuid = UUID.randomUUID()
+    val rows = Array(1L, 2L)
+    val d0 = DeltaDv.writeDvFile(abs, uuid, Seq(rows)).head
+    val p = d0.copy(storageType = "p",
+      pathOrInlineDv = DeltaDv.dvFileName(uuid))
+    assert(DeltaDv.readDescriptor(abs, p).toSeq === rows.toSeq)
+    // the same table addressed RELATIVELY must resolve identically
+    assert(DeltaDv.readDescriptor(rel, p).toSeq === rows.toSeq)
+    val e = intercept[IllegalArgumentException](DeltaDv.readDescriptor(abs,
+      p.copy(pathOrInlineDv = "../outside.bin")))
+    assert(e.getMessage.contains("escapes"), e.getMessage)
+  }
+
+  test("writeDvFile is idempotent: re-writing the same uuid atomically " +
+      "replaces the prior file") {
+    val root = Files.createTempDirectory("graft_dvw")
+    val uuid = UUID.randomUUID()
+    val d1 = DeltaDv.writeDvFile(root, uuid, Seq(Array(1L, 2L))).head
+    val d2 = DeltaDv.writeDvFile(root, uuid, Seq(Array(1L, 2L, 3L))).head
+    assert(DeltaDv.readDescriptor(root, d2).toSeq === Seq(1L, 2L, 3L))
+    assert(d1.pathOrInlineDv === d2.pathOrInlineDv)
+  }
+
   test("inline (storageType i) descriptors decode without any file") {
     val rows = Array(2L, 4L, 8L)
     val inline = DeltaDv.Descriptor("i",
