@@ -175,6 +175,33 @@ class DecontaminationStoreSpec extends SparkSpec {
     assert(flagged === Set(902L))
   }
 
+  test("a slice contributing NO shingles (all-null text) advances the " +
+      "watermark with ZERO shard files rewritten") {
+    val root = freshRoot()
+    val base = s"$root/base"
+    val index = s"$root/index"
+    CommitLog.commit(trainDocs(0 until 8).toDF("doc_id", "text"), base, "append")
+    DecontaminationStore.build(spark, base, index, nShards = 4)
+    val table = DecontaminationStore.artifactTable(index)
+    val files0 = CommitLog.manifest(table,
+      CommitLog.latestVersion(table).get).files.toSet
+    CommitLog.commit(Seq((200L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"), base, "append")
+    assert(DecontaminationStore.refresh(spark, base, index)
+      === CommitLog.latestVersion(base).get)
+    assert(DecontaminationStore.coveredVersion(index)
+      === CommitLog.latestVersion(base))
+    val files1 = CommitLog.manifest(table,
+      CommitLog.latestVersion(table).get).files.toSet
+    assert(files1 === files0,
+      "an empty fold must carry every shard file by reference")
+    // and the slice never re-folds
+    val v = CommitLog.latestVersion(table).get
+    assert(DecontaminationStore.refresh(spark, base, index)
+      === CommitLog.latestVersion(base).get)
+    assert(CommitLog.latestVersion(table) === Some(v))
+  }
+
   test("SHARDED interleaved refresh loses the compare-and-set loudly " +
       "(replaceWhere CAS — no cross-shard false-negative window)") {
     val root = freshRoot()
