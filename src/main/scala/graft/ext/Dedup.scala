@@ -204,10 +204,10 @@ object Dedup {
     * pipeline is the banded candidate join. Output: (__id, __mh0..__mhN-1).
     */
   def minhashSignature(df: DataFrame, text: Column, id: Column, w: Int, numHashes: Int): DataFrame = {
-    // Spread the corpus across all cores first: a single-file input
-    // otherwise plans as one partition and every signature computes in one
-    // task.
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Spread the corpus across all cores first — conditionally: a
+    // single-file local input plans as one partition and would serialize
+    // the signature pass; a wide corpus skips the shuffle (Spread).
+    val spread = Spread.toCores(df)
     // Two projections: __sig is evaluated once (CollapseProject keeps
     // multi-referenced non-trivial aliases un-inlined), the element_at's are
     // O(1) reads.
@@ -265,7 +265,8 @@ object Dedup {
         val docs = c.select(col("a").as("__gid")).union(c.select(col("b").as("__gid"))).distinct()
         df.join(broadcast(docs), id === col("__gid"), "left_semi")
       case None => df
-    }).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    })
+    val spreadBase = Spread.toCores(base)
     // Join and count HASHED shingles (64-bit), not shingle strings: the
     // fused [[graft.functions.ShingleHashes]] expression emits the distinct
     // shingle-hash set per document in one pass (no shingle strings built),
@@ -273,7 +274,7 @@ object Dedup {
     // are unchanged unless two distinct shingles of the same document pair
     // collide in 64 bits (~n²/2⁶⁵ — negligible), so the exact string-based
     // oracle still matches.
-    val sh0 = base.select(id.as("__id"),
+    val sh0 = spreadBase.select(id.as("__id"),
       explode(graft.functions.ShingleHashes.shingleHashes(TextStats.tokens(text), w))
         .as("__shingle"))
     // The shingle table feeds three consumers (a-side, b-side, sizes); in
@@ -691,7 +692,7 @@ object Dedup {
     * sharing any byte-band are candidates (Hamming ≤ 3 guaranteed found if
     * the ≤3 differing bits fall in ≤3 bands). */
   def simhashCandidates(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = Spread.toCores(df)
     val withSh = spread.select(id.as("__id"), simhash(text).as("__sh"))
     // both self-join sides read it; avoid recomputing simhash 2x (previous
     // call's band table released via LastCache)

@@ -213,6 +213,15 @@ object IvfStore {
   def staleFraction(indexRoot: String): Double =
     IndexUpkeep.mergeDriftFraction(assignedTable(indexRoot))
 
+  /** Frozen-centroid memo (optimization round 16): centroids are frozen
+    * between builds, so collecting the centroid table on EVERY query call
+    * is a driver-blocking job for bytes that cannot have changed while the
+    * centroid table's version is unchanged. Keyed by index root, validated
+    * against `latestVersion(centroids)` per use (driver-side log listing,
+    * no job). Bounded: nCells × dim floats per index root. */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Option[Long], Seq[(Int, Array[Float])])]()
+
   /** Answer queries from the PERSISTED index — no fit, no session cache;
     * any process with the storage answers immediately. Same probe/rerank
     * plan as [[IvfIndex.topK]]. */
@@ -220,10 +229,18 @@ object IvfStore {
       nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = CommitLog.read(spark, assignedTable(indexRoot))
       .withColumnRenamed("cell", "__cell")
-    val centroids = CommitLog.read(spark, centroidsTable(indexRoot))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_._1)
+    val v = CommitLog.latestVersion(centroidsTable(indexRoot))
+    val cached = centroidCache.get(indexRoot)
+    val centroids =
+      if (cached != null && cached._1 == v) cached._2
+      else {
+        val c = CommitLog.read(spark, centroidsTable(indexRoot))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        centroidCache.put(indexRoot, (v, c))
+        c
+      }
     IvfIndex.probeTopK(assigned, centroids, queries, k, nProbe, idCol, vecCol)
   }
 }

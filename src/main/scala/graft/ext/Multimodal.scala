@@ -85,19 +85,20 @@ object Multimodal {
       val raster = img.getRaster
       val bands = raster.getNumBands
       val px = new Array[Byte](w * h)
-      val buf = new Array[Int](bands)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          raster.getPixel(x, y, buf): Unit
-          val v =
-            if (bands >= 3) (299 * buf(0) + 587 * buf(1) + 114 * buf(2) + 500) / 1000
-            else buf(0)
-          px(y * w + x) = v.toByte
-          x += 1
-        }
-        y += 1
+      // ONE bulk raster read instead of w×h getPixel calls (optimization
+      // round 16 — the per-pixel call dominated decode time; getPixels
+      // returns the identical band samples, so the integer luminance below
+      // is byte-for-byte unchanged)
+      val all = raster.getPixels(0, 0, w, h, new Array[Int](w * h * bands))
+      var i = 0
+      var o = 0
+      while (o < px.length) {
+        val v =
+          if (bands >= 3) (299 * all(i) + 587 * all(i + 1) + 114 * all(i + 2) + 500) / 1000
+          else all(i)
+        px(o) = v.toByte
+        i += bands
+        o += 1
       }
       Decoded(w, h, bands, px)
     }
@@ -178,8 +179,7 @@ object Multimodal {
     * still fails the task. */
   def decodeFeaturesOrQuarantine(media: DataFrame,
       decoder: Decoder = ImageIoDecoder): DataFrame = {
-    val spread = media.repartition(media.sparkSession.sparkContext.defaultParallelism,
-      col("media_id"))
+    val spread = Spread.toCoresBy(media, col("media_id"))
     val enc = org.apache.spark.sql.Encoders.row(quarantineSchema)
     spread.select("media_id", "payload").mapPartitions { rows =>
       rows.map { r =>
@@ -213,8 +213,7 @@ object Multimodal {
   /** Decode + feature-extract, batched per partition. The binary column is
     * dropped in the same stage the features are produced. */
   def decodeFeatures(media: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
-    val spread = media.repartition(media.sparkSession.sparkContext.defaultParallelism,
-      col("media_id"))
+    val spread = Spread.toCoresBy(media, col("media_id"))
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     spread.select("media_id", "payload").mapPartitions { rows =>
       rows.map { r =>

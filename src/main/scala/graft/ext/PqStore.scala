@@ -215,6 +215,46 @@ object PqStore {
   def coveredVersion(indexRoot: String): Option[Long] =
     CommitLog.txnVersion(codesTable(indexRoot), AppId)
 
+  /** Frozen-index metadata memo (optimization round 16): codebooks and
+    * cells are FROZEN between mutations of the codes table — every build
+    * overwrites it and every refresh merges into it or pins its watermark
+    * — so reloading and structurally re-validating them on EVERY query
+    * call costs 4-6 driver-blocking collect jobs for bytes that cannot
+    * have changed while the codes version is unchanged. Entries are keyed
+    * by index root and validated against `latestVersion(codes)` on every
+    * use (a driver-side log listing, no job); a version change reloads.
+    * Bounded: one entry per index root per JVM, ~a few hundred KB each
+    * (m × nCodes × subDim doubles + nCells centroids). Same per-version
+    * pattern as [[graft.functions.BloomColumns]]' broadcast memo. A build
+    * that crashes BETWEEN its codebooks and codes commits leaves the codes
+    * version unchanged, so in-JVM callers keep serving the old CONSISTENT
+    * (books, codes) pair; a fresh process sees the torn state and
+    * [[requireWidthAgreement]] refuses loudly as before. */
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Option[Long], PqIndex.Codebooks,
+      Option[(Array[Array[Double]], Boolean)])]()
+
+  /** Load + validate (books, cells) for the CURRENT codes version, through
+    * [[metaCache]]. The structural guards ([[requireWidthAgreement]],
+    * [[requireCellAgreement]]) run once per observed version — their
+    * subjects are immutable for a given version by construction. */
+  private def loadMeta(spark: SparkSession, indexRoot: String):
+      (PqIndex.Codebooks, Option[(Array[Array[Double]], Boolean)]) = {
+    val v = CommitLog.latestVersion(codesTable(indexRoot))
+    val cached = metaCache.get(indexRoot)
+    if (cached != null && cached._1 == v) (cached._2, cached._3)
+    else {
+      val books = loadBooks(spark, indexRoot)
+      val codes = CommitLog.read(spark, codesTable(indexRoot))
+      requireWidthAgreement(codes, books, indexRoot)
+      val cells = loadCells(spark, indexRoot)
+      cells.foreach { case (cs, _) =>
+        requireCellAgreement(codes, indexRoot, cs.length) }
+      metaCache.put(indexRoot, (v, books, cells))
+      (books, cells)
+    }
+  }
+
   /** Guard the codebooks↔codes structural contract: a [[build]] crash
     * between the codebooks overwrite and the codes overwrite (the
     * documented honest-unadvanced window) leaves NEW m-wide codebooks
@@ -282,11 +322,9 @@ object PqStore {
       // structural guards BEFORE any mutation: abort an inconsistent
       // index with nothing applied, not mid-slice
       val books = if (hasFresh) {
-        val b = loadBooks(spark, indexRoot)
-        val codes = CommitLog.read(spark, codesTable(indexRoot))
-        requireWidthAgreement(codes, b, indexRoot)
-        val cells = loadCells(spark, indexRoot)
-        cells.foreach { case (cs, _) => requireCellAgreement(codes, indexRoot, cs.length) }
+        // loadMeta runs the width/cell structural guards for the current
+        // codes version (memoized per version — see metaCache)
+        val (b, cells) = loadMeta(spark, indexRoot)
         Some((b, cells))
       } else None
       CommitLog.deleteKeys(spark, codesTable(indexRoot), retired, Seq(idCol),
@@ -343,10 +381,12 @@ object PqStore {
       queries: DataFrame, k: Int, refine: Int = 8, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(refine >= 1, s"refine factor must be >= 1, got $refine")
-    val books = loadBooks(spark, indexRoot)
+    // (books, cells) + structural guards through the per-version memo —
+    // frozen metadata is fetched and validated once per codes version,
+    // not per query call (optimization round 16)
+    val (books, cellsMeta) = loadMeta(spark, indexRoot)
     val codes = CommitLog.read(spark, codesTable(indexRoot))
-    requireWidthAgreement(codes, books, indexRoot)
-    val shortlist = loadCells(spark, indexRoot) match {
+    val shortlist = cellsMeta match {
       case Some((cells, residual)) =>
         // IVF-PQ composite: gate the compressed scan to each query's
         // nProbe nearest cells (cosine probe over the collected
@@ -359,8 +399,8 @@ object PqStore {
         // per-(query, cell) broadcast join then refines row-level).
         // Residual composite: each probe pair's LUT is built from the
         // query's residual against THAT cell (q̂ − ĉ), which is exactly
-        // "adding the centroid back" on the decode side.
-        requireCellAgreement(codes, indexRoot, cells.length)
+        // "adding the centroid back" on the decode side. Cell agreement
+        // was validated by loadMeta for this codes version.
         val cellsHat = if (residual) cells.map(PqIndex.unitOf) else null
         val qRows = PqIndex.collectQueries(queries, idCol, vecCol)
         val probes = qRows.toSeq.flatMap { case (qid, qv) =>

@@ -40,9 +40,11 @@ object Similarity {
   def topKExact(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    // Spread the corpus scan: a single parquet file plans as one partition,
-    // which would serialize the whole scoring loop onto one core.
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    // Spread the corpus scan when (and only when) it plans narrower than
+    // the session's cores — a single local parquet file plans as one
+    // partition and would serialize the scoring loop; a 100 TB corpus is
+    // already wide and must NOT be re-shuffled just to spread (Spread).
+    val c = Spread.toCores(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
@@ -57,7 +59,7 @@ object Similarity {
     * for modest corpora; at scale, gate with [[lshBucket]] first. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val a = Spread.toCores(corpus)
       .select(col(idCol).as("a"), col(vecCol).as("__va"))
     val b = corpus.select(col(idCol).as("b"), col(vecCol).as("__vb"))
     a.join(broadcast(b), col("a") < col("b"))
@@ -78,7 +80,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Int = -1): DataFrame = {
     val d = if (dims > 0) dims else inferDims(corpus, vecCol)
-    val banded = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val banded = Spread.toCores(corpus)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         explode(lshTableBuckets(col(vecCol), tables, planes, d)).as("__tb"))
     val a = banded.select(col("__tb").as("__tba"), col("__id").as("a"), col("__v").as("__va"))
@@ -163,7 +165,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Int = -1): DataFrame = {
     val d = if (dims > 0) dims else inferDims(corpus, vecCol)
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Spread.toCores(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         explode(lshTableBuckets(col(vecCol), tables, planes, d)).as("__tb"))
     val q = queries

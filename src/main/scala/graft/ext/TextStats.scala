@@ -20,10 +20,12 @@ object TextStats {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Mean token length (integer sums — exact on any engine). */
-  def avgTokenLen(text: Column): Column = {
-    val ts = tokens(text)
+  def avgTokenLen(text: Column): Column = avgTokenLenOf(tokens(text))
+
+  /** [[avgTokenLen]] over an already-bound token array (see
+    * [[langIdOf]]). */
+  def avgTokenLenOf(ts: Column): Column =
     aggregate(ts, lit(0), (acc, t) => acc + length(t)).cast("double") / size(ts)
-  }
 
   /** Expression-level let-binding: evaluates `c` ONCE per row and hands it
     * to `body` as a lambda variable. Spark has no `let` for columns, and
@@ -70,10 +72,12 @@ object TextStats {
 
   /** Fraction of tokens that are stopwords — a standard fluency/quality
     * signal (high ratio ≈ natural prose, near-zero ≈ tag soup). */
-  def stopwordRatio(text: Column): Column = {
-    val ts = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  /** [[stopwordRatio]] over an already-bound token array (see
+    * [[langIdOf]]). */
+  def stopwordRatioOf(ts: Column): Column =
     size(filter(ts, t => t.isInCollection(Stopwords))).cast("double") / size(ts)
-  }
 
   /** Canonicalization fingerprint: md5 over lowercased, whitespace-collapsed,
     * trimmed text. Two documents with the same fingerprint are exact
@@ -314,16 +318,27 @@ object TextStats {
   def langId(text: Column): Column =
     // bind: each profile's filter would otherwise re-run the token split —
     // #profiles splits per row instead of one
-    bind(tokens(text)) { ts =>
-      // struct(score, rank) max — greatest() over structs picks by score
-      // first, then by (negated) profile index so earlier profiles win ties.
-      val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
-        struct(
-          size(filter(ts, t => t.isInCollection(words))).as("score"),
-          lit(-i).as("pref"),
-          lit(lang).as("lang"))
-      }
-      val best = greatest(scored: _*)
+    bind(tokens(text))(langIdOf)
+
+  /** [[langId]] over an ALREADY-BOUND token array — for callers that
+    * evaluate several token-derived gates per row and must tokenize once
+    * (optimization round 16: the curation gate chain re-ran the regex
+    * split once per gate). */
+  def langIdOf(ts: Column): Column = {
+    // struct(score, rank) max — greatest() over structs picks by score
+    // first, then by (negated) profile index so earlier profiles win ties.
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        size(filter(ts, t => t.isInCollection(words))).as("score"),
+        lit(-i).as("pref"),
+        lit(lang).as("lang"))
+    }
+    // bind the winning struct too (round 16): `when(best.score > 0,
+    // best.lang)` names `best` twice, and un-bound that expands the whole
+    // greatest(5 profile scans) twice per row — 10 token-array scans
+    // instead of 5
+    bind(greatest(scored: _*)) { best =>
       when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
     }
+  }
 }

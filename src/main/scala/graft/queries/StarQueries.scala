@@ -251,12 +251,16 @@ object StarQueries {
     // columns. O(k·log(n/k)) per group over the shuffle instead of the full
     // column — the scale path agg_median's exact percentile doesn't have.
     "agg_quantile_sketch" -> ((s, d) => {
-      import s.implicits._
       val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
-      val sk = li.as[(String, Double)]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(new graft.ext.KllQuantileAggregator(512, Seq(0.5, 0.95)).toColumn.name("qs"))
-        .toDF("rf", "qs")
+      // untyped udaf form (optimization round 16): the typed groupByKey
+      // path planned AppendColumns + SerializeFromObject — a per-row Scala
+      // closure and tuple deserialization in the hot scan; the udaf form
+      // runs the SAME aggregator through ObjectHashAggregate with no
+      // object boundary on the input side
+      val kll = udaf(new graft.ext.KllQuantileAggregator(512, Seq(0.5, 0.95)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val sk = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(kll(col("l_quantity")).as("qs"))
         .select(col("rf"), element_at(col("qs"), 1).as("v50"), element_at(col("qs"), 2).as("v95"))
       val eps = 0.02
       def bracketOk(vName: String, p: Double) =
@@ -404,12 +408,11 @@ object StarQueries {
     * verification agg_quantile_sketch runs beside it. */
   val operatorOnly: Map[String, Q] = Map(
     "agg_quantile_sketch" -> ((s, d) => {
-      import s.implicits._
+      val kll = udaf(new graft.ext.KllQuantileAggregator(512, Seq(0.5, 0.95)),
+        org.apache.spark.sql.Encoders.scalaDouble)
       lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
-        .as[(String, Double)]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(new graft.ext.KllQuantileAggregator(512, Seq(0.5, 0.95)).toColumn.name("qs"))
-        .toDF("l_returnflag", "qs")
+        .groupBy("l_returnflag")
+        .agg(kll(col("l_quantity")).as("qs"))
         .select(col("l_returnflag"),
           element_at(col("qs"), 1).as("q50"), element_at(col("qs"), 2).as("q95"))
     }),

@@ -30,8 +30,7 @@ object TextQueries {
     * sides). ~shingles ≈ tokens rows of three narrow columns. */
   private[queries] def cachedSplitShingles(s: SparkSession, d: String): DataFrame =
     memoized("split_shingles", s, d) {
-      documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      graft.ext.Spread.toCores(documents(s, d))
         .withColumn("split",
           when(isTestSplit(col("doc_id")), "test").otherwise("train"))
         .select(col("split"), col("doc_id"),
@@ -108,14 +107,24 @@ object TextQueries {
       .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")),
 
-    // Quality scoring: length / token stats / stopword ratio.
+    // Quality scoring: length / token stats / stopword ratio. The three
+    // token-derived columns evaluate under ONE bind of the token array
+    // (optimization round 16): as separate expressions each re-ran the
+    // regex split (avg_token_len twice, stopword_ratio twice) — 5 splits
+    // per row for one scoring pass. Two projections: the struct alias is
+    // multi-referenced and non-trivial, so CollapseProject keeps it
+    // un-inlined (the minhashSignature pattern).
     "text_quality" -> ((s, d) => documents(s, d)
       .select(
         col("doc_id"),
         length(col("text")).as("len"),
-        TextStats.tokenCount(col("text")).as("n_tokens"),
-        TextStats.avgTokenLen(col("text")).as("avg_token_len"),
-        TextStats.stopwordRatio(col("text")).as("stopword_ratio"))
+        TextStats.bind(TextStats.tokens(col("text"))) { ts =>
+          struct(size(ts).as("n_tokens"),
+            TextStats.avgTokenLenOf(ts).as("avg_token_len"),
+            TextStats.stopwordRatioOf(ts).as("stopword_ratio"))
+        }.as("__q"))
+      .select(col("doc_id"), col("len"), col("__q.n_tokens"),
+        col("__q.avg_token_len"), col("__q.stopword_ratio"))
       .orderBy("doc_id")),
 
     // Canonicalization fingerprint: md5 of lower/whitespace-collapsed text.
@@ -182,14 +191,20 @@ object TextQueries {
 
     // Array-function breadth over the token array: slice/join, membership,
     // distinct cardinality (arrays serialized to scalars for hash-compare).
+    // One token split per row (round 16): the three columns previously each
+    // re-ran the regex split.
     "f_array_funcs" -> ((s, d) => {
-      val toks = TextStats.tokens(col("text"))
       documents(s, d).select(
         col("doc_id"),
-        array_join(slice(toks, 1, 3), " ").as("first3"),
-        array_contains(toks, "the").as("has_the"),
-        size(array_distinct(toks)).as("n_distinct"),
-      ).orderBy("doc_id")
+        TextStats.bind(TextStats.tokens(col("text"))) { ts =>
+          struct(
+            array_join(slice(ts, 1, 3), " ").as("first3"),
+            array_contains(ts, "the").as("has_the"),
+            size(array_distinct(ts)).as("n_distinct"))
+        }.as("__f"))
+        .select(col("doc_id"), col("__f.first3"), col("__f.has_the"),
+          col("__f.n_distinct"))
+        .orderBy("doc_id")
     }),
 
     // Heavy hitters: top-20 corpus tokens by frequency (explode + agg +
@@ -229,13 +244,23 @@ object TextQueries {
       import s.implicits._
       val toks = documents(s, d)
         .select(explode(graft.ext.TextStats.tokens(col("text"))).as("token"))
-      val cands = toks.as[String]
-        .select(new graft.ext.HeavyHittersAggregator(200).toColumn.name("hh"))
+      // untyped udaf form (optimization round 16, same move as
+      // agg_quantile_sketch): no typed-path object boundary on the input
+      val hh = udaf(new graft.ext.HeavyHittersAggregator(200),
+        org.apache.spark.sql.Encoders.STRING)
+      val cands = toks
+        .agg(hh(col("token")).as("hh"))
         .select(explode(map_keys(col("hh"))).as("token"))
-      val total = toks.count()
+      // total token count as a lazy broadcast one-row frame instead of an
+      // eager driver-blocking count() action (optimization round 16): the
+      // threshold compare is unchanged (cnt > total/100.0), but the whole
+      // query is ONE job — the count's serial extra pass is gone
+      val total = toks.agg(count(lit(1)).as("__total"))
       toks.join(broadcast(cands), "token")
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > lit(total) / 100.0)
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") > col("__total") / 100.0)
+        .select("token", "cnt")
         .orderBy(col("cnt").desc, col("token"))
     }),
 
@@ -352,13 +377,12 @@ object TextQueries {
     // wrong cutpoint rank, or bucket-boundary off-by-one empties or
     // inflates a bucket and flips the pinned verdict.
     "quality_deciles_sketch" -> ((s, d) => {
-      import s.implicits._
       val scored = cachedUnigramScored(s, d)
       val probs = (1 to 9).map(_ / 10.0)
-      val cuts = scored.select(col("lang"), col("neg_logp")).as[(String, Double)]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(new graft.ext.KllQuantileAggregator(512, probs).toColumn.name("cuts"))
-        .toDF("clang", "cuts")
+      val kll = udaf(new graft.ext.KllQuantileAggregator(512, probs),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val cuts = scored.groupBy(col("lang").as("clang"))
+        .agg(kll(col("neg_logp")).as("cuts"))
       val bucketed = scored.join(broadcast(cuts), col("lang") === col("clang"))
         .withColumn("decile",
           size(filter(col("cuts"), c => c < col("neg_logp"))) + 1)
@@ -755,8 +779,7 @@ object TextQueries {
     // probe test shingles map-side, count flagged docs — without the exact
     // all-pairs twin the full query runs for its no-false-negative oracle.
     "decontaminate_bloom" -> ((s, d) => {
-      val tagged = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val tagged = graft.ext.Spread.toCores(documents(s, d))
         .withColumn("split",
           when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d", "e", "f"), "test")
             .otherwise("train"))
@@ -783,13 +806,19 @@ object TextQueries {
     * desynchronize the twins from their oracles (the two DuckDB twins
     * restate the same gates; Scala-side drift is the risk worth removing). */
   private def curationGatesAndDedup(docs: DataFrame): DataFrame = {
-    val toks = TextStats.tokens(col("text"))
-    val filtered = docs
-      .filter(TextStats.langId(col("text")) === "en")
-      .filter(size(toks).between(5, 5000))
-      .filter(TextStats.stopwordRatio(col("text")) >= 0.05)
-      .filter(repetitionRatio(col("text")) <= 0.2)
-    graft.ext.Dedup.exact(filtered, col("text"), col("doc_id"))
+    // ONE token split per row (optimization round 16): the four gates are
+    // all token-derived, and as separate filters each re-ran the regex
+    // split (language-ID, size, stopword ratio ×2, repetition) — at 100 TB
+    // that is 5+ full regex passes over every byte of the corpus for one
+    // gate decision. The gates evaluate under a single TextStats.bind of
+    // the token array; predicates and results are unchanged.
+    val keep = TextStats.bind(TextStats.tokens(col("text"))) { ts =>
+      TextStats.langIdOf(ts) === "en" &&
+        size(ts).between(5, 5000) &&
+        TextStats.stopwordRatioOf(ts) >= 0.05 &&
+        repetitionRatioOf(ts) <= 0.2
+    }
+    graft.ext.Dedup.exact(docs.filter(keep), col("text"), col("doc_id"))
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -799,6 +828,13 @@ object TextQueries {
       size(graft.functions.ShingleHashes.shingleHashes(toks, 4)).cast("double") /
         greatest(size(toks) - 3, lit(1)), 6)
   }
+
+  /** [[repetitionRatio]] over an already-bound token array (one split per
+    * row for multi-gate consumers — see [[TextStats.langIdOf]]). */
+  private def repetitionRatioOf(ts: Column): Column =
+    round(lit(1.0) -
+      size(graft.functions.ShingleHashes.shingleHashes(ts, 4)).cast("double") /
+        greatest(size(ts) - 3, lit(1)), 6)
 
   /** DuckDB replay of [[graft.functions.BpeEncode]] over the fixture merge
     * table — an independent SQL re-implementation of greedy BPE: a

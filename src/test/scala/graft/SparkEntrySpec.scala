@@ -77,11 +77,17 @@ class SparkEntrySpec extends SparkSpec {
     // verdict row (constant-width by construction);
     // decontaminate_sharded shares it verbatim (same verdict-row stitch,
     // only the store's shard layout differs).
+    // text_heavy_hitters_sketch's only NL join is the ≤200×1 crossJoin of
+    // the exact candidate counts against the single-row total-token
+    // aggregate (round-16 optimization: the total rides lazily instead of
+    // an eager count() action) — post-aggregation constants, the same
+    // stitch shape as mixture_temperature.
     val intended = Set("ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf",
       "ann_topk_ivf_persist", "ann_topk_pq", "ann_topk_pq_persist",
       "ann_topk_ivfpq", "embed_neardup", "embed_neardup_lsh",
       "embed_quantize_int8", "dedup_simhash", "dedup_semantic",
       "decontaminate_bloom", "decontaminate_store", "decontaminate_sharded",
+      "text_heavy_hitters_sketch",
       "sql_scalar_subquery",
       "mixture_temperature", "dsir_select", "corpus_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -61,13 +61,25 @@ class RewriteRankFilterSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
-  test("rank kept in the output is NOT rewritten (rank values needed)") {
+  test("rank kept in the output: Window input capped by TopKPerKey, identical ranks") {
+    // round-16 optimization: the Window survives (rank values are needed)
+    // but its input is capped to the per-key top-k by bounded heaps, so the
+    // per-key sort ranks ≤ k rows instead of every row in the group.
     val q = orders.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("o_custkey", "rn", "o_orderkey")
     val plan = q.queryExecution.executedPlan.toString
-    assert(!plan.contains("TopKPerKey"), plan)
-    assert(plan.contains("Window") || plan.contains("RunningWindowFunction")
-      || plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("Window"), plan)
+    // ranks must equal the uncapped window's (same total order, same rows);
+    // the expected frame runs the plain Window with NO rank filter (nothing
+    // for the rewrite to match) and filters driver-side
+    val expected = orders.withColumn("rn", row_number().over(w))
+      .select("o_custkey", "rn", "o_orderkey")
+      .collect().filter(_.getInt(1) <= 3)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq === expected.toSeq)
   }
 }
