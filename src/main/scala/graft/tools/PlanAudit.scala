@@ -22,6 +22,10 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // same extension surface as Bench/Verify, so the audited plan is the
+      // plan the bench actually runs (round 16 — the injected optimizer
+      // rules were previously absent here)
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
